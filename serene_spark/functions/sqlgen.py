@@ -1,0 +1,112 @@
+"""Tiny dialect shims for SQL that must run identically on Spark and DuckDB.
+
+Every oracle-checked operator is defined once as SQL text generated through
+these helpers, so both engines execute the *same* logical expression. Rules:
+
+- Patterns must not contain backslashes: Spark SQL string literals treat ``\\``
+  as an escape (dropping unknown escapes) while DuckDB keeps it literal, so a
+  pattern like ``\\d`` silently diverges. Use ``[0-9]``, ``[.]`` etc. The only
+  allowed escapes are ``\\t``/``\\n``/``\\r`` (both dialects end up matching the
+  control character).
+- DuckDB ``regexp_replace`` replaces the first match unless the ``'g'`` flag is
+  given; Spark replaces all matches and takes no flag argument.
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCKDB = "duckdb"
+
+
+def _check(pat: str) -> str:
+    for i, ch in enumerate(pat):
+        if ch == "\\" and pat[i + 1 : i + 2] not in ("t", "n", "r"):
+            raise ValueError(f"backslash escape not portable across dialects: {pat!r}")
+    return pat
+
+
+def rr(dialect: str, expr: str, pat: str, rep: str = "") -> str:
+    """Global regexp_replace."""
+    _check(pat)
+    if dialect == DUCKDB:
+        return f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return f"regexp_replace({expr}, '{pat}', '{rep}')"
+
+
+def rx(dialect: str, expr: str, pat: str) -> str:
+    """Boolean regex search (unanchored unless the pattern anchors itself)."""
+    _check(pat)
+    if dialect == DUCKDB:
+        return f"regexp_matches({expr}, '{pat}')"
+    return f"({expr} RLIKE '{pat}')"
+
+
+def re_extract(dialect: str, expr: str, pat: str, group: int) -> str:
+    _check(pat)
+    return f"regexp_extract({expr}, '{pat}', {group})"
+
+
+def log2(dialect: str, expr: str) -> str:
+    if dialect == DUCKDB:
+        return f"log2({expr})"
+    return f"log2({expr})"
+
+
+def split_re(dialect: str, expr: str, pat: str) -> str:
+    """Split a string by regex into an array."""
+    _check(pat)
+    if dialect == DUCKDB:
+        return f"regexp_split_to_array({expr}, '{pat}')"
+    return f"split({expr}, '{pat}')"
+
+
+def explode_seq(dialect: str, lo: str | int, hi_incl: str) -> str:
+    """Generate one row per integer in [lo, hi_incl] (select-list generator)."""
+    if dialect == DUCKDB:
+        return f"unnest(range({lo}, ({hi_incl}) + 1))"
+    return f"explode(sequence({lo}, {hi_incl}))"
+
+
+def explode(dialect: str, expr: str) -> str:
+    """Unnest an array column (select-list generator)."""
+    if dialect == DUCKDB:
+        return f"unnest({expr})"
+    return f"explode({expr})"
+
+
+def idiv(dialect: str, a: str, b: str) -> str:
+    """Integer division."""
+    if dialect == DUCKDB:
+        return f"({a} // {b})"
+    return f"({a} div {b})"
+
+
+def bxor(dialect: str, a: str, b: str) -> str:
+    """Bitwise XOR — DuckDB's ``^`` is POWER, Spark's is XOR."""
+    if dialect == DUCKDB:
+        return f"xor({a}, {b})"
+    return f"({a} ^ {b})"
+
+
+def agg_ordered(dialect: str, val: str, order_by: str, sep: str) -> str:
+    """String-concat aggregate with deterministic element order."""
+    if dialect == DUCKDB:
+        return f"string_agg({val}, '{sep}' ORDER BY {order_by})"
+    return (
+        f"array_join(transform(array_sort(collect_list(struct({order_by} AS o, {val} AS v))),"
+        f" x -> x.v), '{sep}')"
+    )
+
+
+def element_at(dialect: str, arr: str, idx_1based: str | int) -> str:
+    if dialect == DUCKDB:
+        return f"{arr}[{idx_1based}]"
+    return f"element_at({arr}, {idx_1based})"
+
+
+def re_extract_all_count(dialect: str, expr: str, pat: str) -> str:
+    """Number of regex matches in a string."""
+    _check(pat)
+    if dialect == DUCKDB:
+        return f"len(regexp_extract_all({expr}, '{pat}'))"
+    return f"size(regexp_extract_all({expr}, '{pat}', 0))"

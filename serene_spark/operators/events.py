@@ -1,0 +1,184 @@
+"""Event-stream operators: tumbling windows, sessionization, JSON extraction,
+as-of join.
+
+The reference has no streaming/temporal operators (SURVEY §2.12); these are
+the engine's scale extensions over the `events` table. The same logic runs
+under Structured Streaming in serene_spark/streaming/ (readStream + watermark);
+here the batch form is oracle-checked.
+
+Scale notes: tumbling windows are single-shuffle partial aggs; sessionization
+partitions by user (one shuffle, no driver state); the as-of join is expressed
+as join + per-key max so Catalyst can pick sort-merge + AQE; on a cluster the
+orders side would be bucketed by o_custkey to make it shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from serene_spark.catalog import load_table, register_views
+from serene_spark.registry import register
+
+TUMBLING_SQL = """
+SELECT
+  CAST(date_trunc('hour', ts) AS STRING) AS window_start,
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+register(
+    "events_tumbling_hour",
+    oracle=TUMBLING_SQL,
+    doc="1-hour tumbling-window aggregation over events (batch form of the streaming op)",
+)(lambda spark, sf_dir: (register_views(spark, sf_dir), spark.sql(TUMBLING_SQL))[1])
+
+
+# --- JSON extraction (dialect-divergent: get_json_object vs json_extract_string)
+
+JSON_SPARK_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+"""
+
+JSON_ORACLE_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+"""
+
+register(
+    "events_json_stats",
+    oracle=JSON_ORACLE_SQL,
+    doc="semi-structured access: JSON property extraction + aggregation",
+)(lambda spark, sf_dir: (register_views(spark, sf_dir), spark.sql(JSON_SPARK_SQL))[1])
+
+
+# --- Sessionization (30-minute inactivity gap), DataFrame API on the Spark side
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+SESSIONIZE_ORACLE_SQL = f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+),
+per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events,
+         (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS span_sec
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       round(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6) AS avg_events_per_session,
+       CAST(MAX(span_sec) AS BIGINT) AS max_session_span_sec
+FROM per_session GROUP BY user_id
+"""
+
+
+@register(
+    "events_sessionize",
+    oracle=SESSIONIZE_ORACLE_SQL,
+    doc="sessionization with 30-min inactivity gap; per-user session stats",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    sess = (
+        ev.withColumn(
+            "new_session",
+            F.when(
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > SESSION_GAP_US, 1
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(wcum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_ev"),
+            ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / F.lit(1_000_000))
+            .cast("bigint")
+            .alias("span_sec"),
+        )
+    )
+    return sess.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum("n_ev").cast("bigint").alias("n_events"),
+        F.round(F.sum("n_ev").cast("double") / F.count("*"), 6).alias("avg_events_per_session"),
+        F.max("span_sec").cast("bigint").alias("max_session_span_sec"),
+    )
+
+
+# --- As-of join: each event matched to the customer's most recent order at
+# event time. Oracle uses DuckDB's native ASOF JOIN; the Spark side expresses
+# it as an inequality join + per-event argmax.
+
+ASOF_ORACLE_SQL = """
+SELECT e.event_id,
+       e.user_id,
+       o.o_orderkey AS last_orderkey,
+       CAST(o.o_orderdate AS VARCHAR) AS last_orderdate
+FROM events e
+ASOF LEFT JOIN (
+    SELECT o_custkey, o_orderdate,
+           -- dedupe equal order dates per customer deterministically (keep max key)
+           MAX(o_orderkey) AS o_orderkey
+    FROM orders GROUP BY o_custkey, o_orderdate
+) o
+ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+WHERE e.event_id < 1000
+"""
+
+
+@register(
+    "asof_join_events_orders",
+    oracle=ASOF_ORACLE_SQL,
+    doc="as-of join: latest order per customer at event time (custom operator, "
+    "composed from join + window; reference lacks temporal joins entirely)",
+)
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    joined = ev.join(
+        orders,
+        (ev.user_id == orders.o_custkey) & (orders.o_orderdate <= ev.ts),
+        "left",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc_nulls_last(), F.col("o_orderkey").desc_nulls_last()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_orderdate").cast("string").alias("last_orderdate"),
+        )
+    )

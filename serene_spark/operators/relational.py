@@ -1,0 +1,126 @@
+"""Relational analytics operators — joins, aggregations, windows, rollups.
+
+The reference has NO general relational operators (SURVEY §2.12: no SQL, no
+joins/windows/set-ops — confirmed by exhaustive file walk); these queries are
+the engine's general-analytics surface and the benchmark headliners, expressed
+declaratively so Catalyst provides pushdown, pruning, join reordering and AQE.
+
+Parity conventions: money math goes through DECIMAL casts (exact, order-
+independent sums) and is only converted to DOUBLE at the end; date outputs are
+rendered as strings; top-k uses rounded-score + key tie-breaks.
+
+Scale notes (100 TB): q1/rollup are partial-agg friendly single shuffles;
+q3/q5 join fact tables on their keys (sort-merge + AQE skew splitting) with
+dimension sides (region/nation/customer-filter) broadcast by Catalyst since
+they fall under the autoBroadcast threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from serene_spark.catalog import register_views
+from serene_spark.registry import register
+
+DISC = "(1 - CAST(l_discount AS DECIMAL(8,2)))"
+EPRICE = "CAST(l_extendedprice AS DECIMAL(18,2))"
+
+Q1_SQL = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM({EPRICE}) AS DOUBLE) AS sum_base_price,
+  CAST(SUM({EPRICE} * {DISC}) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM({EPRICE} * {DISC} * (1 + CAST(l_tax AS DECIMAL(8,2)))) AS DOUBLE) AS sum_charge,
+  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+  round(CAST(SUM({EPRICE}) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+  round(CAST(SUM(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+Q3_SQL = f"""
+SELECT
+  l_orderkey,
+  CAST(SUM({EPRICE} * {DISC}) AS DOUBLE) AS revenue,
+  CAST(o_orderdate AS STRING) AS orderdate,
+  o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+Q5_SQL = f"""
+SELECT
+  n_name,
+  CAST(SUM({EPRICE} * {DISC}) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+TOPK_WINDOW_SQL = """
+SELECT n_name, c_custkey, c_acctbal, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT n.n_name, c.c_custkey, c.c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY n.n_name
+                            ORDER BY round(c.c_acctbal, 2) DESC, c.c_custkey ASC) AS rk
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+) t
+WHERE rk <= 3
+"""
+
+ROLLUP_SQL = """
+SELECT
+  coalesce(o_orderstatus, '<all>') AS orderstatus,
+  coalesce(o_orderpriority, '<all>') AS orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+PREV_ORDER_GAP_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(o_orderdate AS STRING) AS orderdate,
+       CAST(prev_date AS STRING) AS prev_orderdate
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS prev_date
+  FROM orders
+) t
+WHERE o_custkey <= 100
+"""
+
+
+def _sql_query(sql: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return run
+
+
+register("q1_pricing_summary", oracle=Q1_SQL, doc="TPC-H-style Q1 pricing summary (bench headliner)")(_sql_query(Q1_SQL))
+register("q3_shipping_priority", oracle=Q3_SQL, doc="TPC-H-style Q3: 3-way join + top-10 revenue")(_sql_query(Q3_SQL))
+register("q5_local_supplier", oracle=Q5_SQL, doc="TPC-H-style Q5: 6-way join, revenue per nation")(_sql_query(Q5_SQL))
+register("topk_customers_per_nation", oracle=TOPK_WINDOW_SQL, doc="window row_number top-3 per group")(_sql_query(TOPK_WINDOW_SQL))
+register("rollup_orders", oracle=ROLLUP_SQL, doc="ROLLUP aggregation with decimal-exact money sums")(_sql_query(ROLLUP_SQL))
+register("prev_order_gap", oracle=PREV_ORDER_GAP_SQL, doc="LAG window: each order with the customer's previous order date")(_sql_query(PREV_ORDER_GAP_SQL))

@@ -1,0 +1,65 @@
+"""Query registry: the single source of truth for the engine's public surface.
+
+Every operator registers (a) a PySpark callable ``(spark, sf_dir) -> DataFrame``
+and (b) an equivalent DuckDB oracle SQL string (or None for ops that are not
+SQL-expressible — ML, streaming — which the driver checks rows-only).
+``__spark_entry__.py`` derives ``queries()`` / ``oracle_sql()`` from here.
+
+Oracle-parity conventions (both engines MUST follow them):
+- every float output column is ``round(x, 6)``; sums over doubles go through
+  DECIMAL casts so the result is independent of partial-aggregation order;
+- ratios are computed as exact integer-count divisions where possible;
+- DuckDB ``regexp_replace`` takes the ``'g'`` flag (Spark replaces globally by
+  default); regexes stick to RE2-compatible syntax with ``[0-9]`` classes;
+- deterministic ordering for any top-k: rank on rounded score with an id
+  tie-break.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    """Decorator: register a query under ``name`` with its oracle SQL."""
+
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = Query(name=name, spark=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return wrap
+
+
+def load_all() -> dict[str, Query]:
+    """Import every operator module so registrations run, then return QUERIES."""
+    import importlib
+
+    for mod in (
+        "serene_spark.operators.profile_scalar",
+        "serene_spark.operators.profile_chardist",
+        "serene_spark.operators.profile_typeinfer",
+        "serene_spark.operators.profile_textstats",
+        "serene_spark.operators.relational",
+        "serene_spark.operators.events",
+        "serene_spark.operators.dedup",
+        "serene_spark.operators.similarity",
+        "serene_spark.operators.text_analysis",
+        "serene_spark.operators.resample",
+        "serene_spark.ml.pipeline",
+    ):
+        importlib.import_module(mod)
+    return QUERIES
