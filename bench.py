@@ -1,0 +1,85 @@
+"""Benchmark harness (driver contract): runs headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line.
+
+Queries are materialized with the noop sink — full distributed execution, no
+driver collect overhead. One untimed warm-up action absorbs JVM/JIT startup so
+the numbers measure the engine, not the JVM.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "profile_scalar_lineitem",  # registered below if missing
+    "typeinfer_lineitem",
+    "numeric_stats_lineitem",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "events_sessionize",
+    "events_tumbling_hour",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "similarity_cosine_topk",
+    "text_quality",
+    "semantic_type_predict",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from serene_spark.registry import load_all
+    from serene_spark.session import get_spark
+
+    queries = load_all()
+    # lineitem profiling is a bench headliner even though the sf0.01 oracle
+    # runs on smaller tables; register it here if the registry lacks it.
+    if "profile_scalar_lineitem" not in queries:
+        from serene_spark.operators.profile_scalar import profile_scalar
+        from serene_spark.registry import Query
+
+        queries["profile_scalar_lineitem"] = Query(
+            "profile_scalar_lineitem",
+            lambda spark, sf: profile_scalar(spark, sf, "lineitem"),
+            None,
+        )
+
+    spark = get_spark("serene-bench")
+
+    # warm-up (untimed): JIT + parquet footer reads
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        q = queries[name]
+        t0 = time.time()
+        q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.2f}s", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

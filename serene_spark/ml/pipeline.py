@@ -1,1 +1,191 @@
-"""placeholder — filled in this round."""
+"""Semantic-type classification pipeline (SURVEY §2.9) — the reference's core.
+
+Mirrors TrainMlibSemanticTypeClassifier (matcher/.../train/
+TrainMlibSemanticTypeClassifier.scala): StringIndexer("class"->"label") ->
+VectorAssembler -> RandomForestClassifier(128 trees, depth 10, gini, seed
+5043; 10 trees when < 20 training rows, :43-48,:164-171) -> IndexToString,
+rebuilt on pyspark.ml. Feature extraction is NOT the reference's
+broadcast-attributes-to-executors loop (FeatureExtractorUtil.scala:341-384)
+but the engine's long-format profiling aggregations — the central
+architectural divergence (SURVEY §2.9 "Parallel feature extraction").
+
+Prediction mirrors MLibSemanticTypeClassifier.predict
+(matcher/.../matcher/MLibSemanticTypeClassifier.scala:172-214): probability
+vector -> confidence = max prob, predicted class via IndexToString.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serene_spark.catalog import load_table
+from serene_spark.functions.melt import melt
+from serene_spark.functions.sqlgen import SPARK
+from serene_spark.registry import register
+
+RF_SEED = 5043          # TrainMlibSemanticTypeClassifier.scala:223
+RF_TREES = 128          # :43-48
+RF_TREES_SMALL = 10     # :164-171 (< 20 training rows)
+RF_DEPTH = 10
+
+_FEATURE_VIEW_SEQ = [0]
+
+
+def profile_features_from_long(spark: SparkSession, long_df: DataFrame) -> DataFrame:
+    """Wide per-column feature matrix from the oracle-checked profiling SQL.
+
+    Joins scalar features, text-length stats, char entropy, and numeric stats
+    (left join, -1 fill: absent numerics mirror the reference's sentinel,
+    FeatureExtractor.scala:778-839) on column_name.
+    """
+    from serene_spark.operators.profile_chardist import char_entropy_sql
+    from serene_spark.operators.profile_scalar import profile_scalar_sql
+    from serene_spark.operators.profile_textstats import numeric_stats_sql, textlen_stats_sql
+
+    _FEATURE_VIEW_SEQ[0] += 1
+    view = f"__serene_feat_long_{_FEATURE_VIEW_SEQ[0]}"
+    long_df.createOrReplaceTempView(view)
+
+    scalar = spark.sql(profile_scalar_sql(view, SPARK))
+    tlen = spark.sql(textlen_stats_sql(view, SPARK)).select(
+        "column_name", "mean_len", "median_len", "mode_len", "min_len", "max_len"
+    )
+    cent = spark.sql(char_entropy_sql(view, SPARK)).select(
+        "column_name", "shannon_char_entropy"
+    )
+    nstats = spark.sql(numeric_stats_sql(view, SPARK)).select(
+        "column_name", "mean_num", "median_num", "min_num", "max_num"
+    )
+    out = (
+        scalar.join(tlen, "column_name", "left")
+        .join(cent, "column_name", "left")
+        .join(nstats, "column_name", "left")
+    )
+    feature_cols = [c for c in out.columns if c != "column_name"]
+    return out.select(
+        "column_name",
+        *[F.coalesce(F.col(c).cast("double"), F.lit(-1.0)).alias(c) for c in feature_cols],
+    )
+
+
+def feature_columns(features_df: DataFrame) -> list[str]:
+    return [c for c in features_df.columns if c not in ("column_name", "class")]
+
+
+def train_semantic_classifier(spark: SparkSession, labeled_features: DataFrame):
+    """Fit the reference RF pipeline on (column_name, class, f1..fn)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.feature import IndexToString, StringIndexer, VectorAssembler
+
+    n_rows = labeled_features.count()
+    n_trees = RF_TREES_SMALL if n_rows < 20 else RF_TREES
+    indexer = StringIndexer(inputCol="class", outputCol="label", handleInvalid="error")
+    assembler = VectorAssembler(
+        inputCols=feature_columns(labeled_features), outputCol="features"
+    )
+    rf = RandomForestClassifier(
+        numTrees=n_trees,
+        maxDepth=RF_DEPTH,
+        impurity="gini",
+        seed=RF_SEED,
+        labelCol="label",
+        featuresCol="features",
+    )
+    # stable row order so the fitted model is independent of partitioning
+    # (reference forced numSlices=1 for the same reason, TrainMlib:186-192)
+    ordered = labeled_features.orderBy("column_name")
+    model = Pipeline(stages=[indexer, assembler, rf]).fit(ordered)
+    label_converter = IndexToString(
+        inputCol="prediction",
+        outputCol="predicted_class",
+        labels=model.stages[0].labels,
+    )
+    return model, label_converter
+
+
+def predict_semantic_types(model, label_converter, features_df: DataFrame) -> DataFrame:
+    from pyspark.ml.functions import vector_to_array
+
+    preds = label_converter.transform(model.transform(features_df))
+    return preds.select(
+        "column_name",
+        "predicted_class",
+        F.round(F.array_max(vector_to_array("probability")), 6).alias("confidence"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic fixture (homeseekers-like; FIXTURES.md §1):
+# k tables x one column per semantic class, distinctive value shapes.
+
+FIXTURE_CLASSES = (
+    "phone", "email", "price", "year_built", "address", "person_name",
+    "description", "size",
+)
+
+
+def _fixture_values(cls: str, rng, n: int) -> list[str]:
+    first = ["anna", "ben", "carla", "dan", "eva", "felix", "gina", "hugo"]
+    last = ["smith", "jones", "lee", "chen", "garcia", "kim", "patel", "novak"]
+    cities = ["Springfield", "Riverton", "Lakeside", "Hillview", "Brookfield"]
+    words = ["spacious", "sunny", "cozy", "modern", "garden", "view", "quiet",
+             "renovated", "close", "schools", "park", "large", "kitchen"]
+    out = []
+    for _ in range(n):
+        if cls == "phone":
+            out.append(f"{rng.randint(200, 999)}-{rng.randint(200, 999)}-{rng.randint(1000, 9999)}")
+        elif cls == "email":
+            out.append(f"{rng.choice(first)}.{rng.choice(last)}@example{rng.randint(1, 9)}.com")
+        elif cls == "price":
+            out.append(f"${rng.randint(30, 900) * 1000:,}")
+        elif cls == "year_built":
+            out.append(str(rng.randint(1850, 2025)))
+        elif cls == "address":
+            out.append(f"{rng.choice(cities)}, ST {rng.randint(10000, 99999)}")
+        elif cls == "person_name":
+            out.append(f"{rng.choice(first).title()} {rng.choice(last).title()}")
+        elif cls == "description":
+            k = rng.randint(6, 14)
+            out.append(" ".join(rng.choice(words) for _ in range(k)))
+        elif cls == "size":
+            v = rng.randint(300, 9000)
+            out.append(f"{v:,}" if rng.random() < 0.5 else str(v))
+    return out
+
+
+def make_fixture_long(spark: SparkSession, n_tables: int = 3, n_rows: int = 120,
+                      seed: int = 5123219):
+    """Long-format labeled fixture: (column_name, value) + (column_name, class).
+
+    Deterministic via seeded Python RNG (the reference's resampler seed,
+    ClassImbalanceResampler.scala:121, reused as fixture seed).
+    """
+    import random
+
+    rng = random.Random(seed)
+    rows, labels = [], []
+    for t in range(n_tables):
+        for cls in FIXTURE_CLASSES:
+            col = f"{cls}@table{t}"
+            labels.append((col, cls))
+            for v in _fixture_values(cls, rng, n_rows):
+                rows.append((col, v))
+    long_df = spark.createDataFrame(rows, "column_name string, value string")
+    labels_df = spark.createDataFrame(labels, "column_name string, class string")
+    return long_df, labels_df
+
+
+@register(
+    "semantic_type_predict",
+    oracle=None,  # ML — not SQL-expressible; driver records rows-only check
+    doc="SURVEY §2.9 end-to-end: train reference RF pipeline on a deterministic "
+    "labeled fixture, predict semantic types of `customer` columns",
+)
+def semantic_type_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    long_df, labels_df = make_fixture_long(spark)
+    feats = profile_features_from_long(spark, long_df).join(labels_df, "column_name")
+    model, conv = train_semantic_classifier(spark, feats)
+    target = profile_features_from_long(spark, melt(load_table(spark, sf_dir, "customer")))
+    return predict_semantic_types(model, conv, target)

@@ -1,1 +1,168 @@
-"""placeholder — filled in this round."""
+"""Text-analysis operators over the documents table (scale extension).
+
+Language-ID (stopword-hit heuristic), quality scoring (length / punctuation /
+stopword ratios), token statistics (whitespace + regex-word counting, TTR),
+and bag-of-words document fingerprinting (the "key collision" method: md5 of
+the sorted distinct token set).
+
+All token-level work is a single explode -> groupBy(doc_id) aggregation —
+partial-agg friendly, no Python in the hot path. Stopword lists are inlined
+constants (broadcast literals), not a join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from serene_spark.catalog import register_views
+from serene_spark.functions.sqlgen import (
+    DUCKDB,
+    SPARK,
+    explode,
+    re_extract_all_count,
+    rr,
+    split_re,
+)
+from serene_spark.registry import register
+
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "is", "in", "a", "that", "it", "for"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "von"),
+    "fr": ("le", "la", "et", "les", "des", "est", "dans", "que", "pour", "une"),
+    "es": ("el", "los", "y", "es", "en", "un", "una", "por", "con", "para"),
+}
+
+_WS_PAT = "[ \t\n\r]+"
+
+
+def NORM(dialect: str) -> str:
+    collapsed = rr(dialect, "lower(text)", _WS_PAT, " ")
+    return f"trim({collapsed})"
+
+
+def tokens_rel(dialect: str) -> str:
+    toks = split_re(dialect, NORM(dialect), "[^a-z0-9]+")
+    return f"""
+tokens AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, {explode(dialect, toks)} AS tok FROM documents
+  ) t WHERE tok <> ''
+)"""
+
+
+def _in_list(words: tuple[str, ...]) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+def text_quality_sql(dialect: str) -> str:
+    punct = rr(dialect, "text", "[a-zA-Z0-9 \t\n\r]")  # keep only punctuation
+    digits = rr(dialect, "text", "[^0-9]")
+    upper = rr(dialect, "text", "[^A-Z]")
+    return f"""
+WITH {tokens_rel(dialect)},
+tok_stats AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(length(tok)) AS BIGINT) AS tok_chars,
+         CAST(SUM(CASE WHEN tok IN {_in_list(STOPWORDS['en'])} THEN 1 ELSE 0 END) AS BIGINT) AS sw_hits
+  FROM tokens GROUP BY doc_id
+),
+doc_stats AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length({punct}) AS BIGINT) AS punct_chars,
+         CAST(length({digits}) AS BIGINT) AS digit_chars,
+         CAST(length({upper}) AS BIGINT) AS upper_chars
+  FROM documents
+)
+SELECT d.doc_id, d.n_chars, t.n_tokens,
+       round(CAST(t.tok_chars AS DOUBLE) / t.n_tokens, 6) AS avg_token_len,
+       round(CAST(d.punct_chars AS DOUBLE) / d.n_chars, 6) AS punct_ratio,
+       round(CAST(d.digit_chars AS DOUBLE) / d.n_chars, 6) AS digit_ratio,
+       round(CAST(d.upper_chars AS DOUBLE) / d.n_chars, 6) AS upper_ratio,
+       round(CAST(t.sw_hits AS DOUBLE) / t.n_tokens, 6) AS stopword_ratio,
+       CASE WHEN t.n_tokens >= 5 AND t.n_tokens <= 100000
+                 AND CAST(t.sw_hits AS DOUBLE) / t.n_tokens >= 0.01
+                 AND CAST(d.punct_chars AS DOUBLE) / d.n_chars <= 0.2
+            THEN 1.0 ELSE 0.0 END AS quality_pass
+FROM doc_stats d JOIN tok_stats t ON d.doc_id = t.doc_id
+"""
+
+
+def lang_id_sql(dialect: str) -> str:
+    hits = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tok IN {_in_list(ws)} THEN 1 ELSE 0 END) AS BIGINT) AS {lang}_hits"
+        for lang, ws in STOPWORDS.items()
+    )
+    # argmax with deterministic tie-break on language code, 'unknown' if 0 hits
+    best = "GREATEST(en_hits, de_hits, fr_hits, es_hits)"
+    pick = (
+        f"CASE WHEN {best} = 0 THEN 'unknown' "
+        "WHEN de_hits = " + best + " THEN 'de' "
+        "WHEN en_hits = " + best + " THEN 'en' "
+        "WHEN es_hits = " + best + " THEN 'es' "
+        "ELSE 'fr' END"
+    )
+    return f"""
+WITH {tokens_rel(dialect)},
+hits AS (
+  SELECT doc_id,
+         {hits}
+  FROM tokens GROUP BY doc_id
+)
+SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+       {pick} AS pred_lang
+FROM hits
+"""
+
+
+def token_stats_sql(dialect: str) -> str:
+    words = re_extract_all_count(dialect, "text", "[a-zA-Z]+")
+    return f"""
+WITH {tokens_rel(dialect)},
+t AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+  FROM tokens GROUP BY doc_id
+)
+SELECT d.doc_id, t.n_tokens, t.n_distinct_tokens,
+       round(CAST(t.n_distinct_tokens AS DOUBLE) / t.n_tokens, 6) AS type_token_ratio,
+       CAST({words} AS BIGINT) AS n_regex_words
+FROM documents d JOIN t ON d.doc_id = t.doc_id
+"""
+
+
+def fingerprint_sql(dialect: str) -> str:
+    if dialect == DUCKDB:
+        fp = "md5(string_agg(DISTINCT tok, ' ' ORDER BY tok))"
+    else:
+        fp = "md5(array_join(array_sort(collect_set(tok)), ' '))"
+    return f"""
+WITH {tokens_rel(dialect)},
+fp AS (
+  SELECT doc_id, {fp} AS fingerprint FROM tokens GROUP BY doc_id
+)
+SELECT fingerprint,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+FROM fp GROUP BY fingerprint
+"""
+
+
+def _sql_query(sql_fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, ("documents",))
+        return spark.sql(sql_fn(SPARK))
+
+    return run
+
+
+register("text_quality", oracle=text_quality_sql(DUCKDB),
+         doc="quality scoring: token/punct/digit/stopword ratios + pass flag")(_sql_query(text_quality_sql))
+register("lang_id", oracle=lang_id_sql(DUCKDB),
+         doc="language-ID via per-language stopword hits with argmax")(_sql_query(lang_id_sql))
+register("token_stats", oracle=token_stats_sql(DUCKDB),
+         doc="token counting: whitespace tokens, distinct, TTR, regex words")(_sql_query(token_stats_sql))
+register("doc_fingerprint", oracle=fingerprint_sql(DUCKDB),
+         doc="bag-of-words fingerprint (md5 of sorted distinct tokens) dedup groups")(_sql_query(fingerprint_sql))
