@@ -76,6 +76,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+def register_views(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] = TABLES,
+    spread: bool = False,
+) -> None:
+    """Register corpus tables as temp views.
+
+    ``spread=True`` repartitions under-partitioned inputs first — used by
+    compute-bound operators (shingling, hashing, tokenizing) whose per-row
+    work would otherwise run on one core for single-file local inputs. Scan-
+    bound relational queries keep the raw view so filters/pruning reach the
+    parquet scan without a premature shuffle.
+    """
+    from serene_spark.functions.melt import spread as _spread
+
     for t in tables:
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        df = load_table(spark, sf_dir, t)
+        if spread:
+            df = _spread(df)
+        df.createOrReplaceTempView(t)

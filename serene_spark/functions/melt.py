@@ -19,15 +19,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the input is under-partitioned.
+
+    A small parquet file arrives as one partition locally, which would pin all
+    downstream per-row compute (regex profiling, shingling) to a single core.
+    On a real cluster inputs already carry enough partitions and this is a
+    no-op — never shrink, never add a shuffle that isn't paying for
+    parallelism.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def melt(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """Return ``(column_name: string, value: string)`` for the given columns.
 
-    Uses one ``stack`` projection — narrow, no shuffle; Catalyst prunes the
-    scan to exactly the melted columns.
+    One ``stack`` projection — narrow; Catalyst prunes the scan to exactly
+    the melted columns. The input is spread first so per-row feature exprs
+    downstream parallelize even from a single-file source.
     """
     cols = columns or df.columns
     pairs = ", ".join(f"'{c}', coalesce(cast(`{c}` as string), '')" for c in cols)
-    return df.select(
+    # project before spreading so the repartition shuffle never carries
+    # columns the melt doesn't need (explicit, not left to ColumnPruning)
+    return spread(df.select(*[f"`{c}`" for c in cols])).select(
         F.expr(f"stack({len(cols)}, {pairs}) as (column_name, value)")
     )
 

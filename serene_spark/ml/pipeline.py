@@ -79,7 +79,12 @@ def train_semantic_classifier(spark: SparkSession, labeled_features: DataFrame):
     from pyspark.ml.classification import RandomForestClassifier
     from pyspark.ml.feature import IndexToString, StringIndexer, VectorAssembler
 
-    n_rows = labeled_features.count()
+    # stable row order so the fitted model is independent of partitioning
+    # (reference forced numSlices=1 for the same reason, TrainMlib:186-192);
+    # cached: tree induction iterates over the training set many times and
+    # must not re-run the profiling aggregation lineage per pass
+    ordered = labeled_features.orderBy("column_name").cache()
+    n_rows = ordered.count()
     n_trees = RF_TREES_SMALL if n_rows < 20 else RF_TREES
     indexer = StringIndexer(inputCol="class", outputCol="label", handleInvalid="error")
     assembler = VectorAssembler(
@@ -93,9 +98,6 @@ def train_semantic_classifier(spark: SparkSession, labeled_features: DataFrame):
         labelCol="label",
         featuresCol="features",
     )
-    # stable row order so the fitted model is independent of partitioning
-    # (reference forced numSlices=1 for the same reason, TrainMlib:186-192)
-    ordered = labeled_features.orderBy("column_name")
     model = Pipeline(stages=[indexer, assembler, rf]).fit(ordered)
     label_converter = IndexToString(
         inputCol="prediction",

@@ -191,7 +191,7 @@ WHERE {ham} <= {max_hamming}
 
 def _sql_query(sql_fn):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        register_views(spark, sf_dir, ("documents",))
+        register_views(spark, sf_dir, ("documents",), spread=True)
         return spark.sql(sql_fn(SPARK))
 
     return run

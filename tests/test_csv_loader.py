@@ -1,0 +1,65 @@
+"""CSV loader semantics (SURVEY §2.1) — mirrors the reference's
+CsvDataLoaderSpec fixtures (tiny.csv, tiny_emptyrows.csv, no_header.csv)."""
+
+from __future__ import annotations
+
+import pytest
+
+from serene_spark.sources.csv_loader import load_csv
+
+TINY = "A,B,C,D,E\n1,2,3,4,5\n6,7,8,9,10\n2,3,,,\n"
+TINY_EMPTYROWS = "A,B,C,D,E\n1,2,3,4,5\n,,,,\n6,7,8,9,10\n,,,,\n"
+NO_HEADER = "0,1,2,3,4\n5,6,7,8,9\n"
+MULTILINE_HEADER = "Product,Station\ncode,number\nIDCJAC,066062\nIDCJAD,066063\n"
+
+
+@pytest.fixture()
+def tmpcsv(tmp_path):
+    def write(name: str, content: str) -> str:
+        p = tmp_path / name
+        p.write_text(content)
+        return str(p)
+
+    return write
+
+
+def test_tiny(spark, tmpcsv):
+    df = load_csv(spark, tmpcsv("tiny.csv", TINY))
+    assert df.columns == ["A", "B", "C", "D", "E"]
+    assert df.count() == 3
+    # empty strings preserved as missing, row with empties retained
+    last = df.filter("A = '2'").collect()[0]
+    assert last["C"] is None or last["C"] == ""
+
+
+def test_empty_rows_dropped(spark, tmpcsv):
+    df = load_csv(spark, tmpcsv("tiny_emptyrows.csv", TINY_EMPTYROWS))
+    assert df.count() == 2  # all-empty rows dropped (CsvDataLoader.scala:80-81)
+
+
+def test_numeric_header_heuristic(spark, tmpcsv):
+    df = load_csv(spark, tmpcsv("no_header.csv", NO_HEADER))
+    assert df.columns == [f"col_{i}" for i in range(5)]
+    assert df.count() == 2  # first row kept as data
+
+
+def test_multiline_header(spark, tmpcsv):
+    df = load_csv(spark, tmpcsv("weather.csv", MULTILINE_HEADER), header_lines=2)
+    assert df.columns == ["Product_code", "Station_number"]
+    assert df.count() == 2
+
+
+def test_type_map_cast(spark, tmpcsv):
+    df = load_csv(
+        spark,
+        tmpcsv("typed.csv", "x,y\n1,2.5\n3,4.5\n"),
+        type_map={"x": "integer", "y": "float"},
+    )
+    types = dict(df.dtypes)
+    assert types["x"] == "bigint" and types["y"] == "double"
+    assert df.agg({"x": "sum"}).collect()[0][0] == 4
+
+
+def test_bad_type_map_raises(spark, tmpcsv):
+    with pytest.raises(ValueError):
+        load_csv(spark, tmpcsv("t.csv", "x\n1\n"), type_map={"x": "uuid"})

@@ -1,0 +1,61 @@
+"""Physical-plan audits: the properties that must survive a 1000x scale-up.
+
+These are executable documentation of the scale design — if a refactor makes
+a filter stop reaching the scan or turns a keyed join cartesian, these fail
+before any benchmark does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from serene_spark.catalog import load_table
+from serene_spark.plans.explain_audit import (
+    broadcast_join_count,
+    has_cartesian,
+    has_codegen,
+    pushed_filters,
+    read_schema_columns,
+)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") == 42)
+    assert pushed_filters(df)
+
+
+def test_column_pruning(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    assert read_schema_columns(df) == 2
+
+
+def test_profile_prunes_scan_to_melted_columns(spark, sf_dir):
+    from serene_spark.functions.melt import melt
+
+    df = melt(load_table(spark, sf_dir, "customer"), ["c_name", "c_mktsegment"])
+    assert read_schema_columns(df) == 2
+
+
+def test_q3_no_cartesian_and_codegen(spark, sf_dir):
+    from serene_spark.registry import load_all
+
+    q = load_all()["q3_shipping_priority"]
+    df = q.spark(spark, sf_dir)
+    assert not has_cartesian(df)
+    assert has_codegen(df)
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    from serene_spark.registry import load_all
+
+    df = load_all()["q5_local_supplier"].spark(spark, sf_dir)
+    # nation/region/supplier sides are tiny -> at least two broadcast joins
+    assert broadcast_join_count(df) >= 2
+    assert not has_cartesian(df)
+
+
+def test_ann_bucketed_is_equijoin(spark, sf_dir):
+    from serene_spark.registry import load_all
+
+    df = load_all()["similarity_ann_bucketed"].spark(spark, sf_dir)
+    assert not has_cartesian(df)
