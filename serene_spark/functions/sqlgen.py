@@ -33,6 +33,15 @@ def rr(dialect: str, expr: str, pat: str, rep: str = "") -> str:
     return f"regexp_replace({expr}, '{pat}', '{rep}')"
 
 
+def rr_col(dialect: str, expr: str, pat_expr: str, rep_expr: str) -> str:
+    """Global regexp_replace where pattern/replacement are column expressions
+    (the transformations-table case) — portability of the pattern text is the
+    caller's responsibility."""
+    if dialect == DUCKDB:
+        return f"regexp_replace({expr}, {pat_expr}, {rep_expr}, 'g')"
+    return f"regexp_replace({expr}, {pat_expr}, {rep_expr})"
+
+
 def rx(dialect: str, expr: str, pat: str) -> str:
     """Boolean regex search (unanchored unless the pattern anchors itself)."""
     _check(pat)
@@ -79,6 +88,13 @@ def idiv(dialect: str, a: str, b: str) -> str:
     if dialect == DUCKDB:
         return f"({a} // {b})"
     return f"({a} div {b})"
+
+
+def hex_to_int(dialect: str, expr: str) -> str:
+    """Parse a hex-digit string (<= 15 digits) to BIGINT."""
+    if dialect == DUCKDB:
+        return f"CAST(concat('0x', {expr}) AS BIGINT)"
+    return f"CAST(conv({expr}, 16, 10) AS BIGINT)"
 
 
 def bxor(dialect: str, a: str, b: str) -> str:

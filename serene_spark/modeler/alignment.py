@@ -1,0 +1,182 @@
+"""Alignment-graph construction (SURVEY §2.10).
+
+Reference: ``KarmaBuildAlignmentGraph.constructInitialAlignment`` merges the
+known SSDs (as Karma models weighted by the JWS-paper formula) with the
+ontology closure into one weighted directed multigraph; ``add``/``realign``
+incrementally fold in new models
+(modeler/.../karma/KarmaBuildAlignmentGraph.scala:103-216).
+
+Rebuild: a networkx ``MultiDiGraph`` built driver-side. Weighting follows the
+published Taheriyan/Knoblock JWS formula shape: links observed in known
+models are cheap and get cheaper the more models agree —
+
+    w(link) = 1 / (1 + count(link across known models))
+
+— while links that exist only in the ontology carry a uniform high default
+weight so the Steiner search prefers structures seen in training models and
+falls back to ontology paths to connect novel classes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import networkx as nx
+
+from serene_spark.modeler.ssd import (
+    CLASS_NODE,
+    OBJECT_PROPERTY,
+    Ontology,
+    SemanticModel,
+)
+
+# Weight of a link present only in the ontology, never seen in a known model
+# (Karma's default-link cost; keeps model-derived links strictly preferred).
+ONTOLOGY_LINK_WEIGHT = 1.0
+
+
+@dataclass
+class AlignmentGraph:
+    """Weighted class-level alignment graph.
+
+    Nodes are class URIs (``Person1`` style — class label + duplication
+    index); edges carry ``label`` (the object property) and ``weight``.
+    Data nodes are NOT materialized here — column→class attachment happens at
+    suggestion time (KarmaSuggestModel adds ColumnNodes per request,
+    KarmaSuggestModel.scala:175-226).
+    """
+
+    ontology: Ontology
+    graph: nx.MultiDiGraph = field(default_factory=nx.MultiDiGraph)
+    _link_counts: dict[tuple[str, str, str], int] = field(default_factory=dict)
+
+    def construct_initial_alignment(self, known: list[SemanticModel]) -> AlignmentGraph:
+        """Merge known models, then close over the ontology
+        (KarmaBuildAlignmentGraph.scala:103-150)."""
+        for sm in known:
+            self.add(sm)
+        self._add_ontology_closure()
+        return self
+
+    def add(self, sm: SemanticModel) -> None:
+        """Fold one known model in: count each class-to-class link and
+        re-weight (KarmaBuildAlignmentGraph.scala:157-186)."""
+        nodes = {n.id: n for n in sm.nodes}
+        for link in sm.links:
+            src, tgt = nodes[link.source], nodes[link.target]
+            if src.node_type != CLASS_NODE or tgt.node_type != CLASS_NODE:
+                continue  # data-property links are per-request, not alignment
+            key = (src.uri, tgt.uri, link.label)
+            self._link_counts[key] = self._link_counts.get(key, 0) + 1
+            self.graph.add_node(src.uri, label=src.label)
+            self.graph.add_node(tgt.uri, label=tgt.label)
+            w = 1.0 / (1.0 + self._link_counts[key])
+            self.graph.add_edge(src.uri, tgt.uri, key=link.label, label=link.label, weight=w)
+
+    def _add_ontology_closure(self) -> None:
+        """Add every ontology object property between (sub)class-compatible
+        node pairs that is not already present (the ``compatibleProperties`` /
+        ``nodeClosure`` inference, modeling.properties:17-37)."""
+        # Every ontology class gets at least one node BEFORE property closure,
+        # so classes unseen in known models (e.g. a new source's class) are
+        # reachable terminals.
+        for cls in self.ontology.classes:
+            uri = f"{cls}1"
+            if uri not in self.graph:
+                self.graph.add_node(uri, label=cls)
+        for prop, (dom, rng) in self.ontology.object_properties.items():
+            for u, du in list(self.graph.nodes(data=True)):
+                for v, dv in list(self.graph.nodes(data=True)):
+                    if u == v:
+                        continue
+                    if not self.ontology.compatible_domain(dom, du["label"]):
+                        continue
+                    if not self.ontology.compatible_domain(rng, dv["label"]):
+                        continue
+                    if not self.graph.has_edge(u, v, key=prop):
+                        self.graph.add_edge(
+                            u, v, key=prop, label=prop, weight=ONTOLOGY_LINK_WEIGHT
+                        )
+
+    def undirected_weighted(self) -> nx.Graph:
+        """Simple undirected view keeping, per node pair, the cheapest edge —
+        the search graph for the Steiner heuristic."""
+        g = nx.Graph()
+        g.add_nodes_from(self.graph.nodes(data=True))
+        for u, v, k, d in self.graph.edges(keys=True, data=True):
+            if g.has_edge(u, v) and g[u][v]["weight"] <= d["weight"]:
+                continue
+            g.add_edge(u, v, weight=d["weight"], label=d["label"], src=u, dst=v)
+        return g
+
+    def steiner_tree(self, terminals: list[str]) -> tuple[list[tuple[str, str, str]], float]:
+        """One minimum Steiner tree over ``terminals`` (class URIs), via the
+        classic Kou-Markowsky-Berman metric-closure 2-approximation —
+        equivalent in role to Karma's ``alignmentGraph.computeSteinerNodes`` +
+        tree search (KarmaSuggestModel.scala:577-595).
+
+        Returns (directed labeled edges, total weight).
+        """
+        g = self.undirected_weighted()
+        terms = [t for t in terminals if t in g]
+        if len(terms) <= 1:
+            return [], 0.0
+        st = nx.algorithms.approximation.steiner_tree(g, terms, weight="weight")
+        edges, total = [], 0.0
+        for u, v, d in st.edges(data=True):
+            src, dst = d["src"], d["dst"]
+            edges.append((src, dst, d["label"]))
+            total += d["weight"]
+        return sorted(edges), round(total, 9)
+
+    def top_k_steiner(
+        self, terminals: list[str], k: int = 10, penalty: float = 2.0
+    ) -> list[tuple[list[tuple[str, str, str]], float]]:
+        """Top-k distinct Steiner trees by iterative edge-penalization: after
+        each tree, multiply its edges' weights by ``penalty`` and re-solve —
+        a documented heuristic stand-in for Karma's ranked
+        ``ModelLearner.hypothesize`` top-k enumeration
+        (KarmaSuggestModel.scala:595-611; knob ``topkSteinerTrees``,
+        SsdTypes.scala:449-471). Costs reported are against ORIGINAL weights.
+        """
+        base = {  # original weights for honest scoring
+            (min(u, v), max(u, v)): d["weight"]
+            for u, v, d in self.undirected_weighted().edges(data=True)
+        }
+        seen: set[tuple[tuple[str, str, str], ...]] = set()
+        out: list[tuple[list[tuple[str, str, str]], float]] = []
+        bumped: dict[tuple[str, str, str], float] = {}
+        for _ in range(k * 3):  # a few extra rounds to skip duplicate trees
+            if len(out) >= k:
+                break
+            edges, _ = self._steiner_with_bumps(terminals, bumped)
+            key = tuple(edges)
+            if not edges:
+                break
+            if key not in seen:
+                seen.add(key)
+                cost = sum(
+                    base.get((min(u, v), max(u, v)), ONTOLOGY_LINK_WEIGHT)
+                    for u, v, _lbl in edges
+                )
+                out.append((edges, round(cost, 9)))
+            for e in edges:
+                bumped[e] = bumped.get(e, 1.0) * penalty
+        return sorted(out, key=lambda t: (t[1], t[0]))[:k]
+
+    def _steiner_with_bumps(
+        self, terminals: list[str], bumped: dict[tuple[str, str, str], float]
+    ) -> tuple[list[tuple[str, str, str]], float]:
+        g = self.undirected_weighted()
+        for u, v, d in g.edges(data=True):
+            f = bumped.get((d["src"], d["dst"], d["label"]))
+            if f:
+                d["weight"] *= f
+        terms = [t for t in terminals if t in g]
+        if len(terms) <= 1:
+            return [], 0.0
+        st = nx.algorithms.approximation.steiner_tree(g, terms, weight="weight")
+        edges = sorted(
+            (d["src"], d["dst"], d["label"]) for _, _, d in st.edges(data=True)
+        )
+        return edges, 0.0

@@ -1,0 +1,182 @@
+"""Top-k semantic-model suggestion (SURVEY §2.10).
+
+Reference flow (``KarmaSuggestModel.suggestModels``,
+modeler/.../karma/KarmaSuggestModel.scala:569-680; ``PredictOctopus.predict``
+modeler/.../PredictOctopus.scala:46-126):
+
+1. matcher column predictions arrive as ``class---property`` labels with
+   confidence scores; unknown-class and zero-score columns are dropped
+   (unknownThreshold filter, PredictOctopus.scala:101-126);
+2. each surviving column contributes candidate semantic types (top
+   ``num_semantic_types`` scored (class, property) pairs,
+   KarmaSuggestModel.scala:122-173);
+3. candidate column→type mappings are enumerated (bounded by
+   ``num_candidate_mappings`` / branching factor);
+4. for each mapping the class nodes become Steiner terminals; top-k Steiner
+   trees over the alignment graph give ranked models;
+5. each ranked model is converted to an SSD + ``SemanticScores``
+   (KarmaSuggestModel.scala:281-370; types/.../SsdPrediction.scala:34-62).
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass
+
+from serene_spark.modeler.alignment import AlignmentGraph
+from serene_spark.modeler.ssd import (
+    CLASS_NODE,
+    DATA_NODE,
+    DATA_PROPERTY,
+    SemanticModel,
+    Ssd,
+    SsdLink,
+    SsdNode,
+)
+
+UNKNOWN_CLASS = "unknown"  # reserved label (types/.../ModelTypes.scala:35)
+
+
+@dataclass(frozen=True)
+class SemanticScores:
+    """Ranking diagnostics (SsdPrediction.scala:34-62)."""
+
+    link_cost: float
+    node_confidence: float
+    node_coverage: float
+    karma_score: float
+    karma_rank: int
+
+
+def filter_predictions(
+    predictions: dict[str, dict[str, float]], unknown_threshold: float = 0.0
+) -> dict[str, dict[str, float]]:
+    """Drop unknown-class and zero/sub-threshold columns
+    (PredictOctopus.scala:101-126)."""
+    out: dict[str, dict[str, float]] = {}
+    for col, scores in predictions.items():
+        kept = {
+            lbl: s
+            for lbl, s in scores.items()
+            if s > unknown_threshold and not lbl.startswith(UNKNOWN_CLASS)
+        }
+        if kept and max(kept.values()) > unknown_threshold:
+            out[col] = kept
+    return out
+
+
+def suggest_models(
+    alignment: AlignmentGraph,
+    predictions: dict[str, dict[str, float]],
+    num_semantic_types: int = 4,
+    num_candidate_mappings: int = 10,
+    top_k: int = 10,
+    unknown_threshold: float = 0.0,
+) -> list[tuple[Ssd, SemanticScores]]:
+    """Ranked SSD suggestions for one dataset.
+
+    ``predictions``: column name → {"Class---property": confidence} (the
+    matcher output shape, OctopusInterface.scala:580-660). Deterministic:
+    candidate enumeration and ranking tie-break lexicographically.
+    """
+    preds = filter_predictions(predictions, unknown_threshold)
+    if not preds:
+        return []
+
+    # Per column: top-N candidate (class, property, confidence), best first.
+    cand_types: dict[str, list[tuple[str, str, float]]] = {}
+    for col, scores in sorted(preds.items()):
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        cands = []
+        for lbl, s in ranked[:num_semantic_types]:
+            cls, _, prop = lbl.partition("---")
+            cands.append((cls, prop, s))
+        cand_types[col] = cands
+
+    cols = sorted(cand_types)
+    # Candidate mappings: cartesian product in best-first order, capped.
+    mappings = list(
+        itertools.islice(
+            itertools.product(*(cand_types[c] for c in cols)), num_candidate_mappings
+        )
+    )
+
+    suggestions: list[tuple[float, Ssd, float, float]] = []
+    seen_models: set[tuple[tuple[str, str, str], ...]] = set()
+    for mapping in mappings:
+        terminals = sorted({f"{cls}1" for cls, _p, _s in mapping})
+        confidence = sum(s for _c, _p, s in mapping) / len(mapping)
+        trees = alignment.top_k_steiner(terminals, k=top_k) or [([], 0.0)]
+        for edges, link_cost in trees:
+            key = tuple(edges) + tuple(f"{c}|{cls}|{p}" for c, (cls, p, _s) in zip(cols, mapping))
+            if key in seen_models:
+                continue
+            seen_models.add(key)
+            ssd = _build_ssd(cols, mapping, edges)
+            covered = {f"{cls}1" for cls, _p, _s in mapping}
+            tree_nodes = covered | {u for u, _v, _l in edges} | {v for _u, v, _l in edges}
+            coverage = len(covered) / len(tree_nodes) if tree_nodes else 1.0
+            # Karma-style combined score: cheap connected structure + confident
+            # types (KarmaSuggestModel.scala:281-370 uses a weighted blend).
+            karma = round(confidence / (1.0 + link_cost), 9)
+            suggestions.append((karma, ssd, link_cost, confidence))
+
+    suggestions.sort(key=lambda t: (-t[0], t[1].semantic_model.to_json()))
+    out = []
+    for rank, (karma, ssd, link_cost, confidence) in enumerate(suggestions[:top_k], 1):
+        covered = {n.uri for n in ssd.semantic_model.nodes if n.node_type == CLASS_NODE}
+        out.append(
+            (
+                ssd,
+                SemanticScores(
+                    link_cost=round(link_cost, 9),
+                    node_confidence=round(confidence, 9),
+                    node_coverage=round(
+                        len([n for n in ssd.semantic_model.nodes if n.node_type == DATA_NODE])
+                        / max(len(covered), 1),
+                        9,
+                    ),
+                    karma_score=karma,
+                    karma_rank=rank,
+                ),
+            )
+        )
+    return out
+
+
+def _build_ssd(
+    cols: list[str],
+    mapping: tuple[tuple[str, str, float], ...],
+    edges: list[tuple[str, str, str]],
+) -> Ssd:
+    """Assemble the SSD: class nodes from the Steiner tree + mapped classes,
+    one data node per column, data-property links column→class
+    (KarmaSuggestModel.scala:281-370 conversion)."""
+    uris: dict[str, int] = {}
+    nodes: list[SsdNode] = []
+
+    def class_node(uri: str) -> int:
+        if uri not in uris:
+            nid = len(nodes)
+            label = uri.rstrip("0123456789") or uri
+            idx = int(uri[len(label):] or 1)
+            nodes.append(SsdNode(nid, label, CLASS_NODE, idx))
+            uris[uri] = nid
+        return uris[uri]
+
+    links: list[SsdLink] = []
+    for u, v, lbl in edges:
+        links.append(SsdLink(class_node(u), class_node(v), lbl))
+    mappings: dict[str, int] = {}
+    for col, (cls, prop, _s) in zip(cols, mapping):
+        cid = class_node(f"{cls}1")
+        nid = len(nodes)
+        nodes.append(SsdNode(nid, col, DATA_NODE))
+        links.append(SsdLink(cid, nid, prop, DATA_PROPERTY))
+        mappings[col] = nid
+    return Ssd(
+        name="suggested",
+        attributes=list(cols),
+        semantic_model=SemanticModel(nodes=nodes, links=links),
+        mappings=mappings,
+    )

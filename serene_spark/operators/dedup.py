@@ -30,10 +30,9 @@ from serene_spark.catalog import register_views
 from serene_spark.functions.sqlgen import (
     DUCKDB,
     SPARK,
-    agg_ordered,
     bxor,
     explode_seq,
-    idiv,
+    hex_to_int,
     rr,
     split_re,
 )
@@ -103,74 +102,102 @@ WHERE CAST(c AS DOUBLE) / (n1.n_sh + n2.n_sh - c) >= {threshold}
 """
 
 
+# Prime > 2^32 for the double-hashing permutation family h_i = (h1 + i*h2) % P
+# (Broder-style minhash with two base hashes; no per-permutation md5).
+MH_PRIME = 4294967311
+
+
 def minhash_rel(dialect: str) -> str:
-    """16 min-hashes per doc: permutation i = min over shingles of
-    md5(i || '|' || shingle); min over md5 hex strings is a uniform proxy."""
+    """16 min-hashes per doc as ONE wide aggregation.
+
+    One md5 per shingle, split into two 32-bit ints (h1, h2); permutation i
+    is (h1 + i*h2) % P — so the whole signature is a single
+    ``groupBy(doc_id)`` with 16 MIN aggregates. No 16x row blowup, no
+    per-permutation hashing; partial aggregation (map-side combine) applies
+    to every MIN, so the shuffle carries 16 longs per doc, not per shingle.
+    """
+    h1 = hex_to_int(dialect, "substr(md5(sh), 1, 8)")
+    h2 = hex_to_int(dialect, "substr(md5(sh), 9, 8)")
+    mins = ",\n         ".join(
+        f"MIN((h1 + {i} * h2) % {MH_PRIME}) AS mh{i}" for i in range(N_MINHASH)
+    )
     return f"""
 {shingles_rel(dialect)},
-seeded AS (
-  SELECT doc_id, sh, {explode_seq(dialect, 0, N_MINHASH - 1)} AS seed FROM shingles
+hashes AS (
+  SELECT doc_id, {h1} AS h1, {h2} AS h2 FROM shingles
 ),
 mh AS (
-  SELECT doc_id, seed, MIN(md5(CAST(seed AS STRING) || '|' || sh)) AS mh
-  FROM seeded GROUP BY doc_id, seed
+  SELECT doc_id,
+         {mins}
+  FROM hashes GROUP BY doc_id
 )"""
 
 
 def minhash_signatures_sql(dialect: str) -> str:
-    return f"WITH {minhash_rel(dialect)} SELECT doc_id, CAST(seed AS BIGINT) AS seed, mh FROM mh"
+    cols = ", ".join(f"CAST(mh{i} AS BIGINT) AS mh{i}" for i in range(N_MINHASH))
+    return f"WITH {minhash_rel(dialect)} SELECT doc_id, {cols} FROM mh"
 
 
 def minhash_lsh_sql(dialect: str) -> str:
-    band = idiv(dialect, "seed", BAND_SIZE)
-    sig = agg_ordered(dialect, "mh", "seed", "|")
+    n_bands = N_MINHASH // BAND_SIZE
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || '|' || ".join(
+            f"CAST(mh{b * BAND_SIZE + j} AS STRING)" for j in range(BAND_SIZE)
+        )
+        + ") AS sig FROM mh"
+        for b in range(n_bands)
+    )
+    n_match = " + ".join(
+        f"CASE WHEN m1.mh{i} = m2.mh{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH)
+    )
     return f"""
 WITH {minhash_rel(dialect)},
-bands AS (
-  SELECT doc_id, {band} AS band, md5({sig}) AS sig
-  FROM mh GROUP BY doc_id, {band}
-),
+bands AS ({band_selects}),
 cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
   FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-),
-est AS (
-  SELECT cand.d1, cand.d2,
-         CAST(SUM(CASE WHEN m1.mh = m2.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_match
-  FROM cand
-  JOIN mh m1 ON m1.doc_id = cand.d1
-  JOIN mh m2 ON m2.doc_id = cand.d2 AND m2.seed = m1.seed
-  GROUP BY cand.d1, cand.d2
 )
-SELECT d1 AS doc_id_1, d2 AS doc_id_2,
-       round(CAST(n_match AS DOUBLE) / {N_MINHASH}, 6) AS est_jaccard
-FROM est
+SELECT cand.d1 AS doc_id_1, cand.d2 AS doc_id_2,
+       round(CAST(({n_match}) AS DOUBLE) / {N_MINHASH}, 6) AS est_jaccard
+FROM cand
+JOIN mh m1 ON m1.doc_id = cand.d1
+JOIN mh m2 ON m2.doc_id = cand.d2
 """
 
 
 def simhash_rel(dialect: str) -> str:
     """16-bit SimHash: for hex position p of md5(token), vote +1/-1 by whether
-    the digit is >= 8; bit p set if the vote sum is positive."""
+    the digit is >= 8; bit p set if the vote sum is positive.
+
+    One md5 per token and ONE wide ``groupBy(doc_id)`` with 16 vote-sum
+    aggregates — no 16x row explode, map-side combine on every SUM.
+    """
     toks = split_re(dialect, norm_expr(dialect), "[^a-z0-9]+")
     from serene_spark.functions.sqlgen import explode as _explode
 
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN instr('0123456789abcdef', substr(h, {p}, 1)) - 1 >= 8"
+        f" THEN 1 ELSE -1 END) AS v{p}"
+        for p in range(1, 17)
+    )
+    bits = " + ".join(f"(CASE WHEN v{p} > 0 THEN {1 << (p - 1)} ELSE 0 END)" for p in range(1, 17))
     return f"""
 tokens AS (
   SELECT DISTINCT doc_id, tok FROM (
     SELECT doc_id, {_explode(dialect, toks)} AS tok FROM documents
   ) t WHERE tok <> ''
 ),
+hashed AS (
+  SELECT doc_id, md5(tok) AS h FROM tokens
+),
 votes AS (
-  SELECT doc_id, p,
-         SUM(CASE WHEN instr('0123456789abcdef', substr(md5(tok), p, 1)) - 1 >= 8
-                  THEN 1 ELSE -1 END) AS v
-  FROM (SELECT doc_id, tok, {explode_seq(dialect, 1, '16')} AS p FROM tokens) s
-  GROUP BY doc_id, p
+  SELECT doc_id,
+         {votes}
+  FROM hashed GROUP BY doc_id
 ),
 sim AS (
-  SELECT doc_id,
-         CAST(SUM(CASE WHEN v > 0 THEN CAST(pow(2, p - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-  FROM votes GROUP BY doc_id
+  SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes
 )"""
 
 
@@ -179,13 +206,35 @@ def simhash_signatures_sql(dialect: str) -> str:
 
 
 def simhash_pairs_sql(dialect: str, max_hamming: int = 2) -> str:
-    ham = f"bit_count({bxor(dialect, 'a.simhash', 'b.simhash')})"
+    """Near-dup pairs at hamming distance <= 2 over the 16-bit signature.
+
+    Candidate generation is pigeonhole-chunked, not quadratic: split the
+    signature into max_hamming+1 = 3 chunks (6/5/5 bits); two signatures
+    within hamming 2 must agree exactly on at least one chunk, so an
+    equi-join on (chunk_idx, chunk_value) finds every true pair while the
+    join keys stay low-cardinality-bounded. The exact hamming filter then
+    removes false candidates. Same output as the naive self-join.
+    """
+    chunk_exprs = (
+        "(simhash % 64)",              # bits 1-6
+        "((simhash // 64) % 32)" if dialect == DUCKDB else "((simhash div 64) % 32)",
+        "(simhash // 2048)" if dialect == DUCKDB else "(simhash div 2048)",
+    )
+    chunks = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS ci, {e} AS cv FROM sim"
+        for i, e in enumerate(chunk_exprs)
+    )
     return f"""
-WITH {simhash_rel(dialect)}
-SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
-       CAST({ham} AS BIGINT) AS hamming
-FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-WHERE {ham} <= {max_hamming}
+WITH {simhash_rel(dialect)},
+chunks AS ({chunks}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, a.simhash AS s1, b.doc_id AS d2, b.simhash AS s2
+  FROM chunks a JOIN chunks b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+)
+SELECT a.d1 AS doc_id_1, a.d2 AS doc_id_2,
+       CAST(bit_count({bxor(dialect, 'a.s1', 'a.s2')}) AS BIGINT) AS hamming
+FROM cand a
+WHERE bit_count({bxor(dialect, 'a.s1', 'a.s2')}) <= {max_hamming}
 """
 
 

@@ -72,6 +72,59 @@ FROM numbered CROSS JOIN tgt WHERE numbered.rn <= tgt.target
 """
 
 
+NUM_BAGS = 10   # reference defaults are 100/100 (README bagging section;
+BAG_SIZE = 20   # TrainMlib:303-304); kept small for the checkable query —
+                # the SQL is size-independent.
+
+
+def bagging_sql(dialect: str) -> str:
+    """Bagging (ClassImbalanceResampler.scala:186-270): per column, NUM_BAGS
+    bags of BAG_SIZE values sampled WITH replacement.
+
+    Deterministic-hash variant of the reference's seeded RNG: the value for
+    (column, bag, slot) is row number ``md5(column|bag|slot) % n`` of the
+    column in key order — a pure function of (column, bag, slot, n), so
+    reproducible on any engine and partitioning. Slots are generated with one
+    ``explode(sequence(...))`` per column and resolved with a single
+    (column, row-number) equi-join; per-bag profiling then reuses the §2.3
+    aggregations with ``(column_name, bag)`` as the group key.
+    """
+    from serene_spark.functions.melt import melt_sql
+    from serene_spark.catalog import COLUMNS
+    from serene_spark.functions.sqlgen import hex_to_int
+
+    long_rel = melt_sql("customer", COLUMNS["customer"]) if dialect == DUCKDB else "__serene_bag_long"
+    pick = hex_to_int(
+        dialect,
+        "substr(md5(s.column_name || '|' || CAST(s.bag AS STRING) || '|' || CAST(s.slot AS STRING)), 1, 8)",
+    )
+    return f"""
+WITH numbered AS (
+  SELECT column_name, value,
+         ROW_NUMBER() OVER (PARTITION BY column_name ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY column_name) AS n
+  FROM {long_rel} AS lr
+),
+slots AS (
+  SELECT column_name, bag, {explode_seq(dialect, 1, str(BAG_SIZE))} AS slot
+  FROM (
+    SELECT DISTINCT column_name, {explode_seq(dialect, 1, str(NUM_BAGS))} AS bag
+    FROM numbered
+  ) b
+),
+counts AS (
+  SELECT column_name, MAX(n) AS n FROM numbered GROUP BY column_name
+),
+chosen AS (
+  SELECT s.column_name, s.bag, s.slot, ({pick} % c.n) + 1 AS rn
+  FROM slots s JOIN counts c ON s.column_name = c.column_name
+)
+SELECT c.column_name, CAST(c.bag AS BIGINT) AS bag, CAST(c.slot AS BIGINT) AS slot, n.value
+FROM chosen c
+JOIN numbered n ON n.column_name = c.column_name AND n.rn = c.rn
+"""
+
+
 def _sql_query(sql_fn):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir, ("customer",))
@@ -80,7 +133,17 @@ def _sql_query(sql_fn):
     return run
 
 
+def _bagging_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serene_spark.catalog import load_table
+    from serene_spark.functions.melt import melt
+
+    melt(load_table(spark, sf_dir, "customer")).createOrReplaceTempView("__serene_bag_long")
+    return spark.sql(bagging_sql(SPARK))
+
+
 register("resample_upsample_max", oracle=upsample_to_max_sql(DUCKDB),
          doc="SURVEY §2.8 UpsampleToMax (deterministic-cyclic) on customer/mktsegment")(_sql_query(upsample_to_max_sql))
 register("resample_downsample_median", oracle=downsample_to_median_sql(DUCKDB),
          doc="SURVEY §2.8 ResampleToMedian downsampling (deterministic key order)")(_sql_query(downsample_to_median_sql))
+register("resample_bagging", oracle=bagging_sql(DUCKDB),
+         doc="SURVEY §2.8 Bagging: per-column bags sampled with replacement (deterministic hash)")(_bagging_spark)

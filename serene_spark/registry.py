@@ -59,6 +59,11 @@ def load_all() -> dict[str, Query]:
         "serene_spark.operators.similarity",
         "serene_spark.operators.text_analysis",
         "serene_spark.operators.resample",
+        "serene_spark.operators.evaluation",
+        "serene_spark.operators.class_features",
+        "serene_spark.operators.ingest_sample",
+        "serene_spark.operators.transform",
+        "serene_spark.modeler.octopus",
         "serene_spark.ml.pipeline",
     ):
         importlib.import_module(mod)

@@ -1,0 +1,127 @@
+"""Modeler (SURVEY §2.10) tests — golden-model style, mirroring the
+reference's SuggestModelSpec/AlignmentGraphSpec assertions (node/link counts
+of constructed alignment graphs; expected suggested structures)."""
+
+from __future__ import annotations
+
+import pytest
+
+from serene_spark.modeler import (
+    AlignmentGraph,
+    SemanticModel,
+    Ssd,
+    evaluate_ssd,
+    suggest_models,
+)
+from serene_spark.modeler.octopus import (
+    CUSTOMER_SSD,
+    ORDERS_SSD,
+    SUPPLIER_PREDICTIONS,
+    predict_supplier_ssd,
+    train_octopus,
+)
+from serene_spark.modeler.suggest import filter_predictions
+
+
+def test_ssd_complete_and_roundtrip():
+    assert CUSTOMER_SSD.is_complete()
+    assert ORDERS_SSD.is_complete()
+    sm = SemanticModel.from_json(CUSTOMER_SSD.semantic_model.to_json())
+    assert sm.triples() == CUSTOMER_SSD.semantic_model.triples()
+
+
+def test_alignment_graph_counts():
+    """AlignmentGraphSpec-style: known node/edge population after merging the
+    two known models + ontology closure."""
+    g = train_octopus().graph
+    # Customer1, Nation1, Region1, Order1 from models; Supplier1 + Party1 from ontology.
+    assert set(g.nodes) == {"Customer1", "Nation1", "Region1", "Order1", "Supplier1", "Party1"}
+    # Model-derived links are cheaper than ontology-only links.
+    w_seen2 = g["Customer1"]["Nation1"]["locatedIn"]["weight"]  # in both SSDs
+    w_seen1 = g["Nation1"]["Region1"]["partOf"]["weight"]  # in one SSD
+    w_onto = g["Supplier1"]["Nation1"]["locatedIn"]["weight"]  # ontology only
+    assert w_seen2 == 1.0 / 3.0
+    assert w_seen1 == 0.5
+    assert w_onto == 1.0
+    assert w_seen2 < w_seen1 < w_onto
+
+
+def test_prediction_filter_drops_unknown_and_zero():
+    preds = {
+        "a": {"unknown": 0.9, "Customer---name": 0.0},
+        "b": {"Customer---name": 0.7, "unknown": 0.2},
+    }
+    kept = filter_predictions(preds)
+    assert set(kept) == {"b"}
+    assert kept["b"] == {"Customer---name": 0.7}
+
+
+def test_suggest_supplier_golden():
+    """The top suggestion connects Supplier->Nation->Region? No — terminals
+    are only the mapped classes {Supplier, Nation}; the tree is the single
+    ontology locatedIn edge, and every column hangs off its class."""
+    suggestions = predict_supplier_ssd()
+    assert suggestions, "no suggestions returned"
+    top, scores = suggestions[0]
+    assert scores.karma_rank == 1
+    triples = top.triples()
+    assert ("Supplier1", "locatedIn", "Nation1") in triples
+    assert ("Supplier1", "name", "s_name") in triples
+    assert ("Supplier1", "acctBal", "s_acctbal") in triples
+    assert ("Nation1", "name", "s_nation_name") in triples
+    assert top.is_complete()
+    # Ranks are 1..n and scores non-increasing.
+    ranks = [s.karma_rank for _m, s in suggestions]
+    assert ranks == list(range(1, len(suggestions) + 1))
+    karma = [s.karma_score for _m, s in suggestions]
+    assert karma == sorted(karma, reverse=True)
+
+
+def test_suggest_deterministic():
+    a = [(m.semantic_model.to_json(), s) for m, s in predict_supplier_ssd()]
+    b = [(m.semantic_model.to_json(), s) for m, s in predict_supplier_ssd()]
+    assert a == b
+
+
+def test_steiner_prefers_seen_links():
+    """With Order+Nation as terminals the search must route Order->Customer->
+    Nation (seen links, cost 1/2+1/3) over any ontology-only shortcut."""
+    alignment = train_octopus()
+    edges, cost = alignment.steiner_tree(["Order1", "Nation1"])
+    assert ("Order1", "Customer1", "placedBy") in edges
+    assert ("Customer1", "Nation1", "locatedIn") in edges
+    assert abs(cost - (0.5 + 1.0 / 3.0)) < 1e-9
+
+
+def test_top_k_distinct_trees():
+    """Customer→Region has two routes: via Nation (seen links, 1/3 + 1/2)
+    and the direct ontology memberOf edge (1.0); penalization surfaces both,
+    ranked by original cost."""
+    alignment = train_octopus()
+    trees = alignment.top_k_steiner(["Customer1", "Region1"], k=3)
+    assert len(trees) >= 2
+    assert len({tuple(e) for e, _c in trees}) == len(trees)
+    costs = [c for _e, c in trees]
+    assert costs == sorted(costs)
+    assert ("Customer1", "Nation1", "locatedIn") in trees[0][0]
+    assert abs(trees[0][1] - (1.0 / 3.0 + 0.5)) < 1e-9
+
+
+def test_evaluate_ssd_metrics():
+    perfect = evaluate_ssd(CUSTOMER_SSD, CUSTOMER_SSD)
+    assert perfect == {"precision": 1.0, "recall": 1.0, "jaccard": 1.0}
+    cross = evaluate_ssd(ORDERS_SSD, CUSTOMER_SSD)
+    assert cross["precision"] < 1.0
+    # Each SSD has 5 triples; shared: Customer->Nation locatedIn,
+    # Customer name c_name, Nation name n_name.
+    assert cross["precision"] == pytest.approx(3 / 5)
+    assert cross["recall"] == pytest.approx(3 / 5)
+    assert cross["jaccard"] == pytest.approx(3 / 7)
+    # Ignoring column nodes folds per-column ids away but keeps the typing.
+    folded = evaluate_ssd(ORDERS_SSD, CUSTOMER_SSD, ignore_column_nodes=True)
+    assert folded["recall"] >= cross["recall"]
+
+
+def test_unmappable_prediction_yields_empty():
+    alignment = train_octopus()
+    assert suggest_models(alignment, {"x": {"unknown": 0.9}}) == []
