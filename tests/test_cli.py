@@ -1,0 +1,89 @@
+"""CLI (SURVEY §2.13) end-to-end: profile → train → predict → evaluate →
+transform over a tiny CSV fixture, all through the argparse surface."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from serene_spark import cli
+
+
+@pytest.fixture(scope="module")
+def fixture_csv(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    data = d / "data.csv"
+    # Three labeled columns per class so the bootstrap in every RF tree sees
+    # each class (a single row per class makes self-prediction flaky).
+    hdr = ["phone", "phone_b", "phone_c", "email", "email_b", "email_c",
+           "price", "price_b", "price_c"]
+    rows = [",".join(hdr)]
+    for i in range(30):
+        rows.append(
+            f"0{400 + i}-555-1{i:03d},0{500 + i}-555-2{i:03d},0{600 + i}-555-3{i:03d},"
+            f"user{i}@example.com,a{i}@test.org,p{i}@mail.net,"
+            f"{100 + i}.50,{200 + i}.25,{300 + i}.75"
+        )
+    data.write_text("\n".join(rows) + "\n")
+    labels = d / "labels.csv"
+    labels.write_text(
+        "column_name,class\n"
+        + "".join(f"{c},{c.split('_')[0]}\n" for c in hdr)
+    )
+    rules = d / "rules.csv"
+    rules.write_text('class,source_pattern,output_format\nprice,"[.][0-9]+$",""\n')
+    preds = d / "preds.csv"
+    preds.write_text(
+        "column_name,actual,predicted\na,phone,phone\nb,email,phone\nc,price,price\n"
+    )
+    return d
+
+
+def test_cli_profile(fixture_csv, capsys, spark):
+    assert cli.main(["profile", str(fixture_csv / "data.csv")]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 9
+    by_col = {l["column_name"]: l for l in lines}
+    assert by_col["email"]["prop_entries_with_at_sign"] == 1.0
+
+
+def test_cli_train_predict(fixture_csv, capsys, spark, tmp_path):
+    model_dir = str(tmp_path / "model")
+    assert (
+        cli.main(
+            ["train", str(fixture_csv / "data.csv"), str(fixture_csv / "labels.csv"), model_dir]
+        )
+        == 0
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out["classes"]) == {"phone", "email", "price"}
+
+    assert cli.main(["predict", model_dir, str(fixture_csv / "data.csv")]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    by_col = {l["column_name"]: l["predicted_class"] for l in lines}
+    # Self-prediction on the training source must be perfect.
+    assert by_col["phone"] == "phone"
+    assert by_col["email"] == "email"
+    assert by_col["price"] == "price"
+    assert len(by_col) == 9
+
+
+def test_cli_evaluate(fixture_csv, capsys, spark):
+    assert cli.main(["evaluate", str(fixture_csv / "preds.csv")]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    cm = {(l["actual"], l["predicted"]): l["n"] for l in lines}
+    assert cm[("phone", "phone")] == 1
+    assert cm[("email", "phone")] == 1
+
+
+def test_cli_transform(fixture_csv, capsys, spark):
+    assert (
+        cli.main(["transform", str(fixture_csv / "data.csv"), str(fixture_csv / "rules.csv")])
+        == 0
+    )
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    priced = [l for l in lines if l["column_name"] == "price"]
+    assert priced and all("." not in l["transformed"] for l in priced)
+    untouched = [l for l in lines if l["column_name"] == "email"]
+    assert all(l["transformed"] == l["value"] for l in untouched)
