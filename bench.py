@@ -53,8 +53,14 @@ def main() -> None:
 
     spark = get_spark("serene-bench")
 
-    # warm-up (untimed): JIT + parquet footer reads
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # warm-up (untimed): JIT, parquet footers, and OS page cache — a full-
+    # column noop scan per input table, so timed queries measure engine
+    # compute, not first-touch disk IO (count() alone reads only metadata)
+    for table in ("lineitem", "orders", "customer", "nation", "region",
+                  "events", "documents", "embeddings"):
+        from serene_spark.catalog import load_table
+
+        load_table(spark, sf_dir, table).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     total = 0.0

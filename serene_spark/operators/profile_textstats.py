@@ -29,36 +29,42 @@ NUM_PAT = "^[+-]?([0-9]{1,18}([.][0-9]{0,10})?|[.][0-9]{1,10})$"
 
 
 def textlen_stats_sql(long_rel: str, dialect: str) -> str:
+    """Scale shape: NEVER a per-row window partitioned by column_name (16
+    partitions would sort millions of rows with 16-way parallelism). Instead
+    reduce to (column, len)->count first — a hash aggregation with map-side
+    combine and no key skew — then compute mean/median/mode/min/max from the
+    tiny distinct-length relation; the reference's exact median (the
+    ceil(n/2)-th smallest element, FeatureExtractor.scala:758-763) is the
+    smallest len whose cumulative count reaches ceil(n/2)."""
     return f"""
-WITH lens AS (
-  SELECT column_name, CAST(length(value) AS BIGINT) AS len FROM {long_rel} AS lr
+WITH counts AS (
+  SELECT column_name, CAST(length(value) AS BIGINT) AS len, CAST(COUNT(*) AS BIGINT) AS c
+  FROM {long_rel} AS lr GROUP BY column_name, length(value)
 ),
 agg AS (
-  SELECT column_name, CAST(COUNT(*) AS BIGINT) AS n,
-         round(avg(CAST(len AS DOUBLE)), 6) AS mean_len,
+  SELECT column_name, CAST(SUM(c) AS BIGINT) AS n,
+         round(CAST(SUM(len * c) AS DOUBLE) / SUM(c), 6) AS mean_len,
          CAST(MIN(len) AS BIGINT) AS min_len,
          CAST(MAX(len) AS BIGINT) AS max_len
-  FROM lens GROUP BY column_name
+  FROM counts GROUP BY column_name
 ),
-ranked AS (
+cum AS (
   SELECT column_name, len,
-         ROW_NUMBER() OVER (PARTITION BY column_name ORDER BY len) AS rn
-  FROM lens
+         SUM(c) OVER (PARTITION BY column_name ORDER BY len) AS cum_c
+  FROM counts
 ),
 med AS (
-  SELECT r.column_name, CAST(r.len AS BIGINT) AS median_len
-  FROM ranked r JOIN agg a ON r.column_name = a.column_name
-  WHERE r.rn = CAST(ceil(a.n / 2.0) AS BIGINT)
-),
-mode_counts AS (
-  SELECT column_name, len, COUNT(*) AS c FROM lens GROUP BY column_name, len
+  SELECT cu.column_name, CAST(MIN(cu.len) AS BIGINT) AS median_len
+  FROM cum cu JOIN agg a ON cu.column_name = a.column_name
+  WHERE cu.cum_c >= CAST(ceil(a.n / 2.0) AS BIGINT)
+  GROUP BY cu.column_name
 ),
 mode1 AS (
   SELECT column_name, CAST(len AS BIGINT) AS mode_len
   FROM (
     SELECT column_name, len,
            ROW_NUMBER() OVER (PARTITION BY column_name ORDER BY c DESC, len ASC) AS rn
-    FROM mode_counts
+    FROM counts
   ) mc WHERE rn = 1
 )
 SELECT a.column_name, a.n AS n_values, a.mean_len,
@@ -71,6 +77,10 @@ JOIN mode1 mo ON a.column_name = mo.column_name
 
 
 def numeric_stats_sql(long_rel: str, dialect: str) -> str:
+    """Same scale shape as textlen_stats: (column, num)->count hash agg
+    first (map-side combine, skew-free), cumulative-count median over the
+    distinct-value relation only. Decimal sums keep the mean exact and
+    partial-aggregation-order independent."""
     num = "CAST(trim(value) AS DECIMAL(28,10))"
     return f"""
 WITH nums AS (
@@ -78,22 +88,27 @@ WITH nums AS (
   FROM {long_rel} AS lr
   WHERE {rx(dialect, 'trim(value)', NUM_PAT)}
 ),
+counts AS (
+  SELECT column_name, num, CAST(COUNT(*) AS BIGINT) AS c
+  FROM nums GROUP BY column_name, num
+),
 agg AS (
-  SELECT column_name, CAST(COUNT(*) AS BIGINT) AS n_numeric,
-         round(CAST(SUM(num) AS DOUBLE) / COUNT(*), 6) AS mean_num,
+  SELECT column_name, CAST(SUM(c) AS BIGINT) AS n_numeric,
+         round(CAST(SUM(num * c) AS DOUBLE) / SUM(c), 6) AS mean_num,
          CAST(MIN(num) AS DOUBLE) AS min_num,
          CAST(MAX(num) AS DOUBLE) AS max_num
-  FROM nums GROUP BY column_name
+  FROM counts GROUP BY column_name
 ),
-ranked AS (
+cum AS (
   SELECT column_name, num,
-         ROW_NUMBER() OVER (PARTITION BY column_name ORDER BY num) AS rn
-  FROM nums
+         SUM(c) OVER (PARTITION BY column_name ORDER BY num) AS cum_c
+  FROM counts
 ),
 med AS (
-  SELECT r.column_name, CAST(r.num AS DOUBLE) AS median_num
-  FROM ranked r JOIN agg a ON r.column_name = a.column_name
-  WHERE r.rn = CAST(ceil(a.n_numeric / 2.0) AS BIGINT)
+  SELECT cu.column_name, CAST(MIN(cu.num) AS DOUBLE) AS median_num
+  FROM cum cu JOIN agg a ON cu.column_name = a.column_name
+  WHERE cu.cum_c >= CAST(ceil(a.n_numeric / 2.0) AS BIGINT)
+  GROUP BY cu.column_name
 )
 SELECT a.column_name, a.n_numeric, a.mean_num, m.median_num, a.min_num, a.max_num
 FROM agg a JOIN med m ON a.column_name = m.column_name
