@@ -83,7 +83,13 @@ def train_semantic_classifier(spark: SparkSession, labeled_features: DataFrame):
     # (reference forced numSlices=1 for the same reason, TrainMlib:186-192);
     # cached: tree induction iterates over the training set many times and
     # must not re-run the profiling aggregation lineage per pass
-    ordered = labeled_features.orderBy("column_name").cache()
+    # coalesce(1): the training set is COLUMN metadata (one row per labeled
+    # column — thousands at most), so single-partition training removes
+    # hundreds of near-empty tasks from tree induction (the reference forced
+    # numSlices=1 for determinism at the same tiny scale, TrainMlib:186-192);
+    # coalesce after orderBy concatenates partitions in order, keeping the
+    # global sort
+    ordered = labeled_features.orderBy("column_name").coalesce(1).cache()
     n_rows = ordered.count()
     n_trees = RF_TREES_SMALL if n_rows < 20 else RF_TREES
     indexer = StringIndexer(inputCol="class", outputCol="label", handleInvalid="error")
