@@ -124,6 +124,67 @@ def predict_semantic_types(model, label_converter, features_df: DataFrame) -> Da
     )
 
 
+def score_column_name(cls: str) -> str:
+    """Relational column name for a class score (``Class---prop`` → ``score_...``)."""
+    import re
+
+    return "score_" + re.sub(r"[^A-Za-z0-9]", "_", cls)
+
+
+def predict_with_scores(
+    model, features_df: DataFrame, classes: list[str], bag_col: str | None = None
+) -> DataFrame:
+    """Full reference prediction output: per-class score map reordered to the
+    user's ``classes`` order with absent-class → 0.0, plus argmax label.
+
+    Mirrors MLibSemanticTypeClassifier.processPredictions
+    (matcher/.../matcher/MLibSemanticTypeClassifier.scala:68-103): the MLlib
+    probability vector is indexed by StringIndexer label order; it is
+    reordered to ``classes`` and classes the model never saw score 0.0.
+    The argmax ties break toward the EARLIEST class in ``classes`` (Scala
+    ``maxBy`` returns the first maximum, :186-193).
+
+    With ``bag_col`` set, score vectors are averaged per column before the
+    argmax — the reference's bag-averaging (:154-166).
+    """
+    from pyspark.ml.functions import vector_to_array
+
+    mlib_labels: list[str] = list(model.stages[0].labels)
+    new_order = [mlib_labels.index(c) if c in mlib_labels else -1 for c in classes]
+
+    preds = model.transform(features_df).withColumn(
+        "_probs", vector_to_array("probability")
+    )
+    score_cols = [
+        (F.col("_probs")[idx] if idx >= 0 else F.lit(0.0)).alias(score_column_name(c))
+        for c, idx in zip(classes, new_order)
+    ]
+    scored = preds.select("column_name", *score_cols)
+
+    if bag_col is not None:
+        # bag-averaging: mean score vector per original column (:154-166)
+        scored = preds.select("column_name", F.col(bag_col), *score_cols).groupBy(
+            "column_name"
+        ).agg(*[F.avg(score_column_name(c)).alias(score_column_name(c)) for c in classes])
+
+    names = [score_column_name(c) for c in classes]
+    confidence = F.greatest(*[F.col(n) for n in names]) if len(names) > 1 else F.col(names[0])
+    # first-maximum tie-break in user class order (Scala maxBy semantics)
+    predicted = F.coalesce(
+        *[F.when(F.col(n) == F.col("_conf"), F.lit(c)) for c, n in zip(classes, names)]
+    )
+    return (
+        scored.withColumn("_conf", confidence)
+        .withColumn("predicted_class", predicted)
+        .select(
+            "column_name",
+            "predicted_class",
+            F.round(F.col("_conf"), 6).alias("confidence"),
+            *[F.round(F.col(n), 6).alias(n) for n in names],
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic synthetic fixture (homeseekers-like; FIXTURES.md §1):
 # k tables x one column per semantic class, distinctive value shapes.
@@ -197,3 +258,24 @@ def semantic_type_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     model, conv = train_semantic_classifier(spark, feats)
     target = profile_features_from_long(spark, melt(load_table(spark, sf_dir, "customer")))
     return predict_semantic_types(model, conv, target)
+
+
+# User class order for the score-map query: includes a class the model never
+# saw ("zipcode" → always 0.0) and the reserved "unknown" label, exercising
+# the absent-class path of MLibSemanticTypeClassifier.scala:83-102.
+SCORE_MAP_CLASSES = list(FIXTURE_CLASSES) + ["zipcode", "unknown"]
+
+
+@register(
+    "predict_scores_customer",
+    oracle=None,  # ML probabilities — not SQL-expressible; rows-only check
+    doc="SURVEY §2.9 full prediction output: per-class score map over customer "
+    "columns, reordered to the user's class list with absent-class -> 0.0 "
+    "(MLibSemanticTypeClassifier.scala:68-103)",
+)
+def predict_scores_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    long_df, labels_df = make_fixture_long(spark)
+    feats = profile_features_from_long(spark, long_df).join(labels_df, "column_name")
+    model, _conv = train_semantic_classifier(spark, feats)
+    target = profile_features_from_long(spark, melt(load_table(spark, sf_dir, "customer")))
+    return predict_with_scores(model, target, SCORE_MAP_CLASSES).orderBy("column_name")

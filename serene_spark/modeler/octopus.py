@@ -101,37 +101,106 @@ ORDERS_SSD = Ssd(
     mappings={"o_totalprice": 3, "c_name": 4, "n_name": 5},
 )
 
-# Matcher-style predictions for supplier's columns: Class---property scores
-# (in the full flow these come from the §2.9 RF pipeline over §2.3 features;
-# fixed here so the query is deterministic for the driver's rows check).
-SUPPLIER_PREDICTIONS: dict[str, dict[str, float]] = {
-    "s_name": {"Supplier---name": 0.83, "Customer---name": 0.61, "unknown": 0.05},
-    "s_acctbal": {"Supplier---acctBal": 0.77, "Order---totalPrice": 0.40},
-    "s_nation_name": {"Nation---name": 0.91, "Region---name": 0.30},
-}
+def ssd_semantic_type_labels(ssd: Ssd) -> dict[str, str]:
+    """Derive matcher training labels from an SSD's mappings: each mapped
+    attribute gets ``Class---property`` from its incoming data-property link
+    (OctopusInterface.getSemanticTypes, core/.../OctopusInterface.scala:580-660).
+    """
+    sm = ssd.semantic_model
+    labels: dict[str, str] = {}
+    for attr, node_id in ssd.mappings.items():
+        for link in sm.links:
+            if link.target == node_id and link.link_type == DATA_PROPERTY:
+                labels[attr] = f"{sm.node(link.source).label}---{link.label}"
+                break
+    return labels
+
+
+KNOWN_SSDS = (CUSTOMER_SSD, ORDERS_SSD)
+# Tables whose columns are the lobster's training pool; columns an SSD maps
+# carry Class---property labels, the rest train the reserved "unknown" class
+# (ModelTypes.scala:35; HOWTO unknown-class threading).
+TRAIN_TABLES = ("customer", "orders", "nation")
+PREDICT_TABLE = "supplier"
+# ModelingProperties.unknownThreshold semantics (SsdTypes.scala:449-525) —
+# user-settable knob; demo value keeps s_acctbal's 0.2-confidence candidates.
+UNKNOWN_THRESHOLD = 0.15
+
+
+def octopus_training_labels() -> dict[str, str]:
+    labels: dict[str, str] = {}
+    for ssd in KNOWN_SSDS:
+        labels.update(ssd_semantic_type_labels(ssd))
+    return labels
 
 
 def train_octopus() -> AlignmentGraph:
     """Alignment training half of octopus train (TrainOctopus.scala:37-60)."""
     return AlignmentGraph(ONTOLOGY).construct_initial_alignment(
-        [CUSTOMER_SSD.semantic_model, ORDERS_SSD.semantic_model]
+        [ssd.semantic_model for ssd in KNOWN_SSDS]
     )
 
 
-def predict_supplier_ssd():
+def supplier_predictions(spark: SparkSession, sf_dir: str) -> dict[str, dict[str, float]]:
+    """Lobster (matcher) half of octopus predict: train the §2.9 RF on the
+    known-SSD tables' profiled columns (labels derived from SSD mappings,
+    unlabeled columns → "unknown"), then predict the target table's columns
+    with the full reordered score map (MLibSemanticTypeClassifier.scala:68-103).
+    Replaces the former hardcoded prediction dict — the matcher→modeler seam
+    is now the reference's real flow (OctopusInterface.scala:491-540).
+    """
+    from serene_spark.catalog import load_table
+    from serene_spark.functions.melt import melt
+    from serene_spark.ml.pipeline import (
+        predict_with_scores,
+        profile_features_from_long,
+        train_semantic_classifier,
+    )
+
+    labels = octopus_training_labels()
+    train_long = None
+    for t in TRAIN_TABLES:
+        part = melt(load_table(spark, sf_dir, t))
+        train_long = part if train_long is None else train_long.unionByName(part)
+    feats = profile_features_from_long(spark, train_long)
+    label_rows = [(c, labels.get(c, "unknown")) for t in TRAIN_TABLES
+                  for c in load_table(spark, sf_dir, t).columns]
+    labels_df = spark.createDataFrame(label_rows, "column_name string, class string")
+    model, _conv = train_semantic_classifier(spark, feats.join(labels_df, "column_name"))
+
+    classes = sorted(set(labels.values())) + ["unknown"]
+    target = profile_features_from_long(
+        spark, melt(load_table(spark, sf_dir, PREDICT_TABLE))
+    )
+    scored = predict_with_scores(model, target, classes)
+    out: dict[str, dict[str, float]] = {}
+    from serene_spark.ml.pipeline import score_column_name
+
+    for row in scored.collect():  # O(#columns) rows — column metadata, not data
+        out[row["column_name"]] = {
+            cls: float(row[score_column_name(cls)]) for cls in classes
+        }
+    return out
+
+
+def predict_supplier_ssd(spark: SparkSession, sf_dir: str):
     alignment = train_octopus()
-    return suggest_models(alignment, SUPPLIER_PREDICTIONS, top_k=3)
+    preds = supplier_predictions(spark, sf_dir)
+    return suggest_models(
+        alignment, preds, top_k=3, unknown_threshold=UNKNOWN_THRESHOLD
+    )
 
 
 @register(
     "ssd_suggest_supplier",
     oracle=None,  # graph search is not SQL-expressible; rows-only check
-    doc="SURVEY §2.10 octopus: alignment graph from known SSDs + ontology, "
-    "top-k Steiner suggestion for supplier, flattened to ranked triples",
+    doc="SURVEY §2.10 octopus end-to-end: RF matcher scores (trained from "
+    "known-SSD labels) -> Class---property map -> alignment-graph Steiner "
+    "suggestion for supplier, flattened to ranked triples",
 )
 def ssd_suggest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
-    for ssd, scores in predict_supplier_ssd():
+    for ssd, scores in predict_supplier_ssd(spark, sf_dir):
         for s, p, o in sorted(ssd.triples()):
             rows.append((scores.karma_rank, float(scores.karma_score), s, p, o))
     return spark.createDataFrame(

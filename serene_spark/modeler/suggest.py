@@ -55,10 +55,13 @@ def filter_predictions(
     (PredictOctopus.scala:101-126)."""
     out: dict[str, dict[str, float]] = {}
     for col, scores in predictions.items():
+        # compare the class component exactly — a legitimate class named e.g.
+        # "unknownCarrier---name" must NOT be dropped (the reference compares
+        # the reserved label exactly, PredictOctopus.scala:101-126)
         kept = {
             lbl: s
             for lbl, s in scores.items()
-            if s > unknown_threshold and not lbl.startswith(UNKNOWN_CLASS)
+            if s > unknown_threshold and lbl.partition("---")[0] != UNKNOWN_CLASS
         }
         if kept and max(kept.values()) > unknown_threshold:
             out[col] = kept

@@ -183,6 +183,72 @@ def _meta_query(sql_fn):
     return run
 
 
+# --- score-map reorder (the relational, oracle-checkable face of §2.9) ------
+
+# User-declared class order, including a class with no examples ("phone"):
+# its score must come out as exactly 0.0 (MLibSemanticTypeClassifier.scala:83-102
+# absent-class handling), and argmax tie-breaks toward the earliest user class
+# (Scala maxBy = first maximum).
+USER_CLASS_ORDER = ("category", "date", "key", "money", "name", "phone")
+
+
+def score_map_reorder_sql(test_long: str, pool_longs: dict[str, str], dialect: str) -> str:
+    """Per-class score map reordered to USER_CLASS_ORDER with absent->0.0 and
+    first-max argmax — the §2.9 prediction post-processing expressed
+    relationally over the char-cosine class scores (which stand in for RF
+    probabilities so DuckDB can verify the reorder/argmax logic exactly)."""
+    present = set(CLASSES)
+    score_exprs = ",\n       ".join(
+        (
+            f"round(COALESCE({c}_char_cosine, 0.0), 6) AS score_{c}"
+            if c in present
+            else f"CAST(0.0 AS DOUBLE) AS score_{c}"
+        )
+        for c in USER_CLASS_ORDER
+    )
+    conf = "GREATEST(" + ", ".join(f"score_{c}" for c in USER_CLASS_ORDER) + ")"
+    argmax = "CASE " + " ".join(
+        f"WHEN score_{c} = confidence THEN '{c}'" for c in USER_CLASS_ORDER
+    ) + " END"
+    return f"""
+WITH raw_scores AS ({char_cosine_sql(test_long, pool_longs, dialect)}),
+reordered AS (
+  SELECT col_name,
+       {score_exprs}
+  FROM raw_scores
+),
+with_conf AS (
+  SELECT *, {conf} AS confidence FROM reordered
+)
+SELECT col_name, {argmax} AS predicted_class, round(confidence, 6) AS confidence,
+       {", ".join(f"score_{c}" for c in USER_CLASS_ORDER)}
+FROM with_conf
+"""
+
+
+def _score_map_oracle() -> str:
+    pool = {t: melt_sql(t, COLUMNS[t]) for t in _COSINE_POOL_TABLES}
+    return score_map_reorder_sql(
+        melt_sql(_COSINE_TEST_TABLE, COLUMNS[_COSINE_TEST_TABLE]), pool, DUCKDB
+    )
+
+
+def _score_map_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pool = {}
+    for t in _COSINE_POOL_TABLES:
+        view = f"__serene_smap_{t}"
+        melt(load_table(spark, sf_dir, t)).createOrReplaceTempView(view)
+        pool[t] = view
+    test_view = f"__serene_smap_{_COSINE_TEST_TABLE}"
+    melt(load_table(spark, sf_dir, _COSINE_TEST_TABLE)).createOrReplaceTempView(test_view)
+    return spark.sql(score_map_reorder_sql(test_view, pool, SPARK))
+
+
+register("predict_score_map_reorder", oracle=_score_map_oracle(),
+         doc="SURVEY §2.9 prediction post-processing relationally: class score map "
+         "reordered to user class order, absent-class -> 0.0, first-max argmax")(_score_map_spark)
+
+
 register("class_min_editdist", oracle=min_editdist_sql(DUCKDB),
          doc="SURVEY §2.5 min-editdistance-from-class-examples (Levenshtein, pivot per class)")(_meta_query(min_editdist_sql))
 register("class_knn_shares", oracle=knn_shares_sql(DUCKDB),

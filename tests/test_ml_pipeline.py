@@ -54,3 +54,60 @@ def test_small_training_set_uses_fewer_trees(spark):
     small = train.limit(15)
     model, _ = train_semantic_classifier(spark, small)
     assert model.stages[-1].getNumTrees == RF_TREES_SMALL
+
+
+def test_score_map_reorder_and_absent_class(spark):
+    """predict_with_scores mirrors MLibSemanticTypeClassifier.scala:68-103:
+    scores reordered to the user's class order; a class the model never saw
+    scores exactly 0.0; per-row scores of present classes sum to ~1."""
+    from serene_spark.ml.pipeline import (
+        predict_with_scores,
+        score_column_name,
+        train_semantic_classifier,
+    )
+
+    train, test_feats, labels_df = _split_fixture(spark)
+    model, _conv = train_semantic_classifier(spark, train)
+    trained = sorted(r["class"] for r in train.select("class").distinct().collect())
+    user_order = ["never_seen_class"] + trained[::-1]  # absent first, rest reversed
+    rows = predict_with_scores(model, test_feats, user_order).collect()
+    assert rows
+    for r in rows:
+        assert r[score_column_name("never_seen_class")] == 0.0
+        total = sum(r[score_column_name(c)] for c in trained)
+        assert abs(total - 1.0) < 1e-4
+        # argmax consistency: predicted class carries the max score
+        assert r[score_column_name(r["predicted_class"])] == r["confidence"]
+    # predictions agree with the labeled classes (same data as accuracy test)
+    labels = {r["column_name"]: r["class"] for r in labels_df.collect()}
+    acc = sum(r["predicted_class"] == labels[r["column_name"]] for r in rows) / len(rows)
+    assert acc > 0.9
+
+
+def test_bag_averaging(spark):
+    """Bag-averaging (MLibSemanticTypeClassifier.scala:154-166): with bagged
+    feature rows, scores are averaged per original column before argmax."""
+    from serene_spark.ml.pipeline import (
+        predict_with_scores,
+        score_column_name,
+        train_semantic_classifier,
+    )
+
+    train, test_feats, _ = _split_fixture(spark)
+    model, _conv = train_semantic_classifier(spark, train)
+    trained = sorted(r["class"] for r in train.select("class").distinct().collect())
+
+    # Duplicate each test column as 3 "bags" (identical features => the
+    # average must equal the single-row scores).
+    bagged = test_feats.crossJoin(
+        spark.range(3).withColumnRenamed("id", "bag")
+    )
+    plain = {
+        r["column_name"]: [r[score_column_name(c)] for c in trained]
+        for r in predict_with_scores(model, test_feats, trained).collect()
+    }
+    avg = {
+        r["column_name"]: [r[score_column_name(c)] for c in trained]
+        for r in predict_with_scores(model, bagged, trained, bag_col="bag").collect()
+    }
+    assert plain == avg

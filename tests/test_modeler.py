@@ -16,8 +16,9 @@ from serene_spark.modeler import (
 from serene_spark.modeler.octopus import (
     CUSTOMER_SSD,
     ORDERS_SSD,
-    SUPPLIER_PREDICTIONS,
+    octopus_training_labels,
     predict_supplier_ssd,
+    ssd_semantic_type_labels,
     train_octopus,
 )
 from serene_spark.modeler.suggest import filter_predictions
@@ -56,19 +57,35 @@ def test_prediction_filter_drops_unknown_and_zero():
     assert kept["b"] == {"Customer---name": 0.7}
 
 
-def test_suggest_supplier_golden():
-    """The top suggestion connects Supplier->Nation->Region? No — terminals
-    are only the mapped classes {Supplier, Nation}; the tree is the single
-    ontology locatedIn edge, and every column hangs off its class."""
-    suggestions = predict_supplier_ssd()
+def test_ssd_label_derivation():
+    """Labels for lobster training come from SSD mappings as Class---property
+    (OctopusInterface.scala:580-660), not hardcoded dicts."""
+    assert ssd_semantic_type_labels(CUSTOMER_SSD) == {
+        "c_name": "Customer---name",
+        "c_acctbal": "Customer---acctBal",
+        "n_name": "Nation---name",
+    }
+    labels = octopus_training_labels()
+    assert labels["o_totalprice"] == "Order---totalPrice"
+    assert labels["c_name"] == "Customer---name"
+
+
+def test_suggest_supplier_golden(spark, sf_dir):
+    """End-to-end matcher→modeler: the RF (trained from known-SSD labels over
+    real profiled columns) types s_name as a name-like property; key columns
+    fall to `unknown` and are filtered; the top suggestion maps the surviving
+    columns onto trained classes."""
+    suggestions = predict_supplier_ssd(spark, sf_dir)
     assert suggestions, "no suggestions returned"
     top, scores = suggestions[0]
     assert scores.karma_rank == 1
     triples = top.triples()
-    assert ("Supplier1", "locatedIn", "Nation1") in triples
-    assert ("Supplier1", "name", "s_name") in triples
-    assert ("Supplier1", "acctBal", "s_acctbal") in triples
-    assert ("Nation1", "name", "s_nation_name") in triples
+    # s_name is a name-shaped string column -> mapped via the `name` property.
+    assert any(p == "name" and o == "s_name" for _s, p, o in triples)
+    # Key columns predicted `unknown` never appear in any suggestion.
+    for ssd, _sc in suggestions:
+        assert "s_suppkey" not in ssd.attributes
+        assert "s_nationkey" not in ssd.attributes
     assert top.is_complete()
     # Ranks are 1..n and scores non-increasing.
     ranks = [s.karma_rank for _m, s in suggestions]
@@ -77,9 +94,9 @@ def test_suggest_supplier_golden():
     assert karma == sorted(karma, reverse=True)
 
 
-def test_suggest_deterministic():
-    a = [(m.semantic_model.to_json(), s) for m, s in predict_supplier_ssd()]
-    b = [(m.semantic_model.to_json(), s) for m, s in predict_supplier_ssd()]
+def test_suggest_deterministic(spark, sf_dir):
+    a = [(m.semantic_model.to_json(), s) for m, s in predict_supplier_ssd(spark, sf_dir)]
+    b = [(m.semantic_model.to_json(), s) for m, s in predict_supplier_ssd(spark, sf_dir)]
     assert a == b
 
 
