@@ -75,7 +75,9 @@ def cmd_predict(args) -> int:
 
     from serene_spark.ml.pipeline import (
         predict_semantic_types,
+        predict_with_scores,
         profile_features_from_long,
+        save_derived_features,
     )
 
     spark = _spark()
@@ -86,7 +88,16 @@ def cmd_predict(args) -> int:
         labels=model.stages[0].labels,
     )
     feats = profile_features_from_long(spark, _load_long(spark, args.data))
-    preds = predict_semantic_types(model, conv, feats)
+    if getattr(args, "derived_features", None):
+        # full score map in the user's class order (classes.json sidecar) +
+        # id,label,confidence,<classes>,<features> CSV (saveFeatures :218-258)
+        with open(f"{args.model}/classes.json") as f:
+            classes = list(json.load(f)["classes"])
+        scored = predict_with_scores(model, feats, classes)
+        save_derived_features(scored, feats, classes, args.derived_features)
+        preds = scored.select("column_name", "predicted_class", "confidence")
+    else:
+        preds = predict_semantic_types(model, conv, feats)
     for row in preds.orderBy("column_name").toLocalIterator():
         print(json.dumps(row.asDict(), sort_keys=True))
     return 0
@@ -152,6 +163,10 @@ def main(argv: list[str] | None = None) -> int:
     spr = sub.add_parser("predict", help="predict semantic types")
     spr.add_argument("model")
     spr.add_argument("data")
+    spr.add_argument(
+        "--derived-features",
+        help="write id,label,confidence,<class scores>,<features> CSV here",
+    )
     spr.set_defaults(fn=cmd_predict)
 
     se = sub.add_parser("evaluate", help="confusion matrix from predictions CSV")

@@ -185,6 +185,28 @@ def predict_with_scores(
     )
 
 
+def save_derived_features(
+    scored_df: DataFrame, features_df: DataFrame, classes: list[str], path: str
+) -> None:
+    """Derived-features sink: ``id,label,confidence,<class scores>,<features>``
+    (MLibSemanticTypeClassifier.saveFeatures,
+    matcher/.../matcher/MLibSemanticTypeClassifier.scala:218-258). Score
+    columns carry the raw class names, matching the reference header; written
+    with the §2.1 quoteAll CSV writer.
+    """
+    from serene_spark.sources.csv_loader import write_csv
+
+    feature_cols = [c for c in features_df.columns if c != "column_name"]
+    out = scored_df.join(features_df, "column_name").select(
+        F.col("column_name").alias("id"),
+        F.col("predicted_class").alias("label"),
+        "confidence",
+        *[F.col(score_column_name(c)).alias(c) for c in classes],
+        *feature_cols,
+    )
+    write_csv(out.orderBy("id"), path, single_file=True)
+
+
 # ---------------------------------------------------------------------------
 # Deterministic synthetic fixture (homeseekers-like; FIXTURES.md §1):
 # k tables x one column per semantic class, distinctive value shapes.

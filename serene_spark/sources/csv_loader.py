@@ -37,6 +37,55 @@ def _sanitize(name: str) -> str:
     return re.sub(r"[^0-9a-zA-Z_]+", "_", name) or "col"
 
 
+def _probe_header_rows(
+    spark: SparkSession, path: str, header_lines: int, ncols: int
+) -> list[list[str]] | None:
+    """First ``header_lines`` parsed rows of the lexicographically FIRST file.
+
+    ``raw.limit(n).collect()`` gives no file/row-order guarantee for
+    directory/glob inputs, so the probe resolves the first file explicitly
+    (local glob; falls back to a single-file Spark read otherwise) and parses
+    its head. Header rows of OTHER files are handled by the exact-match drop
+    in ``load_csv`` — every row equal to a probed header row is removed.
+    """
+    import csv as _csv
+    import glob as _glob
+    import io
+    import os
+
+    if header_lines <= 0:
+        return None
+    def _is_data_file(name: str) -> bool:
+        # Spark file-source convention: _SUCCESS/_committed/.hidden are metadata
+        return not (name.startswith(".") or name.startswith("_"))
+
+    candidates: list[str] = []
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            candidates += [os.path.join(root, f) for f in files if _is_data_file(f)]
+    elif os.path.isfile(path):
+        candidates = [path]
+    else:
+        candidates = [
+            p for p in _glob.glob(path)
+            if os.path.isfile(p) and _is_data_file(os.path.basename(p))
+        ]
+    if candidates:
+        first = sorted(candidates)[0]
+        with open(first, newline="", encoding="utf-8", errors="replace") as fh:
+            head = list(io.StringIO("".join(fh.readline() for _ in range(header_lines))))
+        rows = list(_csv.reader(head))
+    else:
+        # non-local path: single-file Spark read; limit on one file returns
+        # its leading split's rows in order
+        rows = [list(r) for r in spark.read.csv(path, header=False).limit(header_lines).collect()]
+    out = []
+    for r in rows[:header_lines]:
+        vals = ["" if v is None else str(v) for v in r]
+        out.append((vals + [""] * ncols)[:ncols])
+    return out or None
+
+
 def load_csv(
     spark: SparkSession,
     path: str,
@@ -47,11 +96,11 @@ def load_csv(
     raw = spark.read.csv(path, header=False, inferSchema=False, mode="PERMISSIVE")
     ncols = len(raw.columns)
 
-    header_rows = raw.limit(header_lines).collect() if header_lines > 0 else []
+    header_rows = _probe_header_rows(spark, path, header_lines, ncols) or []
     names: list[str]
     headerless = False
     if header_rows:
-        first = ["" if v is None else str(v) for v in header_rows[0]]
+        first = header_rows[0]
         # numeric-header heuristic (CsvDataLoader.scala:92-97): an all-numeric
         # first row is data, not a header
         if all(_NUMERIC_RE.match(v) for v in first if v != ""):
@@ -60,9 +109,7 @@ def load_csv(
         names = [f"col_{i}" for i in range(ncols)]
         df = raw
     else:
-        parts: list[list[str]] = [
-            ["" if v is None else str(v) for v in row] for row in header_rows
-        ]
+        parts: list[list[str]] = header_rows
         names = [
             _sanitize("_".join(p[i] for p in parts if p[i] != "") or f"col_{i}")
             for i in range(ncols)
@@ -108,7 +155,44 @@ def load_csv(
 
 def sample_columns(df: DataFrame, n: int = 15, seed: int = 1234) -> dict[str, list]:
     """API column sample: n values drawn from the first 4*n rows, seeded
-    (DataSetInterface.scala:39-41,214-235)."""
+    (DataSetInterface.scala:39-41,214-235). The seed is folded INTO the sort
+    hash so different seeds genuinely reorder the sample."""
     head = df.limit(4 * n)
-    sampled = head.orderBy(F.md5(F.concat_ws("|", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in df.columns])), F.lit(seed)).limit(n).collect()
+    row_key = F.concat_ws(
+        "|",
+        F.lit(str(seed)),
+        *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in df.columns],
+    )
+    sampled = head.orderBy(F.md5(row_key)).limit(n).collect()
     return {c: [row[c] for row in sampled] for c in df.columns}
+
+
+def truncate_suffix(attr_id: str) -> str:
+    """``name@table@db`` / ``name@db`` → ``name`` (CSVDataWriter.scala:55-62)."""
+    return attr_id.split("@", 1)[0]
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """CSV sink with the reference writer's semantics
+    (CSVDataWriter.scala:18-65): every value quoted (quoteAll), header names
+    are attribute ids with the ``@table@db`` suffix stripped, and values are
+    cleaned with newline→space, double-quote→single-quote (``cleanString``).
+
+    Spark-first: a distributed ``df.write.csv`` — one part-file per partition
+    at scale. ``single_file=True`` coalesces to one partition for small
+    exports (the reference always writes one file; at 100 TB you want the
+    parallel layout, so it is opt-in).
+    """
+    cleaned = df.select(
+        *[
+            F.regexp_replace(
+                F.regexp_replace(F.coalesce(F.col(c).cast("string"), F.lit("")), "\n", " "),
+                '"',
+                "'",
+            ).alias(truncate_suffix(c))
+            for c in df.columns
+        ]
+    )
+    if single_file:
+        cleaned = cleaned.coalesce(1)
+    cleaned.write.mode("overwrite").csv(path, header=True, quoteAll=True, emptyValue="")

@@ -69,6 +69,42 @@ def test_cli_train_predict(fixture_csv, capsys, spark, tmp_path):
     assert len(by_col) == 9
 
 
+def test_cli_predict_derived_features_sink(fixture_csv, capsys, spark, tmp_path):
+    """Golden-format check of the derived-features sink
+    (MLibSemanticTypeClassifier.saveFeatures:218-258):
+    header = id,label,confidence,<classes>,<features>; one row per column."""
+    import csv
+    import glob
+
+    model_dir = str(tmp_path / "model")
+    sink = str(tmp_path / "derived")
+    cli.main(["train", str(fixture_csv / "data.csv"), str(fixture_csv / "labels.csv"), model_dir])
+    capsys.readouterr()
+    assert (
+        cli.main(
+            ["predict", model_dir, str(fixture_csv / "data.csv"),
+             "--derived-features", sink]
+        )
+        == 0
+    )
+    capsys.readouterr()
+    classes = json.load(open(f"{model_dir}/classes.json"))["classes"]
+    [part] = glob.glob(f"{sink}/part-*.csv")
+    with open(part) as f:
+        rows = list(csv.reader(f))
+    header, data = rows[0], rows[1:]
+    assert header[:3] == ["id", "label", "confidence"]
+    assert header[3:3 + len(classes)] == list(classes)
+    n_features = len(header) - 3 - len(classes)
+    assert n_features > 10  # the profiling feature block follows
+    assert len(data) == 9  # one row per column
+    for r in data:
+        scores = [float(v) for v in r[3:3 + len(classes)]]
+        assert abs(sum(scores) - 1.0) < 1e-4
+        assert float(r[2]) == max(scores)  # confidence = max class score
+        assert r[1] in classes
+
+
 def test_cli_evaluate(fixture_csv, capsys, spark):
     assert cli.main(["evaluate", str(fixture_csv / "preds.csv")]) == 0
     lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
