@@ -166,22 +166,48 @@ JOIN mh m2 ON m2.doc_id = cand.d2
 """
 
 
-def simhash_rel(dialect: str) -> str:
-    """16-bit SimHash: for hex position p of md5(token), vote +1/-1 by whether
-    the digit is >= 8; bit p set if the vote sum is positive.
+SIMHASH_BITS = 64      # 4 x 16-bit words; 16-bit chunks keep the pigeonhole
+SIMHASH_WORDS = 4      # equi-join selective (2^16 key values per chunk)
+SIMHASH_MAX_HAMMING = 3  # <= words - 1 so at least one word matches exactly
 
-    One md5 per token and ONE wide ``groupBy(doc_id)`` with 16 vote-sum
-    aggregates — no 16x row explode, map-side combine on every SUM.
+
+def simhash_rel(dialect: str) -> str:
+    """64-bit SimHash as 4 x 16-bit words: bit (d, j) of the signature votes
+    +1/-1 by bit j of md5(token)'s d-th hex digit (the first 16 hex digits
+    supply 64 independent bits); a signature bit is set if its vote sum is
+    positive.
+
+    One md5 per token, one 16-column digit projection, then ONE wide
+    ``groupBy(doc_id)`` with 64 vote-sum aggregates — no per-bit row explode,
+    map-side combine on every SUM, shuffle = 64 longs per doc. The 16-bit
+    word width (not one 64-bit value) keeps every chunk directly usable as
+    an equi-join key and avoids signed-overflow at bit 63.
     """
     toks = split_re(dialect, norm_expr(dialect), "[^a-z0-9]+")
     from serene_spark.functions.sqlgen import explode as _explode
 
-    votes = ",\n         ".join(
-        f"SUM(CASE WHEN instr('0123456789abcdef', substr(h, {p}, 1)) - 1 >= 8"
-        f" THEN 1 ELSE -1 END) AS v{p}"
-        for p in range(1, 17)
+    digit_cols = ",\n         ".join(
+        f"instr('0123456789abcdef', substr(h, {d}, 1)) - 1 AS g{d}"
+        for d in range(1, 17)
     )
-    bits = " + ".join(f"(CASE WHEN v{p} > 0 THEN {1 << (p - 1)} ELSE 0 END)" for p in range(1, 17))
+    vote_cols = []
+    for d in range(1, 17):
+        for j in range(4):
+            sel = idiv_expr(dialect, f"g{d}", str(1 << j))
+            vote_cols.append(
+                f"SUM(CASE WHEN ({sel}) % 2 = 1 THEN 1 ELSE -1 END) AS v{d}_{j}"
+            )
+    votes = ",\n         ".join(vote_cols)
+    word_cols = []
+    for w in range(SIMHASH_WORDS):
+        terms = []
+        for k in range(4):  # 4 hex digits per word
+            d = 4 * w + k + 1
+            for j in range(4):
+                bit = k * 4 + j
+                terms.append(f"(CASE WHEN v{d}_{j} > 0 THEN {1 << bit} ELSE 0 END)")
+        word_cols.append(f"CAST({' + '.join(terms)} AS BIGINT) AS w{w}")
+    words = ",\n         ".join(word_cols)
     return f"""
 tokens AS (
   SELECT DISTINCT doc_id, tok FROM (
@@ -191,50 +217,69 @@ tokens AS (
 hashed AS (
   SELECT doc_id, md5(tok) AS h FROM tokens
 ),
+digits AS (
+  SELECT doc_id,
+         {digit_cols}
+  FROM hashed
+),
 votes AS (
   SELECT doc_id,
          {votes}
-  FROM hashed GROUP BY doc_id
+  FROM digits GROUP BY doc_id
 ),
 sim AS (
-  SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes
+  SELECT doc_id,
+         {words}
+  FROM votes
 )"""
 
 
+def idiv_expr(dialect: str, a: str, b: str) -> str:
+    from serene_spark.functions.sqlgen import idiv
+
+    return idiv(dialect, a, b)
+
+
 def simhash_signatures_sql(dialect: str) -> str:
-    return f"WITH {simhash_rel(dialect)} SELECT doc_id, simhash FROM sim"
+    cols = ", ".join(f"w{w}" for w in range(SIMHASH_WORDS))
+    return f"WITH {simhash_rel(dialect)} SELECT doc_id, {cols} FROM sim"
 
 
-def simhash_pairs_sql(dialect: str, max_hamming: int = 2) -> str:
-    """Near-dup pairs at hamming distance <= 2 over the 16-bit signature.
+def simhash_pairs_sql(dialect: str, max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
+    """Near-dup pairs at hamming distance <= 3 over the 64-bit signature.
 
-    Candidate generation is pigeonhole-chunked, not quadratic: split the
-    signature into max_hamming+1 = 3 chunks (6/5/5 bits); two signatures
-    within hamming 2 must agree exactly on at least one chunk, so an
-    equi-join on (chunk_idx, chunk_value) finds every true pair while the
-    join keys stay low-cardinality-bounded. The exact hamming filter then
-    removes false candidates. Same output as the naive self-join.
+    Candidate generation is pigeonhole-chunked, never quadratic: with the
+    signature split into 4 exact 16-bit words and hamming <= 3 < 4, two
+    near-dup signatures must agree EXACTLY on at least one word, so an
+    equi-join on (word_idx, word_value) finds every true pair while the join
+    key space is 4 x 2^16 — selective at any corpus size (a 16-bit chunk
+    collides ~N/65536 docs vs the previous 16-bit-total signature whose
+    6/5-bit chunks collided ~N/64). The exact hamming filter then removes
+    false candidates. Same output as a naive all-pairs self-join.
     """
-    chunk_exprs = (
-        "(simhash % 64)",              # bits 1-6
-        "((simhash // 64) % 32)" if dialect == DUCKDB else "((simhash div 64) % 32)",
-        "(simhash // 2048)" if dialect == DUCKDB else "(simhash div 2048)",
+    hamming = " + ".join(
+        f"bit_count({bxor(dialect, f'cand.sa{w}', f'cand.sb{w}')})"
+        for w in range(SIMHASH_WORDS)
     )
+    sig_cols_a = ", ".join(f"a.w{w} AS sa{w}" for w in range(SIMHASH_WORDS))
+    sig_cols_b = ", ".join(f"b.w{w} AS sb{w}" for w in range(SIMHASH_WORDS))
     chunks = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {i} AS ci, {e} AS cv FROM sim"
-        for i, e in enumerate(chunk_exprs)
+        f"SELECT doc_id, {', '.join(f'w{x}' for x in range(SIMHASH_WORDS))}, "
+        f"{w} AS ci, w{w} AS cv FROM sim"
+        for w in range(SIMHASH_WORDS)
     )
     return f"""
 WITH {simhash_rel(dialect)},
 chunks AS ({chunks}),
 cand AS (
-  SELECT DISTINCT a.doc_id AS d1, a.simhash AS s1, b.doc_id AS d2, b.simhash AS s2
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+         {sig_cols_a}, {sig_cols_b}
   FROM chunks a JOIN chunks b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
 )
-SELECT a.d1 AS doc_id_1, a.d2 AS doc_id_2,
-       CAST(bit_count({bxor(dialect, 'a.s1', 'a.s2')}) AS BIGINT) AS hamming
-FROM cand a
-WHERE bit_count({bxor(dialect, 'a.s1', 'a.s2')}) <= {max_hamming}
+SELECT cand.d1 AS doc_id_1, cand.d2 AS doc_id_2,
+       CAST({hamming} AS BIGINT) AS hamming
+FROM cand
+WHERE {hamming} <= {max_hamming}
 """
 
 
