@@ -7,9 +7,11 @@ under Structured Streaming in serene_spark/streaming/ (readStream + watermark);
 here the batch form is oracle-checked.
 
 Scale notes: tumbling windows are single-shuffle partial aggs; sessionization
-partitions by user (one shuffle, no driver state); the as-of join is expressed
-as join + per-key max so Catalyst can pick sort-merge + AQE; on a cluster the
-orders side would be bucketed by o_custkey to make it shuffle-free.
+partitions by user (one shuffle, no driver state); the as-of join is a tagged
+union + one user-partitioned window (``last(..., ignorenulls)``) — each input
+row is shuffled exactly once and no (event, order) pair set is ever
+materialized; on a cluster both sides would be bucketed by user/custkey to
+make it shuffle-free.
 """
 
 from __future__ import annotations
@@ -72,14 +74,14 @@ SESSION_GAP_US = 30 * 60 * 1_000_000
 
 SESSIONIZE_ORACLE_SQL = f"""
 WITH marked AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
                    > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_session
   FROM events
 ),
 sess AS (
   SELECT user_id, ts,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM marked
 ),
@@ -105,7 +107,13 @@ FROM per_session GROUP BY user_id
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wcum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    # event_id tie-break keeps equal-timestamp events in the same order as the
+    # new_session window — without it the cumulative sum is order-ambiguous
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     sess = (
         ev.withColumn(
             "new_session",
@@ -155,30 +163,57 @@ WHERE e.event_id < 1000
     "asof_join_events_orders",
     oracle=ASOF_ORACLE_SQL,
     doc="as-of join: latest order per customer at event time (custom operator, "
-    "composed from join + window; reference lacks temporal joins entirely)",
+    "composed as union + single window — never materializes event x order pairs; "
+    "reference lacks temporal joins entirely)",
 )
 def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe as-of join: tag events and orders, union them, and carry the
+    most recent order forward with ``last(..., ignorenulls)`` over ONE
+    user-partitioned window.
+
+    The previous formulation (equi-join on user + ``o_orderdate <= ts`` filter
+    + argmax) materialized every (event, earlier-order) pair — per-key blowup
+    that explodes on power users at 100x data. This shape shuffles each input
+    row exactly once: cost is O(|events| + |orders|) rows, one sort per user
+    partition, no pair materialization. Orders sort before same-instant events
+    (is_event 0 < 1) so the join is inclusive (order at ts == event ts matches).
+    """
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
     orders = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey", "o_orderdate")
         .agg(F.max("o_orderkey").alias("o_orderkey"))
     )
-    joined = ev.join(
-        orders,
-        (ev.user_id == orders.o_custkey) & (orders.o_orderdate <= ev.ts),
-        "left",
+    ev_side = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("date").alias("o_orderdate"),
+        F.lit(1).alias("is_event"),
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc_nulls_last(), F.col("o_orderkey").desc_nulls_last()
+    ord_side = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        "o_orderkey",
+        "o_orderdate",
+        F.lit(0).alias("is_event"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_event", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
+        ev_side.unionByName(ord_side)
+        .withColumn("last_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+        .withColumn("last_odate", F.last("o_orderdate", ignorenulls=True).over(w))
+        .filter("is_event = 1")
         .select(
             "event_id",
             "user_id",
-            F.col("o_orderkey").alias("last_orderkey"),
-            F.col("o_orderdate").cast("string").alias("last_orderdate"),
+            "last_orderkey",
+            F.col("last_odate").cast("string").alias("last_orderdate"),
         )
     )

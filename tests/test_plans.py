@@ -59,3 +59,19 @@ def test_ann_bucketed_is_equijoin(spark, sf_dir):
 
     df = load_all()["similarity_ann_bucketed"].spark(spark, sf_dir)
     assert not has_cartesian(df)
+
+
+def test_asof_join_is_union_plus_window(spark, sf_dir):
+    """The as-of join must never materialize (event, order) pairs: its plan is
+    a union + one window — NO join operator of any kind (the old
+    inequality-join + argmax shape had per-key quadratic blowup)."""
+    from serene_spark.plans.explain_audit import plan_text
+    from serene_spark.registry import load_all
+
+    df = load_all()["asof_join_events_orders"].spark(spark, sf_dir)
+    txt = plan_text(df)
+    assert "Window" in txt
+    assert "Union" in txt
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                    "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join_op not in txt, f"unexpected {join_op} in as-of plan"
