@@ -60,7 +60,9 @@ def cmd_train(args) -> int:
         .filter(F.col("class") != "?")  # skip unvalidated (LabelsLoader.scala:62-66)
     )
     labeled = feats.join(F.broadcast(labels), "column_name")
-    model, _conv = train_semantic_classifier(spark, labeled)
+    model, _conv = train_semantic_classifier(
+        spark, labeled, do_cross_validation=getattr(args, "cross_validate", False)
+    )
     model.write().overwrite().save(args.model)
     classes = model.stages[0].labels
     with open(f"{args.model}/classes.json", "w") as f:  # JSON sidecar
@@ -158,6 +160,12 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("data")
     st.add_argument("labels", help="CSV: column_name,class")
     st.add_argument("model", help="output model dir")
+    st.add_argument(
+        "--cross-validate",
+        action="store_true",
+        help="10-fold grid search (depth x trees x impurity, seed 10857171; "
+        "TrainMlibSemanticTypeClassifier.scala:107-143)",
+    )
     st.set_defaults(fn=cmd_train)
 
     spr = sub.add_parser("predict", help="predict semantic types")

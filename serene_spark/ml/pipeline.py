@@ -29,6 +29,14 @@ RF_TREES = 128          # :43-48
 RF_TREES_SMALL = 10     # :164-171 (< 20 training rows)
 RF_DEPTH = 10
 
+# Cross-validation grid (TrainMlibSemanticTypeClassifier.scala:107-143):
+# 10-fold, depth x trees x impurity, seed 10857171, f1 evaluator.
+CV_SEED = 10857171
+CV_FOLDS = 10
+CV_DEPTHS = (1, 5, 10, 20, 30)
+CV_TREES = (1, 5, 10, 15, 20)
+CV_IMPURITIES = ("entropy", "gini")
+
 _FEATURE_VIEW_SEQ = [0]
 
 
@@ -73,8 +81,23 @@ def feature_columns(features_df: DataFrame) -> list[str]:
     return [c for c in features_df.columns if c not in ("column_name", "class")]
 
 
-def train_semantic_classifier(spark: SparkSession, labeled_features: DataFrame):
-    """Fit the reference RF pipeline on (column_name, class, f1..fn)."""
+def train_semantic_classifier(
+    spark: SparkSession,
+    labeled_features: DataFrame,
+    do_cross_validation: bool = False,
+    cv_folds: int = CV_FOLDS,
+    cv_depths: tuple[int, ...] = CV_DEPTHS,
+    cv_trees: tuple[int, ...] = CV_TREES,
+    cv_impurities: tuple[str, ...] = CV_IMPURITIES,
+):
+    """Fit the reference RF pipeline on (column_name, class, f1..fn).
+
+    ``do_cross_validation`` mirrors the reference's optional 10-fold grid
+    search (depth x trees x impurity, seed 10857171, f1 metric,
+    TrainMlibSemanticTypeClassifier.scala:107-143) — the fitted result is the
+    grid's best pipeline. Grid dimensions are overridable (the reference
+    hardcodes them; tests shrink the grid to stay fast).
+    """
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import RandomForestClassifier
     from pyspark.ml.feature import IndexToString, StringIndexer, VectorAssembler
@@ -92,7 +115,13 @@ def train_semantic_classifier(spark: SparkSession, labeled_features: DataFrame):
     ordered = labeled_features.orderBy("column_name").coalesce(1).cache()
     n_rows = ordered.count()
     n_trees = RF_TREES_SMALL if n_rows < 20 else RF_TREES
-    indexer = StringIndexer(inputCol="class", outputCol="label", handleInvalid="error")
+    # "keep" under CV: a validation fold may hold a class absent from its
+    # train fold; keeping (not erroring) matches the reference's tolerant CV
+    indexer = StringIndexer(
+        inputCol="class",
+        outputCol="label",
+        handleInvalid="keep" if do_cross_validation else "error",
+    )
     assembler = VectorAssembler(
         inputCols=feature_columns(labeled_features), outputCol="features"
     )
@@ -104,7 +133,32 @@ def train_semantic_classifier(spark: SparkSession, labeled_features: DataFrame):
         labelCol="label",
         featuresCol="features",
     )
-    model = Pipeline(stages=[indexer, assembler, rf]).fit(ordered)
+    pipeline = Pipeline(stages=[indexer, assembler, rf])
+    if do_cross_validation:
+        from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+        from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+        grid = (
+            ParamGridBuilder()
+            .addGrid(rf.maxDepth, list(cv_depths))
+            .addGrid(rf.numTrees, list(cv_trees))
+            .addGrid(rf.impurity, list(cv_impurities))
+            .build()
+        )
+        evaluator = MulticlassClassificationEvaluator(
+            labelCol="label", predictionCol="prediction", metricName="f1"
+        )
+        cv = CrossValidator(
+            estimator=pipeline,
+            estimatorParamMaps=grid,
+            evaluator=evaluator,
+            numFolds=cv_folds,
+            seed=CV_SEED,
+            parallelism=4,
+        )
+        model = cv.fit(ordered).bestModel
+    else:
+        model = pipeline.fit(ordered)
     label_converter = IndexToString(
         inputCol="prediction",
         outputCol="predicted_class",

@@ -56,6 +56,44 @@ def test_small_training_set_uses_fewer_trees(spark):
     assert model.stages[-1].getNumTrees == RF_TREES_SMALL
 
 
+def test_cross_validation_grid_deterministic(spark):
+    """do_cross_validation (TrainMlib:107-143): grid search selects RF params;
+    with seed 10857171 the selection is deterministic. Grid shrunk for speed —
+    the selection mechanics and seeding are what's under test."""
+    from serene_spark.ml.pipeline import train_semantic_classifier
+
+    train, test_feats, labels_df = _split_fixture(spark)
+    picked = []
+    for _ in range(2):
+        model, _conv = train_semantic_classifier(
+            spark,
+            train,
+            do_cross_validation=True,
+            cv_folds=3,
+            cv_depths=(2, 5),
+            cv_trees=(5,),
+            cv_impurities=("gini", "entropy"),
+        )
+        rf = model.stages[-1]
+        picked.append((rf.getMaxDepth(), rf.getNumTrees, rf.getImpurity()))
+    assert picked[0] == picked[1], f"CV selection not deterministic: {picked}"
+    assert picked[0][0] in (2, 5) and picked[0][2] in ("gini", "entropy")
+    # the selected model still predicts the held-out table accurately
+    from serene_spark.ml.pipeline import predict_semantic_types
+    from pyspark.ml.feature import IndexToString
+
+    conv = IndexToString(
+        inputCol="prediction", outputCol="predicted_class",
+        labels=model.stages[0].labels,
+    )
+    preds = predict_semantic_types(model, conv, test_feats).join(labels_df, "column_name")
+    rows = preds.collect()
+    acc = sum(r["predicted_class"] == r["class"] for r in rows) / len(rows)
+    # the shrunk 5-tree grid is deliberately weak; >0.9 is asserted for the
+    # full-size pipeline in test_accuracy_above_threshold
+    assert acc >= 0.75
+
+
 def test_score_map_reorder_and_absent_class(spark):
     """predict_with_scores mirrors MLibSemanticTypeClassifier.scala:68-103:
     scores reordered to the user's class order; a class the model never saw
