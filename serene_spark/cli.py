@@ -30,13 +30,22 @@ def _load_long(spark, path: str):
     return melt(load_csv(spark, path))
 
 
+def _settings(args):
+    from serene_spark.ml.feature_settings import FeatureSettings
+
+    path = getattr(args, "features", None)
+    return FeatureSettings.load(path) if path else None
+
+
 def cmd_profile(args) -> int:
     """Feature dump (RunFeatureExtractor.scala:30-169): per-column feature
     matrix as CSV/JSON on stdout."""
     from serene_spark.ml.pipeline import profile_features_from_long
 
     spark = _spark()
-    feats = profile_features_from_long(spark, _load_long(spark, args.data))
+    feats = profile_features_from_long(
+        spark, _load_long(spark, args.data), settings=_settings(args)
+    )
     for row in feats.orderBy("column_name").toLocalIterator():
         print(json.dumps(row.asDict(), default=str, sort_keys=True))
     return 0
@@ -53,7 +62,9 @@ def cmd_train(args) -> int:
     )
 
     spark = _spark()
-    feats = profile_features_from_long(spark, _load_long(spark, args.data))
+    feats = profile_features_from_long(
+        spark, _load_long(spark, args.data), settings=_settings(args)
+    )
     labels = (
         spark.read.csv(args.labels, header=True)
         .select(F.col("column_name"), F.col("class"))
@@ -154,6 +165,8 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser("profile", help="per-column feature matrix")
     sp.add_argument("data", help="CSV file or directory")
+    sp.add_argument("--features", help="feature-config JSON (activeFeatures / "
+                    "activeFeatureGroups / featureExtractorParams)")
     sp.set_defaults(fn=cmd_profile)
 
     st = sub.add_parser("train", help="train the semantic-type classifier")
@@ -166,6 +179,8 @@ def main(argv: list[str] | None = None) -> int:
         help="10-fold grid search (depth x trees x impurity, seed 10857171; "
         "TrainMlibSemanticTypeClassifier.scala:107-143)",
     )
+    st.add_argument("--features", help="feature-config JSON gating which "
+                    "profiling features feed the model (FeatureSettings.scala:9-60)")
     st.set_defaults(fn=cmd_train)
 
     spr = sub.add_parser("predict", help="predict semantic types")

@@ -40,12 +40,19 @@ CV_IMPURITIES = ("entropy", "gini")
 _FEATURE_VIEW_SEQ = [0]
 
 
-def profile_features_from_long(spark: SparkSession, long_df: DataFrame) -> DataFrame:
+def profile_features_from_long(
+    spark: SparkSession, long_df: DataFrame, settings=None
+) -> DataFrame:
     """Wide per-column feature matrix from the oracle-checked profiling SQL.
 
     Joins scalar features, text-length stats, char entropy, and numeric stats
     (left join, -1 fill: absent numerics mirror the reference's sentinel,
     FeatureExtractor.scala:778-839) on column_name.
+
+    ``settings`` (a ``FeatureSettings``, SURVEY §2.12) gates which features
+    are computed: ungated aggregations are never joined (the plan shrinks,
+    not just the projection) and the matrix carries exactly the gated
+    columns.
     """
     from serene_spark.operators.profile_chardist import char_entropy_sql
     from serene_spark.operators.profile_scalar import profile_scalar_sql
@@ -55,22 +62,27 @@ def profile_features_from_long(spark: SparkSession, long_df: DataFrame) -> DataF
     view = f"__serene_feat_long_{_FEATURE_VIEW_SEQ[0]}"
     long_df.createOrReplaceTempView(view)
 
-    scalar = spark.sql(profile_scalar_sql(view, SPARK))
-    tlen = spark.sql(textlen_stats_sql(view, SPARK)).select(
-        "column_name", "mean_len", "median_len", "mode_len", "min_len", "max_len"
-    )
-    cent = spark.sql(char_entropy_sql(view, SPARK)).select(
-        "column_name", "shannon_char_entropy"
-    )
-    nstats = spark.sql(numeric_stats_sql(view, SPARK)).select(
-        "column_name", "mean_num", "median_num", "min_num", "max_num"
-    )
-    out = (
-        scalar.join(tlen, "column_name", "left")
-        .join(cent, "column_name", "left")
-        .join(nstats, "column_name", "left")
-    )
-    feature_cols = [c for c in out.columns if c != "column_name"]
+    out = spark.sql(profile_scalar_sql(view, SPARK))
+    if settings is None or settings.needs_textlen:
+        tlen = spark.sql(textlen_stats_sql(view, SPARK)).select(
+            "column_name", "mean_len", "median_len", "mode_len", "min_len", "max_len"
+        )
+        out = out.join(tlen, "column_name", "left")
+    if settings is None or settings.needs_char_entropy:
+        cent = spark.sql(char_entropy_sql(view, SPARK)).select(
+            "column_name", "shannon_char_entropy"
+        )
+        out = out.join(cent, "column_name", "left")
+    if settings is None or settings.needs_numeric:
+        nstats = spark.sql(numeric_stats_sql(view, SPARK)).select(
+            "column_name", "mean_num", "median_num", "min_num", "max_num"
+        )
+        out = out.join(nstats, "column_name", "left")
+
+    if settings is None:
+        feature_cols = [c for c in out.columns if c != "column_name"]
+    else:
+        feature_cols = settings.matrix_columns()
     return out.select(
         "column_name",
         *[F.coalesce(F.col(c).cast("double"), F.lit(-1.0)).alias(c) for c in feature_cols],
