@@ -278,6 +278,54 @@ def _nw_distance(a: str, b: str, gap: int = -1, match: int = 2, mismatch: int = 
 
 
 @register(
+    "class_wordnet_dist",
+    oracle=None,  # WordNet/thesaurus lookup has no DuckDB equivalent; rows-only
+    doc="SURVEY §2.5 min-wordnet-{jcn,lin}-distance-from-class-examples: "
+    "min semantic distance between tokenized column names and each class's "
+    "examples (nltk WordNet when installed, deterministic embedded thesaurus "
+    "otherwise; Arrow-batched pandas UDF over the broadcast name pool)",
+)
+def class_wordnet_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from serene_spark.functions.tokenize import tokenize_name
+    from serene_spark.functions.wordnet_dist import min_token_set_distance
+
+    # lambda form: `from __future__ import annotations` stringifies type
+    # hints, which pandas_udf's signature inference can't resolve
+    def _dist_series(metric):
+        return pandas_udf(
+            lambda a, b: pd.Series(
+                [
+                    min_token_set_distance(tokenize_name(x), tokenize_name(y), metric)
+                    for x, y in zip(a, b)
+                ]
+            ),
+            "double",
+        )
+
+    jcn_dist, lin_dist = _dist_series("jcn"), _dist_series("lin")
+    tests = spark.createDataFrame([(n,) for n in TEST_COLUMNS], "col_name string")
+    pool = spark.createDataFrame(list(CLASS_EXAMPLES), "ex_name string, cls string")
+    pairs = (
+        tests.crossJoin(F.broadcast(pool))
+        .withColumn("jcn", jcn_dist("col_name", "ex_name"))
+        .withColumn("lin", lin_dist("col_name", "ex_name"))
+    )
+    aggs = []
+    for c in CLASSES:
+        aggs.append(
+            F.round(F.min(F.when(F.col("cls") == c, F.col("jcn"))), 6).alias(f"{c}_min_jcn_dist")
+        )
+        aggs.append(
+            F.round(F.min(F.when(F.col("cls") == c, F.col("lin"))), 6).alias(f"{c}_min_lin_dist")
+        )
+    return pairs.groupBy("col_name").agg(*aggs)
+
+
+@register(
     "class_knn_nw",
     oracle=None,  # Needleman-Wunsch has no DuckDB equivalent; rows-only check
     doc="SURVEY §2.5 kNN-per-class shares with the reference's Needleman-Wunsch "
