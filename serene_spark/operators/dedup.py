@@ -45,6 +45,32 @@ BAND_SIZE = 2          # rows per LSH band -> 8 bands (tuned to surface
                        # use wider bands for higher thresholds)
 
 
+def lsh_band_geometry(threshold: float, n_minhash: int = N_MINHASH) -> tuple[int, int]:
+    """Scale-aware (bands, rows_per_band) for a target Jaccard threshold.
+
+    The S-curve inflection of banded LSH sits at ``(1/b)^(1/r)``; pick the
+    divisor geometry of ``n_minhash`` whose inflection is closest to the
+    requested threshold. Higher thresholds -> wider bands (more rows per
+    band) -> fewer, more selective candidates — the knob that keeps bucket
+    sizes sane when the corpus grows 100x.
+
+    >>> lsh_band_geometry(0.35)   # permissive: many narrow bands
+    (8, 2)
+    >>> lsh_band_geometry(0.9)    # strict: few wide bands
+    (2, 8)
+    """
+    best, best_err = (n_minhash, 1), float("inf")
+    r = 1
+    while r <= n_minhash:
+        if n_minhash % r == 0:
+            b = n_minhash // r
+            err = abs((1.0 / b) ** (1.0 / r) - threshold)
+            if err < best_err:
+                best, best_err = (b, r), err
+        r += 1
+    return best
+
+
 _WS_PAT = "[ \t\n\r]+"
 
 
@@ -138,12 +164,15 @@ def minhash_signatures_sql(dialect: str) -> str:
     return f"WITH {minhash_rel(dialect)} SELECT doc_id, {cols} FROM mh"
 
 
-def minhash_lsh_sql(dialect: str) -> str:
-    n_bands = N_MINHASH // BAND_SIZE
+def minhash_lsh_sql(dialect: str, band_size: int = BAND_SIZE) -> str:
+    """Banded LSH candidate pairs. ``band_size`` (rows per band) is the
+    selectivity knob — derive it from a target threshold with
+    ``lsh_band_geometry`` instead of hardcoding when corpus size changes."""
+    n_bands = N_MINHASH // band_size
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5("
         + " || '|' || ".join(
-            f"CAST(mh{b * BAND_SIZE + j} AS STRING)" for j in range(BAND_SIZE)
+            f"CAST(mh{b * band_size + j} AS STRING)" for j in range(band_size)
         )
         + ") AS sig FROM mh"
         for b in range(n_bands)

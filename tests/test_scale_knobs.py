@@ -1,0 +1,56 @@
+"""Scale-parameterization knobs: LSH band geometry, ANN bucket width, and
+the no-Expand profiling plan — executable documentation of the 100x story."""
+
+from __future__ import annotations
+
+from serene_spark.operators.dedup import lsh_band_geometry
+from serene_spark.operators.similarity import ann_sign_bits
+
+
+def test_lsh_band_geometry_tracks_threshold():
+    # permissive threshold -> many narrow bands; strict -> few wide bands
+    assert lsh_band_geometry(0.35) == (8, 2)
+    assert lsh_band_geometry(0.9) == (2, 8)
+    b, r = lsh_band_geometry(0.5)
+    assert b * r == 16
+    # monotone: stricter threshold never gets narrower bands
+    rows = [lsh_band_geometry(t)[1] for t in (0.2, 0.4, 0.6, 0.9)]
+    assert rows == sorted(rows)
+
+
+def test_ann_sign_bits_grows_with_corpus():
+    assert ann_sign_bits(10_000) <= ann_sign_bits(1_000_000) <= ann_sign_bits(100_000_000)
+    # ~256-vector buckets at any size
+    assert ann_sign_bits(65_536, target_bucket_size=256) == 8
+    assert 4 <= ann_sign_bits(10) <= 8          # floor
+    assert ann_sign_bits(10**12) <= 30          # ceiling
+
+
+def test_multiprobe_fills_topk(spark, sf_dir):
+    """Multiprobe must recover at least as many (query, rank) slots as the
+    single-bucket variant — and on this corpus the full TOP_K for every
+    query it surfaces."""
+    from serene_spark.catalog import register_views
+    from serene_spark.functions.sqlgen import SPARK
+    from serene_spark.operators.similarity import TOP_K, ann_bucketed_sql
+
+    register_views(spark, sf_dir, ("embeddings",))
+    multi = spark.sql(ann_bucketed_sql(SPARK, multiprobe=True)).collect()
+    single = spark.sql(ann_bucketed_sql(SPARK, multiprobe=False)).collect()
+    assert len(multi) >= len(single)
+    per_query = {}
+    for r in multi:
+        per_query.setdefault(r["query_id"], []).append(r["rk"])
+    for q, rks in per_query.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+        assert len(rks) <= TOP_K
+
+
+def test_profile_scalar_plan_has_no_expand(spark, sf_dir):
+    """Distinct counts cascade through the value histogram — the 3x
+    row-multiplying Expand rewrite must not appear in the plan."""
+    from serene_spark.operators.profile_scalar import profile_scalar
+    from serene_spark.plans.explain_audit import plan_text
+
+    df = profile_scalar(spark, sf_dir, "customer")
+    assert "Expand" not in plan_text(df)
