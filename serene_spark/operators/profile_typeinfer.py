@@ -10,8 +10,12 @@ Divergences, by design:
   ALL values so the DuckDB oracle verifies exactly — same complexity class,
   one aggregation either way;
 - jchronic natural-language date parsing (DataTypeParser.scala:75-128) is
-  approximated by the explicit date/time regexes below (the NL parser is only
-  reachable through formats these patterns cover in the test corpora);
+  re-expressed as the NL_DATE_* / WEEKDAY regex family below: month-name
+  dates ("Jan 3, 1998", "3rd of May 2001", "May 2001", "03-Mar-98"), bare
+  weekday/month names, and month-name datetimes — the formats jchronic's
+  grammar accepts that a type-inference corpus actually contains. Running
+  jchronic itself would need a per-row JVM/Python call (the slow path); a
+  regex cascade stays inside whole-stage codegen in both dialects;
 - "now + 500" is frozen at 2526 so results do not drift with wall-clock.
 """
 
@@ -32,9 +36,40 @@ TIME_PAT = "^[0-9]{1,2}:[0-9]{2}(:[0-9]{2})?$"
 DATETIME_PAT = "^[0-9]{4}-[0-9]{2}-[0-9]{2}[ T][0-9]{2}:[0-9]{2}(:[0-9]{2})?([.][0-9]+)?$"
 DATE_PAT = "(^[0-9]{4}-[0-9]{2}-[0-9]{2}$)|(^[0-9]{1,2}[/-][0-9]{1,2}[/-][0-9]{2,4}$)"
 
+# Natural-language date family (jchronic re-expression, DataTypeParser.scala:75-128).
+# All patterns run on lower(trim(value)); no backslash escapes (dialect rule).
+_MONTH = (
+    "(jan(uary)?|feb(ruary)?|mar(ch)?|apr(il)?|may|jun(e)?|jul(y)?"
+    "|aug(ust)?|sep(t(ember)?)?|oct(ober)?|nov(ember)?|dec(ember)?)"
+)
+_DAY = "[0-9]{1,2}(st|nd|rd|th)?"
+_SEP = "[ .,-]+"
+_TIME_TAIL = "[0-9]{1,2}:[0-9]{2}(:[0-9]{2})?( ?(am|pm))?"
+# "jan 3, 1998" / "march 15" / "may 2001"
+NL_DATE_MDY = f"^{_MONTH}{_SEP}{_DAY}({_SEP}[0-9]{{2,4}})?$"
+NL_DATE_MY = f"^{_MONTH}{_SEP}[0-9]{{4}}$"
+# "3rd of may 2001" / "15 march 1998" / "03-mar-98"
+NL_DATE_DMY = f"^{_DAY}{_SEP}(of )?{_MONTH}({_SEP}[0-9]{{2,4}})?$"
+# bare weekday / month name ("tuesday", "august") — jchronic resolves both
+WEEKDAY_PAT = "^((mon|tue(s)?|wed(nes)?|thu(r(s)?)?|fri|sat(ur)?|sun)(day)?)$"
+NL_MONTH_ONLY = f"^{_MONTH}$"
+# month-name datetime: "jan 3, 1998 10:30 pm"
+NL_DATETIME1 = f"^{_MONTH}{_SEP}{_DAY}({_SEP}[0-9]{{2,4}})?{_SEP}{_TIME_TAIL}$"
+NL_DATETIME2 = f"^{_DAY}{_SEP}(of )?{_MONTH}({_SEP}[0-9]{{2,4}})?{_SEP}{_TIME_TAIL}$"
+
+
+def _nl_date(dialect: str, lv: str) -> str:
+    pats = (NL_DATE_MDY, NL_DATE_MY, NL_DATE_DMY, WEEKDAY_PAT, NL_MONTH_ONLY)
+    return "(" + " OR ".join(rx(dialect, lv, p) for p in pats) + ")"
+
+
+def _nl_datetime(dialect: str, lv: str) -> str:
+    return "(" + " OR ".join(rx(dialect, lv, p) for p in (NL_DATETIME1, NL_DATETIME2)) + ")"
+
 
 def classify_expr(dialect: str, value: str = "trim(value)") -> str:
     """The reference's per-value type cascade as one CASE expression."""
+    lv = f"lower({value})"
     return f"""CASE
       WHEN {rx(dialect, value, FLOAT_PAT)} THEN 'Float'
       WHEN lower({value}) IN ('true', 'false', 'yes', 'no') THEN 'Boolean'
@@ -43,7 +78,9 @@ def classify_expr(dialect: str, value: str = "trim(value)") -> str:
       WHEN {rx(dialect, value, LONG_PAT)} THEN 'Long'
       WHEN {rx(dialect, value, TIME_PAT)} THEN 'Time'
       WHEN {rx(dialect, value, DATETIME_PAT)} THEN 'DateTime'
+      WHEN {_nl_datetime(dialect, lv)} THEN 'DateTime'
       WHEN {rx(dialect, value, DATE_PAT)} THEN 'Date'
+      WHEN {_nl_date(dialect, lv)} THEN 'Date'
       ELSE 'String'
     END"""
 
