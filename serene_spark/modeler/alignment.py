@@ -84,7 +84,7 @@ class AlignmentGraph:
             uri = f"{cls}1"
             if uri not in self.graph:
                 self.graph.add_node(uri, label=cls)
-        for prop, (dom, rng) in self.ontology.object_properties.items():
+        for prop, dom, rng in self.ontology.property_specs():
             for u, du in list(self.graph.nodes(data=True)):
                 for v, dv in list(self.graph.nodes(data=True)):
                     if u == v:

@@ -12,12 +12,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+import os
+
 from serene_spark.modeler.alignment import AlignmentGraph
+from serene_spark.modeler.owl import load_ontology
 from serene_spark.modeler.ssd import (
     CLASS_NODE,
     DATA_NODE,
     DATA_PROPERTY,
-    Ontology,
     SemanticModel,
     Ssd,
     SsdLink,
@@ -27,24 +29,11 @@ from serene_spark.modeler.suggest import suggest_models
 from serene_spark.registry import register
 
 # --- domain ontology over the star schema -----------------------------------
+# Shipped as Turtle and parsed through the OWL loader (owl.py), mirroring the
+# reference's upload-an-OWL-file flow (OwlAPI.scala:181) instead of a
+# hand-built in-code ontology.
 
-ONTOLOGY = Ontology(
-    classes={"Party", "Customer", "Supplier", "Order", "Nation", "Region"},
-    subclass={"Customer": "Party", "Supplier": "Party"},
-    object_properties={
-        "placedBy": ("Order", "Customer"),
-        "locatedIn": ("Party", "Nation"),
-        "partOf": ("Nation", "Region"),
-        "memberOf": ("Party", "Region"),  # alternative route: party→region direct
-    },
-    data_properties={
-        "name": "Party",
-        "acctBal": "Party",
-        "key": "Party",
-        "totalPrice": "Order",
-        "orderDate": "Order",
-    },
-)
+ONTOLOGY = load_ontology(os.path.join(os.path.dirname(__file__), "tpch_ontology.ttl"))
 
 
 def _model(nodes, links) -> SemanticModel:
@@ -141,18 +130,14 @@ def train_octopus() -> AlignmentGraph:
     )
 
 
-def supplier_predictions(spark: SparkSession, sf_dir: str) -> dict[str, dict[str, float]]:
-    """Lobster (matcher) half of octopus predict: train the §2.9 RF on the
-    known-SSD tables' profiled columns (labels derived from SSD mappings,
-    unlabeled columns → "unknown"), then predict the target table's columns
-    with the full reordered score map (MLibSemanticTypeClassifier.scala:68-103).
-    Replaces the former hardcoded prediction dict — the matcher→modeler seam
-    is now the reference's real flow (OctopusInterface.scala:491-540).
-    """
+def train_lobster(spark: SparkSession, sf_dir: str):
+    """Lobster (matcher) half of octopus train: fit the §2.9 RF on the
+    known-SSD tables' profiled columns, labels derived from SSD mappings,
+    unlabeled columns → "unknown" (ModelInterface.lobsterTraining,
+    core/.../ModelInterface.scala:277). Returns ``(model, classes)``."""
     from serene_spark.catalog import load_table
     from serene_spark.functions.melt import melt
     from serene_spark.ml.pipeline import (
-        predict_with_scores,
         profile_features_from_long,
         train_semantic_classifier,
     )
@@ -167,8 +152,27 @@ def supplier_predictions(spark: SparkSession, sf_dir: str) -> dict[str, dict[str
                   for c in load_table(spark, sf_dir, t).columns]
     labels_df = spark.createDataFrame(label_rows, "column_name string, class string")
     model, _conv = train_semantic_classifier(spark, feats.join(labels_df, "column_name"))
-
     classes = sorted(set(labels.values())) + ["unknown"]
+    return model, classes
+
+
+def supplier_predictions(
+    spark: SparkSession, sf_dir: str, model=None, classes=None
+) -> dict[str, dict[str, float]]:
+    """Matcher half of octopus predict: score the target table's columns with
+    the full reordered score map (MLibSemanticTypeClassifier.scala:68-103).
+    Replaces the former hardcoded prediction dict — the matcher→modeler seam
+    is now the reference's real flow (OctopusInterface.scala:491-540).
+    """
+    from serene_spark.catalog import load_table
+    from serene_spark.functions.melt import melt
+    from serene_spark.ml.pipeline import (
+        predict_with_scores,
+        profile_features_from_long,
+    )
+
+    if model is None:
+        model, classes = train_lobster(spark, sf_dir)
     target = profile_features_from_long(
         spark, melt(load_table(spark, sf_dir, PREDICT_TABLE))
     )

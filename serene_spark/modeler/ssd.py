@@ -16,6 +16,9 @@ CLASS_NODE = "ClassNode"
 DATA_NODE = "DataNode"
 OBJECT_PROPERTY = "ObjectPropertyLink"
 DATA_PROPERTY = "DataPropertyLink"
+# Local name of owl:Thing — a property domain/range that admits every class
+# (Karma's thingNode / ontology-root behavior, modeling.properties knob).
+OWL_THING = "Thing"
 
 
 @dataclass(frozen=True)
@@ -152,6 +155,10 @@ class Ontology:
     object_properties: dict[str, tuple[str, str]] = field(default_factory=dict)
     data_properties: dict[str, str] = field(default_factory=dict)
     subclass: dict[str, str] = field(default_factory=dict)
+    # Secondary rdfs:domain axioms for multi-domain properties (OWL allows
+    # several; Karma adds a candidate link per domain). Primary domain stays
+    # in ``object_properties`` so the common single-domain shape is unchanged.
+    extra_domains: dict[str, set[str]] = field(default_factory=dict)
 
     def ancestors(self, cls: str) -> list[str]:
         out, cur = [], cls
@@ -162,5 +169,17 @@ class Ontology:
 
     def compatible_domain(self, prop_domain: str, cls: str) -> bool:
         """Class closure: a property applies to its domain class and all its
-        subclasses (modeling.properties ``nodeClosure``/``subclass`` flags)."""
+        subclasses; ``Thing`` admits every class (modeling.properties
+        ``nodeClosure``/``subclass``/thingNode flags)."""
+        if prop_domain == OWL_THING:
+            return True
         return prop_domain == cls or prop_domain in self.ancestors(cls)
+
+    def property_specs(self):
+        """Yield ``(property, domain, range)`` once per declared domain —
+        the unit the alignment-graph closure iterates."""
+        for prop, (dom, rng) in sorted(self.object_properties.items()):
+            yield prop, dom, rng
+            for extra in sorted(self.extra_domains.get(prop, ())):
+                if extra != dom:
+                    yield prop, extra, rng

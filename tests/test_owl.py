@@ -1,0 +1,157 @@
+"""OWL/Turtle ontology parsing (serene_spark.modeler.owl).
+
+Mirrors the reference's Jena-backed OWL store (OwlAPI.scala:181): the same
+structural subset parsed from both serializations its fixtures use, plus the
+octopus ontology now loading through the parser.
+"""
+
+from __future__ import annotations
+
+import os
+
+from serene_spark.modeler.owl import (
+    load_ontology,
+    load_ontology_text,
+    parse_rdfxml,
+    parse_turtle,
+)
+from serene_spark.modeler.ssd import OWL_THING
+
+TTL = """
+@prefix : <http://example.org/onto#> .
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@base <http://example.org/onto> .
+
+<http://example.org/onto> rdf:type owl:Ontology .
+
+:City rdf:type owl:Class ;
+      rdfs:subClassOf :Place .
+
+:Event rdf:type owl:Class .
+:Organization rdf:type owl:Class .
+:Person rdf:type owl:Class .
+:Place rdf:type owl:Class .
+
+:bornIn rdf:type owl:ObjectProperty ;
+        rdfs:domain :Person ;
+        rdfs:range :Place .
+
+# multi-domain property: one axiom per domain
+:location rdf:type owl:ObjectProperty ;
+          rdfs:domain :Event ;
+          rdfs:domain :Organization ;
+          rdfs:range :Place .
+
+# no domain/range declared at all
+:nearby rdf:type owl:ObjectProperty .
+
+:name rdf:type owl:DatatypeProperty ;
+      rdfs:domain :Person .
+
+:startDate rdf:type owl:DatatypeProperty .
+"""
+
+RDFXML = """<?xml version="1.0"?>
+<rdf:RDF xmlns="http://example.org/onto#"
+     xml:base="http://example.org/onto"
+     xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+     xmlns:owl="http://www.w3.org/2002/07/owl#"
+     xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">
+    <owl:Ontology rdf:about="http://example.org/onto"/>
+    <owl:ObjectProperty rdf:about="http://example.org/onto#bornIn">
+        <rdfs:domain rdf:resource="http://example.org/onto#Person"/>
+        <rdfs:range rdf:resource="http://example.org/onto#Place"/>
+    </owl:ObjectProperty>
+    <owl:ObjectProperty rdf:about="http://example.org/onto#location">
+        <rdfs:domain rdf:resource="http://example.org/onto#Event"/>
+        <rdfs:domain rdf:resource="http://example.org/onto#Organization"/>
+        <rdfs:range rdf:resource="http://example.org/onto#Place"/>
+    </owl:ObjectProperty>
+    <owl:ObjectProperty rdf:about="http://example.org/onto#nearby"/>
+    <owl:Class rdf:about="http://example.org/onto#City">
+        <rdfs:subClassOf rdf:resource="http://example.org/onto#Place"/>
+    </owl:Class>
+    <owl:Class rdf:about="http://example.org/onto#Event"/>
+    <owl:Class rdf:about="http://example.org/onto#Organization"/>
+    <owl:Class rdf:about="http://example.org/onto#Person"/>
+    <owl:Class rdf:about="http://example.org/onto#Place"/>
+    <owl:DatatypeProperty rdf:about="http://example.org/onto#name">
+        <rdfs:domain rdf:resource="http://example.org/onto#Person"/>
+    </owl:DatatypeProperty>
+    <owl:DatatypeProperty rdf:about="http://example.org/onto#startDate"/>
+</rdf:RDF>
+"""
+
+
+def _check(onto):
+    assert onto.classes == {"City", "Event", "Organization", "Person", "Place"}
+    assert onto.subclass == {"City": "Place"}
+    assert onto.object_properties["bornIn"] == ("Person", "Place")
+    # multi-domain: lexicographic primary + the rest in extra_domains
+    assert onto.object_properties["location"] == ("Event", "Place")
+    assert onto.extra_domains["location"] == {"Organization"}
+    # undeclared domain/range → Thing, compatible with every class
+    assert onto.object_properties["nearby"] == (OWL_THING, OWL_THING)
+    assert onto.compatible_domain(OWL_THING, "Event")
+    assert onto.data_properties == {"name": "Person", "startDate": OWL_THING}
+
+
+def test_turtle_parse():
+    _check(load_ontology_text(TTL))
+
+
+def test_rdfxml_parse():
+    _check(load_ontology_text(RDFXML))
+
+
+def test_serializations_agree():
+    assert load_ontology_text(TTL) == load_ontology_text(RDFXML)
+
+
+def test_property_specs_expand_multi_domain():
+    onto = load_ontology_text(TTL)
+    specs = set(onto.property_specs())
+    assert ("location", "Event", "Place") in specs
+    assert ("location", "Organization", "Place") in specs
+
+
+def test_raw_triples():
+    t = set(parse_turtle(TTL))
+    x = set(parse_rdfxml(RDFXML))
+    # turtle additionally carries the owl:Ontology typing triple; structural
+    # triples agree
+    assert x <= t or t <= x or (t & x)
+    assert (
+        "http://example.org/onto#bornIn",
+        "http://www.w3.org/2000/01/rdf-schema#domain",
+        "http://example.org/onto#Person",
+    ) in t & x
+
+
+def test_octopus_ontology_loads_via_parser():
+    from serene_spark.modeler.octopus import ONTOLOGY
+
+    assert ONTOLOGY.classes == {"Party", "Customer", "Supplier", "Order", "Nation", "Region"}
+    assert ONTOLOGY.subclass == {"Customer": "Party", "Supplier": "Party"}
+    assert ONTOLOGY.object_properties == {
+        "locatedIn": ("Party", "Nation"),
+        "memberOf": ("Party", "Region"),
+        "partOf": ("Nation", "Region"),
+        "placedBy": ("Order", "Customer"),
+    }
+    assert ONTOLOGY.data_properties == {
+        "acctBal": "Party",
+        "key": "Party",
+        "name": "Party",
+        "orderDate": "Order",
+        "totalPrice": "Order",
+    }
+
+
+def test_reference_shaped_file_roundtrip(tmp_path):
+    p = os.path.join(tmp_path, "onto.ttl")
+    with open(p, "w") as f:
+        f.write(TTL)
+    assert load_ontology(p) == load_ontology_text(TTL)
