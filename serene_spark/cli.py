@@ -51,6 +51,30 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def _read_labels(spark, path: str):
+    """Accept both label shapes: the reference's SemanticTypeLabelsLoader
+    format (``attr_id,...`` file or recursive directory, 2-col manual and
+    6-col predicted rows, unvalidated ``"?"`` skipped) and the plain
+    ``column_name,class`` CSV."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    first_line = ""
+    if os.path.isfile(path):
+        with open(path, encoding="utf-8") as fh:
+            first_line = fh.readline()
+    if os.path.isdir(path) or first_line.startswith("attr_id"):
+        from serene_spark.sources.labels_loader import labels_df
+
+        return labels_df(spark, path).select("column_name", F.col("class"))
+    return (
+        spark.read.csv(path, header=True)
+        .select(F.col("column_name"), F.col("class"))
+        .filter(F.col("class") != "?")  # skip unvalidated (LabelsLoader.scala:62-66)
+    )
+
+
 def cmd_train(args) -> int:
     """Train the RF semantic-type classifier from a labels CSV
     (column_name,class — SemanticTypeLabelsLoader semantics) and save it."""
@@ -65,11 +89,7 @@ def cmd_train(args) -> int:
     feats = profile_features_from_long(
         spark, _load_long(spark, args.data), settings=_settings(args)
     )
-    labels = (
-        spark.read.csv(args.labels, header=True)
-        .select(F.col("column_name"), F.col("class"))
-        .filter(F.col("class") != "?")  # skip unvalidated (LabelsLoader.scala:62-66)
-    )
+    labels = _read_labels(spark, args.labels).select(F.col("column_name"), F.col("class"))
     labeled = feats.join(F.broadcast(labels), "column_name")
     model, _conv = train_semantic_classifier(
         spark, labeled, do_cross_validation=getattr(args, "cross_validate", False)
@@ -159,6 +179,64 @@ def cmd_transform(args) -> int:
     return 0
 
 
+def cmd_label(args) -> int:
+    """Interactive manual labeling console (RunLabelManual.scala;
+    LabelManualInterface.scala:8-69): page attributes, manage classes, label
+    columns, save a SemanticTypeLabelsLoader-compatible CSV on 'x'."""
+    from serene_spark.interactive import LabelingConsole
+    from serene_spark.sources.csv_loader import load_csv
+
+    spark = _spark()
+    df = load_csv(spark, args.data)
+    with open(args.class_list, encoding="utf-8") as f:
+        classes = [line.strip() for line in f if line.strip()]
+    console = LabelingConsole(attributes=list(df.columns), classes=classes)
+    if console.run(sys.stdin, sys.stdout):
+        console.save(args.labels)
+        print(json.dumps({"saved": args.labels, "labeled": len(console.labels)}))
+    return 0
+
+
+def cmd_validate(args) -> int:
+    """Interactive prediction validation (RunSemanticTypePredictionValidation):
+    confirm/correct predicted labels; writes 6-column rows, unvalidated '?'."""
+    import csv as _csv
+    import datetime
+
+    from serene_spark.interactive import ValidationConsole
+
+    with open(args.predictions, encoding="utf-8") as f:
+        rows = [
+            (r["attr_id"], r["predicted"], float(r["confidence"]), r.get("date_predicted", ""))
+            for r in _csv.DictReader(f)
+        ]
+    console = ValidationConsole(predictions=rows)
+    console.run(sys.stdin, sys.stdout)
+    console.save(args.labels, date_validated=datetime.date.today().isoformat())
+    print(json.dumps({"saved": args.labels, "validated": len(console.validated)}))
+    return 0
+
+
+def cmd_eval_incremental(args) -> int:
+    """Incremental-train-size experiment (evaluate.sh pipeline;
+    RfKnnSemanticTypeClassifierEvaluationProcess.scala:30-297)."""
+    from serene_spark.operators.eval_harness import incremental_train_eval, summarize_eval
+
+    spark = _spark()
+    long_df = _load_long(spark, args.data)
+    labels = _read_labels(spark, args.labels)
+    results = incremental_train_eval(
+        spark,
+        long_df,
+        labels,
+        proportions=tuple(float(x) for x in args.proportions.split(",")),
+        repetitions=args.repetitions,
+    )
+    for row in summarize_eval(results).toLocalIterator():
+        print(json.dumps(row.asDict(), sort_keys=True))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="serene_spark", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -200,6 +278,26 @@ def main(argv: list[str] | None = None) -> int:
     str_.add_argument("data")
     str_.add_argument("rules", help="CSV: class,source_pattern,output_format")
     str_.set_defaults(fn=cmd_transform)
+
+    sl = sub.add_parser("label", help="interactive manual labeling console")
+    sl.add_argument("data", help="CSV file or directory")
+    sl.add_argument("class_list", help="text file: one class per line")
+    sl.add_argument("labels", help="output labels CSV (attr_id,class)")
+    sl.set_defaults(fn=cmd_label)
+
+    sv = sub.add_parser("validate", help="interactive prediction validation")
+    sv.add_argument("predictions", help="CSV: attr_id,predicted,confidence[,date_predicted]")
+    sv.add_argument("labels", help="output 6-column validated labels CSV")
+    sv.set_defaults(fn=cmd_validate)
+
+    sei = sub.add_parser(
+        "evaluate-incremental", help="incremental-train-size accuracy experiment"
+    )
+    sei.add_argument("data")
+    sei.add_argument("labels")
+    sei.add_argument("--proportions", default="0.2,0.5,1.0")
+    sei.add_argument("--repetitions", type=int, default=1)
+    sei.set_defaults(fn=cmd_eval_incremental)
 
     args = p.parse_args(argv)
     return args.fn(args)
