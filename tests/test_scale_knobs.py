@@ -54,3 +54,26 @@ def test_profile_scalar_plan_has_no_expand(spark, sf_dir):
 
     df = profile_scalar(spark, sf_dir, "customer")
     assert "Expand" not in plan_text(df)
+
+
+def test_ivf_recall_and_refinement(spark, sf_dir):
+    """IVF search must recover most of the brute-force top-5 (n_probe=4 of 16
+    lists), and one Lloyd iteration must return k well-formed centroids."""
+    from serene_spark.catalog import register_views
+    from serene_spark.functions.sqlgen import SPARK
+    from serene_spark.operators.similarity import (
+        N_CENTROIDS,
+        cosine_topk_sql,
+        ivf_refine_centroids,
+        ivf_search_sql,
+    )
+
+    register_views(spark, sf_dir, ("embeddings",))
+    exact = {(r["query_id"], r["neighbor_id"]) for r in spark.sql(cosine_topk_sql(SPARK)).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in spark.sql(ivf_search_sql(SPARK)).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+
+    cents = ivf_refine_centroids(spark, sf_dir, iterations=1).collect()
+    assert len(cents) <= N_CENTROIDS  # empty lists may drop a centroid
+    assert all(len(r["centroid"]) == 64 for r in cents)
