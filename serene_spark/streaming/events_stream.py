@@ -50,13 +50,88 @@ def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str, checkpoint_dir: str):
+SESSION_GAP_MIN = 30  # same 30-minute inactivity gap as the batch twin
+
+
+def sessionize_stateful(
+    events: DataFrame, gap_minutes: int = SESSION_GAP_MIN, watermark: str = "2 hours"
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization via
+    ``applyInPandasWithState`` (the arbitrary-stateful-processing path the
+    built-in window/session_window aggs can't express when per-group logic is
+    imperative).
+
+    State per user = the open session (start_us, last_us, n). Each batch the
+    user's events are folded in event-time order: a gap > ``gap_minutes``
+    closes the open session (emitted downstream, append mode) and starts a
+    new one. Idle users are closed by an EVENT-TIME TIMEOUT at
+    last_event + gap once the watermark passes it — so state is bounded by
+    the watermark exactly like the built-in session windows, and a crashed
+    query resumes from the checkpoint with no lost sessions.
+
+    Scale shape: state is keyed by user_id (the natural shuffle key), one
+    tiny tuple per live user; events stream through Arrow batches with no
+    per-row Python overhead.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = "user_id long, session_start_us long, session_end_us long, n_events long"
+    state_schema = "start_us long, last_us long, n long"
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        (user_id,) = key
+        cols = ["user_id", "session_start_us", "session_end_us", "n_events"]
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame([(user_id, start_us, last_us, n)], columns=cols)
+            return
+
+        ts: list[int] = []
+        for pdf in pdf_iter:
+            ts.extend(int(t) for t in pdf["ts_us"])
+        ts.sort()
+        start_us, last_us, n = state.get if state.exists else (None, None, 0)
+        closed = []
+        for t in ts:
+            if last_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > gap_us:
+                closed.append((user_id, start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = t, n + 1
+        if last_us is not None:
+            state.update((start_us, last_us, n))
+            # close the open session once the watermark passes last + gap
+            state.setTimeoutTimestamp(last_us // 1000 + gap_minutes * 60 * 1000)
+        if closed:
+            yield pd.DataFrame(closed, columns=cols)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .withColumn("ts_us", F.unix_micros("ts"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, checkpoint_dir: str, output_mode: str = "complete"
+):
     """Drain all currently-available input into a memory sink; returns the
-    started query (caller awaits termination and reads table ``query_name``)."""
+    started query (caller awaits termination and reads table ``query_name``).
+    Stateful append operators (``sessionize_stateful``) pass
+    ``output_mode="append"``."""
     return (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -35,3 +35,57 @@ def test_stream_equals_batch(spark, sf_dir, tmp_path):
         for r in spark.sql(TUMBLING_SQL).collect()
     }
     assert got == want
+
+
+def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    """Closed sessions emitted by the applyInPandasWithState operator must be
+    exactly real batch sessions; every session that is provably closed within
+    the batch (a later event exists for the user) must be emitted."""
+    from serene_spark.streaming.events_stream import (
+        read_events_stream,
+        run_available_now,
+        sessionize_stateful,
+    )
+
+    events_dir = tmp_path / "events_in2"
+    events_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir / "part-0.parquet")
+
+    stream = sessionize_stateful(read_events_stream(spark, str(events_dir)))
+    q = run_available_now(stream, "stream_sessions", str(tmp_path / "ckpt2"), "append")
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in spark.sql("select * from stream_sessions").collect()
+    }
+
+    # batch truth: fold each user's sorted event times with the same gap rule
+    from serene_spark.catalog import load_table
+    from serene_spark.operators.events import SESSION_GAP_US
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr("user_id", "unix_micros(ts) AS t")
+        .orderBy("user_id", "t")
+        .collect()
+    )
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r["t"])
+    all_sessions, closed_in_batch = set(), set()
+    for u, ts in by_user.items():
+        sessions = []
+        start = last = ts[0]
+        n = 1
+        for t in ts[1:]:
+            if t - last > SESSION_GAP_US:
+                sessions.append((u, start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        sessions.append((u, start, last, n))
+        all_sessions.update(sessions)
+        closed_in_batch.update(sessions[:-1])  # the final session may stay open
+
+    assert closed_in_batch, "fixture should contain multi-session users"
+    assert closed_in_batch <= got <= all_sessions
