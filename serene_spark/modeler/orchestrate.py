@@ -58,6 +58,11 @@ class Octopus:
     alignment: AlignmentGraph | None = None
     model: object | None = None
     classes: list[str] | None = None
+    # optional persistence (storage.OctopusStorage): COMPLETE caches the
+    # alignment graph to disk, ERROR deletes it (OctopusStorage.scala:110;
+    # OctopusInterface's deleteAlignmetDir error path)
+    storage: object | None = None
+    octopus_id: int | None = None
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
     _pending: Future | None = field(default=None, repr=False)
 
@@ -109,8 +114,12 @@ class Octopus:
             if align_err is None and lobster_err is None:
                 self.alignment = alignment
                 self.state = TrainState(Status.COMPLETE)
+                if self.storage is not None and self.octopus_id is not None:
+                    self.storage.cache_alignment(self.octopus_id, alignment)
             else:
                 self.alignment = None  # deleteAlignmetDir analogue
+                if self.storage is not None and self.octopus_id is not None:
+                    self.storage.delete_alignment(self.octopus_id)
                 self.state = TrainState(
                     Status.ERROR, "; ".join(m for m in (lobster_err, align_err) if m)
                 )
