@@ -1,61 +1,162 @@
 """Multimodal column plumbing: opaque binary media + typed metadata.
 
-Image/audio decode libraries are not available in this container, so the
-decode kernels are STUBBED with a deterministic fake (content-hash-derived
-pseudo-dimensions) behind ``try: import PIL``; everything Spark-side — the
-schema, Arrow batch flow through mapInPandas, partition-size control — is
-real and tested. Swapping the stub for a real decoder changes ONE function.
+Decode support is tiered by what a dependency-free container can honestly do:
+
+- **audio/WAV**: REAL decode via the stdlib ``wave`` module + numpy PCM
+  parsing — channels, sample rate, frame count, duration, RMS amplitude,
+  zero-crossing rate;
+- **image/PPM (P6)**: REAL decode — header parse + raw-RGB numpy array,
+  with real nearest-neighbor resize and mean-channel features;
+- **compressed formats (JPEG/PNG/MP4...)**: STUBBED with a deterministic
+  content-hash fake behind a ``try: import PIL`` hook — the decode libs are
+  not in this container; swapping the stub for a real decoder changes ONE
+  function (``_decode``), the Spark plumbing is identical.
 
 Scale notes: media bytes never pass through a Python row loop — Arrow
-batches via mapInPandas; `spark.sql.files.maxPartitionBytes` (and at write
+batches via mapInPandas; ``spark.sql.files.maxPartitionBytes`` (and at write
 time, target file sizing) keeps per-task memory bounded when media blobs are
 large; metadata-only operations project away the binary column first so the
-scan never materializes bytes (columnar parquet prunes it).
+columnar scan never materializes bytes.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 MEDIA_SCHEMA = "media_id long, kind string, media binary"
-FEATURE_SCHEMA = "media_id long, kind string, n_bytes long, sha256 string, width long, height long, n_frames long"
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, sha256 string, width long, height long, "
+    "n_frames long, channels long, sample_rate long, duration_sec double, "
+    "rms double, zero_cross_rate double, decoder string"
+)
+
+
+# -- real encoders for the synthetic corpus ----------------------------------
+
+
+def make_wav(seed: int, sample_rate: int = 8000, n_frames: int = 2000) -> bytes:
+    """A real 16-bit mono WAV: deterministic sine, frequency keyed by seed."""
+    freq = 200 + (seed % 32) * 25
+    t = np.arange(n_frames, dtype=np.float64) / sample_rate
+    pcm = (0.5 * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def make_ppm(seed: int, width: int = 32, height: int = 24) -> bytes:
+    """A real binary PPM (P6): deterministic per-pixel gradient."""
+    x = np.arange(width, dtype=np.uint32)
+    y = np.arange(height, dtype=np.uint32)[:, None]
+    r = ((x + seed) % 256).astype(np.uint8) * np.ones((height, 1), np.uint8)
+    g = ((y * 3 + seed) % 256).astype(np.uint8) * np.ones((1, width), np.uint8)
+    b = np.full((height, width), seed % 256, np.uint8)
+    img = np.stack([r, g, b], axis=-1)
+    return f"P6\n{width} {height}\n255\n".encode() + img.tobytes()
 
 
 def make_fake_media(spark: SparkSession, n: int = 64) -> DataFrame:
-    """Deterministic synthetic media blobs (content = sha-stretched id)."""
-    kinds = ("image", "audio", "video")
+    """Synthetic media corpus: REAL WAVs and PPMs, hash-blob 'video'."""
     rows = []
     for i in range(n):
-        seed = hashlib.sha256(str(i).encode()).digest()
-        rows.append((i, kinds[i % 3], seed * (4 + i % 7)))
+        kind = ("image", "audio", "video")[i % 3]
+        if kind == "image":
+            blob = make_ppm(i)
+        elif kind == "audio":
+            blob = make_wav(i)
+        else:  # compressed/container format stand-in — exercises the stub tier
+            blob = hashlib.sha256(str(i).encode()).digest() * (4 + i % 7)
+        rows.append((i, kind, blob))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _decode_stub(kind: str, blob: bytes) -> tuple[int, int, int]:
-    """STUB decode: deterministic pseudo-dimensions from the content hash.
+# -- decoders ----------------------------------------------------------------
 
-    Replace with PIL/librosa/pyav when available; the Spark plumbing around
-    it is unchanged.
-    """
-    try:  # pragma: no cover - decode libs absent in this container
+
+def decode_ppm(blob: bytes) -> np.ndarray:
+    """Parse a binary P6 PPM into an (h, w, 3) uint8 array."""
+    if not blob.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    parts: list[bytes] = []
+    pos = 2
+    while len(parts) < 3:  # width, height, maxval; '#' comments allowed
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if blob[pos : pos + 1] == b"#":
+            pos = blob.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while end < len(blob) and not blob[end : end + 1].isspace():
+            end += 1
+        parts.append(blob[pos:end])
+        pos = end
+    pos += 1  # single whitespace after maxval
+    w, h = int(parts[0]), int(parts[1])
+    return np.frombuffer(blob, np.uint8, count=w * h * 3, offset=pos).reshape(h, w, 3)
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Real nearest-neighbor resize via numpy index mapping (no loops)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return img[ys[:, None], xs[None, :]]
+
+
+def decode_wav(blob: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Stdlib WAV decode → (channels, sample_rate, n_frames, float waveform)."""
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        channels, width, rate, n = w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
+        raw = w.readframes(n)
+    if width == 2:
+        pcm = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        pcm = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        pcm = np.frombuffer(raw, "<i4").astype(np.float64) / 2147483648.0
+    return channels, rate, n, pcm
+
+
+_NULLS = (0, 0, 0, 0, 0, 0.0, 0.0, 0.0)
+
+
+def _decode(kind: str, blob: bytes):
+    """One media blob → (width, height, n_frames, channels, sample_rate,
+    duration, rms, zcr, decoder). Real paths first; hash stub as fallback."""
+    if kind == "image" and blob.startswith(b"P6"):
+        img = decode_ppm(blob)
+        h, w = img.shape[:2]
+        return (w, h, 1) + _NULLS[3:] + ("ppm",)
+    if kind == "audio" and blob.startswith(b"RIFF"):
+        channels, rate, n, pcm = decode_wav(blob)
+        rms = float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0
+        zcr = float(np.mean(np.signbit(pcm[1:]) != np.signbit(pcm[:-1]))) if len(pcm) > 1 else 0.0
+        return (0, 0, n, channels, rate, n / rate, round(rms, 6), round(zcr, 6), "wav")
+    try:  # pragma: no cover - compressed-format libs absent in this container
         if kind == "image":
-            import io
-
-            from PIL import Image  # noqa: F401
+            from PIL import Image
 
             img = Image.open(io.BytesIO(blob))
-            return img.width, img.height, 1
+            return (img.width, img.height, 1) + _NULLS[3:] + ("pil",)
     except Exception:
         pass
+    # STUB tier: deterministic pseudo-dimensions from the content hash
     h = hashlib.sha256(blob).digest()
     width = 64 + h[0] % 192
     height = 64 + h[1] % 192
     n_frames = 1 if kind == "image" else 1 + h[2] % 32
-    return width, height, n_frames
+    return (width, height, n_frames) + _NULLS[3:] + ("stub",)
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:
@@ -63,22 +164,53 @@ def extract_media_features(media: DataFrame) -> DataFrame:
 
     def fe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                _decode_stub(k, bytes(b)) for k, b in zip(pdf["kind"], pdf["media"])
-            ]
+            blobs = [bytes(b) for b in pdf["media"]]
+            feats = [_decode(k, b) for k, b in zip(pdf["kind"], blobs)]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": [len(bytes(b)) for b in pdf["media"]],
-                    "sha256": [hashlib.sha256(bytes(b)).hexdigest() for b in pdf["media"]],
+                    "n_bytes": [len(b) for b in blobs],
+                    "sha256": [hashlib.sha256(b).hexdigest() for b in blobs],
                     "width": [f[0] for f in feats],
                     "height": [f[1] for f in feats],
                     "n_frames": [f[2] for f in feats],
+                    "channels": [f[3] for f in feats],
+                    "sample_rate": [f[4] for f in feats],
+                    "duration_sec": [f[5] for f in feats],
+                    "rms": [f[6] for f in feats],
+                    "zero_cross_rate": [f[7] for f in feats],
+                    "decoder": [f[8] for f in feats],
                 }
             )
 
     return media.mapInPandas(fe, FEATURE_SCHEMA)
+
+
+THUMB_SCHEMA = "media_id long, thumb_w long, thumb_h long, mean_r double, mean_g double, mean_b double"
+
+
+def image_thumbnails(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Real image transform: decode PPM → nearest-neighbor resize → mean
+    channel features, Arrow-batched; non-PPM images are skipped (the stub
+    tier has no pixels to resize)."""
+
+    def fe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "thumb_w", "thumb_h", "mean_r", "mean_g", "mean_b")}
+            for mid, kind, blob in zip(pdf["media_id"], pdf["kind"], pdf["media"]):
+                blob = bytes(blob)
+                if kind != "image" or not blob.startswith(b"P6"):
+                    continue
+                thumb = resize_nearest(decode_ppm(blob), out_w, out_h).astype(np.float64)
+                out["media_id"].append(mid)
+                out["thumb_w"].append(out_w)
+                out["thumb_h"].append(out_h)
+                for i, ch in enumerate(("mean_r", "mean_g", "mean_b")):
+                    out[ch].append(round(float(thumb[:, :, i].mean()), 6))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(fe, THUMB_SCHEMA)
 
 
 def sample_frames(features: DataFrame, every_k: int = 8) -> DataFrame:

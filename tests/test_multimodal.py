@@ -1,10 +1,14 @@
-"""Multimodal binary-column plumbing: Arrow batch flow, deterministic stub
-decode, frame sampling plan shape."""
+"""Multimodal binary columns: real WAV/PPM decode tiers, Arrow batch flow,
+resize/feature kernels, stub fallback, frame sampling plan shape."""
 
 from __future__ import annotations
 
+import math
 
-def test_media_features_deterministic(spark):
+import numpy as np
+
+
+def test_media_features_tiers(spark):
     from serene_spark.multimodal.binary_ops import extract_media_features, make_fake_media
 
     media = make_fake_media(spark, 48)
@@ -15,9 +19,60 @@ def test_media_features_deterministic(spark):
     rows2 = {r["media_id"]: r for r in extract_media_features(media).collect()}
     for k in rows:
         assert rows[k] == rows2[k]
-    # images are single-frame by stub contract
-    assert all(r["n_frames"] == 1 for r in rows.values() if r["kind"] == "image")
-    assert all(64 <= r["width"] < 256 for r in rows.values())
+
+    images = [r for r in rows.values() if r["kind"] == "image"]
+    audios = [r for r in rows.values() if r["kind"] == "audio"]
+    videos = [r for r in rows.values() if r["kind"] == "video"]
+
+    # REAL decode tiers
+    assert all(r["decoder"] == "ppm" for r in images)
+    assert all((r["width"], r["height"], r["n_frames"]) == (32, 24, 1) for r in images)
+    assert all(r["decoder"] == "wav" for r in audios)
+    assert all(r["channels"] == 1 and r["sample_rate"] == 8000 for r in audios)
+    assert all(r["n_frames"] == 2000 and r["duration_sec"] == 0.25 for r in audios)
+    # a 0.5-amplitude sine has RMS 0.5/sqrt(2) ~ 0.3536
+    assert all(abs(r["rms"] - 0.5 / math.sqrt(2)) < 0.01 for r in audios)
+    # zero-crossing rate ~ 2 * freq / sample_rate (freq in [200, 975])
+    assert all(0.03 <= r["zero_cross_rate"] <= 0.26 for r in audios)
+    # compressed/container formats fall back to the documented stub
+    assert all(r["decoder"] == "stub" for r in videos)
+    assert all(r["n_frames"] >= 1 for r in videos)
+
+
+def test_ppm_decode_resize_thumbnails(spark):
+    from serene_spark.multimodal.binary_ops import (
+        decode_ppm,
+        image_thumbnails,
+        make_fake_media,
+        make_ppm,
+        resize_nearest,
+    )
+
+    img = decode_ppm(make_ppm(seed=5, width=16, height=10))
+    assert img.shape == (10, 16, 3)
+    # gradient definition: r varies along x, b constant = seed
+    assert img[0, 3, 0] == (3 + 5) % 256 and (img[:, :, 2] == 5).all()
+
+    small = resize_nearest(img, 4, 2)
+    assert small.shape == (2, 4, 3)
+    # nearest-neighbor picks exact source pixels
+    assert (small[0, 0] == img[0, 0]).all()
+
+    thumbs = image_thumbnails(make_fake_media(spark, 12)).collect()
+    assert len(thumbs) == 4  # 12 media, every 3rd is an image
+    for r in thumbs:
+        assert (r["thumb_w"], r["thumb_h"]) == (8, 8)
+        assert 0.0 <= r["mean_r"] <= 255.0 and r["mean_b"] == float(r["media_id"] % 256)
+
+
+def test_wav_roundtrip_closed_form():
+    from serene_spark.multimodal.binary_ops import decode_wav, make_wav
+
+    channels, rate, n, pcm = decode_wav(make_wav(seed=0, sample_rate=4000, n_frames=4000))
+    assert (channels, rate, n) == (1, 4000, 4000)
+    # seed 0 -> 200 Hz; one second of samples -> ~400 sign changes
+    zc = int(np.sum(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
+    assert abs(zc - 400) <= 2
 
 
 def test_frame_sampling(spark):
