@@ -48,6 +48,16 @@ def _head_melt_duckdb(table: str) -> str:
     return melt_sql(f"{head} AS h", COLUMNS[table])
 
 
+def sample_columns_df(df) -> "DataFrame":
+    """Server-ingest preview for an arbitrary DataFrame: first 4n rows,
+    deterministic 15-value sample per column (DataSetInterface.scala:39-41,
+    214-235; the service layer's GET /dataset/:id sample)."""
+    spark = df.sparkSession
+    view = "__serene_ingest_any"
+    melt(df.limit(HEAD_ROWS)).createOrReplaceTempView(view)
+    return spark.sql(column_sample_sql(view, SPARK))
+
+
 @register(
     "ingest_column_sample",
     oracle=column_sample_sql(_head_melt_duckdb("customer"), DUCKDB),

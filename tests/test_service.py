@@ -1,0 +1,118 @@
+"""REST service skin: live stdlib server driven over HTTP (the reference's
+REST integration-spec layer, DatasetRestAPISpec/OctopusAPISpec style)."""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.request
+
+import pytest
+
+from serene_spark.service import SereneService, start_server
+
+
+def _req(base: str, method: str, path: str, body: dict | None = None):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(base + path, data=data, method=method)
+    req.add_header("Content-Type", "application/json")
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.fixture(scope="module")
+def server(spark, sf_dir, tmp_path_factory):
+    svc = SereneService(spark, sf_dir, str(tmp_path_factory.mktemp("storage")))
+    srv = start_server(svc)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield base
+    srv.shutdown()
+
+
+def test_dataset_endpoints(server, sf_dir):
+    code, ds = _req(server, "POST", "/v1.0/dataset", {"path": f"{sf_dir}/customer.parquet"})
+    assert code == 200 and "c_name" in ds["columns"]
+    code, got = _req(server, "GET", f"/v1.0/dataset/{ds['id']}")
+    assert code == 200
+    # 15-value sample per column (DataSetInterface semantics)
+    assert all(len(v) == 15 for v in got["sample"].values())
+    assert _req(server, "GET", "/v1.0/dataset/12345")[0] == 404
+    code, ids = _req(server, "GET", "/v1.0/dataset")
+    assert code == 200 and ds["id"] in ids
+
+
+def test_ssd_owl_crud_and_dependent_delete(server):
+    import os
+
+    import serene_spark.modeler.octopus as octo
+    from serene_spark.storage import ssd_to_json
+
+    code, r = _req(server, "POST", "/v1.0/ssd", ssd_to_json(octo.CUSTOMER_SSD))
+    assert code == 200
+    ssd_id = r["id"]
+    code, back = _req(server, "GET", f"/v1.0/ssd/{ssd_id}")
+    assert code == 200 and back["name"] == "customer"
+
+    ttl = os.path.join(os.path.dirname(octo.__file__), "tpch_ontology.ttl")
+    code, r = _req(server, "POST", "/v1.0/owl", {"path": ttl})
+    assert code == 200
+    owl_id = r["id"]
+    code, ont = _req(server, "GET", f"/v1.0/owl/{owl_id}")
+    assert code == 200 and "Customer" in ont["classes"]
+
+    # an octopus referencing both blocks their deletion (CoordinationSpec)
+    code, r = _req(server, "POST", "/v1.0/octopus", {"ssds": [ssd_id], "owls": [owl_id]})
+    assert code == 200
+    assert _req(server, "DELETE", f"/v1.0/ssd/{ssd_id}")[0] == 409
+    assert _req(server, "DELETE", f"/v1.0/owl/{owl_id}")[0] == 409
+
+    # an unreferenced ssd deletes fine
+    code, r = _req(server, "POST", "/v1.0/ssd", ssd_to_json(octo.ORDERS_SSD))
+    assert _req(server, "DELETE", f"/v1.0/ssd/{r['id']}") == (200, {"deleted": r["id"]})
+
+
+def test_octopus_train_predict_flow(server):
+    code, r = _req(server, "POST", "/v1.0/octopus", {"ssds": [], "owls": []})
+    oct_id = r["id"]
+    code, state = _req(server, "GET", f"/v1.0/octopus/{oct_id}")
+    assert (code, state["status"]) == (200, "untrained")
+
+    code, r = _req(server, "POST", f"/v1.0/octopus/{oct_id}/train")
+    assert code == 202 and r["status"] == "busy"
+
+    deadline = time.time() + 600
+    while time.time() < deadline:
+        status = _req(server, "GET", f"/v1.0/octopus/{oct_id}")[1]["status"]
+        if status in ("complete", "error"):
+            break
+        time.sleep(2)
+    assert status == "complete"
+
+    code, out = _req(server, "POST", f"/v1.0/octopus/{oct_id}/predict")
+    assert code == 200 and out["suggestions"]
+    top = out["suggestions"][0]
+    assert top["rank"] == 1 and top["ssd"]["semanticModel"]["links"]
+
+    # untrained octopus refuses predict
+    code, r = _req(server, "POST", "/v1.0/octopus", {"ssds": [], "owls": []})
+    assert _req(server, "POST", f"/v1.0/octopus/{r['id']}/predict")[0] == 404
+
+
+def test_model_train_flow(server):
+    code, r = _req(server, "POST", "/v1.0/model", {"description": "lobster"})
+    model_id = r["id"]
+    code, state = _req(server, "GET", f"/v1.0/model/{model_id}")
+    assert (code, state["status"]) == (200, "untrained")
+
+    assert _req(server, "POST", f"/v1.0/model/{model_id}/train")[0] == 202
+    deadline = time.time() + 600
+    while time.time() < deadline:
+        state = _req(server, "GET", f"/v1.0/model/{model_id}")[1]
+        if state["status"] in ("complete", "error"):
+            break
+        time.sleep(2)
+    assert state["status"] == "complete", state
+    assert _req(server, "POST", "/v1.0/model/999999/train")[0] == 404
