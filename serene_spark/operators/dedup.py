@@ -195,6 +195,52 @@ JOIN mh m2 ON m2.doc_id = cand.d2
 """
 
 
+def lsh_verified_sql(dialect: str, band_size: int = BAND_SIZE, threshold: float = 0.2) -> str:
+    """The COMPLETE production dedup pipeline: banded-LSH candidate pairs
+    followed by EXACT shingle-Jaccard verification of only those candidates.
+
+    This is the shape that replaces the quadratic ``dedup_ngram_jaccard``
+    baseline at scale: the all-pairs exact join never happens — the verify
+    join is bounded by the candidate count (LSH recall controls what can be
+    missed; ``lsh_band_geometry`` picks (bands, rows) for a target
+    threshold). Candidates sharing no shingle fall out of the intersection
+    join, which is correct: their true Jaccard is 0.
+    """
+    n_bands = N_MINHASH // band_size
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || '|' || ".join(
+            f"CAST(mh{b * band_size + j} AS STRING)" for j in range(band_size)
+        )
+        + ") AS sig FROM mh"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH {minhash_rel(dialect)},
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+counts AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM shingles GROUP BY doc_id
+),
+common AS (
+  SELECT c.d1, c.d2, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM cand c
+  JOIN shingles s1 ON s1.doc_id = c.d1
+  JOIN shingles s2 ON s2.doc_id = c.d2 AND s2.sh = s1.sh
+  GROUP BY c.d1, c.d2
+)
+SELECT m.d1 AS doc_id_1, m.d2 AS doc_id_2,
+       round(CAST(m.n_common AS DOUBLE) / (n1.n_sh + n2.n_sh - m.n_common), 6) AS jaccard
+FROM common m
+JOIN counts n1 ON m.d1 = n1.doc_id
+JOIN counts n2 ON m.d2 = n2.doc_id
+WHERE CAST(m.n_common AS DOUBLE) / (n1.n_sh + n2.n_sh - m.n_common) >= {threshold}
+"""
+
+
 SIMHASH_BITS = 64      # 4 x 16-bit words; 16-bit chunks keep the pigeonhole
 SIMHASH_WORDS = 4      # equi-join selective (2^16 key values per chunk)
 SIMHASH_MAX_HAMMING = 3  # <= words - 1 so at least one word matches exactly
@@ -328,6 +374,9 @@ register("minhash_signatures", oracle=minhash_signatures_sql(DUCKDB),
          doc=f"{N_MINHASH}-permutation MinHash signatures (md5-min portable hashing)")(_sql_query(minhash_signatures_sql))
 register("dedup_minhash_lsh", oracle=minhash_lsh_sql(DUCKDB),
          doc="MinHash LSH banded candidate pairs + estimated Jaccard (scale path)")(_sql_query(minhash_lsh_sql))
+register("dedup_lsh_verified", oracle=lsh_verified_sql(DUCKDB),
+         doc="complete dedup pipeline: LSH candidates -> exact shingle-Jaccard "
+             "verification of candidates only (never all-pairs)")(_sql_query(lsh_verified_sql))
 register("simhash_signatures", oracle=simhash_signatures_sql(DUCKDB),
          doc="16-bit SimHash signatures via md5-hex bit voting")(_sql_query(simhash_signatures_sql))
 register("dedup_simhash_pairs", oracle=simhash_pairs_sql(DUCKDB),

@@ -77,3 +77,27 @@ def test_ivf_recall_and_refinement(spark, sf_dir):
     cents = ivf_refine_centroids(spark, sf_dir, iterations=1).collect()
     assert len(cents) <= N_CENTROIDS  # empty lists may drop a centroid
     assert all(len(r["centroid"]) == 64 for r in cents)
+
+
+def test_lsh_verified_subset_of_exact(spark, sf_dir):
+    """The verified-pipeline output must be a subset of the quadratic exact
+    baseline at the same threshold (LSH bounds recall, never adds false
+    positives after verification) and recover most of it on this corpus."""
+    from serene_spark.catalog import register_views
+    from serene_spark.functions.sqlgen import SPARK
+    from serene_spark.operators.dedup import lsh_verified_sql, ngram_jaccard_sql
+
+    register_views(spark, sf_dir, ("documents",))
+    exact = {
+        (r["doc_id_1"], r["doc_id_2"]): r["jaccard"]
+        for r in spark.sql(ngram_jaccard_sql(SPARK)).collect()
+    }
+    verified = {
+        (r["doc_id_1"], r["doc_id_2"]): r["jaccard"]
+        for r in spark.sql(lsh_verified_sql(SPARK)).collect()
+    }
+    assert set(verified) <= set(exact)
+    for pair, j in verified.items():
+        assert j == exact[pair]  # verification is EXACT Jaccard
+    assert exact, "fixture should contain near-duplicate documents"
+    assert len(verified) / len(exact) >= 0.7, "LSH recall too low on test corpus"
