@@ -241,6 +241,64 @@ WHERE CAST(m.n_common AS DOUBLE) / (n1.n_sh + n2.n_sh - m.n_common) >= {threshol
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the verified
+    LSH pairs by iterative min-label propagation (alternating large-star /
+    small-star in spirit — each round joins the current labels across edges
+    and keeps the minimum; converges in O(log n) rounds on near-dup clusters,
+    which are shallow). Iterative → rows-only check (the driver's weaker
+    gate); a pytest cross-checks against networkx components.
+
+    Scale shape: each round is one shuffle keyed on doc_id; the edge set is
+    the (small) verified-pair output, never the corpus; convergence is
+    detected with a count of changed labels (an aggregate, not a collect of
+    data rows).
+    """
+    from pyspark.sql import functions as F
+
+    from serene_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("documents",), spread=True)
+    pairs = spark.sql(lsh_verified_sql(SPARK)).select("doc_id_1", "doc_id_2")
+    # undirected edges both ways; localCheckpoint truncates lineage so each
+    # round's plan is flat (no re-derivation of the LSH pipeline per round —
+    # at cluster scale, checkpoint to reliable storage instead)
+    edges = (
+        pairs.union(pairs.select("doc_id_2", "doc_id_1"))
+        .toDF("src", "dst")
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(32):  # bound >> O(log n) for any plausible cluster depth
+        # each node adopts the min label among itself and its neighbors
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        new_cluster = F.least(F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster")))
+        updated = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                new_cluster.alias("new_cluster"),
+                (F.col("cluster") != new_cluster).cast("int").alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = updated.agg(F.sum("changed")).collect()[0][0] or 0
+        labels = updated.select("doc_id", F.col("new_cluster").alias("cluster"))
+        if n_changed == 0:
+            break
+    return labels.orderBy("doc_id")
+
+
 SIMHASH_BITS = 64      # 4 x 16-bit words; 16-bit chunks keep the pigeonhole
 SIMHASH_WORDS = 4      # equi-join selective (2^16 key values per chunk)
 SIMHASH_MAX_HAMMING = 3  # <= words - 1 so at least one word matches exactly
@@ -377,6 +435,9 @@ register("dedup_minhash_lsh", oracle=minhash_lsh_sql(DUCKDB),
 register("dedup_lsh_verified", oracle=lsh_verified_sql(DUCKDB),
          doc="complete dedup pipeline: LSH candidates -> exact shingle-Jaccard "
              "verification of candidates only (never all-pairs)")(_sql_query(lsh_verified_sql))
+register("dedup_clusters", oracle=None,
+         doc="duplicate clusters: connected components over verified LSH pairs "
+             "via iterative min-label propagation (rows-only: iterative)")(dedup_clusters)
 register("simhash_signatures", oracle=simhash_signatures_sql(DUCKDB),
          doc="16-bit SimHash signatures via md5-hex bit voting")(_sql_query(simhash_signatures_sql))
 register("dedup_simhash_pairs", oracle=simhash_pairs_sql(DUCKDB),

@@ -101,3 +101,26 @@ def test_lsh_verified_subset_of_exact(spark, sf_dir):
         assert j == exact[pair]  # verification is EXACT Jaccard
     assert exact, "fixture should contain near-duplicate documents"
     assert len(verified) / len(exact) >= 0.7, "LSH recall too low on test corpus"
+
+
+def test_dedup_clusters_match_networkx(spark, sf_dir):
+    """Min-label propagation must produce exactly the connected components of
+    the verified-pair graph (cluster id = component's min doc_id)."""
+    import networkx as nx
+
+    from serene_spark.catalog import register_views
+    from serene_spark.functions.sqlgen import SPARK
+    from serene_spark.operators.dedup import dedup_clusters, lsh_verified_sql
+
+    register_views(spark, sf_dir, ("documents",))
+    pairs = [(r["doc_id_1"], r["doc_id_2"]) for r in spark.sql(lsh_verified_sql(SPARK)).collect()]
+    g = nx.Graph(pairs)
+    want = {}
+    for comp in nx.connected_components(g):
+        m = min(comp)
+        for d in comp:
+            want[d] = m
+
+    got = {r["doc_id"]: r["cluster"] for r in dedup_clusters(spark, sf_dir).collect()}
+    assert got == want
+    assert any(v != k for k, v in got.items()), "fixture should have real clusters"
