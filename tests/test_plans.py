@@ -75,3 +75,31 @@ def test_asof_join_is_union_plus_window(spark, sf_dir):
     for join_op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
                     "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert join_op not in txt, f"unexpected {join_op} in as-of plan"
+
+
+def test_ivf_centroids_broadcast_and_probe_equijoin(spark, sf_dir):
+    """IVF plan contract: centroid assignment broadcasts the 16-row centroid
+    side (intentional bounded nested loop, never a corpus x corpus product);
+    the inverted-list candidate join is a broadcast equi-join on centroid_id."""
+    from serene_spark.catalog import register_views
+    from serene_spark.functions.sqlgen import SPARK
+    from serene_spark.operators.similarity import ivf_search_sql
+    from serene_spark.plans.explain_audit import plan_text
+
+    register_views(spark, sf_dir, ("embeddings",))
+    txt = plan_text(spark.sql(ivf_search_sql(SPARK)))
+    assert "BroadcastNestedLoopJoin" in txt  # corpus x 16 centroids only
+    assert "CartesianProduct" not in txt
+    assert "BroadcastHashJoin" in txt        # probe-side candidates equi-join
+
+
+def test_lsh_verified_all_equijoins(spark, sf_dir):
+    """The verified dedup pipeline must stay equi-join end-to-end: bands,
+    candidate intersection, and count joins — no nested loop anywhere."""
+    from serene_spark.catalog import register_views
+    from serene_spark.functions.sqlgen import SPARK
+    from serene_spark.operators.dedup import lsh_verified_sql
+    from serene_spark.plans.explain_audit import has_cartesian
+
+    register_views(spark, sf_dir, ("documents",))
+    assert not has_cartesian(spark.sql(lsh_verified_sql(SPARK)))
