@@ -38,6 +38,58 @@ UNKNOWN_CLASS = "unknown"  # reserved label (types/.../ModelTypes.scala:35)
 
 
 @dataclass(frozen=True)
+class ModelingProperties:
+    """The modeler's full user-facing knob surface with the reference's
+    defaults and validation rules (SsdTypes.scala:449-525; README "Modeling
+    properties" table). Graph-inference booleans are consumed by
+    ``AlignmentGraph``/``Ontology`` (nodeClosure/subclass/Thing handling);
+    caps, weights, and the unknown threshold feed ``suggest_models``."""
+
+    compatible_properties: bool = True
+    ontology_alignment: bool = False
+    add_ontology_paths: bool = False
+    mapping_branching_factor: int = 50
+    num_candidate_mappings: int = 10
+    topk_steiner_trees: int = 10
+    multiple_same_property: bool = False
+    confidence_weight: float = 1.0
+    coherence_weight: float = 1.0
+    size_weight: float = 0.5
+    num_semantic_types: int = 4
+    thing_node: bool = False
+    node_closure: bool = True
+    properties_direct: bool = True
+    properties_indirect: bool = True
+    properties_subclass: bool = True
+    properties_with_only_domain: bool = True
+    properties_with_only_range: bool = True
+    properties_without_domain_range: bool = False
+    unknown_threshold: float = 0.5
+
+    def broken_rules(self) -> list[str]:
+        """ModelingProperties.PropertyRules (SsdTypes.scala:475-525)."""
+        rules = [
+            (self.mapping_branching_factor > 0,
+             "Property mappingBranchingFactor should be positive."),
+            (self.num_candidate_mappings > 0,
+             "Property numCandidateMappings should be positive."),
+            (self.topk_steiner_trees > 0,
+             "Property topkSteinerTrees should be positive."),
+            (self.num_semantic_types > 0,
+             "Property numSemanticTypes should be positive."),
+            (0 <= self.confidence_weight <= 1,
+             "Property confidenceWeight should be in range [0, 1]"),
+            (0 <= self.coherence_weight <= 1,
+             "Property coherenceWeight should be in range [0, 1]"),
+            (0 < self.unknown_threshold <= 1,
+             "Property unknownThreshold should be in range (0, 1]"),
+            (0 <= self.size_weight <= 1,
+             "Property sizeWeight should be in range [0, 1]"),
+        ]
+        return [msg for ok, msg in rules if not ok]
+
+
+@dataclass(frozen=True)
 class SemanticScores:
     """Ranking diagnostics (SsdPrediction.scala:34-62)."""
 
@@ -75,13 +127,24 @@ def suggest_models(
     num_candidate_mappings: int = 10,
     top_k: int = 10,
     unknown_threshold: float = 0.0,
+    props: ModelingProperties | None = None,
 ) -> list[tuple[Ssd, SemanticScores]]:
     """Ranked SSD suggestions for one dataset.
 
     ``predictions``: column name → {"Class---property": confidence} (the
     matcher output shape, OctopusInterface.scala:580-660). Deterministic:
     candidate enumeration and ranking tie-break lexicographically.
+    Passing ``props`` (the reference's ModelingProperties object) overrides
+    the individual caps/threshold after validating its rules.
     """
+    if props is not None:
+        broken = props.broken_rules()
+        if broken:
+            raise ValueError("; ".join(broken))
+        num_semantic_types = props.num_semantic_types
+        num_candidate_mappings = min(props.num_candidate_mappings, props.mapping_branching_factor)
+        top_k = props.topk_steiner_trees
+        unknown_threshold = props.unknown_threshold
     preds = filter_predictions(predictions, unknown_threshold)
     if not preds:
         return []

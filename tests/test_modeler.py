@@ -142,3 +142,35 @@ def test_evaluate_ssd_metrics():
 def test_unmappable_prediction_yields_empty():
     alignment = train_octopus()
     assert suggest_models(alignment, {"x": {"unknown": 0.9}}) == []
+
+
+def test_modeling_properties_rules_and_wiring():
+    from serene_spark.modeler.octopus import (
+        supplier_predictions,  # noqa: F401 — shape reference only
+        train_octopus,
+    )
+    from serene_spark.modeler.suggest import ModelingProperties, suggest_models
+
+    # reference defaults validate clean
+    assert ModelingProperties().broken_rules() == []
+    bad = ModelingProperties(
+        mapping_branching_factor=0, confidence_weight=1.5, unknown_threshold=0.0
+    )
+    msgs = bad.broken_rules()
+    assert "Property mappingBranchingFactor should be positive." in msgs
+    assert "Property confidenceWeight should be in range [0, 1]" in msgs
+    assert "Property unknownThreshold should be in range (0, 1]" in msgs
+
+    alignment = train_octopus()
+    preds = {
+        "s_name": {"Supplier---name": 0.8},
+        "s_acctbal": {"Supplier---acctBal": 0.7},
+    }
+    good = ModelingProperties(topk_steiner_trees=2, unknown_threshold=0.1)
+    out = suggest_models(alignment, preds, props=good)
+    assert out and out[0][1].karma_rank == 1
+    try:
+        suggest_models(alignment, preds, props=bad)
+        raise AssertionError("invalid props must raise")
+    except ValueError as e:
+        assert "mappingBranchingFactor" in str(e)
