@@ -29,14 +29,21 @@ NONEMPTY = "length(trim(value)) > 0"
 
 
 def _chars_rel(long_rel: str, dialect: str) -> str:
+    """Explode characters of DISTINCT values only, carrying the value count
+    as a weight — repeated values (flag/status columns) cost one explode, not
+    one per row; char counts are then count-weighted sums."""
+    vhist = (
+        f"SELECT column_name, value, CAST(COUNT(*) AS BIGINT) AS vcnt "
+        f"FROM {long_rel} AS lr WHERE {NONEMPTY} GROUP BY column_name, value"
+    )
     if dialect == DUCKDB:
         return (
-            f"SELECT column_name, unnest(string_split(value, '')) AS ch "
-            f"FROM {long_rel} AS lr WHERE {NONEMPTY}"
+            f"SELECT column_name, unnest(string_split(value, '')) AS ch, vcnt "
+            f"FROM ({vhist}) vh"
         )
     return (
-        f"SELECT column_name, explode(split(value, '')) AS ch "
-        f"FROM {long_rel} AS lr WHERE {NONEMPTY}"
+        f"SELECT column_name, explode(split(value, '')) AS ch, vcnt "
+        f"FROM ({vhist}) vh"
     )
 
 
@@ -45,7 +52,7 @@ def chardist_sql(long_rel: str, dialect: str) -> str:
     return f"""
 WITH chars AS ({_chars_rel(long_rel, dialect)}),
 counts AS (
-  SELECT column_name, ch, CAST(COUNT(*) AS BIGINT) AS cnt
+  SELECT column_name, ch, CAST(SUM(vcnt) AS BIGINT) AS cnt
   FROM chars WHERE length(ch) > 0 GROUP BY column_name, ch
 ),
 norms AS (
@@ -67,7 +74,7 @@ def char_entropy_sql(long_rel: str, dialect: str) -> str:
     return f"""
 WITH chars AS ({_chars_rel(long_rel, dialect)}),
 counts AS (
-  SELECT column_name, ch, CAST(COUNT(*) AS BIGINT) AS cnt
+  SELECT column_name, ch, CAST(SUM(vcnt) AS BIGINT) AS cnt
   FROM chars WHERE length(ch) > 0 GROUP BY column_name, ch
 )
 SELECT column_name,

@@ -60,33 +60,37 @@ def profile_scalar_sql(long_rel: str, dialect: str) -> str:
         return f"CASE WHEN {den} = 0 THEN -1.0 ELSE round(CAST({num} AS DOUBLE) / {den}, 6) END"
 
     return f"""
-WITH base AS (
-  SELECT
-    column_name,
-    CAST(COUNT(*) AS BIGINT) AS n_values,
-    CAST(SUM(CASE WHEN {NONEMPTY} THEN 0 ELSE 1 END) AS BIGINT) AS n_missing,
-    CAST(SUM(CASE WHEN {NONEMPTY} THEN 1 ELSE 0 END) AS BIGINT) AS n_nonempty,
-    CAST(SUM(length(value)) AS BIGINT) AS total_chars,
-    CAST(SUM(length({alpha})) AS BIGINT) AS alpha_chars,
-    CAST(SUM(CASE WHEN {NONEMPTY} AND value LIKE '%@%' THEN 1 ELSE 0 END) AS BIGINT) AS n_at,
-    CAST(SUM(CASE WHEN {NONEMPTY} AND (value LIKE '%$%' OR value LIKE '%AUD%') THEN 1 ELSE 0 END) AS BIGINT) AS n_currency,
-    CAST(SUM(CASE WHEN {NONEMPTY} AND value LIKE '%-%' THEN 1 ELSE 0 END) AS BIGINT) AS n_hyphen,
-    CAST(SUM(CASE WHEN {NONEMPTY} AND (value LIKE '%(%' OR value LIKE '%)%') THEN 1 ELSE 0 END) AS BIGINT) AS n_paren,
-    CAST(SUM(CASE WHEN {NONEMPTY} THEN length(value) - length(replace(value, ',', '')) ELSE 0 END) AS BIGINT) AS n_commas,
-    CAST(SUM(CASE WHEN {NONEMPTY} THEN length(value) - length(replace(value, '/', '')) ELSE 0 END) AS BIGINT) AS n_slashes,
-    CAST(SUM(CASE WHEN {NONEMPTY} AND {rx(dialect, 'value', RANGE_PAT)}
-                   AND CAST({g1} AS BIGINT) <= CAST({g2} AS BIGINT) THEN 1 ELSE 0 END) AS BIGINT) AS n_range,
-    SUM(CASE WHEN {NONEMPTY} THEN CAST(length({digits}) AS DOUBLE) / length(value) ELSE 0.0 END) AS sum_digit_ratio,
-    SUM(CASE WHEN {NONEMPTY} THEN CAST(length(value) - length({nonws}) AS DOUBLE) / length(value) ELSE 0.0 END) AS sum_ws_ratio,
-    CAST(SUM(CASE WHEN {NONEMPTY} AND ({date_match}) THEN 1 ELSE 0 END) AS BIGINT) AS n_date
-  FROM {long_rel} AS long_rel
-  GROUP BY column_name
-),
-hist AS (
+WITH hist AS (
   SELECT column_name, value, COUNT(*) AS cnt,
          CASE WHEN {NONEMPTY} THEN 1 ELSE 0 END AS ne
-  FROM {long_rel} AS long_rel2
+  FROM {long_rel} AS long_rel
   GROUP BY column_name, value
+),
+base AS (
+  -- every per-entry metric as a count-weighted sum over the value histogram:
+  -- the regex/string work runs once per DISTINCT value, not per row (a
+  -- 3-distinct-value flag column over 600k rows costs 3 regex evaluations),
+  -- and the single long_rel scan feeds hist -> {{base, ent, ltd}}
+  SELECT
+    column_name,
+    CAST(SUM(cnt) AS BIGINT) AS n_values,
+    CAST(SUM(CASE WHEN ne = 0 THEN cnt ELSE 0 END) AS BIGINT) AS n_missing,
+    CAST(SUM(CASE WHEN ne = 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_nonempty,
+    CAST(SUM(cnt * length(value)) AS BIGINT) AS total_chars,
+    CAST(SUM(cnt * length({alpha})) AS BIGINT) AS alpha_chars,
+    CAST(SUM(CASE WHEN ne = 1 AND value LIKE '%@%' THEN cnt ELSE 0 END) AS BIGINT) AS n_at,
+    CAST(SUM(CASE WHEN ne = 1 AND (value LIKE '%$%' OR value LIKE '%AUD%') THEN cnt ELSE 0 END) AS BIGINT) AS n_currency,
+    CAST(SUM(CASE WHEN ne = 1 AND value LIKE '%-%' THEN cnt ELSE 0 END) AS BIGINT) AS n_hyphen,
+    CAST(SUM(CASE WHEN ne = 1 AND (value LIKE '%(%' OR value LIKE '%)%') THEN cnt ELSE 0 END) AS BIGINT) AS n_paren,
+    CAST(SUM(CASE WHEN ne = 1 THEN cnt * (length(value) - length(replace(value, ',', ''))) ELSE 0 END) AS BIGINT) AS n_commas,
+    CAST(SUM(CASE WHEN ne = 1 THEN cnt * (length(value) - length(replace(value, '/', ''))) ELSE 0 END) AS BIGINT) AS n_slashes,
+    CAST(SUM(CASE WHEN ne = 1 AND {rx(dialect, 'value', RANGE_PAT)}
+                   AND CAST({g1} AS BIGINT) <= CAST({g2} AS BIGINT) THEN cnt ELSE 0 END) AS BIGINT) AS n_range,
+    SUM(CASE WHEN ne = 1 THEN cnt * CAST(length({digits}) AS DOUBLE) / length(value) ELSE 0.0 END) AS sum_digit_ratio,
+    SUM(CASE WHEN ne = 1 THEN cnt * CAST(length(value) - length({nonws}) AS DOUBLE) / length(value) ELSE 0.0 END) AS sum_ws_ratio,
+    CAST(SUM(CASE WHEN ne = 1 AND ({date_match}) THEN cnt ELSE 0 END) AS BIGINT) AS n_date
+  FROM hist
+  GROUP BY column_name
 ),
 ent AS (
   SELECT column_name,
