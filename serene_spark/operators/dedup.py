@@ -164,8 +164,10 @@ def minhash_signatures_sql(dialect: str) -> str:
     return f"WITH {minhash_rel(dialect)} SELECT doc_id, {cols} FROM mh"
 
 
-def minhash_lsh_sql(dialect: str, band_size: int = BAND_SIZE) -> str:
-    """Banded LSH candidate pairs. ``band_size`` (rows per band) is the
+def lsh_body(dialect: str, mh_rel: str = "mh", band_size: int = BAND_SIZE) -> str:
+    """The banded-LSH tail (bands → candidates → estimated Jaccard) over an
+    existing minhash relation ``mh_rel`` — shared by the one-statement oracle
+    and the materialized Spark runner. ``band_size`` (rows per band) is the
     selectivity knob — derive it from a target threshold with
     ``lsh_band_geometry`` instead of hardcoding when corpus size changes."""
     n_bands = N_MINHASH // band_size
@@ -174,14 +176,13 @@ def minhash_lsh_sql(dialect: str, band_size: int = BAND_SIZE) -> str:
         + " || '|' || ".join(
             f"CAST(mh{b * band_size + j} AS STRING)" for j in range(band_size)
         )
-        + ") AS sig FROM mh"
+        + f") AS sig FROM {mh_rel}"
         for b in range(n_bands)
     )
     n_match = " + ".join(
         f"CASE WHEN m1.mh{i} = m2.mh{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH)
     )
     return f"""
-WITH {minhash_rel(dialect)},
 bands AS ({band_selects}),
 cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
@@ -190,8 +191,75 @@ cand AS (
 SELECT cand.d1 AS doc_id_1, cand.d2 AS doc_id_2,
        round(CAST(({n_match}) AS DOUBLE) / {N_MINHASH}, 6) AS est_jaccard
 FROM cand
-JOIN mh m1 ON m1.doc_id = cand.d1
-JOIN mh m2 ON m2.doc_id = cand.d2
+JOIN {mh_rel} m1 ON m1.doc_id = cand.d1
+JOIN {mh_rel} m2 ON m2.doc_id = cand.d2
+"""
+
+
+def minhash_lsh_sql(dialect: str, band_size: int = BAND_SIZE) -> str:
+    return f"WITH {minhash_rel(dialect)},\n{lsh_body(dialect, 'mh', band_size)}"
+
+
+def _materialized_mh(spark: SparkSession, sf_dir: str):
+    """Compute the minhash signatures ONCE and truncate lineage — the LSH
+    tail references the relation ~10 times (8 bands + 2 est-Jaccard joins)
+    and Spark inlines CTEs, so without materialization the whole
+    shingle→minhash pipeline re-runs per reference (plan audit pins this).
+    localCheckpoint at test scale; on a cluster checkpoint to reliable
+    storage or write an intermediate table."""
+    from serene_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("documents",), spread=True)
+    mh = spark.sql(f"WITH {minhash_rel(SPARK)} SELECT * FROM mh").localCheckpoint(eager=True)
+    mh.createOrReplaceTempView("__serene_mh")
+    return "__serene_mh"
+
+
+def dedup_minhash_lsh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mh_rel = _materialized_mh(spark, sf_dir)
+    return spark.sql(f"WITH {lsh_body(SPARK, mh_rel)}")
+
+
+def verified_body(
+    dialect: str,
+    mh_rel: str = "mh",
+    sh_rel: str = "shingles",
+    band_size: int = BAND_SIZE,
+    threshold: float = 0.2,
+) -> str:
+    """The verify tail (bands → candidates → exact shingle-Jaccard) over
+    existing minhash + shingle relations."""
+    n_bands = N_MINHASH // band_size
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || '|' || ".join(
+            f"CAST(mh{b * band_size + j} AS STRING)" for j in range(band_size)
+        )
+        + f") AS sig FROM {mh_rel}"
+        for b in range(n_bands)
+    )
+    return f"""
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+counts AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM {sh_rel} GROUP BY doc_id
+),
+common AS (
+  SELECT c.d1, c.d2, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM cand c
+  JOIN {sh_rel} s1 ON s1.doc_id = c.d1
+  JOIN {sh_rel} s2 ON s2.doc_id = c.d2 AND s2.sh = s1.sh
+  GROUP BY c.d1, c.d2
+)
+SELECT m.d1 AS doc_id_1, m.d2 AS doc_id_2,
+       round(CAST(m.n_common AS DOUBLE) / (n1.n_sh + n2.n_sh - m.n_common), 6) AS jaccard
+FROM common m
+JOIN counts n1 ON m.d1 = n1.doc_id
+JOIN counts n2 ON m.d2 = n2.doc_id
+WHERE CAST(m.n_common AS DOUBLE) / (n1.n_sh + n2.n_sh - m.n_common) >= {threshold}
 """
 
 
@@ -206,39 +274,30 @@ def lsh_verified_sql(dialect: str, band_size: int = BAND_SIZE, threshold: float 
     threshold). Candidates sharing no shingle fall out of the intersection
     join, which is correct: their true Jaccard is 0.
     """
-    n_bands = N_MINHASH // band_size
-    band_selects = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, md5("
-        + " || '|' || ".join(
-            f"CAST(mh{b * band_size + j} AS STRING)" for j in range(band_size)
-        )
-        + ") AS sig FROM mh"
-        for b in range(n_bands)
-    )
-    return f"""
-WITH {minhash_rel(dialect)},
-bands AS ({band_selects}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-),
-counts AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM shingles GROUP BY doc_id
-),
-common AS (
-  SELECT c.d1, c.d2, CAST(COUNT(*) AS BIGINT) AS n_common
-  FROM cand c
-  JOIN shingles s1 ON s1.doc_id = c.d1
-  JOIN shingles s2 ON s2.doc_id = c.d2 AND s2.sh = s1.sh
-  GROUP BY c.d1, c.d2
-)
-SELECT m.d1 AS doc_id_1, m.d2 AS doc_id_2,
-       round(CAST(m.n_common AS DOUBLE) / (n1.n_sh + n2.n_sh - m.n_common), 6) AS jaccard
-FROM common m
-JOIN counts n1 ON m.d1 = n1.doc_id
-JOIN counts n2 ON m.d2 = n2.doc_id
-WHERE CAST(m.n_common AS DOUBLE) / (n1.n_sh + n2.n_sh - m.n_common) >= {threshold}
-"""
+    return f"WITH {minhash_rel(dialect)},\n{verified_body(dialect, 'mh', 'shingles', band_size, threshold)}"
+
+
+def dedup_lsh_verified_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized runner: shingles and minhash each computed once
+    (see _materialized_mh on why Spark's CTE inlining makes this matter)."""
+    from serene_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("documents",), spread=True)
+    sh = spark.sql(
+        f"WITH {shingles_rel(SPARK)} SELECT * FROM shingles"
+    ).localCheckpoint(eager=True)
+    sh.createOrReplaceTempView("__serene_shingles")
+    mh = spark.sql(
+        f"""WITH hashes AS (
+              SELECT doc_id, {hex_to_int(SPARK, "substr(md5(sh), 1, 8)")} AS h1,
+                     {hex_to_int(SPARK, "substr(md5(sh), 9, 8)")} AS h2
+              FROM __serene_shingles)
+            SELECT doc_id,
+                   {", ".join(f"MIN((h1 + {i} * h2) % {MH_PRIME}) AS mh{i}" for i in range(N_MINHASH))}
+            FROM hashes GROUP BY doc_id"""
+    ).localCheckpoint(eager=True)
+    mh.createOrReplaceTempView("__serene_vmh")
+    return spark.sql(f"WITH {verified_body(SPARK, '__serene_vmh', '__serene_shingles')}")
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,10 +315,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    from serene_spark.catalog import register_views
-
-    register_views(spark, sf_dir, ("documents",), spread=True)
-    pairs = spark.sql(lsh_verified_sql(SPARK)).select("doc_id_1", "doc_id_2")
+    pairs = dedup_lsh_verified_spark(spark, sf_dir).select("doc_id_1", "doc_id_2")
     # undirected edges both ways; localCheckpoint truncates lineage so each
     # round's plan is flat (no re-derivation of the LSH pipeline per round —
     # at cluster scale, checkpoint to reliable storage instead)
@@ -431,10 +487,11 @@ register("dedup_ngram_jaccard", oracle=ngram_jaccard_sql(DUCKDB),
 register("minhash_signatures", oracle=minhash_signatures_sql(DUCKDB),
          doc=f"{N_MINHASH}-permutation MinHash signatures (md5-min portable hashing)")(_sql_query(minhash_signatures_sql))
 register("dedup_minhash_lsh", oracle=minhash_lsh_sql(DUCKDB),
-         doc="MinHash LSH banded candidate pairs + estimated Jaccard (scale path)")(_sql_query(minhash_lsh_sql))
+         doc="MinHash LSH banded candidate pairs + estimated Jaccard (scale path; "
+             "signatures materialized once)")(dedup_minhash_lsh_spark)
 register("dedup_lsh_verified", oracle=lsh_verified_sql(DUCKDB),
          doc="complete dedup pipeline: LSH candidates -> exact shingle-Jaccard "
-             "verification of candidates only (never all-pairs)")(_sql_query(lsh_verified_sql))
+             "verification of candidates only (never all-pairs)")(dedup_lsh_verified_spark)
 register("dedup_clusters", oracle=None,
          doc="duplicate clusters: connected components over verified LSH pairs "
              "via iterative min-label propagation (rows-only: iterative)")(dedup_clusters)

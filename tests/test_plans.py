@@ -103,3 +103,15 @@ def test_lsh_verified_all_equijoins(spark, sf_dir):
 
     register_views(spark, sf_dir, ("documents",))
     assert not has_cartesian(spark.sql(lsh_verified_sql(SPARK)))
+
+
+def test_lsh_tail_reads_materialized_signatures(spark, sf_dir):
+    """The banded-LSH tail references the signature relation ~10 times; the
+    runner must feed it a materialized (localCheckpoint) relation so the
+    shingle->minhash pipeline runs once — no parquet scan in the tail plan."""
+    from serene_spark.operators.dedup import dedup_minhash_lsh_spark
+    from serene_spark.plans.explain_audit import plan_text
+
+    txt = plan_text(dedup_minhash_lsh_spark(spark, sf_dir))
+    assert "FileScan" not in txt
+    assert "Scan ExistingRDD" in txt or "LogicalRDD" in txt  # checkpointed source
