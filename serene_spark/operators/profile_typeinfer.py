@@ -88,19 +88,18 @@ def classify_expr(dialect: str, value: str = "trim(value)") -> str:
 def typeinfer_sql(long_rel: str, dialect: str) -> str:
     """Majority-vote inferred type per column, with vote counts."""
     return f"""
-WITH hist AS (
-  -- regex cascade runs once per DISTINCT value; votes are count-weighted
-  SELECT column_name, value, COUNT(*) AS cnt
+WITH typed AS (
+  -- classify per row, then one narrow (column, type) aggregation: the
+  -- 8-value type domain makes map-side combine collapse everything before
+  -- the shuffle. (A (column, value) histogram first was measured SLOWER on
+  -- mostly-distinct columns — the extra wide shuffle outweighs running the
+  -- regex cascade once per distinct value.)
+  SELECT column_name, {classify_expr(dialect)} AS inferred
   FROM {long_rel} AS lr
   WHERE length(trim(value)) > 0
-  GROUP BY column_name, value
-),
-typed AS (
-  SELECT column_name, {classify_expr(dialect)} AS inferred, cnt
-  FROM hist
 ),
 votes AS (
-  SELECT column_name, inferred, CAST(SUM(cnt) AS BIGINT) AS votes
+  SELECT column_name, inferred, CAST(COUNT(*) AS BIGINT) AS votes
   FROM typed GROUP BY column_name, inferred
 ),
 tot AS (
