@@ -492,9 +492,34 @@ register("dedup_minhash_lsh", oracle=minhash_lsh_sql(DUCKDB),
 register("dedup_lsh_verified", oracle=lsh_verified_sql(DUCKDB),
          doc="complete dedup pipeline: LSH candidates -> exact shingle-Jaccard "
              "verification of candidates only (never all-pairs)")(dedup_lsh_verified_spark)
-register("dedup_clusters", oracle=None,
-         doc="duplicate clusters: connected components over verified LSH pairs "
-             "via iterative min-label propagation (rows-only: iterative)")(dedup_clusters)
+def _clusters_oracle() -> str:
+    """DuckDB oracle for the iterative Spark loop: connected components as a
+    WITH RECURSIVE transitive closure (cluster id = min reachable doc_id).
+    Tractable because near-dup components are tiny; the Spark side iterates
+    instead because Spark SQL has no recursive CTE and the closure relation
+    would explode on large components."""
+    return f"""
+WITH RECURSIVE pairs AS ({lsh_verified_sql(DUCKDB)}),
+edges AS (
+  SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
+  UNION ALL
+  SELECT doc_id_2, doc_id_1 FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+)
+SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster
+FROM reach GROUP BY a
+"""
+
+
+register("dedup_clusters", oracle=_clusters_oracle(),
+         doc="duplicate clusters: connected components over verified LSH pairs — "
+             "iterative min-label propagation on Spark, recursive-CTE closure "
+             "as the DuckDB oracle")(dedup_clusters)
 register("simhash_signatures", oracle=simhash_signatures_sql(DUCKDB),
          doc="16-bit SimHash signatures via md5-hex bit voting")(_sql_query(simhash_signatures_sql))
 register("dedup_simhash_pairs", oracle=simhash_pairs_sql(DUCKDB),
