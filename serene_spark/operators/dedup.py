@@ -446,6 +446,13 @@ def simhash_pairs_sql(dialect: str, max_hamming: int = SIMHASH_MAX_HAMMING) -> s
     6/5-bit chunks collided ~N/64). The exact hamming filter then removes
     false candidates. Same output as a naive all-pairs self-join.
     """
+    return f"WITH {simhash_rel(dialect)},\n{simhash_pairs_body(dialect, 'sim', max_hamming)}"
+
+
+def simhash_pairs_body(
+    dialect: str, sim_rel: str = "sim", max_hamming: int = SIMHASH_MAX_HAMMING
+) -> str:
+    """Pigeonhole tail over an existing signature relation ``sim_rel``."""
     hamming = " + ".join(
         f"bit_count({bxor(dialect, f'cand.sa{w}', f'cand.sb{w}')})"
         for w in range(SIMHASH_WORDS)
@@ -454,11 +461,10 @@ def simhash_pairs_sql(dialect: str, max_hamming: int = SIMHASH_MAX_HAMMING) -> s
     sig_cols_b = ", ".join(f"b.w{w} AS sb{w}" for w in range(SIMHASH_WORDS))
     chunks = " UNION ALL ".join(
         f"SELECT doc_id, {', '.join(f'w{x}' for x in range(SIMHASH_WORDS))}, "
-        f"{w} AS ci, w{w} AS cv FROM sim"
+        f"{w} AS ci, w{w} AS cv FROM {sim_rel}"
         for w in range(SIMHASH_WORDS)
     )
     return f"""
-WITH {simhash_rel(dialect)},
 chunks AS ({chunks}),
 cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
@@ -470,6 +476,16 @@ SELECT cand.d1 AS doc_id_1, cand.d2 AS doc_id_2,
 FROM cand
 WHERE {hamming} <= {max_hamming}
 """
+
+
+def dedup_simhash_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized runner: the pigeonhole tail references the signature
+    relation 8 times (4 chunk projections x 2 join sides) — same Spark
+    CTE-inlining hazard as the LSH tail."""
+    register_views(spark, sf_dir, ("documents",), spread=True)
+    sim = spark.sql(f"WITH {simhash_rel(SPARK)} SELECT * FROM sim").localCheckpoint(eager=True)
+    sim.createOrReplaceTempView("__serene_sim")
+    return spark.sql(f"WITH {simhash_pairs_body(SPARK, '__serene_sim')}")
 
 
 def _sql_query(sql_fn):
@@ -523,4 +539,5 @@ register("dedup_clusters", oracle=_clusters_oracle(),
 register("simhash_signatures", oracle=simhash_signatures_sql(DUCKDB),
          doc="16-bit SimHash signatures via md5-hex bit voting")(_sql_query(simhash_signatures_sql))
 register("dedup_simhash_pairs", oracle=simhash_pairs_sql(DUCKDB),
-         doc="SimHash near-dup pairs at hamming distance <= 2")(_sql_query(simhash_pairs_sql))
+         doc="SimHash near-dup pairs: pigeonhole-chunked 64-bit signatures, "
+             "hamming <= 3 (signatures materialized once)")(dedup_simhash_pairs_spark)
