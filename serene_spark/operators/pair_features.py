@@ -35,10 +35,10 @@ NONEMPTY = "length(trim(value)) > 0"
 _TABLE = "customer"
 
 
-def pair_features_sql(long_rel: str, dialect: str) -> str:
-    """Per-column scalar profile once, then a keyed self-join (c1 < c2)."""
+def pair_prof_sql(long_rel: str, dialect: str) -> str:
+    """The per-column scalar profile the pair self-join consumes — ONE scan
+    of the data; the pairing then operates on O(#columns) rows."""
     return f"""
-WITH prof AS (
   SELECT column_name,
          COUNT(DISTINCT CASE WHEN {NONEMPTY} THEN lower(trim(value)) END) AS n_unique,
          CAST(SUM(CASE WHEN {NONEMPTY} THEN length({rr(dialect, 'value', '[^0-9]')}) ELSE 0 END) AS DOUBLE)
@@ -47,26 +47,38 @@ WITH prof AS (
            / NULLIF(SUM(length(value)), 0) AS ws_ratio,
          AVG(CASE WHEN {NONEMPTY} THEN CAST(length(value) AS DOUBLE) END) AS mean_len
   FROM {long_rel} AS lr GROUP BY column_name
-)
+"""
+
+
+def pair_features_body(prof_rel: str) -> str:
+    """Keyed self-join (c1 < c2) over an existing profile relation."""
+    return f"""
 SELECT a.column_name AS col_1, b.column_name AS col_2,
        CAST(abs(a.n_unique - b.n_unique) AS BIGINT) AS unique_vals_diff,
        round(abs(COALESCE(a.num_ratio, 0) - COALESCE(b.num_ratio, 0)), 6) AS num_char_ratio_diff,
        round(abs(COALESCE(a.ws_ratio, 0) - COALESCE(b.ws_ratio, 0)), 6) AS ws_ratio_diff,
        round(abs(a.mean_len - b.mean_len), 6) AS mean_len_diff
-FROM prof a JOIN prof b ON a.column_name < b.column_name
+FROM {prof_rel} a JOIN {prof_rel} b ON a.column_name < b.column_name
+"""
+
+
+def pair_features_sql(long_rel: str, dialect: str) -> str:
+    return f"WITH prof AS ({pair_prof_sql(long_rel, dialect)})\n{pair_features_body('prof')}"
+
+
+def pair_char_cosine_body(dist_rel: str) -> str:
+    """characterFrequencyCosineSimilarity (:215): sparse dot product of the
+    §2.4 L2-normalized char-dist vectors, joined on the char key."""
+    return f"""
+SELECT a.column_name AS col_1, b.column_name AS col_2,
+       round(CAST(SUM(CAST(a.freq_l2 AS DECIMAL(20, 12)) * CAST(b.freq_l2 AS DECIMAL(20, 12))) AS DOUBLE), 6) AS char_cosine
+FROM {dist_rel} a JOIN {dist_rel} b ON a.ch = b.ch AND a.column_name < b.column_name
+GROUP BY a.column_name, b.column_name
 """
 
 
 def pair_char_cosine_sql(long_rel: str, dialect: str) -> str:
-    """characterFrequencyCosineSimilarity (:215): sparse dot product of the
-    §2.4 L2-normalized char-dist vectors, joined on the char key."""
-    return f"""
-WITH dist AS ({chardist_sql(long_rel, dialect)})
-SELECT a.column_name AS col_1, b.column_name AS col_2,
-       round(CAST(SUM(CAST(a.freq_l2 AS DECIMAL(20, 12)) * CAST(b.freq_l2 AS DECIMAL(20, 12))) AS DOUBLE), 6) AS char_cosine
-FROM dist a JOIN dist b ON a.ch = b.ch AND a.column_name < b.column_name
-GROUP BY a.column_name, b.column_name
-"""
+    return f"WITH dist AS ({chardist_sql(long_rel, dialect)})\n{pair_char_cosine_body('dist')}"
 
 
 def term_freq_sql(long_rel: str, dialect: str) -> str:
@@ -145,10 +157,18 @@ def pair_type_metrics_sql(long_rel: str, dialect: str) -> str:
     the L2-normalized term-frequency vectors), and ``entropyDifference``
     (:332) as abs-diff of the discrete-value entropies (-1 sentinel when a
     column is not discrete, matching §2.3 entropy-for-discrete-values)."""
+    return (
+        f"WITH ti AS ({typeinfer_sql(long_rel, dialect)}),\n"
+        f"tf AS ({term_freq_sql(long_rel, dialect)}),\n"
+        f"entv AS ({entropy_sql(long_rel, dialect)}),\n"
+        + pair_type_metrics_body("ti", "tf", "entv")
+    )
+
+
+def entropy_sql(long_rel: str, dialect: str) -> str:
+    """Per-column discrete-value entropy with the §2.3 -1 sentinel."""
     return f"""
-WITH ti AS ({typeinfer_sql(long_rel, dialect)}),
-tf AS ({term_freq_sql(long_rel, dialect)}),
-hist AS (
+WITH hist AS (
   SELECT column_name, value, COUNT(*) AS cnt
   FROM {long_rel} AS lr WHERE {NONEMPTY}
   GROUP BY column_name, value
@@ -158,22 +178,29 @@ enta AS (
          SUM(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) AS slnc,
          CAST(COUNT(*) AS BIGINT) AS nd
   FROM hist GROUP BY column_name
-),
-entv AS (
-  SELECT column_name,
-         CASE WHEN tot > 0 AND CAST(nd AS DOUBLE) / tot <= 0.3
-              THEN round(ln(CAST(tot AS DOUBLE)) - slnc / tot, 6) ELSE -1.0 END AS entropy
-  FROM enta
-),
-names AS (SELECT DISTINCT column_name FROM {long_rel} AS lr2),
+)
+SELECT column_name,
+       CASE WHEN tot > 0 AND CAST(nd AS DOUBLE) / tot <= 0.3
+            THEN round(ln(CAST(tot AS DOUBLE)) - slnc / tot, 6) ELSE -1.0 END AS entropy
+FROM enta
+"""
+
+
+def pair_type_metrics_body(ti: str, tf: str, entv: str) -> str:
+    """The pairing tail over existing per-column relations, as a CTE-list
+    fragment (caller prefixes ``WITH`` or a preceding CTE list). The
+    column-name universe is derived from ``ti`` (every pair ultimately
+    inner-joins the inferred type anyway, so this matches deriving names
+    from the data)."""
+    return f"""
 pairs AS (
   SELECT a.column_name AS col_1, b.column_name AS col_2
-  FROM names a JOIN names b ON a.column_name < b.column_name
+  FROM {ti} a JOIN {ti} b ON a.column_name < b.column_name
 ),
 dot AS (
   SELECT a.column_name AS col_1, b.column_name AS col_2,
          SUM(CAST(a.tf_l2 AS DECIMAL(20, 12)) * CAST(b.tf_l2 AS DECIMAL(20, 12))) AS dotp
-  FROM tf a JOIN tf b ON a.term = b.term AND a.column_name < b.column_name
+  FROM {tf} a JOIN {tf} b ON a.term = b.term AND a.column_name < b.column_name
   GROUP BY a.column_name, b.column_name
 )
 SELECT p.col_1, p.col_2,
@@ -186,10 +213,10 @@ SELECT p.col_1, p.col_2,
        CASE WHEN ea.entropy >= 0 AND eb.entropy >= 0 THEN round(abs(ea.entropy - eb.entropy), 6)
             ELSE -1.0 END AS entropy_diff
 FROM pairs p
-JOIN ti ta ON ta.column_name = p.col_1
-JOIN ti tb ON tb.column_name = p.col_2
-JOIN entv ea ON ea.column_name = p.col_1
-JOIN entv eb ON eb.column_name = p.col_2
+JOIN {ti} ta ON ta.column_name = p.col_1
+JOIN {ti} tb ON tb.column_name = p.col_2
+JOIN {entv} ea ON ea.column_name = p.col_1
+JOIN {entv} eb ON eb.column_name = p.col_2
 LEFT JOIN dot d ON d.col_1 = p.col_1 AND d.col_2 = p.col_2
 """
 
@@ -300,16 +327,41 @@ def _melted_query(sql_fn, table: str = _TABLE):
     return run
 
 
+def _materialized_pair_query(profiles: dict[str, object], body_fn, table: str = _TABLE,
+                             body_is_cte_fragment: bool = False):
+    """Runner that materializes each per-column profile relation once
+    (eager localCheckpoint) before the pairing tail — the tail references
+    every profile twice (both join sides) and Spark inlines CTEs, so without
+    this the data-scale aggregation would re-run per reference (same hazard
+    as the dedup tails)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, (table,))
+        view = f"__serene_pairm_{table}"
+        melt(load_table(spark, sf_dir, table)).createOrReplaceTempView(view)
+        rels = []
+        for name, sql_fn in profiles.items():
+            rel = f"__serene_{name}_{table}"
+            spark.sql(sql_fn(view, SPARK)).localCheckpoint(eager=True).createOrReplaceTempView(rel)
+            rels.append(rel)
+        body = body_fn(*rels)
+        return spark.sql("WITH " + body if body_is_cte_fragment else body)
+
+    return run
+
+
 def _oracle(sql_fn, table: str = _TABLE) -> str:
     return sql_fn(melt_sql(table, COLUMNS[table]), DUCKDB)
 
 
 register("pair_features_customer", oracle=_oracle(pair_features_sql),
          doc="SURVEY §2.6 pair-wise column features (unique-diff, char-ratio diffs, "
-             "text-len diff) via self-join of the per-column profile")(_melted_query(pair_features_sql))
+             "text-len diff) via self-join of the materialized per-column profile")(
+    _materialized_pair_query({"prof": pair_prof_sql}, pair_features_body))
 register("pair_char_cosine_customer", oracle=_oracle(pair_char_cosine_sql),
          doc="SURVEY §2.6 characterFrequencyCosineSimilarity: sparse dot product "
-             "of §2.4 char-dist vectors over all column pairs")(_melted_query(pair_char_cosine_sql))
+             "of §2.4 char-dist vectors over all column pairs")(
+    _materialized_pair_query({"dist": chardist_sql}, pair_char_cosine_body))
 register("term_freq_customer", oracle=_oracle(term_freq_sql),
          doc="SURVEY §2.7 L2-normalized term-frequency vector per column")(_melted_query(term_freq_sql))
 register("pair_name_metrics_customer", oracle=_oracle(pair_name_metrics_sql),
@@ -317,7 +369,12 @@ register("pair_name_metrics_customer", oracle=_oracle(pair_name_metrics_sql),
              "column-name pairs")(_melted_query(pair_name_metrics_sql))
 register("pair_type_metrics_customer", oracle=_oracle(pair_type_metrics_sql),
          doc="SURVEY §2.6 bothFloat/Int/String type indicators, type-gated "
-             "termFrequencyCosineSimilarity, entropyDifference")(_melted_query(pair_type_metrics_sql))
+             "termFrequencyCosineSimilarity, entropyDifference")(
+    _materialized_pair_query(
+        {"ti": typeinfer_sql, "tf": term_freq_sql, "entv": entropy_sql},
+        pair_type_metrics_body,
+        body_is_cte_fragment=True,
+    ))
 register("pair_jaro_customer", oracle=_pair_jaro_oracle(),
          doc="SURVEY §2.6 jaroMeasureDistance over column names (pandas-UDF Jaro "
              "vs DuckDB jaro_similarity oracle)")(pair_jaro)
