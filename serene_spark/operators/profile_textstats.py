@@ -36,22 +36,32 @@ def textlen_stats_sql(long_rel: str, dialect: str) -> str:
     tiny distinct-length relation; the reference's exact median (the
     ceil(n/2)-th smallest element, FeatureExtractor.scala:758-763) is the
     smallest len whose cumulative count reaches ceil(n/2)."""
+    return f"WITH counts AS ({len_counts_sql(long_rel)}),\n{textlen_body('counts')}"
+
+
+def len_counts_sql(long_rel: str) -> str:
+    """(column, length) -> count: the one data-scale aggregation."""
     return f"""
-WITH counts AS (
   SELECT column_name, CAST(length(value) AS BIGINT) AS len, CAST(COUNT(*) AS BIGINT) AS c
   FROM {long_rel} AS lr GROUP BY column_name, length(value)
-),
+"""
+
+
+def textlen_body(counts: str) -> str:
+    """Stats tail over an existing (column, len, c) relation — referenced by
+    three CTEs, so the Spark runner materializes it (CTE-inlining hazard)."""
+    return f"""
 agg AS (
   SELECT column_name, CAST(SUM(c) AS BIGINT) AS n,
          round(CAST(SUM(len * c) AS DOUBLE) / SUM(c), 6) AS mean_len,
          CAST(MIN(len) AS BIGINT) AS min_len,
          CAST(MAX(len) AS BIGINT) AS max_len
-  FROM counts GROUP BY column_name
+  FROM {counts} GROUP BY column_name
 ),
 cum AS (
   SELECT column_name, len,
          SUM(c) OVER (PARTITION BY column_name ORDER BY len) AS cum_c
-  FROM counts
+  FROM {counts}
 ),
 med AS (
   SELECT cu.column_name, CAST(MIN(cu.len) AS BIGINT) AS median_len
@@ -64,7 +74,7 @@ mode1 AS (
   FROM (
     SELECT column_name, len,
            ROW_NUMBER() OVER (PARTITION BY column_name ORDER BY c DESC, len ASC) AS rn
-    FROM counts
+    FROM {counts}
   ) mc WHERE rn = 1
 )
 SELECT a.column_name, a.n AS n_values, a.mean_len,
@@ -81,28 +91,34 @@ def numeric_stats_sql(long_rel: str, dialect: str) -> str:
     first (map-side combine, skew-free), cumulative-count median over the
     distinct-value relation only. Decimal sums keep the mean exact and
     partial-aggregation-order independent."""
+    return f"WITH counts AS ({num_counts_sql(long_rel, dialect)}),\n{numeric_body('counts')}"
+
+
+def num_counts_sql(long_rel: str, dialect: str) -> str:
+    """(column, numeric value) -> count: the one data-scale aggregation."""
     num = "CAST(trim(value) AS DECIMAL(28,10))"
     return f"""
-WITH nums AS (
-  SELECT column_name, {num} AS num
+  SELECT column_name, {num} AS num, CAST(COUNT(*) AS BIGINT) AS c
   FROM {long_rel} AS lr
   WHERE {rx(dialect, 'trim(value)', NUM_PAT)}
-),
-counts AS (
-  SELECT column_name, num, CAST(COUNT(*) AS BIGINT) AS c
-  FROM nums GROUP BY column_name, num
-),
+  GROUP BY column_name, {num}
+"""
+
+
+def numeric_body(counts: str) -> str:
+    """Stats tail over an existing (column, num, c) relation."""
+    return f"""
 agg AS (
   SELECT column_name, CAST(SUM(c) AS BIGINT) AS n_numeric,
          round(CAST(SUM(num * c) AS DOUBLE) / SUM(c), 6) AS mean_num,
          CAST(MIN(num) AS DOUBLE) AS min_num,
          CAST(MAX(num) AS DOUBLE) AS max_num
-  FROM counts GROUP BY column_name
+  FROM {counts} GROUP BY column_name
 ),
 cum AS (
   SELECT column_name, num,
          SUM(c) OVER (PARTITION BY column_name ORDER BY num) AS cum_c
-  FROM counts
+  FROM {counts}
 ),
 med AS (
   SELECT cu.column_name, CAST(MIN(cu.num) AS DOUBLE) AS median_num
@@ -115,11 +131,17 @@ FROM agg a JOIN med m ON a.column_name = m.column_name
 """
 
 
-def _make(sql_fn, table: str):
+def _make(counts_fn, body_fn, table: str, tag: str):
+    """Materialized runner: the stats tail references the counts relation in
+    three CTEs and Spark inlines CTEs, so the data-scale (column, value)
+    aggregation is computed once via eager localCheckpoint."""
+
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         view = f"__serene_long_{table}"
         melt(load_table(spark, sf_dir, table)).createOrReplaceTempView(view)
-        return spark.sql(sql_fn(view, SPARK))
+        rel = f"__serene_{tag}_{table}"
+        spark.sql(counts_fn(view)).localCheckpoint(eager=True).createOrReplaceTempView(rel)
+        return spark.sql("WITH " + body_fn(rel))
 
     return run
 
@@ -129,11 +151,11 @@ for _t in ("customer", "part", "documents"):
         f"textlen_stats_{_t}",
         oracle=textlen_stats_sql(melt_sql(_t, COLUMNS[_t]), DUCKDB),
         doc=f"SURVEY §2.4 stats-of-text-length over `{_t}`",
-    )(_make(textlen_stats_sql, _t))
+    )(_make(len_counts_sql, textlen_body, _t, "lencnt"))
 
 for _t in ("customer", "lineitem"):
     register(
         f"numeric_stats_{_t}",
         oracle=numeric_stats_sql(melt_sql(_t, COLUMNS[_t]), DUCKDB),
         doc=f"SURVEY §2.4 stats-of-numerical-type over `{_t}`",
-    )(_make(numeric_stats_sql, _t))
+    )(_make(lambda v: num_counts_sql(v, SPARK), numeric_body, _t, "numcnt"))
