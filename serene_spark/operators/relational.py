@@ -110,6 +110,48 @@ WHERE o_custkey <= 100
 """
 
 
+Q4_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+    -- corpus lineitem carries no commit/receipt dates; the semi-join
+    -- predicate is "order has a returned line" instead
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+Q6_SQL = f"""
+SELECT CAST(SUM({EPRICE} * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND CAST(l_discount AS DECIMAL(8,2)) BETWEEN 0.03 AND 0.09
+  AND l_quantity < 24
+"""
+
+Q18_SQL = f"""
+SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_orderdate AS STRING) AS orderdate,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+  )
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY totalprice DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
 def _sql_query(sql: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
@@ -124,3 +166,6 @@ register("q5_local_supplier", oracle=Q5_SQL, doc="TPC-H-style Q5: 6-way join, re
 register("topk_customers_per_nation", oracle=TOPK_WINDOW_SQL, doc="window row_number top-3 per group")(_sql_query(TOPK_WINDOW_SQL))
 register("rollup_orders", oracle=ROLLUP_SQL, doc="ROLLUP aggregation with decimal-exact money sums")(_sql_query(ROLLUP_SQL))
 register("prev_order_gap", oracle=PREV_ORDER_GAP_SQL, doc="LAG window: each order with the customer's previous order date")(_sql_query(PREV_ORDER_GAP_SQL))
+register("q4_order_priority", oracle=Q4_SQL, doc="TPC-H-style Q4: EXISTS semi-join on late lineitems")(_sql_query(Q4_SQL))
+register("q6_forecast_revenue", oracle=Q6_SQL, doc="TPC-H-style Q6: pushdown-friendly filter + single agg")(_sql_query(Q6_SQL))
+register("q18_large_orders", oracle=Q18_SQL, doc="TPC-H-style Q18: HAVING-IN subquery + 3-way join top-20")(_sql_query(Q18_SQL))
