@@ -86,8 +86,12 @@ base AS (
     CAST(SUM(CASE WHEN ne = 1 THEN cnt * (length(value) - length(replace(value, '/', ''))) ELSE 0 END) AS BIGINT) AS n_slashes,
     CAST(SUM(CASE WHEN ne = 1 AND {rx(dialect, 'value', RANGE_PAT)}
                    AND CAST({g1} AS BIGINT) <= CAST({g2} AS BIGINT) THEN cnt ELSE 0 END) AS BIGINT) AS n_range,
-    SUM(CASE WHEN ne = 1 THEN cnt * CAST(length({digits}) AS DOUBLE) / length(value) ELSE 0.0 END) AS sum_digit_ratio,
-    SUM(CASE WHEN ne = 1 THEN cnt * CAST(length(value) - length({nonws}) AS DOUBLE) / length(value) ELSE 0.0 END) AS sum_ws_ratio,
+    -- reference guard is raw length>0 (NOT trim) and the mean divides by the
+    -- TOTAL value count with empties contributing 0.0
+    -- (FeatureExtractor.scala:355-361, :381-387; FeatureExtractorSpec gold
+    -- value 0.15000000000000002 on a 1-empty-of-4 fixture)
+    SUM(CASE WHEN length(value) > 0 THEN cnt * CAST(length({digits}) AS DOUBLE) / length(value) ELSE 0.0 END) AS sum_digit_ratio,
+    SUM(CASE WHEN length(value) > 0 THEN cnt * CAST(length(value) - length({nonws}) AS DOUBLE) / length(value) ELSE 0.0 END) AS sum_ws_ratio,
     CAST(SUM(CASE WHEN ne = 1 AND ({date_match}) THEN cnt ELSE 0 END) AS BIGINT) AS n_date
   FROM hist
   GROUP BY column_name
@@ -119,8 +123,8 @@ SELECT
   {frac('b.n_commas', 'b.n_nonempty')} AS mean_commas_per_entry,
   {frac('b.n_slashes', 'b.n_nonempty')} AS mean_forward_slashes_per_entry,
   {frac('b.n_range', 'b.n_nonempty')} AS prop_range_format,
-  CASE WHEN b.n_nonempty = 0 THEN -1.0 ELSE round(b.sum_digit_ratio / b.n_nonempty, 6) END AS prop_numerical_chars,
-  CASE WHEN b.n_nonempty = 0 THEN -1.0 ELSE round(b.sum_ws_ratio / b.n_nonempty, 6) END AS prop_whitespace_chars,
+  round(b.sum_digit_ratio / b.n_values, 6) AS prop_numerical_chars,
+  round(b.sum_ws_ratio / b.n_values, 6) AS prop_whitespace_chars,
   CASE WHEN b.n_nonempty > 0 AND CAST(e.nd_nonempty AS DOUBLE) / b.n_nonempty <= 0.3
        THEN 1.0 ELSE 0.0 END AS is_discrete,
   CASE WHEN b.n_nonempty > 0 AND CAST(e.nd_nonempty AS DOUBLE) / b.n_nonempty <= 0.3
