@@ -28,13 +28,24 @@ from serene_spark.functions.melt import melt, melt_sql
 from serene_spark.functions.sqlgen import DUCKDB, SPARK, rx
 from serene_spark.registry import register
 
-FLOAT_PAT = "^[+-]?([0-9]+[.][0-9]*|[.][0-9]+)([eE][+-]?[0-9]+)?$"
-INT_PAT = "^[+-]?[0-9]{1,9}$"
-YEAR_PAT = "^(1[5-9][0-9][0-9]|2[0-4][0-9][0-9]|25[01][0-9]|252[0-6])$"  # 1500..2526
-LONG_PAT = "^[+-]?[0-9]{10,18}$"
-TIME_PAT = "^[0-9]{1,2}:[0-9]{2}(:[0-9]{2})?$"
+# Reference regexes (DataTypeParser.scala:14-18), rewritten backslash-free:
+# float REQUIRES a decimal point (no exponent form); ints are any digit run
+# with the Integer/Long split decided by int32/int64 RANGE (via TRY_CAST),
+# not digit count — "0430440622" parses to 430,440,622 and is Integer.
+FLOAT_PAT = "^[+-]?[0-9]*[.][0-9]+$"
+INT_PAT = "^[+-]?[0-9]+$"
+# time branch 1: H:MM(:SS(.f)?)? with optional am/pm; branch 2: bare digits
+# with MANDATORY am/pm ("100pm") — timeOnlyRegex (DataTypeParser.scala:17)
+TIME_PAT = "^[0-9]{1,2}:[0-9]{1,2}(:[0-9]{1,2}([.][0-9]+)?)? ?(am|AM|pm|PM)?$"
+TIME_AMPM_PAT = "^[0-9]{1,2}(:?[0-9]{1,2}(:[0-9]{1,2}([.][0-9]+)?)?)? ?(am|AM|pm|PM)$"
 DATETIME_PAT = "^[0-9]{4}-[0-9]{2}-[0-9]{2}[ T][0-9]{2}:[0-9]{2}(:[0-9]{2})?([.][0-9]+)?$"
 DATE_PAT = "(^[0-9]{4}-[0-9]{2}-[0-9]{2}$)|(^[0-9]{1,2}[/-][0-9]{1,2}[/-][0-9]{2,4}$)"
+# date-with-time combos (hasTimeRegex1/2 + jchronic date): numeric date
+# before or after a time-of-day
+_NUM_DATE = "([0-9]{4}-[0-9]{2}-[0-9]{2}|[0-9]{1,2}[/-][0-9]{1,2}[/-][0-9]{2,4})"
+_TIME_CORE = "[0-9]{1,2}:[0-9]{2}(:[0-9]{2}([.][0-9]+)?)?( ?(am|pm))?"
+NUM_DT_1 = f"^{_NUM_DATE} {_TIME_CORE}$"
+NUM_DT_2 = f"^{_TIME_CORE} {_NUM_DATE}$"
 
 # Natural-language date family (jchronic re-expression, DataTypeParser.scala:75-128).
 # All patterns run on lower(trim(value)); no backslash escapes (dialect rule).
@@ -64,19 +75,30 @@ def _nl_date(dialect: str, lv: str) -> str:
 
 
 def _nl_datetime(dialect: str, lv: str) -> str:
-    return "(" + " OR ".join(rx(dialect, lv, p) for p in (NL_DATETIME1, NL_DATETIME2)) + ")"
+    pats = (NL_DATETIME1, NL_DATETIME2, NUM_DT_1, NUM_DT_2)
+    return "(" + " OR ".join(rx(dialect, lv, p) for p in pats) + ")"
 
 
 def classify_expr(dialect: str, value: str = "trim(value)") -> str:
-    """The reference's per-value type cascade as one CASE expression."""
+    """The reference's per-value cascade (DataTypeParser.scala:23-55) as one
+    CASE expression. Gold behaviors mirrored exactly (DataTypeParserSpec):
+    booleans are the SINGLE characters 0/1/T/F/Y/N (either case) only; the
+    Integer/Long split follows int32/int64 parse range via TRY_CAST (toInt /
+    toLong fallbacks, digit runs past int64 → String); a 4-char digit run
+    parsing into 1500..2526 is a year Date ("now + 500" frozen at 2526)."""
     lv = f"lower({value})"
+    big = f"TRY_CAST({value} AS BIGINT)"
     return f"""CASE
       WHEN {rx(dialect, value, FLOAT_PAT)} THEN 'Float'
-      WHEN lower({value}) IN ('true', 'false', 'yes', 'no') THEN 'Boolean'
-      WHEN {rx(dialect, value, YEAR_PAT)} THEN 'Date'
-      WHEN {rx(dialect, value, INT_PAT)} THEN 'Integer'
-      WHEN {rx(dialect, value, LONG_PAT)} THEN 'Long'
+      WHEN {value} IN ('0', '1', 'T', 'F', 't', 'f', 'Y', 'N', 'y', 'n') THEN 'Boolean'
+      WHEN {rx(dialect, value, INT_PAT)} THEN CASE
+        WHEN length({value}) = 4 AND {big} BETWEEN 1500 AND 2526 THEN 'Date'
+        WHEN {big} BETWEEN -2147483648 AND 2147483647 THEN 'Integer'
+        WHEN {big} IS NOT NULL THEN 'Long'
+        ELSE 'String'
+      END
       WHEN {rx(dialect, value, TIME_PAT)} THEN 'Time'
+      WHEN {rx(dialect, value, TIME_AMPM_PAT)} THEN 'Time'
       WHEN {rx(dialect, value, DATETIME_PAT)} THEN 'DateTime'
       WHEN {_nl_datetime(dialect, lv)} THEN 'DateTime'
       WHEN {rx(dialect, value, DATE_PAT)} THEN 'Date'

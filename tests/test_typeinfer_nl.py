@@ -33,7 +33,10 @@ CASES = [
     ("12:30", "Time"),
     ("3.14", "Float"),
     ("42", "Integer"),
-    ("true", "Boolean"),
+    # reference booleans are the single chars 0/1/T/F/Y/N only
+    # (booleanRegex, DataTypeParser.scala:16) — word forms are String
+    ("true", "String"),
+    ("T", "Boolean"),
     ("2024-01-05", "Date"),
     ("2024-01-05 10:30:00", "DateTime"),
 ]
