@@ -152,6 +152,34 @@ LIMIT 20
 """
 
 
+Q10_SQL = f"""
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       CAST(SUM({EPRICE} * {DISC}) AS DOUBLE) AS revenue,
+       CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS c_acctbal,
+       n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_returnflag = 'R'
+  AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+Q14_SQL = f"""
+SELECT round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                   THEN {EPRICE} * {DISC} ELSE 0 END) AS DOUBLE)
+             / CAST(SUM({EPRICE} * {DISC}) AS DOUBLE), 6) AS promo_revenue_pct
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
 def _sql_query(sql: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
@@ -169,3 +197,5 @@ register("prev_order_gap", oracle=PREV_ORDER_GAP_SQL, doc="LAG window: each orde
 register("q4_order_priority", oracle=Q4_SQL, doc="TPC-H-style Q4: EXISTS semi-join on late lineitems")(_sql_query(Q4_SQL))
 register("q6_forecast_revenue", oracle=Q6_SQL, doc="TPC-H-style Q6: pushdown-friendly filter + single agg")(_sql_query(Q6_SQL))
 register("q18_large_orders", oracle=Q18_SQL, doc="TPC-H-style Q18: HAVING-IN subquery + 3-way join top-20")(_sql_query(Q18_SQL))
+register("q10_returned_items", oracle=Q10_SQL, doc="TPC-H-style Q10: returned-item revenue per customer, 4-way join top-20")(_sql_query(Q10_SQL))
+register("q14_promo_revenue", oracle=Q14_SQL, doc="TPC-H-style Q14: promo revenue share, broadcast part join")(_sql_query(Q14_SQL))
