@@ -217,3 +217,78 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("last_odate").cast("string").alias("last_orderdate"),
         )
     )
+
+
+# --- Range join: per order, aggregate the customer's events falling in
+# [o_orderdate, o_orderdate + 7 days). Oracle uses a plain inequality join;
+# the Spark side converts the non-equi range predicate into a DAY-BUCKET
+# equi-join — the standard scale pattern for interval joins.
+
+RANGE_JOIN_ORACLE_SQL = """
+SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o.o_custkey AS BIGINT) AS user_id,
+       CAST(o.o_orderdate AS VARCHAR) AS orderdate,
+       CAST(COUNT(e.event_id) AS BIGINT) AS n_events,
+       round(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_value
+FROM orders o
+LEFT JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate
+ AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+WHERE o.o_custkey <= 50
+GROUP BY o.o_orderkey, o.o_custkey, o.o_orderdate
+"""
+
+
+@register(
+    "range_join_orders_events",
+    oracle=RANGE_JOIN_ORACLE_SQL,
+    doc="range join: per-order event aggregates over a 7-day window (custom "
+    "operator: non-equi interval predicate converted to a day-bucket "
+    "equi-join on the Spark side — the 100 TB interval-join shape)",
+)
+def range_join_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: each order explodes into its 7 covering day buckets
+    (constant factor), events carry their day — the join is then an EQUI-join
+    on (user, day) with the exact range predicate as a post-filter. Candidate
+    rows are bounded by events-per-user-day x 7, never the full per-user
+    cross product; the shuffle key (user, day) is far finer than user alone,
+    so one hot user cannot pin a reducer. A plain non-equi join would be a
+    broadcast-nested-loop over all per-user pairs at scale.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    days = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.explode(
+            F.sequence(
+                F.to_date("o_orderdate"), F.date_add(F.to_date("o_orderdate"), 6)
+            )
+        ).alias("day"),
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value", F.to_date("ts").alias("day")
+    )
+    matched = (
+        days.join(ev, (days.o_custkey == ev.user_id) & (days.day == ev.day))
+        .filter(
+            (F.col("ts") >= F.col("o_orderdate"))
+            & (F.col("ts") < F.expr("o_orderdate + INTERVAL 7 DAY"))
+        )
+        .groupBy("o_orderkey", "o_custkey", "o_orderdate")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+    )
+    return (
+        orders.join(matched, ["o_orderkey", "o_custkey", "o_orderdate"], "left")
+        .select(
+            F.col("o_orderkey").cast("bigint"),
+            F.col("o_custkey").cast("bigint").alias("user_id"),
+            F.col("o_orderdate").cast("string").alias("orderdate"),
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
+        )
+    )

@@ -115,3 +115,12 @@ def test_lsh_tail_reads_materialized_signatures(spark, sf_dir):
     txt = plan_text(dedup_minhash_lsh_spark(spark, sf_dir))
     assert "FileScan" not in txt
     assert "Scan ExistingRDD" in txt or "LogicalRDD" in txt  # checkpointed source
+
+
+def test_range_join_is_equijoin(spark, sf_dir):
+    """The interval predicate must reach the executor as a day-bucket
+    EQUI-join with a post-filter — never a nested-loop over per-user pairs."""
+    from serene_spark.operators.events import range_join_orders_events
+    from serene_spark.plans.explain_audit import has_cartesian
+
+    assert not has_cartesian(range_join_orders_events(spark, sf_dir))
