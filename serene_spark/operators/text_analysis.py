@@ -166,3 +166,42 @@ register("token_stats", oracle=token_stats_sql(DUCKDB),
          doc="token counting: whitespace tokens, distinct, TTR, regex words")(_sql_query(token_stats_sql))
 register("doc_fingerprint", oracle=fingerprint_sql(DUCKDB),
          doc="bag-of-words fingerprint (md5 of sorted distinct tokens) dedup groups")(_sql_query(fingerprint_sql))
+
+
+def corpus_select_sql(dialect: str, per_lang_cap: int = 100) -> str:
+    """End-to-end training-corpus selection — the composition the individual
+    ops exist for: keep documents that (a) pass the quality gate, (b) are the
+    canonical keeper of their exact-duplicate group, then (c) cap each
+    predicted language's share with a deterministic (md5-ordered) stratified
+    sample. One statement, every stage a keyed aggregation or equi-join;
+    at 100 TB each CTE is the same one-pass shape it is standalone.
+    """
+    from serene_spark.operators.dedup import dedup_exact_sql
+
+    return f"""
+WITH q AS ({text_quality_sql(dialect)}),
+l AS ({lang_id_sql(dialect)}),
+keepers AS (
+  SELECT keeper_doc_id AS doc_id FROM ({dedup_exact_sql(dialect)}) k
+),
+eligible AS (
+  SELECT q.doc_id, l.pred_lang
+  FROM q
+  JOIN l ON q.doc_id = l.doc_id
+  JOIN keepers kp ON kp.doc_id = q.doc_id
+  WHERE q.quality_pass = 1.0
+),
+ranked AS (
+  SELECT doc_id, pred_lang,
+         ROW_NUMBER() OVER (PARTITION BY pred_lang
+                            ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rk
+  FROM eligible
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, pred_lang, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {per_lang_cap}
+"""
+
+
+register("corpus_select", oracle=corpus_select_sql(DUCKDB),
+         doc="training-corpus selection pipeline: quality gate + exact-dedup "
+             "keepers + deterministic per-language stratified cap")(_sql_query(corpus_select_sql))
