@@ -152,6 +152,32 @@ class SereneService:
         run.train()
         return 202, {"id": eid, "status": run.state.status.value}
 
+    def _restore_octopus(self, eid: int):
+        """Rebuild a COMPLETE run from the persisted alignment graph (a fresh
+        process has no in-memory runs). The lobster RF is retrained — the
+        alignment, which the reference persists precisely because it is the
+        expensive half to rebuild, comes from disk."""
+        from serene_spark.modeler.octopus import ONTOLOGY, train_lobster
+        from serene_spark.modeler.orchestrate import Octopus, Status, TrainState
+
+        alignment = self.octopi.load_alignment(eid, ONTOLOGY)
+        if alignment is None:
+            return None
+        model, classes = train_lobster(self.spark, self.sf_dir)
+        run = Octopus(
+            self.spark,
+            self.sf_dir,
+            state=TrainState(Status.COMPLETE),
+            lobster_state=TrainState(Status.COMPLETE),
+            alignment=alignment,
+            model=model,
+            classes=classes,
+            storage=self.octopi,
+            octopus_id=eid,
+        )
+        self._octopus_runs[eid] = run
+        return run
+
     def octopus_state(self, eid: int) -> dict | None:
         if self.octopi.get(eid) is None:
             return None
@@ -161,9 +187,16 @@ class SereneService:
         return {"id": eid, "status": status, "message": message}
 
     def predict_octopus(self, eid: int) -> tuple[int, dict]:
-        run = self._octopus_runs.get(eid)
-        if run is None or self.octopi.get(eid) is None:
+        if self.octopi.get(eid) is None:
             return 404, {"error": "not found"}
+        run = self._octopus_runs.get(eid)
+        if run is None:
+            # restart path: rebuild the run from the on-disk alignment cache
+            # (the reference reads the cached alignment graph at predict,
+            # KarmaBuildAlignmentGraph.scala:75-82) and retrain the lobster
+            run = self._restore_octopus(eid)
+            if run is None:
+                return 404, {"error": "not found"}
         run.wait(timeout=600)
         if run.state.status.value != "complete":
             return 409, {"error": f"octopus not trained: {run.state.status.value}"}
