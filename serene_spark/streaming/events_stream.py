@@ -18,18 +18,23 @@ from pyspark.sql import functions as F
 
 from serene_spark.session import tune_session
 
-EVENTS_DDL = "event_id long, ts long, user_id long, event_type string, value double, props string"
-
-
 def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream over a directory of events parquet files.
 
-    The corpus stores TIMESTAMP(NANOS) (read as int64 via nanosAsLong, same
-    as the batch path in serene_spark.catalog.load_table).
+    File-source streams require an explicit schema, so probe it with a batch
+    read of the same directory, then normalize ``ts`` exactly like the batch
+    path in serene_spark.catalog.load_table (int64 nanos or TIMESTAMP_NTZ
+    corpora both become session-tz TIMESTAMP; session tz is pinned UTC).
     """
     tune_session(spark)
-    raw = spark.readStream.schema(EVENTS_DDL).parquet(events_dir)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    probed = spark.read.parquet(events_dir).schema
+    raw = spark.readStream.schema(probed).parquet(events_dir)
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_type == "timestamp_ntz":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
