@@ -180,6 +180,161 @@ WHERE l_partkey = p_partkey
 """
 
 
+Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+         {EPRICE} * {DISC} AS volume
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey
+    AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey
+    AND s_nationkey = n1.n_nationkey
+    AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_17')
+      OR (n1.n_name = 'NATION_17' AND n2.n_name = 'NATION_7'))
+    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                       AND TIMESTAMP '1997-12-31 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+Q8_SQL = f"""
+SELECT o_year,
+       round(CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         {EPRICE} * {DISC} AS volume,
+         n2.n_name AS nation
+  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+  WHERE p_partkey = l_partkey
+    AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey
+    AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey
+    AND n1.n_regionkey = r_regionkey
+    AND r_name = 'EUROPE'
+    AND s_nationkey = n2.n_nationkey
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                        AND TIMESTAMP '1997-12-31 00:00:00'
+    AND p_type = 'STANDARD'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+Q13_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, SUM({EPRICE} * {DISC}) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+# Q17's correlated 0.2*AVG subquery is re-expressed as a pre-aggregated join
+# (the rewrite Catalyst performs anyway) with the threshold comparison kept in
+# exact DECIMAL arithmetic on both dialects: qty < 0.2 * sum/n  <=>  5*qty*n < sum.
+Q17_SQL = f"""
+WITH part_avg AS (
+  SELECT l_partkey AS pa_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         CAST(COUNT(*) AS BIGINT) AS n_qty
+  FROM lineitem
+  GROUP BY l_partkey
+)
+SELECT round(CAST(SUM({EPRICE}) AS DOUBLE) / 7.0, 6) AS avg_yearly
+FROM lineitem, part, part_avg
+WHERE p_partkey = l_partkey
+  AND pa_partkey = l_partkey
+  AND p_brand = 'Brand#3'
+  AND p_size < 10
+  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * n_qty < sum_qty
+"""
+
+Q19_SQL = f"""
+SELECT CAST(SUM({EPRICE} * {DISC}) AS DOUBLE) AS revenue
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+    OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#2'  AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30))
+"""
+
+# Q21 adapted: corpus lineitem has no commit/receipt dates, so "kept the order
+# waiting" becomes "sole supplier with a returned line in a multi-supplier
+# finished order" — same EXISTS + NOT EXISTS shape over l1/l2/l3.
+Q21_SQL = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+  AND s_nationkey = n_nationkey
+  AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4', 'NATION_5')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+# Q22 adapted: corpus customer has no phone, so the country-code grouping
+# becomes n_nationkey % 5; every corpus customer has orders, so the anti-join
+# is on urgent orders instead of any orders; the AVG threshold stays
+# exact-decimal via bal * n > sum  <=>  bal > sum/n.
+Q22_SQL = """
+WITH avg_bal AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal,
+         CAST(COUNT(*) AS BIGINT) AS n_bal
+  FROM customer
+  WHERE c_acctbal > 0.0
+)
+SELECT nation_grp, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM (
+  SELECT CAST(c_nationkey % 5 AS BIGINT) AS nation_grp, c_acctbal, c_custkey
+  FROM customer, avg_bal
+  WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_bal > sum_bal
+    AND NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+) cold_customers
+GROUP BY nation_grp
+ORDER BY nation_grp
+"""
+
+
 def _sql_query(sql: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
@@ -199,3 +354,11 @@ register("q6_forecast_revenue", oracle=Q6_SQL, doc="TPC-H-style Q6: pushdown-fri
 register("q18_large_orders", oracle=Q18_SQL, doc="TPC-H-style Q18: HAVING-IN subquery + 3-way join top-20")(_sql_query(Q18_SQL))
 register("q10_returned_items", oracle=Q10_SQL, doc="TPC-H-style Q10: returned-item revenue per customer, 4-way join top-20")(_sql_query(Q10_SQL))
 register("q14_promo_revenue", oracle=Q14_SQL, doc="TPC-H-style Q14: promo revenue share, broadcast part join")(_sql_query(Q14_SQL))
+register("q7_volume_shipping", oracle=Q7_SQL, doc="TPC-H-style Q7: bidirectional nation-pair revenue by year")(_sql_query(Q7_SQL))
+register("q8_market_share", oracle=Q8_SQL, doc="TPC-H-style Q8: 8-way join national market share by year")(_sql_query(Q8_SQL))
+register("q13_customer_distribution", oracle=Q13_SQL, doc="TPC-H-style Q13: outer-join order-count histogram")(_sql_query(Q13_SQL))
+register("q15_top_supplier", oracle=Q15_SQL, doc="TPC-H-style Q15: CTE revenue view + scalar-max subquery")(_sql_query(Q15_SQL))
+register("q17_small_quantity", oracle=Q17_SQL, doc="TPC-H-style Q17: per-part avg-quantity threshold (decimal-exact)")(_sql_query(Q17_SQL))
+register("q19_discounted_revenue", oracle=Q19_SQL, doc="TPC-H-style Q19: disjunctive brand/size/quantity predicates")(_sql_query(Q19_SQL))
+register("q21_waiting_suppliers", oracle=Q21_SQL, doc="TPC-H-style Q21: EXISTS + NOT EXISTS sole-returned-supplier")(_sql_query(Q21_SQL))
+register("q22_global_sales", oracle=Q22_SQL, doc="TPC-H-style Q22: anti-join customers above exact-decimal avg balance")(_sql_query(Q22_SQL))
