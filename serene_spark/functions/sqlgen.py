@@ -114,6 +114,13 @@ def agg_ordered(dialect: str, val: str, order_by: str, sep: str) -> str:
     )
 
 
+def arr_len(dialect: str, arr: str) -> str:
+    """Array element count."""
+    if dialect == DUCKDB:
+        return f"len({arr})"
+    return f"size({arr})"
+
+
 def element_at(dialect: str, arr: str, idx_1based: str | int) -> str:
     if dialect == DUCKDB:
         return f"{arr}[{idx_1based}]"

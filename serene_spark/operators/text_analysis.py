@@ -18,7 +18,10 @@ from serene_spark.catalog import register_views
 from serene_spark.functions.sqlgen import (
     DUCKDB,
     SPARK,
+    arr_len,
+    element_at,
     explode,
+    explode_seq,
     re_extract_all_count,
     rr,
     split_re,
@@ -166,6 +169,81 @@ register("token_stats", oracle=token_stats_sql(DUCKDB),
          doc="token counting: whitespace tokens, distinct, TTR, regex words")(_sql_query(token_stats_sql))
 register("doc_fingerprint", oracle=fingerprint_sql(DUCKDB),
          doc="bag-of-words fingerprint (md5 of sorted distinct tokens) dedup groups")(_sql_query(fingerprint_sql))
+
+
+def repetition_sql(dialect: str) -> str:
+    """Gopher-style repetition signals (Rae et al. 2021, appendix A1.1),
+    re-expressed as count fractions so both dialects agree bit-for-bit:
+
+    - ``dup_token_frac``  — token instances whose token occurs 2+ times
+    - ``top_2gram_frac``  — instances of the single most frequent word 2-gram
+    - ``dup_3gram_frac``  — word-3-gram instances whose 3-gram occurs 2+ times
+    - ``repetition_pass`` — Gopher-like gate over the three fractions
+
+    Scale shape: the positional n-gram generators are one explode over a
+    pre-split token array (rows ~ 3x corpus tokens), then keyed
+    ``(doc_id, gram)`` aggregations with map-side combine — high-cardinality
+    shuffle keys, no Python, no self-joins. Docs with fewer than 3 tokens get
+    0.0 fractions via the left join (Gopher gates short docs separately).
+    """
+    toks = split_re(dialect, NORM(dialect), "[^a-z0-9]+")
+    w = lambda i: element_at(dialect, "t", i)  # noqa: E731
+    n = arr_len(dialect, "t")
+    return f"""
+WITH toklist AS (
+  SELECT doc_id, {toks} AS t FROM documents
+),
+tok1 AS (
+  SELECT doc_id, {explode(dialect, "t")} AS w FROM toklist
+),
+tok1c AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM tok1 WHERE w <> '' GROUP BY doc_id, w
+),
+tok1s AS (
+  SELECT doc_id, SUM(c) AS total1, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup1
+  FROM tok1c GROUP BY doc_id
+),
+g2 AS (
+  SELECT doc_id, {w("i")} || ' ' || {w("i + 1")} AS g
+  FROM (SELECT doc_id, t, {explode_seq(dialect, 1, f"{n} - 1")} AS i
+        FROM toklist WHERE {n} >= 2) x
+),
+g2c AS (
+  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM g2 GROUP BY doc_id, g
+),
+g2s AS (
+  SELECT doc_id, SUM(c) AS total2, MAX(c) AS top2 FROM g2c GROUP BY doc_id
+),
+g3 AS (
+  SELECT doc_id, {w("i")} || ' ' || {w("i + 1")} || ' ' || {w("i + 2")} AS g
+  FROM (SELECT doc_id, t, {explode_seq(dialect, 1, f"{n} - 2")} AS i
+        FROM toklist WHERE {n} >= 3) x
+),
+g3c AS (
+  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM g3 GROUP BY doc_id, g
+),
+g3s AS (
+  SELECT doc_id, SUM(c) AS total3, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup3
+  FROM g3c GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(round(CAST(t1.dup1 AS DOUBLE) / t1.total1, 6), 0.0) AS dup_token_frac,
+       coalesce(round(CAST(t2.top2 AS DOUBLE) / t2.total2, 6), 0.0) AS top_2gram_frac,
+       coalesce(round(CAST(t3.dup3 AS DOUBLE) / t3.total3, 6), 0.0) AS dup_3gram_frac,
+       CASE WHEN coalesce(CAST(t2.top2 AS DOUBLE) / t2.total2, 0.0) <= 0.20
+             AND coalesce(CAST(t3.dup3 AS DOUBLE) / t3.total3, 0.0) <= 0.60
+             AND coalesce(CAST(t1.dup1 AS DOUBLE) / t1.total1, 0.0) <= 0.90
+            THEN 1.0 ELSE 0.0 END AS repetition_pass
+FROM documents d
+LEFT JOIN tok1s t1 ON d.doc_id = t1.doc_id
+LEFT JOIN g2s t2 ON d.doc_id = t2.doc_id
+LEFT JOIN g3s t3 ON d.doc_id = t3.doc_id
+"""
+
+
+register("doc_repetition", oracle=repetition_sql(DUCKDB),
+         doc="Gopher-style repetition signals: dup-token / top-2gram / "
+             "dup-3gram fractions + gate")(_sql_query(repetition_sql))
 
 
 def corpus_select_sql(dialect: str, per_lang_cap: int = 100) -> str:
