@@ -30,17 +30,26 @@ from pyspark.sql import DataFrame, SparkSession
 
 from serene_spark.catalog import COLUMNS, load_table
 from serene_spark.functions.melt import melt, melt_sql
-from serene_spark.functions.sqlgen import DUCKDB, SPARK, re_extract, rr, rx
+from serene_spark.functions.sqlgen import DUCKDB, SPARK, count_chars, re_extract, rx
 from serene_spark.registry import register
 
 # Reference date/time regexes (FeatureExtractor.scala:517-562), rewritten
-# backslash-free for cross-dialect portability.
+# backslash-free for cross-dialect portability. The month-name alternation is
+# NOT a regex: an unanchored case-insensitive alternation scan is the single
+# most expensive pattern on the per-distinct-value hot path, so it runs as 12
+# instr() probes over lower(value) — identical match semantics, JVM-cheap.
 DATE_PATTERNS = (
     "^[0-9]{1,2}[/-][0-9]{1,2}[/-][0-9]{2,4}$",
     "^[0-9]{4}[/-][0-9]{1,2}[/-][0-9]{1,2}([ T][0-9]{1,2}:[0-9]{2}(:[0-9]{2})?([.][0-9]+)?)?$",
-    "(?i)(january|february|march|april|may|june|july|august|september|october|november|december)",
     "^[0-9]{1,2}:[0-9]{2}(:[0-9]{2})?$",
 )
+
+MONTH_NAMES = (
+    "january", "february", "march", "april", "may", "june", "july",
+    "august", "september", "october", "november", "december",
+)
+
+ASCII_LETTERS = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
 
 RANGE_PAT = "^([0-9]{1,18})-([0-9]{1,18})$"
 
@@ -49,12 +58,16 @@ NONEMPTY = "length(trim(value)) > 0"
 
 def profile_scalar_sql(long_rel: str, dialect: str) -> str:
     """Shared SQL over a ``(column_name, value)`` relation."""
-    date_match = " OR ".join(rx(dialect, "value", p) for p in DATE_PATTERNS)
+    month_match = " OR ".join(f"instr(lower(value), '{m}') > 0" for m in MONTH_NAMES)
+    date_match = " OR ".join(
+        [rx(dialect, "value", p) for p in DATE_PATTERNS] + [f"({month_match})"]
+    )
     g1 = re_extract(dialect, "value", RANGE_PAT, 1)
     g2 = re_extract(dialect, "value", RANGE_PAT, 2)
-    alpha = rr(dialect, "value", "[^a-zA-Z]")
-    digits = rr(dialect, "value", "[^0-9]")
-    nonws = rr(dialect, "value", "[ \t\n\r]")
+    # char-class counts via translate-delete, not regexp_replace (see sqlgen)
+    n_alpha = count_chars(dialect, "value", f"'{ASCII_LETTERS}'")
+    n_digit = count_chars(dialect, "value", "'0123456789'")
+    n_ws = count_chars(dialect, "value", "(' ' || chr(9) || chr(10) || chr(13))")
 
     def frac(num: str, den: str) -> str:
         return f"CASE WHEN {den} = 0 THEN -1.0 ELSE round(CAST({num} AS DOUBLE) / {den}, 6) END"
@@ -77,7 +90,7 @@ base AS (
     CAST(SUM(CASE WHEN ne = 0 THEN cnt ELSE 0 END) AS BIGINT) AS n_missing,
     CAST(SUM(CASE WHEN ne = 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_nonempty,
     CAST(SUM(cnt * length(value)) AS BIGINT) AS total_chars,
-    CAST(SUM(cnt * length({alpha})) AS BIGINT) AS alpha_chars,
+    CAST(SUM(cnt * {n_alpha}) AS BIGINT) AS alpha_chars,
     CAST(SUM(CASE WHEN ne = 1 AND value LIKE '%@%' THEN cnt ELSE 0 END) AS BIGINT) AS n_at,
     CAST(SUM(CASE WHEN ne = 1 AND (value LIKE '%$%' OR value LIKE '%AUD%') THEN cnt ELSE 0 END) AS BIGINT) AS n_currency,
     CAST(SUM(CASE WHEN ne = 1 AND value LIKE '%-%' THEN cnt ELSE 0 END) AS BIGINT) AS n_hyphen,
@@ -90,8 +103,8 @@ base AS (
     -- TOTAL value count with empties contributing 0.0
     -- (FeatureExtractor.scala:355-361, :381-387; FeatureExtractorSpec gold
     -- value 0.15000000000000002 on a 1-empty-of-4 fixture)
-    SUM(CASE WHEN length(value) > 0 THEN cnt * CAST(length({digits}) AS DOUBLE) / length(value) ELSE 0.0 END) AS sum_digit_ratio,
-    SUM(CASE WHEN length(value) > 0 THEN cnt * CAST(length(value) - length({nonws}) AS DOUBLE) / length(value) ELSE 0.0 END) AS sum_ws_ratio,
+    SUM(CASE WHEN length(value) > 0 THEN cnt * CAST({n_digit} AS DOUBLE) / length(value) ELSE 0.0 END) AS sum_digit_ratio,
+    SUM(CASE WHEN length(value) > 0 THEN cnt * CAST({n_ws} AS DOUBLE) / length(value) ELSE 0.0 END) AS sum_ws_ratio,
     CAST(SUM(CASE WHEN ne = 1 AND ({date_match}) THEN cnt ELSE 0 END) AS BIGINT) AS n_date
   FROM hist
   GROUP BY column_name
