@@ -60,7 +60,10 @@ def profile_features_from_long(
 
     _FEATURE_VIEW_SEQ[0] += 1
     view = f"__serene_feat_long_{_FEATURE_VIEW_SEQ[0]}"
-    long_df.createOrReplaceTempView(view)
+    # four independent aggregation subplans consume this relation; materialize
+    # it once (melt / driver-side createDataFrame would otherwise re-run per
+    # consumer — Spark inlines temp views)
+    long_df.localCheckpoint(eager=True).createOrReplaceTempView(view)
 
     out = spark.sql(profile_scalar_sql(view, SPARK))
     if settings is None or settings.needs_textlen:
