@@ -134,6 +134,16 @@ def arr_len(dialect: str, arr: str) -> str:
     return f"size({arr})"
 
 
+def arr_agg_ordered(dialect: str, val: str, order_by: str) -> str:
+    """Array aggregate with deterministic element order."""
+    if dialect == DUCKDB:
+        return f"list({val} ORDER BY {order_by})"
+    return (
+        f"transform(array_sort(collect_list(struct({order_by} AS o, {val} AS v))),"
+        f" x -> x.v)"
+    )
+
+
 def element_at(dialect: str, arr: str, idx_1based: str | int) -> str:
     if dialect == DUCKDB:
         return f"{arr}[{idx_1based}]"
