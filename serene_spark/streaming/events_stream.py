@@ -126,6 +126,54 @@ def sessionize_stateful(
     )
 
 
+def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup for at-least-once sources: drop replayed
+    ``event_id``s with ``dropDuplicatesWithinWatermark`` — the streaming twin
+    of the batch ``dedup_exact`` family.
+
+    Unlike plain ``dropDuplicates`` (whose key state grows forever), state
+    here is evicted once the watermark passes an event's timestamp, so memory
+    is bounded by (event rate x watermark) — the only streaming-dedup shape
+    that survives an unbounded stream. Keyed by event_id: the shuffle key is
+    unique, skew-free.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def enriched_nation_counts(
+    events: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static enrichment join + windowed aggregation: events joined to
+    the (static, broadcast-sized) customer->nation dimension, counted per
+    (window, nation).
+
+    Scale shape: a stream-static equi-join never shuffles the stream side —
+    Catalyst broadcasts the dimension into each micro-batch (the static side
+    is re-read per batch, picking up dimension updates); the windowed count
+    then shuffles on (window, n_name) with watermark-bounded state.
+    """
+    dim = customer.join(
+        nation, customer["c_nationkey"] == nation["n_nationkey"]
+    ).select(F.col("c_custkey").alias("user_id"), "n_name")
+    return (
+        events.withWatermark("ts", watermark)
+        .join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", window).alias("w"), "n_name")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "n_name",
+            "n_events",
+        )
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, checkpoint_dir: str, output_mode: str = "complete"
 ):

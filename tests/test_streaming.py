@@ -89,3 +89,78 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
 
     assert closed_in_batch, "fixture should contain multi-session users"
     assert closed_in_batch <= got <= all_sessions
+
+
+def test_dedup_within_watermark_drops_replays(spark, sf_dir, tmp_path):
+    """An at-least-once source that replays a file must yield each event_id
+    once: two copies of the same parquet in, batch-distinct out."""
+    from serene_spark.streaming.events_stream import (
+        dedup_within_watermark,
+        read_events_stream,
+        run_available_now,
+    )
+
+    events_dir = tmp_path / "events_in3"
+    events_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir / "part-0.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir / "part-1.parquet")  # replay
+
+    stream = dedup_within_watermark(read_events_stream(spark, str(events_dir)))
+    q = run_available_now(stream, "stream_dedup", str(tmp_path / "ckpt3"), "append")
+    q.awaitTermination(120)
+
+    got = sorted(
+        r["event_id"] for r in spark.sql("select event_id from stream_dedup").collect()
+    )
+
+    from serene_spark.catalog import load_table
+
+    want = sorted(
+        r["event_id"]
+        for r in load_table(spark, sf_dir, "events").select("event_id").collect()
+    )
+    assert got == want
+
+
+def test_enriched_nation_counts_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static broadcast join + windowed count equals the batch join."""
+    from serene_spark.streaming.events_stream import (
+        enriched_nation_counts,
+        read_events_stream,
+        run_available_now,
+    )
+    from serene_spark.catalog import load_table
+
+    events_dir = tmp_path / "events_in4"
+    events_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir / "part-0.parquet")
+
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    stream = enriched_nation_counts(
+        read_events_stream(spark, str(events_dir)), customer, nation
+    )
+    q = run_available_now(stream, "stream_enriched", str(tmp_path / "ckpt4"))
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["n_name"]): r["n_events"]
+        for r in spark.sql("select * from stream_enriched").collect()
+    }
+
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    dim = customer.join(nation, customer["c_nationkey"] == nation["n_nationkey"]).select(
+        F.col("c_custkey").alias("user_id"), "n_name"
+    )
+    want = {
+        (r["window_start"], r["n_name"]): r["n_events"]
+        for r in events.join(dim, "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "n_name")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"), "n_name", "n_events"
+        )
+        .collect()
+    }
+    assert got and got == want
