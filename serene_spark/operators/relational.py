@@ -324,9 +324,12 @@ WITH avg_bal AS (
 SELECT nation_grp, CAST(COUNT(*) AS BIGINT) AS numcust,
        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
 FROM (
+  -- scalar subqueries (not a cross join with the 1-row CTE): Spark plans
+  -- them as ScalarSubquery literals, keeping the customer scan join-free
   SELECT CAST(c_nationkey % 5 AS BIGINT) AS nation_grp, c_acctbal, c_custkey
-  FROM customer, avg_bal
-  WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_bal > sum_bal
+  FROM customer
+  WHERE CAST(c_acctbal AS DECIMAL(18,2)) * (SELECT n_bal FROM avg_bal)
+        > (SELECT sum_bal FROM avg_bal)
     AND NOT EXISTS (SELECT 1 FROM orders
                     WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
 ) cold_customers

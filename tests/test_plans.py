@@ -124,3 +124,43 @@ def test_range_join_is_equijoin(spark, sf_dir):
     from serene_spark.plans.explain_audit import has_cartesian
 
     assert not has_cartesian(range_join_orders_events(spark, sf_dir))
+
+
+def test_new_tpch_queries_no_cartesian(spark, sf_dir):
+    """Q7/Q8/Q13/Q15/Q17/Q19/Q21/Q22: multi-way joins, correlated EXISTS
+    rewrites, and anti-joins must all plan as hash/sort-merge joins — never a
+    cartesian or nested-loop fallback."""
+    from serene_spark.registry import load_all
+
+    qs = load_all()
+    for name in (
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q13_customer_distribution",
+        "q15_top_supplier",
+        "q17_small_quantity",
+        "q19_discounted_revenue",
+        "q21_waiting_suppliers",
+        "q22_global_sales",
+    ):
+        df = qs[name].spark(spark, sf_dir)
+        assert not has_cartesian(df), name
+
+
+def test_q8_broadcasts_dimensions(spark, sf_dir):
+    """The 8-way join's part/nation/region/supplier sides are dimension-sized
+    -> several broadcast joins, with the lineitem fact never broadcast."""
+    from serene_spark.registry import load_all
+
+    df = load_all()["q8_market_share"].spark(spark, sf_dir)
+    assert broadcast_join_count(df) >= 3
+
+
+def test_q19_pushes_disjunctive_part_filter(spark, sf_dir):
+    """The brand/size disjunction is part-side-only, so Catalyst must push a
+    derived filter into the part scan (partial pushdown of the OR)."""
+    from serene_spark.plans.explain_audit import plan_text
+    from serene_spark.registry import load_all
+
+    txt = plan_text(load_all()["q19_discounted_revenue"].spark(spark, sf_dir))
+    assert "PushedFilters: [" in txt
