@@ -248,17 +248,19 @@ register("doc_repetition", oracle=repetition_sql(DUCKDB),
 
 def corpus_select_sql(dialect: str, per_lang_cap: int = 100) -> str:
     """End-to-end training-corpus selection — the composition the individual
-    ops exist for: keep documents that (a) pass the quality gate, (b) are the
-    canonical keeper of their exact-duplicate group, then (c) cap each
-    predicted language's share with a deterministic (md5-ordered) stratified
-    sample. One statement, every stage a keyed aggregation or equi-join;
-    at 100 TB each CTE is the same one-pass shape it is standalone.
+    ops exist for: keep documents that (a) pass the quality gate, (b) pass
+    the Gopher-style repetition gate, (c) are the canonical keeper of their
+    exact-duplicate group, then (d) cap each predicted language's share with
+    a deterministic (md5-ordered) stratified sample. One statement, every
+    stage a keyed aggregation or equi-join; at 100 TB each CTE is the same
+    one-pass shape it is standalone.
     """
     from serene_spark.operators.dedup import dedup_exact_sql
 
     return f"""
 WITH q AS ({text_quality_sql(dialect)}),
 l AS ({lang_id_sql(dialect)}),
+rep AS ({repetition_sql(dialect)}),
 keepers AS (
   SELECT keeper_doc_id AS doc_id FROM ({dedup_exact_sql(dialect)}) k
 ),
@@ -266,8 +268,9 @@ eligible AS (
   SELECT q.doc_id, l.pred_lang
   FROM q
   JOIN l ON q.doc_id = l.doc_id
+  JOIN rep ON rep.doc_id = q.doc_id
   JOIN keepers kp ON kp.doc_id = q.doc_id
-  WHERE q.quality_pass = 1.0
+  WHERE q.quality_pass = 1.0 AND rep.repetition_pass = 1.0
 ),
 ranked AS (
   SELECT doc_id, pred_lang,
