@@ -1,0 +1,89 @@
+"""Plan audits for the 100 TB layout primitives: bucketed co-located joins,
+date-partition pruning, and salted two-phase aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from serene_spark.catalog import load_table
+from serene_spark.plans.explain_audit import plan_text
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
+    from serene_spark.sources.layout import write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(orders, "orders_b", ["o_orderkey"], 8, path=str(tmp_path / "ob"))
+    write_bucketed(lineitem, "lineitem_b", ["l_orderkey"], 8, path=str(tmp_path / "lb"))
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("orders_b").join(
+            spark.table("lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        txt = plan_text(joined)
+        assert "SortMergeJoin" in txt
+        assert "Exchange" not in txt, "bucketed join must not shuffle either side"
+
+        n = joined.count()
+        assert n == lineitem.count()  # every lineitem has an order
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_date_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    from serene_spark.sources.layout import write_date_partitioned
+
+    events = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_by_date")
+    write_date_partitioned(events, out)
+
+    back = spark.read.parquet(out)
+    one_day = back.select(F.min(F.col("event_date"))).first()[0]
+    q = back.where(F.col("event_date") == F.lit(one_day))
+    txt = plan_text(q)
+    assert "PartitionFilters" in txt and "event_date" in txt.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+    want = events.where(F.to_date("ts") == F.lit(one_day)).count()
+    assert q.count() == want and want > 0
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    from serene_spark.sources.layout import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    got = {
+        r["l_returnflag"]: (r["n"], round(r["qty"], 6), r["mx"])
+        for r in salted_agg(
+            li,
+            ["l_returnflag"],
+            {"n": "count:l_orderkey", "qty": "sum:l_quantity", "mx": "max:l_extendedprice"},
+        ).collect()
+    }
+    want = {
+        r["l_returnflag"]: (r["n"], round(r["qty"], 6), r["mx"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count("l_orderkey").alias("n"),
+            F.sum("l_quantity").alias("qty"),
+            F.max("l_extendedprice").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) >= 2
+
+
+def test_salted_agg_two_phase_plan(spark, sf_dir):
+    from serene_spark.sources.layout import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    df = salted_agg(li, ["l_returnflag"], {"n": "count:l_orderkey"}, n_salt=8)
+    txt = plan_text(df)
+    # phase-1 shuffle carries the salt, phase-2 only the key
+    assert "_salt" in txt
+    assert txt.count("Exchange") >= 2
