@@ -246,6 +246,55 @@ register("doc_repetition", oracle=repetition_sql(DUCKDB),
              "dup-3gram fractions + gate")(_sql_query(repetition_sql))
 
 
+def lang_model_sql(dialect: str) -> str:
+    """Self-trained character-bigram LM score per document — the
+    gibberish / out-of-distribution detector of a training-data pipeline:
+    ``avg_bigram_logprob`` is the mean log-probability of the document's
+    character bigrams under the corpus's own bigram distribution (low =
+    unusual character sequences).
+
+    Determinism: the model is exact integer counts; each term is
+    ``round(ln(c/n), 9)`` cast to DECIMAL before the per-doc sum, so the
+    aggregation is order-independent (ln may differ by 1 ulp across libm
+    implementations; rounding at 9 decimals absorbs it, same pattern as the
+    entropy features). Scale shape: bigram explode -> tiny (~1.3k key)
+    model aggregation broadcast back onto the bigram stream -> per-doc agg;
+    no Python anywhere.
+    """
+    n = NORM(dialect)
+    return f"""
+WITH norm AS (
+  SELECT doc_id, {n} AS t FROM documents
+),
+big AS (
+  SELECT doc_id, substr(t, i, 2) AS bg
+  FROM (SELECT doc_id, t, {explode_seq(dialect, 1, "length(t) - 1")} AS i
+        FROM norm WHERE length(t) >= 2) x
+),
+model AS (
+  SELECT bg, CAST(COUNT(*) AS BIGINT) AS c FROM big GROUP BY bg
+),
+tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n FROM model
+),
+terms AS (
+  SELECT b.doc_id,
+         CAST(round(ln(CAST(m.c AS DOUBLE) / (SELECT n FROM tot)), 9)
+              AS DECIMAL(18,9)) AS lp
+  FROM big b JOIN model m ON b.bg = m.bg
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_bigram_logprob
+FROM terms GROUP BY doc_id
+"""
+
+
+register("lang_model_score", oracle=lang_model_sql(DUCKDB),
+         doc="corpus-trained char-bigram LM score per doc (gibberish / OOD "
+             "detector)")(_sql_query(lang_model_sql))
+
+
 def corpus_select_sql(dialect: str, per_lang_cap: int = 100) -> str:
     """End-to-end training-corpus selection — the composition the individual
     ops exist for: keep documents that (a) pass the quality gate, (b) pass
