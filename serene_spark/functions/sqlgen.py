@@ -134,6 +134,18 @@ def arr_len(dialect: str, arr: str) -> str:
     return f"size({arr})"
 
 
+def epoch_s(dialect: str, ts_expr: str) -> str:
+    """Seconds since epoch as BIGINT (UTC session tz; truncates sub-second).
+
+    DuckDB's ``epoch`` is fractional and its double->BIGINT cast ROUNDS
+    (Spark's ``unix_timestamp`` truncates) — floor first, or the two engines
+    disagree on every sub-second timestamp.
+    """
+    if dialect == DUCKDB:
+        return f"CAST(floor(epoch({ts_expr})) AS BIGINT)"
+    return f"unix_timestamp({ts_expr})"
+
+
 def arr_agg_ordered(dialect: str, val: str, order_by: str) -> str:
     """Array aggregate with deterministic element order."""
     if dialect == DUCKDB:

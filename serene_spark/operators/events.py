@@ -292,3 +292,94 @@ def range_join_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
         )
     )
+
+
+# --- Sliding windows, exact quantiles, and funnel analysis --------------------
+
+from serene_spark.functions.sqlgen import DUCKDB, SPARK, epoch_s, explode_seq, idiv
+
+
+def sliding_counts_sql(dialect: str) -> str:
+    """1-hour windows sliding every 15 minutes, as batch SQL both engines can
+    run: every event belongs to exactly 4 windows, generated by an offset
+    explode (k = 0..3), so there is no self-join and no per-row Python.
+    Window starts are emitted as epoch seconds (BIGINT) — timezone-free.
+    The streaming twin is ``F.window(ts, '1 hour', '15 minutes')``.
+    """
+    es = epoch_s(dialect, "ts")
+    bucket = idiv(dialect, "es", 900)
+    return f"""
+WITH base AS (
+  SELECT event_type, {es} AS es FROM events
+),
+slid AS (
+  SELECT event_type, ({bucket} - k) * 900 AS ws
+  FROM (SELECT event_type, es, {explode_seq(dialect, 0, "3")} AS k FROM base) x
+)
+SELECT CAST(ws AS BIGINT) AS window_start_s, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM slid GROUP BY ws, event_type
+"""
+
+
+def value_quantiles_sql(dialect: str) -> str:
+    """Exact p50/p90/p99 of ``value`` per event_type via the count-based
+    method (the same shape as the profiling medians): reduce to a
+    (event_type, value) histogram first — map-side combine, high-cardinality
+    keys — then one cumulative window over the tiny distinct-value relation.
+    Never a per-row sort, never percentile_approx (engine-specific)."""
+    return """
+WITH counts AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY event_type, CAST(value AS DECIMAL(18,2))
+),
+agg AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY event_type
+),
+cum AS (
+  SELECT event_type, v, SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cc
+  FROM counts
+)
+SELECT a.event_type, a.n,
+       CAST(MIN(CASE WHEN cu.cc >= ceil(0.50 * a.n) THEN cu.v END) AS DOUBLE) AS p50,
+       CAST(MIN(CASE WHEN cu.cc >= ceil(0.90 * a.n) THEN cu.v END) AS DOUBLE) AS p90,
+       CAST(MIN(CASE WHEN cu.cc >= ceil(0.99 * a.n) THEN cu.v END) AS DOUBLE) AS p99
+FROM cum cu JOIN agg a ON cu.event_type = a.event_type
+GROUP BY a.event_type, a.n
+"""
+
+
+FUNNEL_SQL = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step_view,
+       CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS step_view_click,
+       CAST(SUM(CASE WHEN t_purchase > t_click AND t_click > t_view
+                     THEN 1 ELSE 0 END) AS BIGINT) AS step_view_click_purchase
+FROM firsts
+"""
+
+
+register(
+    "events_sliding_15m",
+    oracle=sliding_counts_sql(DUCKDB),
+    doc="1h/15m sliding-window counts via offset explode (no self-join)",
+)(lambda spark, sf_dir: (register_views(spark, sf_dir), spark.sql(sliding_counts_sql(SPARK)))[1])
+
+register(
+    "events_value_quantiles",
+    oracle=value_quantiles_sql(DUCKDB),
+    doc="exact count-based p50/p90/p99 of value per event_type",
+)(lambda spark, sf_dir: (register_views(spark, sf_dir), spark.sql(value_quantiles_sql(SPARK)))[1])
+
+register(
+    "events_funnel",
+    oracle=FUNNEL_SQL,
+    doc="view->click->purchase funnel: first-occurrence ordering per user",
+)(lambda spark, sf_dir: (register_views(spark, sf_dir), spark.sql(FUNNEL_SQL))[1])
