@@ -383,3 +383,34 @@ register(
     oracle=FUNNEL_SQL,
     doc="view->click->purchase funnel: first-occurrence ordering per user",
 )(lambda spark, sf_dir: (register_views(spark, sf_dir), spark.sql(FUNNEL_SQL))[1])
+
+
+def retention_sql(dialect: str) -> str:
+    """Weekly retention cohorts: users grouped by first-activity week, counted
+    in each later week they return. Two keyed aggregations (user -> cohort
+    week; then (cohort, offset) -> distinct users) — the user-keyed shuffle is
+    the natural key, the cohort matrix is tiny. Weeks are epoch-day // 7
+    buckets (timezone-free, no locale week rules on either engine).
+    """
+    es = epoch_s(dialect, "ts")
+    week = idiv(dialect, f"({es})", 604800)
+    return f"""
+WITH activity AS (
+  SELECT user_id, {week} AS w FROM events GROUP BY user_id, {week}
+),
+cohort AS (
+  SELECT user_id, MIN(w) AS cohort_w FROM activity GROUP BY user_id
+)
+SELECT CAST(c.cohort_w AS BIGINT) AS cohort_week,
+       CAST(a.w - c.cohort_w AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM activity a JOIN cohort c ON a.user_id = c.user_id
+GROUP BY c.cohort_w, a.w - c.cohort_w
+"""
+
+
+register(
+    "events_retention_cohorts",
+    oracle=retention_sql(DUCKDB),
+    doc="weekly retention cohort matrix (first-activity week x week offset)",
+)(lambda spark, sf_dir: (register_views(spark, sf_dir), spark.sql(retention_sql(SPARK)))[1])
