@@ -127,6 +127,13 @@ def count_chars(dialect: str, expr: str, chars_sql: str) -> str:
     return f"(length({expr}) - length(translate({expr}, {chars_sql}, '')))"
 
 
+def arr_filter_nonempty(dialect: str, arr: str) -> str:
+    """Drop empty-string elements (regex splits emit '' at boundaries)."""
+    if dialect == DUCKDB:
+        return f"list_filter({arr}, x -> x <> '')"
+    return f"filter({arr}, x -> x <> '')"
+
+
 def arr_len(dialect: str, arr: str) -> str:
     """Array element count."""
     if dialect == DUCKDB:

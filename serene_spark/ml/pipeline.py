@@ -37,8 +37,6 @@ CV_DEPTHS = (1, 5, 10, 20, 30)
 CV_TREES = (1, 5, 10, 15, 20)
 CV_IMPURITIES = ("entropy", "gini")
 
-_FEATURE_VIEW_SEQ = [0]
-
 
 def profile_features_from_long(
     spark: SparkSession, long_df: DataFrame, settings=None
@@ -58,11 +56,14 @@ def profile_features_from_long(
     from serene_spark.operators.profile_scalar import profile_scalar_sql
     from serene_spark.operators.profile_textstats import numeric_stats_sql, textlen_stats_sql
 
-    _FEATURE_VIEW_SEQ[0] += 1
-    view = f"__serene_feat_long_{_FEATURE_VIEW_SEQ[0]}"
-    # four independent aggregation subplans consume this relation; materialize
+    # Four independent aggregation subplans consume this relation; materialize
     # it once (melt / driver-side createDataFrame would otherwise re-run per
-    # consumer — Spark inlines temp views)
+    # consumer — Spark inlines temp views). FIXED view name: temp views
+    # resolve at parse time, so the DataFrames built below keep their
+    # checkpointed plan even after a later call replaces the view — while a
+    # per-call sequence name would pin every old checkpoint RDD in the
+    # catalog forever (executor storage leak in long-lived sessions).
+    view = "__serene_feat_long"
     long_df.localCheckpoint(eager=True).createOrReplaceTempView(view)
 
     out = spark.sql(profile_scalar_sql(view, SPARK))

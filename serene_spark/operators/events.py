@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from serene_spark.catalog import load_table, register_views
+from serene_spark.functions.sqlgen import DUCKDB, SPARK, epoch_s, explode_seq, idiv
 from serene_spark.registry import register
 
 TUMBLING_SQL = """
@@ -296,8 +297,6 @@ def range_join_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Sliding windows, exact quantiles, and funnel analysis --------------------
 
-from serene_spark.functions.sqlgen import DUCKDB, SPARK, epoch_s, explode_seq, idiv
-
 
 def sliding_counts_sql(dialect: str) -> str:
     """1-hour windows sliding every 15 minutes, as batch SQL both engines can
@@ -333,19 +332,18 @@ WITH counts AS (
   SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v, CAST(COUNT(*) AS BIGINT) AS c
   FROM events WHERE value IS NOT NULL GROUP BY event_type, CAST(value AS DECIMAL(18,2))
 ),
-agg AS (
-  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY event_type
-),
 cum AS (
-  SELECT event_type, v, SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cc
+  SELECT event_type, v,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cc,
+         SUM(c) OVER (PARTITION BY event_type) AS n
   FROM counts
 )
-SELECT a.event_type, a.n,
-       CAST(MIN(CASE WHEN cu.cc >= ceil(0.50 * a.n) THEN cu.v END) AS DOUBLE) AS p50,
-       CAST(MIN(CASE WHEN cu.cc >= ceil(0.90 * a.n) THEN cu.v END) AS DOUBLE) AS p90,
-       CAST(MIN(CASE WHEN cu.cc >= ceil(0.99 * a.n) THEN cu.v END) AS DOUBLE) AS p99
-FROM cum cu JOIN agg a ON cu.event_type = a.event_type
-GROUP BY a.event_type, a.n
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(MIN(CASE WHEN cc >= ceil(0.50 * n) THEN v END) AS DOUBLE) AS p50,
+       CAST(MIN(CASE WHEN cc >= ceil(0.90 * n) THEN v END) AS DOUBLE) AS p90,
+       CAST(MIN(CASE WHEN cc >= ceil(0.99 * n) THEN v END) AS DOUBLE) AS p99
+FROM cum
+GROUP BY event_type, n
 """
 
 

@@ -18,6 +18,7 @@ from serene_spark.catalog import register_views
 from serene_spark.functions.sqlgen import (
     DUCKDB,
     SPARK,
+    arr_filter_nonempty,
     arr_len,
     element_at,
     explode,
@@ -186,7 +187,11 @@ def repetition_sql(dialect: str) -> str:
     shuffle keys, no Python, no self-joins. Docs with fewer than 3 tokens get
     0.0 fractions via the left join (Gopher gates short docs separately).
     """
-    toks = split_re(dialect, NORM(dialect), "[^a-z0-9]+")
+    # boundary-empty tokens from the regex split would otherwise pollute the
+    # n-grams ('cat dog.' must yield ONE 2-gram and no 3-gram)
+    toks = arr_filter_nonempty(
+        dialect, split_re(dialect, NORM(dialect), "[^a-z0-9]+")
+    )
     w = lambda i: element_at(dialect, "t", i)  # noqa: E731
     n = arr_len(dialect, "t")
     return f"""
@@ -259,7 +264,8 @@ def lang_model_sql(dialect: str) -> str:
     implementations; rounding at 9 decimals absorbs it, same pattern as the
     entropy features). Scale shape: bigram explode -> tiny (~1.3k key)
     model aggregation broadcast back onto the bigram stream -> per-doc agg;
-    no Python anywhere.
+    no Python anywhere. Total over documents: a doc with fewer than 2
+    normalized chars still appears, with n_bigrams=0 and NULL score.
     """
     n = NORM(dialect)
     return f"""
@@ -282,11 +288,17 @@ terms AS (
          CAST(round(ln(CAST(m.c AS DOUBLE) / (SELECT n FROM tot)), 9)
               AS DECIMAL(18,9)) AS lp
   FROM big b JOIN model m ON b.bg = m.bg
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_bigram_logprob
+  FROM terms GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_bigram_logprob
-FROM terms GROUP BY doc_id
+SELECT d.doc_id,
+       coalesce(p.n_bigrams, 0) AS n_bigrams,
+       p.avg_bigram_logprob
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 
 

@@ -80,7 +80,7 @@ def salted_agg(
     ``aggs`` maps output column name -> one of ``sum``/``count``/``min``/
     ``max`` over an input column (``count`` takes any column; these are the
     algebraic aggregates a two-phase plan can split). Phase 1 groups by
-    (keys + deterministic hash salt) with map-side combine as usual; phase 2
+    (keys + row-position salt) with map-side combine as usual; phase 2
     merges the ``n_salt`` partials per key: sum->sum, count->sum, min->min,
     max->max. Result is identical to ``df.groupBy(keys).agg(...)`` for any
     salt width — verified against the plain plan in tests.
@@ -89,12 +89,16 @@ def salted_agg(
     merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
     parsed = {out: spec.split(":", 1) for out, spec in aggs.items()}  # out -> [fn, col]
 
-    salt = (
-        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salt))
-    ).alias("_salt")
+    # row-position salt, NOT a row-content hash: exact-duplicate rows are a
+    # primary cause of key skew, and a content hash would send them all to
+    # one salt bucket. monotonically_increasing_id varies between task
+    # retries, but any salt assignment merges to the same final aggregate
+    # (the merge is over an arbitrary partition of the rows), so the result
+    # is still deterministic.
+    salt_col = "__serene_salt"
     partial = (
-        df.select(*df.columns, salt)
-        .groupBy(*keys, "_salt")
+        df.withColumn(salt_col, F.pmod(F.monotonically_increasing_id(), F.lit(n_salt)))
+        .groupBy(*keys, salt_col)
         .agg(*[phase1_fn[fn](F.col(col)).alias(out) for out, (fn, col) in parsed.items()])
     )
     return partial.groupBy(*keys).agg(

@@ -18,6 +18,14 @@ from pyspark.sql import functions as F
 
 from serene_spark.session import tune_session
 
+# schema for a drop-directory that is still empty when the stream starts
+# (files arriving later must match it — the standard file-source contract)
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
 def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream over a directory of events parquet files.
 
@@ -25,9 +33,16 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     read of the same directory, then normalize ``ts`` exactly like the batch
     path in serene_spark.catalog.load_table (int64 nanos or TIMESTAMP_NTZ
     corpora both become session-tz TIMESTAMP; session tz is pinned UTC).
+    An empty (not-yet-populated) drop directory cannot be probed — the
+    stream starts with ``EVENTS_DDL`` and picks files up as they land.
     """
     tune_session(spark)
-    probed = spark.read.parquet(events_dir).schema
+    from pyspark.errors import AnalysisException
+
+    try:
+        probed = spark.read.parquet(events_dir).schema
+    except AnalysisException:  # no files yet
+        probed = EVENTS_DDL
     raw = spark.readStream.schema(probed).parquet(events_dir)
     ts_type = dict(raw.dtypes).get("ts")
     if ts_type == "bigint":

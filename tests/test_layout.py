@@ -78,6 +78,29 @@ def test_salted_agg_equals_plain(spark, sf_dir):
     assert got == want and len(got) >= 2
 
 
+def test_salted_agg_spreads_duplicate_rows(spark, sf_dir):
+    """Exact-duplicate rows (the classic skew source) must land in multiple
+    salt buckets — a row-content hash would put them all in one."""
+    from pyspark.sql import functions as F
+
+    from serene_spark.sources.layout import salted_agg
+
+    one = load_table(spark, sf_dir, "nation").limit(1)
+    dups = one
+    for _ in range(5):
+        dups = dups.union(one)  # 6 identical rows
+    partial_groups = (
+        dups.withColumn("__serene_salt", F.pmod(F.monotonically_increasing_id(), F.lit(4)))
+        .select("__serene_salt")
+        .distinct()
+        .count()
+    )
+    assert partial_groups >= 2
+
+    got = salted_agg(dups, ["n_name"], {"n": "count:n_nationkey"}, n_salt=4).collect()
+    assert len(got) == 1 and got[0]["n"] == 6
+
+
 def test_salted_agg_two_phase_plan(spark, sf_dir):
     from serene_spark.sources.layout import salted_agg
 
@@ -85,5 +108,5 @@ def test_salted_agg_two_phase_plan(spark, sf_dir):
     df = salted_agg(li, ["l_returnflag"], {"n": "count:l_orderkey"}, n_salt=8)
     txt = plan_text(df)
     # phase-1 shuffle carries the salt, phase-2 only the key
-    assert "_salt" in txt
+    assert "__serene_salt" in txt
     assert txt.count("Exchange") >= 2
