@@ -121,3 +121,29 @@ def test_explode_seq_dialects(spark):
         ).fetchall()
     )
     assert sv == dv
+
+
+def test_repetition_ngram_boundary_semantics():
+    """'cat dog.' must yield one 2-gram and no 3-gram: boundary-empty tokens
+    from the regex split must not become phantom n-grams. Both engines share
+    the generated SQL, so the parity gate cannot catch this class of bug —
+    pin the semantics against DuckDB directly."""
+    from serene_spark.operators.text_analysis import repetition_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)",
+        [
+            (1, "cat dog."),          # trailing punct -> 2 tokens, 1 bigram, 0 trigrams
+            (2, "go go go go"),       # pure repetition
+            (3, "x"),                 # <2 tokens -> all-zero row via left join
+        ],
+    )
+    rows = {r[0]: r[1:] for r in con.execute(repetition_sql(DUCKDB)).fetchall()}
+    # doc 1: one 2-gram total -> top_2gram_frac = 1.0; no 3-grams -> 0.0
+    assert rows[1][1] == 1.0 and rows[1][2] == 0.0
+    # doc 2: every token duplicated, single repeated 2-gram and 3-gram
+    assert rows[2][0] == 1.0 and rows[2][1] == 1.0 and rows[2][2] == 1.0
+    # doc 3: too short for any n-gram stats
+    assert rows[3] == (0.0, 0.0, 0.0, 1.0) or rows[3][:3] == (0.0, 0.0, 0.0)
