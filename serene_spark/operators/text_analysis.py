@@ -347,3 +347,31 @@ FROM ranked WHERE rk <= {per_lang_cap}
 register("corpus_select", oracle=corpus_select_sql(DUCKDB),
          doc="training-corpus selection pipeline: quality gate + exact-dedup "
              "keepers + deterministic per-language stratified cap")(_sql_query(corpus_select_sql))
+
+
+def top_tokens_sql(dialect: str, k: int = 10) -> str:
+    """Per-language heavy hitters: the k most frequent tokens among documents
+    of each predicted language (count desc, token asc tie-break). Exact — the
+    corpus token histogram is the same keyed aggregation every other text op
+    uses; the rank window runs over the tiny (lang, distinct-token) relation,
+    partitioned by language so no global sort.
+    """
+    return f"""
+WITH {tokens_rel(dialect)},
+l AS ({lang_id_sql(dialect)}),
+tok_lang AS (
+  SELECT l.pred_lang, t.tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tokens t JOIN l ON t.doc_id = l.doc_id
+  GROUP BY l.pred_lang, t.tok
+)
+SELECT pred_lang, tok, c, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT pred_lang, tok, c,
+         ROW_NUMBER() OVER (PARTITION BY pred_lang ORDER BY c DESC, tok ASC) AS rk
+  FROM tok_lang
+) r WHERE rk <= {k}
+"""
+
+
+register("top_tokens_per_lang", oracle=top_tokens_sql(DUCKDB),
+         doc="exact per-language top-10 token heavy hitters")(_sql_query(top_tokens_sql))
