@@ -70,6 +70,29 @@ def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of the batch ``events_sliding_15m`` query: overlapping
+    windows via the built-in slide parameter (the batch form's offset explode
+    is exactly what ``F.window`` does internally). Window starts are emitted
+    as epoch seconds to match the batch output shape.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 SESSION_GAP_MIN = 30  # same 30-minute inactivity gap as the batch twin
 
 

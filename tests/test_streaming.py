@@ -164,3 +164,35 @@ def test_enriched_nation_counts_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got and got == want
+
+
+def test_sliding_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The streaming sliding-window twin must equal the batch offset-explode
+    form (same epoch-second window starts)."""
+    from serene_spark.streaming.events_stream import (
+        read_events_stream,
+        run_available_now,
+        sliding_counts,
+    )
+
+    events_dir = tmp_path / "events_in5"
+    events_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir / "part-0.parquet")
+
+    stream = sliding_counts(read_events_stream(spark, str(events_dir)))
+    q = run_available_now(stream, "stream_sliding", str(tmp_path / "ckpt5"))
+    q.awaitTermination(120)
+    got = {
+        (r["window_start_s"], r["event_type"]): r["n_events"]
+        for r in spark.sql("select * from stream_sliding").collect()
+    }
+
+    from serene_spark.catalog import register_views
+    from serene_spark.operators.events import sliding_counts_sql
+
+    register_views(spark, sf_dir, ("events",))
+    want = {
+        (r["window_start_s"], r["event_type"]): r["n_events"]
+        for r in spark.sql(sliding_counts_sql("spark")).collect()
+    }
+    assert got and got == want
