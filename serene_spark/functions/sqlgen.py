@@ -127,6 +127,20 @@ def count_chars(dialect: str, expr: str, chars_sql: str) -> str:
     return f"(length({expr}) - length(translate({expr}, {chars_sql}, '')))"
 
 
+def arr_slice(dialect: str, arr: str, start_1based: str, length: str) -> str:
+    """Contiguous sub-array [start, start+length) with 1-based start."""
+    if dialect == DUCKDB:
+        return f"list_slice({arr}, {start_1based}, ({start_1based}) + ({length}) - 1)"
+    return f"slice({arr}, {start_1based}, {length})"
+
+
+def arr_join(dialect: str, arr: str, sep: str) -> str:
+    """Join array elements into one string."""
+    if dialect == DUCKDB:
+        return f"array_to_string({arr}, '{sep}')"
+    return f"array_join({arr}, '{sep}')"
+
+
 def arr_filter_nonempty(dialect: str, arr: str) -> str:
     """Drop empty-string elements (regex splits emit '' at boundaries)."""
     if dialect == DUCKDB:

@@ -375,3 +375,69 @@ FROM (
 
 register("top_tokens_per_lang", oracle=top_tokens_sql(DUCKDB),
          doc="exact per-language top-10 token heavy hitters")(_sql_query(top_tokens_sql))
+
+
+CHUNK_TOKENS = 32   # tokens per chunk (context-window analog)
+CHUNK_STRIDE = 24   # 8-token overlap between consecutive chunks
+
+
+def doc_chunks_sql(dialect: str) -> str:
+    """Context-window chunking — split each document into overlapping
+    token-window chunks (the sequence-packing prep step of a training-data
+    pipeline): chunk i covers tokens [1 + i*stride, 1 + i*stride + size).
+
+    The chunk generator is an explode over ceil-divided chunk counts (every
+    doc gets at least one chunk, short final windows kept), then one array
+    slice + join per chunk — no self-joins, no Python; at 100 TB this is a
+    map-only operator until the optional downstream shuffle.
+    """
+    from serene_spark.functions.sqlgen import arr_join, arr_slice
+
+    toks = arr_filter_nonempty(
+        dialect, split_re(dialect, NORM(dialect), "[^a-z0-9]+")
+    )
+    n = arr_len(dialect, "t")
+    n_chunks = (
+        f"CASE WHEN {n} <= {CHUNK_TOKENS} THEN 1 "
+        f"ELSE 1 + CAST(ceil(CAST({n} - {CHUNK_TOKENS} AS DOUBLE) / {CHUNK_STRIDE}) AS BIGINT) END"
+    )
+    start = f"1 + (ci - 1) * {CHUNK_STRIDE}"
+    chunk = arr_join(dialect, arr_slice(dialect, "t", start, str(CHUNK_TOKENS)), " ")
+    return f"""
+WITH toklist AS (
+  SELECT doc_id, {toks} AS t FROM documents
+),
+idx AS (
+  SELECT doc_id, t, {explode_seq(dialect, 1, n_chunks)} AS ci FROM toklist
+)
+SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+       {chunk} AS chunk_text,
+       CAST(least({CHUNK_TOKENS}, {n} - ({start}) + 1) AS BIGINT) AS n_tokens
+FROM idx
+"""
+
+
+register("doc_chunks", oracle=doc_chunks_sql(DUCKDB),
+         doc="overlapping token-window chunking (context-window packing prep)")(_sql_query(doc_chunks_sql))
+
+
+# BPE-ish token estimate: letter runs, digit runs, and punctuation runs count
+# separately (an [a-z]+|[0-9]+|other-run approximation of byte-pair-style
+# pre-tokenization), vs the whitespace token count.
+def bpe_estimate_sql(dialect: str) -> str:
+    word_runs = re_extract_all_count(dialect, "lower(text)", "[a-z]+")
+    digit_runs = re_extract_all_count(dialect, "text", "[0-9]+")
+    punct_runs = re_extract_all_count(dialect, "text", "[^a-zA-Z0-9 \t\n\r]+")
+    ws_tokens = re_extract_all_count(dialect, "text", "[^ \t\n\r]+")
+    return f"""
+SELECT doc_id,
+       CAST({ws_tokens} AS BIGINT) AS n_ws_tokens,
+       CAST({word_runs} + {digit_runs} + {punct_runs} AS BIGINT) AS n_bpe_est,
+       round(CAST({word_runs} + {digit_runs} + {punct_runs} AS DOUBLE)
+             / greatest(1, {ws_tokens}), 6) AS bpe_per_ws_token
+FROM documents
+"""
+
+
+register("bpe_token_estimate", oracle=bpe_estimate_sql(DUCKDB),
+         doc="BPE-ish pre-tokenization run counts vs whitespace tokens")(_sql_query(bpe_estimate_sql))
