@@ -1,0 +1,95 @@
+"""Built-in Spark ML MinHashLSH as an alternative dedup candidate path.
+
+The engine's primary near-dup pipeline is the SQL-generated MinHash + banded
+LSH + exact-Jaccard verify (operators/dedup.py) — oracle-checked and
+dialect-shared. This module is the `pyspark.ml.feature.MinHashLSH`
+re-expression of the same candidate generation, provided because a cluster
+team may prefer the built-in operator's `approxSimilarityJoin` (Catalyst-
+planned hash-join on LSH keys, same scale shape as the custom banded join).
+
+Recall vs the exact shingle-Jaccard pairs is pinned in
+tests/test_ml_minhash.py; the operator is registered rows-only (hashing
+internals are not SQL-expressible for a DuckDB oracle).
+
+Reference note: the reference has no dedup operators at all (SURVEY §2.12);
+both paths are scale extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serene_spark.catalog import load_table
+from serene_spark.operators.dedup import SHINGLE_K
+from serene_spark.registry import register
+
+N_HASH_TABLES = 8
+NUM_FEATURES = 1 << 18
+LSH_SEED = 5043  # the reference RF seed, reused for determinism
+
+
+def shingle_vectors(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Distinct char-K-shingles per doc -> sparse binary HashingTF vectors."""
+    from pyspark.ml.feature import HashingTF
+
+    norm = docs.select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.lower("text"), "[ \t\n\r]+", " ")).alias("norm"),
+    )
+    shingled = norm.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(1, length(norm) - {SHINGLE_K} + 1)),"
+                f" i -> substr(norm, i, {SHINGLE_K}))"
+            )
+        ).alias("shingles"),
+    )
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=NUM_FEATURES, binary=True
+    )
+    return tf.transform(shingled)
+
+
+def approx_near_dup_pairs(
+    spark: SparkSession, docs: DataFrame, jaccard_threshold: float = 0.2
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHashLSH.approxSimilarityJoin.
+
+    `distCol` is the ML estimator's Jaccard DISTANCE over the hashed feature
+    sets; threshold 1 - jaccard_threshold keeps pairs at similarity >=
+    threshold (modulo HashingTF collisions — the exact verify in
+    dedup_lsh_verified is the production answer to that).
+    """
+    from pyspark.ml.feature import MinHashLSH
+
+    vecs = shingle_vectors(spark, docs).where(F.expr("size(shingles) > 0"))
+    lsh = MinHashLSH(
+        inputCol="features",
+        outputCol="hashes",
+        numHashTables=N_HASH_TABLES,
+        seed=LSH_SEED,
+    )
+    model = lsh.fit(vecs)
+    joined = model.approxSimilarityJoin(
+        vecs, vecs, 1.0 - jaccard_threshold, distCol="jaccard_dist"
+    )
+    return (
+        joined.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_id_1"),
+            F.col("datasetB.doc_id").alias("doc_id_2"),
+            F.round(1.0 - F.col("jaccard_dist"), 6).alias("jaccard_sim"),
+        )
+    )
+
+
+@register(
+    "dedup_ml_minhash",
+    oracle=None,  # ML hashing — rows-only; recall pinned in tests
+    doc="built-in MinHashLSH approxSimilarityJoin near-dup candidates "
+    "(alternative to the SQL banded-LSH path)",
+)
+def dedup_ml_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return approx_near_dup_pairs(spark, load_table(spark, sf_dir, "documents"))

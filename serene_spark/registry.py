@@ -66,6 +66,7 @@ def load_all() -> dict[str, Query]:
         "serene_spark.operators.pair_features",
         "serene_spark.modeler.octopus",
         "serene_spark.ml.pipeline",
+        "serene_spark.ml.minhash_lsh",
         "serene_spark.sources.xml_loader",
     ):
         importlib.import_module(mod)
