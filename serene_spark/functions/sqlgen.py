@@ -135,9 +135,13 @@ def arr_slice(dialect: str, arr: str, start_1based: str, length: str) -> str:
 
 
 def arr_join(dialect: str, arr: str, sep: str) -> str:
-    """Join array elements into one string."""
+    """Join array elements into one string.
+
+    DuckDB's array_to_string returns NULL for an empty array where Spark's
+    array_join returns '' — coalesce so both dialects agree.
+    """
     if dialect == DUCKDB:
-        return f"array_to_string({arr}, '{sep}')"
+        return f"coalesce(array_to_string({arr}, '{sep}'), '')"
     return f"array_join({arr}, '{sep}')"
 
 

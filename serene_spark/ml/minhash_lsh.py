@@ -29,21 +29,26 @@ NUM_FEATURES = 1 << 18
 LSH_SEED = 5043  # the reference RF seed, reused for determinism
 
 
-def shingle_vectors(spark: SparkSession, docs: DataFrame) -> DataFrame:
-    """Distinct char-K-shingles per doc -> sparse binary HashingTF vectors."""
+def shingle_vectors(docs: DataFrame) -> DataFrame:
+    """Distinct char-K-shingles per doc -> sparse binary HashingTF vectors.
+
+    Normalization comes from the SQL path's ``norm_expr`` (one definition —
+    a change to the shared normalization cannot desynchronize the two LSH
+    paths); empty shingles (empty/whitespace-only docs) are filtered so such
+    docs don't pair up as spurious perfect duplicates.
+    """
     from pyspark.ml.feature import HashingTF
 
-    norm = docs.select(
-        "doc_id",
-        F.trim(F.regexp_replace(F.lower("text"), "[ \t\n\r]+", " ")).alias("norm"),
-    )
+    from serene_spark.functions.sqlgen import SPARK
+    from serene_spark.operators.dedup import norm_expr
+
+    norm = docs.selectExpr("doc_id", f"{norm_expr(SPARK)} AS norm")
     shingled = norm.select(
         "doc_id",
-        F.array_distinct(
-            F.expr(
-                f"transform(sequence(1, greatest(1, length(norm) - {SHINGLE_K} + 1)),"
-                f" i -> substr(norm, i, {SHINGLE_K}))"
-            )
+        F.expr(
+            f"filter(array_distinct(transform("
+            f"sequence(1, greatest(1, length(norm) - {SHINGLE_K} + 1)),"
+            f" i -> substr(norm, i, {SHINGLE_K}))), x -> x <> '')"
         ).alias("shingles"),
     )
     tf = HashingTF(
@@ -58,13 +63,15 @@ def approx_near_dup_pairs(
     """Candidate near-dup pairs via MinHashLSH.approxSimilarityJoin.
 
     `distCol` is the ML estimator's Jaccard DISTANCE over the hashed feature
-    sets; threshold 1 - jaccard_threshold keeps pairs at similarity >=
-    threshold (modulo HashingTF collisions — the exact verify in
-    dedup_lsh_verified is the production answer to that).
+    sets. approxSimilarityJoin keeps pairs at STRICT dist < threshold, so the
+    cutoff gets an epsilon bump to make similarity == jaccard_threshold
+    inclusive — matching the SQL path's `>=` semantics (modulo HashingTF
+    collisions — the exact verify in dedup_lsh_verified is the production
+    answer to that).
     """
     from pyspark.ml.feature import MinHashLSH
 
-    vecs = shingle_vectors(spark, docs).where(F.expr("size(shingles) > 0"))
+    vecs = shingle_vectors(docs).where(F.expr("size(shingles) > 0"))
     lsh = MinHashLSH(
         inputCol="features",
         outputCol="hashes",
@@ -73,7 +80,7 @@ def approx_near_dup_pairs(
     )
     model = lsh.fit(vecs)
     joined = model.approxSimilarityJoin(
-        vecs, vecs, 1.0 - jaccard_threshold, distCol="jaccard_dist"
+        vecs, vecs, 1.0 - jaccard_threshold + 1e-9, distCol="jaccard_dist"
     )
     return (
         joined.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))

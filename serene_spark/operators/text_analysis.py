@@ -93,29 +93,34 @@ FROM doc_stats d JOIN tok_stats t ON d.doc_id = t.doc_id
 """
 
 
-def lang_id_sql(dialect: str) -> str:
-    hits = ",\n         ".join(
+def _lang_hits_cols() -> str:
+    return ",\n         ".join(
         f"CAST(SUM(CASE WHEN tok IN {_in_list(ws)} THEN 1 ELSE 0 END) AS BIGINT) AS {lang}_hits"
         for lang, ws in STOPWORDS.items()
     )
-    # argmax with deterministic tie-break on language code, 'unknown' if 0 hits
-    best = "GREATEST(en_hits, de_hits, fr_hits, es_hits)"
-    pick = (
-        f"CASE WHEN {best} = 0 THEN 'unknown' "
-        "WHEN de_hits = " + best + " THEN 'de' "
-        "WHEN en_hits = " + best + " THEN 'en' "
-        "WHEN es_hits = " + best + " THEN 'es' "
-        "ELSE 'fr' END"
-    )
+
+
+# argmax with deterministic tie-break on language code, 'unknown' if 0 hits
+_LANG_BEST = "GREATEST(en_hits, de_hits, fr_hits, es_hits)"
+LANG_PICK = (
+    f"CASE WHEN {_LANG_BEST} = 0 THEN 'unknown' "
+    f"WHEN de_hits = {_LANG_BEST} THEN 'de' "
+    f"WHEN en_hits = {_LANG_BEST} THEN 'en' "
+    f"WHEN es_hits = {_LANG_BEST} THEN 'es' "
+    "ELSE 'fr' END"
+)
+
+
+def lang_id_sql(dialect: str) -> str:
     return f"""
 WITH {tokens_rel(dialect)},
 hits AS (
   SELECT doc_id,
-         {hits}
+         {_lang_hits_cols()}
   FROM tokens GROUP BY doc_id
 )
 SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
-       {pick} AS pred_lang
+       {LANG_PICK} AS pred_lang
 FROM hits
 """
 
@@ -356,12 +361,25 @@ def top_tokens_sql(dialect: str, k: int = 10) -> str:
     uses; the rank window runs over the tiny (lang, distinct-token) relation,
     partitioned by language so no global sort.
     """
+    return f"WITH {tokens_rel(dialect)},\n{top_tokens_tail('tokens', k)}"
+
+
+def top_tokens_tail(tokens_rel_name: str, k: int = 10) -> str:
+    """Stats tail over an existing (doc_id, tok) relation — referenced twice
+    (language hits + token histogram), so the Spark runner materializes it
+    (CTE-inlining hazard; DuckDB materializes multi-ref CTEs natively)."""
     return f"""
-WITH {tokens_rel(dialect)},
-l AS ({lang_id_sql(dialect)}),
+hits AS (
+  SELECT doc_id,
+         {_lang_hits_cols()}
+  FROM {tokens_rel_name} GROUP BY doc_id
+),
+l AS (
+  SELECT doc_id, {LANG_PICK} AS pred_lang FROM hits
+),
 tok_lang AS (
   SELECT l.pred_lang, t.tok, CAST(COUNT(*) AS BIGINT) AS c
-  FROM tokens t JOIN l ON t.doc_id = l.doc_id
+  FROM {tokens_rel_name} t JOIN l ON t.doc_id = l.doc_id
   GROUP BY l.pred_lang, t.tok
 )
 SELECT pred_lang, tok, c, CAST(rk AS BIGINT) AS rk
@@ -373,8 +391,16 @@ FROM (
 """
 
 
+def _top_tokens_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",), spread=True)
+    rel = "__serene_toptok_tokens"
+    tokens = spark.sql(f"WITH {tokens_rel(SPARK)} SELECT * FROM tokens")
+    tokens.localCheckpoint(eager=True).createOrReplaceTempView(rel)
+    return spark.sql("WITH " + top_tokens_tail(rel))
+
+
 register("top_tokens_per_lang", oracle=top_tokens_sql(DUCKDB),
-         doc="exact per-language top-10 token heavy hitters")(_sql_query(top_tokens_sql))
+         doc="exact per-language top-10 token heavy hitters")(_top_tokens_run)
 
 
 CHUNK_TOKENS = 32   # tokens per chunk (context-window analog)
@@ -393,8 +419,10 @@ def doc_chunks_sql(dialect: str) -> str:
     """
     from serene_spark.functions.sqlgen import arr_join, arr_slice
 
+    # coalesce BEFORE the split so NULL-text docs still get their one (empty)
+    # chunk — split(NULL) is NULL and a NULL chunk count explodes to nothing
     toks = arr_filter_nonempty(
-        dialect, split_re(dialect, NORM(dialect), "[^a-z0-9]+")
+        dialect, split_re(dialect, f"coalesce({NORM(dialect)}, '')", "[^a-z0-9]+")
     )
     n = arr_len(dialect, "t")
     n_chunks = (

@@ -145,5 +145,38 @@ def test_repetition_ngram_boundary_semantics():
     assert rows[1][1] == 1.0 and rows[1][2] == 0.0
     # doc 2: every token duplicated, single repeated 2-gram and 3-gram
     assert rows[2][0] == 1.0 and rows[2][1] == 1.0 and rows[2][2] == 1.0
-    # doc 3: too short for any n-gram stats
-    assert rows[3] == (0.0, 0.0, 0.0, 1.0) or rows[3][:3] == (0.0, 0.0, 0.0)
+    # doc 3: too short for any n-gram stats, and the gate passes trivially
+    assert rows[3] == (0.0, 0.0, 0.0, 1.0)
+
+
+def test_doc_chunks_adversarial_parity(spark):
+    """doc_chunks must agree across engines and keep every document — exactly
+    one empty chunk for NULL/empty/punct-only text (the corpus has no such
+    docs, so the sf gates can't cover this)."""
+    from serene_spark.operators.text_analysis import doc_chunks_sql
+
+    docs = [
+        (1, " ".join(f"w{i % 7}" for i in range(80))),  # 80 tokens -> 3 chunks
+        (2, "...!!!"),
+        (3, None),
+        (4, ""),
+        (5, "one two"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").createOrReplaceTempView(
+        "documents"
+    )
+    got_spark = sorted(tuple(r) for r in spark.sql(doc_chunks_sql(SPARK)).collect())
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    got_duck = sorted(tuple(r) for r in con.execute(doc_chunks_sql(DUCKDB)).fetchall())
+
+    assert got_spark == got_duck
+    by_doc = {}
+    for doc_id, ci, text, n in got_spark:
+        by_doc.setdefault(doc_id, []).append((ci, text, n))
+    assert len(by_doc[1]) == 3 and by_doc[1][0][2] == 32
+    for d in (2, 3, 4):
+        assert by_doc[d] == [(1, "", 0)], by_doc[d]
+    assert by_doc[5] == [(1, "one two", 2)]
