@@ -469,3 +469,25 @@ FROM documents
 
 register("bpe_token_estimate", oracle=bpe_estimate_sql(DUCKDB),
          doc="BPE-ish pre-tokenization run counts vs whitespace tokens")(_sql_query(bpe_estimate_sql))
+
+
+def corpus_chunks_sql(dialect: str) -> str:
+    """The pipeline's final product: training sequences. Documents that
+    survive corpus selection (quality + repetition gates, dedup keepers,
+    language cap) are chunked into overlapping token windows — the
+    "raw corpus in, packed sequences out" composition. Selection emits a
+    tiny doc-id set; the chunker joins against it BEFORE chunking, so the
+    expensive explode runs only over kept documents.
+    """
+    return f"""
+WITH selected AS ({corpus_select_sql(dialect)}),
+chunks AS ({doc_chunks_sql(dialect)})
+SELECT c.doc_id, s.pred_lang, c.chunk_idx, c.chunk_text, c.n_tokens
+FROM chunks c JOIN selected s ON c.doc_id = s.doc_id
+WHERE c.n_tokens > 0
+"""
+
+
+register("corpus_chunks", oracle=corpus_chunks_sql(DUCKDB),
+         doc="end-to-end training sequences: corpus_select keepers chunked "
+             "into overlapping token windows")(_sql_query(corpus_chunks_sql))
