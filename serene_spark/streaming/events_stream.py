@@ -164,6 +164,29 @@ def sessionize_stateful(
     )
 
 
+def session_window_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Built-in session windows: per-user sessions closed by a ``gap`` of
+    inactivity, via ``F.session_window`` — the declarative sibling of the
+    imperative ``sessionize_stateful`` operator (same gap rule, engine-managed
+    state instead of applyInPandasWithState). Emits the same
+    (user, start_us, end-of-last-event_us, count) shape so tests can compare
+    the two directly; note session_window's ``end`` extends ``gap`` past the
+    last event, so the twin reports max(ts) instead.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_end_us"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+    )
+
+
 def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup for at-least-once sources: drop replayed
     ``event_id``s with ``dropDuplicatesWithinWatermark`` — the streaming twin

@@ -196,3 +196,51 @@ def test_sliding_stream_equals_batch(spark, sf_dir, tmp_path):
         for r in spark.sql(sliding_counts_sql("spark")).collect()
     }
     assert got and got == want
+
+
+def test_session_window_equals_stateful_sessions(spark, sf_dir, tmp_path):
+    """The built-in session_window aggregation must produce exactly the batch
+    session set the imperative sessionizer is validated against."""
+    from serene_spark.streaming.events_stream import (
+        read_events_stream,
+        run_available_now,
+        session_window_counts,
+    )
+
+    events_dir = tmp_path / "events_in6"
+    events_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir / "part-0.parquet")
+
+    stream = session_window_counts(read_events_stream(spark, str(events_dir)))
+    q = run_available_now(stream, "stream_swin", str(tmp_path / "ckpt6"))
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in spark.sql("select * from stream_swin").collect()
+    }
+
+    # batch truth: same fold as test_stateful_sessionize_matches_batch
+    from serene_spark.catalog import load_table
+    from serene_spark.operators.events import SESSION_GAP_US
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr("user_id", "unix_micros(ts) AS t")
+        .orderBy("user_id", "t")
+        .collect()
+    )
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r["t"])
+    want = set()
+    for u, ts in by_user.items():
+        start = last = ts[0]
+        n = 1
+        for t in ts[1:]:
+            if t - last > SESSION_GAP_US:
+                want.add((u, start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        want.add((u, start, last, n))
+    assert got == want
