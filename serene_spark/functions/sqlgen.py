@@ -160,11 +160,14 @@ def arr_len(dialect: str, arr: str) -> str:
 
 
 def epoch_s(dialect: str, ts_expr: str) -> str:
-    """Seconds since epoch as BIGINT (UTC session tz; truncates sub-second).
+    """Seconds since epoch as BIGINT (UTC session tz; floors sub-second).
 
-    DuckDB's ``epoch`` is fractional and its double->BIGINT cast ROUNDS
-    (Spark's ``unix_timestamp`` truncates) — floor first, or the two engines
-    disagree on every sub-second timestamp.
+    Both engines floor toward negative infinity: Spark's ``unix_timestamp``
+    is a floorDiv of the micros value (so pre-1970 sub-second timestamps
+    floor too), and the explicit ``floor`` here gives DuckDB's fractional
+    ``epoch`` the same behavior. The floor guards against DuckDB's
+    double->BIGINT cast, which ROUNDS — without it the engines disagree on
+    every sub-second timestamp.
     """
     if dialect == DUCKDB:
         return f"CAST(floor(epoch({ts_expr})) AS BIGINT)"

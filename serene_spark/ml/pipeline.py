@@ -16,6 +16,8 @@ vector -> confidence = max prob, predicted class via IndexToString.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -58,30 +60,34 @@ def profile_features_from_long(
 
     # Four independent aggregation subplans consume this relation; materialize
     # it once (melt / driver-side createDataFrame would otherwise re-run per
-    # consumer — Spark inlines temp views). FIXED view name: temp views
-    # resolve at parse time, so the DataFrames built below keep their
-    # checkpointed plan even after a later call replaces the view — while a
-    # per-call sequence name would pin every old checkpoint RDD in the
-    # catalog forever (executor storage leak in long-lived sessions).
-    view = "__serene_feat_long"
+    # consumer — Spark inlines temp views). PER-CALL view name: service.py
+    # serves each POST /train on its own thread, and a shared name would let
+    # one call's createOrReplaceTempView interleave with another's spark.sql
+    # parse, silently training on the wrong data. spark.sql resolves the view
+    # eagerly at analysis, so the view is dropped before returning — the
+    # checkpoint RDD stays reachable only through the returned DataFrames'
+    # lineage (no catalog pinning, no leak).
+    view = f"__serene_feat_long_{uuid.uuid4().hex}"
     long_df.localCheckpoint(eager=True).createOrReplaceTempView(view)
-
-    out = spark.sql(profile_scalar_sql(view, SPARK))
-    if settings is None or settings.needs_textlen:
-        tlen = spark.sql(textlen_stats_sql(view, SPARK)).select(
-            "column_name", "mean_len", "median_len", "mode_len", "min_len", "max_len"
-        )
-        out = out.join(tlen, "column_name", "left")
-    if settings is None or settings.needs_char_entropy:
-        cent = spark.sql(char_entropy_sql(view, SPARK)).select(
-            "column_name", "shannon_char_entropy"
-        )
-        out = out.join(cent, "column_name", "left")
-    if settings is None or settings.needs_numeric:
-        nstats = spark.sql(numeric_stats_sql(view, SPARK)).select(
-            "column_name", "mean_num", "median_num", "min_num", "max_num"
-        )
-        out = out.join(nstats, "column_name", "left")
+    try:
+        out = spark.sql(profile_scalar_sql(view, SPARK))
+        if settings is None or settings.needs_textlen:
+            tlen = spark.sql(textlen_stats_sql(view, SPARK)).select(
+                "column_name", "mean_len", "median_len", "mode_len", "min_len", "max_len"
+            )
+            out = out.join(tlen, "column_name", "left")
+        if settings is None or settings.needs_char_entropy:
+            cent = spark.sql(char_entropy_sql(view, SPARK)).select(
+                "column_name", "shannon_char_entropy"
+            )
+            out = out.join(cent, "column_name", "left")
+        if settings is None or settings.needs_numeric:
+            nstats = spark.sql(numeric_stats_sql(view, SPARK)).select(
+                "column_name", "mean_num", "median_num", "min_num", "max_num"
+            )
+            out = out.join(nstats, "column_name", "left")
+    finally:
+        spark.catalog.dropTempView(view)
 
     if settings is None:
         feature_cols = [c for c in out.columns if c != "column_name"]

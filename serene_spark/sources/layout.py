@@ -82,8 +82,10 @@ def salted_agg(
     algebraic aggregates a two-phase plan can split). Phase 1 groups by
     (keys + row-position salt) with map-side combine as usual; phase 2
     merges the ``n_salt`` partials per key: sum->sum, count->sum, min->min,
-    max->max. Result is identical to ``df.groupBy(keys).agg(...)`` for any
-    salt width — verified against the plain plan in tests.
+    max->max. Result matches ``df.groupBy(keys).agg(...)`` exactly for
+    integer/decimal inputs and for count/min/max at any salt width;
+    floating-point sums agree only up to reassociation error (the two-phase
+    plan changes addition order) — the tests compare float sums rounded.
     """
     phase1_fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
     merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}

@@ -174,10 +174,21 @@ def session_window_counts(
     (user, start_us, end-of-last-event_us, count) shape so tests can compare
     the two directly; note session_window's ``end`` extends ``gap`` past the
     last event, so the twin reports max(ts) instead.
+
+    Boundary rule: ``F.session_window`` merges only on *strict* overlap, so an
+    inter-event gap of exactly ``gap`` would start a new session, while the
+    batch sessionizer and the stateful twin break only when the gap is
+    strictly *greater* (events.py:80, :122). The window gap is therefore
+    widened by 1 microsecond (sub-microsecond timestamps don't exist in
+    Spark), making all three twins share one closed-boundary rule — an
+    exact-``gap`` pair stays in-session everywhere.
     """
+    # string form: session_window requires CalendarIntervalType and parses
+    # fractional seconds, while interval arithmetic yields DayTimeIntervalType
+    gap_plus = f"{gap} 0.000001 seconds"
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .groupBy(F.session_window("ts", gap_plus).alias("w"), "user_id")
         .agg(
             F.unix_micros(F.min("ts")).alias("session_start_us"),
             F.unix_micros(F.max("ts")).alias("session_end_us"),

@@ -149,3 +149,40 @@ def test_bag_averaging(spark):
         for r in predict_with_scores(model, bagged, trained, bag_col="bag").collect()
     }
     assert plain == avg
+
+
+def test_concurrent_feature_extraction_isolated(spark):
+    """profile_features_from_long from two threads at once: each call's
+    features must come from its own data (per-call temp-view names — a shared
+    name let one thread's createOrReplaceTempView clobber the other's view
+    mid-analysis; service.py serves each POST /train on its own thread)."""
+    import threading
+
+    from serene_spark.ml.pipeline import make_fixture_long, profile_features_from_long
+
+    long_df, _ = make_fixture_long(spark, n_tables=3, n_rows=60)
+    splits = [
+        long_df.filter(F.col("column_name").endswith(f"@table{i}")) for i in range(3)
+    ]
+    expected = [
+        sorted(r["column_name"] for r in profile_features_from_long(spark, s).collect())
+        for s in splits
+    ]
+
+    results: dict[int, list] = {}
+    errors: list[BaseException] = []
+
+    def work(i):
+        try:
+            out = profile_features_from_long(spark, splits[i])
+            results[i] = sorted(r["column_name"] for r in out.collect())
+        except BaseException as e:  # noqa: BLE001 - surface thread failures
+            errors.append(e)
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert [results[i] for i in range(3)] == expected
