@@ -104,6 +104,13 @@ def bxor(dialect: str, a: str, b: str) -> str:
     return f"({a} ^ {b})"
 
 
+def shl(dialect: str, a: str, b: str) -> str:
+    """Bitwise shift-left — Spark spells it ``shiftleft``, DuckDB ``<<``."""
+    if dialect == DUCKDB:
+        return f"(({a}) << ({b}))"
+    return f"shiftleft({a}, {b})"
+
+
 def agg_ordered(dialect: str, val: str, order_by: str, sep: str) -> str:
     """String-concat aggregate with deterministic element order."""
     if dialect == DUCKDB:

@@ -8,7 +8,8 @@ operators mandated for the rebuild, designed Spark-first:
                        exact quadratic baseline; LSH below is the scale path);
 - MinHash + LSH      — shingle -> 16 min-hashes -> band buckets -> bucket join,
                        so candidate generation never goes quadratic;
-- SimHash            — per-token hash bit-voting -> 16-bit signature ->
+- SimHash            — per-token hash bit-voting -> 64-bit signature held as
+                       4 x 16-bit words -> pigeonhole equi-join per word ->
                        hamming-distance pairs.
 
 Portability: all hashing is built on ``md5`` strings (identical on both
@@ -40,9 +41,14 @@ from serene_spark.registry import register
 
 SHINGLE_K = 8          # char-shingle width
 N_MINHASH = 16         # minhash permutations
-BAND_SIZE = 2          # rows per LSH band -> 8 bands (tuned to surface
-                       # candidates on the synthetic corpus; production would
-                       # use wider bands for higher thresholds)
+
+# Candidate-stage target Jaccard: the banded-LSH S-curve inflection aims
+# here. BAND_SIZE (rows per band) flows from lsh_band_geometry below, NOT a
+# hardcoded row count — raising the target at a bigger corpus automatically
+# widens bands (fewer, more selective candidates). 0.35 keeps the synthetic
+# corpus surfacing the same candidates as the historical 8x2 geometry while
+# sitting above the 0.2 exact-verify floor of the production pipeline.
+LSH_TARGET_JACCARD = 0.35
 
 
 def lsh_band_geometry(threshold: float, n_minhash: int = N_MINHASH) -> tuple[int, int]:
@@ -69,6 +75,12 @@ def lsh_band_geometry(threshold: float, n_minhash: int = N_MINHASH) -> tuple[int
                 best, best_err = (b, r), err
         r += 1
     return best
+
+
+# rows per LSH band, derived from the target threshold (8 bands x 2 rows for
+# the 0.35 target) — the registered queries inherit this, so retuning the
+# target rewrites every band list consistently on both engines.
+LSH_BANDS, BAND_SIZE = lsh_band_geometry(LSH_TARGET_JACCARD)
 
 
 _WS_PAT = "[ \t\n\r]+"
@@ -503,8 +515,9 @@ register("dedup_ngram_jaccard", oracle=ngram_jaccard_sql(DUCKDB),
 register("minhash_signatures", oracle=minhash_signatures_sql(DUCKDB),
          doc=f"{N_MINHASH}-permutation MinHash signatures (md5-min portable hashing)")(_sql_query(minhash_signatures_sql))
 register("dedup_minhash_lsh", oracle=minhash_lsh_sql(DUCKDB),
-         doc="MinHash LSH banded candidate pairs + estimated Jaccard (scale path; "
-             "signatures materialized once)")(dedup_minhash_lsh_spark)
+         doc=f"MinHash LSH banded candidate pairs + estimated Jaccard (scale path; "
+             f"signatures materialized once; {LSH_BANDS}x{BAND_SIZE} band geometry "
+             f"derived from the {LSH_TARGET_JACCARD} target threshold)")(dedup_minhash_lsh_spark)
 register("dedup_lsh_verified", oracle=lsh_verified_sql(DUCKDB),
          doc="complete dedup pipeline: LSH candidates -> exact shingle-Jaccard "
              "verification of candidates only (never all-pairs)")(dedup_lsh_verified_spark)
@@ -537,7 +550,8 @@ register("dedup_clusters", oracle=_clusters_oracle(),
              "iterative min-label propagation on Spark, recursive-CTE closure "
              "as the DuckDB oracle")(dedup_clusters)
 register("simhash_signatures", oracle=simhash_signatures_sql(DUCKDB),
-         doc="16-bit SimHash signatures via md5-hex bit voting")(_sql_query(simhash_signatures_sql))
+         doc="64-bit SimHash signatures (4 x 16-bit words) via md5-hex bit "
+             "voting")(_sql_query(simhash_signatures_sql))
 register("dedup_simhash_pairs", oracle=simhash_pairs_sql(DUCKDB),
          doc="SimHash near-dup pairs: pigeonhole-chunked 64-bit signatures, "
              "hamming <= 3 (signatures materialized once)")(dedup_simhash_pairs_spark)

@@ -18,6 +18,35 @@ def test_lsh_band_geometry_tracks_threshold():
     assert rows == sorted(rows)
 
 
+def test_registered_band_geometry_flows_from_threshold():
+    """BAND_SIZE is derived from the target threshold, not hardcoded — the
+    registered LSH queries inherit whatever the helper picks."""
+    from serene_spark.operators.dedup import BAND_SIZE, LSH_BANDS, LSH_TARGET_JACCARD
+
+    assert (LSH_BANDS, BAND_SIZE) == lsh_band_geometry(LSH_TARGET_JACCARD)
+    assert LSH_BANDS * BAND_SIZE == 16
+
+
+def test_ann_geom_rel_matches_python_twin():
+    """The in-query bit-width relation must agree with ann_sign_bits at
+    multiple corpus sizes (including past the cap)."""
+    import duckdb
+
+    from serene_spark.operators.similarity import (
+        MAX_SIGN_BITS,
+        ann_geom_rel,
+        ann_sign_bits,
+    )
+
+    con = duckdb.connect()
+    for n in (500, 5_000, 100_000, 10_000_000):
+        con.sql(f"CREATE OR REPLACE VIEW embeddings AS SELECT * FROM range({n})")
+        got = con.sql(
+            f"WITH {ann_geom_rel('duckdb')} SELECT bits FROM ann_geom"
+        ).fetchone()[0]
+        assert got == ann_sign_bits(n, cap=MAX_SIGN_BITS), n
+
+
 def test_ann_sign_bits_grows_with_corpus():
     assert ann_sign_bits(10_000) <= ann_sign_bits(1_000_000) <= ann_sign_bits(100_000_000)
     # ~256-vector buckets at any size
