@@ -119,7 +119,7 @@ class AlignmentGraph:
         """
         g = self.undirected_weighted()
         terms = [t for t in terminals if t in g]
-        if len(terms) <= 1:
+        if len(terms) <= 1 or not _same_component(g, terms):
             return [], 0.0
         st = nx.algorithms.approximation.steiner_tree(g, terms, weight="weight")
         edges, total = [], 0.0
@@ -173,10 +173,22 @@ class AlignmentGraph:
             if f:
                 d["weight"] *= f
         terms = [t for t in terminals if t in g]
-        if len(terms) <= 1:
+        if len(terms) <= 1 or not _same_component(g, terms):
             return [], 0.0
         st = nx.algorithms.approximation.steiner_tree(g, terms, weight="weight")
         edges = sorted(
             (d["src"], d["dst"], d["label"]) for _, _, d in st.edges(data=True)
         )
         return edges, 0.0
+
+
+def _same_component(g: nx.Graph, terms: list[str]) -> bool:
+    """True when all terminals are mutually reachable. An alignment graph
+    with no (or too few) known models and an edge-less ontology leaves class
+    nodes disconnected — there is no connecting structure to find, which the
+    suggestion layer reports as 'no suggestion' (the reference's Karma
+    returns None in this situation, SuggestModelSpec.scala:321-352)."""
+    it = iter(terms)
+    first = next(it)
+    reachable = nx.descendants(g, first) | {first}
+    return all(t in reachable for t in it)

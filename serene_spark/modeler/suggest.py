@@ -174,6 +174,14 @@ def suggest_models(
         confidence = sum(s for _c, _p, s in mapping) / len(mapping)
         trees = alignment.top_k_steiner(terminals, k=top_k) or [([], 0.0)]
         for edges, link_cost in trees:
+            if len(terminals) > 1 and not edges:
+                # No connecting structure exists (empty/undertrained alignment
+                # graph, or ontology missing): a multi-class model with no
+                # links is not a model. The reference returns no suggestion in
+                # this situation ("fails since there are no preloaded
+                # ontologies" / "alignment graph is not constructed",
+                # SuggestModelSpec.scala:321-352).
+                continue
             key = tuple(edges) + tuple(f"{c}|{cls}|{p}" for c, (cls, p, _s) in zip(cols, mapping))
             if key in seen_models:
                 continue

@@ -65,6 +65,7 @@ def load_all() -> dict[str, Query]:
         "serene_spark.operators.transform",
         "serene_spark.operators.pair_features",
         "serene_spark.modeler.octopus",
+        "serene_spark.modeler.report_fixture",
         "serene_spark.ml.pipeline",
         "serene_spark.ml.minhash_lsh",
         "serene_spark.sources.xml_loader",
