@@ -1,0 +1,232 @@
+"""Homeseekers-analog 17-class fixture for the end-to-end accuracy gate.
+
+The reference's flagship matcher validation trains on the real-estate
+homeseekers.csv dataset — 17 semantic classes (16 labeled + the reserved
+``unknown``) over columns with homeseekers-style compound names
+(``phone@house_listing``) — and asserts end-to-end accuracy > 0.9
+(SparkParallelSpec.scala:102-143 class/label lists; :400-447 the accuracy
+test; :449-500 the bagging variant).
+
+This module generates a deterministic analog with the SAME class list and
+realistic value shapes (prices like ``$144,900``, sizes like ``1286
+(approx)``, MLS codes, Yes/No amenity flags, listing prose), spread over
+multiple sources whose column aliases differ — so the >0.9 gate is checked
+on CROSS-SOURCE generalization (train sources never share a column name
+with the prediction source), which is stricter than the reference's
+train==predict protocol.
+
+Everything is seeded; the fixture is the input to the accuracy gate, the
+bagging gate, and the incremental-train-size learning curve.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+
+from serene_spark.registry import register
+
+# SparkParallelSpec.scala:102-120 — the 17 default classes, verbatim.
+HOMESEEKERS_CLASSES = (
+    "unknown",
+    "year_built",
+    "address",
+    "bathrooms",
+    "bedrooms",
+    "email",
+    "fireplace",
+    "firm_name",
+    "garage",
+    "heating",
+    "house_description",
+    "levels",
+    "mls",
+    "phone",
+    "price",
+    "size",
+    "type",
+)
+
+# Per-source column aliases: realistic naming diversity so sources never
+# share a column name (the homeseekers header style:
+# ``square_feet@residential_listing_-_basic_features@house_listing``).
+_ALIASES: dict[str, tuple[str, ...]] = {
+    "year_built": ("year_built@house_listing", "yr_blt", "construction_year"),
+    "address": ("location@basic_features@house_listing", "property_address", "addr"),
+    "bathrooms": ("bathrooms@house_listing", "baths", "num_bathrooms"),
+    "bedrooms": ("bedrooms@house_listing", "beds", "num_bedrooms"),
+    "email": ("email@house_listing", "agent_email", "contact_email"),
+    "fireplace": ("fireplace@feature_details", "has_fireplace", "fireplace_flag"),
+    "firm_name": ("firm_name@house_listing", "brokerage", "listing_firm"),
+    "garage": ("garage@feature_details", "garage_spaces", "parking"),
+    "heating": ("heating@feature_details", "heat_type", "heating_system"),
+    "house_description": ("description@house_listing", "remarks", "listing_text"),
+    "levels": ("levels@house_listing", "stories", "num_levels"),
+    "mls": ("mls@house_listing", "mls_number", "listing_id"),
+    "phone": ("phone@house_listing", "agent_phone", "contact_ph"),
+    "price": ("price@basic_features@house_listing", "list_price", "asking"),
+    "size": ("square_feet@basic_features@house_listing", "sqft", "floor_area"),
+    "type": ("type@house_listing", "property_type", "dwelling_type"),
+}
+# unknown-class columns: one trio per source (status flags, agent names,
+# room lists) — content that belongs to NO labeled class.
+_UNKNOWN_ALIASES = (
+    ("status@house_listing", "agent@house_listing", "rooms@feature_details"),
+    ("listing_status", "listed_by", "room_list"),
+    ("sale_status", "realtor_name", "rooms_included"),
+)
+
+_FIRST = ["Anna", "Ben", "Carla", "Dan", "Eva", "Felix", "Gina", "Hugo", "Carlyta"]
+_LAST = ["Smith", "Jones", "Lee", "Chen", "Garcia", "Kim", "Patel", "Novak", "Arevalo"]
+_CITIES = [
+    ("Washington", "DC"), ("Los Angeles", "CA"), ("Springfield", "IL"),
+    ("Riverton", "UT"), ("Lakeside", "TX"), ("Madison", "WI"),
+]
+_FIRMS = ["Century 21", "RE/MAX", "Coldwell Banker", "Keller Williams", "ERA"]
+_FIRM_SUFFIX = ["& Associates, Inc.", "Realty", "Real Estate", "Group, LLC", "Properties"]
+_HEAT = ["Forced Air", "Gas", "Electric", "Radiator", "Heat Pump", "Baseboard, Electric"]
+_TYPES = ["Single Family", "Condominium", "Townhouse", "Multi-Family", "Mobile Home"]
+_ROOMS = ["Master Bedroom", "Dining Room", "Family Room", "Living Room", "Bonus Room", "Den"]
+_WORDS = [
+    "spacious", "sunny", "cozy", "updated", "hardwood", "granite", "garden",
+    "views", "quiet", "cul-de-sac", "renovated", "kitchen", "close", "schools",
+    "park", "detached", "newer", "tile", "large", "backyard",
+]
+
+
+def _values(cls: str, rng: random.Random, n: int) -> list[str]:
+    out: list[str] = []
+    for _ in range(n):
+        if cls == "year_built":
+            out.append(str(rng.randint(1850, 2025)))
+        elif cls == "address":
+            city, st = rng.choice(_CITIES)
+            out.append(f"{city}, {st} {rng.randint(10000, 99999)}")
+        elif cls == "bathrooms":
+            out.append(rng.choice(["1", "1.5", "2", "2.5", "3", "3.5"]))
+        elif cls == "bedrooms":
+            out.append(f"{rng.randint(1, 6)} bedroom(s)")
+        elif cls == "email":
+            out.append(
+                f"{rng.choice(_FIRST).lower()}.{rng.choice(_LAST).lower()}"
+                f"@realty{rng.randint(1, 9)}.com"
+            )
+        elif cls == "fireplace":
+            out.append(rng.choice(["Yes", "No", "No", ""]))
+        elif cls == "firm_name":
+            out.append(f"{rng.choice(_FIRMS)} {rng.choice(_FIRM_SUFFIX)}")
+        elif cls == "garage":
+            out.append(rng.choice(["1 car attached", "2 car detached", "2 car",
+                                   "3 car attached", "carport", "none"]))
+        elif cls == "heating":
+            out.append(rng.choice(_HEAT))
+        elif cls == "house_description":
+            k = rng.randint(12, 30)
+            out.append(" ".join(rng.choice(_WORDS) for _ in range(k)).capitalize() + ".")
+        elif cls == "levels":
+            out.append(rng.choice(["1", "1", "2", "2", "3"]))
+        elif cls == "mls":
+            out.append(
+                f"{rng.choice(['DC', 'CA', 'Y', 'MLS'])}{rng.randint(100000, 9999999)}"
+            )
+        elif cls == "phone":
+            out.append(f"{rng.randint(200, 999)}-{rng.randint(200, 999)}-{rng.randint(1000, 9999)}")
+        elif cls == "price":
+            out.append(f"${rng.randint(35, 2500) * 1000:,}")
+        elif cls == "size":
+            out.append(f"{rng.randint(400, 9500)} (approx)")
+        elif cls == "type":
+            out.append(rng.choice(_TYPES))
+        else:  # unknown trio: status / agent name / room list
+            out.append(
+                rng.choice(
+                    [
+                        rng.choice(["Active", "Pending", "Sold", "Contingent"]),
+                        f"{rng.choice(_FIRST)} {rng.choice(_LAST)}",
+                        ", ".join(sorted(rng.sample(_ROOMS, rng.randint(2, 4)))),
+                    ]
+                )
+            )
+    return out
+
+
+def make_homeseekers_long(
+    spark: SparkSession, n_sources: int = 3, n_rows: int = 150, seed: int = 5043
+):
+    """Long-format labeled fixture across ``n_sources`` listing feeds.
+
+    Returns ``(long_df, labels_df)`` with 19 columns per source (16 labeled
+    classes + 3 unknown columns) whose names differ per source. Seeded with
+    the reference RF seed for determinism.
+    """
+    rng = random.Random(seed)
+    rows, labels = [], []
+    for s in range(n_sources):
+        for cls in HOMESEEKERS_CLASSES:
+            if cls == "unknown":
+                cols = _UNKNOWN_ALIASES[s % len(_UNKNOWN_ALIASES)]
+                cols = [f"{c}#{s}" for c in cols]
+            else:
+                alias = _ALIASES[cls][s % len(_ALIASES[cls])]
+                cols = [f"{alias}#{s}"]
+            for col in cols:
+                labels.append((col, cls))
+                for v in _values(cls, rng, n_rows):
+                    rows.append((col, v))
+    long_df = spark.createDataFrame(rows, "column_name string, value string")
+    labels_df = spark.createDataFrame(labels, "column_name string, class string")
+    return long_df, labels_df
+
+
+def train_and_predict_homeseekers(
+    spark: SparkSession, n_bags: int = 0, bag_size: int = 0
+):
+    """The SparkParallelSpec protocol on the analog fixture: train on sources
+    0-1, predict source 2 (cross-source), return (predictions_df, labels_df).
+
+    The accuracy gate runs NoResampling like the reference's (:400-447).
+    ``n_bags``/``bag_size`` > 0 instead trains on per-bag feature vectors and
+    bag-averages at predict (the :449-500 bagging variant) — see
+    ``ml.bagging``.
+    """
+    from pyspark.sql import functions as F
+
+    from serene_spark.ml.pipeline import (
+        predict_semantic_types,
+        profile_features_from_long,
+        train_semantic_classifier,
+    )
+
+    long_df, labels_df = make_homeseekers_long(spark)
+    train_long = long_df.filter(~F.col("column_name").endswith("#2"))
+    test_long = long_df.filter(F.col("column_name").endswith("#2"))
+
+    if n_bags > 0:
+        from serene_spark.ml.bagging import predict_bagged, train_on_bags
+
+        model, classes = train_on_bags(
+            spark, train_long, labels_df, n_bags=n_bags, bag_size=bag_size
+        )
+        preds = predict_bagged(spark, model, test_long, classes,
+                               n_bags=n_bags, bag_size=bag_size)
+    else:
+        train = profile_features_from_long(spark, train_long).join(
+            labels_df, "column_name"
+        )
+        model, conv = train_semantic_classifier(spark, train)
+        preds = predict_semantic_types(
+            model, conv, profile_features_from_long(spark, test_long)
+        )
+    return preds, labels_df
+
+
+@register(
+    "semantic_type_predict_17class",
+    oracle=None,  # ML — not SQL-expressible; rows-only check
+    doc="SURVEY §2.9 accuracy-gate analog: 17-class homeseekers-style fixture, "
+    "train on two sources, predict the third (SparkParallelSpec.scala:400-447)",
+)
+def semantic_type_predict_17class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    preds, _labels = train_and_predict_homeseekers(spark)
+    return preds.orderBy("column_name")

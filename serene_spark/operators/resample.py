@@ -174,29 +174,41 @@ _BAG_COL_CLASSES = (
 )
 
 
-def bagging_sql(dialect: str, strategy: str | None = None) -> str:
-    """Bagging: per column, bags of BAG_SIZE values sampled WITH replacement.
+def bagging_sql(
+    dialect: str,
+    strategy: str | None = None,
+    long_rel: str | None = None,
+    n_bags: int = NUM_BAGS,
+    bag_size: int = BAG_SIZE,
+) -> str:
+    """Bagging: per column, bags of ``bag_size`` values sampled WITH
+    replacement.
 
     Deterministic-hash variant of the reference's seeded RNG: the value for
     (column, bag, slot) is row number ``md5(column|bag|slot) % n`` of the
     column in key order — a pure function of (column, bag, slot, n), so
     reproducible on any engine and partitioning. ``strategy``:
 
-    - ``None``: every column gets NUM_BAGS bags (plain Bagging, :276-291);
+    - ``None``: every column gets ``n_bags`` bags (plain Bagging, :276-291);
     - ``'max'`` / ``'mean'``: per-class bag totals are first rebalanced to
       the max/mean class total (BaggingToMax/BaggingToMean, :333-379), then
       distributed cyclically over the class's columns in name order —
       column ranked r of n gets ``floor((target - r)/n) + 1`` bags (0 when
       r > target), exactly ``target`` bags per class.
+
+    ``long_rel`` overrides the source relation (any ``(column_name, value)``
+    relation — the ML bagged-training path feeds arbitrary fixtures through
+    here); default is the registered customer demo.
     """
     from serene_spark.catalog import COLUMNS
     from serene_spark.functions.melt import melt_sql
 
-    long_rel = (
-        melt_sql("customer", COLUMNS["customer"])
-        if dialect == DUCKDB
-        else "__serene_bag_long"
-    )
+    if long_rel is None:
+        long_rel = (
+            melt_sql("customer", COLUMNS["customer"])
+            if dialect == DUCKDB
+            else "__serene_bag_long"
+        )
     pick = hex_to_int(
         dialect,
         "substr(md5(s.column_name || '|' || CAST(s.bag AS STRING) || '|' || CAST(s.slot AS STRING)), 1, 8)",
@@ -205,7 +217,7 @@ def bagging_sql(dialect: str, strategy: str | None = None) -> str:
 
     if strategy is None:
         per_col = f"""per_col AS (
-  SELECT DISTINCT column_name, CAST({NUM_BAGS} AS BIGINT) AS n_bags FROM numbered
+  SELECT DISTINCT column_name, CAST({n_bags} AS BIGINT) AS n_bags FROM numbered
 )"""
     else:
         tgt = (
@@ -222,7 +234,7 @@ class_cols AS (
   FROM col_classes
 ),
 class_totals AS (
-  SELECT cls, CAST(COUNT(*) * {NUM_BAGS} AS BIGINT) AS total_bags FROM col_classes GROUP BY cls
+  SELECT cls, CAST(COUNT(*) * {n_bags} AS BIGINT) AS total_bags FROM col_classes GROUP BY cls
 ),
 tgt AS ({tgt}),
 per_col AS (
@@ -241,7 +253,7 @@ WITH numbered AS (
 ),
 {per_col},
 slots AS (
-  SELECT column_name, bag, {explode_seq(dialect, 1, str(BAG_SIZE))} AS slot
+  SELECT column_name, bag, {explode_seq(dialect, 1, str(bag_size))} AS slot
   FROM (
     SELECT column_name, {explode_seq(dialect, 1, "n_bags")} AS bag
     FROM per_col WHERE n_bags >= 1

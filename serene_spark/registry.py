@@ -67,6 +67,8 @@ def load_all() -> dict[str, Query]:
         "serene_spark.modeler.octopus",
         "serene_spark.modeler.report_fixture",
         "serene_spark.ml.pipeline",
+        "serene_spark.ml.homeseekers_fixture",
+        "serene_spark.ml.bagging",
         "serene_spark.ml.minhash_lsh",
         "serene_spark.sources.xml_loader",
     ):
