@@ -34,6 +34,50 @@ from serene_spark.modeler.ssd import (
 # (Karma's default-link cost; keeps model-derived links strictly preferred).
 ONTOLOGY_LINK_WEIGHT = 1.0
 
+SUBCLASS_LINK = "subClassOf"
+THING = "Thing"
+
+
+@dataclass(frozen=True)
+class GraphInference:
+    """The reference's Graph Builder flag block (modeling.properties:17-37).
+
+    ``compatible_properties`` is the always-on inference (links between
+    class pairs compatible with a property's domain/range under the subclass
+    closure); the fine-grained flags below only take effect when
+    ``ontology_alignment`` is True — modeling.properties documents that the
+    Graph Builder section is gated on ``ontology.alignment`` — with the
+    reference's defaults:
+
+    - ``properties_direct``: property's declared domain/range equal the
+      node classes exactly;
+    - ``properties_indirect``: property applies through INHERITANCE — the
+      declared domain/range is an ancestor of the node's class;
+    - ``properties_subclass``: materialize ``rdfs:subClassOf`` links between
+      class nodes (child -> parent) so the search can route through the
+      hierarchy;
+    - ``properties_with_only_domain`` / ``properties_with_only_range``:
+      admit properties whose range (resp. domain) is undeclared, toward
+      (resp. from) any class;
+    - ``properties_without_domain_range``: admit fully-undeclared
+      properties between every class pair (reference default: off);
+    - ``node_closure``: give every ontology class a node even if unseen in
+      any known model;
+    - ``thing_node``: add an ``owl:Thing`` node with subClassOf links from
+      every root class.
+    """
+
+    compatible_properties: bool = True
+    ontology_alignment: bool = False
+    properties_direct: bool = True
+    properties_indirect: bool = True
+    properties_subclass: bool = True
+    properties_with_only_domain: bool = True
+    properties_with_only_range: bool = True
+    properties_without_domain_range: bool = False
+    node_closure: bool = True
+    thing_node: bool = False
+
 
 @dataclass
 class AlignmentGraph:
@@ -48,6 +92,7 @@ class AlignmentGraph:
 
     ontology: Ontology
     graph: nx.MultiDiGraph = field(default_factory=nx.MultiDiGraph)
+    inference: GraphInference = field(default_factory=GraphInference)
     _link_counts: dict[tuple[str, str, str], int] = field(default_factory=dict)
 
     def construct_initial_alignment(self, known: list[SemanticModel]) -> AlignmentGraph:
@@ -74,29 +119,86 @@ class AlignmentGraph:
             self.graph.add_edge(src.uri, tgt.uri, key=link.label, label=link.label, weight=w)
 
     def _add_ontology_closure(self) -> None:
-        """Add every ontology object property between (sub)class-compatible
-        node pairs that is not already present (the ``compatibleProperties`` /
-        ``nodeClosure`` inference, modeling.properties:17-37)."""
+        """Add ontology object properties between compatible node pairs that
+        are not already present, gated by the Graph Builder flags
+        (modeling.properties:17-37; see ``GraphInference``). With
+        ``ontology_alignment`` off (the reference default) every
+        (sub)class-compatible pair links — the plain ``compatibleProperties``
+        inference; with it on, direct/indirect/only-domain/only-range/
+        no-domain-range matches are admitted individually and subClassOf /
+        Thing structure can be materialized."""
+        inf = self.inference
+        if not inf.compatible_properties:
+            return  # manual alignment: known-model links only
         # Every ontology class gets at least one node BEFORE property closure,
         # so classes unseen in known models (e.g. a new source's class) are
-        # reachable terminals.
-        for cls in self.ontology.classes:
-            uri = f"{cls}1"
-            if uri not in self.graph:
-                self.graph.add_node(uri, label=cls)
+        # reachable terminals (nodeClosure).
+        if inf.node_closure:
+            for cls in self.ontology.classes:
+                uri = f"{cls}1"
+                if uri not in self.graph:
+                    self.graph.add_node(uri, label=cls)
+        if inf.ontology_alignment and inf.thing_node:
+            self.graph.add_node(f"{THING}1", label=THING)
         for prop, dom, rng in self.ontology.property_specs():
             for u, du in list(self.graph.nodes(data=True)):
                 for v, dv in list(self.graph.nodes(data=True)):
                     if u == v:
                         continue
-                    if not self.ontology.compatible_domain(dom, du["label"]):
-                        continue
-                    if not self.ontology.compatible_domain(rng, dv["label"]):
+                    if not self._admits(dom, du["label"], rng, dv["label"]):
                         continue
                     if not self.graph.has_edge(u, v, key=prop):
                         self.graph.add_edge(
                             u, v, key=prop, label=prop, weight=ONTOLOGY_LINK_WEIGHT
                         )
+        if inf.ontology_alignment and inf.properties_subclass:
+            # child -> parent subClassOf links (and roots -> Thing when on)
+            for u, du in list(self.graph.nodes(data=True)):
+                parent = self.ontology.subclass.get(du["label"])
+                if parent is None and inf.thing_node and du["label"] != THING:
+                    parent = THING
+                if parent is None:
+                    continue
+                p_uri = f"{parent}1"
+                if p_uri in self.graph and not self.graph.has_edge(
+                    u, p_uri, key=SUBCLASS_LINK
+                ):
+                    self.graph.add_edge(
+                        u, p_uri, key=SUBCLASS_LINK, label=SUBCLASS_LINK,
+                        weight=ONTOLOGY_LINK_WEIGHT,
+                    )
+
+    def _admits(self, dom: str, src_cls: str, rng: str, dst_cls: str) -> bool:
+        """Does the (dom, rng) declaration admit a link src_cls -> dst_cls
+        under the active Graph Builder flags?"""
+        inf = self.inference
+        if not inf.ontology_alignment:
+            # plain compatibleProperties: subclass-closed compatibility
+            return self.ontology.compatible_domain(
+                dom, src_cls
+            ) and self.ontology.compatible_domain(rng, dst_cls)
+        from serene_spark.modeler.ssd import OWL_THING
+
+        dom_thing, rng_thing = dom == OWL_THING, rng == OWL_THING
+        if dom_thing and rng_thing:
+            return inf.properties_without_domain_range
+        if dom_thing:
+            return inf.properties_with_only_range and self._side_ok(rng, dst_cls)
+        if rng_thing:
+            return inf.properties_with_only_domain and self._side_ok(dom, src_cls)
+        return self._side_ok(dom, src_cls) and self._side_ok(rng, dst_cls)
+
+    def _side_ok(self, declared: str, cls: str) -> bool:
+        """One side of a declared property: exact match needs
+        properties_direct; inherited (declared class is an ancestor) needs
+        properties_indirect."""
+        inf = self.inference
+        if declared == cls:
+            return inf.properties_direct
+        if declared in self.ontology.ancestors(cls):
+            return inf.properties_indirect
+        # includes Thing1: it participates only via explicitly-undeclared sides
+        return False
 
     def undirected_weighted(self) -> nx.Graph:
         """Simple undirected view keeping, per node pair, the cheapest edge —

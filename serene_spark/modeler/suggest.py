@@ -66,6 +66,25 @@ class ModelingProperties:
     properties_without_domain_range: bool = False
     unknown_threshold: float = 0.5
 
+    def graph_inference(self):
+        """The Graph Builder flag block for ``AlignmentGraph`` —
+        modeling.properties:17-37 wired through the user-facing knob object:
+        ``AlignmentGraph(onto, inference=props.graph_inference())``."""
+        from serene_spark.modeler.alignment import GraphInference
+
+        return GraphInference(
+            compatible_properties=self.compatible_properties,
+            ontology_alignment=self.ontology_alignment,
+            properties_direct=self.properties_direct,
+            properties_indirect=self.properties_indirect,
+            properties_subclass=self.properties_subclass,
+            properties_with_only_domain=self.properties_with_only_domain,
+            properties_with_only_range=self.properties_with_only_range,
+            properties_without_domain_range=self.properties_without_domain_range,
+            node_closure=self.node_closure,
+            thing_node=self.thing_node,
+        )
+
     def broken_rules(self) -> list[str]:
         """ModelingProperties.PropertyRules (SsdTypes.scala:475-525)."""
         rules = [

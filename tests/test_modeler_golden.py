@@ -301,6 +301,119 @@ def test_museum_ssd_label_derivation_covers_all_models():
     assert labels["ev_start"] == "Event---startDate"
 
 
+# --- Graph Builder inference knobs (modeling.properties:17-37) ---------------
+# AlignmentGraphSpec.scala:260-284: "Change modeling properties should give
+# different alignment graphs" — each flag toggled against pinned counts.
+
+
+def _aligned(**kw):
+    from serene_spark.modeler.alignment import AlignmentGraph, GraphInference
+
+    return AlignmentGraph(
+        REPORT_ONTOLOGY, inference=GraphInference(**kw)
+    ).construct_initial_alignment([BUSINESS_SSD.semantic_model])
+
+
+def test_inference_default_matches_plain_closure():
+    """ontology_alignment off (reference default): the Graph Builder flags
+    are inert and the plain compatibleProperties closure runs — identical to
+    an AlignmentGraph built with no inference argument."""
+    assert _aligned().graph.number_of_edges() == 28
+    assert (
+        _aligned(properties_direct=False).graph.number_of_edges() == 28
+    )  # inert without ontology_alignment
+
+
+def test_inference_flags_change_graph():
+    """Each Graph Builder flag produces a DIFFERENT graph (the :260-284
+    property), with pinned node/edge counts on the report ontology."""
+    oa = _aligned(ontology_alignment=True)
+    # +2 subClassOf links (City1->Place1, State1->Place1)
+    assert oa.graph.number_of_edges() == 30
+    assert oa.graph.has_edge("City1", "Place1", key="subClassOf")
+    assert oa.graph.has_edge("State1", "Place1", key="subClassOf")
+
+    assert _aligned(
+        ontology_alignment=True, properties_subclass=False
+    ).graph.number_of_edges() == 28
+
+    # direct-only: inherited (ancestor-declared) links vanish
+    no_ind = _aligned(ontology_alignment=True, properties_indirect=False)
+    assert no_ind.graph.number_of_edges() == 12
+    assert not no_ind.graph.has_edge("Person1", "City1", "bornIn")  # Place-ranged
+    assert no_ind.graph.has_edge("Organization1", "Person1", "ceo")  # exact
+
+    # indirect-only: exactly-declared CLOSURE links vanish (model-derived
+    # links like ceo remain — the flags gate only ontology inference)
+    no_dir = _aligned(ontology_alignment=True, properties_direct=False)
+    assert no_dir.graph.number_of_edges() == 8
+    assert not no_dir.graph.has_edge("Event1", "Person1", "organizer")
+    assert no_dir.graph["Organization1"]["Person1"]["ceo"]["weight"] == 0.5
+
+
+def test_inference_thing_node():
+    """thing_node adds owl:Thing with subClassOf links from every root."""
+    g = _aligned(ontology_alignment=True, thing_node=True).graph
+    assert g.number_of_nodes() == 7
+    assert g.number_of_edges() == 34
+    for root in ("Person1", "Organization1", "Event1", "Place1"):
+        assert g.has_edge(root, "Thing1", key="subClassOf"), root
+    assert not g.has_edge("City1", "Thing1", "subClassOf")  # has a real parent
+
+
+def test_inference_node_closure_off():
+    """node_closure off: only classes seen in known models get nodes."""
+    g = _aligned(node_closure=False).graph
+    assert sorted(g.nodes) == ["City1", "Organization1", "Person1", "State1"]
+
+
+def test_inference_manual_alignment():
+    """compatible_properties off = manual alignment: known-model links only
+    (modeling.properties:18 'turning off ... is equal to manual alignment')."""
+    g = _aligned(compatible_properties=False).graph
+    assert g.number_of_edges() == 3  # exactly the businessInfo links
+    assert {k for _u, _v, k in g.edges(keys=True)} == {"ceo", "location", "isPartOf"}
+
+
+def test_inference_domain_range_gap_flags():
+    """only-domain / only-range / without-domain-range gates, on an ontology
+    with undeclared sides."""
+    from serene_spark.modeler.alignment import AlignmentGraph, GraphInference
+
+    o = Ontology(
+        classes={"A", "B"},
+        object_properties={"p": ("A", "Thing"), "q": ("Thing", "B"), "r": ("Thing", "Thing")},
+    )
+
+    def build(**kw):
+        return AlignmentGraph(
+            o, inference=GraphInference(**kw)
+        ).construct_initial_alignment([])
+
+    assert build(ontology_alignment=True).graph.number_of_edges() == 2  # p + q
+    assert build(
+        ontology_alignment=True, properties_with_only_domain=False
+    ).graph.number_of_edges() == 1  # q only
+    assert build(
+        ontology_alignment=True, properties_with_only_range=False
+    ).graph.number_of_edges() == 1  # p only
+    assert build(
+        ontology_alignment=True, properties_without_domain_range=True
+    ).graph.number_of_edges() == 4  # r links every ordered pair
+
+
+def test_modeling_properties_wire_graph_inference():
+    """The user-facing knob object produces the Graph Builder flag block."""
+    from serene_spark.modeler.suggest import ModelingProperties
+
+    inf = ModelingProperties(
+        ontology_alignment=True, properties_subclass=False, thing_node=True
+    ).graph_inference()
+    assert inf.ontology_alignment and inf.thing_node
+    assert not inf.properties_subclass
+    assert inf.node_closure  # default carried through
+
+
 # --- registered rows-only queries --------------------------------------------
 
 
