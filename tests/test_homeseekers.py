@@ -100,3 +100,29 @@ def test_homeseekers_prediction_deterministic(spark):
             )
         )
     assert out[0] == out[1]
+
+
+def test_homeseekers_learning_curve(spark):
+    """evaluate.sh-style incremental-train-size sweep over the 17-class
+    fixture (RfKnnSemanticTypeClassifierEvaluationProcess analog): the
+    class-averaged accuracy at full train size must clear the 0.9 gate and
+    not fall below the half-train-size accuracy by more than noise."""
+    from serene_spark.ml.homeseekers_fixture import make_homeseekers_long
+    from serene_spark.operators.eval_harness import (
+        incremental_train_eval,
+        summarize_eval,
+    )
+
+    long_df, labels_df = make_homeseekers_long(spark)
+    results = incremental_train_eval(
+        spark, long_df, labels_df, proportions=(0.5, 1.0), repetitions=1
+    )
+    summary = {
+        r["train_prop"]: r["mean_accuracy"]
+        for r in summarize_eval(results).collect()
+        if r["class"] == "__class_averaged__"
+    }
+    assert set(summary) == {0.5, 1.0}
+    assert summary[1.0] >= 0.9, summary
+    # monotone-ish: more training columns never hurts beyond noise
+    assert summary[1.0] >= summary[0.5] - 0.05, summary
