@@ -95,6 +95,23 @@ _WORDS = [
 ]
 
 
+def source_columns_by_class(n_sources: int = 3) -> dict[str, list[str]]:
+    """Map each semantic class to its column ids across ``n_sources`` feeds —
+    exactly the columns ``make_homeseekers_long`` generates.  The positive-
+    label-set shape the domain eval utils consume (a class's columns across
+    sources = one matching set, WISCRealEstate1DomainUtils.scala:25-29)."""
+    out: dict[str, list[str]] = {}
+    for cls in HOMESEEKERS_CLASSES:
+        cols: list[str] = []
+        for s in range(n_sources):
+            if cls == "unknown":
+                cols.extend(f"{c}#{s}" for c in _UNKNOWN_ALIASES[s % len(_UNKNOWN_ALIASES)])
+            else:
+                cols.append(f"{_ALIASES[cls][s % len(_ALIASES[cls])]}#{s}")
+        out[cls] = cols
+    return out
+
+
 def _values(cls: str, rng: random.Random, n: int) -> list[str]:
     out: list[str] = []
     for _ in range(n):
