@@ -64,6 +64,7 @@ def load_all() -> dict[str, Query]:
         "serene_spark.operators.ingest_sample",
         "serene_spark.operators.transform",
         "serene_spark.operators.pair_features",
+        "serene_spark.operators.curation",
         "serene_spark.modeler.octopus",
         "serene_spark.modeler.report_fixture",
         "serene_spark.ml.pipeline",

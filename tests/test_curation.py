@@ -1,0 +1,112 @@
+"""Behavior pins for the corpus-curation operators (curation.py).
+
+Engine equivalence is covered by test_oracle_parity (all seven queries carry
+oracles); these tests pin the SEMANTICS on the DuckDB side, where a full
+in-process run is milliseconds.
+"""
+
+from __future__ import annotations
+
+from serene_spark.functions.sqlgen import DUCKDB
+from serene_spark.operators.curation import (
+    BENCH_MOD,
+    N_SHARDS,
+    SAMPLE_RATES,
+    SEMDEDUP_THRESHOLD,
+    corpus_mix_plan_sql,
+    decontaminate_sql,
+    pii_scan_sql,
+    semdedup_sql,
+    shard_assign_sql,
+    snapshot_delta_sql,
+    stratified_sample_sql,
+)
+
+
+def test_decontaminate_excludes_benchmark_and_flags_consistently(duck):
+    rows = duck.execute(decontaminate_sql(DUCKDB)).fetchall()
+    assert rows
+    for doc_id, n_grams, n_overlap, contaminated in rows:
+        assert doc_id % BENCH_MOD != 0  # benchmark docs never in the output
+        assert 0 <= n_overlap <= n_grams
+        assert contaminated == (1 if n_overlap > 0 else 0)
+    # the synthetic corpus has a tiny vocabulary: some 8-gram collisions
+    # with the benchmark must exist, and some docs must stay clean
+    flags = {c for *_, c in rows}
+    assert flags == {0, 1}
+
+
+def test_stratified_sample_rates_and_determinism(duck):
+    one = duck.execute(stratified_sample_sql(DUCKDB)).fetchall()
+    two = duck.execute(stratified_sample_sql(DUCKDB)).fetchall()
+    assert sorted(one) == sorted(two)  # md5 draw: same sample every run
+    totals = dict(
+        duck.execute("SELECT lang, COUNT(*) FROM documents GROUP BY lang").fetchall()
+    )
+    kept: dict[str, int] = {}
+    for _doc, lang, _src, u in one:
+        assert 0.0 <= u < SAMPLE_RATES[lang]
+        kept[lang] = kept.get(lang, 0) + 1
+    for lang, rate in SAMPLE_RATES.items():
+        if totals.get(lang, 0) >= 50:
+            assert abs(kept.get(lang, 0) / totals[lang] - rate) < 0.2, lang
+
+
+def test_corpus_mix_plan_caps_at_availability(duck):
+    rows = duck.execute(corpus_mix_plan_sql(DUCKDB)).fetchall()
+    for _lang, n_docs, take_n, fill in rows:
+        assert take_n <= n_docs
+        assert 0.0 <= fill <= 1.0
+    # budget: sum of takes <= 40% of corpus
+    total = duck.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    assert sum(r[2] for r in rows) <= 0.4 * total + len(rows)
+
+
+def test_snapshot_delta_keeps_only_new_and_unseen(duck):
+    rows = duck.execute(snapshot_delta_sql(DUCKDB)).fetchall()
+    assert rows
+    fps = [fp for *_x, fp in rows]
+    assert len(fps) == len(set(fps))  # deduped within the new batch
+    for _doc, source, _fp in rows:
+        assert int(source[3:]) >= 10  # only new-crawl sources
+    old_fps = {
+        r[0]
+        for r in duck.execute(
+            "SELECT DISTINCT md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')))"
+            " FROM documents WHERE CAST(substr(source, 4) AS INT) < 10"
+        ).fetchall()
+    }
+    assert not old_fps & set(fps)  # nothing already in the old snapshot
+
+
+def test_shard_assign_partitions_everything(duck):
+    rows = duck.execute(shard_assign_sql(DUCKDB)).fetchall()
+    assert {r[0] for r in rows} <= set(range(N_SHARDS))
+    total = duck.execute("SELECT COUNT(*), SUM(n_chars) FROM documents").fetchone()
+    assert sum(r[1] for r in rows) == total[0]
+    assert sum(r[2] for r in rows) == total[1]
+    # rough balance: no shard more than 3x the mean
+    mean = total[0] / N_SHARDS
+    assert max(r[1] for r in rows) < 3 * mean
+
+
+def test_pii_scan_detects_and_redacts(duck):
+    rows = duck.execute(pii_scan_sql(DUCKDB)).fetchall()
+    assert rows
+    import re
+
+    for custkey, phone_hits, email_hits, redacted in rows:
+        assert phone_hits == 1  # every constructed blob carries one phone
+        assert email_hits == (1 if custkey % 3 == 0 else 0)
+        assert "##-###-###-####" in redacted
+        assert not re.search(r"\d{2}-\d{3}-\d{3}-\d{4}", redacted)
+        assert "@" not in redacted  # email fully masked
+
+
+def test_semdedup_drop_list_semantics(duck):
+    rows = duck.execute(semdedup_sql(DUCKDB)).fetchall()
+    assert rows  # threshold tuned so the synthetic corpus yields pairs
+    dropped = {r[0] for r in rows}
+    for dropped_id, kept_id, _cluster, max_cos in rows:
+        assert kept_id < dropped_id  # representative is the lowest id
+        assert max_cos >= SEMDEDUP_THRESHOLD
