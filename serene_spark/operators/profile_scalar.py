@@ -56,8 +56,28 @@ RANGE_PAT = "^([0-9]{1,18})-([0-9]{1,18})$"
 NONEMPTY = "length(trim(value)) > 0"
 
 
+def hist_sql(long_rel: str) -> str:
+    """The one data-scale aggregation: (column, value) -> count histogram
+    with the non-empty flag.  Everything downstream (scalar features, text-
+    length stats, numeric stats, char entropy) is a count-weighted sum over
+    this relation — profile_fused.py materializes it once and derives all
+    four families from it."""
+    return f"""
+  SELECT column_name, value, COUNT(*) AS cnt,
+         CASE WHEN {NONEMPTY} THEN 1 ELSE 0 END AS ne
+  FROM {long_rel} AS long_rel
+  GROUP BY column_name, value
+"""
+
+
 def profile_scalar_sql(long_rel: str, dialect: str) -> str:
     """Shared SQL over a ``(column_name, value)`` relation."""
+    return f"WITH hist AS ({hist_sql(long_rel)}),\n{scalar_body(dialect, 'hist')}"
+
+
+def scalar_body(dialect: str, hist: str) -> str:
+    """CTE tail (base/ent/ltd + final SELECT) over an existing histogram
+    relation ``hist`` with columns (column_name, value, cnt, ne)."""
     month_match = " OR ".join(f"instr(lower(value), '{m}') > 0" for m in MONTH_NAMES)
     date_match = " OR ".join(
         [rx(dialect, "value", p) for p in DATE_PATTERNS] + [f"({month_match})"]
@@ -73,12 +93,6 @@ def profile_scalar_sql(long_rel: str, dialect: str) -> str:
         return f"CASE WHEN {den} = 0 THEN -1.0 ELSE round(CAST({num} AS DOUBLE) / {den}, 6) END"
 
     return f"""
-WITH hist AS (
-  SELECT column_name, value, COUNT(*) AS cnt,
-         CASE WHEN {NONEMPTY} THEN 1 ELSE 0 END AS ne
-  FROM {long_rel} AS long_rel
-  GROUP BY column_name, value
-),
 base AS (
   -- every per-entry metric as a count-weighted sum over the value histogram:
   -- the regex/string work runs once per DISTINCT value, not per row (a
@@ -106,7 +120,7 @@ base AS (
     SUM(CASE WHEN length(value) > 0 THEN cnt * CAST({n_digit} AS DOUBLE) / length(value) ELSE 0.0 END) AS sum_digit_ratio,
     SUM(CASE WHEN length(value) > 0 THEN cnt * CAST({n_ws} AS DOUBLE) / length(value) ELSE 0.0 END) AS sum_ws_ratio,
     CAST(SUM(CASE WHEN ne = 1 AND ({date_match}) THEN cnt ELSE 0 END) AS BIGINT) AS n_date
-  FROM hist
+  FROM {hist}
   GROUP BY column_name
 ),
 ent AS (
@@ -114,12 +128,12 @@ ent AS (
          CAST(SUM(CASE WHEN ne = 1 THEN cnt ELSE 0 END) AS BIGINT) AS tot,
          SUM(CASE WHEN ne = 1 THEN CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)) ELSE 0.0 END) AS slnc,
          CAST(SUM(ne) AS BIGINT) AS nd_nonempty
-  FROM hist
+  FROM {hist}
   GROUP BY column_name
 ),
 ltd AS (
   SELECT column_name, CAST(COUNT(*) AS BIGINT) AS n_distinct
-  FROM (SELECT DISTINCT column_name, lower(trim(value)) AS lt FROM hist) lts
+  FROM (SELECT DISTINCT column_name, lower(trim(value)) AS lt FROM {hist}) lts
   GROUP BY column_name
 )
 SELECT
@@ -150,11 +164,22 @@ LEFT JOIN ltd l ON b.column_name = l.column_name
 
 
 def profile_scalar(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """Profile every column of ``table`` (one shuffle + entropy join)."""
+    """Profile every column of ``table``.
+
+    The histogram is materialized once (localCheckpoint): Spark inlines
+    CTEs, so the base/ent/ltd consumers would otherwise each recompute the
+    data-scale hist shuffle (no ReusedExchange appears in the inline plan —
+    measured 1.6x slower at sf0.1).  The oracle keeps the one-statement
+    form; DuckDB materializes multi-consumer CTEs itself.
+    """
     df = load_table(spark, sf_dir, table)
     view = f"__serene_long_{table}"
     melt(df).createOrReplaceTempView(view)
-    return spark.sql(profile_scalar_sql(view, SPARK))
+    hist_view = f"__serene_hist_{table}"
+    spark.sql(f"SELECT * FROM ({hist_sql(view)}) h").localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView(hist_view)
+    return spark.sql("WITH " + scalar_body(SPARK, hist_view))
 
 
 def _oracle(table: str) -> str:

@@ -47,29 +47,32 @@ def len_counts_sql(long_rel: str) -> str:
 """
 
 
-def textlen_body(counts: str) -> str:
+def textlen_body(counts: str, p: str = "") -> str:
     """Stats tail over an existing (column, len, c) relation — referenced by
-    three CTEs, so the Spark runner materializes it (CTE-inlining hazard)."""
+    three CTEs, so the Spark runner materializes it (CTE-inlining hazard).
+    ``p`` prefixes the CTE names so the tail can be embedded alongside the
+    numeric tail (which uses the same internal names) in one fused statement
+    (profile_fused.py)."""
     return f"""
-agg AS (
+{p}agg AS (
   SELECT column_name, CAST(SUM(c) AS BIGINT) AS n,
          round(CAST(SUM(len * c) AS DOUBLE) / SUM(c), 6) AS mean_len,
          CAST(MIN(len) AS BIGINT) AS min_len,
          CAST(MAX(len) AS BIGINT) AS max_len
   FROM {counts} GROUP BY column_name
 ),
-cum AS (
+{p}cum AS (
   SELECT column_name, len,
          SUM(c) OVER (PARTITION BY column_name ORDER BY len) AS cum_c
   FROM {counts}
 ),
-med AS (
+{p}med AS (
   SELECT cu.column_name, CAST(MIN(cu.len) AS BIGINT) AS median_len
-  FROM cum cu JOIN agg a ON cu.column_name = a.column_name
+  FROM {p}cum cu JOIN {p}agg a ON cu.column_name = a.column_name
   WHERE cu.cum_c >= CAST(ceil(a.n / 2.0) AS BIGINT)
   GROUP BY cu.column_name
 ),
-mode1 AS (
+{p}mode1 AS (
   SELECT column_name, CAST(len AS BIGINT) AS mode_len
   FROM (
     SELECT column_name, len,
@@ -80,9 +83,9 @@ mode1 AS (
 SELECT a.column_name, a.n AS n_values, a.mean_len,
        CASE WHEN a.n < 2 THEN -1 ELSE m.median_len END AS median_len,
        mo.mode_len, a.min_len, a.max_len
-FROM agg a
-JOIN med m ON a.column_name = m.column_name
-JOIN mode1 mo ON a.column_name = mo.column_name
+FROM {p}agg a
+JOIN {p}med m ON a.column_name = m.column_name
+JOIN {p}mode1 mo ON a.column_name = mo.column_name
 """
 
 
@@ -105,29 +108,77 @@ def num_counts_sql(long_rel: str, dialect: str) -> str:
 """
 
 
-def numeric_body(counts: str) -> str:
-    """Stats tail over an existing (column, num, c) relation."""
+N_MED_BUCKETS = 1024
+
+
+def numeric_body(counts: str, p: str = "") -> str:
+    """Stats tail over an existing (column, num, c) relation (``p`` prefixes
+    CTE names for embedding — see textlen_body).
+
+    Unlike text lengths, distinct NUMERIC values can be row-cardinality
+    (prices): a cumulative window partitioned by column_name would sort
+    millions of rows with one task per column — the per-column sort trap.
+    The exact ceil(n/2) median is instead found in two levels: (1) bucket
+    each value into {N_MED_BUCKETS} equal-width ranges (map-only double
+    arithmetic — monotone, engine-identical), cumulate over the per-column
+    bucket totals (<= {N_MED_BUCKETS} rows per column), locate the bucket
+    containing the target rank, then (2) cumulate ONLY that bucket's values
+    (~1/{N_MED_BUCKETS} of the relation).  Same answer, no large sort.
+    """
+    # bucket arithmetic on DOUBLE casts: exact decimal->double conversion is
+    # identical in both engines and monotone, which is all bucketing needs
+    width = (
+        f"CASE WHEN a.max_num = a.min_num THEN 0 "
+        f"ELSE LEAST({N_MED_BUCKETS - 1}, GREATEST(0, CAST(FLOOR("
+        f"(CAST(num AS DOUBLE) - a.min_num) / (a.max_num - a.min_num) "
+        f"* {N_MED_BUCKETS}) AS INT))) END"
+    )
     return f"""
-agg AS (
+{p}agg AS (
   SELECT column_name, CAST(SUM(c) AS BIGINT) AS n_numeric,
          round(CAST(SUM(num * c) AS DOUBLE) / SUM(c), 6) AS mean_num,
          CAST(MIN(num) AS DOUBLE) AS min_num,
-         CAST(MAX(num) AS DOUBLE) AS max_num
+         CAST(MAX(num) AS DOUBLE) AS max_num,
+         CAST(ceil(SUM(c) / 2.0) AS BIGINT) AS target_rank
   FROM {counts} GROUP BY column_name
 ),
-cum AS (
-  SELECT column_name, num,
-         SUM(c) OVER (PARTITION BY column_name ORDER BY num) AS cum_c
-  FROM {counts}
+{p}bucketed AS (
+  SELECT cc.column_name, cc.num, cc.c, {width} AS bkt
+  FROM {counts} AS cc JOIN {p}agg a ON cc.column_name = a.column_name
 ),
-med AS (
+{p}bcum AS (
+  SELECT column_name, bkt, SUM(bc) OVER (
+           PARTITION BY column_name ORDER BY bkt) AS cum_c,
+         SUM(bc) OVER (PARTITION BY column_name ORDER BY bkt) - bc AS cum_before
+  FROM (
+    SELECT column_name, bkt, SUM(c) AS bc
+    FROM {p}bucketed GROUP BY column_name, bkt
+  ) b
+),
+{p}medbkt AS (
+  -- the bucket where the cumulative count first reaches the target rank
+  SELECT bc.column_name, MIN(bc.bkt) AS bkt
+  FROM {p}bcum bc JOIN {p}agg a ON bc.column_name = a.column_name
+  WHERE bc.cum_c >= a.target_rank
+  GROUP BY bc.column_name
+),
+{p}inbkt AS (
+  -- cumulative counts over the median bucket's values only
+  SELECT b.column_name, b.num,
+         mb2.cum_before + SUM(b.c) OVER (
+           PARTITION BY b.column_name ORDER BY b.num) AS cum_c
+  FROM {p}bucketed b
+  JOIN {p}medbkt m ON b.column_name = m.column_name AND b.bkt = m.bkt
+  JOIN {p}bcum mb2 ON b.column_name = mb2.column_name AND b.bkt = mb2.bkt
+),
+{p}med AS (
   SELECT cu.column_name, CAST(MIN(cu.num) AS DOUBLE) AS median_num
-  FROM cum cu JOIN agg a ON cu.column_name = a.column_name
-  WHERE cu.cum_c >= CAST(ceil(a.n_numeric / 2.0) AS BIGINT)
+  FROM {p}inbkt cu JOIN {p}agg a ON cu.column_name = a.column_name
+  WHERE cu.cum_c >= a.target_rank
   GROUP BY cu.column_name
 )
 SELECT a.column_name, a.n_numeric, a.mean_num, m.median_num, a.min_num, a.max_num
-FROM agg a JOIN med m ON a.column_name = m.column_name
+FROM {p}agg a JOIN {p}med m ON a.column_name = m.column_name
 """
 
 
