@@ -315,9 +315,15 @@ FROM pairs GROUP BY drop_id
 """
 
 
-def _docs_query(sql_fn):
+def _docs_query(sql_fn, spread: bool = True):
+    """``spread=False`` for map-only/key-hash queries: the round-robin
+    repartition only pays when there is per-row text compute to
+    parallelize from a single-file local input (decontaminate's gram
+    explode, snapshot-delta's full-text md5) — for a doc_id-keyed filter it
+    is a pure-overhead shuffle (and Spark pushes the filter below it)."""
+
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        register_views(spark, sf_dir, ("documents",), spread=True)
+        register_views(spark, sf_dir, ("documents",), spread=spread)
         return spark.sql(sql_fn(SPARK))
 
     return run
@@ -344,16 +350,16 @@ register("decontaminate", oracle=decontaminate_sql(DUCKDB),
          "held-out subset, per-doc contamination flag")(_docs_query(decontaminate_sql))
 register("stratified_sample", oracle=stratified_sample_sql(DUCKDB),
          doc="per-language stratified sample via deterministic md5 threshold "
-         "(map-only, engine-independent draw)")(_docs_query(stratified_sample_sql))
+         "(map-only, engine-independent draw)")(_docs_query(stratified_sample_sql, spread=False))
 register("corpus_mix_plan", oracle=corpus_mix_plan_sql(DUCKDB),
          doc="mixture planning: per-language take under an equal-weight "
-         "budget with availability caps")(_docs_query(corpus_mix_plan_sql))
+         "budget with availability caps")(_docs_query(corpus_mix_plan_sql, spread=False))
 register("snapshot_delta_dedup", oracle=snapshot_delta_sql(DUCKDB),
          doc="incremental dedup: new-crawl docs anti-joined against the old "
          "snapshot's fingerprint index")(_docs_query(snapshot_delta_sql))
 register("shard_assign", oracle=shard_assign_sql(DUCKDB),
          doc=f"deterministic {N_SHARDS}-way hash sharding manifest "
-         "(global training shuffle)")(_docs_query(shard_assign_sql))
+         "(global training shuffle)")(_docs_query(shard_assign_sql, spread=False))
 register("pii_scan_customer", oracle=pii_scan_sql(DUCKDB),
          doc="PII scan + digit redaction over customer contact columns "
          "(map-only regex)")(_customer_query(pii_scan_sql))

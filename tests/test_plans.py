@@ -168,3 +168,57 @@ def test_q19_pushes_disjunctive_part_filter(spark, sf_dir):
         if "PushedFilters:" in line and "PushedFilters: []" not in line
     ]
     assert any("p_brand" in line and "Or(" in line for line in pushed), pushed
+
+
+def test_curation_queries_no_cartesian(spark, sf_dir):
+    """The curation family's joins must all be keyed: decontaminate's gram
+    overlap, snapshot-delta's anti-join, and semdedup's within-cluster pair
+    join are equi-joins; only semdedup's centroid ASSIGNMENT is a deliberate
+    broadcast nested-loop over k tiny centroids (the IVF design)."""
+    from serene_spark.registry import load_all
+
+    qs = load_all()
+    for name in ("decontaminate", "snapshot_delta_dedup", "stratified_sample",
+                 "shard_assign", "pii_scan_customer"):
+        assert not has_cartesian(qs[name].spark(spark, sf_dir)), name
+
+
+def test_snapshot_delta_plans_left_anti(spark, sf_dir):
+    from serene_spark.plans.explain_audit import plan_text
+    from serene_spark.registry import load_all
+
+    df = load_all()["snapshot_delta_dedup"].spark(spark, sf_dir)
+    assert "LeftAnti" in plan_text(df)  # NOT EXISTS planned as anti hash join
+
+
+def test_semdedup_pairs_are_equijoin_on_cluster(spark, sf_dir):
+    from serene_spark.plans.explain_audit import plan_text
+    from serene_spark.registry import load_all
+
+    txt = plan_text(load_all()["semdedup"].spark(spark, sf_dir))
+    # the within-cluster pair join is keyed on centroid_id; the only
+    # nested-loop joins are the k-centroid assignment/probe scans
+    assert "centroid_id" in txt
+
+
+def test_stratified_sample_is_map_only(spark, sf_dir):
+    from serene_spark.plans.explain_audit import plan_text
+    from serene_spark.registry import load_all
+
+    txt = plan_text(load_all()["stratified_sample"].spark(spark, sf_dir))
+    assert "Exchange" not in txt.replace("ReusedExchange", "")  # no shuffle
+
+
+def test_fused_profile_reads_histogram_not_raw(spark, sf_dir):
+    """The ML feature matrix must consume the materialized histogram (an
+    ExistingRDD/checkpoint scan), not re-aggregate the raw long relation in
+    each family subplan."""
+    from serene_spark.functions.melt import melt
+    from serene_spark.ml.pipeline import profile_features_from_long
+    from serene_spark.plans.explain_audit import plan_text
+
+    df = profile_features_from_long(
+        spark, melt(load_table(spark, sf_dir, "customer"))
+    )
+    txt = plan_text(df)
+    assert "Scan ExistingRDD" in txt  # checkpointed histogram feeds the tail
