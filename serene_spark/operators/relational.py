@@ -338,6 +338,154 @@ ORDER BY nation_grp
 """
 
 
+# Q2 adapted: the corpus has no partsupp, so the (part, supplier) supply
+# relation is derived from observed lineitems with MIN(extendedprice) as the
+# supply-cost proxy — the correlated min-cost-in-region scalar subquery (the
+# defining shape of Q2) is preserved verbatim.
+# Scale: `supply` is one keyed agg over lineitem; Catalyst decorrelates the
+# scalar subquery into a per-part min + equi-join, so the region-filtered
+# branch is computed once, not per row.
+Q2_SQL = """
+WITH supply AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS s_acctbal,
+       s_name, n_name,
+       CAST(p_partkey AS BIGINT) AS p_partkey,
+       p_type,
+       CAST(ps_supplycost AS DOUBLE) AS supplycost
+FROM part, supplier, supply, nation, region
+WHERE p_partkey = ps_partkey
+  AND s_suppkey = ps_suppkey
+  AND p_size = 15
+  AND p_type <> 'PROMO'
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+    SELECT MIN(ps_supplycost)
+    FROM supply, supplier, nation, region
+    WHERE ps_partkey = p_partkey
+      AND s_suppkey = ps_suppkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+  )
+ORDER BY round(s_acctbal, 2) DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+# Q9 adapted: supply cost proxied as 20% of the part's retail price (no
+# partsupp); the profit expression keeps TPC-H's exact shape otherwise.
+Q9_SQL = f"""
+SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         {EPRICE} * {DISC}
+           - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.2 AS DECIMAL(8,2))
+             * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+  FROM part, supplier, lineitem, orders, nation
+  WHERE s_suppkey = l_suppkey
+    AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey
+    AND s_nationkey = n_nationkey
+    AND p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+# Q11 adapted: "stock value" per part is the summed extended price supplied
+# by one nation's suppliers (lineitem stands in for partsupp).  The defining
+# scalar-subquery fraction threshold is kept, but in exact decimal arithmetic:
+# value > total/1000  <=>  value * 1000 > total (no double division).
+Q11_SQL = f"""
+WITH stock AS (
+  SELECT l_partkey AS ps_partkey, SUM({EPRICE}) AS value
+  FROM lineitem, supplier, nation
+  WHERE l_suppkey = s_suppkey
+    AND s_nationkey = n_nationkey
+    AND n_name = 'NATION_3'
+  GROUP BY l_partkey
+)
+SELECT CAST(ps_partkey AS BIGINT) AS ps_partkey,
+       CAST(value AS DOUBLE) AS value
+FROM stock
+WHERE value * 1000 > (SELECT SUM(value) FROM stock)
+ORDER BY value DESC, ps_partkey
+"""
+
+# Q12 adapted: the corpus lineitem has no shipmode/commit/receipt dates, so
+# the mode dimension becomes l_linestatus and "late" semantics drop out; the
+# join + dual CASE-count aggregation (Q12's shape) is unchanged.
+Q12_SQL = """
+SELECT l_linestatus AS linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                       OR o_orderpriority = '2-HIGH'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+                      AND o_orderpriority <> '2-HIGH'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders, lineitem
+WHERE o_orderkey = l_orderkey
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+# Q16 adapted: the distinct (part, supplier) pairs come from lineitem; the
+# "customer complaints" exclusion becomes a negative-balance supplier
+# anti-join (same NOT IN shape over a subquery).
+Q16_SQL = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      FROM lineitem) partsupp, part
+WHERE p_partkey = ps_partkey
+  AND p_brand <> 'Brand#5'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+# Q20 adapted: "availqty > half of the year's shipments" becomes "all-time
+# supplied quantity of a small-part more than double its 1996 shipments" —
+# the nested IN-subquery chain (suppliers <- partsupp <- part/lineitem
+# threshold) that defines Q20 is preserved, in exact decimal sums.
+Q20_SQL = """
+SELECT s_name, CAST(s_suppkey AS BIGINT) AS s_suppkey
+FROM supplier, nation
+WHERE s_suppkey IN (
+    SELECT ps_suppkey FROM (
+      SELECT l_suppkey AS ps_suppkey, l_partkey AS ps_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty,
+             SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                       AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+                      THEN CAST(l_quantity AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS qty_1996
+      FROM lineitem
+      GROUP BY l_suppkey, l_partkey
+    ) supply
+    WHERE ps_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+      )
+      AND total_qty > qty_1996 * 2
+  )
+  AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_7'
+ORDER BY s_name
+"""
+
+
 def _sql_query(sql: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
@@ -365,3 +513,9 @@ register("q17_small_quantity", oracle=Q17_SQL, doc="TPC-H-style Q17: per-part av
 register("q19_discounted_revenue", oracle=Q19_SQL, doc="TPC-H-style Q19: disjunctive brand/size/quantity predicates")(_sql_query(Q19_SQL))
 register("q21_waiting_suppliers", oracle=Q21_SQL, doc="TPC-H-style Q21: EXISTS + NOT EXISTS sole-returned-supplier")(_sql_query(Q21_SQL))
 register("q22_global_sales", oracle=Q22_SQL, doc="TPC-H-style Q22: anti-join customers above exact-decimal avg balance")(_sql_query(Q22_SQL))
+register("q2_min_cost_supplier", oracle=Q2_SQL, doc="TPC-H-style Q2: correlated min-supply-cost-in-region subquery (lineitem-derived supply)")(_sql_query(Q2_SQL))
+register("q9_product_profit", oracle=Q9_SQL, doc="TPC-H-style Q9: profit by supplier nation and order year (retail-price cost proxy)")(_sql_query(Q9_SQL))
+register("q11_important_stock", oracle=Q11_SQL, doc="TPC-H-style Q11: per-part stock value above an exact-decimal fraction-of-total threshold")(_sql_query(Q11_SQL))
+register("q12_priority_shipping", oracle=Q12_SQL, doc="TPC-H-style Q12: dual CASE-count priority split per line status")(_sql_query(Q12_SQL))
+register("q16_parts_supplier_count", oracle=Q16_SQL, doc="TPC-H-style Q16: distinct-supplier counts per part attrs with NOT-IN exclusion")(_sql_query(Q16_SQL))
+register("q20_excess_stock", oracle=Q20_SQL, doc="TPC-H-style Q20: nested IN-subquery chain for over-supplied small parts")(_sql_query(Q20_SQL))
