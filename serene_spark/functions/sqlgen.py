@@ -181,6 +181,14 @@ def epoch_s(dialect: str, ts_expr: str) -> str:
     return f"unix_timestamp({ts_expr})"
 
 
+def epoch_us(dialect: str, ts_expr: str) -> str:
+    """Microseconds since epoch as BIGINT (exact — timestamps are stored as
+    micros in both engines, so no flooring/rounding is involved)."""
+    if dialect == DUCKDB:
+        return f"epoch_us({ts_expr})"
+    return f"unix_micros({ts_expr})"
+
+
 def arr_agg_ordered(dialect: str, val: str, order_by: str) -> str:
     """Array aggregate with deterministic element order."""
     if dialect == DUCKDB:

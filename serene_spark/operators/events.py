@@ -412,3 +412,61 @@ register(
     oracle=retention_sql(DUCKDB),
     doc="weekly retention cohort matrix (first-activity week x week offset)",
 )(lambda spark, sf_dir: (register_views(spark, sf_dir), spark.sql(retention_sql(SPARK)))[1])
+
+
+ATTRIBUTION_WINDOW_S = 3600  # last-touch lookback: 1 hour
+
+
+def attribution_sql(dialect: str) -> str:
+    """Last-touch click attribution: each purchase is credited to the same
+    user's most recent click within the preceding hour (ties broken by
+    highest click_id). The streaming twin
+    (streaming/events_stream.attribution_pairs) runs the identical pair join
+    as a watermarked stream-stream join; here the batch form is oracled.
+
+    Scale shape: the pair join is an equi-join on user_id with a bounded
+    time-range residual — at 100 TB both sides would be additionally
+    bucketed by time (the day-bucket pattern of range_join_orders_events) so
+    a user's full history never co-locates; per-purchase last-touch is one
+    window partitioned by the high-cardinality purchase key.
+    """
+    from serene_spark.functions.sqlgen import epoch_us
+
+    cus = epoch_us(dialect, "c.ts")
+    pus = epoch_us(dialect, "p.ts")
+    return f"""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT p.event_id AS purchase_id, p.user_id,
+         {pus} AS purchase_us, p.value,
+         c.event_id AS click_id, {cus} AS click_us
+  FROM purchases p JOIN clicks c
+    ON p.user_id = c.user_id
+   AND {pus} - {cus} BETWEEN 0 AND CAST({ATTRIBUTION_WINDOW_S} AS BIGINT) * 1000000
+)
+SELECT CAST(purchase_id AS BIGINT) AS purchase_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(purchase_us AS BIGINT) AS purchase_us,
+       round(CAST(value AS DOUBLE), 6) AS value,
+       CAST(click_id AS BIGINT) AS click_id,
+       CAST(purchase_us - click_us AS BIGINT) AS gap_us
+FROM (
+  SELECT pairs.*,
+         ROW_NUMBER() OVER (PARTITION BY purchase_id
+                            ORDER BY click_us DESC, click_id DESC) AS rk
+  FROM pairs
+) t WHERE rk = 1
+"""
+
+
+register(
+    "events_attribution",
+    oracle=attribution_sql(DUCKDB),
+    doc="last-touch click attribution within a 1-hour lookback (batch form "
+    "of the stream-stream join twin)",
+)(lambda spark, sf_dir: (register_views(spark, sf_dir), spark.sql(attribution_sql(SPARK)))[1])

@@ -246,6 +246,56 @@ def enriched_nation_counts(
     )
 
 
+def attribution_pairs(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream self-join: every (purchase, click) pair where the click
+    is by the same user within the hour before the purchase — the pair
+    relation beneath the batch ``events_attribution`` query (events.py),
+    whose last-touch pick is a downstream aggregation.
+
+    Both sides carry a watermark and the join condition bounds click time
+    relative to purchase time, so Spark derives a state-eviction horizon for
+    each side: a buffered click can be dropped once the watermark guarantees
+    no future purchase can reach back to it. Without the time-range
+    condition, stream-stream join state would grow forever — this is THE
+    contract that makes the join runnable on an unbounded stream.
+
+    Works identically on a batch DataFrame (withWatermark is a no-op there),
+    so tests compare the streamed result to the same function over the batch
+    read.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            "user_id = click_user AND click_ts <= purchase_ts "
+            "AND click_ts >= purchase_ts - interval 1 hour"
+        ),
+    ).select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        "click_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, checkpoint_dir: str, output_mode: str = "complete"
 ):

@@ -180,3 +180,35 @@ def test_doc_chunks_adversarial_parity(spark):
     for d in (2, 3, 4):
         assert by_doc[d] == [(1, "", 0)], by_doc[d]
     assert by_doc[5] == [(1, "one two", 2)]
+
+
+def test_epoch_us_dialects(spark):
+    """epoch_us must be exact micros in both engines, including pre-1970 and
+    sub-second timestamps (no flooring — unlike epoch_s)."""
+    from serene_spark.functions.sqlgen import epoch_us
+
+    stamps = [
+        "1969-12-31 23:59:59.999999",
+        "1970-01-01 00:00:00.000001",
+        "2024-06-01 12:34:56.789012",
+        "1950-03-04 05:06:07.000123",
+    ]
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(stamps)], "id long, s string"
+    ).select("id", F.col("s").cast("timestamp").alias("ts"))
+    got_s = [
+        r["v"]
+        for r in sdf.select(F.expr(epoch_us(SPARK, "ts")).alias("v")).orderBy("id").collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tt (id BIGINT, ts TIMESTAMP)")
+    con.executemany("INSERT INTO tt VALUES (?, CAST(? AS TIMESTAMP))", list(enumerate(stamps)))
+    got_d = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {epoch_us(DUCKDB, 'ts')} AS v FROM tt ORDER BY id"
+        ).fetchall()
+    ]
+    assert got_s == got_d

@@ -244,3 +244,51 @@ def test_session_window_equals_stateful_sessions(spark, sf_dir, tmp_path):
                 last, n = t, n + 1
         want.add((u, start, last, n))
     assert got == want
+
+
+def test_stream_stream_attribution_matches_batch(spark, sf_dir, tmp_path):
+    """The watermarked stream-stream self-join must produce exactly the pair
+    set of the same function applied to the batch read, and its last-touch
+    reduction must equal the registered events_attribution query."""
+    from serene_spark.catalog import load_table, register_views
+    from serene_spark.operators.events import attribution_sql
+    from serene_spark.streaming.events_stream import (
+        attribution_pairs,
+        read_events_stream,
+        run_available_now,
+    )
+
+    events_dir = tmp_path / "events_attr"
+    events_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir / "part-0.parquet")
+
+    stream = attribution_pairs(read_events_stream(spark, str(events_dir)))
+    q = run_available_now(stream, "stream_attr", str(tmp_path / "ckpt_attr"), "append")
+    q.awaitTermination(180)
+    got = {
+        (r["purchase_id"], r["user_id"], r["purchase_us"], r["click_id"], r["gap_us"])
+        for r in spark.sql("select * from stream_attr").collect()
+    }
+
+    batch_pairs = attribution_pairs(load_table(spark, sf_dir, "events"))
+    want = {
+        (r["purchase_id"], r["user_id"], r["purchase_us"], r["click_id"], r["gap_us"])
+        for r in batch_pairs.collect()
+    }
+    assert got == want and got  # identical pair sets, non-empty
+
+    # last-touch reduction of the streamed pairs == registered batch query
+    last_touch = {}
+    for pid, user, pus, cid, gap in got:
+        cur = last_touch.get(pid)
+        # most recent click first (smallest gap), then highest click_id
+        if cur is None or (gap, -cid) < (cur[2], -cur[1]):
+            last_touch[pid] = (user, cid, gap)
+    from serene_spark.functions.sqlgen import SPARK
+
+    register_views(spark, sf_dir, ("events",))
+    reg = {
+        r["purchase_id"]: (r["user_id"], r["click_id"], r["gap_us"])
+        for r in spark.sql(attribution_sql(SPARK)).collect()
+    }
+    assert last_touch == reg
