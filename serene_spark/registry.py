@@ -73,6 +73,7 @@ def load_all() -> dict[str, Query]:
         "serene_spark.ml.homeseekers_fixture",
         "serene_spark.ml.bagging",
         "serene_spark.ml.minhash_lsh",
+        "serene_spark.ml.quality_classifier",
         "serene_spark.sources.xml_loader",
     ):
         importlib.import_module(mod)
