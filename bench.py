@@ -62,6 +62,27 @@ def main() -> None:
 
         load_table(spark, sf_dir, table).write.format("noop").mode("overwrite").save()
 
+    # untimed JVM-generic warm-up: one synthetic query exercising the
+    # execution machinery the timed queries share (whole-stage codegen /
+    # janino, hash agg, shuffle, sort, window, broadcast join, regex) so
+    # their numbers measure engine compute, not first-touch JIT of Spark's
+    # own stack (~10-15s on a cold JVM, measured in BASELINE.md). The
+    # warm-up query shares NO plan with any bench query — each timed query
+    # still pays its own plan-specific codegen.
+    from serene_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("customer", "nation"))
+    spark.sql("""
+        SELECT n_name, cnt, s, rk FROM (
+          SELECT n.n_name,
+                 COUNT(*) AS cnt,
+                 SUM(length(regexp_replace(c.c_name, '[0-9]+', ''))) AS s,
+                 ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, n.n_name) AS rk
+          FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+          GROUP BY n.n_name
+        ) t WHERE rk <= 5
+    """).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:

@@ -360,17 +360,22 @@ def semantic_type_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     # until predict; profile the target on a second thread so its histogram
     # checkpoint overlaps RF fit (Spark schedules concurrent jobs fine, and
     # profile_features_from_long uses per-call view names — thread-safe)
-    target_box: dict[str, DataFrame] = {}
+    target_box: dict[str, object] = {}
 
     def _profile_target() -> None:
-        target_box["df"] = profile_features_from_long(
-            spark, melt(load_table(spark, sf_dir, "customer"))
-        )
+        try:
+            target_box["df"] = profile_features_from_long(
+                spark, melt(load_table(spark, sf_dir, "customer"))
+            )
+        except BaseException as exc:  # surfaced on the main thread below
+            target_box["err"] = exc
 
     t = threading.Thread(target=_profile_target, daemon=True)
     t.start()
     model, conv = _fixture_model(spark)
     t.join()
+    if "err" in target_box:  # re-raise with the real cause, not a KeyError
+        raise RuntimeError("target profiling failed on worker thread") from target_box["err"]
     return predict_semantic_types(model, conv, target_box["df"])
 
 
@@ -382,19 +387,30 @@ SCORE_MAP_CLASSES = list(FIXTURE_CLASSES) + ["zipcode", "unknown"]
 # Per-process memo of the fixture-trained classifier: the fixture is a pure
 # function of its seed, so every registered query training on it fits the
 # SAME model — train once per process (the driver's correctness sweep runs
-# several such queries back to back). Keyed by session id: a fresh session
-# must not reuse JVM-side model handles from a stopped one.
-_FIXTURE_MODEL_CACHE: dict[int, tuple] = {}
+# several such queries back to back). Keyed WEAKLY by the live SparkSession
+# object (not id(), whose values CPython reuses after GC — a fresh session
+# could collide with a stopped one's key and receive dead JVM model
+# handles); the lock serializes the check-then-act for the thread-per-POST
+# HTTP service so concurrent callers never train twice.
+import threading as _threading
+import weakref as _weakref
+
+_FIXTURE_MODEL_CACHE: "_weakref.WeakKeyDictionary[SparkSession, tuple]" = (
+    _weakref.WeakKeyDictionary()
+)
+_FIXTURE_MODEL_LOCK = _threading.Lock()
 
 
 def _fixture_model(spark: SparkSession):
-    key = id(spark.sparkContext._jsc)
-    if key not in _FIXTURE_MODEL_CACHE:
-        long_df, labels_df = make_fixture_long(spark)
-        feats = profile_features_from_long(spark, long_df).join(labels_df, "column_name")
-        _FIXTURE_MODEL_CACHE.clear()
-        _FIXTURE_MODEL_CACHE[key] = train_semantic_classifier(spark, feats)
-    return _FIXTURE_MODEL_CACHE[key]
+    with _FIXTURE_MODEL_LOCK:
+        cached = _FIXTURE_MODEL_CACHE.get(spark)
+        if cached is None:
+            long_df, labels_df = make_fixture_long(spark)
+            feats = profile_features_from_long(spark, long_df).join(labels_df, "column_name")
+            cached = train_semantic_classifier(spark, feats)
+            _FIXTURE_MODEL_CACHE.clear()
+            _FIXTURE_MODEL_CACHE[spark] = cached
+        return cached
 
 
 @register(

@@ -70,10 +70,16 @@ def train_quality_model(spark: SparkSession, sf_dir: str):
     return pipe.fit(train), holdout
 
 
-def _prob_good(scored: DataFrame) -> DataFrame:
+def _prob_good(scored: DataFrame, n_classes: int) -> DataFrame:
     from pyspark.ml.functions import vector_to_array
 
-    get_p1 = F.element_at(vector_to_array(F.col("probability")), 2)
+    # a degenerate corpus (every training doc on one side of the rule gate)
+    # trains a single-class forest whose probability vector has length 1;
+    # p(good) is then just the predicted constant class, not element 2
+    if n_classes >= 2:
+        get_p1 = F.element_at(vector_to_array(F.col("probability")), 2)
+    else:
+        get_p1 = F.col("prediction").cast("double")
     return scored.select(
         "doc_id",
         F.col("quality_pass").cast("bigint").alias("rule_label"),
@@ -90,4 +96,5 @@ def _prob_good(scored: DataFrame) -> DataFrame:
 def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score every document with the distilled quality model."""
     model, _ = train_quality_model(spark, sf_dir)
-    return _prob_good(model.transform(quality_frame(spark, sf_dir)))
+    n_classes = model.stages[-1].numClasses
+    return _prob_good(model.transform(quality_frame(spark, sf_dir)), n_classes)

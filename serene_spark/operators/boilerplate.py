@@ -59,7 +59,10 @@ def segments_rel(dialect: str) -> str:
 
     Map-only: one split + one sequence explode per document; the ``n >= 1``
     guard keeps Spark's ``sequence(1, 0)`` (which yields a DESCENDING [1,0],
-    not an empty array) away from empty documents.
+    not an empty array) away from empty documents — zero-token docs are
+    re-attached by the consumers' LEFT JOIN from ``documents`` so the
+    per-document manifests stay total (absent must never masquerade as
+    never-scanned).
     """
     toks = arr_filter_nonempty(
         dialect, split_re(dialect, NORM(dialect), "[^a-z0-9]+")
@@ -113,10 +116,16 @@ kept AS (
   SELECT doc_id, {kept_text} AS kept_text
   FROM flagged WHERE is_boiler = 0 GROUP BY doc_id
 )
-SELECT st.doc_id, st.n_segments, st.n_boiler,
-       round(CAST(st.n_boiler AS DOUBLE) / st.n_segments, 6) AS boiler_ratio,
+SELECT d.doc_id,
+       CAST(COALESCE(st.n_segments, 0) AS BIGINT) AS n_segments,
+       CAST(COALESCE(st.n_boiler, 0) AS BIGINT) AS n_boiler,
+       CASE WHEN COALESCE(st.n_segments, 0) = 0 THEN 0.0
+            ELSE round(CAST(st.n_boiler AS DOUBLE) / st.n_segments, 6)
+       END AS boiler_ratio,
        COALESCE(k.kept_text, '') AS kept_text
-FROM stats st LEFT JOIN kept k ON st.doc_id = k.doc_id
+FROM documents d
+LEFT JOIN stats st ON d.doc_id = st.doc_id
+LEFT JOIN kept k ON d.doc_id = k.doc_id
 """
 
 
@@ -133,12 +142,18 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, seg_idx) AS rk
   FROM segments
 )
-SELECT doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_segments,
-       CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
-       round(CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-             / COUNT(*), 6) AS dup_ratio
-FROM ranked GROUP BY doc_id
+SELECT d.doc_id,
+       CAST(COALESCE(r.n_segments, 0) AS BIGINT) AS n_segments,
+       CAST(COALESCE(r.n_dup_segments, 0) AS BIGINT) AS n_dup_segments,
+       CASE WHEN COALESCE(r.n_segments, 0) = 0 THEN 0.0
+            ELSE round(CAST(r.n_dup_segments AS DOUBLE) / r.n_segments, 6)
+       END AS dup_ratio
+FROM documents d LEFT JOIN (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_segments,
+         CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments
+  FROM ranked GROUP BY doc_id
+) r ON d.doc_id = r.doc_id
 """
 
 

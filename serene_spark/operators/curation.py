@@ -41,6 +41,7 @@ from serene_spark.functions.sqlgen import (
     hex_to_int,
     re_extract_all_count,
     rr,
+    rx,
     split_re,
 )
 from serene_spark.operators.text_analysis import NORM
@@ -150,13 +151,16 @@ def corpus_mix_plan_sql(dialect: str) -> str:
     (capped at availability) and the achieved proportion — the arithmetic a
     data-mixing stage runs before drawing the actual sample.  Aggregates a
     per-language count relation (#languages rows); corpus touched once.
+    The target floors no lower than 1 so a small or language-diverse corpus
+    still plans a non-empty mixture (and fill_ratio never divides by zero).
     """
     return f"""
 WITH by_lang AS (
   SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
 ),
 budget AS (
-  SELECT CAST(FLOOR(SUM(n_docs) * {MIX_TARGET_FRAC} / COUNT(*)) AS BIGINT)
+  SELECT GREATEST(CAST(1 AS BIGINT),
+                  CAST(FLOOR(SUM(n_docs) * {MIX_TARGET_FRAC} / COUNT(*)) AS BIGINT))
          AS per_lang_target
   FROM by_lang
 )
@@ -178,19 +182,29 @@ def snapshot_delta_sql(dialect: str) -> str:
     The 100 TB shape: the old snapshot contributes only its fingerprint
     index (hash join key), never its text; NOT EXISTS plans as a left-anti
     hash join in both engines.
+
+    Sources that do not match ``src<N>`` classify as new-crawl (src_num
+    NULL): an unrecognized source must still flow through dedup rather than
+    silently vanish — and the regex guard keeps DuckDB's strict CAST from
+    erroring where Spark's would yield NULL.
     """
     fp = f"md5({NORM(dialect)})"
+    src_num = (
+        "CASE WHEN " + rx(dialect, "source", "^src[0-9]+$")
+        + " THEN CAST(substr(source, 4) AS INT) END"
+    )
     return f"""
 WITH fingerprints AS (
   SELECT doc_id, source, {fp} AS fp,
-         CAST(substr(source, 4) AS INT) AS src_num
+         {src_num} AS src_num
   FROM documents
 ),
 old_fp AS (
   SELECT DISTINCT fp FROM fingerprints WHERE src_num < 10
 ),
 new_docs AS (
-  SELECT doc_id, source, fp FROM fingerprints WHERE src_num >= 10
+  SELECT doc_id, source, fp FROM fingerprints
+  WHERE src_num >= 10 OR src_num IS NULL
 ),
 fresh AS (
   SELECT n.doc_id, n.source, n.fp
