@@ -111,6 +111,13 @@ def shl(dialect: str, a: str, b: str) -> str:
     return f"shiftleft({a}, {b})"
 
 
+def shr(dialect: str, a: str, b: str) -> str:
+    """Bitwise shift-right — Spark spells it ``shiftright``, DuckDB ``>>``."""
+    if dialect == DUCKDB:
+        return f"(({a}) >> ({b}))"
+    return f"shiftright({a}, {b})"
+
+
 def agg_ordered(dialect: str, val: str, order_by: str, sep: str) -> str:
     """String-concat aggregate with deterministic element order."""
     if dialect == DUCKDB:

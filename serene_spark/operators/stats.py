@@ -1,0 +1,164 @@
+"""Optimizer-statistics and data-layout operators — the ANALYZE/OPTIMIZE
+substrate a 100 TB warehouse runs between ingestion and querying.
+
+* equi-depth histogram: the cost-based-optimizer statistic for selectivity
+  estimation. Built scale-correctly: first reduce to the (value, count)
+  relation (one keyed agg with map-side combine — the same move as
+  profile_textstats' exact median), then window over DISTINCT values only.
+  The cumulative window is a single ordered pass over the distinct-value
+  relation; at warehouse scale that relation is orders of magnitude smaller
+  than the table, and a production build would range-partition it — noted,
+  not needed at test scale.
+* Z-order clustering (the Delta/Iceberg OPTIMIZE ZORDER technique): Morton
+  bit-interleaving of two dimensions into one sort key, so range predicates
+  on EITHER dimension prune most files. The key is pure per-row bit
+  arithmetic (map-only); the emitted manifest buckets rows by z-prefix and
+  reports each bucket's per-dimension bounding box — exactly the min/max
+  file statistics a scan would prune with.
+* per-column NDV sketch: one-pass approx_count_distinct over every column —
+  the stats-collection pass ANALYZE TABLE runs. Sketch-based (rows-only,
+  error pinned by pytest) because exact per-column NDV at 100 TB is a
+  full-shuffle-per-column cost no warehouse pays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from serene_spark.catalog import register_views
+from serene_spark.functions.sqlgen import DUCKDB, SPARK, epoch_s, idiv, shl, shr
+from serene_spark.registry import register
+
+HIST_BUCKETS = 16
+Z_BITS = 8          # bits per dimension -> 2*Z_BITS-bit Morton key
+Z_FILE_SHIFT = 8    # bucket = z >> shift: 2^(2*Z_BITS - shift) = 256 files
+
+
+def equi_depth_histogram_sql(dialect: str) -> str:
+    """Equi-depth histogram of l_extendedprice: every distinct value lands in
+    the bucket of its first row rank (floor(rows_before * B / n)), so bucket
+    populations are equal up to ties — the standard ANALYZE histogram with
+    deterministic tie handling both engines agree on.
+    """
+    return f"""
+WITH vh AS (
+  SELECT l_extendedprice AS v, COUNT(*) AS c
+  FROM lineitem GROUP BY l_extendedprice
+),
+cum AS (
+  SELECT v, c,
+         SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c AS rows_before,
+         SUM(c) OVER () AS n
+  FROM vh
+)
+SELECT CAST(FLOOR(rows_before * {HIST_BUCKETS} / n) AS BIGINT) AS bucket,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       round(MIN(v), 6) AS min_v,
+       round(MAX(v), 6) AS max_v
+FROM cum
+GROUP BY FLOOR(rows_before * {HIST_BUCKETS} / n)
+"""
+
+
+def _morton(dialect: str, x: str, y: str, bits: int) -> str:
+    """Interleave the low ``bits`` bits of x (even positions) and y (odd
+    positions) into a Morton key — pure integer bit arithmetic, map-only."""
+    terms = []
+    for i in range(bits):
+        xbit = f"({shr(dialect, x, i)} % 2)"
+        ybit = f"({shr(dialect, y, i)} % 2)"
+        terms.append(shl(dialect, xbit, 2 * i))
+        terms.append(shl(dialect, ybit, 2 * i + 1))
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_manifest_sql(dialect: str) -> str:
+    """Z-order layout manifest for orders over (o_custkey, order epoch-day):
+    both dimensions min-max scaled to ``Z_BITS`` bits via scalar-subquery
+    bounds, Morton-interleaved, bucketed by z-prefix into files. Each file
+    row carries its per-dimension bounding box — the min/max statistics a
+    z-ordered scan prunes with: a predicate on EITHER dimension now skips
+    most buckets, where a single-column sort helps only that column.
+    """
+    day = idiv(dialect, f"({epoch_s(dialect, 'o_orderdate')})", 86400)
+    scale = 1 << Z_BITS
+    x = (f"CAST(FLOOR((o_custkey - (SELECT MIN(o_custkey) FROM orders)) * {scale}.0 / "
+         f"((SELECT MAX(o_custkey) - MIN(o_custkey) + 1 FROM orders))) AS BIGINT)")
+    y = (f"CAST(FLOOR((d - (SELECT MIN(d) FROM days)) * {scale}.0 / "
+         f"((SELECT MAX(d) - MIN(d) + 1 FROM days))) AS BIGINT)")
+    z = _morton(dialect, "x", "y", Z_BITS)
+    return f"""
+WITH days AS (
+  SELECT o_orderkey, o_custkey, {day} AS d FROM orders
+),
+scaled AS (
+  SELECT o_orderkey, o_custkey, d, {x} AS x, {y} AS y FROM days
+),
+keyed AS (
+  SELECT o_orderkey, o_custkey, d, {z} AS zkey FROM scaled
+)
+SELECT CAST({shr(dialect, "zkey", Z_FILE_SHIFT)} AS BIGINT) AS file_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(o_custkey) AS BIGINT) AS min_custkey,
+       CAST(MAX(o_custkey) AS BIGINT) AS max_custkey,
+       CAST(MIN(d) AS BIGINT) AS min_day,
+       CAST(MAX(d) AS BIGINT) AS max_day
+FROM keyed
+GROUP BY {shr(dialect, "zkey", Z_FILE_SHIFT)}
+"""
+
+
+NDV_COLUMNS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_returnflag",
+                 "l_linestatus", "l_shipdate"],
+}
+
+
+def ndv_sketch_sql(table: str) -> str:
+    """One-pass ANALYZE: HLL NDV + null count + min/max length per column,
+    computed as a single wide aggregation then unpivoted driver-free via
+    a stack over the one-row result (Spark only — sketch states are
+    engine-specific, so this is a rows-only query)."""
+    cols = NDV_COLUMNS[table]
+    aggs = ", ".join(
+        f"approx_count_distinct({c}) AS ndv_{i}, "
+        f"COUNT(*) - COUNT({c}) AS nulls_{i}"
+        for i, c in enumerate(cols)
+    )
+    stack_args = ", ".join(
+        f"'{c}', ndv_{i}, nulls_{i}" for i, c in enumerate(cols)
+    )
+    return f"""
+WITH wide AS (SELECT COUNT(*) AS n_rows, {aggs} FROM {table})
+SELECT column_name, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(ndv AS BIGINT) AS approx_ndv, CAST(n_nulls AS BIGINT) AS n_nulls
+FROM (
+  SELECT n_rows,
+         stack({len(cols)}, {stack_args}) AS (column_name, ndv, n_nulls)
+  FROM wide
+) t
+"""
+
+
+def _table_query(sql_fn, tables):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, tables)
+        return spark.sql(sql_fn(SPARK) if callable(sql_fn) else sql_fn)
+
+    return run
+
+
+register("equi_depth_histogram", oracle=equi_depth_histogram_sql(DUCKDB),
+         doc=f"ANALYZE-style {HIST_BUCKETS}-bucket equi-depth histogram of "
+         "l_extendedprice (two-phase: distinct-value reduce, then window)")(
+    _table_query(equi_depth_histogram_sql, ("lineitem",)))
+register("zorder_manifest", oracle=zorder_manifest_sql(DUCKDB),
+         doc="Morton/Z-order clustering manifest over (custkey, order day) "
+         "with per-file bounding boxes (the OPTIMIZE ZORDER layout)")(
+    _table_query(zorder_manifest_sql, ("orders",)))
+register("ndv_sketch_lineitem",
+         doc="one-pass per-column HLL NDV + null counts (ANALYZE TABLE "
+         "sketch pass; rows-only, error pinned by pytest)")(
+    _table_query(ndv_sketch_sql("lineitem"), ("lineitem",)))

@@ -1,0 +1,75 @@
+"""Pins for the optimizer-stats / layout operators (stats.py).
+
+equi_depth_histogram and zorder_manifest are oracle-backed (engine
+equivalence via test_oracle_parity); these tests pin the SEMANTICS:
+histogram balance, z-order clustering quality, NDV sketch error.
+"""
+
+from __future__ import annotations
+
+from serene_spark.catalog import register_views
+from serene_spark.functions.sqlgen import DUCKDB
+from serene_spark.operators.stats import (
+    HIST_BUCKETS,
+    NDV_COLUMNS,
+    equi_depth_histogram_sql,
+    ndv_sketch_sql,
+    zorder_manifest_sql,
+)
+
+
+def test_equi_depth_buckets_are_balanced_and_ordered(duck):
+    rows = sorted(duck.execute(equi_depth_histogram_sql(DUCKDB)).fetchall())
+    n = sum(r[1] for r in rows)
+    assert len(rows) == HIST_BUCKETS
+    prev_max = None
+    for bucket, n_rows, n_distinct, min_v, max_v in rows:
+        assert 0 <= bucket < HIST_BUCKETS
+        # equal depth up to tie spill: a bucket can't exceed its fair share
+        # by more than the heaviest value's count
+        heaviest = duck.execute(
+            "SELECT MAX(c) FROM (SELECT COUNT(*) c FROM lineitem GROUP BY l_extendedprice)"
+        ).fetchone()[0]
+        assert n_rows <= n / HIST_BUCKETS + heaviest
+        assert min_v <= max_v
+        if prev_max is not None:
+            assert min_v >= prev_max  # buckets partition the value axis
+        prev_max = max_v
+    assert n == duck.execute("SELECT COUNT(*) FROM lineitem").fetchone()[0]
+
+
+def test_zorder_files_have_tight_bounding_boxes(duck):
+    """The point of Z-order: every file's bounding box spans a small part of
+    BOTH dimensions, so predicates on either prune most files."""
+    rows = duck.execute(zorder_manifest_sql(DUCKDB)).fetchall()
+    assert rows
+    g_ck_min, g_ck_max, g_d_min, g_d_max = duck.execute(
+        "SELECT MIN(min_custkey), MAX(max_custkey), MIN(min_day), MAX(max_day) FROM ("
+        + zorder_manifest_sql(DUCKDB) + ")"
+    ).fetchone()
+    ck_span, d_span = g_ck_max - g_ck_min + 1, g_d_max - g_d_min + 1
+    total = sum(r[1] for r in rows)
+    assert total == duck.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
+    # average per-file fractional span on each dimension: Morton buckets
+    # cover aligned rectangles, so both must be far below 1 (a custkey-sorted
+    # layout would give ~1.0 on the day dimension)
+    avg_ck = sum((r[3] - r[2] + 1) / ck_span for r in rows) / len(rows)
+    avg_d = sum((r[5] - r[4] + 1) / d_span for r in rows) / len(rows)
+    assert avg_ck < 0.25, avg_ck
+    assert avg_d < 0.25, avg_d
+
+
+def test_ndv_sketch_error_bound(spark, sf_dir):
+    register_views(spark, sf_dir, ("lineitem",))
+    got = {
+        r["column_name"]: (r["approx_ndv"], r["n_nulls"], r["n_rows"])
+        for r in spark.sql(ndv_sketch_sql("lineitem")).collect()
+    }
+    assert set(got) == set(NDV_COLUMNS["lineitem"])
+    for col in NDV_COLUMNS["lineitem"]:
+        exact, nulls = spark.sql(
+            f"SELECT COUNT(DISTINCT {col}) AS d, COUNT(*) - COUNT({col}) AS nn FROM lineitem"
+        ).collect()[0]
+        approx, got_nulls, n_rows = got[col]
+        assert got_nulls == nulls  # null counts are exact
+        assert abs(approx - exact) <= max(2, 0.15 * exact), (col, approx, exact)
