@@ -1,0 +1,100 @@
+"""Streaming incremental dedup sink — the continuous form of the batch
+``snapshot_delta_dedup`` operator (operators/curation.py): documents arrive
+as files in a drop directory, and each micro-batch keeps only texts whose
+normalized fingerprint has never been seen, appending the survivors to a
+persistent fingerprint index.
+
+This is the re-crawl economics shape run CONTINUOUSLY: the index (fp,
+doc_id, epoch) is the only state, the raw corpus is never rescanned, and
+each batch costs one anti-join against the index.
+
+Exactly-once contract: foreachBatch delivers each epoch at-least-once, so a
+naive append would duplicate survivors on redelivery. The sink writes each
+epoch to its own ``epoch=<id>`` partition with dynamic partition overwrite —
+replaying an epoch overwrites its own output and nothing else, making the
+write idempotent (the standard foreachBatch idempotency recipe). Within a
+batch, duplicates dedup to the lowest doc_id; across batches, the index
+anti-join drops anything already persisted.
+
+Scale: the index is read as a plain parquet relation keyed by fp — on a
+cluster it would be bucketed by fp (sources/layout.write_bucketed) so the
+per-batch anti-join is exchange-free on the index side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from serene_spark.session import tune_session
+
+# same normalization + fingerprint as the batch operator (curation.py NORM/md5)
+_FP_EXPR = (
+    "md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r]+', ' ')))"
+)
+
+DOCS_DDL = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def read_documents_stream(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """File-source stream over a documents drop directory."""
+    tune_session(spark)
+    from pyspark.errors import AnalysisException
+
+    try:
+        schema = spark.read.parquet(docs_dir).schema
+    except AnalysisException:
+        schema = DOCS_DDL
+    return spark.readStream.schema(schema).parquet(docs_dir)
+
+
+def start_incremental_dedup(
+    spark: SparkSession, docs_dir: str, index_dir: str, checkpoint_dir: str
+):
+    """Start the availableNow dedup sink; returns the streaming query.
+
+    The persisted index at ``index_dir`` has schema
+    (fp string, doc_id long, source string, epoch long) partitioned by epoch.
+    """
+    stream = read_documents_stream(spark, docs_dir)
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark_ = batch_df.sparkSession
+        fps = (
+            batch_df.select(
+                F.expr(_FP_EXPR).alias("fp"), "doc_id", "source"
+            )
+            # within-batch dedup: lowest doc_id wins (same rule as the batch op)
+            .withColumn(
+                "rk",
+                F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")),
+            )
+            .filter(F.col("rk") == 1)
+            .drop("rk")
+        )
+        try:
+            # exclude this epoch's own prior (replayed) output from "seen",
+            # or a redelivered epoch would anti-join itself away
+            seen = (
+                spark_.read.parquet(index_dir)
+                .filter(F.col("epoch") != epoch_id)
+                .select("fp")
+            )
+        except Exception:  # first epoch: no index yet
+            seen = None
+        fresh = fps if seen is None else fps.join(seen, "fp", "left_anti")
+        (
+            fresh.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(index_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
