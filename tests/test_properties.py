@@ -82,3 +82,43 @@ def test_labels_roundtrip(labels):
         path = f.name
     back = load_semantic_type_labels(path)
     assert {k: lab.cls for k, lab in back.items()} == labels
+
+
+def _py_morton(x: int, y: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+def test_morton_sql_matches_reference_and_is_injective(pairs):
+    """The generated Morton SQL (stats.py) must equal the bit-twiddling
+    reference on both dialects' shared arithmetic, and be injective — the
+    property Z-order file pruning relies on."""
+    import duckdb
+
+    from serene_spark.functions.sqlgen import DUCKDB
+    from serene_spark.operators.stats import Z_BITS, _morton
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts (x BIGINT, y BIGINT)")
+    con.executemany("INSERT INTO pts VALUES (?, ?)", pairs)
+    got = dict(
+        ((r[0], r[1]), r[2])
+        for r in con.execute(
+            f"SELECT x, y, {_morton(DUCKDB, 'x', 'y', Z_BITS)} FROM pts"
+        ).fetchall()
+    )
+    want = {(x, y): _py_morton(x, y, Z_BITS) for x, y in pairs}
+    assert got == want
+    assert len(set(got.values())) == len(pairs)  # injective
