@@ -1,0 +1,121 @@
+"""Persisted IVF index — the build-once / search-many form of the inline
+``similarity_ivf`` query (similarity.py).
+
+At 100 TB the inverted lists are not recomputed per query: an index build
+assigns every corpus vector to its coarse centroid ONCE and writes the
+lists partitioned by ``centroid_id``; every search then reads ONLY its
+``n_probe`` probed partitions — directory-level partition pruning does for
+ANN what it does for time-series (a query touches n_probe/k of the corpus
+bytes). Search results are bit-identical to the inline query because build
+and search share the same centroid SQL and assignment rule, pinned by test.
+
+Scale shapes:
+* build — one pass over embeddings, broadcast nested-loop against k tiny
+  centroids, then a partitioned write (the only shuffle is the write's
+  partition exchange);
+* search — centroid probe runs on the queries-x-k relation (tiny);
+  the corpus-side scan is pruned to the probed partitions BEFORE reading
+  (asserted via PartitionFilters in the plan audit); candidate scoring is
+  the same equi-join-on-centroid shape as the inline query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serene_spark.catalog import register_views
+from serene_spark.functions.sqlgen import SPARK
+from serene_spark.operators.similarity import (
+    N_CENTROIDS,
+    N_PROBE,
+    N_QUERIES,
+    TOP_K,
+    cosine_expr,
+    ivf_centroids_sql,
+)
+
+
+def build_ivf_index(
+    spark: SparkSession, sf_dir: str, index_path: str, k: int = N_CENTROIDS
+) -> None:
+    """Assign every vector to its nearest coarse centroid and persist the
+    inverted lists partitioned by centroid (plus the centroid table itself
+    as a ``_centroids`` sibling — it is part of the index)."""
+    register_views(spark, sf_dir, ("embeddings",))
+    cos_assign = cosine_expr(SPARK, "v.embedding", "cen.centroid")
+    assigned = spark.sql(f"""
+WITH centroids AS ({ivf_centroids_sql(SPARK, k)})
+SELECT vec_id, embedding, centroid_id FROM (
+  SELECT v.vec_id, v.embedding, cen.centroid_id,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                            ORDER BY round({cos_assign}, 6) DESC,
+                                     cen.centroid_id ASC) AS rk
+  FROM embeddings v CROSS JOIN centroids cen
+) a WHERE rk = 1
+""")
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(index_path)
+    spark.sql(
+        f"SELECT centroid_id, centroid FROM ({ivf_centroids_sql(SPARK, k)}) c"
+    ).write.mode("overwrite").parquet(index_path + "_centroids")
+
+
+def search_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    n_probe: int = N_PROBE,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """Top-k cosine search against a persisted index.
+
+    The probed centroid ids are computed driver-side from the tiny
+    (queries x k) relation and injected as a literal IN-list filter, so the
+    inverted-list scan prunes to n_probe-of-k partitions at PLANNING time
+    (dynamic partition pruning would do this join-side on a cluster; the
+    literal filter makes the pruning visible and testable in local mode).
+    """
+    register_views(spark, sf_dir, ("embeddings",))
+    spark.read.parquet(index_path + "_centroids").createOrReplaceTempView(
+        "__ivf_centroids"
+    )
+    cos_probe = cosine_expr(SPARK, "q.embedding", "cen.centroid")
+    probes = spark.sql(f"""
+SELECT vec_id, centroid_id FROM (
+  SELECT q.vec_id, cen.centroid_id,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY round({cos_probe}, 6) DESC,
+                                     cen.centroid_id ASC) AS rk
+  FROM embeddings q CROSS JOIN __ivf_centroids cen
+  WHERE q.vec_id < {N_QUERIES}
+) p WHERE rk <= {n_probe}
+""")
+    probes.createOrReplaceTempView("__ivf_probes")
+    probed_ids = sorted({r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()})
+    id_list = ", ".join(str(i) for i in probed_ids)
+
+    lists = (
+        spark.read.parquet(index_path)
+        .filter(F.col("centroid_id").isin(probed_ids))
+    )
+    lists.createOrReplaceTempView("__ivf_lists")
+    cos_exact = cosine_expr(SPARK, "q.embedding", "l.embedding")
+    out = spark.sql(f"""
+WITH scored AS (
+  SELECT /*+ BROADCAST(p) */ p.vec_id AS query_id, l.vec_id AS neighbor_id,
+         round({cos_exact}, 6) AS cosine
+  FROM __ivf_probes p
+  JOIN embeddings q ON q.vec_id = p.vec_id
+  JOIN __ivf_lists l
+    ON p.centroid_id = l.centroid_id AND p.vec_id <> l.vec_id
+  WHERE l.centroid_id IN ({id_list})
+)
+SELECT query_id, neighbor_id, cosine, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT scored.*,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rk
+  FROM scored
+) r WHERE rk <= {top_k}
+""")
+    return out
