@@ -1,0 +1,102 @@
+"""Change-data-capture apply and SCD2 history — the lakehouse upsert
+semantics (Delta/Iceberg MERGE, Debezium-style op streams) expressed as
+pure windowed SQL over the events table.
+
+The events stream reads naturally as a CDC feed keyed by user_id:
+``signup`` = INSERT, ``click``/``view``/``purchase`` = UPDATE (new value),
+``error`` = DELETE. Two consumers:
+
+* cdc_latest_state — the MERGE/upsert result: per key, the latest op wins
+  (event-time order, event_id tie-break); a key whose latest op is DELETE
+  is absent from the output. One window partitioned by the natural key —
+  the exact shape a 100 TB snapshot rebuild runs (and the per-partition
+  compaction a lakehouse MERGE performs under the hood).
+* scd2_history — the slowly-changing-dimension type-2 table: every
+  value-bearing op becomes a versioned row with [valid_from, valid_to)
+  micros, closed by the NEXT op on the same key (LEAD) and left open
+  (NULL) for the current version; a DELETE closes the last version without
+  opening a new one. This is the warehouse history-tracking pattern, one
+  LEAD window per key.
+
+Both are single-statement, dialect-shared, oracle-checked; both shuffle
+once on the key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from serene_spark.catalog import register_views
+from serene_spark.functions.sqlgen import DUCKDB, SPARK, epoch_us
+from serene_spark.registry import register
+
+
+def _ops_rel(dialect: str) -> str:
+    us = epoch_us(dialect, "ts")
+    return f"""
+ops AS (
+  SELECT user_id, event_id, {us} AS ts_us,
+         CASE WHEN event_type = 'signup' THEN 'I'
+              WHEN event_type = 'error' THEN 'D'
+              ELSE 'U' END AS op,
+         value
+  FROM events
+)"""
+
+
+def cdc_latest_state_sql(dialect: str) -> str:
+    """MERGE semantics: latest op per key wins; DELETE-latest keys vanish."""
+    return f"""
+WITH {_ops_rel(dialect)},
+latest AS (
+  SELECT user_id, event_id, ts_us, op, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts_us DESC, event_id DESC) AS rk
+  FROM ops
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(ts_us AS BIGINT) AS last_ts_us,
+       op AS last_op,
+       round(CAST(value AS DOUBLE), 6) AS last_value
+FROM latest
+WHERE rk = 1 AND op <> 'D'
+"""
+
+
+def scd2_history_sql(dialect: str) -> str:
+    """SCD2: one versioned row per value-bearing op, valid until the next op
+    on the key (any type — a DELETE closes the version too); the newest
+    version stays open unless closed by a DELETE."""
+    return f"""
+WITH {_ops_rel(dialect)},
+versioned AS (
+  SELECT user_id, event_id, ts_us, op, value,
+         LEAD(ts_us) OVER (PARTITION BY user_id
+                           ORDER BY ts_us, event_id) AS next_ts_us
+  FROM ops
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS version_id,
+       round(CAST(value AS DOUBLE), 6) AS value,
+       CAST(ts_us AS BIGINT) AS valid_from_us,
+       CAST(next_ts_us AS BIGINT) AS valid_to_us,
+       CASE WHEN next_ts_us IS NULL THEN 1 ELSE 0 END AS is_current
+FROM versioned
+WHERE op <> 'D'
+"""
+
+
+def _events_query(sql_fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, ("events",))
+        return spark.sql(sql_fn(SPARK))
+
+    return run
+
+
+register("cdc_latest_state", oracle=cdc_latest_state_sql(DUCKDB),
+         doc="CDC/MERGE apply: latest op per key wins, DELETE-latest keys "
+         "absent (lakehouse upsert semantics)")(_events_query(cdc_latest_state_sql))
+register("scd2_history", oracle=scd2_history_sql(DUCKDB),
+         doc="SCD type-2 dimension history: versioned rows with "
+         "[valid_from, valid_to) and is_current flags")(_events_query(scd2_history_sql))

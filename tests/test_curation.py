@@ -110,3 +110,41 @@ def test_semdedup_drop_list_semantics(duck):
     for dropped_id, kept_id, _cluster, max_cos in rows:
         assert kept_id < dropped_id  # representative is the lowest id
         assert max_cos >= SEMDEDUP_THRESHOLD
+
+
+def test_cdc_and_scd2_invariants(duck):
+    """MERGE/SCD2 semantics pins: latest-wins state, DELETE keys absent,
+    version intervals chain without gaps or overlaps per key."""
+    from serene_spark.operators.cdc import cdc_latest_state_sql, scd2_history_sql
+    from serene_spark.functions.sqlgen import DUCKDB
+
+    state = duck.execute(cdc_latest_state_sql(DUCKDB)).fetchall()
+    assert state
+    # no key whose chronologically-last op is an error may appear
+    last_ops = dict(
+        duck.execute("""
+            SELECT user_id, event_type FROM (
+              SELECT user_id, event_type,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) rk
+              FROM events) t WHERE rk = 1
+        """).fetchall()
+    )
+    for user_id, _ts, op, _val in state:
+        assert last_ops[user_id] != "error"
+        assert op in ("I", "U")
+    deleted = {u for u, et in last_ops.items() if et == "error"}
+    assert deleted.isdisjoint({r[0] for r in state})
+
+    hist = duck.execute(scd2_history_sql(DUCKDB)).fetchall()
+    by_user = {}
+    for user_id, vid, val, vfrom, vto, cur in hist:
+        by_user.setdefault(user_id, []).append((vfrom, vto, cur))
+    for user_id, rows in by_user.items():
+        rows.sort()
+        opens = [r for r in rows if r[1] is None]
+        assert len(opens) <= 1  # at most one open (current) version
+        for (f1, t1, _), (f2, _t2, _) in zip(rows, rows[1:]):
+            assert t1 is not None and t1 <= f2  # intervals ordered, no overlap
+        for f, t, cur in rows:
+            assert (t is None) == (cur == 1)
