@@ -32,6 +32,7 @@ from serene_spark.operators.similarity import (
     N_QUERIES,
     TOP_K,
     cosine_expr,
+    ivf_assign_sql,
     ivf_centroids_sql,
 )
 
@@ -43,16 +44,11 @@ def build_ivf_index(
     inverted lists partitioned by centroid (plus the centroid table itself
     as a ``_centroids`` sibling — it is part of the index)."""
     register_views(spark, sf_dir, ("embeddings",))
-    cos_assign = cosine_expr(SPARK, "v.embedding", "cen.centroid")
+    # the assignment rule is ivf_assign_sql — the SAME definition the inline
+    # search and the Lloyd loop use, so bit-identity is structural
     assigned = spark.sql(f"""
 WITH centroids AS ({ivf_centroids_sql(SPARK, k)})
-SELECT vec_id, embedding, centroid_id FROM (
-  SELECT v.vec_id, v.embedding, cen.centroid_id,
-         ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                            ORDER BY round({cos_assign}, 6) DESC,
-                                     cen.centroid_id ASC) AS rk
-  FROM embeddings v CROSS JOIN centroids cen
-) a WHERE rk = 1
+{ivf_assign_sql(SPARK)}
 """)
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(index_path)
     spark.sql(
@@ -90,10 +86,16 @@ SELECT vec_id, centroid_id FROM (
   WHERE q.vec_id < {N_QUERIES}
 ) p WHERE rk <= {n_probe}
 """)
+    probes = probes.cache()  # consumed twice: driver id-list + final join
     probes.createOrReplaceTempView("__ivf_probes")
     probed_ids = sorted({r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()})
-    id_list = ", ".join(str(i) for i in probed_ids)
+    if not probed_ids:  # empty query set: empty result, not malformed SQL
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rk long"
+        )
 
+    # .isin on the scan is what drives the partition pruning; the join's
+    # equi-condition on centroid_id needs no second literal copy
     lists = (
         spark.read.parquet(index_path)
         .filter(F.col("centroid_id").isin(probed_ids))
@@ -108,7 +110,6 @@ WITH scored AS (
   JOIN embeddings q ON q.vec_id = p.vec_id
   JOIN __ivf_lists l
     ON p.centroid_id = l.centroid_id AND p.vec_id <> l.vec_id
-  WHERE l.centroid_id IN ({id_list})
 )
 SELECT query_id, neighbor_id, cosine, CAST(rk AS BIGINT) AS rk
 FROM (

@@ -27,12 +27,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from serene_spark.functions.sqlgen import SPARK as SPARK_DIALECT
 from serene_spark.session import tune_session
 
-# same normalization + fingerprint as the batch operator (curation.py NORM/md5)
-_FP_EXPR = (
-    "md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r]+', ' ')))"
-)
+def _fp_expr() -> str:
+    """The batch operator's fingerprint, BY CONSTRUCTION: md5 over the same
+    NORM(SPARK) normalization snapshot_delta_dedup uses (curation.py) — a
+    change to NORM changes both sides together, so batch and streaming
+    always agree on what a duplicate is."""
+    from serene_spark.operators.text_analysis import NORM
+
+    return f"md5({NORM(SPARK_DIALECT)})"
 
 DOCS_DDL = "doc_id long, text string, lang string, source string, n_chars long"
 
@@ -63,7 +68,7 @@ def start_incremental_dedup(
         spark_ = batch_df.sparkSession
         fps = (
             batch_df.select(
-                F.expr(_FP_EXPR).alias("fp"), "doc_id", "source"
+                F.expr(_fp_expr()).alias("fp"), "doc_id", "source"
             )
             # within-batch dedup: lowest doc_id wins (same rule as the batch op)
             .withColumn(
@@ -73,6 +78,8 @@ def start_incremental_dedup(
             .filter(F.col("rk") == 1)
             .drop("rk")
         )
+        from pyspark.errors import AnalysisException
+
         try:
             # exclude this epoch's own prior (replayed) output from "seen",
             # or a redelivered epoch would anti-join itself away
@@ -81,8 +88,10 @@ def start_incremental_dedup(
                 .filter(F.col("epoch") != epoch_id)
                 .select("fp")
             )
-        except Exception:  # first epoch: no index yet
-            seen = None
+        except AnalysisException:  # first epoch: no index yet — any OTHER
+            seen = None            # read failure must fail the batch so the
+                                   # checkpoint retries it (a swallowed error
+                                   # here would poison the index with dups)
         fresh = fps if seen is None else fps.join(seen, "fp", "left_anti")
         (
             fresh.withColumn("epoch", F.lit(epoch_id))

@@ -141,7 +141,9 @@ def test_cdc_and_scd2_invariants(duck):
     for user_id, vid, val, vfrom, vto, cur in hist:
         by_user.setdefault(user_id, []).append((vfrom, vto, cur))
     for user_id, rows in by_user.items():
-        rows.sort()
+        # explicit key: valid_to may be None (open version) and tuple
+        # comparison would TypeError on int-vs-None ties
+        rows.sort(key=lambda r: (r[0], r[1] is None, r[1] or 0))
         opens = [r for r in rows if r[1] is None]
         assert len(opens) <= 1  # at most one open (current) version
         for (f1, t1, _), (f2, _t2, _) in zip(rows, rows[1:]):

@@ -28,7 +28,7 @@ def test_two_drain_index_is_first_occurrence_unique(spark, tmp_path):
         [(i, t, "en", "src1", len(t)) for i, t in enumerate(texts1)],
     )
     q = start_incremental_dedup(spark, str(docs_dir), index_dir, ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(300)  # availableNow self-terminates; False = timeout
 
     idx1 = spark.read.parquet(index_dir).collect()
     assert len(idx1) == 8  # 10 docs, 2 within-batch dups dropped
@@ -42,7 +42,7 @@ def test_two_drain_index_is_first_occurrence_unique(spark, tmp_path):
         [(100 + i, t, "en", "src2", len(t)) for i, t in enumerate(texts2)],
     )
     q = start_incremental_dedup(spark, str(docs_dir), index_dir, ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(300)
 
     idx2 = spark.read.parquet(index_dir).collect()
     fps = [r["fp"] for r in idx2]

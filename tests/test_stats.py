@@ -22,14 +22,14 @@ def test_equi_depth_buckets_are_balanced_and_ordered(duck):
     rows = sorted(duck.execute(equi_depth_histogram_sql(DUCKDB)).fetchall())
     n = sum(r[1] for r in rows)
     assert len(rows) == HIST_BUCKETS
+    # equal depth up to tie spill: a bucket can't exceed its fair share
+    # by more than the heaviest value's count
+    heaviest = duck.execute(
+        "SELECT MAX(c) FROM (SELECT COUNT(*) c FROM lineitem GROUP BY l_extendedprice)"
+    ).fetchone()[0]
     prev_max = None
     for bucket, n_rows, n_distinct, min_v, max_v in rows:
         assert 0 <= bucket < HIST_BUCKETS
-        # equal depth up to tie spill: a bucket can't exceed its fair share
-        # by more than the heaviest value's count
-        heaviest = duck.execute(
-            "SELECT MAX(c) FROM (SELECT COUNT(*) c FROM lineitem GROUP BY l_extendedprice)"
-        ).fetchone()[0]
         assert n_rows <= n / HIST_BUCKETS + heaviest
         assert min_v <= max_v
         if prev_max is not None:
