@@ -284,27 +284,51 @@ def semdedup_k(n_vectors: int, target_cluster_size: int = 4096) -> int:
     """Scale rule for the cluster count: k ~ n / target keeps the
     within-cluster pair join bounded (expected cluster = target, pairs =
     n·target/2) as the corpus grows; SEMDEDUP_K = 16 matches the test
-    corpus (500 vectors / 32)."""
+    corpus (500 vectors / 32). ``semdedup_geom_rel`` is this formula's
+    in-query SQL twin — the registered query derives k from the corpus at
+    runtime, so a 100x corpus gets more clusters with no code change."""
     return max(16, n_vectors // target_cluster_size)
 
 
-def semdedup_sql(dialect: str, k: int = SEMDEDUP_K,
+def semdedup_geom_rel(dialect: str, target_cluster_size: int = 4096) -> str:
+    """Single-row relation computing the cluster count from the CORPUS SIZE
+    (SQL twin of ``semdedup_k``, same pattern as similarity.ann_geom_rel)."""
+    return (
+        f"sem_geom AS (SELECT GREATEST({SEMDEDUP_K}, "
+        f"CAST(COUNT(*) / {target_cluster_size} AS BIGINT)) AS k "
+        "FROM embeddings)"
+    )
+
+
+def semdedup_sql(dialect: str,
                  threshold: float = SEMDEDUP_THRESHOLD) -> str:
     """Semantic dedup (SemDeDup, arXiv:2303.09540): cluster embeddings with
-    ``k`` coarse centroids, then inside each cluster drop every vector that
+    coarse centroids, then inside each cluster drop every vector that
     has a lower-id near-duplicate (cosine >= threshold).  Emits the drop
     list with the kept representative and the max offending similarity.
 
-    Candidates are an equi-join on cluster id — the all-pairs scan SemDeDup
-    exists to avoid never happens; assignment is a broadcast nested-loop
-    over k tiny centroids (no corpus shuffle).
+    The cluster count is derived IN-QUERY from the corpus size
+    (``semdedup_geom_rel`` — k grows with n so the within-cluster pair join
+    stays bounded at any scale; evaluates to SEMDEDUP_K=16 on the test
+    corpus, keeping the oracle stable). Candidates are an equi-join on
+    cluster id — the all-pairs scan SemDeDup exists to avoid never happens;
+    assignment is a broadcast nested-loop over k tiny centroids (no corpus
+    shuffle).
     """
-    from serene_spark.operators.similarity import cosine_expr, ivf_centroids_sql
+    from serene_spark.operators.similarity import cosine_expr
 
     cos_assign = cosine_expr(dialect, "v.embedding", "cen.centroid")
     cos_pair = cosine_expr(dialect, "a.embedding", "b.embedding")
     return f"""
-WITH centroids AS ({ivf_centroids_sql(dialect, k)}),
+WITH {semdedup_geom_rel(dialect)},
+cand AS (
+  SELECT vec_id AS centroid_id, embedding AS centroid,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS STRING)), vec_id) AS rn
+  FROM embeddings
+),
+centroids AS (
+  SELECT centroid_id, centroid FROM cand WHERE rn <= (SELECT k FROM sem_geom)
+),
 assigned AS (
   SELECT vec_id, embedding, centroid_id FROM (
     SELECT v.vec_id, v.embedding, cen.centroid_id,
