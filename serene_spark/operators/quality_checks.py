@@ -1,0 +1,229 @@
+"""Data-quality validation operators — Deequ-style constraint suites over
+warehouse tables: one-pass column metrics, declarative row constraints, and
+referential-integrity audits.
+
+The reference validates *semantic* quality of columns (profiling features →
+RF classifier); a production lakehouse also needs *structural* quality gates
+before those profiles are trusted.  These re-express the published
+Deequ/"unit tests for data" design (Schelter et al., "Automating Large-Scale
+Data Quality Verification", VLDB 2018) as single SQL statements, sharing the
+engine's dialect shims so every check is oracle-verified.
+
+Scale shapes (100 TB):
+
+* ``dq_metrics_orders`` — the whole battery from ONE scan: the table melts
+  to the engine's long ``(column_name, value)`` relation, a first
+  aggregation builds the per-(column, value) histogram (high-cardinality
+  shuffle key — parallelism is never capped at #columns), and the tiny
+  histogram yields completeness / distinctness / distinct counts for every
+  column.  Same cascade as ``profile_scalar``; a UNION-ALL-of-one-agg-CTE
+  formulation was rejected because Catalyst inlines the CTE per branch
+  (N columns -> N scans).  At 100 TB the exact distinct arm becomes the HLL
+  sketch of ``operators/sketches.py`` (documented swap, same shape).
+* ``dq_constraints_lineitem`` — every declarative row constraint is a
+  CASE-count in the same single aggregation: N constraints never cost N
+  scans.  Map-side partial aggregation makes the shuffle one row per
+  partition.
+* ``dq_fk_orphans`` — referential integrity as anti-join counts: dimension
+  sides (customer, part, supplier, nation, region) broadcast; the one
+  fact-to-fact edge (lineitem→orders) shuffles on the join key, which a
+  bucketed layout (sources/layout.py::write_bucketed) makes exchange-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from serene_spark.catalog import register_views
+from serene_spark.functions.melt import melt_sql
+from serene_spark.functions.sqlgen import DUCKDB, SPARK, explode_seq
+from serene_spark.registry import register
+
+# Declarative constraint suite for lineitem — the Deequ Check(...) analog.
+# Each entry: (constraint name, SQL predicate that *violating* rows fail).
+LINEITEM_CONSTRAINTS = [
+    ("quantity_positive", "l_quantity > 0"),
+    ("discount_unit_interval", "l_discount >= 0 AND l_discount <= 1"),
+    ("tax_non_negative", "l_tax >= 0"),
+    ("extendedprice_positive", "l_extendedprice > 0"),
+    ("returnflag_domain", "l_returnflag IN ('A', 'N', 'R')"),
+    ("linestatus_domain", "l_linestatus IN ('F', 'O')"),
+    ("shipdate_complete", "l_shipdate IS NOT NULL"),
+    ("linenumber_range", "l_linenumber BETWEEN 1 AND 7"),
+]
+
+# Per-column metric set for orders — the Deequ Analyzer battery.
+ORDERS_METRIC_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+# FK edges of the star schema: (constraint, child, fk expr, parent, pk expr,
+# broadcastable parent?).  lineitem->orders is the only fact-to-fact edge.
+FK_EDGES = [
+    ("orders_custkey_fk", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem_orderkey_fk", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_partkey_fk", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem_suppkey_fk", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer_nationkey_fk", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier_nationkey_fk", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation_regionkey_fk", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def dq_metrics_sql(long_rel: str, dialect: str) -> str:
+    """Column-metric battery over a long ``(column_name, value)`` relation.
+
+    completeness = non-missing fraction under the reference's missing-value
+    convention (``trim(value) = ''`` is missing; nulls melt to '' —
+    FeatureExtractor.scala:98-101), distinctness = distinct non-missing
+    values / rows.  Histogram cascade: the only table-sized aggregation
+    keys on (column_name, value); the per-column reduce consumes the tiny
+    distinct-value histogram.
+    """
+    cols = ", ".join(f"'{c}'" for c in ORDERS_METRIC_COLS)
+    return f"""
+WITH hist AS (
+  SELECT column_name, value, COUNT(*) AS cnt
+  FROM {long_rel} l
+  GROUP BY column_name, value
+)
+SELECT column_name AS col_name,
+       ROUND(CAST(SUM(CASE WHEN trim(value) <> '' THEN cnt ELSE 0 END) AS DOUBLE)
+             / SUM(cnt), 6) AS completeness,
+       ROUND(CAST(SUM(CASE WHEN trim(value) <> '' THEN 1 ELSE 0 END) AS DOUBLE)
+             / SUM(cnt), 6) AS distinctness,
+       CAST(SUM(CASE WHEN trim(value) <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_distinct,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows
+FROM hist
+WHERE column_name IN ({cols})
+GROUP BY column_name
+"""
+
+
+def _index_reshape(names_vals: list[tuple[str, str]], dialect: str,
+                   src: str, extra: str = "") -> str:
+    """Reshape a single-row wide aggregate into long (constraint_name,
+    violations, ...) rows by exploding an index over the SAME agg row —
+    exactly one reference to ``src``.  (A UNION-ALL-of-CTE reshape is NOT
+    equivalent: Catalyst inlines the CTE into every branch, turning an
+    N-constraint suite into N scans.)"""
+    n = len(names_vals)
+    name_case = "CASE i " + " ".join(
+        f"WHEN {i + 1} THEN '{name}'" for i, (name, _v) in enumerate(names_vals)
+    ) + " END"
+    val_case = "CASE i " + " ".join(
+        f"WHEN {i + 1} THEN {val}" for i, (_n, val) in enumerate(names_vals)
+    ) + " END"
+    return f"""
+SELECT {name_case} AS constraint_name,
+       CAST({val_case} AS BIGINT) AS violations{extra}
+FROM (SELECT m.*, {explode_seq(dialect, 1, n)} AS i FROM {src} m) r"""
+
+
+def dq_constraints_sql(dialect: str) -> str:
+    """Declarative constraint verification over lineitem: every constraint
+    is one CASE-count arm of a single aggregation (one scan for the whole
+    suite), reshaped into a long (constraint, violations, total, passed)
+    report via an index explode over the one agg row."""
+    arms = ",\n         ".join(
+        f"SUM(CASE WHEN NOT ({pred}) THEN 1 ELSE 0 END) AS v_{name}"
+        for name, pred in LINEITEM_CONSTRAINTS
+    )
+    reshape = _index_reshape(
+        [(name, f"v_{name}") for name, _p in LINEITEM_CONSTRAINTS],
+        dialect,
+        "m",
+        extra=",\n       CAST(n_rows AS BIGINT) AS n_rows",
+    )
+    return f"""
+WITH m AS (
+  SELECT COUNT(*) AS n_rows,
+         {arms}
+  FROM lineitem
+)
+SELECT constraint_name, violations, n_rows,
+       CASE WHEN violations = 0 THEN 1 ELSE 0 END AS passed
+FROM ({reshape}) x
+"""
+
+
+def dq_fk_orphans_sql(dialect: str) -> str:
+    """Referential-integrity audit: orphan counts per FK edge of the star
+    schema.  NULL FKs are not orphans (SQL FK semantics).
+
+    One scan per CHILD table, not per edge: all of a child's FK edges are
+    checked in chained LEFT joins against DISTINCT parent keys in a single
+    pass (lineitem's three edges cost one lineitem scan), counted in one
+    agg row and reshaped with the index explode.  Dimension parents
+    broadcast; lineitem→orders is the one genuine shuffle, which a bucketed
+    layout makes exchange-free."""
+    by_child: dict[str, list[tuple[str, str, str, str]]] = {}
+    for name, child, fk, parent, pk in FK_EDGES:
+        by_child.setdefault(child, []).append((name, fk, parent, pk))
+    parts = []
+    for child, edges in by_child.items():
+        joins = "\n  ".join(
+            f"LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p{i} ON c.{fk} = p{i}.{pk}"
+            for i, (_n, fk, parent, pk) in enumerate(edges)
+        )
+        arms = ",\n         ".join(
+            f"SUM(CASE WHEN c.{fk} IS NOT NULL AND p{i}.{pk} IS NULL THEN 1 ELSE 0 END) AS v_{name}"
+            for i, (name, fk, _p, pk) in enumerate(edges)
+        )
+        agg = f"(SELECT {arms} FROM {child} c\n  {joins})"
+        parts.append(
+            "SELECT constraint_name, violations AS orphans FROM ("
+            + _index_reshape([(name, f"v_{name}") for name, *_ in edges], dialect, agg)
+            + ") x"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+_DQ_TABLES = ("orders", "lineitem", "customer", "supplier", "part", "nation", "region")
+
+
+def _q(sql_fn, tables):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, tables)
+        return spark.sql(sql_fn(SPARK))
+
+    return run
+
+
+def _dq_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serene_spark.catalog import load_table
+    from serene_spark.functions.melt import melt
+
+    # melt = narrow stack projection (one pruned scan); its spread() is a
+    # no-op on properly-partitioned cluster inputs
+    long_df = melt(load_table(spark, sf_dir, "orders"))
+    long_df.createOrReplaceTempView("__dq_orders_long")
+    out = spark.sql(dq_metrics_sql("__dq_orders_long", SPARK))
+    return out
+
+
+register(
+    "dq_metrics_orders",
+    oracle=dq_metrics_sql(melt_sql("orders", ORDERS_METRIC_COLS), DUCKDB),
+    doc="Deequ-style column-metric battery over orders: completeness, "
+    "distinctness, distinct counts — one scan + histogram cascade",
+)(_dq_metrics)
+
+register(
+    "dq_constraints_lineitem",
+    oracle=dq_constraints_sql(DUCKDB),
+    doc="declarative row-constraint suite over lineitem (domains, ranges, "
+    "completeness) as CASE-counts in a single aggregation",
+)(_q(dq_constraints_sql, ("lineitem",)))
+
+register(
+    "dq_fk_orphans",
+    oracle=dq_fk_orphans_sql(DUCKDB),
+    doc="referential-integrity audit: orphan counts for every FK edge of "
+    "the star schema via broadcast anti-joins",
+)(_q(dq_fk_orphans_sql, _DQ_TABLES))

@@ -1,0 +1,122 @@
+"""Data-quality validation suite (operators/quality_checks.py).
+
+Oracle parity for all three queries runs in test_oracle_parity / the driver
+gate; these pin the *semantic invariants* of the checks themselves: the
+metric battery reads the table once, constraints report real violations on
+a corrupted relation, and the FK audit counts exactly the injected orphans.
+"""
+
+from __future__ import annotations
+
+from serene_spark.operators.quality_checks import (
+    FK_EDGES,
+    LINEITEM_CONSTRAINTS,
+    dq_constraints_sql,
+    dq_fk_orphans_sql,
+    dq_metrics_sql,
+)
+from serene_spark.functions.sqlgen import SPARK
+from serene_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dq_metrics_one_scan_and_sane(spark):
+    q = load_all()["dq_metrics_orders"]
+    rows = {r["col_name"]: r for r in q.spark(spark, SF).collect()}
+    assert set(rows) == {"o_orderkey", "o_custkey", "o_orderstatus",
+                        "o_totalprice", "o_orderdate", "o_orderpriority"}
+    # primary key: fully complete and fully distinct
+    pk = rows["o_orderkey"]
+    assert pk["completeness"] == 1.0 and pk["distinctness"] == 1.0
+    assert pk["n_distinct"] == pk["n_rows"]
+    # low-cardinality enum: distinctness near zero, n_distinct tiny
+    st = rows["o_orderstatus"]
+    assert st["n_distinct"] <= 5 and st["distinctness"] < 0.01
+    # ONE scan for the whole battery: the melt+histogram cascade reads the
+    # table exactly once (a UNION-of-agg-CTE shape would scan per column)
+    plan = q.spark(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+
+
+def test_dq_constraints_clean_corpus_passes(spark):
+    q = load_all()["dq_constraints_lineitem"]
+    rows = {r["constraint_name"]: r for r in q.spark(spark, SF).collect()}
+    assert set(rows) == {name for name, _ in LINEITEM_CONSTRAINTS}
+    # the synthetic corpus satisfies the physical-sanity constraints
+    for name in ("quantity_positive", "discount_unit_interval",
+                 "shipdate_complete"):
+        assert rows[name]["violations"] == 0 and rows[name]["passed"] == 1
+    n = {r["n_rows"] for r in rows.values()}
+    assert len(n) == 1  # every constraint saw the same single scan
+    plan = q.spark(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+
+
+def test_dq_constraints_detect_corruption(spark):
+    """Corrupt a copy of lineitem and assert the suite counts the exact
+    violation totals — the checks measure, not just pass."""
+    df = spark.read.parquet(f"{SF}/lineitem.parquet")
+    from pyspark.sql import functions as F
+
+    bad = df.withColumn(
+        "l_quantity",
+        F.when(F.col("l_linenumber") == 1, -F.col("l_quantity")).otherwise(F.col("l_quantity")),
+    ).withColumn(
+        "l_discount",
+        F.when(F.col("l_linenumber") == 2, F.lit(1.5)).otherwise(F.col("l_discount")),
+    )
+    bad.createOrReplaceTempView("lineitem")
+    rows = {r["constraint_name"]: r for r in spark.sql(dq_constraints_sql(SPARK)).collect()}
+    n1 = df.filter("l_linenumber = 1").count()
+    n2 = df.filter("l_linenumber = 2").count()
+    assert rows["quantity_positive"]["violations"] == n1
+    assert rows["discount_unit_interval"]["violations"] == n2
+    assert rows["quantity_positive"]["passed"] == 0
+    spark.catalog.dropTempView("lineitem")
+
+
+def test_dq_fk_orphans_clean_and_injected(spark):
+    q = load_all()["dq_fk_orphans"]
+    rows = {r["constraint_name"]: r["orphans"] for r in q.spark(spark, SF).collect()}
+    assert set(rows) == {name for name, *_ in FK_EDGES}
+    assert all(v == 0 for v in rows.values())  # driver data is referentially intact
+
+    # inject orphans: shift 10 customer FKs far out of the parent key range
+    from pyspark.sql import functions as F
+
+    for name, child, fk, parent, pk in FK_EDGES:
+        spark.read.parquet(f"{SF}/{child}.parquet").createOrReplaceTempView(child)
+        spark.read.parquet(f"{SF}/{parent}.parquet").createOrReplaceTempView(parent)
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    broken = orders.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 100 == 0, F.col("o_custkey") + 10_000_000)
+        .otherwise(F.col("o_custkey")),
+    )
+    broken.createOrReplaceTempView("orders")
+    n_broken = broken.filter("o_orderkey % 100 = 0").count()
+    rows2 = {r["constraint_name"]: r["orphans"]
+             for r in spark.sql(dq_fk_orphans_sql(SPARK)).collect()}
+    assert rows2["orders_custkey_fk"] == n_broken
+    assert rows2["lineitem_partkey_fk"] == 0
+    for name, child, fk, parent, pk in FK_EDGES:
+        spark.catalog.dropTempView(child)
+        spark.catalog.dropTempView(parent)
+
+
+def test_dq_fk_dimension_joins_broadcast_and_one_scan_per_child(spark):
+    """Dimension-parent FK checks must plan as broadcast joins (no shuffle
+    of the child for a tiny parent), and each child table is scanned once
+    for ALL its FK edges — lineitem's three edges share one scan."""
+    q = load_all()["dq_fk_orphans"]
+    plan = q.spark(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    lineitem_scans = len(re.findall(r"FileScan parquet[^\n]*lineitem\.parquet", plan))
+    assert lineitem_scans == 1, plan
+    # ...and that one scan is pruned to exactly the three FK columns
+    m = re.search(r"FileScan parquet \[([^\]]*)\][^\n]*lineitem\.parquet", plan)
+    read_cols = {c.split("#")[0] for c in m.group(1).split(",")}
+    assert read_cols == {"l_orderkey", "l_partkey", "l_suppkey"}
