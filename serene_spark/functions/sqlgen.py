@@ -218,3 +218,15 @@ def re_extract_all_count(dialect: str, expr: str, pat: str) -> str:
     if dialect == DUCKDB:
         return f"len(regexp_extract_all({expr}, '{pat}'))"
     return f"size(regexp_extract_all({expr}, '{pat}', 0))"
+
+
+def arg_min_by(dialect: str, val: str, key: str) -> str:
+    """Value of ``val`` at the minimum ``key`` (DuckDB arg_min / Spark min_by)."""
+    fn = "arg_min" if dialect == DUCKDB else "min_by"
+    return f"{fn}({val}, {key})"
+
+
+def arg_max_by(dialect: str, val: str, key: str) -> str:
+    """Value of ``val`` at the maximum ``key`` (DuckDB arg_max / Spark max_by)."""
+    fn = "arg_max" if dialect == DUCKDB else "max_by"
+    return f"{fn}({val}, {key})"

@@ -96,6 +96,17 @@ FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
+CUBE_SQL = """
+SELECT
+  CASE WHEN GROUPING(o_orderstatus) = 1 THEN '<all>' ELSE o_orderstatus END AS orderstatus,
+  CASE WHEN GROUPING(o_orderpriority) = 1 THEN '<all>' ELSE o_orderpriority END AS orderpriority,
+  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS grouping_id,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
 PREV_ORDER_GAP_SQL = """
 SELECT o_custkey, o_orderkey,
        CAST(o_orderdate AS STRING) AS orderdate,
@@ -499,6 +510,7 @@ register("q3_shipping_priority", oracle=Q3_SQL, doc="TPC-H-style Q3: 3-way join 
 register("q5_local_supplier", oracle=Q5_SQL, doc="TPC-H-style Q5: 6-way join, revenue per nation")(_sql_query(Q5_SQL))
 register("topk_customers_per_nation", oracle=TOPK_WINDOW_SQL, doc="window row_number top-3 per group")(_sql_query(TOPK_WINDOW_SQL))
 register("rollup_orders", oracle=ROLLUP_SQL, doc="ROLLUP aggregation with decimal-exact money sums")(_sql_query(ROLLUP_SQL))
+register("cube_orders", oracle=CUBE_SQL, doc="CUBE aggregation across all grouping-set combinations, GROUPING() disambiguation (null-safe, unlike coalesce labels)")(_sql_query(CUBE_SQL))
 register("prev_order_gap", oracle=PREV_ORDER_GAP_SQL, doc="LAG window: each order with the customer's previous order date")(_sql_query(PREV_ORDER_GAP_SQL))
 register("q4_order_priority", oracle=Q4_SQL, doc="TPC-H-style Q4: EXISTS semi-join on late lineitems")(_sql_query(Q4_SQL))
 register("q6_forecast_revenue", oracle=Q6_SQL, doc="TPC-H-style Q6: pushdown-friendly filter + single agg")(_sql_query(Q6_SQL))

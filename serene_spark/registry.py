@@ -70,6 +70,8 @@ def load_all() -> dict[str, Query]:
         "serene_spark.operators.stats",
         "serene_spark.operators.cdc",
         "serene_spark.operators.quality_checks",
+        "serene_spark.operators.matview",
+        "serene_spark.operators.timeseries",
         "serene_spark.modeler.octopus",
         "serene_spark.modeler.report_fixture",
         "serene_spark.ml.pipeline",
