@@ -1,0 +1,133 @@
+"""Data-selection importance weighting (DSIR): score every raw document by
+how target-like its hashed n-gram distribution is, using the log-likelihood
+ratio between a target-domain language model and the raw-corpus model —
+Xie et al., "Data Selection for Language Models via Importance Resampling"
+(DSIR), arXiv:2302.03169.  The hashed bag-of-words estimator makes the
+feature space a fixed ``N_BUCKETS`` table, so the model fits in a broadcast
+no matter the corpus size.
+
+Pipeline (per the paper, deterministic variant):
+
+1. tokens hash into ``N_BUCKETS`` buckets (md5-based, engine-shared);
+2. unigram bucket distributions are estimated for the TARGET slice (here:
+   the curated-source proxy ``TARGET_SOURCES``) and the RAW corpus, with
+   Laplace +1 smoothing;
+3. each document scores ``Σ cnt_b · log(p_target(b)/p_raw(b))`` — positive
+   means "more target-like than raw"; ``selected`` flags positive
+   length-normalized scores (the paper samples ∝ weights; the deterministic
+   gate keeps the oracle exact).
+
+Scale shape (100 TB): ONE tokenize+hash pass materializes the per-(doc,
+bucket) count relation (localCheckpoint Spark-side — Catalyst would
+otherwise inline the shared CTE into both its consumers and tokenize the
+corpus twice); bucket stats reduce that relation to ``N_BUCKETS`` rows
+(broadcast); the per-doc score is one keyed agg over the same materialized
+relation.  Per-bucket log-ratios are rounded to 9 dp and summed as
+DECIMAL(18,9) so partial-aggregation order cannot move the result (engine
+convention, cf. lang_model_score).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from serene_spark.catalog import register_views
+from serene_spark.functions.sqlgen import (
+    DUCKDB,
+    SPARK,
+    explode,
+    hex_to_int,
+    rr,
+    split_re,
+)
+from serene_spark.operators.text_analysis import NORM
+from serene_spark.registry import register
+
+N_BUCKETS = 128
+# target-domain proxy: the "curated" sources whose distribution we want the
+# selected corpus to match
+TARGET_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+
+
+def doc_bucket_counts_sql(dialect: str) -> str:
+    """The materialization unit: per-(doc, bucket) token counts + target
+    flag — ONE tokenize+hash scan of documents."""
+    toks = split_re(dialect, NORM(dialect), "[^a-z0-9]+")
+    bucket = f"{hex_to_int(dialect, 'substr(md5(tok), 1, 8)')} % {N_BUCKETS}"
+    targets = ", ".join(f"'{s}'" for s in TARGET_SOURCES)
+    return f"""
+SELECT doc_id, is_target, {bucket} AS bucket, COUNT(*) AS cnt
+FROM (
+  SELECT doc_id, is_target, {explode(dialect, "toks")} AS tok
+  FROM (
+    SELECT doc_id,
+           CASE WHEN source IN ({targets}) THEN 1 ELSE 0 END AS is_target,
+           {toks} AS toks
+    FROM documents
+  ) d
+) t
+WHERE tok <> ''
+GROUP BY doc_id, is_target, bucket
+"""
+
+
+def dsir_tail_sql(dbc_rel: str, head: str = "WITH ") -> str:
+    """Score statement over a (doc_id, is_target, bucket, cnt) relation.
+    ``head`` lets the oracle splice these CTEs after its own dbc CTE."""
+    return f"""
+{head}bstats AS (
+  SELECT bucket,
+         SUM(CASE WHEN is_target = 1 THEN cnt ELSE 0 END) AS t_cnt,
+         SUM(cnt) AS r_cnt
+  FROM {dbc_rel}
+  GROUP BY bucket
+),
+tot AS (
+  SELECT SUM(t_cnt) AS t_tot, SUM(r_cnt) AS r_tot FROM bstats
+),
+ratios AS (
+  SELECT bucket,
+         CAST(ROUND(
+           LN((t_cnt + 1.0) / (t.t_tot + {N_BUCKETS}))
+           - LN((r_cnt + 1.0) / (t.r_tot + {N_BUCKETS})), 9)
+         AS DECIMAL(18,9)) AS llr
+  FROM bstats CROSS JOIN tot t
+)
+SELECT d.doc_id,
+       CAST(SUM(d.cnt) AS BIGINT) AS n_tokens,
+       -- cnt must be a NARROW decimal: BIGINT(20) x DECIMAL(18,9) exceeds
+       -- precision 38 and Spark silently drops the 9th scale digit
+       -- (decimalOperations.allowPrecisionLoss), shifting sums by ~1e-8
+       CAST(ROUND(SUM(CAST(d.cnt AS DECIMAL(12,0)) * r.llr), 6) AS DOUBLE) AS llr_sum,
+       ROUND(CAST(SUM(CAST(d.cnt AS DECIMAL(12,0)) * r.llr) AS DOUBLE)
+             / SUM(d.cnt), 6) AS llr_avg,
+       CASE WHEN SUM(CAST(d.cnt AS DECIMAL(12,0)) * r.llr) > 0 THEN 1 ELSE 0 END AS selected
+FROM {dbc_rel} d
+JOIN ratios r ON d.bucket = r.bucket
+GROUP BY d.doc_id
+"""
+
+
+def dsir_oracle_sql(dialect: str) -> str:
+    return (
+        f"WITH dbc AS ({doc_bucket_counts_sql(dialect)}),\n"
+        + dsir_tail_sql("dbc", head="")
+    )
+
+
+def _dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",), spread=True)
+    # materialize the tokenize pass once — the tail references it twice and
+    # Catalyst inlines shared CTEs (cluster analog: checkpoint/Delta table)
+    dbc = spark.sql(doc_bucket_counts_sql(SPARK)).localCheckpoint(eager=True)
+    dbc.createOrReplaceTempView("__dsir_dbc")
+    return spark.sql(dsir_tail_sql("__dsir_dbc"))
+
+
+register(
+    "dsir_importance",
+    oracle=dsir_oracle_sql(DUCKDB),
+    doc="DSIR importance weighting: hashed-unigram target-vs-raw "
+    "log-likelihood ratio per document with Laplace smoothing; "
+    "single tokenize pass, broadcast bucket model",
+)(_dsir)

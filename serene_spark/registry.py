@@ -72,6 +72,8 @@ def load_all() -> dict[str, Query]:
         "serene_spark.operators.quality_checks",
         "serene_spark.operators.matview",
         "serene_spark.operators.timeseries",
+        "serene_spark.operators.entity_resolution",
+        "serene_spark.operators.importance",
         "serene_spark.modeler.octopus",
         "serene_spark.modeler.report_fixture",
         "serene_spark.ml.pipeline",
