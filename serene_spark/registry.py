@@ -74,6 +74,7 @@ def load_all() -> dict[str, Query]:
         "serene_spark.operators.timeseries",
         "serene_spark.operators.entity_resolution",
         "serene_spark.operators.importance",
+        "serene_spark.operators.skyline",
         "serene_spark.modeler.octopus",
         "serene_spark.modeler.report_fixture",
         "serene_spark.ml.pipeline",
