@@ -75,6 +75,8 @@ def load_all() -> dict[str, Query]:
         "serene_spark.operators.entity_resolution",
         "serene_spark.operators.importance",
         "serene_spark.operators.skyline",
+        "serene_spark.operators.graph_rank",
+        "serene_spark.operators.contrastive",
         "serene_spark.modeler.octopus",
         "serene_spark.modeler.report_fixture",
         "serene_spark.ml.pipeline",

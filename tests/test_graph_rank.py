@@ -1,0 +1,71 @@
+"""PageRank (operators/graph_rank.py).
+
+Oracle parity (Spark == DuckDB on the unrolled iterations) runs in the
+driver gate; these pin the math against an independent numpy power-iteration
+reference and the structural invariants.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from serene_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def _reference(spark):
+    """Same formula, computed independently with numpy doubles."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    orders = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    sup = spark.read.parquet(f"{SF}/supplier.parquet").toPandas()
+    cs = (
+        li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")[
+            ["o_custkey", "l_suppkey"]
+        ]
+        .drop_duplicates()
+    )
+    pairs = cs.merge(cs, on="o_custkey")
+    edges = {
+        (a, b)
+        for a, b in zip(pairs["l_suppkey_x"], pairs["l_suppkey_y"])
+        if a != b
+    }
+    nodes = sorted(sup["s_suppkey"])
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for a, _b in edges:
+        outdeg[idx[a]] += 1
+    rank = np.full(n, round(1.0 / n, 9))
+    for _ in range(3):
+        contrib = np.zeros(n)
+        for a, b in edges:
+            contrib[idx[b]] += round(0.85 * rank[idx[a]] / outdeg[idx[a]], 9)
+        rank = np.round((1 - 0.85) / n + contrib, 9)
+    return nodes, idx, rank, outdeg
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    out = load_all()["pagerank_suppliers"].spark(spark, SF).toPandas()
+    nodes, idx, rank, outdeg = _reference(spark)
+    assert set(out["s_suppkey"]) == set(nodes)
+    for _, row in out.iterrows():
+        i = idx[row["s_suppkey"]]
+        assert abs(row["pagerank"] - round(rank[i], 6)) < 2e-6, row
+        assert row["degree"] == outdeg[i]
+
+
+def test_pagerank_invariants(spark):
+    out = load_all()["pagerank_suppliers"].spark(spark, SF).toPandas()
+    assert (out["pagerank"] > 0).all()
+    n = len(out)
+    # mass is bounded by 1 (no dangling redistribution -> sum <= 1 + eps)
+    assert out["pagerank"].sum() <= 1.0 + 1e-3
+    # teleport floor for edge-less nodes
+    floor = round((1 - 0.85) / n, 6)
+    assert (out[out["degree"] == 0]["pagerank"] == floor).all()
+    # rank correlates with degree (connected graph sanity)
+    top = out.nlargest(10, "pagerank")["degree"].mean()
+    bot = out.nsmallest(10, "pagerank")["degree"].mean()
+    assert top >= bot
