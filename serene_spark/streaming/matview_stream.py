@@ -1,0 +1,108 @@
+"""Streaming materialized-view maintenance — the continuous form of the
+batch ``matview_incremental_hourly`` operator (operators/matview.py):
+events arrive as files, each micro-batch reduces to hourly per-type PARTIAL
+aggregates, and the partials land in a persisted log the read side merges.
+
+Design: the state table is a *partial-aggregate log* partitioned by epoch,
+not a mutable aggregate — the two-level shape every streaming-view engine
+uses (partials commute and associate, so merge order is free):
+
+* **write side** — one keyed agg per micro-batch (count / decimal sum /
+  min / max are all algebraic), written to ``epoch=<id>`` with dynamic
+  partition overwrite: a redelivered epoch overwrites exactly its own
+  partials, making the write idempotent under foreachBatch's
+  at-least-once contract (same recipe as streaming/incremental_dedup).
+* **read side** — ``read_matview`` merges the log by group key; identical
+  formula to the batch FULL-OUTER merge, proven against the batch
+  recompute in tests.  A periodic compaction folding old epochs into one
+  keeps the log bounded; the merge result is invariant to compaction
+  because the partials are associative.
+
+Scale: each batch costs one event-cardinality agg over the NEW files only;
+the log grows with (hours × types × epochs-since-compaction), never with
+event count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serene_spark.session import tune_session
+
+HOUR_US = 3600 * 1_000_000
+
+
+def _partials(batch_df: DataFrame) -> DataFrame:
+    """Hourly (hour_bucket, event_type) partials — the same arms as
+    operators/matview._partials, by construction (decimal sums so merge
+    order is exact)."""
+    return (
+        batch_df.withColumn(
+            "hour_bucket", F.expr(f"unix_micros(ts) DIV {HOUR_US}")
+        )
+        .withColumn("v", F.col("value").cast("decimal(18,2)"))
+        .groupBy("hour_bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").alias("sum_value"),
+            F.min("v").alias("min_value"),
+            F.max("v").alias("max_value"),
+        )
+    )
+
+
+def start_matview_stream(
+    spark: SparkSession, events_dir: str, partials_dir: str, checkpoint_dir: str
+):
+    """Start the availableNow maintenance sink; returns the streaming query."""
+    tune_session(spark)
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        ts_type = dict(batch_df.dtypes).get("ts")
+        if ts_type == "bigint":  # nanos-as-long corpus variant
+            batch_df = batch_df.withColumn(
+                "ts", F.expr("timestamp_micros(ts div 1000)")
+            )
+        elif ts_type == "timestamp_ntz":
+            batch_df = batch_df.withColumn("ts", F.col("ts").cast("timestamp"))
+        (
+            _partials(batch_df)
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(partials_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_matview(spark: SparkSession, partials_dir: str) -> DataFrame:
+    """Merge the partial-aggregate log into the current view — the same
+    output schema as the batch operator's merged view."""
+    p = spark.read.parquet(partials_dir)
+    merged = p.groupBy("hour_bucket", "event_type").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_value").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+    return merged.select(
+        F.col("hour_bucket").cast("bigint"),
+        "event_type",
+        F.col("n_events").cast("bigint"),
+        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
+        F.round(F.col("min_value").cast("double"), 6).alias("min_value"),
+        F.round(F.col("max_value").cast("double"), 6).alias("max_value"),
+        F.round(
+            F.col("sum_value").cast("double") / F.col("n_events"), 6
+        ).alias("avg_value"),
+    )

@@ -1,0 +1,73 @@
+"""Event-sequence analytics (operators/sequence.py).
+
+Oracle parity runs in the driver gate; these pin the probability-matrix
+invariants and the anomaly baseline against an independent pandas
+computation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from serene_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_transition_matrix_rows_sum_to_one(spark):
+    out = load_all()["event_transitions"].spark(spark, SF).toPandas()
+    sums = out.groupby("event_type")["p_next"].sum()
+    # rounded probabilities per row still sum to ~1 per source state
+    assert ((sums - 1.0).abs() < 1e-4).all()
+    assert (out["n_transitions"] >= 1).all()
+
+
+def test_transitions_match_pandas(spark):
+    from serene_spark.catalog import load_table
+
+    ev = load_table(spark, SF, "events").toPandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    ev["next_type"] = ev.groupby("user_id")["event_type"].shift(-1)
+    ref = (
+        ev.dropna(subset=["next_type"])
+        .groupby(["event_type", "next_type"])
+        .size()
+        .rename("n")
+        .reset_index()
+    )
+    out = load_all()["event_transitions"].spark(spark, SF).toPandas()
+    merged = out.merge(ref, on=["event_type", "next_type"], how="outer")
+    assert merged["n_transitions"].notna().all() and merged["n"].notna().all()
+    assert (merged["n_transitions"] == merged["n"]).all()
+
+
+def test_anomaly_zscores_match_pandas(spark):
+    from serene_spark.catalog import load_table
+
+    ev = load_table(spark, SF, "events").toPandas()
+    ev["hour_bucket"] = (
+        ev["ts"].astype("datetime64[us]").astype("int64") // (3600 * 1_000_000)
+    )
+    hourly = (
+        ev.groupby(["event_type", "hour_bucket"]).size().rename("cnt").reset_index()
+    )
+    out = load_all()["events_hourly_anomalies"].spark(spark, SF).toPandas()
+    checked = 0
+    for et, grp in hourly.groupby("event_type"):
+        grp = grp.sort_values("hour_bucket").reset_index(drop=True)
+        for i in range(len(grp)):
+            w = grp.iloc[max(0, i - 24):i]
+            if len(w) < 12 or w["cnt"].var(ddof=1) <= 0:
+                continue
+            z = (grp["cnt"][i] - w["cnt"].mean()) / np.sqrt(w["cnt"].var(ddof=1))
+            row = out[(out.event_type == et) & (out.hour_bucket == grp["hour_bucket"][i])]
+            assert len(row) == 1
+            assert abs(row.iloc[0]["z_score"] - round(z, 6)) < 1e-5
+            checked += 1
+    assert checked > 100
+
+
+def test_anomaly_flag_consistent(spark):
+    out = load_all()["events_hourly_anomalies"].spark(spark, SF).toPandas()
+    assert ((out["z_score"].abs() >= 3.0) == (out["is_anomaly"] == 1)).all()
