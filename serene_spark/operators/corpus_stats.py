@@ -1,0 +1,155 @@
+"""Corpus-level statistics operators: a Count-Min sketch built IN SQL (so
+the approximation itself is oracle-checked, unlike engine-native sketch
+binaries) and pairwise source-overlap (Jaccard) — the corpus-comparison
+tools a data-curation team runs before mixing sources.
+
+* ``cms_token_counts`` — Count-Min sketch (Cormode & Muthukrishnan 2005):
+  D=4 hash rows × W=512 buckets of token counts; a token's estimate is the
+  MIN over its D buckets.  The sketch state is D×W integers regardless of
+  vocabulary size — the heavy-hitter substrate when exact per-token counts
+  (top_tokens_per_lang) stop fitting.  Output compares the CMS estimate
+  against the exact count for the corpus's top tokens, so the defining
+  guarantees (never underestimates; overestimate ≤ εN w.h.p.) are visible
+  and pinned.
+* ``source_similarity`` — pairwise word-8-gram Jaccard between sources:
+  the redundancy matrix consulted before corpus mixing (which crawls
+  duplicate each other).  Exact set semantics here (the oracle); at 100 TB
+  the same matrix comes from per-source MinHash signatures
+  (minhash_signatures — constant state per source), and the banded-LSH
+  family already pins that estimator.
+
+Scale shapes: both tokenize ONCE (materialized Spark-side — shared CTEs
+inline); the CMS adds a map-only ×D explode and reduces to the D×W grid;
+the overlap self-join keys on the gram (high cardinality), with per-source
+set sizes from one agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from serene_spark.catalog import register_views
+from serene_spark.functions.sqlgen import DUCKDB, SPARK, explode_seq, hex_to_int
+from serene_spark.operators.curation import grams_rel
+from serene_spark.operators.text_analysis import tokens_rel
+from serene_spark.registry import register
+
+CMS_D = 4    # hash rows
+CMS_W = 512  # buckets per row
+TOP_N = 20   # probe the exact top-N tokens
+
+
+def _cms_bucket(dialect: str) -> str:
+    """Row-salted bucket: md5('<row>:' || token) % W."""
+    cat = (
+        "CAST(i AS STRING) || ':' || tok"
+        if dialect == SPARK
+        else "CAST(i AS VARCHAR) || ':' || tok"
+    )
+    return f"{hex_to_int(dialect, f'substr(md5({cat}), 1, 8)')} % {CMS_W}"
+
+
+def cms_tail_sql(dialect: str, tokens_name: str, head: str = "WITH ") -> str:
+    """CMS build + probe over a ``(doc_id, tok)`` relation."""
+    bucket = _cms_bucket(dialect)
+    return f"""
+{head}salted AS (
+  SELECT tok, i, {bucket} AS bucket
+  FROM (SELECT tok, {explode_seq(dialect, 1, CMS_D)} AS i FROM {tokens_name}) s
+),
+sketch AS (
+  SELECT i, bucket, COUNT(*) AS cnt FROM salted GROUP BY i, bucket
+),
+exact AS (
+  SELECT tok, COUNT(*) AS exact_count FROM {tokens_name} GROUP BY tok
+),
+probes AS (
+  -- ORDER BY + LIMIT plans as a distributed partial top-k (TakeOrdered),
+  -- unlike a global ROW_NUMBER window (one task over the whole vocabulary)
+  SELECT tok, exact_count FROM exact
+  ORDER BY exact_count DESC, tok LIMIT {TOP_N}
+),
+probe_buckets AS (
+  SELECT tok, exact_count, i, {bucket} AS bucket
+  FROM (SELECT tok, exact_count, {explode_seq(dialect, 1, CMS_D)} AS i
+        FROM probes) p
+)
+SELECT p.tok,
+       CAST(p.exact_count AS BIGINT) AS exact_count,
+       CAST(MIN(s.cnt) AS BIGINT) AS cms_estimate,
+       CAST(MIN(s.cnt) - p.exact_count AS BIGINT) AS overestimate
+FROM probe_buckets p
+JOIN sketch s ON p.i = s.i AND p.bucket = s.bucket
+GROUP BY p.tok, p.exact_count
+"""
+
+
+def cms_oracle_sql(dialect: str) -> str:
+    return f"WITH {tokens_rel(dialect)},\n" + cms_tail_sql(
+        dialect, "tokens", head=""
+    )
+
+
+def source_similarity_tail_sql(grams_name: str, head: str = "WITH ") -> str:
+    """Pairwise source Jaccard over distinct gram sets."""
+    return f"""
+{head}sg AS (
+  SELECT DISTINCT d.source, g.gram
+  FROM {grams_name} g JOIN documents d ON g.doc_id = d.doc_id
+),
+sizes AS (
+  SELECT source, COUNT(*) AS n FROM sg GROUP BY source
+),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+  FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.source_a, i.source_b,
+       CAST(i.n_common AS BIGINT) AS n_common,
+       ROUND(CAST(i.n_common AS DOUBLE)
+             / (sa.n + sb.n - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.source_a = sa.source
+JOIN sizes sb ON i.source_b = sb.source
+"""
+
+
+def source_similarity_oracle_sql(dialect: str) -> str:
+    return f"WITH {grams_rel(dialect)},\n" + source_similarity_tail_sql(
+        "grams", head=""
+    )
+
+
+def _cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",), spread=True)
+    toks = spark.sql(
+        f"WITH {tokens_rel(SPARK)} SELECT * FROM tokens"
+    ).localCheckpoint(eager=True)
+    toks.createOrReplaceTempView("__cms_tokens")
+    return spark.sql(cms_tail_sql(SPARK, "__cms_tokens"))
+
+
+def _source_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",), spread=True)
+    grams = spark.sql(
+        f"WITH {grams_rel(SPARK)} SELECT * FROM grams"
+    ).localCheckpoint(eager=True)
+    grams.createOrReplaceTempView("__sim_grams")
+    return spark.sql(source_similarity_tail_sql("__sim_grams"))
+
+
+register(
+    "cms_token_counts",
+    oracle=cms_oracle_sql(DUCKDB),
+    doc=f"Count-Min sketch in SQL ({CMS_D}x{CMS_W} grid): estimates vs "
+    f"exact counts for the top-{TOP_N} tokens, overestimate-only by "
+    "construction",
+)(_cms)
+
+register(
+    "source_similarity",
+    oracle=source_similarity_oracle_sql(DUCKDB),
+    doc="pairwise source redundancy: word-8-gram Jaccard matrix over "
+    "distinct gram sets (MinHash is the constant-state scale sibling)",
+)(_source_sim)

@@ -78,6 +78,7 @@ def load_all() -> dict[str, Query]:
         "serene_spark.operators.graph_rank",
         "serene_spark.operators.contrastive",
         "serene_spark.operators.sequence",
+        "serene_spark.operators.corpus_stats",
         "serene_spark.modeler.octopus",
         "serene_spark.modeler.report_fixture",
         "serene_spark.ml.pipeline",

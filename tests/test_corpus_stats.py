@@ -1,0 +1,76 @@
+"""Corpus statistics (operators/corpus_stats.py).
+
+Oracle parity runs in the driver gate; these pin the Count-Min guarantees
+and the Jaccard matrix against independent Python computations.
+"""
+
+from __future__ import annotations
+
+from serene_spark.operators.corpus_stats import CMS_D, CMS_W, TOP_N
+from serene_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cms_never_underestimates_and_bounded(spark):
+    out = load_all()["cms_token_counts"].spark(spark, SF).toPandas()
+    assert len(out) == TOP_N
+    # defining CMS guarantee: estimate >= exact, always
+    assert (out["overestimate"] >= 0).all()
+    assert (out["cms_estimate"] == out["exact_count"] + out["overestimate"]).all()
+    # error bound: overestimate <= ~e/W * N with high probability per row;
+    # MIN over D=4 rows makes exceeding it on every row vanishingly unlikely
+    from serene_spark.catalog import load_table
+    from serene_spark.functions.sqlgen import SPARK
+    from serene_spark.operators.text_analysis import tokens_rel
+
+    load_table(spark, SF, "documents").createOrReplaceTempView("documents")
+    n_tokens = spark.sql(
+        f"WITH {tokens_rel(SPARK)} SELECT COUNT(*) c FROM tokens"
+    ).collect()[0]["c"]
+    bound = 2.72 * n_tokens / CMS_W
+    assert (out["overestimate"] <= bound).all(), (out["overestimate"].max(), bound)
+    spark.catalog.dropTempView("documents")
+
+
+def test_cms_probes_are_the_exact_top_tokens(spark):
+    out = load_all()["cms_token_counts"].spark(spark, SF).toPandas()
+    from serene_spark.catalog import load_table
+    from serene_spark.functions.sqlgen import SPARK
+    from serene_spark.operators.text_analysis import tokens_rel
+
+    load_table(spark, SF, "documents").createOrReplaceTempView("documents")
+    top = spark.sql(
+        f"WITH {tokens_rel(SPARK)} SELECT tok, COUNT(*) c FROM tokens "
+        f"GROUP BY tok ORDER BY c DESC, tok LIMIT {TOP_N}"
+    ).toPandas()
+    assert set(out["tok"]) == set(top["tok"])
+    merged = out.merge(top, on="tok")
+    assert (merged["exact_count"] == merged["c"]).all()
+    spark.catalog.dropTempView("documents")
+
+
+def test_source_similarity_matches_python_sets(spark):
+    out = load_all()["source_similarity"].spark(spark, SF).toPandas()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    import re as _re
+
+    def grams(text):
+        toks = [t for t in _re.split(r"[^a-z0-9]+", _re.sub(r"\s+", " ", text.lower()).strip()) if t]
+        return {" ".join(toks[i : i + 8]) for i in range(len(toks) - 7)}
+
+    by_source: dict[str, set] = {}
+    for _, r in docs.iterrows():
+        by_source.setdefault(r["source"], set()).update(grams(r["text"]))
+    got = {(r["source_a"], r["source_b"]): (r["n_common"], r["jaccard"]) for _, r in out.iterrows()}
+    srcs = sorted(by_source)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            inter = len(by_source[a] & by_source[b])
+            if inter == 0:
+                assert (a, b) not in got
+                continue
+            jac = round(inter / len(by_source[a] | by_source[b]), 6)
+            assert (a, b) in got
+            assert got[(a, b)][0] == inter
+            assert abs(got[(a, b)][1] - jac) < 1e-9
