@@ -57,8 +57,11 @@ qbase AS (
 qprobe AS (
   -- multiprobe with 1- AND 2-bit perturbations (Lv et al., "Multi-Probe
   -- LSH", VLDB 2007): hard negatives live near quantization boundaries,
-  -- where single-bit probing misses; (j = 0 OR j > i) keeps each mask
-  -- unique so every (anchor, candidate) pair still arises at most once
+  -- where single-bit probing misses. The filter admits each mask exactly
+  -- once — home (0,0), single flips (i>0, j=0), double flips (0<i<j) —
+  -- so every (anchor, candidate) pair arises at most once; a plain
+  -- `j = 0 OR j > i` would emit every 1-bit probe twice (as (0,k) and
+  -- (k,0)), duplicating candidates in the top-k ranking
   SELECT vec_id, embedding, label, {probe2} AS probe
   FROM (
     SELECT vec_id, embedding, label, b0, i,
@@ -69,7 +72,7 @@ qprobe AS (
       FROM qbase
     ) s1
   ) s2
-  WHERE j = 0 OR j > i
+  WHERE (i = 0 AND j = 0) OR (i > 0 AND j = 0) OR (i > 0 AND j > i)
 ),
 cbuck AS (
   SELECT vec_id, embedding, label, {bq} AS cb

@@ -48,10 +48,7 @@ BLOCK_MOD = 100
 def _digits(dialect: str, expr: str) -> str:
     """Customer id digits without leading zeros, e.g. '000000123' -> '123'
     ('' for customer 0 -> normalize to '0')."""
-    if dialect == DUCKDB:
-        raw = f"regexp_extract({expr}, '([0-9]+)$', 1)"
-    else:
-        raw = f"regexp_extract({expr}, '([0-9]+)$', 1)"
+    raw = f"regexp_extract({expr}, '([0-9]+)$', 1)"  # same text both dialects
     t = f"trim(LEADING '0' FROM {raw})"
     return f"CASE WHEN {t} = '' THEN '0' ELSE {t} END"
 
@@ -127,9 +124,9 @@ WHERE rk = 1 AND score >= {MATCH_THRESHOLD}
 
 
 def er_blocking_stats_sql(dialect: str) -> str:
-    """Candidate-generation audit: per-block candidate-pair counts plus the
-    global reduction ratio vs the N² cross join — the number a linkage
-    engineer checks before paying for scoring."""
+    """Candidate-generation audit: per-block candidate-pair counts — the
+    relation a linkage engineer sums to check the reduction vs the N² cross
+    join before paying for scoring (the test derives that ratio)."""
     return f"""
 WITH {dirty_rel(dialect)},
 {clean_rel(dialect)},

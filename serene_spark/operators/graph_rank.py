@@ -71,43 +71,17 @@ def _iter_cte(prev: str, cur: str) -> str:
 )"""
 
 
-def pagerank_sql(dialect: str) -> str:
+def pagerank_tail_sql(edges_rel: str, head: str = "WITH ") -> str:
+    """Iteration chain + final projection over ``nodes`` and a named edges
+    relation.  The ONLY formulation of the algorithm — both the Spark
+    runner (materialized views) and the oracle (head-spliced CTEs) call
+    this, so the two paths cannot desynchronize."""
     iters = "".join(
         "," + _iter_cte(f"r{i}" if i else "r0", f"r{i + 1}")
         for i in range(N_ITER)
     )
     return f"""
-WITH {edges_sql(dialect)},
-nodes AS (
-  SELECT s_suppkey AS node FROM supplier
-),
-nn AS (SELECT COUNT(*) AS cnt FROM nodes),
-degs AS (
-  SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src
-),
-r0 AS (
-  SELECT node, CAST(ROUND(1.0 / (SELECT cnt FROM nn), 9) AS DECIMAL(18,9)) AS rank
-  FROM nodes
-){iters}
-SELECT n.node AS s_suppkey,
-       CAST(COALESCE(d.outdeg, 0) AS BIGINT) AS degree,
-       ROUND(CAST(r.rank AS DOUBLE), 6) AS pagerank
-FROM nodes n
-JOIN r{N_ITER} r ON n.node = r.node
-LEFT JOIN degs d ON n.node = d.node
-"""
-
-
-def pagerank_tail_sql(edges_rel: str) -> str:
-    """Spark runner tail over MATERIALIZED ``edges``/``nodes`` views (see
-    module docstring: without materialization every iteration re-derives
-    the join pipeline)."""
-    iters = "".join(
-        "," + _iter_cte(f"r{i}" if i else "r0", f"r{i + 1}")
-        for i in range(N_ITER)
-    )
-    return f"""
-WITH nn AS (SELECT COUNT(*) AS cnt FROM nodes),
+{head}nn AS (SELECT COUNT(*) AS cnt FROM nodes),
 degs AS (
   SELECT src AS node, COUNT(*) AS outdeg FROM {edges_rel} GROUP BY src
 ),
@@ -122,6 +96,14 @@ FROM nodes n
 JOIN r{N_ITER} r ON n.node = r.node
 LEFT JOIN degs d ON n.node = d.node
 """
+
+
+def pagerank_sql(dialect: str) -> str:
+    return (
+        f"WITH {edges_sql(dialect)},\n"
+        "nodes AS (\n  SELECT s_suppkey AS node FROM supplier\n),"
+        + pagerank_tail_sql("edges", head="")
+    )
 
 
 def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:

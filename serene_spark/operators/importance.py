@@ -37,7 +37,6 @@ from serene_spark.functions.sqlgen import (
     SPARK,
     explode,
     hex_to_int,
-    rr,
     split_re,
 )
 from serene_spark.operators.text_analysis import NORM

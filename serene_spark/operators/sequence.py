@@ -55,11 +55,19 @@ FROM pairs
 def anomalies_sql(dialect: str) -> str:
     """Hourly event-rate z-scores against the trailing {TRAIL}-hour
     baseline per event_type; flags |z| >= {Z_THRESHOLD}.  Baseline mean and
-    variance derive from integer window sums (exact)."""
+    variance derive from integer window sums (exact).
+
+    The baseline is a RANGE window over hour_bucket — true wall-clock
+    {TRAIL} hours, not "{TRAIL} preceding observed rows" (a ROWS frame
+    silently stretches over arbitrary wall-clock time for sparse types).
+    Hours with zero events produce no row, so the baseline is the mean of
+    OBSERVED hours and an all-quiet hour (outage) is not flagged — this is
+    a spike detector; absence detection needs the gap-filled series
+    (ts_gapfill_locf) upstream."""
     hour = idiv(dialect, epoch_us(dialect, "ts"), str(3600 * 1_000_000))
     w = (
         f"OVER (PARTITION BY event_type ORDER BY hour_bucket "
-        f"ROWS BETWEEN {TRAIL} PRECEDING AND 1 PRECEDING)"
+        f"RANGE BETWEEN {TRAIL} PRECEDING AND 1 PRECEDING)"
     )
     return f"""
 WITH hourly AS (

@@ -43,9 +43,12 @@ def _sortkey(dialect: str) -> str:
     """Total-order tie-break key: zero-padded epoch micros then event_id.
     String compare == numeric compare because both fields are fixed-width."""
     us = epoch_us(dialect, "ts")
-    return f"lpad(CAST({us} AS STRING), 20, '0') || lpad(CAST(event_id AS STRING), 12, '0')" \
+    # 20-char pads cover the full BIGINT range on BOTH fields: lpad
+    # TRUNCATES over-width input, which would silently break the total
+    # order for ids >= 10^width
+    return f"lpad(CAST({us} AS STRING), 20, '0') || lpad(CAST(event_id AS STRING), 20, '0')" \
         if dialect == SPARK else \
-        f"lpad(CAST({us} AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0')"
+        f"lpad(CAST({us} AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 20, '0')"
 
 
 def ts_gapfill_sql(dialect: str) -> str:

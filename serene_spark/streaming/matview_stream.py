@@ -28,8 +28,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from serene_spark.session import tune_session
-
 HOUR_US = 3600 * 1_000_000
 
 
@@ -55,19 +53,17 @@ def _partials(batch_df: DataFrame) -> DataFrame:
 def start_matview_stream(
     spark: SparkSession, events_dir: str, partials_dir: str, checkpoint_dir: str
 ):
-    """Start the availableNow maintenance sink; returns the streaming query."""
-    tune_session(spark)
-    schema = spark.read.parquet(events_dir).schema
-    stream = spark.readStream.schema(schema).parquet(events_dir)
+    """Start the availableNow maintenance sink; returns the streaming query.
+
+    The stream comes from events_stream.read_events_stream, which owns the
+    schema probe (with the empty-drop-directory fallback) and the ts
+    normalization — one ts shim for the whole streaming layer.
+    """
+    from serene_spark.streaming.events_stream import read_events_stream
+
+    stream = read_events_stream(spark, events_dir)
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
-        ts_type = dict(batch_df.dtypes).get("ts")
-        if ts_type == "bigint":  # nanos-as-long corpus variant
-            batch_df = batch_df.withColumn(
-                "ts", F.expr("timestamp_micros(ts div 1000)")
-            )
-        elif ts_type == "timestamp_ntz":
-            batch_df = batch_df.withColumn("ts", F.col("ts").cast("timestamp"))
         (
             _partials(batch_df)
             .withColumn("epoch", F.lit(epoch_id))

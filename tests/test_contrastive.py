@@ -29,6 +29,8 @@ def test_roles_and_labels_consistent(spark):
     for _, r in out.iterrows():
         same = labels[r["anchor_id"]] == labels[r["pair_id"]]
         assert (r["role"] == "positive") == same
+    # no (anchor, pair) row may appear twice — the probe masks are unique
+    assert not out.duplicated(subset=["anchor_id", "pair_id"]).any()
     # every anchor that surfaced has at most 1 positive and <= NEG_K negatives
     counts = out.groupby(["anchor_id", "role"]).size()
     for (_a, role), c in counts.items():

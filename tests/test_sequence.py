@@ -57,15 +57,21 @@ def test_anomaly_zscores_match_pandas(spark):
     for et, grp in hourly.groupby("event_type"):
         grp = grp.sort_values("hour_bucket").reset_index(drop=True)
         for i in range(len(grp)):
-            w = grp.iloc[max(0, i - 24):i]
+            h = grp["hour_bucket"][i]
+            # wall-clock RANGE frame: observed hours within [h-24, h-1]
+            w = grp[(grp["hour_bucket"] >= h - 24) & (grp["hour_bucket"] <= h - 1)]
             if len(w) < 12 or w["cnt"].var(ddof=1) <= 0:
                 continue
             z = (grp["cnt"][i] - w["cnt"].mean()) / np.sqrt(w["cnt"].var(ddof=1))
-            row = out[(out.event_type == et) & (out.hour_bucket == grp["hour_bucket"][i])]
+            row = out[(out.event_type == et) & (out.hour_bucket == h)]
             assert len(row) == 1
             assert abs(row.iloc[0]["z_score"] - round(z, 6)) < 1e-5
             checked += 1
-    assert checked > 100
+    # wall-clock RANGE + n>=12 observed hours is a sparse condition at
+    # sf0.001 (~1k events/month); the sf0.01 parity gate covers volume —
+    # here every qualifying reference row must have matched exactly
+    assert checked >= 1
+    assert checked == len(out)
 
 
 def test_anomaly_flag_consistent(spark):
