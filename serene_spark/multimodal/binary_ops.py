@@ -225,3 +225,61 @@ def sample_frames(features: DataFrame, every_k: int = 8) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.lit(0), (F.col("n_frames") - 1)), F.lit(every_k))
         ).alias("frame_idx"),
     )
+
+
+AHASH_SCHEMA = "media_id long, ahash long, w0 int, w1 int, w2 int, w3 int"
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash over decodable images: 8x8 grayscale
+    thumbnail, bit i set iff pixel i > mean — the standard aHash. Emitted
+    alongside its four 16-bit words so near-dup candidate generation is an
+    equi-join per word (the SimHash pigeonhole layout, operators/dedup.py:
+    any pair within Hamming distance 3 shares at least one exact word).
+    Arrow-batched; non-PPM blobs are skipped (no pixels in the stub tier).
+    """
+
+    def fe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "ahash", "w0", "w1", "w2", "w3")}
+            for mid, kind, blob in zip(pdf["media_id"], pdf["kind"], pdf["media"]):
+                blob = bytes(blob)
+                if kind != "image" or not blob.startswith(b"P6"):
+                    continue
+                gray = resize_nearest(decode_ppm(blob), 8, 8).astype(np.float64).mean(axis=2)
+                bits = (gray > gray.mean()).astype(np.uint64).ravel()
+                h = 0
+                for b in bits:  # row-major, MSB-first: deterministic layout
+                    h = (h << 1) | int(b)
+                out["media_id"].append(mid)
+                out["ahash"].append(h - (1 << 64) if h >= (1 << 63) else h)
+                for w in range(4):
+                    out[f"w{w}"].append((h >> (16 * w)) & 0xFFFF)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(fe, AHASH_SCHEMA)
+
+
+def image_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate image pairs: aHash signatures, pigeonhole candidate
+    join (one equi-join per 16-bit word — candidates only ever meet inside
+    a shared word bucket, never all-pairs), exact popcount verify."""
+    from pyspark.sql import functions as F
+
+    sigs = image_ahash(media).localCheckpoint(eager=True)
+    pairs = None
+    for w in range(4):
+        a = sigs.select(
+            F.col("media_id").alias("id_a"), F.col("ahash").alias("ha"), F.col(f"w{w}").alias("wk")
+        )
+        b = sigs.select(
+            F.col("media_id").alias("id_b"), F.col("ahash").alias("hb"), F.col(f"w{w}").alias("wk")
+        )
+        cand = a.join(b, "wk").filter(F.col("id_a") < F.col("id_b")).drop("wk")
+        pairs = cand if pairs is None else pairs.unionByName(cand)
+    return (
+        pairs.distinct()
+        .withColumn("hamming", F.expr("bit_count(ha ^ hb)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

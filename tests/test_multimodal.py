@@ -91,3 +91,44 @@ def test_frame_sampling(spark):
     for mid, idxs in by_media.items():
         expect = list(range(0, fmap[mid], 8)) if fmap[mid] > 1 else [0]
         assert sorted(idxs) == expect
+
+
+def _block_ppm(seed: int, flip_blocks: int = 0) -> bytes:
+    """P6 image with seeded 8x8 BLOCK structure (each block maps to one
+    aHash bit).  make_ppm's smooth gradients are degenerate for aHash —
+    every gradient thresholds to the same bit pattern — so near-dup tests
+    need images with real per-seed structure.  ``flip_blocks`` inverts that
+    many blocks: a near-duplicate with Hamming distance ~flip_blocks."""
+    rng = np.random.default_rng(seed)
+    blocks = rng.random((8, 8)) > 0.5
+    for k in range(flip_blocks):
+        blocks[k, 7 - k] = ~blocks[k, 7 - k]
+    img8 = np.where(blocks, 220, 30).astype(np.uint8)
+    img = np.kron(img8, np.ones((3, 4), np.uint8))  # 24 x 32
+    rgb = np.stack([img] * 3, axis=-1)
+    return b"P6\n32 24\n255\n" + rgb.tobytes()
+
+
+def test_image_ahash_near_dup_pairs(spark):
+    from serene_spark.multimodal.binary_ops import image_ahash, image_near_dup_pairs
+
+    rows = []
+    for seed in range(8):
+        rows.append((seed, "image", bytearray(_block_ppm(seed))))
+        if seed < 3:  # three constructed near-dup partners: ids 100+seed
+            rows.append((100 + seed, "image", bytearray(_block_ppm(seed, flip_blocks=2))))
+    media = spark.createDataFrame(rows, "media_id long, kind string, media binary")
+
+    sigs = {r["media_id"]: r["ahash"] for r in image_ahash(media).collect()}
+    assert len(sigs) == 11
+
+    pairs = image_near_dup_pairs(media, max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # the constructed near-dups must be found...
+    for seed in range(3):
+        assert (seed, 100 + seed) in got, (seed, sorted(got))
+    # ...and every reported pair must truly be within the Hamming bound
+    # (verify against python popcount of the signatures)
+    for a, b, d in [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs]:
+        true_d = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+        assert d == true_d <= 3
