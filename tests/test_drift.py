@@ -1,0 +1,103 @@
+"""Drift detection (operators/drift.py).
+
+Oracle parity runs in the driver gate; these pin the statistics against
+scipy/pandas references and the detector's response to injected drift.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from serene_spark.operators.drift import PSI_BINS, SPLIT_TS
+from serene_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sides(spark):
+    from serene_spark.catalog import load_table
+
+    ev = load_table(spark, SF, "events").toPandas()
+    ev = ev[ev["value"].notna()].copy()
+    ev["v"] = ev["value"].round(2)  # DECIMAL(18,2) cast
+    import pandas as pd
+
+    split = pd.Timestamp(SPLIT_TS)
+    return ev[ev["ts"] < split], ev[ev["ts"] >= split]
+
+
+def _ks_2samp(ra: np.ndarray, rb: np.ndarray) -> float:
+    """Two-sample KS statistic from ECDFs (scipy is not in the container)."""
+    grid = np.unique(np.concatenate([ra, rb]))
+    fa = np.searchsorted(np.sort(ra), grid, side="right") / len(ra)
+    fb = np.searchsorted(np.sort(rb), grid, side="right") / len(rb)
+    return float(np.abs(fa - fb).max())
+
+
+def test_ks_matches_ecdf_reference(spark):
+    out = load_all()["drift_ks_events"].spark(spark, SF).toPandas()
+    a, b = _sides(spark)
+    for et in out["event_type"]:
+        ra = a[a.event_type == et]["v"].to_numpy()
+        rb = b[b.event_type == et]["v"].to_numpy()
+        ref = _ks_2samp(ra, rb)
+        row = out[out.event_type == et].iloc[0]
+        assert abs(row["ks_stat"] - round(ref, 6)) < 2e-6, (et, row["ks_stat"], ref)
+        assert row["n_ref"] == len(ra) and row["n_cur"] == len(rb)
+
+
+def test_psi_matches_python(spark):
+    out = load_all()["drift_psi_events"].spark(spark, SF).toPandas()
+    a, b = _sides(spark)
+    for et in out["event_type"]:
+        ra = a[a.event_type == et]["v"].to_numpy()
+        rb = b[b.event_type == et]["v"].to_numpy()
+        # integer-cent arithmetic mirrors the DECIMAL(18,2) SQL exactly:
+        # bin = floor(BINS * (v - lo) / (hi - lo + 0.01)) in cents
+        ca_c = np.round(ra * 100).astype(np.int64)
+        cb_c = np.round(rb * 100).astype(np.int64)
+        lo_c = min(ca_c.min(), cb_c.min())
+        hi_c = max(ca_c.max(), cb_c.max())
+        span = hi_c - lo_c + 1
+        bins_a = np.minimum(PSI_BINS * (ca_c - lo_c) // span, PSI_BINS - 1)
+        bins_b = np.minimum(PSI_BINS * (cb_c - lo_c) // span, PSI_BINS - 1)
+        psi = 0.0
+        for k in range(PSI_BINS):
+            ca = (bins_a == k).sum()
+            cb = (bins_b == k).sum()
+            pa = (ca + 0.5) / (len(ra) + PSI_BINS * 0.5)
+            pb = (cb + 0.5) / (len(rb) + PSI_BINS * 0.5)
+            psi += round((pa - pb) * np.log(pa / pb), 9)
+        row = out[out.event_type == et].iloc[0]
+        assert abs(row["psi"] - round(psi, 6)) < 1e-5, (et, row["psi"], psi)
+
+
+def test_no_drift_on_homogeneous_corpus_but_detects_injected(spark):
+    """The synthetic corpus is time-homogeneous, so nothing should flag;
+    an injected mean shift in the 'current' slice must flag."""
+    out_ks = load_all()["drift_ks_events"].spark(spark, SF).toPandas()
+    out_psi = load_all()["drift_psi_events"].spark(spark, SF).toPandas()
+    assert (out_ks["drifted"] == 0).all()
+    assert (out_psi["drifted"] == 0).all()
+
+    from pyspark.sql import functions as F
+
+    from serene_spark.catalog import load_table
+    from serene_spark.functions.sqlgen import SPARK
+    from serene_spark.operators.drift import drift_ks_sql, drift_psi_sql
+
+    ev = load_table(spark, SF, "events")
+    shifted = ev.withColumn(
+        "value",
+        F.when(
+            (F.col("ts") >= F.lit(SPLIT_TS).cast("timestamp"))
+            & (F.col("event_type") == "click"),
+            F.col("value") * 3 + 50,
+        ).otherwise(F.col("value")),
+    )
+    shifted.createOrReplaceTempView("events")
+    ks = {r["event_type"]: r for r in spark.sql(drift_ks_sql(SPARK)).collect()}
+    psi = {r["event_type"]: r for r in spark.sql(drift_psi_sql(SPARK)).collect()}
+    assert ks["click"]["drifted"] == 1 and psi["click"]["drifted"] == 1
+    assert ks["view"]["drifted"] == 0  # untouched types stay quiet
+    spark.catalog.dropTempView("events")
