@@ -100,3 +100,53 @@ register("cdc_latest_state", oracle=cdc_latest_state_sql(DUCKDB),
 register("scd2_history", oracle=scd2_history_sql(DUCKDB),
          doc="SCD type-2 dimension history: versioned rows with "
          "[valid_from, valid_to) and is_current flags")(_events_query(scd2_history_sql))
+
+
+# --- Erasure cascade (right-to-be-forgotten planning) -----------------------
+
+FORGET_MOD = 97  # deterministic "forget set": customers with key % 97 == 0
+
+
+def erasure_cascade_sql(dialect: str) -> str:
+    """Right-to-be-forgotten delete planning: given a forget-set of
+    customers, count the rows each table must drop, following the FK
+    closure customer -> orders -> lineitem (the cascade a lakehouse DELETE
+    job executes table-by-table; the dq_fk_orphans audit is its inverse).
+
+    Scale shape: the forget-set is a tiny relation -> customer and orders
+    prune by broadcast semi-join; the lineitem leg joins on the AFFECTED
+    ORDERS keys (potentially large -> ordinary keyed shuffle, exchange-free
+    under an orderkey-bucketed layout).  Each child table is scanned once.
+    One statement so the manifest is atomic — a cascade counted across
+    separate queries can tear against concurrent writes.
+    """
+    return f"""
+WITH forget AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % {FORGET_MOD} = 0
+),
+aff_orders AS (
+  SELECT o.o_orderkey FROM orders o
+  WHERE EXISTS (SELECT 1 FROM forget f WHERE f.c_custkey = o.o_custkey)
+),
+n_cust AS (SELECT COUNT(*) AS n FROM forget),
+n_ord AS (SELECT COUNT(*) AS n FROM aff_orders),
+n_li AS (
+  SELECT COUNT(*) AS n FROM lineitem l
+  WHERE EXISTS (SELECT 1 FROM aff_orders a WHERE a.o_orderkey = l.l_orderkey)
+)
+SELECT 'customer' AS table_name, CAST((SELECT n FROM n_cust) AS BIGINT) AS rows_to_delete
+UNION ALL
+SELECT 'orders', CAST((SELECT n FROM n_ord) AS BIGINT)
+UNION ALL
+SELECT 'lineitem', CAST((SELECT n FROM n_li) AS BIGINT)
+"""
+
+
+def _erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql(erasure_cascade_sql(SPARK))
+
+
+register("erasure_cascade_plan", oracle=erasure_cascade_sql(DUCKDB),
+         doc="right-to-be-forgotten planner: per-table delete counts along "
+         "the customer->orders->lineitem FK closure, one atomic statement")(_erasure)

@@ -150,3 +150,28 @@ def test_cdc_and_scd2_invariants(duck):
             assert t1 is not None and t1 <= f2  # intervals ordered, no overlap
         for f, t, cur in rows:
             assert (t is None) == (cur == 1)
+
+
+def test_erasure_cascade_counts_match_pandas(spark):
+    """Erasure planner (operators/cdc.py): per-table counts must equal the
+    FK closure computed independently in pandas, and deleting exactly those
+    rows must leave zero FK orphans (the dq audit is the inverse)."""
+    from serene_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["table_name"]: r["rows_to_delete"]
+           for r in load_all()["erasure_cascade_plan"].spark(spark, sf).collect()}
+    cust = spark.read.parquet(f"{sf}/customer.parquet").toPandas()
+    orders = spark.read.parquet(f"{sf}/orders.parquet").toPandas()
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").toPandas()
+    forget = set(cust[cust.c_custkey % 97 == 0]["c_custkey"])
+    aff_orders = set(orders[orders.o_custkey.isin(forget)]["o_orderkey"])
+    assert out["customer"] == len(forget) > 0
+    assert out["orders"] == len(aff_orders)
+    assert out["lineitem"] == int(li.l_orderkey.isin(aff_orders).sum())
+    # inverse check: post-delete tables are orphan-free on these edges
+    cust2 = cust[~cust.c_custkey.isin(forget)]
+    orders2 = orders[~orders.o_orderkey.isin(aff_orders)]
+    li2 = li[~li.l_orderkey.isin(aff_orders)]
+    assert orders2.o_custkey.isin(set(cust2.c_custkey)).all()
+    assert li2.l_orderkey.isin(set(orders2.o_orderkey)).all()
