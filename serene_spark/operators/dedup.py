@@ -555,3 +555,90 @@ register("simhash_signatures", oracle=simhash_signatures_sql(DUCKDB),
 register("dedup_simhash_pairs", oracle=simhash_pairs_sql(DUCKDB),
          doc="SimHash near-dup pairs: pigeonhole-chunked 64-bit signatures, "
              "hamming <= 3 (signatures materialized once)")(dedup_simhash_pairs_spark)
+
+
+# --- Prefix-filtered EXACT similarity join (AllPairs/PPJoin) ----------------
+
+PF_THRESHOLD = 0.5  # high-similarity tier; oracle = naive join at the SAME t
+
+
+def prefix_filter_tail_sql(shingles_rel_name: str, dialect: str) -> str:
+    """Exact Jaccard >= t pairs WITHOUT the quadratic shingle self-join —
+    prefix filtering (Bayardo et al., "Scaling Up All Pairs Similarity
+    Search", WWW 2007; Xiao et al., PPJoin, WWW 2008).
+
+    Guarantee (pigeonhole): order every document's shingles by one GLOBAL
+    total order (frequency-ascending — rarest first — then shingle); with
+    prefix length l(X) = |X| - ceil(t*|X|) + 1, any pair with J >= t shares
+    at least one shingle inside BOTH prefixes, because |A^B| >= ceil(t*|A|)
+    and the first |A| - |A^B| + 1 elements of each side must intersect.
+    Candidates therefore come from an equi-join on PREFIX shingles only,
+    plus the size filter t*|A| <= |B| <= |A|/t; exact Jaccard verification
+    then touches only candidate pairs.  The ORACLE for this query is the
+    NAIVE all-pairs statement — the parity gate proves the filter lossless.
+
+    Scale: the only large shuffles key on (shingle) for the prefix join and
+    (doc pair) for verification; rarest-first ordering makes prefix
+    postings short (frequency skew works FOR the filter).  On THIS synthetic
+    corpus pruning caps at ~2x (documents share large template chunks, so
+    even rare shingles are corpus-wide — measured: candidates ~48% of all
+    pairs at t=0.5, vs ~0.02% true pairs); on natural corpora with Zipfian
+    vocabularies the prefix postings shrink and pruning is orders of
+    magnitude (the WWW'07/'08 results).  The losslessness guarantee is
+    corpus-independent and is what parity checks.
+    """
+    t = PF_THRESHOLD
+    return f"""
+freq AS (
+  SELECT sh, COUNT(*) AS df FROM {shingles_rel_name} GROUP BY sh
+),
+ranked AS (
+  SELECT s.doc_id, s.sh,
+         ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY f.df, s.sh) AS rk,
+         COUNT(*) OVER (PARTITION BY s.doc_id) AS n_sh
+  FROM {shingles_rel_name} s JOIN freq f ON s.sh = f.sh
+),
+prefixes AS (
+  SELECT doc_id, sh, n_sh FROM ranked
+  WHERE rk <= n_sh - CEIL({t} * n_sh) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM prefixes a
+  JOIN prefixes b
+    ON a.sh = b.sh AND a.doc_id < b.doc_id
+   AND b.n_sh >= {t} * a.n_sh AND a.n_sh >= {t} * b.n_sh
+),
+common AS (
+  SELECT c.d1, c.d2, CAST(COUNT(*) AS BIGINT) AS c
+  FROM cand c
+  JOIN {shingles_rel_name} sa ON sa.doc_id = c.d1
+  JOIN {shingles_rel_name} sb ON sb.doc_id = c.d2 AND sb.sh = sa.sh
+  GROUP BY c.d1, c.d2
+),
+counts AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM {shingles_rel_name} GROUP BY doc_id
+)
+SELECT common.d1 AS doc_id_1, common.d2 AS doc_id_2,
+       round(CAST(c AS DOUBLE) / (n1.n_sh + n2.n_sh - c), 6) AS jaccard
+FROM common
+JOIN counts n1 ON common.d1 = n1.doc_id
+JOIN counts n2 ON common.d2 = n2.doc_id
+WHERE CAST(c AS DOUBLE) / (n1.n_sh + n2.n_sh - c) >= {t}
+"""
+
+
+def _prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",), spread=True)
+    # one shingling pass, consumed by freq/ranked/verify/counts (4 refs)
+    sh = spark.sql(
+        f"WITH {shingles_rel(SPARK)} SELECT * FROM shingles"
+    ).localCheckpoint(eager=True)
+    sh.createOrReplaceTempView("__pf_shingles")
+    return spark.sql("WITH " + prefix_filter_tail_sql("__pf_shingles", SPARK))
+
+
+register("dedup_prefix_filter", oracle=ngram_jaccard_sql(DUCKDB, threshold=PF_THRESHOLD),
+         doc=f"EXACT Jaccard>={PF_THRESHOLD} pairs via AllPairs/PPJoin prefix "
+         "filtering — oracle is the naive quadratic join, so parity proves "
+         "the filter lossless")(_prefix_filter)
