@@ -237,6 +237,40 @@ def cmd_eval_incremental(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run one registered query against a corpus directory — the CLI door
+    to the whole registry (the driver contract's queries() surface)."""
+    from serene_spark.registry import load_all
+
+    queries = load_all()
+    if args.name not in queries:
+        print(f"unknown query: {args.name}", file=sys.stderr)
+        close = [n for n in sorted(queries) if args.name.lower() in n.lower()]
+        if close:
+            print("did you mean: " + ", ".join(close[:8]), file=sys.stderr)
+        return 2
+    df = queries[args.name].spark(_spark(), args.sf_dir)
+    if args.out:
+        df.toPandas().to_csv(args.out, index=False)
+        print(f"wrote {args.out}")
+    else:
+        for row in df.limit(args.limit).collect():
+            print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
+def cmd_list_queries(args) -> int:
+    from serene_spark.registry import load_all
+
+    for name, q in sorted(load_all().items()):
+        if args.grep and args.grep.lower() not in name.lower():
+            continue
+        kind = "oracle" if q.oracle else "rows-only"
+        doc = " ".join((q.doc or "").split())[:100]
+        print(f"{name}\t{kind}\t{doc}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="serene_spark", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -298,6 +332,17 @@ def main(argv: list[str] | None = None) -> int:
     sei.add_argument("--proportions", default="0.2,0.5,1.0")
     sei.add_argument("--repetitions", type=int, default=1)
     sei.set_defaults(fn=cmd_eval_incremental)
+
+    sq = sub.add_parser("query", help="run any registered query by name")
+    sq.add_argument("name")
+    sq.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sq.add_argument("--out", help="write result CSV here instead of stdout")
+    sq.add_argument("--limit", type=int, default=20, help="stdout row cap")
+    sq.set_defaults(fn=cmd_query)
+
+    slq = sub.add_parser("list-queries", help="list the registered query surface")
+    slq.add_argument("--grep", help="case-insensitive substring filter")
+    slq.set_defaults(fn=cmd_list_queries)
 
     args = p.parse_args(argv)
     return args.fn(args)
