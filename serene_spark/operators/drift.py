@@ -30,7 +30,8 @@ from serene_spark.catalog import register_views
 from serene_spark.functions.sqlgen import DUCKDB, SPARK, explode_seq
 from serene_spark.registry import register
 
-SPLIT_TS = "2024-01-16 00:00:00"  # training-window boundary (matview's split)
+from serene_spark.operators.matview import SPLIT_TS  # shared snapshot boundary
+
 PSI_BINS = 10
 # KS flags at the SIZE-SCALED critical value c(alpha)*sqrt((na+nb)/(na*nb)),
 # not a fixed D: the statistic's null distribution shrinks as 1/sqrt(n), so a

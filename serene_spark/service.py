@@ -233,6 +233,10 @@ _ROUTES: list[tuple[str, re.Pattern, str]] = [
     ("GET", re.compile(r"^/v1\.0/octopus/(\d+)$"), "get_octopus"),
     ("POST", re.compile(r"^/v1\.0/octopus/(\d+)/train$"), "train_octopus"),
     ("POST", re.compile(r"^/v1\.0/octopus/(\d+)/predict$"), "predict_octopus"),
+    # engine extension beyond the reference surface: the registered-query
+    # registry over HTTP (same surface the driver contract + CLI expose)
+    ("GET", re.compile(r"^/v1\.0/query$"), "list_queries"),
+    ("POST", re.compile(r"^/v1\.0/query/run$"), "run_query"),
 ]
 
 
@@ -261,7 +265,9 @@ def _make_handler(svc: SereneService):
                 if not match:
                     continue
                 try:
-                    getattr(self, name)(*[int(g) for g in match.groups()])
+                    getattr(self, name)(
+                        *[int(g) if g.isdigit() else g for g in match.groups()]
+                    )
                 except Exception as exc:  # noqa: BLE001 — surface as HTTP 500
                     self._send(500, {"error": str(exc)})
                 return
@@ -321,6 +327,36 @@ def _make_handler(svc: SereneService):
 
         def delete_owl(self, eid: int):
             self._send(*svc.delete_owl(eid))
+
+        def list_queries(self):
+            from serene_spark.registry import load_all
+
+            self._send(
+                200,
+                {
+                    name: {"oracle": q.oracle is not None,
+                           "doc": " ".join((q.doc or "").split())}
+                    for name, q in sorted(load_all().items())
+                },
+            )
+
+        def run_query(self):
+            body = self._body()
+            name = body.get("name", "")
+            from serene_spark.registry import load_all
+            from serene_spark.session import get_spark
+
+            queries = load_all()
+            if name not in queries:
+                self._send(404, {"error": f"unknown query {name!r}"})
+                return
+            limit = int(body.get("limit", 100))
+            df = queries[name].spark(
+                get_spark(), body.get("sf_dir", "/root/testdata/sf0.001")
+            )
+            rows = [r.asDict() for r in df.limit(limit).collect()]
+            self._send(200, {"name": name, "n_rows": len(rows),
+                             "rows": json.loads(json.dumps(rows, default=str))})
 
         def post_model(self):
             self._send(200, {"id": svc.models.add(self._body())})

@@ -116,3 +116,24 @@ def test_model_train_flow(server):
         time.sleep(2)
     assert state["status"] == "complete", state
     assert _req(server, "POST", "/v1.0/model/999999/train")[0] == 404
+
+
+def test_query_endpoints(server):
+    """Registered-query surface over HTTP: listing + execution."""
+    code, listing = _req(server, "GET", "/v1.0/query")
+    assert code == 200
+    assert "skyline_parts" in listing and listing["skyline_parts"]["oracle"] is True
+    assert "semantic_type_predict" in listing
+    assert listing["semantic_type_predict"]["oracle"] is False  # rows-only
+
+    code, out = _req(
+        server, "POST", "/v1.0/query/run",
+        {"name": "dq_constraints_lineitem", "sf_dir": "/root/testdata/sf0.001"},
+    )
+    assert code == 200
+    assert out["n_rows"] == 8
+    by_name = {r["constraint_name"]: r for r in out["rows"]}
+    assert by_name["quantity_positive"]["violations"] == 0
+
+    code, err = _req(server, "POST", "/v1.0/query/run", {"name": "nope"})
+    assert code == 404 and "unknown query" in err["error"]
