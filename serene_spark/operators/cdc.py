@@ -150,3 +150,84 @@ def _erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("erasure_cascade_plan", oracle=erasure_cascade_sql(DUCKDB),
          doc="right-to-be-forgotten planner: per-table delete counts along "
          "the customer->orders->lineitem FK closure, one atomic statement")(_erasure)
+
+
+# --- Point-in-time (SCD2 temporal) lookup -----------------------------------
+
+
+def scd2_point_in_time_sql(dialect: str) -> str:
+    """Enrich each PURCHASE with the CDC state of its user's op stream
+    (signup/click/view = upserts, error = delete) as of the purchase time —
+    the warehouse point-in-time join (a fact row must see the dimension
+    VERSION valid at its timestamp, including "no valid version" windows
+    after a DELETE, which a plain as-of join cannot express).  Purchases
+    are the facts because they share the op stream's key and time domain
+    (orders predate the event window in this corpus).
+
+    Shape: the scale-safe tagged-union window (events.py as-of join — one
+    shuffle, O(|facts| + |ops|) rows, no pair materialization).  The latest
+    op at-or-before each fact is carried as the MAX of a fixed-width
+    sortable key (lpad'ed ts, then id, then op:value): MAX skips the
+    fact rows' NULL keys in every engine, which sidesteps the
+    last_value-IGNORE-NULLS syntax split entirely.  Ops at the fact's exact
+    timestamp sort before the fact (is_fact tie-break), so the lookup is
+    inclusive.
+    """
+    us = epoch_us(dialect, "ts")
+    key = (
+        "lpad(CAST(ts_us AS STRING), 20, '0') || lpad(CAST(row_id AS STRING), 20, '0')"
+        if dialect == SPARK
+        else "lpad(CAST(ts_us AS VARCHAR), 20, '0') || lpad(CAST(row_id AS VARCHAR), 20, '0')"
+    )
+    val = ("CAST(value AS STRING)" if dialect == SPARK else "CAST(value AS VARCHAR)")
+    return f"""
+WITH ops AS (
+  SELECT user_id, event_id AS row_id, {us} AS ts_us,
+         CASE WHEN event_type = 'signup' THEN 'I'
+              WHEN event_type = 'error' THEN 'D'
+              ELSE 'U' END AS op,
+         value
+  FROM events
+  WHERE event_type <> 'purchase'
+),
+facts AS (
+  SELECT user_id, event_id AS row_id, {us} AS ts_us
+  FROM events
+  WHERE event_type = 'purchase'
+),
+tagged AS (
+  SELECT user_id, ts_us, row_id, 0 AS is_fact,
+         {key} || op || ':' || COALESCE({val}, '') AS op_key
+  FROM ops
+  UNION ALL
+  SELECT user_id, ts_us, row_id, 1 AS is_fact, NULL AS op_key
+  FROM facts
+),
+carried AS (
+  SELECT user_id, ts_us, row_id, is_fact,
+         MAX(op_key) OVER (PARTITION BY user_id
+                           ORDER BY ts_us, is_fact, row_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k
+  FROM tagged
+)
+SELECT CAST(row_id AS BIGINT) AS purchase_event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CASE WHEN k IS NULL OR substr(k, 41, 1) = 'D' THEN NULL
+            ELSE ROUND(CAST(substr(k, 43) AS DOUBLE), 6) END AS state_value,
+       CASE WHEN k IS NULL THEN 'none'
+            WHEN substr(k, 41, 1) = 'D' THEN 'deleted'
+            ELSE 'live' END AS state
+FROM carried
+WHERE is_fact = 1
+"""
+
+
+def _pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(scd2_point_in_time_sql(SPARK))
+
+
+register("scd2_point_in_time", oracle=scd2_point_in_time_sql(DUCKDB),
+         doc="point-in-time join: each purchase enriched with its user's "
+         "CDC state at purchase time (live/deleted/none), tagged-union "
+         "window — one shuffle, no pair materialization")(_pit)

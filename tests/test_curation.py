@@ -175,3 +175,43 @@ def test_erasure_cascade_counts_match_pandas(spark):
     li2 = li[~li.l_orderkey.isin(aff_orders)]
     assert orders2.o_custkey.isin(set(cust2.c_custkey)).all()
     assert li2.l_orderkey.isin(set(orders2.o_orderkey)).all()
+
+
+def test_point_in_time_matches_pandas(spark):
+    """scd2_point_in_time (operators/cdc.py): each purchase's state must
+    equal the latest non-purchase op at-or-before the purchase time,
+    computed independently in pandas, with DELETE windows yielding no
+    state."""
+    from serene_spark.catalog import load_table
+    from serene_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    out = load_all()["scd2_point_in_time"].spark(spark, sf).toPandas()
+    ev = load_table(spark, sf, "events").toPandas()
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+
+    purchases = ev[ev.event_type == "purchase"]
+    assert len(out) == len(purchases)
+    ops = ev[ev.event_type != "purchase"].sort_values(["user_id", "ts_us", "event_id"])
+    by_user = {uid: grp for uid, grp in ops.groupby("user_id")}
+    pts = purchases.set_index("event_id")
+
+    checked_live = checked_other = 0
+    for _, r in out.sample(n=min(400, len(out)), random_state=7).iterrows():
+        p = pts.loc[r["purchase_event_id"]]
+        grp = by_user.get(r["user_id"])
+        prior = None if grp is None else grp[grp.ts_us <= p["ts_us"]]
+        if prior is None or len(prior) == 0:
+            assert r["state"] == "none"
+            checked_other += 1
+            continue
+        last = prior.iloc[-1]
+        if last["event_type"] == "error":
+            assert r["state"] == "deleted"
+            assert r["state_value"] != r["state_value"]  # NaN in pandas
+            checked_other += 1
+        else:
+            assert r["state"] == "live"
+            assert abs(r["state_value"] - round(last["value"], 6)) < 1e-9
+            checked_live += 1
+    assert checked_live > 50 and checked_other > 0
