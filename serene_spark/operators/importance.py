@@ -130,3 +130,71 @@ register(
     "log-likelihood ratio per document with Laplace smoothing; "
     "single tokenize pass, broadcast bucket model",
 )(_dsir)
+
+
+SAMPLE_FRAC = 0.25  # importance-resample target fraction
+
+
+def weighted_sample_tail_sql(dbc_rel: str, dialect: str) -> str:
+    """DSIR step 2 — importance RESAMPLING (the paper's actual selection
+    rule): draw documents with probability proportional to their importance
+    weight w = exp(llr_avg), via the Efraimidis–Spirakis A-Res scheme
+    (key = -ln(u)/w with u a deterministic md5 uniform; the k smallest keys
+    are a weighted-without-replacement sample).
+
+    Selection is THRESHOLD-based, not ORDER BY/LIMIT: the cutoff is the
+    exact ``SAMPLE_FRAC`` count-quantile of the rounded keys (the engine's
+    histogram-quantile pattern), so there is no global single-task sort and
+    the same statement scales.  Keys are rounded to 6 dp before comparison
+    — u is an exact dyadic rational in both engines and llr_avg is already
+    6-dp-quantized, so cross-engine exp/ln ulp differences vanish under the
+    rounding.
+    """
+    u = f"({hex_to_int(dialect, 'substr(md5(CAST(doc_id AS ' + ('STRING' if dialect == SPARK else 'VARCHAR') + ')), 1, 8)')} + 1) / 4294967297.0"
+    return f"""
+scored AS (
+{dsir_tail_sql(dbc_rel, head="WITH ").rstrip()}
+),
+keyed AS (
+  SELECT doc_id, llr_avg,
+         ROUND(-LN({u}) * EXP(-llr_avg), 6) AS ares_key
+  FROM scored
+),
+hist AS (
+  SELECT ares_key, COUNT(*) AS c FROM keyed GROUP BY ares_key
+),
+cum AS (
+  SELECT ares_key, SUM(c) OVER (ORDER BY ares_key) AS cc,
+         SUM(c) OVER () AS n
+  FROM hist
+),
+thresh AS (
+  SELECT MIN(ares_key) AS t FROM cum WHERE cc >= CEIL({SAMPLE_FRAC} * n)
+)
+SELECT k.doc_id, k.llr_avg, k.ares_key,
+       CASE WHEN k.ares_key <= (SELECT t FROM thresh) THEN 1 ELSE 0 END AS sampled
+FROM keyed k
+"""
+
+
+def dsir_weighted_sample_oracle_sql(dialect: str) -> str:
+    return (
+        f"WITH dbc AS ({doc_bucket_counts_sql(dialect)}),\n"
+        + weighted_sample_tail_sql("dbc", dialect)
+    )
+
+
+def _dsir_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",), spread=True)
+    dbc = spark.sql(doc_bucket_counts_sql(SPARK)).localCheckpoint(eager=True)
+    dbc.createOrReplaceTempView("__dsirws_dbc")
+    return spark.sql("WITH " + weighted_sample_tail_sql("__dsirws_dbc", SPARK))
+
+
+register(
+    "dsir_weighted_sample",
+    oracle=dsir_weighted_sample_oracle_sql(DUCKDB),
+    doc=f"DSIR importance resampling: A-Res weighted sample (frac "
+    f"{SAMPLE_FRAC}) with weights exp(llr_avg), threshold-quantile "
+    "selection (no global sort)",
+)(_dsir_weighted_sample)

@@ -54,3 +54,22 @@ def test_dsir_deterministic(spark):
     a = q.spark(spark, SF).toPandas().sort_values("doc_id").reset_index(drop=True)
     b = q.spark(spark, SF).toPandas().sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_weighted_sample_prefers_target_like_docs(spark):
+    """A-Res with weights exp(llr_avg) must (a) hit the target fraction
+    within tie slack, (b) oversample high-llr docs relative to uniform —
+    the importance-resampling property."""
+    out = load_all()["dsir_weighted_sample"].spark(spark, SF).toPandas()
+    n = len(out)
+    k = (out["sampled"] == 1).sum()
+    import math
+
+    assert k >= math.ceil(0.25 * n)            # threshold rule guarantees >= frac
+    assert k <= math.ceil(0.25 * n) + 5        # ...with only tie slack above
+    mean_sampled = out[out.sampled == 1]["llr_avg"].mean()
+    mean_all = out["llr_avg"].mean()
+    assert mean_sampled > mean_all             # weighting pulls toward target
+    # deterministic: same call, same sample
+    again = load_all()["dsir_weighted_sample"].spark(spark, SF).toPandas()
+    assert set(out[out.sampled == 1]["doc_id"]) == set(again[again.sampled == 1]["doc_id"])
