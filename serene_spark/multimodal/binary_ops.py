@@ -263,7 +263,16 @@ def image_ahash(media: DataFrame) -> DataFrame:
 def image_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-duplicate image pairs: aHash signatures, pigeonhole candidate
     join (one equi-join per 16-bit word — candidates only ever meet inside
-    a shared word bucket, never all-pairs), exact popcount verify."""
+    a shared word bucket, never all-pairs), exact popcount verify.
+
+    The 4-word pigeonhole guarantees completeness only for Hamming
+    distance <= 3 (4 words, <= 3 flipped bits -> one word exact); larger
+    bounds would silently drop true pairs, so they are rejected."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4-word pigeonhole "
+            "completeness bound (3); use more/smaller words for wider radii"
+        )
     from pyspark.sql import functions as F
 
     sigs = image_ahash(media).localCheckpoint(eager=True)

@@ -213,7 +213,9 @@ carried AS (
 SELECT CAST(row_id AS BIGINT) AS purchase_event_id,
        CAST(user_id AS BIGINT) AS user_id,
        CASE WHEN k IS NULL OR substr(k, 41, 1) = 'D' THEN NULL
-            ELSE ROUND(CAST(substr(k, 43) AS DOUBLE), 6) END AS state_value,
+            -- NULLIF guards the NULL-value op encoded as '': DuckDB's
+            -- CAST('' AS DOUBLE) raises where Spark returns NULL
+            ELSE ROUND(CAST(NULLIF(substr(k, 43), '') AS DOUBLE), 6) END AS state_value,
        CASE WHEN k IS NULL THEN 'none'
             WHEN substr(k, 41, 1) = 'D' THEN 'deleted'
             ELSE 'live' END AS state

@@ -67,16 +67,28 @@ cum AS (
   FROM counts
 ),
 d AS (
+  -- DECIMAL(18,0) factors: BIGINT*BIGINT cross-products would silently
+  -- wrap once a side passes ~3e9 rows per type; 18+18+1 = 37 <= 38 keeps
+  -- the decimal product exact to 1e18-row sides
   SELECT event_type, na, nb,
-         MAX(abs(cum_a * nb - cum_b * na)) AS d_scaled
+         MAX(abs(CAST(cum_a AS DECIMAL(18,0)) * CAST(nb AS DECIMAL(18,0))
+                 - CAST(cum_b AS DECIMAL(18,0)) * CAST(na AS DECIMAL(18,0)))) AS d_scaled
   FROM cum GROUP BY event_type, na, nb
 )
 SELECT event_type,
        CAST(na AS BIGINT) AS n_ref,
        CAST(nb AS BIGINT) AS n_cur,
-       ROUND(CAST(d_scaled AS DOUBLE) / (na * nb), 6) AS ks_stat,
-       ROUND({KS_CRIT_C} * sqrt((na + nb) / (CAST(na AS DOUBLE) * nb)), 6) AS ks_crit,
-       CASE WHEN CAST(d_scaled AS DOUBLE) / (na * nb)
+       -- a type on only ONE side of the split is definitional drift
+       -- (sup-gap D = 1 against an empty distribution); without the guard
+       -- the 0-denominator NULLs would fall through CASE to drifted = 0
+       CASE WHEN na = 0 OR nb = 0 THEN 1.0
+            ELSE ROUND(CAST(d_scaled AS DOUBLE)
+                       / (CAST(na AS DOUBLE) * nb), 6) END AS ks_stat,
+       CASE WHEN na = 0 OR nb = 0 THEN NULL
+            ELSE ROUND({KS_CRIT_C} * sqrt((na + nb) / (CAST(na AS DOUBLE) * nb)), 6)
+            END AS ks_crit,
+       CASE WHEN na = 0 OR nb = 0 THEN 1
+            WHEN CAST(d_scaled AS DOUBLE) / (CAST(na AS DOUBLE) * nb)
                  >= {KS_CRIT_C} * sqrt((na + nb) / (CAST(na AS DOUBLE) * nb))
             THEN 1 ELSE 0 END AS drifted
 FROM d

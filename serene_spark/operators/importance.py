@@ -135,6 +135,21 @@ register(
 SAMPLE_FRAC = 0.25  # importance-resample target fraction
 
 
+def keyed_sql(dbc_rel: str, dialect: str) -> str:
+    """(doc_id, llr_avg, ares_key) — the second materialization unit: the
+    selection tail references it from three consumers (coarse histogram,
+    fine pass, final projection), and an inlined CTE would re-run the
+    scoring aggregation for each."""
+    u = f"({hex_to_int(dialect, 'substr(md5(CAST(doc_id AS ' + ('STRING' if dialect == SPARK else 'VARCHAR') + ')), 1, 8)')} + 1) / 4294967297.0"
+    return f"""
+SELECT doc_id, llr_avg,
+       ROUND(-LN({u}) * EXP(-llr_avg), 6) AS ares_key
+FROM (
+{dsir_tail_sql(dbc_rel, head="WITH ").rstrip()}
+) scored
+"""
+
+
 def weighted_sample_tail_sql(dbc_rel: str, dialect: str) -> str:
     """DSIR step 2 — importance RESAMPLING (the paper's actual selection
     rule): draw documents with probability proportional to their importance
@@ -142,38 +157,57 @@ def weighted_sample_tail_sql(dbc_rel: str, dialect: str) -> str:
     (key = -ln(u)/w with u a deterministic md5 uniform; the k smallest keys
     are a weighted-without-replacement sample).
 
-    Selection is THRESHOLD-based, not ORDER BY/LIMIT: the cutoff is the
-    exact ``SAMPLE_FRAC`` count-quantile of the rounded keys (the engine's
-    histogram-quantile pattern), so there is no global single-task sort and
-    the same statement scales.  Keys are rounded to 6 dp before comparison
-    — u is an exact dyadic rational in both engines and llr_avg is already
-    6-dp-quantized, so cross-engine exp/ln ulp differences vanish under the
-    rounding.
+    Selection is THRESHOLD-based, not ORDER BY/LIMIT, via a TWO-PHASE exact
+    quantile: a coarse histogram over deci-wide key bins (cardinality
+    bounded by the key's VALUE RANGE, not the corpus) locates the bin
+    containing the cutoff, and the fine cumulative pass runs inside that
+    one bin only — so no window ever spans corpus-cardinality rows (the
+    near-unique 6-dp keys would otherwise funnel the whole corpus through
+    a single unpartitioned-window task).  Keys are rounded to 6 dp before
+    comparison — u is an exact dyadic rational in both engines and llr_avg
+    is already 6-dp-quantized, so cross-engine exp/ln ulp differences
+    vanish under the rounding.
     """
-    u = f"({hex_to_int(dialect, 'substr(md5(CAST(doc_id AS ' + ('STRING' if dialect == SPARK else 'VARCHAR') + ')), 1, 8)')} + 1) / 4294967297.0"
+    return (
+        f"\nkeyed AS (\n{keyed_sql(dbc_rel, dialect).rstrip()}\n),"
+        + selection_sql("keyed")
+    )
+
+
+def selection_sql(keyed_rel: str) -> str:
+    """Two-phase quantile threshold + sampled flag over a (doc_id, llr_avg,
+    ares_key) relation (see weighted_sample_tail_sql)."""
     return f"""
-scored AS (
-{dsir_tail_sql(dbc_rel, head="WITH ").rstrip()}
+coarse AS (
+  SELECT FLOOR(ares_key * 10) AS cb, COUNT(*) AS c FROM {keyed_rel} GROUP BY 1
 ),
-keyed AS (
-  SELECT doc_id, llr_avg,
-         ROUND(-LN({u}) * EXP(-llr_avg), 6) AS ares_key
-  FROM scored
+ccum AS (
+  SELECT cb, SUM(c) OVER (ORDER BY cb) AS cc, SUM(c) OVER () AS n
+  FROM coarse
 ),
-hist AS (
-  SELECT ares_key, COUNT(*) AS c FROM keyed GROUP BY ares_key
+pick AS (
+  SELECT MIN(cb) AS cb FROM ccum WHERE cc >= CEIL({SAMPLE_FRAC} * n)
 ),
-cum AS (
-  SELECT ares_key, SUM(c) OVER (ORDER BY ares_key) AS cc,
-         SUM(c) OVER () AS n
-  FROM hist
+below AS (
+  SELECT COALESCE(MAX(cc), 0) AS n_below
+  FROM ccum WHERE cb < (SELECT cb FROM pick)
+),
+fine AS (
+  SELECT ares_key, COUNT(*) AS c FROM {keyed_rel}
+  WHERE FLOOR(ares_key * 10) = (SELECT cb FROM pick)
+  GROUP BY ares_key
+),
+fcum AS (
+  SELECT ares_key, SUM(c) OVER (ORDER BY ares_key) AS fc FROM fine
 ),
 thresh AS (
-  SELECT MIN(ares_key) AS t FROM cum WHERE cc >= CEIL({SAMPLE_FRAC} * n)
+  SELECT MIN(f.ares_key) AS t
+  FROM fcum f CROSS JOIN below b CROSS JOIN (SELECT SUM(c) AS n FROM coarse) tot
+  WHERE b.n_below + f.fc >= CEIL({SAMPLE_FRAC} * tot.n)
 )
 SELECT k.doc_id, k.llr_avg, k.ares_key,
        CASE WHEN k.ares_key <= (SELECT t FROM thresh) THEN 1 ELSE 0 END AS sampled
-FROM keyed k
+FROM {keyed_rel} k
 """
 
 
@@ -188,7 +222,11 @@ def _dsir_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("documents",), spread=True)
     dbc = spark.sql(doc_bucket_counts_sql(SPARK)).localCheckpoint(eager=True)
     dbc.createOrReplaceTempView("__dsirws_dbc")
-    return spark.sql("WITH " + weighted_sample_tail_sql("__dsirws_dbc", SPARK))
+    # keyed is consumed by three selection stages — materialize it too, or
+    # Catalyst re-runs the scoring aggregation per consumer
+    keyed = spark.sql(keyed_sql("__dsirws_dbc", SPARK)).localCheckpoint(eager=True)
+    keyed.createOrReplaceTempView("__dsirws_keyed")
+    return spark.sql("WITH " + selection_sql("__dsirws_keyed").lstrip())
 
 
 register(

@@ -215,6 +215,10 @@ class SereneService:
 
 # -- HTTP layer ---------------------------------------------------------------
 
+# serializes /v1.0/query/run bodies: registered operators bind fixed-name
+# temp views on the one shared SparkSession (see run_query)
+_QUERY_LOCK = threading.Lock()
+
 _ROUTES: list[tuple[str, re.Pattern, str]] = [
     ("POST", re.compile(r"^/v1\.0/dataset$"), "post_dataset"),
     ("GET", re.compile(r"^/v1\.0/dataset$"), "list_datasets"),
@@ -351,10 +355,14 @@ def _make_handler(svc: SereneService):
                 self._send(404, {"error": f"unknown query {name!r}"})
                 return
             limit = int(body.get("limit", 100))
-            df = queries[name].spark(
-                get_spark(), body.get("sf_dir", "/root/testdata/sf0.001")
-            )
-            rows = [r.asDict() for r in df.limit(limit).collect()]
+            # operators bind fixed-name temp views (events, documents, ...)
+            # on the shared session, so concurrent requests would silently
+            # read each other's corpus — serialize build+collect
+            with _QUERY_LOCK:
+                df = queries[name].spark(
+                    get_spark(), body.get("sf_dir", "/root/testdata/sf0.001")
+                )
+                rows = [r.asDict() for r in df.limit(limit).collect()]
             self._send(200, {"name": name, "n_rows": len(rows),
                              "rows": json.loads(json.dumps(rows, default=str))})
 

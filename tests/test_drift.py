@@ -101,3 +101,34 @@ def test_no_drift_on_homogeneous_corpus_but_detects_injected(spark):
     assert ks["click"]["drifted"] == 1 and psi["click"]["drifted"] == 1
     assert ks["view"]["drifted"] == 0  # untouched types stay quiet
     spark.catalog.dropTempView("events")
+
+
+def test_brand_new_event_type_flags_as_drift(spark):
+    """A type present on only one side of the split is definitional drift
+    (D = 1 vs an empty distribution) — the guard that stops the 0-count
+    NULLs from falling through to drifted = 0."""
+    from pyspark.sql import functions as F
+
+    from serene_spark.catalog import load_table
+    from serene_spark.functions.sqlgen import SPARK
+    from serene_spark.operators.drift import drift_ks_sql
+
+    ev = load_table(spark, SF, "events")
+    renamed = ev.withColumn(
+        "event_type",
+        F.when(
+            (F.col("ts") >= F.lit(SPLIT_TS).cast("timestamp"))
+            & (F.col("event_type") == "signup"),
+            F.lit("signup_v2"),  # exists only AFTER the split
+        ).otherwise(F.col("event_type")),
+    )
+    renamed.createOrReplaceTempView("events")
+    rows = {r["event_type"]: r for r in spark.sql(drift_ks_sql(SPARK)).collect()}
+    assert rows["signup_v2"]["n_ref"] == 0
+    assert rows["signup_v2"]["ks_stat"] == 1.0
+    assert rows["signup_v2"]["drifted"] == 1
+    assert rows["signup_v2"]["ks_crit"] is None
+    # the truncated original also drifts one-sided if fully absent after;
+    # 'signup' keeps its pre-split rows so it must carry real statistics
+    assert rows["signup"]["n_ref"] > 0
+    spark.catalog.dropTempView("events")
