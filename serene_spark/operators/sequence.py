@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from serene_spark.catalog import register_views
-from serene_spark.functions.sqlgen import DUCKDB, SPARK, epoch_us, idiv
+from serene_spark.functions.sqlgen import DUCKDB, SPARK, epoch_us, explode_seq, idiv
 from serene_spark.registry import register
 
 TRAIL = 24  # trailing window (hours) for the anomaly baseline
@@ -119,3 +119,94 @@ register(
     doc=f"hourly rate anomalies: z-score vs trailing {TRAIL}h baseline per "
     "event type from integer-exact window sums",
 )(_events_query(anomalies_sql))
+
+
+CONV_WINDOW_US = 24 * 3600 * 1_000_000  # purchase counts if within 24h of view
+
+
+def funnel_windowed_sql(dialect: str) -> str:
+    """Windowed funnel conversion: per user, did a purchase follow the
+    FIRST view within {CONV_WINDOW_US/3600e6:.0f} hours?  The product
+    metric events_funnel cannot express (it checks lifetime ordering only).
+
+    One scan: first-view and first-qualifying-purchase both derive from a
+    single per-user aggregation (conditional MINs) — no self-join.  The
+    "first purchase after the first view" needs the view time first, so it
+    is a MIN over a per-user window rather than a second pass.
+    """
+    us = epoch_us(dialect, "ts")
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type, {us} AS ts_us FROM events
+),
+with_view AS (
+  SELECT user_id, event_type, ts_us,
+         MIN(CASE WHEN event_type = 'view' THEN ts_us END)
+           OVER (PARTITION BY user_id) AS first_view_us
+  FROM ev
+),
+per_user AS (
+  SELECT user_id,
+         MIN(first_view_us) AS first_view_us,
+         MIN(CASE WHEN event_type = 'purchase' AND ts_us > first_view_us
+                  THEN ts_us END) AS first_purchase_after_us
+  FROM with_view
+  GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN first_view_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+       CAST(SUM(CASE WHEN first_purchase_after_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_ever,
+       CAST(SUM(CASE WHEN first_purchase_after_us - first_view_us <= {CONV_WINDOW_US}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_24h,
+       ROUND(CAST(SUM(CASE WHEN first_purchase_after_us - first_view_us <= {CONV_WINDOW_US}
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / SUM(CASE WHEN first_view_us IS NOT NULL THEN 1 ELSE 0 END), 6) AS conv_rate_24h
+FROM per_user
+"""
+
+
+def rolling_active_sql(dialect: str) -> str:
+    """Rolling active users: per day, distinct users active that day (DAU)
+    and in the trailing 7 days (WAU), plus stickiness DAU/WAU.
+
+    COUNT(DISTINCT) over a window frame is unsupported everywhere, so the
+    standard shape: reduce to the distinct (user, day) relation first (one
+    event-cardinality agg), explode each user-day to the <=7 future days it
+    keeps the user active for (map-only), and count distinct per day.
+    """
+    day = idiv(dialect, epoch_us(dialect, "ts"), str(24 * 3600 * 1_000_000))
+    return f"""
+WITH user_days AS (
+  SELECT DISTINCT user_id, {day} AS d FROM events
+),
+dau AS (
+  SELECT d, COUNT(*) AS dau FROM user_days GROUP BY d
+),
+contrib AS (
+  SELECT user_id, d + i AS d
+  FROM (SELECT user_id, d, {explode_seq(dialect, 0, 6)} AS i FROM user_days) x
+),
+wau AS (
+  SELECT d, COUNT(DISTINCT user_id) AS wau FROM contrib GROUP BY d
+)
+SELECT CAST(dau.d AS BIGINT) AS day_bucket,
+       CAST(dau.dau AS BIGINT) AS dau,
+       CAST(wau.wau AS BIGINT) AS wau,
+       ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+FROM dau JOIN wau ON dau.d = wau.d
+"""
+
+
+register(
+    "events_funnel_windowed",
+    oracle=funnel_windowed_sql(DUCKDB),
+    doc="windowed funnel conversion: purchases within 24h of the first "
+    "view, single-scan conditional-MIN shape",
+)(_events_query(funnel_windowed_sql))
+
+register(
+    "rolling_active_users",
+    oracle=rolling_active_sql(DUCKDB),
+    doc="DAU/WAU/stickiness per day via the user-day explode (no "
+    "COUNT-DISTINCT windows)",
+)(_events_query(rolling_active_sql))

@@ -77,3 +77,45 @@ def test_anomaly_zscores_match_pandas(spark):
 def test_anomaly_flag_consistent(spark):
     out = load_all()["events_hourly_anomalies"].spark(spark, SF).toPandas()
     assert ((out["z_score"].abs() >= 3.0) == (out["is_anomaly"] == 1)).all()
+
+
+def test_funnel_windowed_matches_pandas(spark):
+    from serene_spark.catalog import load_table
+
+    row = load_all()["events_funnel_windowed"].spark(spark, SF).collect()[0]
+    ev = load_table(spark, SF, "events").toPandas()
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    n_users = ev["user_id"].nunique()
+    conv_ever = conv_24h = viewed = 0
+    for _uid, grp in ev.groupby("user_id"):
+        views = grp[grp.event_type == "view"]["ts_us"]
+        if views.empty:
+            continue
+        viewed += 1
+        fv = views.min()
+        purch = grp[(grp.event_type == "purchase") & (grp.ts_us > fv)]["ts_us"]
+        if not purch.empty:
+            conv_ever += 1
+            if purch.min() - fv <= 24 * 3600 * 1_000_000:
+                conv_24h += 1
+    assert row["n_users"] == n_users
+    assert row["n_viewed"] == viewed
+    assert row["n_converted_ever"] == conv_ever
+    assert row["n_converted_24h"] == conv_24h
+
+
+def test_rolling_active_users_matches_pandas(spark):
+    from serene_spark.catalog import load_table
+
+    out = load_all()["rolling_active_users"].spark(spark, SF).toPandas()
+    ev = load_table(spark, SF, "events").toPandas()
+    ev["d"] = ev["ts"].astype("datetime64[us]").astype("int64") // (24 * 3600 * 1_000_000)
+    ud = ev[["user_id", "d"]].drop_duplicates()
+    for _, r in out.iterrows():
+        d = r["day_bucket"]
+        dau = ud[ud.d == d]["user_id"].nunique()
+        wau = ud[(ud.d >= d - 6) & (ud.d <= d)]["user_id"].nunique()
+        assert r["dau"] == dau and r["wau"] == wau, (d, r["dau"], dau, r["wau"], wau)
+        assert abs(r["stickiness"] - round(dau / wau, 6)) < 1e-9
+    # one row per ACTIVE day (inner join semantics)
+    assert len(out) == ud["d"].nunique()
