@@ -153,3 +153,100 @@ register(
     doc="pairwise source redundancy: word-8-gram Jaccard matrix over "
     "distinct gram sets (MinHash is the constant-state scale sibling)",
 )(_source_sim)
+
+
+# --- Bloom filter in SQL ----------------------------------------------------
+
+BLOOM_M = 16384  # bits
+BLOOM_K = 4      # hash functions
+
+
+def bloom_stats_sql(dialect: str) -> str:
+    """Bloom-filter membership (Bloom 1970) built IN SQL, like the CMS
+    above: the filter over orders' customer keys is the DISTINCT set of
+    their k hashed bit positions (<= BLOOM_M rows — broadcast-sized
+    regardless of order count); a customer "may be a member" iff ALL k of
+    its positions are set.  Probing every customer against ground truth
+    (the exact semi-join) surfaces the defining guarantees in the output:
+    zero false negatives ALWAYS, and a false-positive rate near
+    (1 - e^{{-kn/m}})^k.
+
+    This is the row-level runtime-filter pattern (Spark's own
+    InjectRuntimeFilter/bloom join pruning): at 100 TB the filter built
+    from the small side prunes the big side's shuffle input map-side.
+    """
+    str_t = "STRING" if dialect == SPARK else "VARCHAR"
+
+    def pos(i: int, expr: str) -> str:
+        h = hex_to_int(dialect, f"substr(md5('{i}:' || CAST({expr} AS {str_t})), 1, 8)")
+        return f"{h} % {BLOOM_M}"
+
+    build_arms = "\n  UNION ALL\n".join(
+        f"  SELECT DISTINCT {pos(i, 'o_custkey')} AS b FROM orders"
+        for i in range(BLOOM_K)
+    )
+    probe_arms = "\n  UNION ALL\n".join(
+        f"  SELECT c_custkey, {pos(i, 'c_custkey')} AS pos FROM probe_keys"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+WITH bits AS (
+  SELECT DISTINCT b FROM (
+{build_arms}
+  ) u
+),
+probe_keys AS (
+  -- customers (members at most sf) plus shifted keys that are guaranteed
+  -- NON-members — without them the FPR measurement is vacuous on a corpus
+  -- where every customer has orders
+  SELECT c_custkey FROM customer
+  UNION ALL
+  SELECT c_custkey + 10000000 FROM customer
+),
+probe_pos AS (
+  -- membership as a JOIN, not k correlated EXISTS (which Catalyst fails
+  -- to de-correlate against a shared CTE): a key is a bloom member iff
+  -- EVERY one of its distinct positions is set
+  SELECT DISTINCT c_custkey, pos FROM (
+{probe_arms}
+  ) q
+),
+hits AS (
+  SELECT p.c_custkey,
+         COUNT(*) AS n_pos,
+         SUM(CASE WHEN bt.b IS NULL THEN 0 ELSE 1 END) AS n_hit
+  FROM probe_pos p LEFT JOIN bits bt ON p.pos = bt.b
+  GROUP BY p.c_custkey
+),
+verdicts AS (
+  SELECT h.c_custkey,
+         CASE WHEN h.n_hit = h.n_pos THEN 1 ELSE 0 END AS bloom_member,
+         CASE WHEN m.o_custkey IS NULL THEN 0 ELSE 1 END AS true_member
+  FROM hits h
+  LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) m
+    ON h.c_custkey = m.o_custkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+       CAST(SUM(true_member) AS BIGINT) AS n_true_members,
+       CAST(SUM(CASE WHEN bloom_member = 1 AND true_member = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS false_positives,
+       CAST(SUM(CASE WHEN bloom_member = 0 AND true_member = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS false_negatives,
+       ROUND(CAST(SUM(CASE WHEN bloom_member = 1 AND true_member = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / GREATEST(1, SUM(CASE WHEN true_member = 0 THEN 1 ELSE 0 END)), 6) AS fpr
+FROM verdicts
+"""
+
+
+def _bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(bloom_stats_sql(SPARK))
+
+
+register(
+    "bloom_filter_stats",
+    oracle=bloom_stats_sql(DUCKDB),
+    doc=f"Bloom filter in SQL ({BLOOM_K} hashes, {BLOOM_M} bits) over "
+    "orders' customer keys probed against all customers: zero false "
+    "negatives, FPR vs ground truth — the runtime-filter pruning pattern",
+)(_bloom)

@@ -74,3 +74,21 @@ def test_source_similarity_matches_python_sets(spark):
             assert (a, b) in got
             assert got[(a, b)][0] == inter
             assert abs(got[(a, b)][1] - jac) < 1e-9
+
+
+def test_bloom_guarantees(spark):
+    """Bloom filter: zero false negatives ALWAYS; FPR within a few times
+    the theoretical (1 - e^{-kn/m})^k."""
+    import math
+
+    from serene_spark.operators.corpus_stats import BLOOM_K, BLOOM_M
+
+    row = load_all()["bloom_filter_stats"].spark(spark, SF).collect()[0]
+    assert row["false_negatives"] == 0  # the defining guarantee
+    assert row["n_probed"] == 2 * row["n_true_members"]  # shifted non-members
+    n = row["n_true_members"]
+    theory = (1 - math.exp(-BLOOM_K * n / BLOOM_M)) ** BLOOM_K
+    n_non = row["n_probed"] - n
+    # generous bound: theory + 4 sigma of the binomial draw
+    bound = theory + 4 * math.sqrt(max(theory, 1e-9) * (1 - theory) / n_non)
+    assert row["fpr"] <= max(bound, 3 / n_non), (row["fpr"], theory)
