@@ -102,3 +102,44 @@ def read_matview(spark: SparkSession, partials_dir: str) -> DataFrame:
             F.col("sum_value").cast("double") / F.col("n_events"), 6
         ).alias("avg_value"),
     )
+
+
+def read_anomalies(spark: SparkSession, partials_dir: str) -> DataFrame:
+    """Continuous monitoring over the streamed view: the rate-anomaly
+    z-scores (operators/sequence.anomalies_sql semantics, same RANGE
+    baseline and integer-exact variance) computed from the partial-
+    aggregate log's hourly counts instead of rescanning raw events — the
+    streaming twin of ``events_hourly_anomalies``.  Cost per refresh is
+    the merged-view cardinality (hours × types), never event cardinality.
+    """
+    from serene_spark.operators.sequence import TRAIL, Z_THRESHOLD
+
+    read_matview(spark, partials_dir).select(
+        "event_type", "hour_bucket", F.col("n_events").alias("cnt")
+    ).createOrReplaceTempView("__mv_hourly")
+    out = spark.sql(f"""
+WITH win AS (
+  SELECT event_type, hour_bucket, cnt,
+         SUM(cnt) OVER w AS s1,
+         SUM(cnt * cnt) OVER w AS s2,
+         COUNT(*) OVER w AS n
+  FROM __mv_hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_bucket
+               RANGE BETWEEN {TRAIL} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type,
+       CAST(hour_bucket AS BIGINT) AS hour_bucket,
+       CAST(cnt AS BIGINT) AS cnt,
+       ROUND(CAST(s1 AS DOUBLE) / n, 6) AS baseline_mean,
+       ROUND((cnt - CAST(s1 AS DOUBLE) / n)
+             / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                    / (n - 1)), 6) AS z_score,
+       CASE WHEN abs((cnt - CAST(s1 AS DOUBLE) / n)
+                     / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                            / (n - 1))) >= {Z_THRESHOLD}
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM win
+WHERE n >= 12
+  AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) > 0
+""")
+    return out

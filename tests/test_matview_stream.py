@@ -78,3 +78,28 @@ def test_replay_is_idempotent(spark, tmp_path):
     after = _normalize(read_matview(spark, partials_dir))
     assert before.shape == after.shape
     assert (before.values == after.values).all()
+
+
+def test_streamed_anomalies_equal_batch_query(spark, tmp_path):
+    """read_anomalies over the partial log must equal the batch
+    events_hourly_anomalies query — continuous monitoring without
+    rescanning raw events."""
+    from serene_spark.registry import load_all
+    from serene_spark.streaming.matview_stream import (
+        read_anomalies,
+        start_matview_stream,
+    )
+
+    events = load_table(spark, SF, "events")
+    events_dir = tmp_path / "events_in"
+    events_dir.mkdir()
+    partials_dir = str(tmp_path / "partials")
+    ckpt = str(tmp_path / "ckpt")
+    events.toPandas().to_parquet(str(events_dir / "a.parquet"))
+    q = start_matview_stream(spark, str(events_dir), partials_dir, ckpt)
+    assert q.awaitTermination(300)
+
+    got = _normalize(read_anomalies(spark, partials_dir))
+    want = _normalize(load_all()["events_hourly_anomalies"].spark(spark, SF))
+    assert got.shape == want.shape
+    assert (got.values == want.values).all()
