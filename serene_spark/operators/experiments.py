@@ -1,0 +1,139 @@
+"""Experiment analysis and seasonality operators.
+
+* ``ab_test_conversion`` — the two-proportion z-test an A/B readout runs:
+  users split into variants (deterministic user_id hash — the variant
+  assignment every experimentation platform derives the same way), each
+  variant's view→purchase conversion measured, and the pooled-variance
+  z-statistic computed.  The corpus has no real treatment, so the test
+  doubles as an A/A calibration check: |z| should be small, and the test
+  pins that (an experimentation pipeline that flags its own A/A split is
+  broken).
+* ``events_seasonality`` — hour-of-day seasonal index per event type:
+  mean count at each clock hour divided by the type's overall hourly mean
+  (the multiplicative seasonal profile used for expected-load baselines
+  and anomaly normalization).
+
+Scale shapes: conversion flags reduce per (variant) from one per-user agg;
+the seasonal index is two chained aggs over the tiny hourly relation.
+Integer/rational arithmetic until the final rounded division, per the
+engine's determinism conventions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from serene_spark.catalog import register_views
+from serene_spark.functions.sqlgen import DUCKDB, SPARK, epoch_us, hex_to_int, idiv
+from serene_spark.registry import register
+
+HOUR_US = 3600 * 1_000_000
+
+
+def ab_test_sql(dialect: str) -> str:
+    str_t = "STRING" if dialect == SPARK else "VARCHAR"
+    variant = (
+        f"{hex_to_int(dialect, f'substr(md5(CAST(user_id AS {str_t})), 1, 8)')} % 2"
+    )
+    return f"""
+WITH with_view AS (
+  SELECT user_id, event_type, {epoch_us(dialect, 'ts')} AS ts_us,
+         MIN(CASE WHEN event_type = 'view' THEN {epoch_us(dialect, 'ts')} END)
+           OVER (PARTITION BY user_id) AS first_view_us
+  FROM events
+),
+per_user AS (
+  -- conversion = purchase within 24h of the FIRST view (the windowed
+  -- funnel metric): the lifetime definition is degenerate on this corpus
+  -- (every exposed user eventually purchases -> pooled rate 1 -> the
+  -- z denominator vanishes)
+  SELECT user_id,
+         {variant} AS variant,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS viewed,
+         MAX(CASE WHEN event_type = 'purchase'
+                   AND ts_us > first_view_us
+                   AND ts_us - first_view_us <= 86400000000
+                  THEN 1 ELSE 0 END) AS purchased
+  FROM with_view
+  GROUP BY user_id
+),
+arms AS (
+  SELECT variant,
+         SUM(viewed) AS n_exposed,
+         SUM(CASE WHEN viewed = 1 AND purchased = 1 THEN 1 ELSE 0 END) AS n_converted
+  FROM per_user GROUP BY variant
+),
+wide AS (
+  SELECT
+    MAX(CASE WHEN variant = 0 THEN n_exposed END) AS na,
+    MAX(CASE WHEN variant = 0 THEN n_converted END) AS ca,
+    MAX(CASE WHEN variant = 1 THEN n_exposed END) AS nb,
+    MAX(CASE WHEN variant = 1 THEN n_converted END) AS cb
+  FROM arms
+)
+SELECT CAST(na AS BIGINT) AS n_exposed_a,
+       CAST(ca AS BIGINT) AS n_converted_a,
+       CAST(nb AS BIGINT) AS n_exposed_b,
+       CAST(cb AS BIGINT) AS n_converted_b,
+       ROUND(CAST(ca AS DOUBLE) / na, 6) AS rate_a,
+       ROUND(CAST(cb AS DOUBLE) / nb, 6) AS rate_b,
+       ROUND((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+             / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                    * (1 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                    * (1.0 / na + 1.0 / nb)), 6) AS z_score,
+       CASE WHEN abs((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+                     / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                            * (1 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                            * (1.0 / na + 1.0 / nb))) >= 1.96
+            THEN 1 ELSE 0 END AS significant_95
+FROM wide
+"""
+
+
+def seasonality_sql(dialect: str) -> str:
+    hour = idiv(dialect, epoch_us(dialect, "ts"), str(HOUR_US))
+    return f"""
+WITH hourly AS (
+  SELECT event_type, {hour} AS hour_bucket, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+by_clock AS (
+  SELECT event_type, hour_bucket % 24 AS clock_hour,
+         SUM(cnt) AS total, COUNT(*) AS n_hours
+  FROM hourly GROUP BY event_type, hour_bucket % 24
+),
+overall AS (
+  SELECT event_type,
+         SUM(total) AS grand_total, SUM(n_hours) AS grand_hours
+  FROM by_clock GROUP BY event_type
+)
+SELECT b.event_type,
+       CAST(b.clock_hour AS BIGINT) AS clock_hour,
+       ROUND(CAST(b.total AS DOUBLE) / b.n_hours, 6) AS mean_rate,
+       ROUND((CAST(b.total AS DOUBLE) / b.n_hours)
+             / (CAST(o.grand_total AS DOUBLE) / o.grand_hours), 6) AS seasonal_index
+FROM by_clock b JOIN overall o ON b.event_type = o.event_type
+"""
+
+
+def _events_query(sql_fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, ("events",))
+        return spark.sql(sql_fn(SPARK))
+
+    return run
+
+
+register(
+    "ab_test_conversion",
+    oracle=ab_test_sql(DUCKDB),
+    doc="A/B readout: per-variant view->purchase conversion + pooled "
+    "two-proportion z-test (doubles as the A/A calibration check)",
+)(_events_query(ab_test_sql))
+
+register(
+    "events_seasonality",
+    oracle=seasonality_sql(DUCKDB),
+    doc="hour-of-day multiplicative seasonal index per event type (the "
+    "expected-load baseline profile)",
+)(_events_query(seasonality_sql))

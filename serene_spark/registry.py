@@ -82,6 +82,7 @@ def load_all() -> dict[str, Query]:
         "serene_spark.operators.prep",
         "serene_spark.operators.drift",
         "serene_spark.operators.vocab",
+        "serene_spark.operators.experiments",
         "serene_spark.modeler.octopus",
         "serene_spark.modeler.report_fixture",
         "serene_spark.ml.pipeline",

@@ -1,0 +1,57 @@
+"""Experiment analysis + seasonality (operators/experiments.py)."""
+
+from __future__ import annotations
+
+import math
+
+from serene_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ab_test_is_calibrated_aa(spark):
+    """The hash split carries no real treatment, so this is an A/A test:
+    the z-statistic must not flag, arms must cover all exposed users, and
+    the z formula must match an independent python computation."""
+    row = load_all()["ab_test_conversion"].spark(spark, SF).collect()[0]
+    na, ca = row["n_exposed_a"], row["n_converted_a"]
+    nb, cb = row["n_exposed_b"], row["n_converted_b"]
+    assert na > 0 and nb > 0
+    assert 0 < ca < na and 0 < cb < nb  # non-degenerate rates
+    p = (ca + cb) / (na + nb)
+    z = (ca / na - cb / nb) / math.sqrt(p * (1 - p) * (1 / na + 1 / nb))
+    assert abs(row["z_score"] - round(z, 6)) < 1e-9
+    assert row["significant_95"] == (1 if abs(z) >= 1.96 else 0)
+    # A/A calibration: no effect exists, so the 95% test must not fire
+    assert row["significant_95"] == 0, row
+
+
+def test_seasonality_index_properties(spark):
+    out = load_all()["events_seasonality"].spark(spark, SF).toPandas()
+    assert set(out["clock_hour"]) == set(range(24))
+    for et, grp in out.groupby("event_type"):
+        assert len(grp) == 24
+        # the index is mean-one-ish by construction: hour-weighted average
+        # of seasonal_index equals 1 when every clock hour has equal
+        # support; allow slack for unequal n_hours at month boundaries
+        assert 0.8 < grp["seasonal_index"].mean() < 1.2
+        assert (grp["seasonal_index"] > 0).all()
+
+
+def test_seasonality_matches_pandas(spark):
+    from serene_spark.catalog import load_table
+
+    out = load_all()["events_seasonality"].spark(spark, SF).toPandas()
+    ev = load_table(spark, SF, "events").toPandas()
+    ev["hour_bucket"] = (
+        ev["ts"].astype("datetime64[us]").astype("int64") // (3600 * 1_000_000)
+    )
+    hourly = ev.groupby(["event_type", "hour_bucket"]).size().rename("cnt").reset_index()
+    hourly["clock"] = hourly["hour_bucket"] % 24
+    for _, r in out.iterrows():
+        g = hourly[(hourly.event_type == r["event_type"]) & (hourly.clock == r["clock_hour"])]
+        allg = hourly[hourly.event_type == r["event_type"]]
+        mean_rate = g["cnt"].sum() / len(g)
+        grand = allg["cnt"].sum() / len(allg)
+        assert abs(r["mean_rate"] - round(mean_rate, 6)) < 1e-9
+        assert abs(r["seasonal_index"] - round(mean_rate / grand, 6)) < 1e-9
