@@ -137,3 +137,63 @@ register(
     doc="hour-of-day multiplicative seasonal index per event type (the "
     "expected-load baseline profile)",
 )(_events_query(seasonality_sql))
+
+
+WEEK_US = 7 * 24 * HOUR_US
+
+
+def clv_cohort_sql(dialect: str) -> str:
+    """Customer-lifetime-value curves by signup cohort: for each weekly
+    signup cohort and account age (weeks since signup), the cumulative
+    purchase revenue per cohort member — the payback/LTV readout next to
+    the retention matrix (events_retention_cohorts).
+
+    Shape: signup week per user (one agg), purchases keyed back to the
+    cohort (broadcastable user->cohort map at dimension scale; ordinary
+    keyed join at 100 TB), weekly revenue per (cohort, age) (tiny), then a
+    cumulative window over that tiny relation.  Users who signed up but
+    never purchased still size the cohort (LEFT-join denominator).
+    """
+    us = epoch_us(dialect, "ts")
+    return f"""
+WITH signups AS (
+  SELECT user_id, MIN({us}) AS signup_us
+  FROM events WHERE event_type = 'signup'
+  GROUP BY user_id
+),
+cohort_size AS (
+  SELECT CAST({idiv(dialect, 'signup_us', str(WEEK_US))} AS BIGINT) AS cohort_week,
+         COUNT(*) AS n_users
+  FROM signups GROUP BY 1
+),
+purchases AS (
+  SELECT s.user_id,
+         CAST({idiv(dialect, 's.signup_us', str(WEEK_US))} AS BIGINT) AS cohort_week,
+         CAST({idiv(dialect, f'({us} - s.signup_us)', str(WEEK_US))} AS BIGINT) AS age_week,
+         CAST(e.value AS DECIMAL(18,2)) AS v
+  FROM events e
+  JOIN signups s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND {us} >= s.signup_us
+),
+weekly AS (
+  SELECT cohort_week, age_week, SUM(v) AS rev
+  FROM purchases GROUP BY cohort_week, age_week
+)
+SELECT w.cohort_week,
+       CAST(w.age_week AS BIGINT) AS age_week,
+       CAST(c.n_users AS BIGINT) AS cohort_users,
+       ROUND(CAST(w.rev AS DOUBLE), 6) AS week_revenue,
+       ROUND(CAST(SUM(w.rev) OVER (PARTITION BY w.cohort_week
+                                   ORDER BY w.age_week) AS DOUBLE)
+             / c.n_users, 6) AS cum_revenue_per_user
+FROM weekly w
+JOIN cohort_size c ON w.cohort_week = c.cohort_week
+"""
+
+
+register(
+    "clv_cohort_curves",
+    oracle=clv_cohort_sql(DUCKDB),
+    doc="LTV curves: cumulative purchase revenue per user by weekly signup "
+    "cohort and account age (the payback readout beside retention)",
+)(_events_query(clv_cohort_sql))

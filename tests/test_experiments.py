@@ -55,3 +55,33 @@ def test_seasonality_matches_pandas(spark):
         grand = allg["cnt"].sum() / len(allg)
         assert abs(r["mean_rate"] - round(mean_rate, 6)) < 1e-9
         assert abs(r["seasonal_index"] - round(mean_rate / grand, 6)) < 1e-9
+
+
+def test_clv_cohort_curves_match_pandas(spark):
+    from serene_spark.catalog import load_table
+
+    out = load_all()["clv_cohort_curves"].spark(spark, SF).toPandas()
+    ev = load_table(spark, SF, "events").toPandas()
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    week = 7 * 24 * 3600 * 1_000_000
+    signup = ev[ev.event_type == "signup"].groupby("user_id")["ts_us"].min()
+    cohort = (signup // week).rename("cohort")
+    sizes = cohort.value_counts()
+    p = ev[ev.event_type == "purchase"].merge(signup.rename("s_us"), on="user_id")
+    p = p[p.ts_us >= p.s_us]
+    p["cohort"] = p["s_us"] // week
+    p["age"] = (p.ts_us - p.s_us) // week
+    p["v"] = p["value"].round(2)
+    weekly = p.groupby(["cohort", "age"])["v"].sum()
+    assert len(out) == len(weekly)
+    for _, r in out.iterrows():
+        c, a = r["cohort_week"], r["age_week"]
+        assert r["cohort_users"] == sizes[c]
+        assert abs(r["week_revenue"] - round(weekly[(c, a)], 6)) < 1e-6
+        cohort_weeks = weekly.loc[c]
+        cum = cohort_weeks[cohort_weeks.index <= a].sum()
+        assert abs(r["cum_revenue_per_user"] - round(cum / sizes[c], 6)) < 1e-6
+    # curves are non-decreasing in age per cohort
+    for c, grp in out.groupby("cohort_week"):
+        srt = grp.sort_values("age_week")["cum_revenue_per_user"]
+        assert (srt.diff().dropna() >= -1e-9).all()
