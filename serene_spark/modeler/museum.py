@@ -1,0 +1,157 @@
+"""Museum-29 real-data validation (round-4 top item).
+
+Runs the reference's own museum benchmark artifacts — the 29 Karma model
+JSONs per ontology flavor at
+``/root/reference/modeler/src/test/resources/karma/museum/museum-29-{crm,edm}``
+— through the rebuild, read-only:
+
+1. **Read-in extraction** (MuseumSpec.scala:54-144 "Museum dataset crm/edm
+   read in"): parse every model, emit one row per column node with its first
+   user semantic type ``(datasetName, columnHeader, hNodeId, domainUri,
+   typeUri)`` — exactly the CSV those tests write.
+2. **Conversion gate** (MuseumSpec.scala:164-214 "edm models conversions"):
+   all 29 models convert to SSDs; every SSD's semantic model is defined;
+   class nodes carry non-empty labels from more than one namespace prefix.
+3. **Leave-one-out suggestion** (the MuseumSpec/AlignmentGraphSpec workload
+   end-to-end): build the alignment graph from 28 models + a model-derived
+   ontology, take the held-out source's user semantic types as column
+   predictions, and suggest its semantic model — asserting a connected
+   structure over the true classes.
+
+All parsing is driver-side (each model is O(40) nodes); the extraction rows
+become a DataFrame so the per-flavor query is a registered part of the
+engine surface.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+
+from serene_spark.modeler.alignment import AlignmentGraph
+from serene_spark.modeler.karma_io import (
+    KarmaModel,
+    load_karma_dir,
+    local_name,
+    ontology_from_models,
+)
+from serene_spark.modeler.suggest import suggest_models
+from serene_spark.registry import register
+
+MUSEUM_ROOT = "/root/reference/modeler/src/test/resources/karma/museum"
+
+
+def museum_dir(flavor: str = "crm") -> str:
+    return os.path.join(MUSEUM_ROOT, f"museum-29-{flavor}")
+
+
+@lru_cache(maxsize=4)
+def load_museum(flavor: str = "crm") -> tuple[KarmaModel, ...]:
+    """The 29 parsed models of one flavor, name-ordered (cached: the files
+    are immutable reference test resources, read many times per session)."""
+    return tuple(load_karma_dir(museum_dir(flavor)))
+
+
+def column_type_rows(flavor: str = "crm") -> list[tuple[str, str, str, str, str]]:
+    """The MuseumSpec read-in extraction: one row per column node
+    ``(datasetName, columnHeader, hNodeId, domainUri, typeUri)``
+    (MuseumSpec.scala:70-93), across all 29 models in name order."""
+    rows: list[tuple[str, str, str, str, str]] = []
+    for km in load_museum(flavor):
+        for col_name, h_id, dom, typ in km.column_types:
+            rows.append((km.name, col_name, h_id, dom, typ))
+    return rows
+
+
+def conversion_gate(flavor: str = "edm") -> dict[str, int | bool]:
+    """The MuseumSpec.scala:164-214 assertions, as measured facts:
+    29 models read; all convert to SSDs with a defined semantic model;
+    all class nodes carry a non-empty namespace prefix; the prefixes of
+    helper (class-to-class) links span more than one namespace."""
+    models = load_museum(flavor)
+    ssds = [km.to_ssd() for km in models]
+    prefixes: set[str] = set()
+    class_labels_ok = True
+    for km in models:
+        # class-node labels non-empty <=> their URIs had a local name
+        for n in km.semantic_model.nodes:
+            if n.node_type == "ClassNode" and not n.label:
+                class_labels_ok = False
+    # namespace prefixes of the object-property links, via the raw files'
+    # label URIs — recover from the parsed labels' source models
+    for km in models:
+        for h_id, types in km.user_types.items():
+            for t in types:
+                if "#" in t.domain_uri:
+                    prefixes.add(t.domain_uri.rsplit("#", 1)[0])
+                elif "/" in t.domain_uri:
+                    prefixes.add(t.domain_uri.rsplit("/", 1)[0])
+    return {
+        "n_models": len(models),
+        "n_ssds_defined": sum(1 for s in ssds if s.semantic_model.nodes),
+        "all_class_labels_nonempty": class_labels_ok,
+        "n_namespace_prefixes": len(prefixes),
+    }
+
+
+def _predictions_from_user_types(km: KarmaModel) -> dict[str, dict[str, float]]:
+    """Held-out source's column predictions from its own user annotations:
+    column -> {"Class---property": 1.0} — the ground-truth analog of the
+    matcher scores KarmaSuggestModel consumes (KarmaSuggestModel.scala:122-173
+    builds candidate types per column from exactly such scored pairs)."""
+    preds: dict[str, dict[str, float]] = {}
+    for col_name, h_id, dom, typ in km.column_types:
+        if not dom:
+            continue
+        label = f"{local_name(dom)}---{local_name(typ)}"
+        preds.setdefault(col_name, {})[label] = 1.0
+    return preds
+
+
+def suggest_leave_one_out(flavor: str = "crm", holdout_index: int = 0, top_k: int = 1):
+    """Build the alignment from the other 28 models and suggest the held-out
+    source's model. Returns (suggestions, held_out_model)."""
+    models = load_museum(flavor)
+    held = models[holdout_index]
+    train = [m for i, m in enumerate(models) if i != holdout_index]
+    onto = ontology_from_models(train)
+    alignment = AlignmentGraph(onto).construct_initial_alignment(
+        [m.semantic_model for m in train]
+    )
+    preds = _predictions_from_user_types(held)
+    return suggest_models(alignment, preds, top_k=top_k), held
+
+
+def _column_types_df(spark: SparkSession, flavor: str) -> DataFrame:
+    return spark.createDataFrame(
+        column_type_rows(flavor),
+        "dataset_name string, column_header string, hnode_id string, "
+        "domain_uri string, type_uri string",
+    ).orderBy("dataset_name", "hnode_id")
+
+
+@register(
+    "museum29_column_types_crm",
+    oracle=None,  # input is the reference's Karma JSON corpus, not sf parquet
+    doc="REAL-data museum benchmark: per-column first user semantic type "
+    "across all 29 crm Karma models (MuseumSpec.scala:54-99 'read in'); "
+    "418 rows pinned in tests/test_museum.py",
+)
+def museum29_column_types_crm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _column_types_df(spark, "crm")
+
+
+@register(
+    "ssd_suggest_museum29",
+    oracle=None,
+    doc="REAL-data museum benchmark: leave-one-out suggestion for s01-cb.csv "
+    "from the other 28 crm models (MuseumSpec/AlignmentGraphSpec workload); "
+    "structural gates pinned in tests/test_museum.py",
+)
+def ssd_suggest_museum29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serene_spark.modeler.report_fixture import _suggestions_df
+
+    suggestions, _held = suggest_leave_one_out("crm", 0, top_k=1)
+    return _suggestions_df(spark, suggestions)
