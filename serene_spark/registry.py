@@ -90,6 +90,7 @@ def load_all() -> dict[str, Query]:
         "serene_spark.modeler.museum",
         "serene_spark.ml.pipeline",
         "serene_spark.ml.homeseekers_fixture",
+        "serene_spark.ml.homeseekers_real",
         "serene_spark.ml.bagging",
         "serene_spark.ml.minhash_lsh",
         "serene_spark.ml.quality_classifier",
