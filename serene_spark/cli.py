@@ -251,8 +251,19 @@ def cmd_query(args) -> int:
         return 2
     df = queries[args.name].spark(_spark(), args.sf_dir)
     if args.out:
-        df.toPandas().to_csv(args.out, index=False)
-        print(f"wrote {args.out}")
+        # stream partition-by-partition: toPandas() would materialize the
+        # whole result on the driver (ts_gapfill_locf is ~1M rows at sf0.1,
+        # more at higher sf) — toLocalIterator holds one partition at a time
+        import csv as _csv
+
+        with open(args.out, "w", newline="", encoding="utf-8") as fh:
+            w = _csv.writer(fh)
+            w.writerow(df.columns)
+            n = 0
+            for row in df.toLocalIterator():
+                w.writerow(row)
+                n += 1
+        print(f"wrote {args.out} ({n} rows)")
     else:
         for row in df.limit(args.limit).collect():
             print(json.dumps(row.asDict(), default=str))

@@ -38,6 +38,11 @@ CV_FOLDS = 10
 CV_DEPTHS = (1, 5, 10, 20, 30)
 CV_TREES = (1, 5, 10, 15, 20)
 CV_IMPURITIES = ("entropy", "gini")
+# Ceiling on the training-set collect in train_semantic_classifier: the
+# input is one row per labeled (column[, bag]) — 100k columns is far beyond
+# any real schema corpus, while a mistaken data-scale frame exceeds it
+# immediately.
+TRAIN_COLLECT_MAX = 100_000
 
 
 def profile_features_from_long(
@@ -133,6 +138,20 @@ def train_semantic_classifier(
     # and tree induction's many tiny jobs iterate over 1 local partition
     # instead of re-entering the cached-profiling-SQL lineage — measured
     # ~3x faster RF fit at bench scale with identical fitted trees.
+    #
+    # Guard: this is the PUBLIC train API; a caller feeding a data-scale
+    # frame (row-per-record instead of row-per-column) would OOM the driver
+    # here. The parity choice is only valid for column-metadata inputs, so
+    # refuse anything larger and point at the bagged/sampled path.
+    n_guard = labeled_features.limit(TRAIN_COLLECT_MAX + 1).count()
+    if n_guard > TRAIN_COLLECT_MAX:
+        raise ValueError(
+            f"train_semantic_classifier collects the training set to the "
+            f"driver (reference parity, TrainMlib:186-192) and got more than "
+            f"{TRAIN_COLLECT_MAX} rows — this input is not column-metadata-"
+            f"sized. Aggregate to per-column features first "
+            f"(profile_features_from_long) or train on bags (ml.bagging)."
+        )
     rows = labeled_features.orderBy("column_name").collect()
     ordered = spark.createDataFrame(rows, labeled_features.schema).coalesce(1).cache()
     n_rows = len(rows)

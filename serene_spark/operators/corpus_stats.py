@@ -196,12 +196,14 @@ WITH bits AS (
   ) u
 ),
 probe_keys AS (
-  -- customers (members at most sf) plus shifted keys that are guaranteed
-  -- NON-members — without them the FPR measurement is vacuous on a corpus
+  -- customers (members at most sf) plus keys negated below zero, which are
+  -- non-members BY CONSTRUCTION at any scale factor (custkeys are >= 0; a
+  -- fixed shift would collide with real customers once keys reach its
+  -- magnitude) — without them the FPR measurement is vacuous on a corpus
   -- where every customer has orders
   SELECT c_custkey FROM customer
   UNION ALL
-  SELECT c_custkey + 10000000 FROM customer
+  SELECT -(c_custkey + 1) FROM customer
 ),
 probe_pos AS (
   -- membership as a JOIN, not k correlated EXISTS (which Catalyst fails

@@ -85,7 +85,7 @@ WITH dims AS (
 SELECT CAST(i AS BIGINT) AS dim,
        CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*) / 1e6, 6) AS mean,
-       ROUND(sqrt((CAST(SUM(x * x) AS DOUBLE)
+       ROUND(sqrt((CAST(SUM(CAST(x AS DECIMAL(19,0)) * x) AS DOUBLE)
                    - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE) / COUNT(*))
                   / (COUNT(*) - 1)) / 1e6, 6) AS std,
        ROUND(CAST(MIN(x) AS DOUBLE) / 1e6, 6) AS min_x,

@@ -23,6 +23,7 @@ threads only enqueue/poll.
 from __future__ import annotations
 
 import json
+import os
 import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -219,6 +220,10 @@ class SereneService:
 # temp views on the one shared SparkSession (see run_query)
 _QUERY_LOCK = threading.Lock()
 
+# Root under which POST /v1.0/query/run may read parquet (overridable for
+# deployments with a different data mount).
+_DATA_ROOT = os.environ.get("SERENE_DATA_ROOT", "/root/testdata")
+
 _ROUTES: list[tuple[str, re.Pattern, str]] = [
     ("POST", re.compile(r"^/v1\.0/dataset$"), "post_dataset"),
     ("GET", re.compile(r"^/v1\.0/dataset$"), "list_datasets"),
@@ -355,13 +360,20 @@ def _make_handler(svc: SereneService):
                 self._send(404, {"error": f"unknown query {name!r}"})
                 return
             limit = int(body.get("limit", 100))
+            sf_dir = body.get("sf_dir", "/root/testdata/sf0.001")
+            # allowlist: a request-supplied sf_dir must resolve under the
+            # data root — otherwise any HTTP client could point the engine
+            # at an arbitrary parquet path and exfiltrate rows via the
+            # response (round-4 advice item)
+            resolved = os.path.realpath(sf_dir)
+            if not resolved.startswith(os.path.realpath(_DATA_ROOT) + os.sep):
+                self._send(403, {"error": f"sf_dir must be under {_DATA_ROOT}"})
+                return
             # operators bind fixed-name temp views (events, documents, ...)
             # on the shared session, so concurrent requests would silently
             # read each other's corpus — serialize build+collect
             with _QUERY_LOCK:
-                df = queries[name].spark(
-                    get_spark(), body.get("sf_dir", "/root/testdata/sf0.001")
-                )
+                df = queries[name].spark(get_spark(), sf_dir)
                 rows = [r.asDict() for r in df.limit(limit).collect()]
             self._send(200, {"name": name, "n_rows": len(rows),
                              "rows": json.loads(json.dumps(rows, default=str))})

@@ -60,7 +60,10 @@ def test_refresh_scans_events_once_with_delta_filter_pushed(spark, tmp_path):
     event_scans = len(re.findall(r"FileScan parquet[^\n]*events\.parquet", plan))
     assert event_scans == 1, plan
     scan_line = re.search(r"FileScan parquet[^\n]*events\.parquet[^\n]*", plan).group(0)
-    assert "GreaterThanOrEqual(ts" in scan_line or "PushedFilters: \\[.*ts" in scan_line or "GreaterThanOrEqual" in plan
+    # the ts predicate must appear ON THE SCAN LINE (PushedFilters) — a
+    # whole-plan match would also accept a post-scan Filter node, which is
+    # exactly the non-pushed shape this test exists to reject
+    assert "GreaterThanOrEqual(ts" in scan_line, scan_line
     spark.catalog.dropTempView("snap_stored")
     spark.catalog.dropTempView("events")
 

@@ -186,3 +186,22 @@ def test_concurrent_feature_extraction_isolated(spark):
         t.join()
     assert not errors, errors
     assert [results[i] for i in range(3)] == expected
+
+
+def test_train_collect_guard(spark, monkeypatch):
+    """The public train API must refuse a data-scale input instead of
+    collecting it to the driver (round-4 verdict item): the parity
+    collect-then-coalesce(1) is only valid for column-metadata-sized
+    frames."""
+    import pytest
+
+    import serene_spark.ml.pipeline as pl
+
+    monkeypatch.setattr(pl, "TRAIN_COLLECT_MAX", 10)
+    big = spark.range(50).selectExpr(
+        "CAST(id AS STRING) AS column_name",
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS class",
+        "CAST(id AS DOUBLE) AS f1",
+    )
+    with pytest.raises(ValueError, match="not column-metadata-sized"):
+        pl.train_semantic_classifier(spark, big)

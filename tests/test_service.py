@@ -137,3 +137,20 @@ def test_query_endpoints(server):
 
     code, err = _req(server, "POST", "/v1.0/query/run", {"name": "nope"})
     assert code == 404 and "unknown query" in err["error"]
+
+
+def test_query_run_sf_dir_allowlist(server):
+    """POST /v1.0/query/run must reject an sf_dir outside the data root —
+    otherwise any HTTP client can read arbitrary parquet paths through the
+    engine (round-4 advice item)."""
+    code, err = _req(
+        server, "POST", "/v1.0/query/run",
+        {"name": "dq_constraints_lineitem", "sf_dir": "/etc"},
+    )
+    assert code == 403 and "sf_dir" in err["error"]
+    # traversal back under the root prefix must also be rejected
+    code, err = _req(
+        server, "POST", "/v1.0/query/run",
+        {"name": "dq_constraints_lineitem", "sf_dir": "/root/testdata/../repo"},
+    )
+    assert code == 403
