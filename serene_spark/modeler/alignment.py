@@ -200,6 +200,78 @@ class AlignmentGraph:
         # includes Thing1: it participates only via explicitly-undeclared sides
         return False
 
+    def realign(self, known: list[SemanticModel]) -> AlignmentGraph:
+        """Rebuild from scratch over the CURRENT known-model set — required
+        after ontology changes or SSD edits/deletes
+        (KarmaBuildAlignmentGraph.scala:190-216 empties the learning graph
+        and re-adds every model; incremental removal is not defined by the
+        weight formula, since counts only grow). Equivalent to fresh
+        construction by construction — pinned by golden-count tests."""
+        self.graph = nx.MultiDiGraph()
+        self._link_counts = {}
+        return self.construct_initial_alignment(known)
+
+    def export_json(self) -> str:
+        """Serialize nodes + weighted labeled edges + model-agreement counts
+        (the ``modelLearningGraph.exportJson()`` debugging artifact,
+        KarmaBuildAlignmentGraph.scala:75-82). Round-trips via
+        :meth:`import_json`."""
+        import json
+
+        return json.dumps(
+            {
+                "nodes": [
+                    {"id": u, "label": d["label"]}
+                    for u, d in sorted(self.graph.nodes(data=True))
+                ],
+                "edges": [
+                    {
+                        "source": u,
+                        "target": v,
+                        "label": d["label"],
+                        "weight": d["weight"],
+                        "count": self._link_counts.get((u, v, k), 0),
+                    }
+                    for u, v, k, d in sorted(self.graph.edges(keys=True, data=True))
+                ],
+            },
+            sort_keys=True,
+        )
+
+    @classmethod
+    def import_json(cls, s: str, ontology: Ontology) -> AlignmentGraph:
+        """Restore an exported alignment graph (structure, weights, and
+        agreement counts) over the given ontology."""
+        import json
+
+        d = json.loads(s)
+        out = cls(ontology)
+        for n in d["nodes"]:
+            out.graph.add_node(n["id"], label=n["label"])
+        for e in d["edges"]:
+            out.graph.add_edge(
+                e["source"], e["target"], key=e["label"],
+                label=e["label"], weight=e["weight"],
+            )
+            if e["count"]:
+                out._link_counts[(e["source"], e["target"], e["label"])] = e["count"]
+        return out
+
+    def export_graphviz(self) -> str:
+        """DOT rendering (``modelLearningGraph.exportGraphviz()``,
+        KarmaBuildAlignmentGraph.scala:75-82): class nodes as boxes, one edge
+        per property with its weight — the debugging view for inspecting why
+        a suggestion chose a structure."""
+        lines = ["digraph alignment {", '  node [shape=box];']
+        for u, d in sorted(self.graph.nodes(data=True)):
+            lines.append(f'  "{u}" [label="{d["label"]}"];')
+        for u, v, k, d in sorted(self.graph.edges(keys=True, data=True)):
+            lines.append(
+                f'  "{u}" -> "{v}" [label="{d["label"]} ({d["weight"]:g})"];'
+            )
+        lines.append("}")
+        return "\n".join(lines)
+
     def undirected_weighted(self) -> nx.Graph:
         """Simple undirected view keeping, per node pair, the cheapest edge —
         the search graph for the Steiner heuristic."""

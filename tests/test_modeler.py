@@ -174,3 +174,45 @@ def test_modeling_properties_rules_and_wiring():
         raise AssertionError("invalid props must raise")
     except ValueError as e:
         assert "mappingBranchingFactor" in str(e)
+
+
+def test_alignment_export_realign_roundtrip():
+    """Round-4 item #6: JSON export round-trips (structure, weights, counts);
+    realign after model-set change equals fresh construction; graphviz dump
+    contains every node and edge."""
+    from serene_spark.modeler.alignment import AlignmentGraph
+    from serene_spark.modeler.report_fixture import museum_alignment
+
+    ag = museum_alignment()
+    # JSON round-trip
+    restored = AlignmentGraph.import_json(ag.export_json(), ag.ontology)
+    assert restored.export_json() == ag.export_json()
+    assert restored.graph.number_of_nodes() == ag.graph.number_of_nodes()
+    assert restored.graph.number_of_edges() == ag.graph.number_of_edges()
+    # restored graph searches identically
+    terms = sorted(ag.graph.nodes)[:3]
+    assert restored.steiner_tree(terms) == ag.steiner_tree(terms)
+    # graphviz contains every node id and one line per edge
+    dot = ag.export_graphviz()
+    assert dot.startswith("digraph alignment {") and dot.endswith("}")
+    for u in ag.graph.nodes:
+        assert f'"{u}"' in dot
+    assert dot.count(" -> ") == ag.graph.number_of_edges()
+
+
+def test_realign_equals_fresh_construction():
+    """Dropping a model and realigning == constructing fresh from the
+    reduced set (KarmaBuildAlignmentGraph.scala:190-216 semantics)."""
+    from serene_spark.modeler.alignment import AlignmentGraph
+    from serene_spark.modeler.karma_io import ontology_from_models
+    from serene_spark.modeler.museum import load_museum
+
+    models = [km.semantic_model for km in load_museum("crm")[:5]]
+    onto = ontology_from_models(list(load_museum("crm")[:5]))
+    full = AlignmentGraph(onto).construct_initial_alignment(models)
+    # realign the SAME object onto a reduced model set
+    realigned = full.realign(models[:3])
+    fresh = AlignmentGraph(onto).construct_initial_alignment(models[:3])
+    assert realigned.export_json() == fresh.export_json()
+    # and weights reflect the reduced agreement counts
+    assert realigned._link_counts == fresh._link_counts
