@@ -5,11 +5,22 @@ row-count, column names, and values (columns sorted by name, rows sorted,
 exact equality after normalizing to pandas). Usage:
 
     python tools/parity.py [--sf DIR] [name ...]
+    python tools/parity.py --changed     # only queries whose module changed
+
+``--changed`` keeps the full sweep cheap to run per-session: a green run
+records each passed query's defining-module content hash (plus a hash of the
+shared SQL/catalog infra) in ``.parity_green.json``; the next ``--changed``
+run selects only queries whose module hash moved — or everything, if the
+shared infra moved. The state file updates per passed query; the shared-infra
+hash updates only on a run that covered every registered query, so a partial
+run can never mark untouched queries fresh.
 """
 
 from __future__ import annotations
 
 import argparse
+import hashlib
+import json
 import os
 import sys
 import time
@@ -18,7 +29,56 @@ import traceback
 import duckdb
 import pandas as pd
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+STATE_PATH = os.path.join(REPO, ".parity_green.json")
+# changes here can affect every query's SQL or input plumbing
+SHARED_INFRA = (
+    "serene_spark/functions",
+    "serene_spark/catalog.py",
+    "serene_spark/session.py",
+    "serene_spark/registry.py",
+)
+
+
+def _file_hash(path: str) -> str:
+    with open(path, "rb") as fh:
+        return hashlib.sha256(fh.read()).hexdigest()[:16]
+
+
+def _shared_hash() -> str:
+    h = hashlib.sha256()
+    for rel in SHARED_INFRA:
+        p = os.path.join(REPO, rel)
+        files = (
+            sorted(
+                os.path.join(r, f)
+                for r, _d, fs in os.walk(p)
+                for f in fs
+                if f.endswith(".py")
+            )
+            if os.path.isdir(p)
+            else [p]
+        )
+        for f in files:
+            h.update(f.encode())
+            with open(f, "rb") as fh:
+                h.update(fh.read())
+    return h.hexdigest()[:16]
+
+
+def _module_hash(q) -> str:
+    mod = sys.modules[q.spark.__module__]
+    return _file_hash(mod.__file__)
+
+
+def _load_state() -> dict:
+    try:
+        with open(STATE_PATH, encoding="utf-8") as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -61,13 +121,37 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument(
+        "--changed",
+        action="store_true",
+        help="run only queries whose defining module changed since their "
+        "last green run (all queries if the shared infra changed)",
+    )
     args = ap.parse_args()
 
     from serene_spark.registry import load_all
     from serene_spark.session import get_spark
 
     queries = load_all()
-    names = args.names or list(queries)
+    state = _load_state()
+    shared = _shared_hash()
+    if args.changed:
+        if args.names:
+            ap.error("--changed and explicit names are mutually exclusive")
+        if state.get("__shared__") != shared:
+            names = list(queries)
+            print(f"--changed: shared infra moved -> full sweep ({len(names)})")
+        else:
+            names = [
+                n for n, q in queries.items()
+                if state.get("queries", {}).get(n) != _module_hash(q)
+            ]
+            print(f"--changed: {len(names)}/{len(queries)} queries stale")
+            if not names:
+                print("\n0/0 passed (nothing stale)")
+                return 0
+    else:
+        names = args.names or list(queries)
     spark = get_spark("parity", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
 
     con = duckdb.connect()
@@ -108,6 +192,21 @@ def main() -> int:
             failed.append(name)
         else:
             print(f"[OK] {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+
+    # record green hashes: per passed query always; the shared-infra hash
+    # only when this run covered the whole registry
+    qstate = state.setdefault("queries", {})
+    for name in names:
+        if name in failed or name not in queries:
+            continue
+        qstate[name] = _module_hash(queries[name])
+    if not failed and set(names) >= set(queries):
+        state["__shared__"] = shared
+    try:
+        with open(STATE_PATH, "w", encoding="utf-8") as fh:
+            json.dump(state, fh, indent=0, sort_keys=True)
+    except OSError:
+        pass
 
     print(f"\n{len(names)-len(failed)}/{len(names)} passed")
     return 1 if failed else 0
