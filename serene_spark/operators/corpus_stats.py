@@ -151,8 +151,91 @@ register(
     "source_similarity",
     oracle=source_similarity_oracle_sql(DUCKDB),
     doc="pairwise source redundancy: word-8-gram Jaccard matrix over "
-    "distinct gram sets (MinHash is the constant-state scale sibling)",
+    "distinct gram sets (source_similarity_minhash is the constant-state "
+    "scale sibling)",
 )(_source_sim)
+
+
+# --- MinHash scale sibling of source_similarity ------------------------------
+
+SRC_MH_PERMS = 128  # signature width; estimator sigma = sqrt(j(1-j)/128)
+_SRC_MH_PRIME = 4294967311  # > 2^32, shared with dedup.minhash_rel's family
+
+
+def source_minhash_tail_sql(dialect: str, grams_name: str, head: str = "WITH ") -> str:
+    """Per-SOURCE MinHash signatures + pairwise matching-minima estimate.
+
+    The 100 TB form of the redundancy matrix: per source the shuffle carries
+    ``SRC_MH_PERMS`` longs (one wide MIN aggregation with map-side combine,
+    the dedup.minhash_rel pattern) instead of the full distinct-gram set, and
+    the pair comparison runs over #sources^2 signature rows — constant state
+    per source regardless of corpus size. Deterministic md5 double-hashing
+    makes the ESTIMATE itself oracle-checkable, and the exact
+    ``source_similarity`` twin pins its error in tests."""
+    h1 = hex_to_int(dialect, "substr(md5(gram), 1, 8)")
+    h2 = hex_to_int(dialect, "substr(md5(gram), 9, 8)")
+    mins = ",\n         ".join(
+        f"MIN((h1 + {i} * h2) % {_SRC_MH_PRIME}) AS mh{i}"
+        for i in range(SRC_MH_PERMS)
+    )
+    # chunked parenthesization: a flat 128-term chain left-associates into a
+    # 128-deep expression tree, which overflows DuckDB's binder recursion
+    # limit; 16-term groups keep every subtree shallow
+    terms = [
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+        for i in range(SRC_MH_PERMS)
+    ]
+    matches = " + ".join(
+        "(" + " + ".join(terms[i : i + 16]) + ")"
+        for i in range(0, SRC_MH_PERMS, 16)
+    )
+    return f"""
+{head}sg AS (
+  SELECT DISTINCT d.source, g.gram
+  FROM {grams_name} g JOIN documents d ON g.doc_id = d.doc_id
+),
+hashes AS (
+  SELECT source, {h1} AS h1, {h2} AS h2 FROM sg
+),
+sig AS (
+  SELECT source,
+         {mins}
+  FROM hashes GROUP BY source
+),
+est AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         {matches} AS n_match
+  FROM sig a JOIN sig b ON a.source < b.source
+)
+SELECT source_a, source_b,
+       CAST(n_match AS BIGINT) AS n_match,
+       ROUND(CAST(n_match AS DOUBLE) / {SRC_MH_PERMS}, 6) AS jaccard_est
+FROM est
+"""
+
+
+def source_minhash_oracle_sql(dialect: str) -> str:
+    return f"WITH {grams_rel(dialect)},\n" + source_minhash_tail_sql(
+        dialect, "grams", head=""
+    )
+
+
+def _source_sim_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",), spread=True)
+    grams = spark.sql(
+        f"WITH {grams_rel(SPARK)} SELECT * FROM grams"
+    ).localCheckpoint(eager=True)
+    grams.createOrReplaceTempView("__simmh_grams")
+    return spark.sql(source_minhash_tail_sql(SPARK, "__simmh_grams"))
+
+
+register(
+    "source_similarity_minhash",
+    oracle=source_minhash_oracle_sql(DUCKDB),
+    doc=f"MinHash scale sibling of source_similarity: {SRC_MH_PERMS}-perm "
+    "per-source signatures (one wide MIN agg), matching-minima Jaccard "
+    "estimate; estimator error vs the exact twin pinned in tests",
+)(_source_sim_minhash)
 
 
 # --- Bloom filter in SQL ----------------------------------------------------

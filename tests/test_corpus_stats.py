@@ -92,3 +92,28 @@ def test_bloom_guarantees(spark):
     # generous bound: theory + 4 sigma of the binomial draw
     bound = theory + 4 * math.sqrt(max(theory, 1e-9) * (1 - theory) / n_non)
     assert row["fpr"] <= max(bound, 3 / n_non), (row["fpr"], theory)
+
+
+def test_source_minhash_estimates_exact_jaccard(spark):
+    """The MinHash sibling's estimate tracks the exact matrix within the
+    binomial error of a 128-perm signature (4 sigma at worst-case j=0.5 is
+    ~0.18; observed errors are far smaller), and ranks pairs consistently
+    for clearly-separated similarities."""
+    exact = {
+        (r.source_a, r.source_b): r.jaccard
+        for r in load_all()["source_similarity"].spark(spark, SF).collect()
+    }
+    est = {
+        (r.source_a, r.source_b): r.jaccard_est
+        for r in load_all()["source_similarity_minhash"].spark(spark, SF).collect()
+    }
+    from serene_spark.operators.corpus_stats import SRC_MH_PERMS
+
+    assert set(est) >= set(exact)  # every exact pair gets an estimate
+    for pair, j in exact.items():
+        sigma = (j * (1 - j) / SRC_MH_PERMS) ** 0.5
+        assert abs(est[pair] - j) <= max(4 * sigma, 0.05), (pair, j, est[pair])
+    # pairs with zero exact overlap must estimate near zero
+    for pair, e in est.items():
+        if pair not in exact:
+            assert e <= 0.05, (pair, e)
