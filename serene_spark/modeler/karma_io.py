@@ -91,6 +91,10 @@ class KarmaModel:
     learned_types: dict[str, list[KarmaSemanticType]] = field(default_factory=dict)
     # raw Karma link-type counts, for format-fidelity pins
     link_type_counts: dict[str, int] = field(default_factory=dict)
+    # node id -> hNodeId for data nodes (column NAMES may repeat within a
+    # source — e.g. two "values" columns in s05-met — so the name alone
+    # cannot address a node)
+    data_node_hids: dict[int, str] = field(default_factory=dict)
 
     def to_ssd(self) -> Ssd:
         """The ``KarmaSemanticModel.toSSD`` analog (MuseumSpec.scala:189-199):
@@ -128,6 +132,7 @@ def load_karma_model(path: str) -> KarmaModel:
     user_types: dict[str, list[KarmaSemanticType]] = {}
     learned_types: dict[str, list[KarmaSemanticType]] = {}
     column_types: list[tuple[str, str, str, str]] = []
+    data_node_hids: dict[int, str] = {}
 
     for raw in graph["nodes"]:
         nid = len(nodes)
@@ -137,6 +142,7 @@ def load_karma_model(path: str) -> KarmaModel:
             col_name = raw.get("columnName") or local_name(karma_id)
             nodes.append(SsdNode(nid, col_name, DATA_NODE))
             h_id = raw.get("hNodeId") or karma_id
+            data_node_hids[nid] = h_id
             user_types[h_id] = [
                 _parse_sem_type(t) for t in (raw.get("userSemanticTypes") or [])
             ]
@@ -182,6 +188,114 @@ def load_karma_model(path: str) -> KarmaModel:
         user_types=user_types,
         learned_types=learned_types,
         link_type_counts=link_type_counts,
+        data_node_hids=data_node_hids,
+    )
+
+
+def dump_karma_model(
+    km: KarmaModel, namespace: str = "http://serene-spark/ontology#"
+) -> str:
+    """Serialize a :class:`KarmaModel` back to the Karma ``*.model.json``
+    format — the inverse of :func:`load_karma_model`, so models edited or
+    suggested by this engine can flow back into a user's existing Karma
+    workspace (the reference round-trips through
+    ``KarmaSemanticModel``/``toKarmaSemanticModel``).
+
+    Class nodes whose labels are not already URIs are qualified with
+    ``namespace``; column nodes keep their hNodeIds and annotations.
+    """
+    sm = km.semantic_model
+    by_id = {n.id: n for n in sm.nodes}
+
+    def class_uri(n: SsdNode) -> str:
+        base = n.label if "://" in n.label else f"{namespace}{n.label}"
+        return f"{base}{n.index}"
+
+    def label_uri(n: SsdNode) -> str:
+        return n.label if "://" in n.label else f"{namespace}{n.label}"
+
+    def sem_type_json(t: KarmaSemanticType) -> dict:
+        return {
+            "domain": {"uri": t.domain_uri},
+            "type": {"uri": t.type_uri},
+            "origin": t.origin,
+            "confidenceScore": t.confidence,
+        }
+
+    nodes_json = []
+    node_karma_id: dict[int, str] = {}
+    for n in sm.nodes:
+        if n.node_type == CLASS_NODE:
+            kid = class_uri(n)
+            node_karma_id[n.id] = kid
+            nodes_json.append(
+                {
+                    "id": kid,
+                    "label": {"uri": label_uri(n)},
+                    "type": "InternalNode",
+                    "modelIds": None,
+                }
+            )
+        else:
+            h_id = km.data_node_hids.get(n.id, n.label)
+            node_karma_id[n.id] = h_id
+            nodes_json.append(
+                {
+                    "id": h_id,
+                    "label": {"uri": h_id},
+                    "type": "ColumnNode",
+                    "hNodeId": h_id,
+                    "columnName": n.label,
+                    "rdfLiteralType": None,
+                    "userSemanticTypes": [
+                        sem_type_json(t) for t in km.user_types.get(h_id, [])
+                    ],
+                    "learnedSemanticTypes": [
+                        sem_type_json(t) for t in km.learned_types.get(h_id, [])
+                    ],
+                    "modelIds": None,
+                }
+            )
+
+    links_json = []
+    for l in sm.links:
+        tgt = by_id[l.target]
+        prop_uri = l.label if "://" in l.label else f"{namespace}{l.label}"
+        if tgt.node_type == CLASS_NODE:
+            ktype = "ObjectPropertyLink"
+        elif prop_uri == CLASS_LINK_URI or l.label == local_name(CLASS_LINK_URI):
+            ktype, prop_uri = "ClassInstanceLink", CLASS_LINK_URI
+        else:
+            ktype = "DataPropertyLink"
+        src_id, tgt_id = node_karma_id[l.source], node_karma_id[l.target]
+        links_json.append(
+            {
+                "id": f"{src_id}---{prop_uri}---{tgt_id}",
+                "weight": 1.0,
+                "type": ktype,
+                "label": {"uri": prop_uri},
+                "objectPropertyType": "None",
+                "status": "Normal",
+                "keyInfo": "None",
+                "modelIds": None,
+            }
+        )
+
+    return json.dumps(
+        {
+            "id": km.name,
+            "name": km.name,
+            "description": None,
+            "sourceColumns": [
+                {"id": h, "hNodeId": h, "columnName": c}
+                for h, c in km.source_columns
+            ],
+            "mappingToSourceColumns": [
+                {"id": h, "sourceColumnId": h} for h, _c in km.source_columns
+            ],
+            "graph": {"nodes": nodes_json, "links": links_json},
+        },
+        indent=1,
     )
 
 

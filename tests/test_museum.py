@@ -185,3 +185,26 @@ def test_registered_queries(spark, sf_dir):
     # the suggested model's triples include a known s01 structure edge
     preds = {r.pred for r in rows}
     assert "P14_carried_out_by" in preds
+
+
+def test_karma_model_dump_round_trip(tmp_path):
+    """dump_karma_model is the inverse of load_karma_model: structure
+    (triples over local names), source columns, and semantic-type
+    annotations survive a dump -> reload cycle for real museum models."""
+    from serene_spark.modeler.karma_io import dump_karma_model
+
+    for fname in (
+        "s01-cb.csv.model.json",
+        "s05-met.json.model.json",
+        "s16-s-hammer.xml.model.json",
+    ):
+        km = load_karma_model(os.path.join(museum_dir("crm"), fname))
+        out = tmp_path / fname
+        out.write_text(dump_karma_model(km), encoding="utf-8")
+        rt = load_karma_model(str(out))
+        assert rt.name == km.name
+        assert rt.source_columns == km.source_columns
+        assert rt.semantic_model.triples() == km.semantic_model.triples()
+        assert rt.column_types == km.column_types
+        assert rt.user_types == km.user_types
+        assert rt.link_type_counts == km.link_type_counts
