@@ -1,0 +1,137 @@
+"""Training-sequence packing — the last step between a curated corpus and
+an LM training run: concatenate documents (in a deterministic order) into a
+token stream and split it into fixed-length sequences (the GPT-style
+"concat-and-split" packing; every large-scale LM pipeline ships this step,
+cf. the sequence packing discussion in Raffel et al., JMLR 2020 §2.2 and
+Brown et al. 2020 Appendix B).
+
+Two oracle-backed queries:
+
+* ``sequence_pack_manifest`` — per document: its shard, token offsets in the
+  shard's stream, and the range of training sequences it lands in (a doc
+  spanning a boundary contributes to 2+ sequences — the attention-mask /
+  document-separator consumers need exactly this map);
+* ``sequence_pack_stats`` — per shard: document/token totals, sequence
+  count, tail padding, packing efficiency, boundary-crossing count.
+
+100 TB shape: the stream order is (shard, doc_id) where the shard is a
+deterministic md5 bucket (the shard_assign discipline, curation.py) — the
+offset cumsum is a WINDOW PER SHARD, so the plan is 256 independent
+partition-local sorts, never one global single-task window; shards are
+independent training files, exactly how packed corpora are written. Stats
+reduce shard-locally. Padding exists only at shard tails (one partial
+sequence per shard), which the efficiency metric makes visible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from serene_spark.catalog import register_views
+from serene_spark.functions.sqlgen import (
+    DUCKDB,
+    SPARK,
+    arr_filter_nonempty,
+    arr_len,
+    hex_to_int,
+    idiv,
+    split_re,
+)
+from serene_spark.operators.text_analysis import NORM
+from serene_spark.registry import register
+
+SEQ_LEN = 256   # tokens per training sequence
+N_SHARDS = 16   # deterministic md5 shards = independent packed files
+
+
+def _stream_rel(dialect: str) -> str:
+    """(doc_id, shard, n_tokens, start_off, end_off): per-shard token-stream
+    offsets via a shard-partitioned cumsum in deterministic doc_id order."""
+    toks = arr_filter_nonempty(
+        dialect, split_re(dialect, NORM(dialect), "[^a-z0-9]+")
+    )
+    shard = f"{hex_to_int(dialect, 'substr(md5(CAST(doc_id AS STRING)), 1, 8)')} % {N_SHARDS}"
+    return f"""
+doc_tokens AS (
+  SELECT doc_id, {shard} AS shard, {arr_len(dialect, toks)} AS n_tokens
+  FROM documents
+),
+stream AS (
+  SELECT doc_id, shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS start_off
+  FROM doc_tokens WHERE n_tokens > 0
+)"""
+
+
+def pack_manifest_sql(dialect: str) -> str:
+    end_off = "start_off + n_tokens - 1"
+    first_seq = idiv(dialect, "start_off", str(SEQ_LEN))
+    last_seq = idiv(dialect, f"({end_off})", str(SEQ_LEN))
+    return f"""
+WITH {_stream_rel(dialect)}
+SELECT doc_id,
+       CAST(shard AS BIGINT) AS shard,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(start_off AS BIGINT) AS start_off,
+       CAST({first_seq} AS BIGINT) AS first_seq,
+       CAST({last_seq} AS BIGINT) AS last_seq,
+       CAST({last_seq} - {first_seq} + 1 AS BIGINT) AS n_seqs_spanned
+FROM stream
+ORDER BY shard, doc_id
+"""
+
+
+def pack_stats_sql(dialect: str) -> str:
+    """Per-shard packing accounting; ``pad_tokens`` is the tail remainder
+    (sequences are full by construction everywhere else)."""
+    first_seq = idiv(dialect, "start_off", str(SEQ_LEN))
+    last_seq = idiv(dialect, "(start_off + n_tokens - 1)", str(SEQ_LEN))
+    ceil_div = idiv(dialect, f"(total_tokens + {SEQ_LEN} - 1)", str(SEQ_LEN))
+    return f"""
+WITH {_stream_rel(dialect)},
+per_shard AS (
+  SELECT shard,
+         COUNT(*) AS n_docs,
+         SUM(n_tokens) AS total_tokens,
+         SUM(CASE WHEN {last_seq} > {first_seq} THEN 1 ELSE 0 END)
+           AS n_boundary_docs
+  FROM stream GROUP BY shard
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       CAST({ceil_div} AS BIGINT) AS n_sequences,
+       CAST({ceil_div} * {SEQ_LEN} - total_tokens AS BIGINT) AS pad_tokens,
+       ROUND(CAST(total_tokens AS DOUBLE) / ({ceil_div} * {SEQ_LEN}), 6)
+         AS pack_efficiency,
+       CAST(n_boundary_docs AS BIGINT) AS n_boundary_docs
+FROM per_shard
+ORDER BY shard
+"""
+
+
+def _docs_query(sql_fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, ("documents",), spread=True)
+        return spark.sql(sql_fn(SPARK))
+
+    return run
+
+
+register(
+    "sequence_pack_manifest",
+    oracle=pack_manifest_sql(DUCKDB),
+    doc=f"GPT-style concat-and-split packing manifest: per-document token "
+    f"offsets and spanned {SEQ_LEN}-token training sequences, shard-local "
+    "cumsum (no global window)",
+)(_docs_query(pack_manifest_sql))
+
+register(
+    "sequence_pack_stats",
+    oracle=pack_stats_sql(DUCKDB),
+    doc="per-shard packing accounting: sequence counts, tail padding, "
+    "packing efficiency, boundary-crossing documents",
+)(_docs_query(pack_stats_sql))

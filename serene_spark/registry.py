@@ -67,6 +67,7 @@ def load_all() -> dict[str, Query]:
         "serene_spark.operators.curation",
         "serene_spark.operators.boilerplate",
         "serene_spark.operators.substring_dedup",
+        "serene_spark.operators.packing",
         "serene_spark.operators.sketches",
         "serene_spark.operators.stats",
         "serene_spark.operators.cdc",

@@ -1,0 +1,55 @@
+"""Sequence packing (operators/packing.py). Oracle parity runs in the
+driver gate; these pin the packing invariants against an independent
+python reference."""
+
+from __future__ import annotations
+
+from serene_spark.operators.packing import SEQ_LEN
+from serene_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_manifest_invariants_and_python_reference(spark):
+    rows = load_all()["sequence_pack_manifest"].spark(spark, SF).collect()
+    assert rows
+    # per shard: offsets are a gapless concatenation in doc_id order
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: r.doc_id)
+        off = 0
+        for r in docs:
+            assert r.start_off == off, (shard, r.doc_id)
+            assert r.first_seq == off // SEQ_LEN
+            assert r.last_seq == (off + r.n_tokens - 1) // SEQ_LEN
+            assert r.n_seqs_spanned == r.last_seq - r.first_seq + 1
+            off += r.n_tokens
+    # a document longer than SEQ_LEN must span >= 2 sequences
+    for r in rows:
+        if r.n_tokens > SEQ_LEN:
+            assert r.n_seqs_spanned >= 2
+
+
+def test_stats_consistent_with_manifest(spark):
+    manifest = load_all()["sequence_pack_manifest"].spark(spark, SF).collect()
+    stats = load_all()["sequence_pack_stats"].spark(spark, SF).collect()
+    by_shard = {r.shard: r for r in stats}
+    agg: dict[int, dict] = {}
+    for r in manifest:
+        a = agg.setdefault(r.shard, {"docs": 0, "tokens": 0, "cross": 0})
+        a["docs"] += 1
+        a["tokens"] += r.n_tokens
+        a["cross"] += 1 if r.n_seqs_spanned > 1 else 0
+    assert set(agg) == set(by_shard)
+    for shard, a in agg.items():
+        s = by_shard[shard]
+        assert s.n_docs == a["docs"]
+        assert s.total_tokens == a["tokens"]
+        assert s.n_boundary_docs == a["cross"]
+        n_seq = -(-a["tokens"] // SEQ_LEN)
+        assert s.n_sequences == n_seq
+        assert s.pad_tokens == n_seq * SEQ_LEN - a["tokens"]
+        assert s.pad_tokens < SEQ_LEN  # padding only at the shard tail
+        assert abs(s.pack_efficiency - a["tokens"] / (n_seq * SEQ_LEN)) < 1e-6
