@@ -83,6 +83,26 @@ def main() -> None:
         ) t WHERE rk <= 5
     """).write.format("noop").mode("overwrite").save()
 
+    # same principle for the MLlib stack: tree induction's first fit pays
+    # ~8s of JVM JIT regardless of data (measured: 10.4s cold vs 1.9s warm
+    # for the SAME fit, BASELINE.md round-4 note). A 4-tree fit on a tiny
+    # synthetic frame — sharing no data, size, or fitted model with the
+    # timed semantic_type_predict — compiles that machinery untimed.
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.feature import StringIndexer, VectorAssembler
+
+    toy = spark.createDataFrame(
+        [(f"r{i}", "a" if i % 2 else "b", float(i % 7), float(i % 3)) for i in range(24)],
+        "column_name string, class string, f1 double, f2 double",
+    ).coalesce(1)
+    Pipeline(stages=[
+        StringIndexer(inputCol="class", outputCol="label"),
+        VectorAssembler(inputCols=["f1", "f2"], outputCol="features"),
+        RandomForestClassifier(numTrees=4, maxDepth=3, seed=1,
+                               labelCol="label", featuresCol="features"),
+    ]).fit(toy).transform(toy).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
