@@ -187,6 +187,25 @@ class SereneService:
         message = run.state.message if run else ""
         return {"id": eid, "status": status, "message": message}
 
+    def octopus_alignment(self, eid: int) -> tuple[int, dict]:
+        """The exported alignment graph of a trained octopus — the JSON +
+        graphviz artifacts the reference writes to its karma folders on
+        every (re)alignment (KarmaBuildAlignmentGraph.scala:75-82), served
+        over HTTP instead of a shared filesystem."""
+        if self.octopi.get(eid) is None:
+            return 404, {"error": "not found"}
+        run = self._octopus_runs.get(eid) or self._restore_octopus(eid)
+        if run is None:
+            return 404, {"error": "not found"}
+        run.wait(timeout=600)
+        if run.alignment is None or run.state.status.value != "complete":
+            return 409, {"error": f"octopus not trained: {run.state.status.value}"}
+        return 200, {
+            "id": eid,
+            "graph": json.loads(run.alignment.export_json()),
+            "graphviz": run.alignment.export_graphviz(),
+        }
+
     def predict_octopus(self, eid: int) -> tuple[int, dict]:
         if self.octopi.get(eid) is None:
             return 404, {"error": "not found"}
@@ -242,6 +261,7 @@ _ROUTES: list[tuple[str, re.Pattern, str]] = [
     ("GET", re.compile(r"^/v1\.0/octopus/(\d+)$"), "get_octopus"),
     ("POST", re.compile(r"^/v1\.0/octopus/(\d+)/train$"), "train_octopus"),
     ("POST", re.compile(r"^/v1\.0/octopus/(\d+)/predict$"), "predict_octopus"),
+    ("GET", re.compile(r"^/v1\.0/octopus/(\d+)/alignment$"), "get_octopus_alignment"),
     # engine extension beyond the reference surface: the registered-query
     # registry over HTTP (same surface the driver contract + CLI expose)
     ("GET", re.compile(r"^/v1\.0/query$"), "list_queries"),
@@ -400,6 +420,9 @@ def _make_handler(svc: SereneService):
 
         def predict_octopus(self, eid: int):
             self._send(*svc.predict_octopus(eid))
+
+        def get_octopus_alignment(self, eid: int):
+            self._send(*svc.octopus_alignment(eid))
 
     return Handler
 

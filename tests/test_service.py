@@ -96,6 +96,15 @@ def test_octopus_train_predict_flow(server):
     top = out["suggestions"][0]
     assert top["rank"] == 1 and top["ssd"]["semanticModel"]["links"]
 
+    # alignment export (the reference's graph.json/graphviz artifacts,
+    # KarmaBuildAlignmentGraph.scala:75-82, served over HTTP)
+    code, al = _req(server, "GET", f"/v1.0/octopus/{oct_id}/alignment")
+    assert code == 200
+    assert al["graph"]["nodes"] and al["graph"]["edges"]
+    assert al["graphviz"].startswith("digraph alignment {")
+    assert all({"source", "target", "label", "weight", "count"} <= set(e)
+               for e in al["graph"]["edges"])
+
     # untrained octopus refuses predict
     code, r = _req(server, "POST", "/v1.0/octopus", {"ssds": [], "owls": []})
     assert _req(server, "POST", f"/v1.0/octopus/{r['id']}/predict")[0] == 404
