@@ -53,3 +53,19 @@ def test_stats_consistent_with_manifest(spark):
         assert s.pad_tokens == n_seq * SEQ_LEN - a["tokens"]
         assert s.pad_tokens < SEQ_LEN  # padding only at the shard tail
         assert abs(s.pack_efficiency - a["tokens"] / (n_seq * SEQ_LEN)) < 1e-6
+
+
+def test_shard_count_scales_with_corpus():
+    """The shard count is derived in-query from total tokens (floor 16,
+    ~1M-token target shards) — the scale-knob discipline: at test sf the
+    floor binds; the SQL itself carries the scaling rule."""
+    from serene_spark.operators.packing import (
+        MIN_SHARDS,
+        TOKENS_PER_SHARD,
+        pack_stats_sql,
+    )
+    from serene_spark.functions.sqlgen import SPARK
+
+    sql = pack_stats_sql(SPARK)
+    assert f"GREATEST({MIN_SHARDS}" in sql
+    assert str(TOKENS_PER_SHARD) in sql
