@@ -90,6 +90,7 @@ def load_all() -> dict[str, Query]:
         "serene_spark.modeler.octopus",
         "serene_spark.modeler.report_fixture",
         "serene_spark.modeler.museum",
+        "serene_spark.modeler.report_real",
         "serene_spark.ml.pipeline",
         "serene_spark.ml.homeseekers_fixture",
         "serene_spark.ml.homeseekers_real",
