@@ -142,3 +142,23 @@ def test_registered_real_queries(spark, sf_dir):
     assert {(r.subj, r.pred, r.obj) for r in cities} >= {
         ("City1", "isPartOf", "State1")
     }
+
+
+def test_evaluation_on_real_files_matches_spec_numbers():
+    """EvaluateOctopus pins on the REAL files (SuggestModelSpec.scala:731-769):
+    empty vs business (keep types, keep columns) -> all zero; partial vs
+    business (keep types, ignore column nodes) -> precision 1.0, recall =
+    jaccard = 4/7 (the spec's 2-dp 0.57)."""
+    from serene_spark.modeler.evaluate import evaluate_ssd
+
+    biz = real_ssd("businessInfo")
+    empty = load_ssd(os.path.join(SSD_DIR, "empty_business.ssd"))
+    partial = load_ssd(os.path.join(SSD_DIR, "partial_model.ssd"))
+
+    zero = evaluate_ssd(empty, biz, False, False)
+    assert zero == {"precision": 0.0, "recall": 0.0, "jaccard": 0.0}
+
+    part = evaluate_ssd(partial, biz, False, True)
+    assert part["precision"] == 1.0
+    assert round(part["recall"], 2) == 0.57 and abs(part["recall"] - 4 / 7) < 1e-9
+    assert round(part["jaccard"], 2) == 0.57
