@@ -143,6 +143,86 @@ def museum29_column_types_crm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _column_types_df(spark, "crm")
 
 
+S01_CSV = "/root/reference/core/src/test/resources/s01-cb.csv.csv"
+
+
+def museum_e2e_s01(spark: SparkSession):
+    """FULL pipeline on the reference's real museum source: the actual
+    s01-cb data file (72 rows of Crystal Bridges records) through the repo
+    CSV loader -> per-column profiling -> RF semantic-type classifier
+    (labels = the s01 Karma model's user semantic types) -> predicted
+    ``Class---property`` scores -> alignment-graph suggestion from the
+    OTHER 28 museum models. Returns (suggestions, predictions, held_model).
+
+    This is the serene architecture end-to-end — matcher + modeler — on the
+    reference's own benchmark data; the LOO gates elsewhere feed ground-
+    truth types, here the types come from the trained classifier over real
+    column VALUES.
+    """
+    import re
+
+    from pyspark.sql import functions as F
+
+    from serene_spark.ml.pipeline import (
+        predict_semantic_types,
+        profile_features_from_long,
+        train_semantic_classifier,
+    )
+    from serene_spark.sources.csv_loader import load_csv
+
+    models = load_museum("crm")
+    held = models[0]  # s01-cb.csv
+
+    def sanitize(name: str) -> str:  # the loader's header sanitization
+        return re.sub(r"[^0-9a-zA-Z_]+", "_", name.strip()) or "col"
+
+    label_by_col = {
+        sanitize(col): f"{local_name(dom)}---{local_name(typ)}"
+        for col, _h, dom, typ in held.column_types
+        if dom
+    }
+    wide = load_csv(spark, S01_CSV)
+    cols = [c for c in wide.columns if c in label_by_col]
+    pairs = ", ".join(f"'{c}', coalesce(`{c}`, '')" for c in cols)
+    long_df = wide.selectExpr(
+        f"stack({len(cols)}, {pairs}) as (column_name, value)"
+    ).localCheckpoint(eager=True)  # cut loader-filter lineage (see
+    # homeseekers_real: constraint propagation explodes under stack)
+    labels_df = spark.createDataFrame(
+        sorted((c, label_by_col[c]) for c in cols), "column_name string, class string"
+    )
+    features = profile_features_from_long(spark, long_df)
+    model, conv = train_semantic_classifier(
+        spark, features.join(labels_df, "column_name")
+    )
+    pred_rows = predict_semantic_types(model, conv, features).collect()
+    predictions = {
+        r["column_name"]: {r["predicted_class"]: float(r["confidence"])}
+        for r in pred_rows
+    }
+
+    train = [m for i, m in enumerate(models) if i != 0]
+    onto = ontology_from_models(train)
+    alignment = AlignmentGraph(onto).construct_initial_alignment(
+        [m.semantic_model for m in train]
+    )
+    return suggest_models(alignment, predictions, top_k=1), predictions, held
+
+
+@register(
+    "museum_e2e_s01",
+    oracle=None,  # ML + graph search over reference test files — rows-only
+    doc="FULL serene pipeline on the reference's real s01-cb museum data: "
+    "CSV loader -> profiling -> RF types -> alignment suggestion from the "
+    "other 28 models; recovery gates pinned in tests/test_museum.py",
+)
+def museum_e2e_s01_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serene_spark.modeler.report_fixture import _suggestions_df
+
+    suggestions, _preds, _held = museum_e2e_s01(spark)
+    return _suggestions_df(spark, suggestions)
+
+
 @register(
     "ssd_suggest_museum29",
     oracle=None,
