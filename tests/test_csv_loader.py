@@ -117,3 +117,31 @@ def test_write_csv_roundtrip_and_quoting(spark, tmp_path):
     back = load_csv(spark, out)
     assert back.columns == ["name", "note"]
     assert back.count() == 2
+
+
+def test_reference_real_fixture_files(spark):
+    """The reference's own ingestion fixtures (core/src/test/resources/*.csv,
+    read-only) through the repo loader: shapes pinned; the deliberately
+    malformed file (RFC4180-violating backslash-escaped quotes, driven by
+    DatasetRestAPISpec.scala:392) must load PERMISSIVE-ly, not crash."""
+    import os
+
+    import pytest
+
+    base = "/root/reference/core/src/test/resources"
+    if not os.path.isdir(base):
+        pytest.skip("reference resources not mounted")
+    from serene_spark.sources.csv_loader import load_csv
+
+    tiny = load_csv(spark, f"{base}/tiny.csv")
+    assert tiny.columns == ["A", "B", "C", "D", "E"] and tiny.count() == 5
+
+    quotes = load_csv(spark, f"{base}/20110106.csv")  # stock quotes
+    assert quotes.columns == ["Code", "Date", "Open", "High", "Low", "Close", "Volume"]
+    assert quotes.count() == 1548
+
+    medium = load_csv(spark, f"{base}/medium.csv")
+    assert medium.count() == 57284  # 57,285 lines - 1 header
+
+    malformed = load_csv(spark, f"{base}/malformed.csv")
+    assert malformed.count() > 0 and len(malformed.columns) == 8
