@@ -222,3 +222,55 @@ def test_fused_profile_reads_histogram_not_raw(spark, sf_dir):
     )
     txt = plan_text(df)
     assert "Scan ExistingRDD" in txt  # checkpointed histogram feeds the tail
+
+
+def test_substring_dedup_no_cartesian_and_codegen(spark, sf_dir):
+    """The k-gram chain pairs via fp equi-joins with a df cap — never a
+    cross product of documents."""
+    from serene_spark.registry import load_all
+
+    df = load_all()["substring_dedup_pairs"].spark(spark, sf_dir)
+    assert not has_cartesian(df)
+    assert has_codegen(df)
+
+
+def test_packing_windows_are_shard_partitioned(spark, sf_dir):
+    """The packing cumsum must run as shard-partitioned windows — a global
+    (SinglePartition) window would serialize the whole corpus through one
+    task at 100 TB."""
+    from serene_spark.registry import load_all
+
+    import re
+
+    df = load_all()["sequence_pack_manifest"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    win_lines = [l for l in plan.splitlines() if "Window [" in l]
+    assert win_lines, plan
+    for l in win_lines:
+        # windowspecdefinition(<partcol>, doc_id ASC, ...) — a non-empty
+        # partition list, i.e. NOT a global window
+        m = re.search(r"windowspecdefinition\(([^,]+),", l)
+        assert m and "doc_id" not in m.group(1), l
+        part_col = m.group(1).split("#")[0].strip()
+        # the exchange feeding this window hashes on that partition column
+        assert f"hashpartitioning({part_col}" in plan, (part_col, plan)
+    # the only SinglePartition exchanges belong to one-row scalar aggregates
+    # (shard_cfg count), never directly under a Window
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if "Window [" in l:
+            below = "\n".join(lines[i : i + 3])
+            assert "SinglePartition" not in below, below
+
+
+def test_source_minhash_single_signature_shuffle(spark, sf_dir):
+    """The MinHash sibling reduces grams to per-source signatures with ONE
+    wide MIN aggregation — map-side combine means the shuffle carries
+    source-keyed partials, and the pair join is over the tiny sig relation."""
+    from serene_spark.registry import load_all
+
+    df = load_all()["source_similarity_minhash"].spark(spark, sf_dir)
+    # (the a.source < b.source pair join may plan as a nested loop over the
+    # #sources-sized sig relation — bounded by a constant, that's fine)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan, plan[:2000]
