@@ -69,6 +69,101 @@ LIMIT {TOP_MERGES}
 """
 
 
+# --- full BPE trainer (iterative; the loop the per-round query documents) ---
+
+BPE_MERGES = 30
+EOW = "</w>"  # end-of-word marker (Sennrich et al., ACL 2016, Algorithm 1)
+
+
+def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES):
+    """The FULL Sennrich BPE trainer, distributed:
+
+    1. ONE corpus scan reduces to the word-frequency relation (the classic
+       trainer's dict) — everything after runs on vocabulary-sized data;
+    2. each round: adjacent symbol-pair counts weighted by word frequency
+       (posexplode + keyed agg, map-side combined), deterministic argmax
+       (count DESC, pair ASC) — ONE tiny row to the driver per round;
+    3. the winning pair merges left-to-right non-overlapping in every
+       word's symbol array via an Arrow-batched pandas UDF (array surgery
+       built-ins can't express), and the vocab re-checkpoints every few
+       rounds to bound loop lineage.
+
+    Returns (merges, vocab_df): merges = [(left, right, weighted_count)],
+    vocab_df = (word, freq, syms) after all merges. Pinned merge-for-merge
+    against a pure-python reference in tests/test_vocab.py.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, StringType
+
+    from serene_spark.operators.text_analysis import tokens_rel
+
+    register_views(spark, sf_dir, ("documents",), spread=True)
+    word_freq = spark.sql(
+        f"WITH {tokens_rel(SPARK)} "
+        "SELECT tok AS word, COUNT(*) AS freq FROM tokens GROUP BY tok"
+    )
+    vocab = word_freq.select(
+        "word",
+        "freq",
+        F.concat(
+            F.split(F.col("word"), ""), F.array(F.lit(EOW))
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str, int]] = []
+    for rnd in range(n_merges):
+        vocab.createOrReplaceTempView("__bpe_vocab")
+        best = spark.sql(
+            """
+SELECT l, r, SUM(freq) AS cnt FROM (
+  SELECT freq, syms[i] AS l, syms[i + 1] AS r
+  FROM (
+    SELECT freq, syms, explode(sequence(0, size(syms) - 2)) AS i
+    FROM __bpe_vocab WHERE size(syms) >= 2
+  ) p
+) q GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 1
+"""
+        ).collect()
+        if not best or best[0]["cnt"] is None:
+            break
+        left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        merges.append((left, right, cnt))
+
+        def _merge_pair(syms, _l=left, _r=right):
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == _l and syms[i + 1] == _r:
+                    out.append(_l + _r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return out
+
+        merge_udf = F.udf(_merge_pair, ArrayType(StringType()))
+        vocab = vocab.select("word", "freq", merge_udf("syms").alias("syms"))
+        if rnd % 5 == 4 or rnd == n_merges - 1:  # bound loop lineage
+            vocab = vocab.localCheckpoint(eager=True)
+    spark.catalog.dropTempView("__bpe_vocab")
+    return merges, vocab
+
+
+@register(
+    "bpe_trained_merges",
+    oracle=None,  # iterative trainer — rows-only; merge sequence pinned
+    # against a pure-python Sennrich reference in tests/test_vocab.py
+    doc=f"FULL BPE trainer (Sennrich ACL 2016): {BPE_MERGES} merge rounds "
+    "over the word-frequency relation — per-round weighted pair argmax + "
+    "pandas-UDF symbol merge; the loop bpe_top_merges documents",
+)
+def bpe_trained_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _vocab = bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "round int, left string, right string, weighted_count bigint",
+    )
+
+
 def embedding_dim_stats_sql(dialect: str) -> str:
     """Values quantize to integer MICRO-UNITS via FLOOR of the exact
     float->double value: float->DECIMAL casts round differently across

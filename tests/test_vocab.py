@@ -45,3 +45,62 @@ def test_embedding_dim_stats_match_numpy(spark):
         assert abs(r["std"] - round(col.std(ddof=1) / 1e6, 6)) < 1e-6
         assert r["min_x"] == round(col.min() / 1e6, 6)
         assert r["max_x"] == round(col.max() / 1e6, 6)
+
+
+def test_bpe_trainer_matches_python_reference(spark):
+    """The full trainer's merge sequence equals a pure-python Sennrich BPE
+    (same normalization, same (count DESC, pair ASC) tie-break), merge for
+    merge, and the merged vocab segments accordingly."""
+    import collections
+    import re
+
+    from serene_spark.operators.vocab import EOW, bpe_train
+
+    merges, vocab = bpe_train(spark, SF, n_merges=15)
+    assert len(merges) == 15
+
+    # pure-python reference off the same parquet
+    import duckdb
+
+    con = duckdb.connect()
+    texts = [
+        r[0]
+        for r in con.execute(
+            f"SELECT text FROM read_parquet('{SF}/documents.parquet')"
+        ).fetchall()
+    ]
+    freq = collections.Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z0-9]+", (t or "").lower()):
+            if w:
+                freq[w] += 1
+    words = {w: list(w) + [EOW] for w in freq}
+
+    ref_merges = []
+    for _ in range(15):
+        pairs = collections.Counter()
+        for w, syms in words.items():
+            f = freq[w]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), c = best
+        ref_merges.append((l, r, c))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+
+    assert merges == ref_merges, (merges[:5], ref_merges[:5])
+    # merged vocab agrees for a sample of words
+    sample = vocab.orderBy("word").limit(20).collect()
+    for r in sample:
+        assert r["syms"] == words[r["word"]], r["word"]
