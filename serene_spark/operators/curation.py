@@ -173,6 +173,52 @@ FROM by_lang l CROSS JOIN budget b
 """
 
 
+MIX_ALPHA = 0.7  # temperature exponent (multilingual-LM convention)
+
+
+def temperature_mix_sql(dialect: str) -> str:
+    """Temperature-based language mixing (Conneau & Lample, NeurIPS 2019;
+    the multilingual-LM sampling rule): sampling share p_l proportional to
+    n_l^alpha with alpha={MIX_ALPHA} — flattening the natural distribution
+    so low-resource languages are upsampled relative to their counts without
+    equalizing outright (alpha=1 is natural sampling, alpha=0 uniform).
+
+    Emits, per language: natural share, temperature share, the per-document
+    sampling weight ratio (temperature/natural — >1 means upsampled), and
+    the planned take under a {MIX_TARGET_FRAC} overall budget capped at
+    availability (oversampling beyond availability means repetition, which
+    is reported as repeat_factor rather than silently clipped).
+
+    Scale: one corpus scan to the #languages-row relation; all mixture
+    arithmetic on that tiny frame. POWER over doubles rounds to 6 dp at the
+    output boundary (engine libm agreement measured by the parity gate).
+    """
+    return f"""
+WITH by_lang AS (
+  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT SUM(n_docs) AS n_total,
+         SUM(POWER(n_docs, {MIX_ALPHA})) AS pow_total
+  FROM by_lang
+)
+SELECT l.lang,
+       CAST(l.n_docs AS BIGINT) AS n_docs,
+       ROUND(CAST(l.n_docs AS DOUBLE) / t.n_total, 6) AS natural_share,
+       ROUND(POWER(l.n_docs, {MIX_ALPHA}) / t.pow_total, 6) AS temp_share,
+       ROUND((POWER(l.n_docs, {MIX_ALPHA}) / t.pow_total)
+             / (CAST(l.n_docs AS DOUBLE) / t.n_total), 6) AS upsample_ratio,
+       CAST(LEAST(l.n_docs,
+                  CAST(ROUND(POWER(l.n_docs, {MIX_ALPHA}) / t.pow_total
+                             * t.n_total * {MIX_TARGET_FRAC}, 0) AS BIGINT))
+            AS BIGINT) AS take_n,
+       ROUND(GREATEST(1.0,
+             (POWER(l.n_docs, {MIX_ALPHA}) / t.pow_total * t.n_total
+              * {MIX_TARGET_FRAC}) / l.n_docs), 6) AS repeat_factor
+FROM by_lang l CROSS JOIN tot t
+"""
+
+
 def snapshot_delta_sql(dialect: str) -> str:
     """Incremental (snapshot-delta) exact dedup: treat sources src0-src9 as
     the previous snapshot and src10+ as the new crawl; keep only new
@@ -392,6 +438,10 @@ register("stratified_sample", oracle=stratified_sample_sql(DUCKDB),
 register("corpus_mix_plan", oracle=corpus_mix_plan_sql(DUCKDB),
          doc="mixture planning: per-language take under an equal-weight "
          "budget with availability caps")(_docs_query(corpus_mix_plan_sql, spread=False))
+register("temperature_mix_plan", oracle=temperature_mix_sql(DUCKDB),
+         doc="temperature-based language mixing (p ~ n^0.7, Conneau & "
+         "Lample): shares, upsample ratios, budgeted takes, repeat "
+         "factors")(_docs_query(temperature_mix_sql, spread=False))
 register("snapshot_delta_dedup", oracle=snapshot_delta_sql(DUCKDB),
          doc="incremental dedup: new-crawl docs anti-joined against the old "
          "snapshot's fingerprint index")(_docs_query(snapshot_delta_sql))

@@ -215,3 +215,28 @@ def test_point_in_time_matches_pandas(spark):
             assert abs(r["state_value"] - round(last["value"], 6)) < 1e-9
             checked_live += 1
     assert checked_live > 50 and checked_other > 0
+
+
+def test_temperature_mix_plan_math(spark, sf_dir):
+    """Temperature mixing invariants vs a python reference: shares sum to 1,
+    alpha<1 upsamples the rarest language and downsamples the most common,
+    takes never exceed availability unless repeat_factor says so."""
+    from serene_spark.operators.curation import MIX_ALPHA
+    from serene_spark.registry import load_all
+
+    rows = load_all()["temperature_mix_plan"].spark(spark, sf_dir).collect()
+    assert rows
+
+    n = {r.lang: r.n_docs for r in rows}
+    pow_total = sum(v**MIX_ALPHA for v in n.values())
+    tot = sum(n.values())
+    for r in rows:
+        assert abs(r.temp_share - n[r.lang] ** MIX_ALPHA / pow_total) < 1e-6
+        assert abs(r.natural_share - n[r.lang] / tot) < 1e-6
+        assert r.take_n <= r.n_docs
+        assert r.repeat_factor >= 1.0
+    assert abs(sum(r.temp_share for r in rows) - 1.0) < 1e-4
+    rare = min(rows, key=lambda r: r.n_docs)
+    common = max(rows, key=lambda r: r.n_docs)
+    if rare.n_docs < common.n_docs:
+        assert rare.upsample_ratio > 1.0 > common.upsample_ratio
