@@ -270,6 +270,40 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_convert_model(args) -> int:
+    """Convert between the public semantic-model formats: Karma
+    ``*.model.json`` (karma_io) and the reference's ``.ssd`` JSON (ssd_io).
+    Lets a user carry existing Karma/serene models into and out of this
+    engine from the shell."""
+    src = args.input
+    if args.frm == "karma":
+        from serene_spark.modeler.karma_io import load_karma_model
+
+        ssd = load_karma_model(src).to_ssd()
+    else:
+        from serene_spark.modeler.ssd_io import load_ssd
+
+        ssd = load_ssd(src)
+    if args.to == "ssd":
+        from serene_spark.modeler.ssd_io import dump_ssd
+
+        out_text = dump_ssd(ssd)
+    else:
+        from serene_spark.modeler.karma_io import KarmaModel, dump_karma_model
+
+        km = KarmaModel(
+            name=ssd.name,
+            source_columns=[(a, a) for a in ssd.attributes],
+            semantic_model=ssd.semantic_model,
+            column_types=[],
+        )
+        out_text = dump_karma_model(km)
+    with open(args.output, "w", encoding="utf-8") as fh:
+        fh.write(out_text)
+    print(f"wrote {args.output}")
+    return 0
+
+
 def cmd_list_queries(args) -> int:
     from serene_spark.registry import load_all
 
@@ -350,6 +384,15 @@ def main(argv: list[str] | None = None) -> int:
     sq.add_argument("--out", help="write result CSV here instead of stdout")
     sq.add_argument("--limit", type=int, default=20, help="stdout row cap")
     sq.set_defaults(fn=cmd_query)
+
+    scv = sub.add_parser(
+        "convert-model", help="convert Karma *.model.json <-> reference .ssd"
+    )
+    scv.add_argument("input")
+    scv.add_argument("output")
+    scv.add_argument("--from", dest="frm", choices=("karma", "ssd"), required=True)
+    scv.add_argument("--to", choices=("karma", "ssd"), required=True)
+    scv.set_defaults(fn=cmd_convert_model)
 
     slq = sub.add_parser("list-queries", help="list the registered query surface")
     slq.add_argument("--grep", help="case-insensitive substring filter")

@@ -143,3 +143,29 @@ def test_cli_list_queries_and_run(tmp_path, capsys):
     # unknown name: non-zero exit + suggestion
     assert main(["query", "skyline"]) == 2
     assert "did you mean" in capsys.readouterr().err
+
+
+def test_cli_convert_model(tmp_path):
+    """Karma model.json -> .ssd -> karma via the CLI: structure preserved."""
+    import os
+
+    import pytest
+
+    src = "/root/reference/modeler/src/test/resources/karma/museum/museum-29-crm/s01-cb.csv.model.json"
+    if not os.path.isfile(src):
+        pytest.skip("reference museum corpus not mounted")
+    from serene_spark.cli import main
+    from serene_spark.modeler.karma_io import load_karma_model
+    from serene_spark.modeler.ssd_io import load_ssd
+
+    ssd_out = str(tmp_path / "s01.ssd")
+    assert main(["convert-model", src, ssd_out, "--from", "karma", "--to", "ssd"]) == 0
+    converted = load_ssd(ssd_out)
+    original = load_karma_model(src).to_ssd()
+    assert converted.semantic_model.triples() == original.semantic_model.triples()
+    assert converted.attributes == original.attributes
+
+    karma_out = str(tmp_path / "s01.model.json")
+    assert main(["convert-model", ssd_out, karma_out, "--from", "ssd", "--to", "karma"]) == 0
+    back = load_karma_model(karma_out)
+    assert back.semantic_model.triples() == original.semantic_model.triples()
