@@ -122,3 +122,85 @@ def test_morton_sql_matches_reference_and_is_injective(pairs):
     want = {(x, y): _py_morton(x, y, Z_BITS) for x, y in pairs}
     assert got == want
     assert len(set(got.values())) == len(pairs)  # injective
+
+
+# --- generated semantic-model round-trips (ssd_io / karma_io) ---------------
+
+_cls_names = st.sampled_from(["Person", "Place", "Organization", "Event", "City"])
+_prop_names = st.sampled_from(["name", "livesIn", "worksFor", "location", "phone"])
+_attr_names = st.lists(
+    st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8),
+    min_size=1, max_size=5, unique=True,
+)
+
+
+@st.composite
+def _semantic_models(draw):
+    """A random small well-formed SSD: a chain of class nodes + one data
+    node per attribute attached to a random class."""
+    from serene_spark.modeler.ssd import (
+        CLASS_NODE, DATA_NODE, DATA_PROPERTY, OBJECT_PROPERTY,
+        SemanticModel, Ssd, SsdLink, SsdNode,
+    )
+
+    attrs = draw(_attr_names)
+    n_cls = draw(st.integers(min_value=1, max_value=3))
+    nodes, links = [], []
+    for i in range(n_cls):
+        nodes.append(SsdNode(i, draw(_cls_names), CLASS_NODE, index=i + 1))
+    for i in range(1, n_cls):  # chain keeps the model connected
+        links.append(SsdLink(i - 1, i, draw(_prop_names), OBJECT_PROPERTY))
+    mappings = {}
+    for a in attrs:
+        nid = len(nodes)
+        nodes.append(SsdNode(nid, a, DATA_NODE))
+        owner = draw(st.integers(min_value=0, max_value=n_cls - 1))
+        links.append(SsdLink(owner, nid, draw(_prop_names), DATA_PROPERTY))
+        mappings[a] = nid
+    return Ssd(
+        name="gen.csv", attributes=attrs,
+        semantic_model=SemanticModel(nodes=nodes, links=links),
+        mappings=mappings,
+    )
+
+
+@settings(max_examples=100)
+@given(_semantic_models())
+def test_ssd_io_round_trip_generated(ssd):
+    from serene_spark.modeler.ssd_io import dump_ssd, parse_ssd
+
+    rt = parse_ssd(dump_ssd(ssd))
+    assert rt.attributes == ssd.attributes
+    assert rt.mappings == ssd.mappings
+    assert rt.semantic_model.triples() == ssd.semantic_model.triples()
+    assert rt.is_complete() == ssd.is_complete()
+
+
+@settings(max_examples=100)
+@given(_semantic_models())
+def test_karma_io_round_trip_generated(ssd):
+    import json
+
+    from serene_spark.modeler.karma_io import KarmaModel, dump_karma_model
+
+    km = KarmaModel(
+        name=ssd.name,
+        source_columns=[(a, a) for a in ssd.attributes],
+        semantic_model=ssd.semantic_model,
+        column_types=[],
+    )
+    text = dump_karma_model(km)
+    json.loads(text)  # well-formed
+    import tempfile, os
+
+    with tempfile.NamedTemporaryFile("w", suffix=".model.json", delete=False) as fh:
+        fh.write(text)
+        path = fh.name
+    try:
+        from serene_spark.modeler.karma_io import load_karma_model
+
+        rt = load_karma_model(path)
+    finally:
+        os.unlink(path)
+    assert rt.semantic_model.triples() == ssd.semantic_model.triples()
+    assert [c for _h, c in rt.source_columns] == ssd.attributes
