@@ -74,3 +74,28 @@ def test_registered_query(spark, sf_dir):
     assert out.columns == ["column_name", "predicted_class", "class", "confidence"]
     hits = sum(1 for r in rows if r.predicted_class == r["class"])
     assert hits / len(rows) > 0.9
+
+
+def test_real_learning_curve(spark):
+    """Incremental-train-size harness (§2.11) on the REAL file: with only 18
+    labeled columns the curve is coarse, but accuracy at full train
+    proportion must beat the smallest proportion's (the harness's
+    monotone-ish sanity the fixture gate also pins), and every reported
+    class accuracy is well-formed."""
+    from serene_spark.operators.eval_harness import incremental_train_eval
+
+    long_df, labels_df = load_homeseekers_long(spark)
+    out = incremental_train_eval(
+        spark, long_df, labels_df, proportions=(0.4, 1.0), repetitions=1
+    ).collect()
+    assert out
+    assert all(0.0 <= r["accuracy"] <= 1.0 for r in out)
+
+    def overall(prop):
+        rows = [r for r in out if abs(r["train_prop"] - prop) < 1e-9]
+        hits = sum(r["accuracy"] * r["n_test"] for r in rows)
+        n = sum(r["n_test"] for r in rows)
+        return hits / n
+
+    assert overall(1.0) >= overall(0.4)
+    assert overall(1.0) >= 0.5  # real data, 18 columns: full-train is usable
