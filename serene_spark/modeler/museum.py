@@ -110,6 +110,45 @@ def _predictions_from_user_types(km: KarmaModel) -> dict[str, dict[str, float]]:
     return preds
 
 
+def _predictions_from_learned_types(km: KarmaModel) -> dict[str, dict[str, float]]:
+    """REAL matcher scores: the museum files carry each column's
+    ``learnedSemanticTypes`` — Karma's own TfIdf model's ranked (domain,
+    property) candidates with confidences (seen in every museum-29 file).
+    Using them as the prediction input exercises the noisy multi-candidate
+    mapping enumeration (KarmaSuggestModel.scala:122-173) on genuine
+    matcher output rather than ground truth."""
+    h_to_col = {h: c for h, c in km.source_columns}
+    preds: dict[str, dict[str, float]] = {}
+    for h_id, types in km.learned_types.items():
+        col = h_to_col.get(h_id)
+        if col is None:
+            continue
+        for t in types:
+            if not t.domain_uri or t.confidence <= 0:
+                continue
+            label = f"{local_name(t.domain_uri)}---{local_name(t.type_uri)}"
+            preds.setdefault(col, {})[label] = max(
+                preds.get(col, {}).get(label, 0.0), t.confidence
+            )
+    return preds
+
+
+def suggest_with_learned_types(
+    flavor: str = "crm", holdout_index: int = 0, top_k: int = 1
+):
+    """Leave-one-out suggestion driven by the held-out source's REAL Karma
+    TfIdf scores instead of ground-truth types."""
+    models = load_museum(flavor)
+    held = models[holdout_index]
+    train = [m for i, m in enumerate(models) if i != holdout_index]
+    onto = ontology_from_models(train)
+    alignment = AlignmentGraph(onto).construct_initial_alignment(
+        [m.semantic_model for m in train]
+    )
+    preds = _predictions_from_learned_types(held)
+    return suggest_models(alignment, preds, top_k=top_k), held
+
+
 def suggest_leave_one_out(flavor: str = "crm", holdout_index: int = 0, top_k: int = 1):
     """Build the alignment from the other 28 models and suggest the held-out
     source's model. Returns (suggestions, held_out_model)."""

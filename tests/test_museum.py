@@ -267,3 +267,26 @@ def test_museum_e2e_s01_full_pipeline(spark):
     assert got_classes <= held_classes
     # the dominant time-span / dimension / title / type structure is present
     assert {"E52_Time-Span", "E54_Dimension", "E35_Title", "E55_Type"} <= got_classes
+
+
+def test_leave_one_out_with_real_karma_tfidf_scores():
+    """Suggestion driven by the museum files' REAL learnedSemanticTypes
+    (Karma's TfIdf matcher scores) instead of ground truth — the noisy
+    multi-candidate path (measured this session: 29/29 suggest, 11/29
+    complete, mean class recall 0.911; degradation from the 0.978
+    ground-truth-driven figure is the expected matcher-noise cost)."""
+    from serene_spark.modeler.museum import suggest_with_learned_types
+
+    recalls = []
+    n_complete = 0
+    for i in range(29):
+        sugg, held = suggest_with_learned_types("crm", i)
+        assert sugg, f"holdout {i} ({held.name}): no suggestion"
+        ssd, _ = sugg[0]
+        if ssd.is_complete():
+            n_complete += 1
+        true_classes = {local_name(d) for _c, _h, d, _t in held.column_types if d}
+        got = {n.label for n in ssd.semantic_model.nodes if n.node_type == CLASS_NODE}
+        recalls.append(len(true_classes & got) / len(true_classes))
+    assert n_complete >= 10
+    assert sum(recalls) / len(recalls) >= 0.85
