@@ -131,6 +131,11 @@ _TYPED = {
     f"{{{OWL}}}Class": OWL + "Class",
     f"{{{OWL}}}ObjectProperty": OWL + "ObjectProperty",
     f"{{{OWL}}}DatatypeProperty": OWL + "DatatypeProperty",
+    # RDFS-flavored vocabularies (FOAF, dcterms, rdaGr2 in the museum
+    # preloaded-ontologies) type with rdfs:Class / rdf:Property elements;
+    # plain rdf:Property is classified by its range in ontology_from_triples
+    f"{{{RDFS}}}Class": OWL + "Class",
+    f"{{{RDF}}}Property": RDF + "Property",
 }
 _CHILD_PREDS = {
     f"{{{RDFS}}}subClassOf": RDFS + "subClassOf",
@@ -171,17 +176,21 @@ def ontology_from_triples(triples: list[tuple[str, str, str]]) -> Ontology:
     classes: set[str] = set()
     obj_props: set[str] = set()
     data_props: set[str] = set()
+    plain_props: set[str] = set()  # rdf:Property, classified by range below
     domains: dict[str, set[str]] = {}
     ranges: dict[str, set[str]] = {}
+    raw_ranges: dict[str, set[str]] = {}  # full URIs, for Literal/XSD tests
     subclass: dict[str, str] = {}
     for s, p, o in triples:
         sl, ol = local_name(s), local_name(o)
-        if p == RDF_TYPE and o == OWL + "Class":
+        if p == RDF_TYPE and (o == OWL + "Class" or o == RDFS + "Class"):
             classes.add(sl)
         elif p == RDF_TYPE and o == OWL + "ObjectProperty":
             obj_props.add(sl)
         elif p == RDF_TYPE and o == OWL + "DatatypeProperty":
             data_props.add(sl)
+        elif p == RDF_TYPE and o == RDF + "Property":
+            plain_props.add(sl)
         elif p == RDFS + "subClassOf":
             subclass[sl] = ol
             classes.update((sl, ol))
@@ -189,6 +198,23 @@ def ontology_from_triples(triples: list[tuple[str, str, str]]) -> Ontology:
             domains.setdefault(sl, set()).add(ol)
         elif p == RDFS + "range":
             ranges.setdefault(sl, set()).add(ol)
+            raw_ranges.setdefault(sl, set()).add(o)
+    # plain rdf:Property (RDFS-flavored vocabularies): a Literal/XSD range
+    # makes it a data property; a class-valued range an object property;
+    # rangeless plain properties default to DATA (FOAF's untyped mbox-style
+    # annotations are literal-valued in practice)
+    for prop in plain_props - obj_props - data_props:
+        rr = raw_ranges.get(prop, set())
+        if rr and all(
+            r.startswith("http://www.w3.org/2001/XMLSchema#")
+            or r == RDFS + "Literal"
+            for r in rr
+        ):
+            data_props.add(prop)
+        elif rr:
+            obj_props.add(prop)
+        else:
+            data_props.add(prop)
     object_properties: dict[str, tuple[str, str]] = {}
     extra_domains: dict[str, set[str]] = {}
     for prop in sorted(obj_props):
@@ -211,6 +237,13 @@ def ontology_from_triples(triples: list[tuple[str, str, str]]) -> Ontology:
 
 def load_ontology_text(text: str) -> Ontology:
     body = text.lstrip()
+    # XML may open with comment blocks before the root element (FOAF does);
+    # skip them before sniffing the serialization
+    while body.startswith("<!--"):
+        end = body.find("-->")
+        if end < 0:
+            break
+        body = body[end + 3 :].lstrip()
     if body.startswith("<?xml") or body.startswith("<rdf:RDF") or body.startswith("<RDF"):
         return ontology_from_triples(parse_rdfxml(text))
     return ontology_from_triples(parse_turtle(text))

@@ -155,3 +155,38 @@ def test_reference_shaped_file_roundtrip(tmp_path):
     with open(p, "w") as f:
         f.write(TTL)
     assert load_ontology(p) == load_ontology_text(TTL)
+
+
+def test_real_preloaded_ontologies_parse():
+    """The 11 real public ontologies the museum-29-edm benchmark preloads
+    (FOAF, SKOS, EDM, FRBR, ORE, ...) through the parser, read-only.
+    Pinned: the RDFS-flavored files (rdfs:Class / rdf:Property typed
+    elements, leading XML comments) now yield their schema content;
+    annotation-property-only vocabularies (this dcterms copy) and pure
+    meta-vocabularies (rdf.owl) legitimately yield none."""
+    import os
+
+    import pytest
+
+    base = ("/root/reference/modeler/src/test/resources/karma/museum/"
+            "museum-29-edm/preloaded-ontologies")
+    if not os.path.isdir(base):
+        pytest.skip("reference museum ontologies not mounted")
+    from serene_spark.modeler.owl import load_ontology
+
+    pins = {  # (n_classes, n_object_props, n_data_props) measured
+        "140_foaf.owl": (15, 34, 28),
+        "175_frbr_core.rdf": (31, 52, 6),
+        "220_edm_from_xuming.owl": (28, 49, 2),
+        "250_skos.owl": (5, 24, 4),
+        "180_rdaGr2.rdf": (0, 2, 57),  # property-only vocabulary
+        "120_dcterms.rdf": (22, 0, 0),  # annotation-property-only copy
+    }
+    for fname, (nc, no, nd) in pins.items():
+        o = load_ontology(os.path.join(base, fname))
+        assert (len(o.classes), len(o.object_properties), len(o.data_properties)) == (
+            nc, no, nd,
+        ), fname
+    foaf = load_ontology(os.path.join(base, "140_foaf.owl"))
+    assert "Person" in foaf.classes
+    assert foaf.object_properties["knows"] == ("Person", "Person")
