@@ -401,6 +401,24 @@ def test_inference_domain_range_gap_flags():
         ontology_alignment=True, properties_without_domain_range=True
     ).graph.number_of_edges() == 4  # r links every ordered pair
 
+    # The plain compatibleProperties path (ontology_alignment OFF, the
+    # reference default) must ADMIT fully-undeclared properties: Thing as
+    # implicit domain/range is compatible with every class. This is
+    # load-bearing reference behavior, not an accident — the reference's
+    # real dataintegration_report_ontology.ttl declares NO domain or range
+    # on ANY of its 9 object properties, yet SuggestModelSpec recovers the
+    # full businessInfo structure from the ontology closure under default
+    # modeling.properties (ontology.alignment=false). The Graph Builder
+    # flags, including properties.without.domain.range=false, take effect
+    # ONLY when ontology.alignment=true (modeling.properties:23-25 comment).
+    default_g = build().graph
+    assert default_g.number_of_edges() == 4  # p: A->B, q: A->B, r: A<->B
+    assert default_g.has_edge("A1", "B1", "r") and default_g.has_edge("B1", "A1", "r")
+    # and the flag stays inert on the plain path
+    assert (
+        build(properties_without_domain_range=True).graph.number_of_edges() == 4
+    )
+
 
 def test_modeling_properties_wire_graph_inference():
     """The user-facing knob object produces the Graph Builder flag block."""
