@@ -1,0 +1,217 @@
+"""Graph analytics beyond PageRank: exact triangle counting and the
+large-star/small-star connected-components algorithm.
+
+* ``triangle_counts`` — exact triangle counting on the supplier
+  co-purchase graph (same edge relation as ``pagerank_suppliers``) via
+  degree-ordered edge orientation (Latapy, "Main-memory triangle
+  computations for very large graphs", TCS 2008 — the compact-forward /
+  MapReduce "orient by degree" strategy of Suri & Vassilvitskii, WWW 2011):
+  nodes get a total order by (degree, id), each undirected edge is kept
+  only low→high, and a triangle {x,y,z} is found exactly once as the wedge
+  at its lowest-ranked vertex plus one existence join.  Orientation bounds
+  every node's out-neighborhood by O(sqrt(|E|)), so the wedge join
+  (the quadratic step) never explodes on hubs — THE reason this plan
+  survives skewed degree distributions at 100 TB where a naive
+  edge-edge-edge join on raw ids hits hub² wedges.  The (degree, id) rank
+  is a window over the NODE relation — orders of magnitude smaller than
+  edges; at extreme node counts the same rank comes from a distributed
+  sort + zipWithIndex.  Output: top-20 nodes by triangle participation +
+  the global triangle count.
+* ``cc_large_star`` — connected components by alternating large-star /
+  small-star edge rewriting (Kiveris et al., "Connected Components in
+  MapReduce and Beyond", SoCC 2014) over the SAME verified near-duplicate
+  pair graph as ``dedup_clusters``.  Min-label propagation (the
+  ``dedup_clusters`` formulation) moves labels ONE HOP per round —
+  O(diameter) rounds, fine for shallow near-dup clusters but pathological
+  on chain-shaped components (doc A ~ B ~ C ... with no A ~ C pair —
+  exactly what transitive near-duplication produces).  Star rewriting
+  contracts components in O(log n) rounds regardless of shape: large-star
+  hangs every higher neighbor of u under min(Γ(u) ∪ {u}); small-star
+  re-hangs the lower neighborhood.  Each half-round is one node-keyed
+  aggregation + one join on the CURRENT edge set (which only shrinks
+  toward the star forest); convergence is detected by an aggregate-only
+  checksum (count + sum of pair hashes), never a collect.  Rows-only
+  (iterative); pytest pins label-equivalence with ``dedup_clusters`` /
+  networkx and the O(log n) round count on a deep synthetic path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from serene_spark.catalog import register_views
+from serene_spark.functions.sqlgen import DUCKDB, SPARK
+from serene_spark.operators.graph_rank import edges_sql
+from serene_spark.registry import register
+
+TRI_TOP_K = 20
+
+
+def triangle_sql(dialect: str) -> str:
+    return f"""
+WITH {edges_sql(dialect)},
+deg AS (
+  SELECT src AS node, COUNT(*) AS degree FROM edges GROUP BY src
+),
+rk AS (
+  SELECT node, degree, ROW_NUMBER() OVER (ORDER BY degree, node) AS rk
+  FROM deg
+),
+oriented AS (
+  SELECT ra.rk AS a, rb.rk AS b
+  FROM edges e
+  JOIN rk ra ON e.src = ra.node
+  JOIN rk rb ON e.dst = rb.node
+  WHERE ra.rk < rb.rk
+),
+tri AS (
+  SELECT w.a AS x, w.b AS y, w.c AS z
+  FROM (
+    SELECT e1.a, e1.b, e2.b AS c
+    FROM oriented e1
+    JOIN oriented e2 ON e1.a = e2.a AND e1.b < e2.b
+  ) w
+  JOIN oriented e3 ON e3.a = w.b AND e3.b = w.c
+),
+per_rk AS (
+  SELECT v AS rk, COUNT(*) AS n_triangles
+  FROM (
+    SELECT x AS v FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) m
+  GROUP BY v
+),
+total AS (
+  SELECT COUNT(*) AS n FROM tri
+),
+ranked AS (
+  SELECT r.node AS s_suppkey,
+         CAST(r.degree AS BIGINT) AS degree,
+         CAST(p.n_triangles AS BIGINT) AS n_triangles,
+         ROW_NUMBER() OVER (ORDER BY p.n_triangles DESC, r.node) AS pos
+  FROM per_rk p JOIN rk r ON p.rk = r.rk
+)
+SELECT s_suppkey, degree, n_triangles,
+       CAST((SELECT n FROM total) AS BIGINT) AS total_triangles
+FROM ranked WHERE pos <= {TRI_TOP_K}
+"""
+
+
+def _triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("lineitem", "orders"))
+    return spark.sql(triangle_sql(SPARK))
+
+
+register(
+    "triangle_counts",
+    oracle=triangle_sql(DUCKDB),
+    doc="exact triangle counts on the supplier co-purchase graph via "
+    "degree-ordered orientation (hub-safe wedge join); top-20 nodes + "
+    "global count",
+)(_triangles)
+
+
+# --- large-star / small-star connected components ---------------------------
+
+
+def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
+    """Aggregate-only fingerprint of a canonical (lo, hi) edge set."""
+    from pyspark.sql import functions as F
+
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("lo", "hi").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def large_star_cc(edges: DataFrame, max_rounds: int = 40) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star CC over a canonical (lo, hi) edge
+    DataFrame (lo < hi, deduped).  Returns (labels(node, cluster), rounds).
+
+    Each half-round: symmetrize → per-node min over Γ(u) ∪ {u} (one keyed
+    agg with map-side combine) → re-emit edges (one join) → canonicalize.
+    The edge set monotonically approaches the star forest whose centers are
+    the component minima; at convergence every node's min neighbor IS its
+    component min.  localCheckpoint per round keeps plans flat (cluster
+    scale: checkpoint to reliable storage).
+    """
+    from pyspark.sql import functions as F
+
+    edges = edges.select(
+        F.least("lo", "hi").alias("lo"), F.greatest("lo", "hi").alias("hi")
+    ).where(F.col("lo") != F.col("hi")).distinct().localCheckpoint(eager=True)
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+            e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+
+    def _nbr_min(sym: DataFrame) -> DataFrame:
+        return sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+
+    prev = _edge_checksum(edges)
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        # large-star: hang every HIGHER neighbor v > u under m(u)
+        sym = _sym(edges)
+        nm = _nbr_min(sym)
+        edges = (
+            sym.where(F.col("v") > F.col("u"))
+            .join(nm, "u")
+            .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+            .where(F.col("lo") != F.col("hi"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star: re-hang the lower neighborhood (v < u) plus u itself
+        sym = _sym(edges)
+        nm = _nbr_min(sym)
+        lower = (
+            sym.where(F.col("v") < F.col("u"))
+            .join(nm, "u")
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+        )
+        self_edge = nm.select(F.col("m").alias("a"), F.col("u").alias("b"))
+        edges = (
+            lower.union(self_edge)
+            .select(F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi"))
+            .where(F.col("lo") != F.col("hi"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = _edge_checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    labels = _sym(edges).groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("cluster")
+    ).select(F.col("u").alias("doc_id"), "cluster")
+    return labels, rounds
+
+
+def _cc_large_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serene_spark.operators.dedup import dedup_lsh_verified_spark
+
+    pairs = dedup_lsh_verified_spark(spark, sf_dir).selectExpr(
+        "doc_id_1 AS lo", "doc_id_2 AS hi"
+    )
+    labels, _ = large_star_cc(pairs)
+    return labels.orderBy("doc_id")
+
+
+register(
+    "cc_large_star",
+    oracle=None,
+    doc="connected components over verified near-dup pairs by alternating "
+    "large-star/small-star edge rewriting — O(log n) rounds vs "
+    "dedup_clusters' O(diameter) one-hop propagation; labels pinned equal "
+    "in tests",
+)(_cc_large_star)

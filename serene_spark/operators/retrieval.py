@@ -1,0 +1,185 @@
+"""Text retrieval over the documents corpus: BM25 ranked search, TF-IDF
+keyword extraction, and the corpus n-gram novelty curve.
+
+* ``bm25_search`` — Okapi BM25 (Robertson & Walker, SIGIR 1994; the Lucene
+  ``k1=1.2, b=0.75`` parametrization with the +1-smoothed idf that keeps
+  scores non-negative) ranking documents for a fixed query term set.  The
+  plan IS the inverted-index shape: tokenize once into a (term, doc, tf)
+  posting relation, prune it to the query's posting lists FIRST (the
+  ``tok IN (...)`` filter reaches the scan — at 100 TB the posting relation
+  is a materialized index partitioned by term and the query reads |query|
+  partitions, never the corpus), then df/idf and the document-length norm
+  join against metadata-sized side relations.  Per-term score contributions
+  are rounded to 9 dp and summed as DECIMAL so partial-aggregation order
+  cannot move a score (engine convention); top-k is a rank over the rounded
+  score with a doc_id tie-break, computed only over MATCHED docs (bounded
+  by the pruned posting lists, not the corpus).
+* ``tfidf_top_terms`` — per-document keyword extraction: top-3 terms by
+  tf·ln(N/df).  The rank window partitions BY doc_id (keyed shuffle, no
+  global sort); df comes from one distinct-pair aggregation of the same
+  posting relation.
+* ``ngram_novelty`` — the corpus-growth novelty curve: per source (in
+  lexicographic ingestion order), what fraction of its distinct word
+  8-grams is NEW to the corpus (first owner = itself)?  The planning
+  statistic behind incremental-crawl dedup: a source whose novelty ~0 is
+  already covered by earlier snapshots (``snapshot_delta_dedup`` is the
+  acting operator; this measures what it would drop).  One gram-keyed
+  aggregation (MIN(source) per gram — map-side combinable), then a
+  source-keyed rollup; the shuffle carries gram fingerprints, never text.
+
+Reference scope note: the reference engine (NICTA/serene) has no retrieval
+surface; these are engine extensions for the training-data-pipeline family
+(decontaminate / source_similarity / snapshot_delta_dedup siblings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from serene_spark.catalog import register_views
+from serene_spark.functions.sqlgen import DUCKDB, SPARK
+from serene_spark.operators.curation import grams_rel
+from serene_spark.operators.text_analysis import tokens_rel
+from serene_spark.registry import register
+
+BM25_K1 = "1.2"
+BM25_B = "0.75"
+BM25_QUERY = ("spark", "shuffle", "broadcast")  # fixed query term set
+BM25_TOP_K = 20
+TFIDF_TOP_K = 3
+
+
+def _query_in_list() -> str:
+    return "(" + ", ".join(f"'{t}'" for t in BM25_QUERY) + ")"
+
+
+def bm25_sql(dialect: str) -> str:
+    # idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))  — Lucene's non-negative form
+    # norm(d) = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)), avgdl = Σdl/N
+    # dl/avgdl computed as dl·N/Σdl (exact BIGINTs until the one division)
+    return f"""
+WITH {tokens_rel(dialect)},
+doc_len AS (
+  SELECT doc_id, COUNT(*) AS dl FROM tokens GROUP BY doc_id
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM doc_len
+),
+postings AS (
+  SELECT tok, doc_id, COUNT(*) AS tf
+  FROM tokens WHERE tok IN {_query_in_list()}
+  GROUP BY tok, doc_id
+),
+df AS (
+  SELECT tok, COUNT(*) AS n_df FROM postings GROUP BY tok
+),
+contrib AS (
+  SELECT p.doc_id,
+         CAST(ROUND(
+           ln(1 + (s.n_docs - d.n_df + 0.5) / (d.n_df + 0.5))
+           * (p.tf * ({BM25_K1} + 1))
+           / (p.tf + {BM25_K1} * (1 - {BM25_B}
+              + {BM25_B} * dl.dl * s.n_docs / CAST(s.total_len AS DOUBLE))),
+         9) AS DECIMAL(18,9)) AS term_score
+  FROM postings p
+  JOIN df d ON p.tok = d.tok
+  JOIN doc_len dl ON p.doc_id = dl.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+         SUM(term_score) AS score
+  FROM contrib GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, n_terms_matched,
+         ROUND(CAST(score AS DOUBLE), 6) AS bm25,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT doc_id, n_terms_matched, bm25, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {BM25_TOP_K}
+"""
+
+
+def tfidf_sql(dialect: str) -> str:
+    return f"""
+WITH {tokens_rel(dialect)},
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM tokens GROUP BY doc_id, tok
+),
+n_docs AS (
+  SELECT COUNT(DISTINCT doc_id) AS n FROM tf
+),
+df AS (
+  SELECT tok, COUNT(*) AS n_df FROM tf GROUP BY tok
+),
+scored AS (
+  SELECT t.doc_id, t.tok,
+         ROUND(t.tf * ln(CAST((SELECT n FROM n_docs) AS DOUBLE) / d.n_df), 6)
+           AS tfidf
+  FROM tf t JOIN df d ON t.tok = d.tok
+),
+ranked AS (
+  SELECT doc_id, tok, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, tok) AS rank
+  FROM scored
+)
+SELECT doc_id, tok AS term, tfidf, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
+def novelty_sql(dialect: str) -> str:
+    return f"""
+WITH {grams_rel(dialect)},
+source_grams AS (
+  SELECT DISTINCT d.source, g.gram
+  FROM grams g JOIN documents d ON g.doc_id = d.doc_id
+),
+first_owner AS (
+  SELECT gram, MIN(source) AS first_source FROM source_grams GROUP BY gram
+)
+SELECT sg.source,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN f.first_source = sg.source THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       ROUND(CAST(SUM(CASE WHEN f.first_source = sg.source THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS novelty
+FROM source_grams sg JOIN first_owner f ON sg.gram = f.gram
+GROUP BY sg.source
+"""
+
+
+def _q(sql_fn, tables):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, tables)
+        return spark.sql(sql_fn(SPARK))
+
+    return run
+
+
+register(
+    "bm25_search",
+    oracle=bm25_sql(DUCKDB),
+    doc=f"Okapi BM25 top-{BM25_TOP_K} over documents for query "
+    f"{' '.join(BM25_QUERY)}; inverted-index plan (posting lists pruned "
+    "before scoring), decimal-exact score sums",
+)(_q(bm25_sql, ("documents",)))
+
+register(
+    "tfidf_top_terms",
+    oracle=tfidf_sql(DUCKDB),
+    doc=f"per-document top-{TFIDF_TOP_K} TF-IDF keywords; doc-keyed rank "
+    "window, no global sort",
+)(_q(tfidf_sql, ("documents",)))
+
+register(
+    "ngram_novelty",
+    oracle=novelty_sql(DUCKDB),
+    doc="per-source word-8-gram novelty vs lexicographically-earlier "
+    "sources — the incremental-crawl value estimate behind "
+    "snapshot_delta_dedup",
+)(_q(novelty_sql, ("documents",)))

@@ -78,6 +78,8 @@ def load_all() -> dict[str, Query]:
         "serene_spark.operators.importance",
         "serene_spark.operators.skyline",
         "serene_spark.operators.graph_rank",
+        "serene_spark.operators.graph_analytics",
+        "serene_spark.operators.retrieval",
         "serene_spark.operators.contrastive",
         "serene_spark.operators.sequence",
         "serene_spark.operators.corpus_stats",
