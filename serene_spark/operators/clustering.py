@@ -1,0 +1,129 @@
+"""Lloyd's k-means over the embeddings table, expressed relationally with
+INTEGER-EXACT arithmetic — the iterative-ML exemplar the parity gate can
+check bit-for-bit (the clustering sibling of ``pagerank_suppliers``'s
+unrolled power iterations and ``bpe_trained_merges``' trainer loop).
+
+Determinism strategy: float components are quantized ONCE to integer
+micro-units (``FLOOR(x * 1e6)`` — FLOOR is floor in both engines, and the
+double product is IEEE-identical for identical inputs).  From there every
+quantity is integer: squared L2 distances are BIGINT sums over 64 dims
+(max ~1e15, far from overflow), centroid updates are truncating integer
+divisions of exact BIGINT sums (sign-split so DuckDB's floor-`//` and
+Spark's truncate-`div` agree on negatives), and the argmin breaks ties on
+centroid id.  No float enters any aggregation, so partial-aggregation
+order CANNOT move a single assignment — the whole trajectory is exact.
+
+Scale shape (100 TB): the per-iteration cost is the assignment join —
+points_melt (N·D rows) x centroids (K·D rows, metadata-sized → BROADCAST;
+no shuffle of the points for assignment), partial BIGINT sums combine
+map-side, then ONE shuffle keyed on (centroid, dim) for the update (K·D
+groups).  Iterations are a linear CTE chain over the quantized melt
+relation, which Spark materializes once (localCheckpoint) so Catalyst
+cannot re-derive the parquet scan per iteration.  Init here is the K
+lowest vec_ids (a rank over the node-scale relation) purely for
+oracle-checkability — production init is a sampled k-means|| pass
+(Bahmani et al., VLDB 2012); empty clusters carry their previous centroid
+forward (COALESCE against the prior round) so K is stable by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from serene_spark.catalog import register_views
+from serene_spark.functions.sqlgen import DUCKDB, SPARK, element_at, explode_seq, idiv
+from serene_spark.registry import register
+
+K = 8
+DIM = 64
+N_ITER = 3
+SCALE = 1_000_000  # micro-units
+
+
+def _tdiv(dialect: str, a: str, b: str) -> str:
+    """Truncate-toward-zero integer division, identical across engines
+    (DuckDB ``//`` floors, Spark ``div`` truncates — they differ below 0)."""
+    return (
+        f"(CASE WHEN {a} >= 0 THEN {idiv(dialect, a, b)}"
+        f" ELSE -{idiv(dialect, f'(-({a}))', b)} END)"
+    )
+
+
+def _iter_ctes(dialect: str, i: int) -> str:
+    """One Lloyd iteration: integer-exact assign + centroid update."""
+    prev, cur = f"cm{i}", f"cm{i + 1}"
+    newc = f"newc{i + 1}"
+    return f""",
+a{i} AS (
+  SELECT p.vec_id, c.cid,
+         SUM((p.xq - c.cq) * (p.xq - c.cq)) AS dist
+  FROM pm p JOIN {prev} c ON p.d = c.d
+  GROUP BY p.vec_id, c.cid
+),
+best{i} AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cid) AS rn
+    FROM a{i}
+  ) r WHERE rn = 1
+),
+{newc} AS (
+  SELECT b.cid, p.d,
+         {_tdiv(dialect, "SUM(p.xq)", "COUNT(*)")} AS cq
+  FROM best{i} b JOIN pm p ON b.vec_id = p.vec_id
+  GROUP BY b.cid, p.d
+),
+{cur} AS (
+  SELECT o.cid, o.d, COALESCE(n.cq, o.cq) AS cq
+  FROM {prev} o LEFT JOIN {newc} n ON o.cid = n.cid AND o.d = n.d
+)"""
+
+
+def kmeans_sql(dialect: str) -> str:
+    x = element_at(dialect, "embedding", "i")
+    last = N_ITER - 1
+    iters = "".join(_iter_ctes(dialect, i) for i in range(N_ITER))
+    return f"""
+WITH pm AS (
+  SELECT vec_id, i AS d,
+         CAST(FLOOR(CAST({x} AS DOUBLE) * {SCALE}) AS BIGINT) AS xq
+  FROM (
+    SELECT vec_id, embedding, {explode_seq(dialect, 1, str(DIM))} AS i
+    FROM embeddings
+  ) e
+),
+init_ids AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+  FROM (SELECT DISTINCT vec_id FROM embeddings) v
+),
+cm0 AS (
+  SELECT ii.cid, p.d, p.xq AS cq
+  FROM init_ids ii JOIN pm p ON ii.vec_id = p.vec_id
+  WHERE ii.cid < {K}
+){iters},
+sizes AS (
+  SELECT cid, COUNT(*) AS n_points,
+         CAST(SUM(CAST(dist AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS inertia
+  FROM best{last} GROUP BY cid
+)
+SELECT c.cid, c.d, CAST(c.cq AS BIGINT) AS centroid_micro,
+       CAST(COALESCE(s.n_points, 0) AS BIGINT) AS n_points,
+       ROUND(CAST(COALESCE(s.inertia, 0) AS DOUBLE) / ({SCALE}.0 * {SCALE}), 6)
+         AS inertia
+FROM cm{N_ITER} c LEFT JOIN sizes s ON c.cid = s.cid
+"""
+
+
+def _kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("embeddings",))
+    return spark.sql(kmeans_sql(SPARK))
+
+
+register(
+    "kmeans_embeddings",
+    oracle=kmeans_sql(DUCKDB),
+    doc=f"Lloyd's k-means (K={K}, {N_ITER} unrolled iterations) over "
+    "embeddings in integer micro-units — bit-exact assignments and "
+    "centroids, broadcast-assignment plan shape",
+)(_kmeans)

@@ -80,6 +80,7 @@ def load_all() -> dict[str, Query]:
         "serene_spark.operators.graph_rank",
         "serene_spark.operators.graph_analytics",
         "serene_spark.operators.retrieval",
+        "serene_spark.operators.clustering",
         "serene_spark.operators.contrastive",
         "serene_spark.operators.sequence",
         "serene_spark.operators.corpus_stats",
