@@ -181,3 +181,78 @@ register(
     doc="small-file compaction planner: running-size bin packing per "
     "source partition toward a target group size",
 )(_q(compaction_plan_sql, ("documents",)))
+
+
+# --- split-leakage audit -----------------------------------------------------
+
+
+def split_leakage_tail_sql(dialect: str, pairs_rel: str, head: str = "WITH ") -> str:
+    """Labeling + 6-pair spine summary over a named verified-pairs relation.
+    The ONLY formulation — both the Spark runner (materialized pairs view)
+    and the oracle (full-CTE pairs) splice it, so they cannot desync."""
+    return f"""
+{head}splits AS ({group_split_sql(dialect)}),
+labeled AS (
+  SELECT LEAST(s1.split, s2.split) AS split_a,
+         GREATEST(s1.split, s2.split) AS split_b,
+         p.jaccard
+  FROM {pairs_rel} p
+  JOIN splits s1 ON p.doc_id_1 = s1.doc_id
+  JOIN splits s2 ON p.doc_id_2 = s2.doc_id
+),
+spine AS (
+  SELECT * FROM (VALUES
+    ('test', 'test'), ('test', 'train'), ('test', 'val'),
+    ('train', 'train'), ('train', 'val'), ('val', 'val')
+  ) AS t(split_a, split_b)
+)
+SELECT sp.split_a, sp.split_b,
+       CAST(COALESCE(COUNT(l.jaccard), 0) AS BIGINT) AS n_pairs,
+       COALESCE(ROUND(MAX(l.jaccard), 6), 0.0) AS max_jaccard,
+       CAST(CASE WHEN sp.split_a <> sp.split_b THEN 1 ELSE 0 END AS INT)
+         AS is_leakage
+FROM spine sp
+LEFT JOIN labeled l ON sp.split_a = l.split_a AND sp.split_b = l.split_b
+GROUP BY sp.split_a, sp.split_b
+"""
+
+
+def split_leakage_sql(dialect: str) -> str:
+    """Cross-split contamination audit: label every VERIFIED near-duplicate
+    pair (the ``dedup_lsh_verified`` output) with the train/val/test splits
+    of its two documents and summarize per split pair.  A nonzero
+    cross-split count is exactly the leakage ``group_split_documents``'
+    source-grouped assignment exists to prevent — this query MEASURES the
+    guarantee instead of assuming it (near-dups that cross SOURCES can
+    still cross splits; the audit is what says how much).
+
+    Scale shape: the expensive relation (verified pairs) is the already-
+    bounded LSH pipeline output; the split assignment is map-only and the
+    summary is a 6-row spine LEFT JOIN, so the audit adds one
+    metadata-sized join on top of the dedup run it would piggyback on.
+    """
+    from serene_spark.operators.dedup import lsh_verified_sql
+
+    return f"WITH pairs AS ({lsh_verified_sql(dialect)})," + split_leakage_tail_sql(
+        dialect, "pairs", head=""
+    )
+
+
+def _split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized runner: reuse the shingle/minhash-materializing verified-
+    pairs runner (Spark's CTE inlining would otherwise recompute shingles
+    per reference), then one SQL join for the labeling + spine summary."""
+    from serene_spark.operators.dedup import dedup_lsh_verified_spark
+
+    pairs = dedup_lsh_verified_spark(spark, sf_dir)
+    pairs.createOrReplaceTempView("__leak_pairs")
+    return spark.sql(split_leakage_tail_sql(SPARK, "__leak_pairs"))
+
+
+register(
+    "split_leakage_audit",
+    oracle=split_leakage_sql(DUCKDB),
+    doc="cross-split near-dup contamination: verified LSH pairs labeled by "
+    "the split assignment of both docs, 6-pair spine summary — measures "
+    "the guarantee group_split_documents is designed to provide",
+)(_split_leakage)

@@ -79,3 +79,21 @@ def test_compaction_plan_bins_are_target_sized(spark):
         for b in grp["total_bytes"].iloc[:-1]:
             assert b + max_file >= COMPACT_TARGET
         assert (grp["total_bytes"] <= COMPACT_TARGET + max_file).all()
+
+
+def test_split_leakage_audit(spark, sf_dir):
+    from serene_spark.registry import load_all
+
+    qs = load_all()
+    rows = qs["split_leakage_audit"].spark(spark, sf_dir).collect()
+    # complete 6-pair spine, leakage flag = cross-split
+    assert {(r["split_a"], r["split_b"]) for r in rows} == {
+        ("test", "test"), ("test", "train"), ("test", "val"),
+        ("train", "train"), ("train", "val"), ("val", "val"),
+    }
+    for r in rows:
+        assert r["is_leakage"] == int(r["split_a"] != r["split_b"])
+        assert (r["n_pairs"] == 0) == (r["max_jaccard"] == 0.0)
+    # accounting: every verified pair lands in exactly one spine cell
+    n_pairs = qs["dedup_lsh_verified"].spark(spark, sf_dir).count()
+    assert sum(r["n_pairs"] for r in rows) == n_pairs > 0
