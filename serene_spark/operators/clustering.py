@@ -127,3 +127,108 @@ register(
     "embeddings in integer micro-units — bit-exact assignments and "
     "centroids, broadcast-assignment plan shape",
 )(_kmeans)
+
+
+# --- convergence-looped sibling ----------------------------------------------
+
+KMEANS_MAX_ITER = 60
+
+
+def kmeans_converged(spark: SparkSession, sf_dir: str, max_iter: int = KMEANS_MAX_ITER):
+    """Lloyd's k-means run to its FIXED POINT: iterate the exact same integer
+    recurrence as ``kmeans_embeddings`` until no point changes cluster, with
+    the changed-assignment count computed as an AGGREGATE (never a collect of
+    assignments) — the convergence-loop sibling, same pairing as
+    ``pagerank_converged`` / ``pagerank_suppliers`` and ``dedup_clusters``.
+    Returns (result DataFrame in the unrolled query's schema, n_iter).
+
+    The quantized melt and each round's centroids are materialized
+    (localCheckpoint) so every iteration's plan is flat — Catalyst would
+    otherwise inline the whole chain back to the parquet scan per round.
+    """
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir, ("embeddings",))
+    x = element_at(SPARK, "embedding", "i")
+    pm = spark.sql(f"""
+        SELECT vec_id, i AS d,
+               CAST(FLOOR(CAST({x} AS DOUBLE) * {SCALE}) AS BIGINT) AS xq
+        FROM (SELECT vec_id, embedding, {explode_seq(SPARK, 1, str(DIM))} AS i
+              FROM embeddings) e
+    """).localCheckpoint(eager=True)
+    pm.createOrReplaceTempView("__km_pm")
+    cm = spark.sql(f"""
+        SELECT ii.cid, p.d, p.xq AS cq
+        FROM (SELECT vec_id,
+                     CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+              FROM (SELECT DISTINCT vec_id FROM __km_pm) v) ii
+        JOIN __km_pm p ON ii.vec_id = p.vec_id
+        WHERE ii.cid < {K}
+    """).localCheckpoint(eager=True)
+
+    prev_assign = None
+    n_iter = 0
+    best = None
+    for _ in range(max_iter):
+        n_iter += 1
+        cm.createOrReplaceTempView("__km_cm")
+        best = spark.sql(f"""
+            SELECT vec_id, cid, dist FROM (
+              SELECT p.vec_id, c.cid,
+                     SUM((p.xq - c.cq) * (p.xq - c.cq)) AS dist,
+                     ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                                        ORDER BY SUM((p.xq - c.cq) * (p.xq - c.cq)),
+                                                 c.cid) AS rn
+              FROM __km_pm p JOIN __km_cm c ON p.d = c.d
+              GROUP BY p.vec_id, c.cid
+            ) r WHERE rn = 1
+        """).localCheckpoint(eager=True)
+        best.createOrReplaceTempView("__km_best")
+        cm = spark.sql(f"""
+            SELECT o.cid, o.d, COALESCE(n.cq, o.cq) AS cq
+            FROM __km_cm o LEFT JOIN (
+              SELECT b.cid, p.d,
+                     {_tdiv(SPARK, "SUM(p.xq)", "COUNT(*)")} AS cq
+              FROM __km_best b JOIN __km_pm p ON b.vec_id = p.vec_id
+              GROUP BY b.cid, p.d
+            ) n ON o.cid = n.cid AND o.d = n.d
+        """).localCheckpoint(eager=True)
+        if prev_assign is not None:
+            n_changed = (
+                best.alias("n")
+                .join(prev_assign.alias("p"), "vec_id")
+                .where(F.col("n.cid") != F.col("p.cid"))
+                .count()
+            )
+            if n_changed == 0:
+                break
+        prev_assign = best.select("vec_id", "cid")
+
+    cm.createOrReplaceTempView("__km_cm_final")
+    out = spark.sql(f"""
+        WITH sizes AS (
+          SELECT cid, COUNT(*) AS n_points,
+                 CAST(SUM(CAST(dist AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS inertia
+          FROM __km_best GROUP BY cid
+        )
+        SELECT c.cid, c.d, CAST(c.cq AS BIGINT) AS centroid_micro,
+               CAST(COALESCE(s.n_points, 0) AS BIGINT) AS n_points,
+               ROUND(CAST(COALESCE(s.inertia, 0) AS DOUBLE)
+                     / ({SCALE}.0 * {SCALE}), 6) AS inertia
+        FROM __km_cm_final c LEFT JOIN sizes s ON c.cid = s.cid
+    """)
+    return out, n_iter
+
+
+def _kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, _ = kmeans_converged(spark, sf_dir)
+    return out
+
+
+register(
+    "kmeans_converged",
+    oracle=None,
+    doc="Lloyd's k-means iterated to the assignment fixed point (aggregate-"
+    "only convergence check) — the convergence-loop sibling of the "
+    "3-iteration oracle query; truncation equivalence pinned in tests",
+)(_kmeans_converged)

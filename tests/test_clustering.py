@@ -59,3 +59,49 @@ def test_kmeans_matches_numpy_reference(spark):
     # — this pins that it doesn't on this corpus)
     assert {r["cid"] for r in rows} == set(range(K))
     assert inertia_per_iter == sorted(inertia_per_iter, reverse=True)
+
+
+def test_kmeans_converged_truncation_equals_unrolled(spark):
+    """Stopping the convergence loop at N_ITER rounds must reproduce the
+    unrolled oracle query exactly — same recurrence by construction."""
+    from serene_spark.operators.clustering import kmeans_converged
+
+    qs = load_all()
+    unrolled = sorted(map(tuple, qs["kmeans_embeddings"].spark(spark, SF).collect()))
+    out, n_iter = kmeans_converged(spark, SF, max_iter=N_ITER)
+    assert n_iter == N_ITER
+    assert sorted(map(tuple, out.collect())) == unrolled
+
+
+def test_kmeans_converged_fixed_point_matches_numpy(spark):
+    from serene_spark.operators.clustering import kmeans_converged
+
+    # numpy run of the same integer recurrence to assignment stability
+    rows = sorted(
+        spark.read.parquet(f"{SF}/embeddings.parquet").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    xq = np.array(
+        [[math.floor(float(v) * SCALE) for v in r["embedding"]] for r in rows],
+        dtype=np.int64,
+    )
+    cm = xq[:K].copy()
+    assign = None
+    for _ in range(200):
+        d2 = ((xq[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+        new_assign = d2.argmin(axis=1)
+        for c in range(K):
+            pts = xq[new_assign == c]
+            if len(pts):
+                s = pts.sum(axis=0)
+                cm[c] = np.sign(s) * (np.abs(s) // len(pts))
+        if assign is not None and (new_assign == assign).all():
+            break
+        assign = new_assign
+
+    out, n_iter = kmeans_converged(spark, SF)
+    got = {(r["cid"], r["d"]): r["centroid_micro"] for r in out.collect()}
+    for c in range(K):
+        for d in range(DIM):
+            assert got[(c, d + 1)] == cm[c, d]
+    assert n_iter < 60  # actually converged, not max-iter-stopped
