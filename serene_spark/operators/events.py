@@ -42,6 +42,41 @@ register(
 )(lambda spark, sf_dir: (register_views(spark, sf_dir), spark.sql(TUMBLING_SQL))[1])
 
 
+# Trending top-k: rank WITHIN each window (hour-keyed window function — a
+# keyed shuffle over the already-reduced hourly relation, never a global
+# sort). The streaming twin computes the same hourly counts incrementally
+# and applies this exact rank read-side (ranks are not incrementally
+# maintainable; re-ranking the tiny aggregate relation is the scale-correct
+# split of work — serene_spark/streaming/events_stream.py:trending_rank_sql).
+TRENDING_TOP_K = 3
+
+TRENDING_SQL = f"""
+WITH hourly AS (
+  SELECT CAST(date_trunc('hour', ts) AS STRING) AS window_start,
+         event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events
+  GROUP BY date_trunc('hour', ts), event_type
+)
+SELECT window_start, event_type, n_events, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT window_start, event_type, n_events,
+         ROW_NUMBER() OVER (PARTITION BY window_start
+                            ORDER BY n_events DESC, event_type) AS rk
+  FROM hourly
+) r
+WHERE rk <= {TRENDING_TOP_K}
+"""
+
+register(
+    "events_trending_hourly",
+    oracle=TRENDING_SQL,
+    doc=f"top-{TRENDING_TOP_K} trending event types per hour (hour-keyed "
+    "rank over the reduced hourly relation; streaming twin re-ranks the "
+    "incrementally-maintained counts read-side)",
+)(lambda spark, sf_dir: (register_views(spark, sf_dir), spark.sql(TRENDING_SQL))[1])
+
+
 # --- JSON extraction (dialect-divergent: get_json_object vs json_extract_string)
 
 JSON_SPARK_SQL = """

@@ -311,3 +311,23 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def trending_rank_sql(counts_table: str, top_k: int = 3) -> str:
+    """Read-side rank for the streaming trending-top-k twin: the stream
+    maintains the hourly (window, type) counts incrementally
+    (``tumbling_counts``); ranks are NOT incrementally maintainable (one
+    late event can reorder a whole window), so the twin re-ranks the TINY
+    aggregate relation at read time — same split of work as the matview
+    read-side merge. The SQL is the batch ``events_trending_hourly`` tail
+    verbatim, so twin equality is equality of the maintained counts."""
+    return f"""
+SELECT window_start, event_type, n_events, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT window_start, event_type, n_events,
+         ROW_NUMBER() OVER (PARTITION BY window_start
+                            ORDER BY n_events DESC, event_type) AS rk
+  FROM {counts_table}
+) r
+WHERE rk <= {top_k}
+"""

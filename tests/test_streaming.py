@@ -292,3 +292,36 @@ def test_stream_stream_attribution_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.sql(attribution_sql(SPARK)).collect()
     }
     assert last_touch == reg
+
+
+def test_trending_twin_equals_batch(spark, sf_dir, tmp_path):
+    """Streamed hourly counts + read-side rank == batch events_trending_hourly."""
+    import shutil
+
+    from serene_spark.registry import load_all
+    from serene_spark.streaming.events_stream import (
+        read_events_stream,
+        run_available_now,
+        trending_rank_sql,
+        tumbling_counts,
+    )
+
+    events_dir = tmp_path / "events_trend"
+    events_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir / "part-0.parquet")
+    stream = tumbling_counts(read_events_stream(spark, str(events_dir)))
+    q = run_available_now(stream, "stream_trending_counts", str(tmp_path / "ckpt_trend"))
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(trending_rank_sql("stream_trending_counts")).select(
+            "window_start", "event_type", "n_events", "rk"
+        ).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in load_all()["events_trending_hourly"].spark(spark, sf_dir).select(
+            "window_start", "event_type", "n_events", "rk"
+        ).collect()
+    )
+    assert got == batch and len(got) > 0
