@@ -74,17 +74,21 @@ df AS (
   SELECT tok, COUNT(*) AS n_df FROM postings GROUP BY tok
 ),
 contrib AS (
+  -- corpus stats arrive via SCALAR SUBQUERIES, not a join: a CROSS JOIN
+  -- against the one-row stats relation plans as BroadcastNestedLoopJoin
+  -- (the no-cartesian plan audit rejects it); both engines evaluate the
+  -- one-row aggregate once (the ann_geom_rel convention)
   SELECT p.doc_id,
          CAST(ROUND(
-           ln(1 + (s.n_docs - d.n_df + 0.5) / (d.n_df + 0.5))
+           ln(1 + ((SELECT n_docs FROM stats) - d.n_df + 0.5) / (d.n_df + 0.5))
            * (p.tf * ({BM25_K1} + 1))
            / (p.tf + {BM25_K1} * (1 - {BM25_B}
-              + {BM25_B} * dl.dl * s.n_docs / CAST(s.total_len AS DOUBLE))),
+              + {BM25_B} * dl.dl * (SELECT n_docs FROM stats)
+                / CAST((SELECT total_len FROM stats) AS DOUBLE))),
          9) AS DECIMAL(18,9)) AS term_score
   FROM postings p
   JOIN df d ON p.tok = d.tok
   JOIN doc_len dl ON p.doc_id = dl.doc_id
-  CROSS JOIN stats s
 ),
 scored AS (
   SELECT doc_id,

@@ -14,9 +14,11 @@ from serene_spark.plans.explain_audit import (
     broadcast_join_count,
     has_cartesian,
     has_codegen,
+    plan_text,
     pushed_filters,
     read_schema_columns,
 )
+from serene_spark.operators.clustering import N_ITER as N_ITER_KMEANS
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
@@ -274,3 +276,47 @@ def test_source_minhash_single_signature_shuffle(spark, sf_dir):
     # #sources-sized sig relation — bounded by a constant, that's fine)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_min" in plan, plan[:2000]
+
+
+def test_retrieval_queries_no_cartesian(spark, sf_dir):
+    """BM25 / TF-IDF / novelty: every join is keyed (term, doc, gram) —
+    no cross product anywhere in the retrieval family."""
+    from serene_spark.registry import load_all
+
+    qs = load_all()
+    for name in ("bm25_search", "tfidf_top_terms", "ngram_novelty"):
+        df = qs[name].spark(spark, sf_dir)
+        assert not has_cartesian(df), name
+        assert has_codegen(df), name
+
+
+def test_bm25_rank_window_only_over_matched(spark, sf_dir):
+    """The top-k rank must consume the pruned posting relation — a global
+    window over the corpus would serialize all documents through one task.
+    The plan's sort/window input must sit behind the query-term filter."""
+    from serene_spark.registry import load_all
+
+    df = load_all()["bm25_search"].spark(spark, sf_dir)
+    plan = plan_text(df)
+    # the query-term IN-list prune exists in the plan (postings pruned
+    # before df/idf/rank, not after)
+    assert "tok IN " in plan or "tok#" in plan and "IN (" in plan, plan
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
+    """The assignment join (points x centroids) must broadcast the K*D
+    centroid side — shuffling N*D point rows per iteration to co-locate
+    with a metadata-sized relation is the wrong plan at any scale."""
+    from serene_spark.registry import load_all
+
+    df = load_all()["kmeans_embeddings"].spark(spark, sf_dir)
+    assert broadcast_join_count(df) >= N_ITER_KMEANS  # one per iteration
+    assert not has_cartesian(df)
+
+
+def test_triangle_orientation_joins_are_keyed(spark, sf_dir):
+    from serene_spark.registry import load_all
+
+    df = load_all()["triangle_counts"].spark(spark, sf_dir)
+    assert not has_cartesian(df)
+    assert has_codegen(df)
