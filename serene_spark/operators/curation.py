@@ -454,3 +454,69 @@ register("pii_scan_customer", oracle=pii_scan_sql(DUCKDB),
 register("semdedup", oracle=semdedup_sql(DUCKDB),
          doc="semantic dedup (SemDeDup): within-cluster near-dup drop list "
          "over embeddings")(_embeddings_query(semdedup_sql))
+
+
+# --- curriculum ordering ------------------------------------------------------
+
+
+def curriculum_plan_sql(dialect: str) -> str:
+    """Curriculum ordering plan: assign every document a curriculum STAGE by
+    quality quantile (stage 0 = most natural text first, the canonical
+    easy-to-hard schedule) plus a deterministic within-stage shuffle key —
+    the step between corpus selection and sequence packing.
+
+    Scale shape: ENTIRELY WINDOW-FREE over the corpus. The quartile
+    boundaries come from the count-histogram quantile (cumulative window
+    over the TINY distinct-score relation, the engine's standard exact-
+    quantile pattern); stage assignment is then a map-side comparison, and
+    the within-stage order is a deterministic md5 shuffle key the CONSUMER
+    sorts by (emitting a key instead of ranking defers the only global sort
+    to the writer that needs it, exactly like shard_assign). Documents tied
+    on a boundary score share a stage — deterministic, and the stages stay
+    within one tie-group of 25% each; an exact-quarter split would need a
+    global rank, the wrong plan at scale.
+    """
+    from serene_spark.operators.text_analysis import text_quality_sql
+
+    return f"""
+WITH tq AS ({text_quality_sql(dialect)}),
+scored AS (
+  SELECT doc_id, stopword_ratio AS score FROM tq
+),
+hist AS (
+  SELECT score, COUNT(*) AS c FROM scored GROUP BY score
+),
+cum AS (
+  SELECT score,
+         SUM(c) OVER (ORDER BY score) AS cc,
+         SUM(c) OVER () AS n
+  FROM hist
+),
+bounds AS (
+  SELECT MIN(CASE WHEN cc >= ceil(0.25 * n) THEN score END) AS q1,
+         MIN(CASE WHEN cc >= ceil(0.50 * n) THEN score END) AS q2,
+         MIN(CASE WHEN cc >= ceil(0.75 * n) THEN score END) AS q3
+  FROM cum
+)
+SELECT s.doc_id, s.score,
+       CAST(CASE WHEN s.score > (SELECT q3 FROM bounds) THEN 0
+                 WHEN s.score > (SELECT q2 FROM bounds) THEN 1
+                 WHEN s.score > (SELECT q1 FROM bounds) THEN 2
+                 ELSE 3 END AS INT) AS stage,
+       substr(md5(CAST(s.doc_id AS STRING)), 1, 16) AS shuffle_key
+FROM scored s
+"""
+
+
+def _curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(curriculum_plan_sql(SPARK))
+
+
+register(
+    "curriculum_plan",
+    oracle=curriculum_plan_sql(DUCKDB),
+    doc="curriculum stages by quality quantile (stage 0 = most natural "
+    "first) + deterministic within-stage shuffle key; window-free over "
+    "the corpus — boundaries from the count-histogram quantile",
+)(_curriculum)

@@ -240,3 +240,27 @@ def test_temperature_mix_plan_math(spark, sf_dir):
     common = max(rows, key=lambda r: r.n_docs)
     if rare.n_docs < common.n_docs:
         assert rare.upsample_ratio > 1.0 > common.upsample_ratio
+
+
+def test_curriculum_plan_invariants(spark, sf_dir):
+    from serene_spark.registry import load_all
+
+    rows = load_all()["curriculum_plan"].spark(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    stages = {}
+    for r in rows:
+        stages.setdefault(r["stage"], []).append(r["score"])
+        assert len(r["shuffle_key"]) == 16
+    assert set(stages) <= {0, 1, 2, 3}
+    # monotone: every stage-0 score >= every stage-1 score, etc.
+    for lo, hi in ((0, 1), (1, 2), (2, 3)):
+        if lo in stages and hi in stages:
+            assert min(stages[lo]) >= max(stages[hi])
+    # stages within one boundary tie-group of a quarter each (documented)
+    from collections import Counter
+
+    score_counts = Counter(r["score"] for r in rows)
+    biggest_tie = max(score_counts.values())
+    for s, vals in stages.items():
+        assert len(vals) <= n * 0.25 + biggest_tie + 1
