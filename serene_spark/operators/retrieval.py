@@ -19,7 +19,7 @@ keyword extraction, and the corpus n-gram novelty curve.
   global sort); df comes from one distinct-pair aggregation of the same
   posting relation.
 * ``ngram_novelty`` — the corpus-growth novelty curve: per source (in
-  lexicographic ingestion order), what fraction of its distinct word
+  shortlex ingestion order), what fraction of its distinct word
   8-grams is NEW to the corpus (first owner = itself)?  The planning
   statistic behind incremental-crawl dedup: a source whose novelty ~0 is
   already covered by earlier snapshots (``snapshot_delta_dedup`` is the
@@ -137,20 +137,26 @@ FROM ranked WHERE rank <= {TFIDF_TOP_K}
 
 
 def novelty_sql(dialect: str) -> str:
+    # ingestion order = SHORTLEX on the source name (length, then lexical):
+    # plain MIN(source) would interleave src10..src19 between src1 and src2,
+    # inventing an order no ingestion ever used; shortlex matches numeric
+    # order for numbered sources and stays a pure string MIN both engines
+    # compute identically
+    korder = "lpad(CAST(length(source) AS STRING), 4, '0') || source"
     return f"""
 WITH {grams_rel(dialect)},
 source_grams AS (
-  SELECT DISTINCT d.source, g.gram
+  SELECT DISTINCT {korder} AS src_key, d.source, g.gram
   FROM grams g JOIN documents d ON g.doc_id = d.doc_id
 ),
 first_owner AS (
-  SELECT gram, MIN(source) AS first_source FROM source_grams GROUP BY gram
+  SELECT gram, MIN(src_key) AS first_key FROM source_grams GROUP BY gram
 )
 SELECT sg.source,
        CAST(COUNT(*) AS BIGINT) AS n_grams,
-       CAST(SUM(CASE WHEN f.first_source = sg.source THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN f.first_key = sg.src_key THEN 1 ELSE 0 END)
             AS BIGINT) AS n_novel,
-       ROUND(CAST(SUM(CASE WHEN f.first_source = sg.source THEN 1 ELSE 0 END)
+       ROUND(CAST(SUM(CASE WHEN f.first_key = sg.src_key THEN 1 ELSE 0 END)
                   AS DOUBLE) / COUNT(*), 6) AS novelty
 FROM source_grams sg JOIN first_owner f ON sg.gram = f.gram
 GROUP BY sg.source

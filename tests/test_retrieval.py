@@ -109,7 +109,7 @@ def test_ngram_novelty_invariants(spark, sf_dir):
     q = load_all()["ngram_novelty"]
     rows = {r["source"]: r for r in q.spark(spark, sf_dir).collect()}
     assert rows
-    first = min(rows)  # lexicographically first source
+    first = min(rows, key=lambda s: (len(s), s))  # shortlex-first source
     assert rows[first]["novelty"] == 1.0  # everything is new to the first
     for r in rows.values():
         assert 0.0 <= r["novelty"] <= 1.0
