@@ -26,7 +26,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from serene_spark.catalog import register_views
-from serene_spark.functions.sqlgen import DUCKDB, SPARK, epoch_s, idiv, shl, shr
+from serene_spark.functions.sqlgen import (
+    DUCKDB,
+    SPARK,
+    epoch_s,
+    explode_seq,
+    idiv,
+    shl,
+    shr,
+)
 from serene_spark.registry import register
 
 HIST_BUCKETS = 16
@@ -162,3 +170,100 @@ register("ndv_sketch_lineitem",
          doc="one-pass per-column HLL NDV + null counts (ANALYZE TABLE "
          "sketch pass; rows-only, error pinned by pytest)")(
     _table_query(ndv_sketch_sql("lineitem"), ("lineitem",)))
+
+
+N_SKIP_PROBES = 16  # per-dimension probe workload for the skip estimate
+
+
+def zorder_skip_sql(dialect: str) -> str:
+    """File-skipping effectiveness of the Z-order layout, MEASURED: for a
+    deterministic workload of ``N_SKIP_PROBES`` equal-width range predicates
+    per dimension, the fraction of files each layout's bounding boxes can
+    skip — Z-order vs the same row set sorted by custkey alone (equal-width
+    custkey chunks, same file count for fairness).
+
+    This is the query that justifies ``zorder_manifest``'s existence with a
+    number instead of a claim: a single-column sort prunes only its own
+    column (day predicates scan ~every file), the Morton layout prunes BOTH
+    dimensions to a fraction.  All arithmetic runs over the MANIFESTS
+    (hundreds of rows — the probe cross join is manifest x probes, never
+    data-scale); the data-scale work is the one grouped scan each manifest
+    already does.
+    """
+    day = idiv(dialect, f"({epoch_s(dialect, 'o_orderdate')})", 86400)
+    return f"""
+WITH zfiles AS ({zorder_manifest_sql(dialect)}),
+days2 AS (
+  SELECT o_custkey, {day} AS d FROM orders
+),
+nf AS (
+  SELECT COUNT(*) AS n FROM zfiles
+),
+sfiles AS (
+  SELECT file_id,
+         CAST(MIN(o_custkey) AS BIGINT) AS min_custkey,
+         CAST(MAX(o_custkey) AS BIGINT) AS max_custkey,
+         CAST(MIN(d) AS BIGINT) AS min_day,
+         CAST(MAX(d) AS BIGINT) AS max_day
+  FROM (
+    SELECT o_custkey, d,
+           CAST(FLOOR((o_custkey - (SELECT MIN(o_custkey) FROM orders))
+                      * (SELECT n FROM nf) * 1.0
+                      / ((SELECT MAX(o_custkey) - MIN(o_custkey) + 1 FROM orders)))
+                AS BIGINT) AS file_id
+    FROM days2
+  ) t GROUP BY file_id
+),
+bounds AS (
+  SELECT MIN(o_custkey) AS cmin, MAX(o_custkey) AS cmax FROM orders
+),
+dbounds AS (
+  SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM days2
+),
+probes AS (
+  SELECT i,
+         (SELECT cmin FROM bounds)
+           + CAST(FLOOR(i * ((SELECT cmax - cmin + 1 FROM bounds) * 1.0 / {N_SKIP_PROBES})) AS BIGINT) AS c_lo,
+         (SELECT cmin FROM bounds)
+           + CAST(FLOOR((i + 1) * ((SELECT cmax - cmin + 1 FROM bounds) * 1.0 / {N_SKIP_PROBES})) AS BIGINT) AS c_hi,
+         (SELECT dmin FROM dbounds)
+           + CAST(FLOOR(i * ((SELECT dmax - dmin + 1 FROM dbounds) * 1.0 / {N_SKIP_PROBES})) AS BIGINT) AS d_lo,
+         (SELECT dmin FROM dbounds)
+           + CAST(FLOOR((i + 1) * ((SELECT dmax - dmin + 1 FROM dbounds) * 1.0 / {N_SKIP_PROBES})) AS BIGINT) AS d_hi
+  FROM (SELECT {explode_seq(dialect, 0, N_SKIP_PROBES - 1)} AS i FROM nf) s
+),
+hits AS (
+  SELECT 'zorder' AS layout, 'custkey' AS dim, p.i,
+         SUM(CASE WHEN f.min_custkey < p.c_hi AND f.max_custkey >= p.c_lo THEN 1 ELSE 0 END) AS n_hit,
+         COUNT(*) AS n_files
+  FROM probes p CROSS JOIN zfiles f GROUP BY p.i
+  UNION ALL
+  SELECT 'zorder', 'day', p.i,
+         SUM(CASE WHEN f.min_day < p.d_hi AND f.max_day >= p.d_lo THEN 1 ELSE 0 END),
+         COUNT(*)
+  FROM probes p CROSS JOIN zfiles f GROUP BY p.i
+  UNION ALL
+  SELECT 'sorted_custkey', 'custkey', p.i,
+         SUM(CASE WHEN f.min_custkey < p.c_hi AND f.max_custkey >= p.c_lo THEN 1 ELSE 0 END),
+         COUNT(*)
+  FROM probes p CROSS JOIN sfiles f GROUP BY p.i
+  UNION ALL
+  SELECT 'sorted_custkey', 'day', p.i,
+         SUM(CASE WHEN f.min_day < p.d_hi AND f.max_day >= p.d_lo THEN 1 ELSE 0 END),
+         COUNT(*)
+  FROM probes p CROSS JOIN sfiles f GROUP BY p.i
+)
+SELECT layout, dim,
+       CAST(COUNT(*) AS BIGINT) AS n_probes,
+       ROUND(AVG(n_hit * 1.0 / n_files), 6) AS avg_scan_fraction
+FROM hits
+GROUP BY layout, dim
+"""
+
+
+register("zorder_skip_estimate", oracle=zorder_skip_sql(DUCKDB),
+         doc=f"measured file-skipping payoff of the Z-order layout vs a "
+         "single-column sort: avg fraction of files a range predicate "
+         f"must scan, {N_SKIP_PROBES} probes per dimension, both layouts "
+         "at equal file count; all probe arithmetic manifest-scale")(
+    _table_query(zorder_skip_sql, ("orders",)))

@@ -73,3 +73,27 @@ def test_ndv_sketch_error_bound(spark, sf_dir):
         approx, got_nulls, n_rows = got[col]
         assert got_nulls == nulls  # null counts are exact
         assert abs(approx - exact) <= max(2, 0.15 * exact), (col, approx, exact)
+
+
+def test_zorder_skip_estimate_shows_both_dim_pruning(spark, sf_dir):
+    """The measurement behind the layout claim: z-order prunes BOTH
+    dimensions to a small fraction; a single-column sort prunes only its
+    own column and scans ~every file for the other."""
+    from serene_spark.registry import load_all
+
+    rows = {
+        (r["layout"], r["dim"]): float(r["avg_scan_fraction"])
+        for r in load_all()["zorder_skip_estimate"].spark(spark, sf_dir).collect()
+    }
+    assert set(rows) == {
+        ("zorder", "custkey"), ("zorder", "day"),
+        ("sorted_custkey", "custkey"), ("sorted_custkey", "day"),
+    }
+    # the sorted layout is near-blind on the non-sorted dimension
+    # (0.85 at sf0.001, 0.998 at sf0.01 — approaches 1 as files fill out)
+    assert rows[("sorted_custkey", "day")] > 0.75
+    # z-order prunes both dimensions far below that
+    assert rows[("zorder", "day")] < 0.5 * rows[("sorted_custkey", "day")]
+    assert rows[("zorder", "custkey")] < 0.5
+    # and the sorted layout is (unsurprisingly) best on its own column
+    assert rows[("sorted_custkey", "custkey")] <= rows[("zorder", "custkey")] + 0.05
