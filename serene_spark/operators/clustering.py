@@ -80,9 +80,11 @@ best{i} AS (
 )"""
 
 
-def kmeans_sql(dialect: str) -> str:
+def _kmeans_prefix_sql(dialect: str) -> str:
+    """Shared CTE chain: quantized melt + rank-K init + N_ITER Lloyd
+    iterations (the SINGLE formulation — kmeans_embeddings and the quality
+    audit both splice it, so they cannot desync)."""
     x = element_at(dialect, "embedding", "i")
-    last = N_ITER - 1
     iters = "".join(_iter_ctes(dialect, i) for i in range(N_ITER))
     return f"""
 WITH pm AS (
@@ -101,7 +103,12 @@ cm0 AS (
   SELECT ii.cid, p.d, p.xq AS cq
   FROM init_ids ii JOIN pm p ON ii.vec_id = p.vec_id
   WHERE ii.cid < {K}
-){iters},
+){iters}"""
+
+
+def kmeans_sql(dialect: str) -> str:
+    last = N_ITER - 1
+    return f"""{_kmeans_prefix_sql(dialect)},
 sizes AS (
   SELECT cid, COUNT(*) AS n_points,
          CAST(SUM(CAST(dist AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS inertia
@@ -232,3 +239,75 @@ register(
     "only convergence check) — the convergence-loop sibling of the "
     "3-iteration oracle query; truncation equivalence pinned in tests",
 )(_kmeans_converged)
+
+
+# --- cluster-quality audit ----------------------------------------------------
+
+
+def kmeans_quality_sql(dialect: str) -> str:
+    """Cluster-quality audit of the FINAL k-means model: per cluster, the
+    mean within-cluster squared distance (cohesion) and the squared distance
+    to the nearest OTHER centroid (separation) — the Dunn/Davies-Bouldin-
+    style readout that says whether the clustering is usable for semdedup /
+    IVF before anything consumes it.  Assignments are recomputed against
+    the FINAL centroids (one extra assignment pass over the shared CTE
+    chain), so the audit describes the model a consumer would load, not the
+    pre-update assignment of the last training round.
+
+    Integer-exact throughout (micro-unit distances; DECIMAL sums; the one
+    division per output value happens after aggregation) — oracle-checked
+    like the trainer itself.  Centroid-pair separation is a K x K x D join
+    over the metadata-sized centroid relation.
+    """
+    return f"""{_kmeans_prefix_sql(dialect)},
+fa AS (
+  SELECT p.vec_id, c.cid,
+         SUM((p.xq - c.cq) * (p.xq - c.cq)) AS dist
+  FROM pm p JOIN cm{N_ITER} c ON p.d = c.d
+  GROUP BY p.vec_id, c.cid
+),
+fbest AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM fa
+  ) r WHERE rn = 1
+),
+cohesion AS (
+  SELECT cid, COUNT(*) AS n_points,
+         CAST(SUM(CAST(dist AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_dist
+  FROM fbest GROUP BY cid
+),
+cpairs AS (
+  SELECT a.cid AS cid_a, b.cid AS cid_b,
+         SUM((a.cq - b.cq) * (a.cq - b.cq)) AS cdist
+  FROM cm{N_ITER} a JOIN cm{N_ITER} b ON a.d = b.d AND a.cid <> b.cid
+  GROUP BY a.cid, b.cid
+),
+separation AS (
+  SELECT cid_a AS cid, MIN(cdist) AS nearest_other
+  FROM cpairs GROUP BY cid_a
+)
+SELECT co.cid,
+       CAST(co.n_points AS BIGINT) AS n_points,
+       ROUND(CAST(co.sum_dist AS DOUBLE) / co.n_points
+             / ({SCALE}.0 * {SCALE}), 6) AS mean_within_dist,
+       ROUND(s.nearest_other / ({SCALE}.0 * {SCALE}), 6) AS nearest_centroid_dist,
+       ROUND(s.nearest_other
+             / (CAST(co.sum_dist AS DOUBLE) / co.n_points), 6) AS separation_ratio
+FROM cohesion co JOIN separation s ON co.cid = s.cid
+"""
+
+
+def _kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("embeddings",))
+    return spark.sql(kmeans_quality_sql(SPARK))
+
+
+register(
+    "kmeans_cluster_quality",
+    oracle=kmeans_quality_sql(DUCKDB),
+    doc="per-cluster cohesion (mean within-cluster squared distance) vs "
+    "separation (nearest other centroid) for the final k-means model — "
+    "integer-exact, assignments recomputed against final centroids",
+)(_kmeans_quality)

@@ -105,3 +105,34 @@ def test_kmeans_converged_fixed_point_matches_numpy(spark):
         for d in range(DIM):
             assert got[(c, d + 1)] == cm[c, d]
     assert n_iter < 60  # actually converged, not max-iter-stopped
+
+
+def test_kmeans_quality_matches_numpy(spark):
+    """Cohesion/separation recomputed independently with numpy integers
+    against the FINAL centroids."""
+    cm, _, _, _ = _reference(spark)
+    rows = sorted(
+        spark.read.parquet(f"{SF}/embeddings.parquet").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    xq = np.array(
+        [[math.floor(float(v) * SCALE) for v in r["embedding"]] for r in rows],
+        dtype=np.int64,
+    )
+    d2 = ((xq[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)
+    dists = d2[np.arange(len(rows)), assign]
+    cd = ((cm[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2).astype(float)
+    np.fill_diagonal(cd, np.inf)
+
+    out = load_all()["kmeans_cluster_quality"].spark(spark, SF).collect()
+    assert {r["cid"] for r in out} == set(np.unique(assign))
+    for r in out:
+        c = r["cid"]
+        pts = dists[assign == c]
+        assert r["n_points"] == len(pts)
+        mean_within = pts.sum() / len(pts)
+        assert abs(float(r["mean_within_dist"]) - round(mean_within / SCALE**2, 6)) < 1e-5
+        nearest = cd[c].min()
+        assert abs(float(r["nearest_centroid_dist"]) - round(nearest / SCALE**2, 6)) < 1e-5
+        assert abs(float(r["separation_ratio"]) - round(nearest / mean_within, 6)) < 1e-4
