@@ -232,15 +232,16 @@ def dedup_minhash_lsh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"WITH {lsh_body(SPARK, mh_rel)}")
 
 
-def verified_body(
+def candidate_common_body(
     dialect: str,
     mh_rel: str = "mh",
     sh_rel: str = "shingles",
     band_size: int = BAND_SIZE,
-    threshold: float = 0.2,
 ) -> str:
-    """The verify tail (bands → candidates → exact shingle-Jaccard) over
-    existing minhash + shingle relations."""
+    """Shared LSH candidate machinery: bands → candidate pairs → per-doc
+    shingle counts → exact common-shingle counts.  Both verification tails
+    (resemblance/Jaccard and containment) splice this, so the candidate
+    generation cannot desync between them."""
     n_bands = N_MINHASH // band_size
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5("
@@ -265,7 +266,19 @@ common AS (
   JOIN {sh_rel} s1 ON s1.doc_id = c.d1
   JOIN {sh_rel} s2 ON s2.doc_id = c.d2 AND s2.sh = s1.sh
   GROUP BY c.d1, c.d2
-)
+)"""
+
+
+def verified_body(
+    dialect: str,
+    mh_rel: str = "mh",
+    sh_rel: str = "shingles",
+    band_size: int = BAND_SIZE,
+    threshold: float = 0.2,
+) -> str:
+    """The verify tail (bands → candidates → exact shingle-Jaccard) over
+    existing minhash + shingle relations."""
+    return f"""{candidate_common_body(dialect, mh_rel, sh_rel, band_size)}
 SELECT m.d1 AS doc_id_1, m.d2 AS doc_id_2,
        round(CAST(m.n_common AS DOUBLE) / (n1.n_sh + n2.n_sh - m.n_common), 6) AS jaccard
 FROM common m
@@ -642,3 +655,88 @@ register("dedup_prefix_filter", oracle=ngram_jaccard_sql(DUCKDB, threshold=PF_TH
          doc=f"EXACT Jaccard>={PF_THRESHOLD} pairs via AllPairs/PPJoin prefix "
          "filtering — oracle is the naive quadratic join, so parity proves "
          "the filter lossless")(_prefix_filter)
+
+
+# --- containment (asymmetric) verification -----------------------------------
+
+CONTAIN_THRESHOLD = 0.8
+
+
+def containment_tail(dialect: str) -> str:
+    """Asymmetric CONTAINMENT verification over the shared candidate CTEs
+    (Broder, "On the resemblance and containment of documents", SEQUENCES
+    1997): c(A,B) = |S(A) ∩ S(B)| / |S(A)|.  Resemblance (Jaccard) misses
+    subset relationships — a document quoted whole inside a much larger one
+    has Jaccard ≈ |A|/|B| (tiny) but containment ≈ 1.  Emits candidate
+    pairs where EITHER direction's containment ≥ CONTAIN_THRESHOLD, with
+    the Jaccard beside it so the subset-not-duplicate cases (high max
+    containment, low Jaccard) are visible.
+
+    Recall caveat (documented, not hidden): candidates still come from the
+    Jaccard-tuned MinHash bands, and minhash collision probability IS the
+    resemblance — under extreme size skew (|A| ≪ |B|) a contained pair's
+    Jaccard can fall below what the band geometry surfaces.  The dedicated
+    scale structure for that regime is a bottom-k sketch of the SMALL side
+    probed against the large side's shingle index; this operator reports
+    exact containment for every pair the shared candidate generator
+    surfaces, which is the right first tier on a near-dup-shaped corpus.
+    """
+    return f"""{candidate_common_body(dialect)}
+SELECT m.d1 AS doc_id_1, m.d2 AS doc_id_2,
+       round(CAST(m.n_common AS DOUBLE) / n1.n_sh, 6) AS containment_1_in_2,
+       round(CAST(m.n_common AS DOUBLE) / n2.n_sh, 6) AS containment_2_in_1,
+       round(CAST(m.n_common AS DOUBLE) / (n1.n_sh + n2.n_sh - m.n_common), 6) AS jaccard
+FROM common m
+JOIN counts n1 ON m.d1 = n1.doc_id
+JOIN counts n2 ON m.d2 = n2.doc_id
+WHERE CAST(m.n_common AS DOUBLE) / n1.n_sh >= {CONTAIN_THRESHOLD}
+   OR CAST(m.n_common AS DOUBLE) / n2.n_sh >= {CONTAIN_THRESHOLD}
+"""
+
+
+def containment_sql(dialect: str) -> str:
+    return f"WITH {minhash_rel(dialect)},{containment_tail(dialect)}"
+
+
+def dedup_containment_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized runner: same shingle/minhash materialization as the
+    Jaccard verify (Spark would otherwise recompute shingles per CTE ref)."""
+    from serene_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("documents",), spread=True)
+    sh = spark.sql(
+        f"WITH {shingles_rel(SPARK)} SELECT * FROM shingles"
+    ).localCheckpoint(eager=True)
+    sh.createOrReplaceTempView("__serene_cshingles")
+    mh = spark.sql(
+        f"""WITH hashes AS (
+              SELECT doc_id, {hex_to_int(SPARK, "substr(md5(sh), 1, 8)")} AS h1,
+                     {hex_to_int(SPARK, "substr(md5(sh), 9, 8)")} AS h2
+              FROM __serene_cshingles)
+            SELECT doc_id,
+                   {", ".join(f"MIN((h1 + {i} * h2) % {MH_PRIME}) AS mh{i}" for i in range(N_MINHASH))}
+            FROM hashes GROUP BY doc_id"""
+    ).localCheckpoint(eager=True)
+    mh.createOrReplaceTempView("__serene_cmh")
+    body = f"{candidate_common_body(SPARK, '__serene_cmh', '__serene_cshingles')}"
+    return spark.sql(f"""WITH {body}
+SELECT m.d1 AS doc_id_1, m.d2 AS doc_id_2,
+       round(CAST(m.n_common AS DOUBLE) / n1.n_sh, 6) AS containment_1_in_2,
+       round(CAST(m.n_common AS DOUBLE) / n2.n_sh, 6) AS containment_2_in_1,
+       round(CAST(m.n_common AS DOUBLE) / (n1.n_sh + n2.n_sh - m.n_common), 6) AS jaccard
+FROM common m
+JOIN counts n1 ON m.d1 = n1.doc_id
+JOIN counts n2 ON m.d2 = n2.doc_id
+WHERE CAST(m.n_common AS DOUBLE) / n1.n_sh >= {CONTAIN_THRESHOLD}
+   OR CAST(m.n_common AS DOUBLE) / n2.n_sh >= {CONTAIN_THRESHOLD}
+""")
+
+
+register(
+    "dedup_containment_pairs",
+    oracle=containment_sql(DUCKDB),
+    doc=f"asymmetric shingle CONTAINMENT >= {CONTAIN_THRESHOLD} over the "
+    "banded LSH candidates (Broder 1997) — catches subset/quotation "
+    "relationships symmetric Jaccard misses; size-skew recall caveat "
+    "documented",
+)(dedup_containment_spark)

@@ -1,0 +1,43 @@
+
+
+def test_containment_invariants_on_corpus(spark, sf_dir):
+    from serene_spark.operators.dedup import CONTAIN_THRESHOLD
+    from serene_spark.registry import load_all
+
+    rows = load_all()["dedup_containment_pairs"].spark(spark, sf_dir).collect()
+    for r in rows:
+        c1, c2, j = r["containment_1_in_2"], r["containment_2_in_1"], r["jaccard"]
+        assert 0.0 <= j <= min(c1, c2) <= 1.0
+        assert max(c1, c2) >= CONTAIN_THRESHOLD
+
+
+def test_containment_detects_injected_subset(spark):
+    """A document quoted whole inside a 4x larger one: Jaccard is small
+    (~|A|/|B|) but containment(A in B) ~ 1 — the case the operator exists
+    to catch and symmetric-Jaccard dedup misses."""
+    from serene_spark.operators.dedup import containment_sql
+    from serene_spark.functions.sqlgen import SPARK as SP
+
+    # moderate size skew: the Jaccard-tuned bands still surface the pair
+    # (J ~ 0.44) while containment is saturated — under EXTREME skew the
+    # bands miss it, the documented caveat (bottom-k sketch is that tier)
+    small = " ".join(f"alpha{i} beta{i} gamma{i} delta{i}" for i in range(30))
+    filler = " ".join(f"filler{i} word{i}" for i in range(80))
+    docs = [
+        (1, small),
+        (2, small + " " + filler),
+        (3, "completely different content about spark shuffles and joins"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").createOrReplaceTempView(
+        "documents"
+    )
+    try:
+        rows = {(r["doc_id_1"], r["doc_id_2"]): r
+                for r in spark.sql(containment_sql(SP)).collect()}
+    finally:
+        spark.catalog.dropTempView("documents")
+    assert (1, 2) in rows
+    r = rows[(1, 2)]
+    assert r["containment_1_in_2"] > 0.95   # A is (almost) fully inside B
+    assert r["jaccard"] < 0.5               # but resemblance is low
+    assert all(3 not in k for k in rows)    # unrelated doc stays out
