@@ -260,14 +260,13 @@ def image_ahash(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fe, AHASH_SCHEMA)
 
 
-def image_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-duplicate image pairs: aHash signatures, pigeonhole candidate
-    join (one equi-join per 16-bit word — candidates only ever meet inside
-    a shared word bucket, never all-pairs), exact popcount verify.
-
-    The 4-word pigeonhole guarantees completeness only for Hamming
-    distance <= 3 (4 words, <= 3 flipped bits -> one word exact); larger
-    bounds would silently drop true pairs, so they are rejected."""
+def _pigeonhole_pairs(sigs: DataFrame, hash_col: str, max_hamming: int) -> DataFrame:
+    """Shared pigeonhole near-dup pairing over a (media_id, <hash>, w0..w3)
+    signature frame: one equi-join per 16-bit word — candidates only ever
+    meet inside a shared word bucket, never all-pairs — then exact popcount
+    verify.  The 4-word pigeonhole guarantees completeness only for Hamming
+    distance <= 3 (<= 3 flipped bits -> one word exact); larger bounds
+    would silently drop true pairs, so they are rejected."""
     if max_hamming > 3:
         raise ValueError(
             f"max_hamming={max_hamming} exceeds the 4-word pigeonhole "
@@ -275,14 +274,14 @@ def image_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
         )
     from pyspark.sql import functions as F
 
-    sigs = image_ahash(media).localCheckpoint(eager=True)
+    sigs = sigs.localCheckpoint(eager=True)
     pairs = None
     for w in range(4):
         a = sigs.select(
-            F.col("media_id").alias("id_a"), F.col("ahash").alias("ha"), F.col(f"w{w}").alias("wk")
+            F.col("media_id").alias("id_a"), F.col(hash_col).alias("ha"), F.col(f"w{w}").alias("wk")
         )
         b = sigs.select(
-            F.col("media_id").alias("id_b"), F.col("ahash").alias("hb"), F.col(f"w{w}").alias("wk")
+            F.col("media_id").alias("id_b"), F.col(hash_col).alias("hb"), F.col(f"w{w}").alias("wk")
         )
         cand = a.join(b, "wk").filter(F.col("id_a") < F.col("id_b")).drop("wk")
         pairs = cand if pairs is None else pairs.unionByName(cand)
@@ -292,3 +291,66 @@ def image_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def image_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate image pairs: aHash signatures through the shared
+    pigeonhole candidate join + exact popcount verify."""
+    return _pigeonhole_pairs(image_ahash(media), "ahash", max_hamming)
+
+
+AUDIO_FP_SCHEMA = "media_id long, afp long, w0 int, w1 int, w2 int, w3 int"
+_AFP_BINS = 64
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """64-bit spectral fingerprint over decodable WAVs: magnitude spectrum
+    (rfft) pooled into 64 log-spaced bins, bit i set iff bin i's energy >
+    the MEAN bin energy — amplitude-scale-invariant by construction (every
+    bin scales together), frequency-selective (a tone lights the bins
+    around it), the cheap Haitsma–Kalker-style robust hash.  Mean, not
+    median: a median threshold forces half the bins high, so on tonal
+    material the noise-floor bins sit exactly at the cut and re-encode
+    quantization flips them; the mean is dominated by the energetic bins
+    and the floor stays stably below it.  Emitted
+    with the four 16-bit words for the pigeonhole join, exactly the image
+    aHash layout.  Arrow-batched mapInPandas; non-RIFF blobs (the
+    compressed-format stub tier) are skipped."""
+
+    def fe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "afp", "w0", "w1", "w2", "w3")}
+            for mid, kind, blob in zip(pdf["media_id"], pdf["kind"], pdf["media"]):
+                blob = bytes(blob)
+                if kind != "audio" or not blob.startswith(b"RIFF"):
+                    continue
+                _, rate, _, pcm = decode_wav(blob)
+                if len(pcm) < 2 * _AFP_BINS:
+                    continue
+                mag = np.abs(np.fft.rfft(pcm))
+                # log-spaced bin edges over [1, len(mag)) — mean-pool each
+                edges = np.unique(
+                    np.geomspace(1, len(mag) - 1, _AFP_BINS + 1).astype(np.int64)
+                )
+                pooled = np.zeros(_AFP_BINS)
+                for i in range(min(_AFP_BINS, len(edges) - 1)):
+                    lo, hi = edges[i], max(edges[i] + 1, edges[i + 1])
+                    pooled[i] = mag[lo:hi].mean()
+                bits = (pooled > pooled.mean()).astype(np.uint64)
+                h = 0
+                for b in bits:  # bin-major, MSB-first: deterministic layout
+                    h = (h << 1) | int(b)
+                out["media_id"].append(mid)
+                out["afp"].append(h - (1 << 64) if h >= (1 << 63) else h)
+                for w in range(4):
+                    out[f"w{w}"].append((h >> (16 * w)) & 0xFFFF)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(fe, AUDIO_FP_SCHEMA)
+
+
+def audio_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate audio pairs: spectral fingerprints through the shared
+    pigeonhole candidate join + exact popcount verify — re-encoded or
+    amplitude-scaled copies collide, different tones stay apart."""
+    return _pigeonhole_pairs(audio_fingerprint(media), "afp", max_hamming)

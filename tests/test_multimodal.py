@@ -132,3 +132,82 @@ def test_image_ahash_near_dup_pairs(spark):
     for a, b, d in [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs]:
         true_d = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
         assert d == true_d <= 3
+
+
+def _scaled_wav(src: bytes, gain: float) -> bytes:
+    """Decode a WAV and re-encode at a different amplitude."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from serene_spark.multimodal.binary_ops import decode_wav
+
+    _, rate, _, pcm = decode_wav(src)
+    out = io.BytesIO()
+    with wave.open(out, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes((pcm * gain * 32767).astype("<i2").tobytes())
+    return out.getvalue()
+
+
+def _chord_wav(seed: int, sample_rate: int = 8000, n_frames: int = 4000) -> bytes:
+    """Multi-tone WAV: harmonics of 150 Hz gated by the bits of the seed —
+    a spectrum with several hot bins (a pure sine's 1-hot fingerprint would
+    leave two different tones only 2 bits apart)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    t = np.arange(n_frames, dtype=np.float64) / sample_rate
+    pcm = np.zeros_like(t)
+    for k in range(8):
+        if (seed >> k) & 1:
+            pcm += np.sin(2 * np.pi * 150.0 * (k + 1) * t)
+    pcm = 0.4 * pcm / max(1, bin(seed & 0xFF).count("1"))
+    out = io.BytesIO()
+    with wave.open(out, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes((pcm * 32767).astype("<i2").tobytes())
+    return out.getvalue()
+
+
+def test_audio_fingerprint_near_dup_pairs(spark):
+    """Amplitude-scaled re-encodes collide (the fingerprint is spectral and
+    scale-invariant); different chords stay apart."""
+    from serene_spark.multimodal.binary_ops import (
+        audio_fingerprint,
+        audio_near_dup_pairs,
+    )
+
+    rows = []
+    for seed in (0b00000111, 0b01110000, 0b10001000):
+        wav = _chord_wav(seed)
+        rows.append((seed, "audio", bytearray(wav)))
+        rows.append((1000 + seed, "audio", bytearray(_scaled_wav(wav, 0.3))))
+    seeds = (0b00000111, 0b01110000, 0b10001000)
+    rows.append((999, "video", bytearray(b"notriff-stub-tier-blob")))
+    media = spark.createDataFrame(rows, "media_id long, kind string, media binary")
+
+    sigs = {r["media_id"]: r["afp"] for r in audio_fingerprint(media).collect()}
+    assert set(sigs) == set(seeds) | {1000 + s for s in seeds}  # stub skipped
+
+    pairs = audio_near_dup_pairs(media, max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    for seed in seeds:
+        # the scaled re-encode is a (near-)exact fingerprint match
+        assert got.get((seed, 1000 + seed), 99) <= 1, (seed, sorted(got))
+    # distinct chords are NOT within the near-dup radius
+    for a in seeds:
+        for b in seeds:
+            if a < b:
+                assert (a, b) not in got
+    # reported hamming equals python popcount of the signatures
+    for (a, b), d in got.items():
+        true_d = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+        assert d == true_d <= 3
