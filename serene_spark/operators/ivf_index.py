@@ -38,12 +38,21 @@ from serene_spark.operators.similarity import (
 
 
 def build_ivf_index(
-    spark: SparkSession, sf_dir: str, index_path: str, k: int = N_CENTROIDS
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    k: int = N_CENTROIDS,
+    vectors: DataFrame | None = None,
 ) -> None:
     """Assign every vector to its nearest coarse centroid and persist the
     inverted lists partitioned by centroid (plus the centroid table itself
-    as a ``_centroids`` sibling — it is part of the index)."""
-    register_views(spark, sf_dir, ("embeddings",))
+    as a ``_centroids`` sibling — it is part of the index).  ``vectors``
+    overrides the corpus (an initial-load subset; later batches arrive via
+    ``upsert_ivf_index``)."""
+    if vectors is not None:
+        vectors.createOrReplaceTempView("embeddings")
+    else:
+        register_views(spark, sf_dir, ("embeddings",))
     # the assignment rule is ivf_assign_sql — the SAME definition the inline
     # search and the Lloyd loop use, so bit-identity is structural
     assigned = spark.sql(f"""
@@ -120,3 +129,40 @@ FROM (
 ) r WHERE rk <= {top_k}
 """)
     return out
+
+
+def upsert_ivf_index(spark: SparkSession, index_path: str, delta: DataFrame) -> None:
+    """Incremental index maintenance: assign DELTA vectors against the
+    index's FROZEN centroids and append to the partitioned inverted lists.
+
+    Centroids are never recomputed on upsert — moving them would orphan the
+    already-written lists; the real-world IVF discipline is freeze at build,
+    re-train + full rebuild only when drift warrants it (``kmeans_cluster_
+    quality`` / ``drift_*`` are the monitors for that decision).  The
+    assignment rule is the SAME ``ivf_assign_sql`` the build and the inline
+    search use, so a post-upsert index is bit-identical to one built from
+    the union with the same centroids — pinned by test.
+
+    Idempotent by construction: delta rows whose vec_id already exists in
+    the lists are dropped by a LEFT ANTI join before the append (the
+    ``incremental_dedup`` / ``matview_stream`` replay discipline), so
+    re-running an upsert after a partial failure is safe.
+
+    Scale shape: one scan of the delta, centroids broadcast (metadata-
+    sized), the anti-join keys on vec_id against the existing lists (at
+    cluster scale this is the index's key lookup — a bloom-filter runtime
+    pruning candidate), and the append touches ONLY the partitions the
+    delta lands in (dynamic partition append, never a rewrite of the
+    untouched lists).
+    """
+    delta.createOrReplaceTempView("__ivf_delta")
+    spark.read.parquet(index_path + "_centroids").createOrReplaceTempView(
+        "__ivf_up_cent"
+    )
+    assigned = spark.sql(f"""
+WITH centroids AS (SELECT centroid_id, centroid FROM __ivf_up_cent)
+{ivf_assign_sql(SPARK, "__ivf_delta", "centroids")}
+""")
+    existing = spark.read.parquet(index_path).select("vec_id")
+    fresh = assigned.join(existing, "vec_id", "left_anti")
+    fresh.write.mode("append").partitionBy("centroid_id").parquet(index_path)

@@ -52,3 +52,68 @@ def test_fewer_probes_is_subset_quality(spark, sf_dir, tmp_path):
     top1_4 = {r["query_id"]: r["cosine"] for r in four if r["rk"] == 1}
     for q, c in top1_1.items():
         assert top1_4.get(q, c) >= c  # more probes never worsen the best hit
+
+
+def test_upsert_equals_union_build_with_frozen_centroids(spark, sf_dir, tmp_path):
+    """Build on the first half, upsert the second: the index contents must
+    be bit-identical to assigning the FULL corpus against the frozen
+    half-built centroids (the assignment rule is shared, so this pins that
+    upsert neither moves centroids nor mis-assigns)."""
+    from serene_spark.functions.sqlgen import SPARK as SP
+    from serene_spark.operators.ivf_index import build_ivf_index, upsert_ivf_index
+    from serene_spark.operators.similarity import ivf_assign_sql
+
+    full = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = full.count()
+    first = full.filter(f"vec_id < {n // 2}")
+    second = full.filter(f"vec_id >= {n // 2}")
+
+    index_path = str(tmp_path / "ivf_up")
+    build_ivf_index(spark, sf_dir, index_path, vectors=first)
+    upsert_ivf_index(spark, index_path, second)
+
+    got = sorted(
+        (r["vec_id"], r["centroid_id"])
+        for r in spark.read.parquet(index_path).collect()
+    )
+    # expected: every vector assigned against the index's frozen centroids
+    full.createOrReplaceTempView("__exp_vecs")
+    spark.read.parquet(index_path + "_centroids").createOrReplaceTempView("__exp_cent")
+    expected = sorted(
+        (r["vec_id"], r["centroid_id"])
+        for r in spark.sql(
+            "WITH centroids AS (SELECT centroid_id, centroid FROM __exp_cent)\n"
+            + ivf_assign_sql(SP, "__exp_vecs", "centroids")
+        ).collect()
+    )
+    assert got == expected and len(got) == n
+
+    # replaying the upsert is a no-op (anti-join idempotence)
+    upsert_ivf_index(spark, index_path, second)
+    assert spark.read.parquet(index_path).count() == n
+
+
+def test_search_serves_upserted_vectors(spark, sf_dir, tmp_path):
+    from serene_spark.operators.ivf_index import (
+        build_ivf_index,
+        search_ivf_index,
+        upsert_ivf_index,
+    )
+
+    full = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = full.count()
+    index_path = str(tmp_path / "ivf_up2")
+    build_ivf_index(spark, sf_dir, index_path, vectors=full.filter(f"vec_id < {n // 2}"))
+    before = search_ivf_index(spark, sf_dir, index_path).collect()
+    assert all(r["neighbor_id"] < n // 2 for r in before)
+
+    upsert_ivf_index(spark, index_path, full.filter(f"vec_id >= {n // 2}"))
+    after = search_ivf_index(spark, sf_dir, index_path).collect()
+    # the upserted half is now reachable as neighbors
+    assert any(r["neighbor_id"] >= n // 2 for r in after)
+    # and results only ever improve or re-rank, never lose the corpus:
+    # every query still returns a full top-k
+    from collections import Counter
+
+    per_query = Counter(r["query_id"] for r in after)
+    assert per_query == Counter(r["query_id"] for r in before)
