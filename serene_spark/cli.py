@@ -297,7 +297,7 @@ def cmd_convert_model(args) -> int:
             semantic_model=ssd.semantic_model,
             column_types=[],
         )
-        out_text = dump_karma_model(km)
+        out_text = dump_karma_model(km, namespace=args.namespace)
     with open(args.output, "w", encoding="utf-8") as fh:
         fh.write(out_text)
     print(f"wrote {args.output}")
@@ -392,6 +392,14 @@ def main(argv: list[str] | None = None) -> int:
     scv.add_argument("output")
     scv.add_argument("--from", dest="frm", choices=("karma", "ssd"), required=True)
     scv.add_argument("--to", choices=("karma", "ssd"), required=True)
+    scv.add_argument(
+        "--namespace",
+        default="http://serene-spark/ontology#",
+        help="ontology namespace used to qualify non-URI class/property "
+        "labels when writing Karma model.json — set it to the target "
+        "workspace's ontology namespace so imported models match its "
+        "classes (labels that are already URIs pass through unchanged)",
+    )
     scv.set_defaults(fn=cmd_convert_model)
 
     slq = sub.add_parser("list-queries", help="list the registered query surface")

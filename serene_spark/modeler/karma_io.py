@@ -98,15 +98,33 @@ class KarmaModel:
 
     def to_ssd(self) -> Ssd:
         """The ``KarmaSemanticModel.toSSD`` analog (MuseumSpec.scala:189-199):
-        attributes = column names, mappings = column → its data node."""
-        mappings = {
-            n.label: n.id
-            for n in self.semantic_model.nodes
-            if n.node_type == DATA_NODE
-        }
+        attributes = column names, mappings = column → its data node.
+
+        ``Ssd.mappings`` is keyed by ATTRIBUTE NAME (SsdMapping parity), and
+        real sources repeat column names (two "values" columns in s05-met) —
+        a plain ``{label: id}`` dict would silently drop one mapping.
+        Duplicate names are disambiguated deterministically in source-column
+        order (``name``, ``name__2``, ...), applied consistently to the
+        attribute list and the mapping keys via the hNodeId pairing, so
+        every column keeps its own mapping."""
+        seen: dict[str, int] = {}
+        hid_to_attr: dict[str, str] = {}
+        attributes: list[str] = []
+        for hid, col in self.source_columns:
+            k = seen.get(col, 0) + 1
+            seen[col] = k
+            attr = col if k == 1 else f"{col}__{k}"
+            hid_to_attr[hid] = attr
+            attributes.append(attr)
+        mappings: dict[str, int] = {}
+        for n in self.semantic_model.nodes:
+            if n.node_type != DATA_NODE:
+                continue
+            hid = self.data_node_hids.get(n.id)
+            mappings[hid_to_attr.get(hid, n.label)] = n.id
         return Ssd(
             name=self.name,
-            attributes=[c for _h, c in self.source_columns],
+            attributes=attributes,
             semantic_model=self.semantic_model,
             mappings=mappings,
         )

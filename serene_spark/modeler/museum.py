@@ -198,8 +198,6 @@ def museum_e2e_s01(spark: SparkSession):
     truth types, here the types come from the trained classifier over real
     column VALUES.
     """
-    import re
-
     from pyspark.sql import functions as F
 
     from serene_spark.ml.pipeline import (
@@ -212,8 +210,9 @@ def museum_e2e_s01(spark: SparkSession):
     models = load_museum("crm")
     held = models[0]  # s01-cb.csv
 
-    def sanitize(name: str) -> str:  # the loader's header sanitization
-        return re.sub(r"[^0-9a-zA-Z_]+", "_", name.strip()) or "col"
+    # the loader's own header sanitization — NOT an inline copy, so a
+    # loader change cannot silently desync these keys from wide.columns
+    from serene_spark.sources.csv_loader import _sanitize as sanitize
 
     label_by_col = {
         sanitize(col): f"{local_name(dom)}---{local_name(typ)}"

@@ -662,7 +662,9 @@ register("dedup_prefix_filter", oracle=ngram_jaccard_sql(DUCKDB, threshold=PF_TH
 CONTAIN_THRESHOLD = 0.8
 
 
-def containment_tail(dialect: str) -> str:
+def containment_tail(
+    dialect: str, mh_rel: str = "mh", sh_rel: str = "shingles"
+) -> str:
     """Asymmetric CONTAINMENT verification over the shared candidate CTEs
     (Broder, "On the resemblance and containment of documents", SEQUENCES
     1997): c(A,B) = |S(A) ∩ S(B)| / |S(A)|.  Resemblance (Jaccard) misses
@@ -681,7 +683,7 @@ def containment_tail(dialect: str) -> str:
     exact containment for every pair the shared candidate generator
     surfaces, which is the right first tier on a near-dup-shaped corpus.
     """
-    return f"""{candidate_common_body(dialect)}
+    return f"""{candidate_common_body(dialect, mh_rel, sh_rel)}
 SELECT m.d1 AS doc_id_1, m.d2 AS doc_id_2,
        round(CAST(m.n_common AS DOUBLE) / n1.n_sh, 6) AS containment_1_in_2,
        round(CAST(m.n_common AS DOUBLE) / n2.n_sh, 6) AS containment_2_in_1,
@@ -718,18 +720,10 @@ def dedup_containment_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM hashes GROUP BY doc_id"""
     ).localCheckpoint(eager=True)
     mh.createOrReplaceTempView("__serene_cmh")
-    body = f"{candidate_common_body(SPARK, '__serene_cmh', '__serene_cshingles')}"
-    return spark.sql(f"""WITH {body}
-SELECT m.d1 AS doc_id_1, m.d2 AS doc_id_2,
-       round(CAST(m.n_common AS DOUBLE) / n1.n_sh, 6) AS containment_1_in_2,
-       round(CAST(m.n_common AS DOUBLE) / n2.n_sh, 6) AS containment_2_in_1,
-       round(CAST(m.n_common AS DOUBLE) / (n1.n_sh + n2.n_sh - m.n_common), 6) AS jaccard
-FROM common m
-JOIN counts n1 ON m.d1 = n1.doc_id
-JOIN counts n2 ON m.d2 = n2.doc_id
-WHERE CAST(m.n_common AS DOUBLE) / n1.n_sh >= {CONTAIN_THRESHOLD}
-   OR CAST(m.n_common AS DOUBLE) / n2.n_sh >= {CONTAIN_THRESHOLD}
-""")
+    # the SAME tail the oracle uses, over the materialized relations
+    return spark.sql(
+        f"WITH {containment_tail(SPARK, '__serene_cmh', '__serene_cshingles')}"
+    )
 
 
 register(

@@ -380,7 +380,10 @@ def _make_handler(svc: SereneService):
                 self._send(404, {"error": f"unknown query {name!r}"})
                 return
             limit = int(body.get("limit", 100))
-            sf_dir = body.get("sf_dir", "/root/testdata/sf0.001")
+            # default derives from the data root, so a deployment that sets
+            # SERENE_DATA_ROOT keeps a working default instead of 403ing
+            # every request that omits sf_dir
+            sf_dir = body.get("sf_dir", os.path.join(_DATA_ROOT, "sf0.001"))
             # allowlist: a request-supplied sf_dir must resolve under the
             # data root — otherwise any HTTP client could point the engine
             # at an arbitrary parquet path and exfiltrate rows via the

@@ -169,3 +169,33 @@ def test_cli_convert_model(tmp_path):
     assert main(["convert-model", ssd_out, karma_out, "--from", "ssd", "--to", "karma"]) == 0
     back = load_karma_model(karma_out)
     assert back.semantic_model.triples() == original.semantic_model.triples()
+
+
+def test_cli_convert_model_namespace(tmp_path):
+    """--namespace qualifies non-URI labels with the TARGET workspace's
+    ontology namespace, so imported models match its classes."""
+    import json
+    import os
+
+    import pytest
+
+    src = "/root/reference/modeler/src/test/resources/karma/museum/museum-29-crm/s01-cb.csv.model.json"
+    if not os.path.isfile(src):
+        pytest.skip("reference museum corpus not mounted")
+    from serene_spark.cli import main
+
+    ssd_out = str(tmp_path / "ns.ssd")
+    karma_out = str(tmp_path / "ns.model.json")
+    ns = "http://erlangen-crm.org/current/"
+    assert main(["convert-model", src, ssd_out, "--from", "karma", "--to", "ssd"]) == 0
+    assert main([
+        "convert-model", ssd_out, karma_out,
+        "--from", "ssd", "--to", "karma", "--namespace", ns,
+    ]) == 0
+    doc = json.load(open(karma_out))
+    internal_uris = [
+        n["label"]["uri"]
+        for n in doc["graph"]["nodes"]
+        if n.get("type") == "InternalNode"
+    ]
+    assert internal_uris and all(u.startswith(ns) for u in internal_uris)

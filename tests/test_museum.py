@@ -244,10 +244,7 @@ def test_museum_e2e_s01_full_pipeline(spark):
         if d
     }
 
-    def sanitize(name):
-        import re
-
-        return re.sub(r"[^0-9a-zA-Z_]+", "_", name.strip())
+    from serene_spark.sources.csv_loader import _sanitize as sanitize
 
     truth = {sanitize(c): v for c, v in truth.items()}
     hits = sum(
@@ -290,3 +287,21 @@ def test_leave_one_out_with_real_karma_tfidf_scores():
         recalls.append(len(true_classes & got) / len(true_classes))
     assert n_complete >= 10
     assert sum(recalls) / len(recalls) >= 0.85
+
+
+def test_duplicate_column_names_keep_all_mappings():
+    """s05-met has two 'values' columns; a label-keyed mapping dict would
+    silently drop one. Every data node must keep its own mapping and the
+    SSD must be complete."""
+    from serene_spark.modeler.karma_io import DATA_NODE, load_karma_model
+
+    km = load_karma_model(
+        os.path.join(museum_dir("crm"), "s05-met.json.model.json")
+    )
+    cols = [c for _h, c in km.source_columns]
+    assert len(cols) == 18 and len(set(cols)) < 18  # the duplicate exists
+    ssd = km.to_ssd()
+    n_data = sum(1 for n in km.semantic_model.nodes if n.node_type == DATA_NODE)
+    assert len(ssd.attributes) == len(set(ssd.attributes)) == 18
+    assert len(ssd.mappings) == n_data == 18
+    assert ssd.is_complete()

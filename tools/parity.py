@@ -68,9 +68,55 @@ def _shared_hash() -> str:
     return h.hexdigest()[:16]
 
 
+_DEP_CACHE: dict[str, tuple[str, ...]] = {}
+
+
+def _module_file(name: str) -> str | None:
+    """serene_spark dotted module name -> source file (module or package)."""
+    base = os.path.join(REPO, name.replace(".", os.sep))
+    for cand in (base + ".py", os.path.join(base, "__init__.py")):
+        if os.path.isfile(cand):
+            return cand
+    return None
+
+
+def _dep_closure(path: str) -> tuple[str, ...]:
+    """Transitive serene_spark imports of a source file, BY SOURCE TEXT —
+    runtime dict inspection would miss function-level imports, which is
+    exactly how cross-module SQL splicing happens (curriculum_plan splices
+    text_quality_sql, split_leakage_audit splices lsh_verified_sql): an
+    edit to the spliced module must mark the dependent queries stale."""
+    import re
+
+    if path in _DEP_CACHE:
+        return _DEP_CACHE[path]
+    _DEP_CACHE[path] = ()  # break import cycles during recursion
+    try:
+        with open(path, encoding="utf-8") as fh:
+            src = fh.read()
+    except OSError:
+        return ()
+    deps: set[str] = {path}
+    for m in re.finditer(r"(?:from|import)\s+(serene_spark[\w.]*)", src):
+        f = _module_file(m.group(1))
+        if f:
+            deps.update(_dep_closure(f))
+            deps.add(f)
+    out = tuple(sorted(deps))
+    _DEP_CACHE[path] = out
+    return out
+
+
 def _module_hash(q) -> str:
+    """Content hash of the defining module AND every serene_spark module it
+    (transitively) imports, so cross-module SQL composition cannot leave a
+    dependent query falsely green."""
     mod = sys.modules[q.spark.__module__]
-    return _file_hash(mod.__file__)
+    h = hashlib.sha256()
+    for f in _dep_closure(mod.__file__):
+        h.update(f.encode())
+        h.update(_file_hash(f).encode())
+    return h.hexdigest()[:16]
 
 
 def _load_state() -> dict:
