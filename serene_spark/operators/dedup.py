@@ -734,3 +734,96 @@ register(
     "relationships symmetric Jaccard misses; size-skew recall caveat "
     "documented",
 )(dedup_containment_spark)
+
+
+# --- bottom-k containment probe (the extreme-size-skew tier) ------------------
+
+BK_K = 32            # bottom-k sketch size per document
+BK_DF_CAP = 100      # probes more common than this carry cost, little signal
+BK_MIN_HITS = 0.8    # candidate gate: fraction of probes found in the target
+
+
+def containment_bottomk_sql(dialect: str) -> str:
+    """The size-skew containment tier the banded-LSH verify cannot reach:
+    a document quoted whole inside one 10x larger has Jaccard ~ |A|/|B|,
+    below any resemblance-tuned band geometry — ``dedup_containment_pairs``
+    documents exactly this recall hole.  Here each document carries a
+    BOTTOM-K sketch (its ``BK_K`` shingles with the smallest md5 — an
+    unbiased hash-ordered sample of S(A)), and the sketch PROBES the
+    corpus shingle relation directly: a probe hit in doc B is evidence
+    sh ∈ S(B), so hits/k estimates containment(A in B) regardless of how
+    large B is.  Pairs clearing ``BK_MIN_HITS`` are then verified with the
+    EXACT containment over the full shingle sets (verify-candidates-only,
+    the LSH-verify discipline).
+
+    Scale shape: the sketch is CONSTANT state per doc (k rows); the probe
+    is an equi-join on the shingle — the inverted-index lookup, partitioned
+    by shingle at 100 TB; per-pair state is bounded by k.  Probes with
+    corpus document-frequency > ``BK_DF_CAP`` are dropped for cost —
+    boilerplate shingles hit everything and prove nothing (the CCNet
+    argument); the bias is RECALL-ONLY since survivors are exactly
+    verified.  Output: estimated + exact containment per surfaced pair.
+    """
+    return f"""
+WITH {shingles_rel(dialect)},
+df AS (
+  SELECT sh, COUNT(*) AS n_docs FROM shingles GROUP BY sh
+),
+bk AS (
+  SELECT doc_id, sh FROM (
+    SELECT doc_id, sh,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY md5(sh), sh) AS rn
+    FROM shingles
+  ) r WHERE rn <= {BK_K}
+),
+probes AS (
+  SELECT b.doc_id, b.sh FROM bk b JOIN df ON b.sh = df.sh
+  WHERE df.n_docs <= {BK_DF_CAP}
+),
+k_actual AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS k FROM probes GROUP BY doc_id
+),
+hits AS (
+  SELECT p.doc_id AS d1, s.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM probes p JOIN shingles s ON p.sh = s.sh AND p.doc_id <> s.doc_id
+  GROUP BY p.doc_id, s.doc_id
+),
+cand AS (
+  SELECT h.d1, h.d2, h.n_hit, ka.k
+  FROM hits h JOIN k_actual ka ON h.d1 = ka.doc_id
+  WHERE h.n_hit >= {BK_MIN_HITS} * ka.k AND ka.k > 0
+),
+counts AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM shingles GROUP BY doc_id
+),
+exact AS (
+  SELECT c.d1, c.d2, c.n_hit, c.k, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM cand c
+  JOIN shingles s1 ON s1.doc_id = c.d1
+  JOIN shingles s2 ON s2.doc_id = c.d2 AND s2.sh = s1.sh
+  GROUP BY c.d1, c.d2, c.n_hit, c.k
+)
+SELECT e.d1 AS doc_id_1, e.d2 AS doc_id_2,
+       round(CAST(e.n_hit AS DOUBLE) / e.k, 6) AS containment_est,
+       round(CAST(e.n_common AS DOUBLE) / n1.n_sh, 6) AS containment_exact,
+       round(CAST(e.n_common AS DOUBLE)
+             / (n1.n_sh + n2.n_sh - e.n_common), 6) AS jaccard
+FROM exact e
+JOIN counts n1 ON e.d1 = n1.doc_id
+JOIN counts n2 ON e.d2 = n2.doc_id
+WHERE CAST(e.n_common AS DOUBLE) / n1.n_sh >= {CONTAIN_THRESHOLD}
+"""
+
+
+def _containment_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",), spread=True)
+    return spark.sql(containment_bottomk_sql(SPARK))
+
+
+register(
+    "dedup_containment_bottomk",
+    oracle=containment_bottomk_sql(DUCKDB),
+    doc=f"bottom-{BK_K} sketch probe for EXTREME-size-skew containment — "
+    "the tier the Jaccard-tuned LSH bands cannot reach; estimate gates, "
+    "exact containment verifies (recall-only df cap documented)",
+)(_containment_bottomk)

@@ -41,3 +41,45 @@ def test_containment_detects_injected_subset(spark):
     assert r["containment_1_in_2"] > 0.95   # A is (almost) fully inside B
     assert r["jaccard"] < 0.5               # but resemblance is low
     assert all(3 not in k for k in rows)    # unrelated doc stays out
+
+
+def test_bottomk_catches_the_skew_pair_lsh_misses(spark):
+    """The exact regime split the containment docstrings claim: under 4x
+    size skew (J ~ 0.1) the Jaccard-tuned bands surface NOTHING, while the
+    bottom-k probe tier finds the subset pair with containment ~1."""
+    from serene_spark.functions.sqlgen import SPARK as SP
+    from serene_spark.operators.dedup import containment_bottomk_sql, containment_sql
+
+    small = "the quick brown fox jumps over the lazy dog near the river bank today"
+    filler = " ".join(f"filler{i} word{i} extra{i}" for i in range(40))
+    docs = [
+        (1, small),
+        (2, small + " " + filler),  # ~4x larger superset
+        (3, "completely different content about spark shuffles and joins"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").createOrReplaceTempView(
+        "documents"
+    )
+    try:
+        lsh_pairs = {(r["doc_id_1"], r["doc_id_2"])
+                     for r in spark.sql(containment_sql(SP)).collect()}
+        bk = {(r["doc_id_1"], r["doc_id_2"]): r
+              for r in spark.sql(containment_bottomk_sql(SP)).collect()}
+    finally:
+        spark.catalog.dropTempView("documents")
+    assert (1, 2) not in lsh_pairs          # the LSH tier's documented hole
+    assert (1, 2) in bk                     # the bottom-k tier closes it
+    r = bk[(1, 2)]
+    assert r["containment_exact"] > 0.95
+    assert r["containment_est"] >= 0.8      # the gate that surfaced it
+    assert r["jaccard"] < 0.5
+    assert all(3 not in k for k in bk)
+
+
+def test_bottomk_invariants_on_corpus(spark, sf_dir):
+    from serene_spark.registry import load_all
+
+    for r in load_all()["dedup_containment_bottomk"].spark(spark, sf_dir).collect():
+        assert 0.0 <= r["jaccard"] <= r["containment_exact"] <= 1.0
+        assert r["containment_exact"] >= 0.8
+        assert 0.0 <= r["containment_est"] <= 1.0
