@@ -292,7 +292,8 @@ SELECT co.cid,
        CAST(co.n_points AS BIGINT) AS n_points,
        ROUND(CAST(co.sum_dist AS DOUBLE) / co.n_points
              / ({SCALE}.0 * {SCALE}), 6) AS mean_within_dist,
-       ROUND(s.nearest_other / ({SCALE}.0 * {SCALE}), 6) AS nearest_centroid_dist,
+       ROUND(CAST(s.nearest_other AS DOUBLE) / ({SCALE}.0 * {SCALE}), 6)
+         AS nearest_centroid_dist,
        ROUND(s.nearest_other
              / (CAST(co.sum_dist AS DOUBLE) / co.n_points), 6) AS separation_ratio
 FROM cohesion co JOIN separation s ON co.cid = s.cid

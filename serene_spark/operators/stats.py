@@ -255,7 +255,11 @@ hits AS (
 )
 SELECT layout, dim,
        CAST(COUNT(*) AS BIGINT) AS n_probes,
-       ROUND(AVG(n_hit * 1.0 / n_files), 6) AS avg_scan_fraction
+       -- n_files is constant per layout, so the mean fraction reduces to
+       -- one exact integer ratio (no double summation order to worry about,
+       -- and the result is DOUBLE in both engines — a bare 1.0 literal
+       -- parses as DECIMAL in Spark and the column type diverges)
+       ROUND(CAST(SUM(n_hit) AS DOUBLE) / SUM(n_files), 6) AS avg_scan_fraction
 FROM hits
 GROUP BY layout, dim
 """
