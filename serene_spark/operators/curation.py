@@ -68,7 +68,11 @@ def _u01(dialect: str, key: str) -> str:
     2^32.  Identical bit-for-bit in every engine (exact binary fractions),
     unlike engine-native rand()."""
     h = hex_to_int(dialect, f"substr(md5(CAST({key} AS STRING)), 1, 8)")
-    return f"({h} / 4294967296.0)"
+    # divide in DOUBLE explicitly: a bare 4294967296.0 literal parses as
+    # DECIMAL in Spark SQL (and DOUBLE in DuckDB), which both changes the
+    # output column type and silently drops the exact-binary-fraction
+    # property this helper promises
+    return f"({h} / CAST(4294967296 AS DOUBLE))"
 
 
 def grams_rel(dialect: str) -> str:
