@@ -271,3 +271,87 @@ register("zorder_skip_estimate", oracle=zorder_skip_sql(DUCKDB),
          f"must scan, {N_SKIP_PROBES} probes per dimension, both layouts "
          "at equal file count; all probe arithmetic manifest-scale")(
     _table_query(zorder_skip_sql, ("orders",)))
+
+
+SEL_PRED_PRICE = 30000  # range predicate for the selectivity-estimate audit
+
+
+def cbo_audit_sql(dialect: str) -> str:
+    """Cost-based-optimizer estimation audit: the two classic cardinality
+    formulas, ESTIMATED from statistics vs the ACTUAL answer, with relative
+    error — measuring how good the ANALYZE-layer statistics this module
+    builds (NDVs, equi-depth histogram) actually are on this corpus.
+
+    * join rows (Selinger et al., System R, SIGMOD 1979):
+      |R join S| ~ |R|*|S| / max(ndv_R(key), ndv_S(key)) — audited on
+      customer x orders and orders x lineitem.
+    * range selectivity: P(l_extendedprice < c) from the equi-depth
+      histogram at BUCKET granularity (full buckets below the cut; the
+      ±1-bucket error from skipping intra-bucket interpolation IS part of
+      what the audit measures).
+
+    All statistics derive exactly in-query (exact NDV / exact histogram) so
+    the audit isolates FORMULA error, not sketch error — plug in the HLL
+    NDVs or a sampled histogram and the measured error grows by the sketch
+    error, which the sketch family pins separately.  Everything here runs
+    over metadata-scale relations except the three exact actuals (one
+    keyed join / scan each).
+    """
+    return f"""
+WITH stats_c AS (
+  SELECT COUNT(*) AS n, COUNT(DISTINCT c_custkey) AS ndv FROM customer
+),
+stats_o AS (
+  SELECT COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS ndv_ck,
+         COUNT(DISTINCT o_orderkey) AS ndv_ok
+  FROM orders
+),
+stats_l AS (
+  SELECT COUNT(*) AS n, COUNT(DISTINCT l_orderkey) AS ndv FROM lineitem
+),
+act_co AS (
+  SELECT COUNT(*) AS actual FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+),
+act_ol AS (
+  SELECT COUNT(*) AS actual FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+hist AS (
+  {equi_depth_histogram_sql(dialect)}
+),
+hist_est AS (
+  SELECT SUM(CASE WHEN max_v < {SEL_PRED_PRICE} THEN n_rows ELSE 0 END) AS est_rows
+  FROM hist
+),
+act_sel AS (
+  SELECT COUNT(*) AS actual FROM lineitem WHERE l_extendedprice < {SEL_PRED_PRICE}
+),
+rows_out AS (
+  SELECT 'join_customer_orders' AS target,
+         CAST((SELECT n FROM stats_c) * (SELECT n FROM stats_o)
+              / GREATEST((SELECT ndv FROM stats_c), (SELECT ndv_ck FROM stats_o))
+              AS BIGINT) AS estimated,
+         CAST((SELECT actual FROM act_co) AS BIGINT) AS actual
+  UNION ALL
+  SELECT 'join_orders_lineitem',
+         CAST((SELECT n FROM stats_o) * (SELECT n FROM stats_l)
+              / GREATEST((SELECT ndv_ok FROM stats_o), (SELECT ndv FROM stats_l))
+              AS BIGINT),
+         CAST((SELECT actual FROM act_ol) AS BIGINT)
+  UNION ALL
+  SELECT 'sel_price_lt_{SEL_PRED_PRICE}',
+         CAST((SELECT est_rows FROM hist_est) AS BIGINT),
+         CAST((SELECT actual FROM act_sel) AS BIGINT)
+)
+SELECT target, estimated, actual,
+       ROUND(ABS(CAST(estimated AS DOUBLE) - actual)
+             / GREATEST(actual, 1), 6) AS rel_error
+FROM rows_out
+"""
+
+
+register("cbo_estimate_audit", oracle=cbo_audit_sql(DUCKDB),
+         doc="System-R join-cardinality and equi-depth-histogram selectivity "
+         "estimates vs exact actuals with relative error — measures the "
+         "ANALYZE statistics this module builds; formula error isolated "
+         "from sketch error")(
+    _table_query(cbo_audit_sql, ("customer", "orders", "lineitem")))

@@ -97,3 +97,20 @@ def test_zorder_skip_estimate_shows_both_dim_pruning(spark, sf_dir):
     assert rows[("zorder", "custkey")] < 0.5
     # and the sorted layout is (unsurprisingly) best on its own column
     assert rows[("sorted_custkey", "custkey")] <= rows[("zorder", "custkey")] + 0.05
+
+
+def test_cbo_audit_properties(spark, sf_dir):
+    """FK joins on uniform keys are the case System R estimates EXACTLY
+    (|R|*|S|/max(ndv) with ndv = key count); histogram selectivity at
+    bucket granularity errs by at most one bucket's rows."""
+    from serene_spark.operators.stats import HIST_BUCKETS
+    from serene_spark.registry import load_all
+
+    rows = {r["target"]: r
+            for r in load_all()["cbo_estimate_audit"].spark(spark, sf_dir).collect()}
+    assert rows["join_customer_orders"]["rel_error"] == 0.0
+    assert rows["join_orders_lineitem"]["rel_error"] == 0.0
+    sel = [r for t, r in rows.items() if t.startswith("sel_price_lt_")][0]
+    n_lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    bucket_rows = n_lineitem / HIST_BUCKETS
+    assert abs(sel["estimated"] - sel["actual"]) <= bucket_rows + 1
