@@ -210,3 +210,50 @@ register(
     doc="DAU/WAU/stickiness per day via the user-day explode (no "
     "COUNT-DISTINCT windows)",
 )(_events_query(rolling_active_sql))
+
+
+PATH_TOP_K = 25
+
+
+def path_3gram_sql(dialect: str) -> str:
+    """Path mining: the most common 3-step event sequences across user
+    streams — the multi-step sibling of ``event_transitions`` (whose 1-step
+    matrix cannot distinguish view>click>purchase from view>click>view).
+    Two LEADs over the same (user, time, id) window give each event its
+    next and next-next types; the path string aggregates globally and
+    top-k resolves by ORDER BY + LIMIT (distributed TakeOrdered, never a
+    one-task rank window).  Scale: one user-keyed shuffle for the window,
+    one path-keyed aggregation with map-side combine.
+    """
+    us = epoch_us(dialect, "ts")
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY {us}, event_id) AS t2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY {us}, event_id) AS t3
+  FROM events
+),
+paths AS (
+  SELECT event_type || '>' || t2 || '>' || t3 AS path,
+         COUNT(*) AS n,
+         COUNT(DISTINCT user_id) AS n_users
+  FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+  GROUP BY event_type || '>' || t2 || '>' || t3
+)
+SELECT path, CAST(n AS BIGINT) AS n_occurrences,
+       CAST(n_users AS BIGINT) AS n_users
+FROM paths
+ORDER BY n DESC, path
+LIMIT {PATH_TOP_K}
+"""
+
+
+register(
+    "event_path_3grams",
+    oracle=path_3gram_sql(DUCKDB),
+    doc=f"top-{PATH_TOP_K} 3-step event paths across user streams (double "
+    "LEAD, path-keyed agg, TakeOrdered top-k) — the multi-step sibling of "
+    "the Markov transition matrix",
+)(_events_query(path_3gram_sql))

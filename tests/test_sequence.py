@@ -119,3 +119,31 @@ def test_rolling_active_users_matches_pandas(spark):
         assert abs(r["stickiness"] - round(dau / wau, 6)) < 1e-9
     # one row per ACTIVE day (inner join semantics)
     assert len(out) == ud["d"].nunique()
+
+
+def test_event_path_3grams_matches_pandas(spark, sf_dir):
+    import pandas as pd
+
+    from serene_spark.catalog import load_table
+    from serene_spark.operators.sequence import PATH_TOP_K
+    from serene_spark.registry import load_all
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    ).toPandas().sort_values(["user_id", "ts", "event_id"])
+    counts: dict[str, int] = {}
+    users: dict[str, set] = {}
+    for uid, g in ev.groupby("user_id"):
+        types = list(g["event_type"])
+        for i in range(len(types) - 2):
+            p = ">".join(types[i : i + 3])
+            counts[p] = counts.get(p, 0) + 1
+            users.setdefault(p, set()).add(uid)
+    expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:PATH_TOP_K]
+
+    rows = load_all()["event_path_3grams"].spark(spark, sf_dir).collect()
+    got = [(r["path"], r["n_occurrences"]) for r in rows]
+    assert got == expected
+    by_path = {r["path"]: r["n_users"] for r in rows}
+    for p, _n in expected:
+        assert by_path[p] == len(users[p])
