@@ -355,3 +355,53 @@ register("cbo_estimate_audit", oracle=cbo_audit_sql(DUCKDB),
          "ANALYZE statistics this module builds; formula error isolated "
          "from sketch error")(
     _table_query(cbo_audit_sql, ("customer", "orders", "lineitem")))
+
+
+SKEW_KEYS = (
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+)
+
+
+def join_skew_sql(dialect: str) -> str:
+    """Join-key skew report: for each join key of the schema, the key-count
+    distribution statistics that decide whether a shuffle join needs
+    salting / AQE skew handling — n_keys, mean and MAX rows per key, the
+    exact p99 rows-per-key (count-histogram quantile over the tiny
+    (rows_per_key, n_keys) relation), and the skew factor max/mean.  This
+    is the measurement behind ``sources/layout.py``'s ``salted_agg`` knob:
+    a factor near 1 means salting only adds a shuffle; a factor of 100
+    means one task drags the stage.  One keyed aggregation per key column
+    (map-side combinable), then metadata-scale arithmetic.
+    """
+    parts = []
+    for table, col in SKEW_KEYS:
+        parts.append(f"""
+  SELECT '{table}.{col}' AS join_key,
+         CAST(SUM(keys_at_c) AS BIGINT) AS n_keys,
+         CAST(SUM(c * keys_at_c) AS BIGINT) AS n_rows,
+         ROUND(CAST(SUM(c * keys_at_c) AS DOUBLE) / SUM(keys_at_c), 6)
+           AS mean_rows_per_key,
+         CAST(MAX(c) AS BIGINT) AS max_rows_per_key,
+         CAST(MIN(CASE WHEN cum >= ceil(0.99 * nk) THEN c END) AS BIGINT)
+           AS p99_rows_per_key,
+         ROUND(MAX(c) / (CAST(SUM(c * keys_at_c) AS DOUBLE) / SUM(keys_at_c)), 6)
+           AS skew_factor
+  FROM (
+    SELECT c, COUNT(*) AS keys_at_c,
+           SUM(COUNT(*)) OVER (ORDER BY c) AS cum,
+           SUM(COUNT(*)) OVER () AS nk
+    FROM (SELECT {col}, COUNT(*) AS c FROM {table} GROUP BY {col}) k
+    GROUP BY c
+  ) h""")
+    union = "\n  UNION ALL".join(parts)
+    return f"SELECT * FROM ({union}\n) u"
+
+
+register("join_key_skew", oracle=join_skew_sql(DUCKDB),
+         doc="per-join-key skew report (n_keys, mean/max/p99 rows per key, "
+         "skew factor) — the measurement behind the salting/AQE-skew "
+         "decision; one keyed agg per column, then metadata-scale math")(
+    _table_query(join_skew_sql, ("lineitem", "orders", "events")))

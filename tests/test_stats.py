@@ -114,3 +114,31 @@ def test_cbo_audit_properties(spark, sf_dir):
     n_lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     bucket_rows = n_lineitem / HIST_BUCKETS
     assert abs(sel["estimated"] - sel["actual"]) <= bucket_rows + 1
+
+
+def test_join_key_skew_matches_pandas(spark, sf_dir):
+    import numpy as np
+
+    from serene_spark.catalog import load_table
+    from serene_spark.operators.stats import SKEW_KEYS
+    from serene_spark.registry import load_all
+
+    rows = {r["join_key"]: r
+            for r in load_all()["join_key_skew"].spark(spark, sf_dir).collect()}
+    assert set(rows) == {f"{t}.{c}" for t, c in SKEW_KEYS}
+    for table, col in SKEW_KEYS:
+        counts = (
+            load_table(spark, sf_dir, table).groupBy(col).count().toPandas()["count"]
+        )
+        r = rows[f"{table}.{col}"]
+        assert r["n_keys"] == len(counts)
+        assert r["n_rows"] == counts.sum()
+        assert r["max_rows_per_key"] == counts.max()
+        assert abs(r["mean_rows_per_key"] - round(counts.mean(), 6)) < 1e-6
+        # p99 per the count-histogram definition: smallest c with
+        # cum_keys(c) >= ceil(0.99 * n_keys)
+        vals = np.sort(counts.values)
+        cum = np.arange(1, len(vals) + 1)
+        p99 = vals[np.argmax(cum >= np.ceil(0.99 * len(vals)))]
+        assert r["p99_rows_per_key"] == p99
+        assert abs(r["skew_factor"] - round(counts.max() / counts.mean(), 6)) < 1e-5
