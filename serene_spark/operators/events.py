@@ -505,3 +505,61 @@ register(
     doc="last-touch click attribution within a 1-hour lookback (batch form "
     "of the stream-stream join twin)",
 )(lambda spark, sf_dir: (register_views(spark, sf_dir), spark.sql(attribution_sql(SPARK)))[1])
+
+
+def attribution_linear_sql(dialect: str) -> str:
+    """Multi-touch LINEAR attribution: each purchase's value is split
+    equally across ALL of the user's clicks in the lookback window —
+    the position-independent multi-touch model marketing teams run beside
+    last-touch (which the `events_attribution` twin covers).  Same bounded
+    pair join as last-touch; the per-purchase touch count comes from a
+    window over the pair relation (purchase-keyed — high cardinality), and
+    credit = value / n_touches rounds at 6 dp.  A per-click rollup then
+    answers the question the model exists for: how much revenue does each
+    click actually deserve?  Output grain: one row per credited click.
+
+    Scale: identical join shape to last-touch (user equi-join + time-range
+    residual, time-bucketed at 100 TB); the rollup is one click-keyed
+    aggregation with decimal-exact credit sums.
+    """
+    from serene_spark.functions.sqlgen import epoch_us
+
+    cus = epoch_us(dialect, "c.ts")
+    pus = epoch_us(dialect, "p.ts")
+    return f"""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT p.event_id AS purchase_id, p.user_id, p.value,
+         c.event_id AS click_id
+  FROM purchases p JOIN clicks c
+    ON p.user_id = c.user_id
+   AND {pus} - {cus} BETWEEN 0 AND CAST({ATTRIBUTION_WINDOW_S} AS BIGINT) * 1000000
+),
+credited AS (
+  SELECT click_id, user_id, purchase_id,
+         CAST(ROUND(CAST(value AS DOUBLE)
+                    / COUNT(*) OVER (PARTITION BY purchase_id), 6)
+              AS DECIMAL(18,6)) AS credit
+  FROM pairs
+)
+SELECT CAST(click_id AS BIGINT) AS click_id,
+       user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases_touched,
+       ROUND(CAST(SUM(credit) AS DOUBLE), 6) AS attributed_value
+FROM credited
+GROUP BY click_id, user_id
+"""
+
+
+register(
+    "events_attribution_linear",
+    oracle=attribution_linear_sql(DUCKDB),
+    doc="multi-touch linear attribution: purchase value split equally "
+    "across the lookback window's clicks, per-click revenue rollup with "
+    "decimal-exact credit sums",
+)(lambda spark, sf_dir: (register_views(spark, sf_dir), spark.sql(attribution_linear_sql(SPARK)))[1])
