@@ -320,3 +320,40 @@ def test_triangle_orientation_joins_are_keyed(spark, sf_dir):
     df = load_all()["triangle_counts"].spark(spark, sf_dir)
     assert not has_cartesian(df)
     assert has_codegen(df)
+
+
+def test_bottomk_containment_joins_are_keyed(spark, sf_dir):
+    """The probe join must key on the shingle (the inverted-index lookup) —
+    never a cross product of documents."""
+    from serene_spark.registry import load_all
+
+    df = load_all()["dedup_containment_bottomk"].spark(spark, sf_dir)
+    assert not has_cartesian(df)
+    assert has_codegen(df)
+
+
+def test_trending_rank_window_is_hour_keyed(spark, sf_dir):
+    """The trending rank must partition by window_start — a global rank
+    would serialize all hours through one task."""
+    from serene_spark.registry import load_all
+
+    df = load_all()["events_trending_hourly"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    assert any("window_start" in s for s in specs), plan
+
+
+def test_skew_and_cbo_audits_no_cartesian(spark, sf_dir):
+    from serene_spark.registry import load_all
+
+    for name in ("join_key_skew", "cbo_estimate_audit", "zorder_skip_estimate",
+                 "events_attribution_linear", "event_path_3grams",
+                 "curriculum_plan"):
+        df = load_all()[name].spark(spark, sf_dir)
+        # zorder_skip probes ARE a deliberate manifest-scale cross join;
+        # everything else must be free of cross products
+        if name != "zorder_skip_estimate":
+            assert not has_cartesian(df), name
