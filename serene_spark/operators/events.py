@@ -563,3 +563,66 @@ register(
     "across the lookback window's clicks, per-click revenue rollup with "
     "decimal-exact credit sums",
 )(lambda spark, sf_dir: (register_views(spark, sf_dir), spark.sql(attribution_linear_sql(SPARK)))[1])
+
+
+DECAY_HALF_LIFE_S = 900  # 15-minute half-life for time-decay credit
+
+
+def attribution_decay_sql(dialect: str) -> str:
+    """Time-decay attribution, completing the model family (last-touch /
+    linear / decay): each in-window click earns weight 2^(-age/half_life)
+    where age = purchase_ts - click_ts, normalized per purchase so credits
+    still conserve the purchase's value.  Recency matters but every touch
+    counts — the middle ground between last-touch (all) and linear (none).
+
+    Determinism: the weight exponent is an exact integer-microsecond ratio;
+    each weight rounds at 9 dp before the per-purchase normalization sum
+    (DECIMAL — aggregation order cannot move it), and the final credit
+    rounds at 6 dp.  Same bounded pair join as the other two models.
+    """
+    from serene_spark.functions.sqlgen import epoch_us
+
+    cus = epoch_us(dialect, "c.ts")
+    pus = epoch_us(dialect, "p.ts")
+    return f"""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT p.event_id AS purchase_id, p.user_id, p.value,
+         c.event_id AS click_id,
+         CAST(ROUND(
+           POWER(CAST(2 AS DOUBLE),
+                 -(({pus} - {cus})
+                   / CAST({DECAY_HALF_LIFE_S} * 1000000 AS DOUBLE))),
+         9) AS DECIMAL(18,9)) AS w
+  FROM purchases p JOIN clicks c
+    ON p.user_id = c.user_id
+   AND {pus} - {cus} BETWEEN 0 AND CAST({ATTRIBUTION_WINDOW_S} AS BIGINT) * 1000000
+),
+credited AS (
+  SELECT click_id, user_id, purchase_id,
+         CAST(ROUND(CAST(value AS DOUBLE) * CAST(w AS DOUBLE)
+                    / CAST(SUM(w) OVER (PARTITION BY purchase_id) AS DOUBLE), 6)
+              AS DECIMAL(18,6)) AS credit
+  FROM pairs
+)
+SELECT CAST(click_id AS BIGINT) AS click_id,
+       user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases_touched,
+       ROUND(CAST(SUM(credit) AS DOUBLE), 6) AS attributed_value
+FROM credited
+GROUP BY click_id, user_id
+"""
+
+
+register(
+    "events_attribution_decay",
+    oracle=attribution_decay_sql(DUCKDB),
+    doc=f"time-decay attribution ({DECAY_HALF_LIFE_S}s half-life), "
+    "per-purchase normalized so value conserves; completes the "
+    "last-touch/linear/decay model family",
+)(lambda spark, sf_dir: (register_views(spark, sf_dir), spark.sql(attribution_decay_sql(SPARK)))[1])

@@ -38,3 +38,52 @@ def test_attribution_linear_conserves_value(spark, sf_dir):
     }
     linear_clicks = {r["click_id"] for r in rows}
     assert last_touch_clicks <= linear_clicks
+
+
+def test_attribution_decay_properties(spark, sf_dir):
+    """Decay credits conserve value (normalized per purchase) and shift
+    credit toward RECENT clicks relative to the linear model: for any
+    purchase with >1 touches, the most recent click's decay credit exceeds
+    its linear credit."""
+    from serene_spark.registry import load_all
+
+    qs = load_all()
+    decay = {r["click_id"]: r for r in qs["events_attribution_decay"].spark(spark, sf_dir).collect()}
+    linear = {r["click_id"]: r for r in qs["events_attribution_linear"].spark(spark, sf_dir).collect()}
+    assert set(decay) == set(linear)  # same credited click set
+    total_d = sum(r["attributed_value"] for r in decay.values())
+    total_l = sum(r["attributed_value"] for r in linear.values())
+    assert abs(total_d - total_l) < max(1, len(decay)) * 1e-4  # both conserve
+    # the corpus has no multi-touch purchases at this SF (every attributable
+    # purchase has exactly one in-window click), so decay == linear here;
+    # the recency-shift property needs a constructed multi-touch stream
+    import datetime
+
+    from serene_spark.operators.events import attribution_decay_sql, attribution_linear_sql
+    from serene_spark.functions.sqlgen import SPARK as SP
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, typ, minutes, value=0.0):
+        return (eid, "u1", typ, t0 + datetime.timedelta(minutes=minutes), value)
+
+    rows = [
+        ev(1, "click", 0),       # old click (30 min before purchase)
+        ev(2, "click", 25),      # recent click (5 min before purchase)
+        ev(3, "purchase", 30, 100.0),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string, ts timestamp, value double"
+    ).createOrReplaceTempView("events")
+    try:
+        dec = {r["click_id"]: r["attributed_value"]
+               for r in spark.sql(attribution_decay_sql(SP)).collect()}
+        lin = {r["click_id"]: r["attributed_value"]
+               for r in spark.sql(attribution_linear_sql(SP)).collect()}
+    finally:
+        spark.catalog.dropTempView("events")
+    assert lin[1] == lin[2] == 50.0            # linear: equal split
+    assert dec[2] > 50.0 > dec[1]              # decay: recent click wins
+    assert abs(dec[1] + dec[2] - 100.0) < 1e-4  # still conserves
+    # 15-min half-life, ages 5 and 30 min: w2/w1 = 2^(25/15) ~ 3.17
+    assert 3.0 < dec[2] / dec[1] < 3.4
