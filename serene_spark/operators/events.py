@@ -626,3 +626,54 @@ register(
     "per-purchase normalized so value conserves; completes the "
     "last-touch/linear/decay model family",
 )(lambda spark, sf_dir: (register_views(spark, sf_dir), spark.sql(attribution_decay_sql(SPARK)))[1])
+
+
+RETENTION_DAYS = (1, 7, 14)
+
+
+def retention_days_sql(dialect: str) -> str:
+    """Classic Dn daily retention beside the weekly cohort matrix: per
+    first-activity day (the cohort), the fraction of users active EXACTLY
+    n days later, for n in RETENTION_DAYS.  Two keyed aggregations — user
+    -> (first day, active-day set) then cohort-day rollup with conditional
+    counts; the user-day relation is the only event-cardinality reduce.
+    Rates are exact integer ratios rounded at 6 dp.
+    """
+    day = idiv(dialect, f"({epoch_s(dialect, 'ts')})", 86400)
+    flags = ",\n       ".join(
+        f"CAST(SUM(d{n}) AS BIGINT) AS d{n}_retained,\n"
+        f"       ROUND(CAST(SUM(d{n}) AS DOUBLE) / COUNT(*), 6) AS d{n}_rate"
+        for n in RETENTION_DAYS
+    )
+    day_flags = ",\n         ".join(
+        f"MAX(CASE WHEN ud.day = f.first_day + {n} THEN 1 ELSE 0 END) AS d{n}"
+        for n in RETENTION_DAYS
+    )
+    return f"""
+WITH user_days AS (
+  SELECT DISTINCT user_id, {day} AS day FROM events
+),
+firsts AS (
+  SELECT user_id, MIN(day) AS first_day FROM user_days GROUP BY user_id
+),
+per_user AS (
+  SELECT f.user_id, f.first_day,
+         {day_flags}
+  FROM firsts f JOIN user_days ud ON f.user_id = ud.user_id
+  GROUP BY f.user_id, f.first_day
+)
+SELECT CAST(first_day AS BIGINT) AS cohort_day,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       {flags}
+FROM per_user
+GROUP BY first_day
+"""
+
+
+register(
+    "events_retention_days",
+    oracle=retention_days_sql(DUCKDB),
+    doc=f"D{'/D'.join(str(n) for n in RETENTION_DAYS)} daily retention per "
+    "first-activity-day cohort (exact-day definition); two keyed "
+    "aggregations over the reduced user-day relation",
+)(lambda spark, sf_dir: (register_views(spark, sf_dir), spark.sql(retention_days_sql(SPARK)))[1])

@@ -87,3 +87,32 @@ def test_attribution_decay_properties(spark, sf_dir):
     assert abs(dec[1] + dec[2] - 100.0) < 1e-4  # still conserves
     # 15-min half-life, ages 5 and 30 min: w2/w1 = 2^(25/15) ~ 3.17
     assert 3.0 < dec[2] / dec[1] < 3.4
+
+
+def test_retention_days_matches_pandas(spark, sf_dir):
+    from serene_spark.catalog import load_table
+    from serene_spark.operators.events import RETENTION_DAYS
+    from serene_spark.registry import load_all
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "CAST(unix_timestamp(ts) / 86400 AS BIGINT) AS day"
+    ).toPandas().drop_duplicates()
+    days_by_user = ev.groupby("user_id")["day"].apply(set)
+    firsts = {u: min(d) for u, d in days_by_user.items()}
+    cohorts: dict[int, dict] = {}
+    for u, f in firsts.items():
+        c = cohorts.setdefault(f, {"n": 0, **{n: 0 for n in RETENTION_DAYS}})
+        c["n"] += 1
+        for n in RETENTION_DAYS:
+            if f + n in days_by_user[u]:
+                c[n] += 1
+
+    rows = {r["cohort_day"]: r
+            for r in load_all()["events_retention_days"].spark(spark, sf_dir).collect()}
+    assert set(rows) == set(cohorts)
+    for day, exp in cohorts.items():
+        r = rows[day]
+        assert r["n_users"] == exp["n"]
+        for n in RETENTION_DAYS:
+            assert r[f"d{n}_retained"] == exp[n], (day, n)
+            assert abs(r[f"d{n}_rate"] - round(exp[n] / exp["n"], 6)) < 1e-6
