@@ -524,3 +524,34 @@ register(
     "first) + deterministic within-stage shuffle key; window-free over "
     "the corpus — boundaries from the count-histogram quantile",
 )(_curriculum)
+
+
+EXEMPLARS_PER_SOURCE = 3
+
+
+def exemplars_sql(dialect: str) -> str:
+    """Deterministic k-exemplar sample per source — the "show me a few
+    examples from each slice" op every pipeline debugging session starts
+    with.  Rank by md5(doc_id) WITHIN each source (keyed window, never a
+    global sort; the hash order makes the sample uniform and identical on
+    any engine/cluster layout, unlike LIMIT which samples whatever
+    partition arrives first), keep the first k, emit a preview.
+    """
+    h = f"md5(CAST(doc_id AS STRING))"
+    return f"""
+SELECT source, doc_id, n_chars, substr(text, 1, 80) AS preview
+FROM (
+  SELECT source, doc_id, n_chars, text,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY {h}, doc_id) AS rn
+  FROM documents
+) r WHERE rn <= {EXEMPLARS_PER_SOURCE}
+"""
+
+
+register(
+    "per_source_exemplars",
+    oracle=exemplars_sql(DUCKDB),
+    doc=f"deterministic {EXEMPLARS_PER_SOURCE}-exemplar sample per source "
+    "(md5-ordered keyed rank — uniform, engine-independent, never a "
+    "partition-order LIMIT)",
+)(_docs_query(exemplars_sql))

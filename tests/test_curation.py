@@ -264,3 +264,28 @@ def test_curriculum_plan_invariants(spark, sf_dir):
     biggest_tie = max(score_counts.values())
     for s, vals in stages.items():
         assert len(vals) <= n * 0.25 + biggest_tie + 1
+
+
+def test_per_source_exemplars(spark, sf_dir):
+    import hashlib
+
+    from serene_spark.operators.curation import EXEMPLARS_PER_SOURCE
+    from serene_spark.registry import load_all
+
+    rows = load_all()["per_source_exemplars"].spark(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    ).collect()
+    by_source: dict[str, list[int]] = {}
+    for r in docs:
+        by_source.setdefault(r["source"], []).append(r["doc_id"])
+    got: dict[str, set[int]] = {}
+    for r in rows:
+        got.setdefault(r["source"], set()).add(r["doc_id"])
+        assert len(r["preview"]) <= 80
+    assert set(got) == set(by_source)
+    for src, ids in by_source.items():
+        expected = set(sorted(
+            ids, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d)
+        )[:EXEMPLARS_PER_SOURCE])
+        assert got[src] == expected, src
