@@ -554,4 +554,4 @@ register(
     doc=f"deterministic {EXEMPLARS_PER_SOURCE}-exemplar sample per source "
     "(md5-ordered keyed rank — uniform, engine-independent, never a "
     "partition-order LIMIT)",
-)(_docs_query(exemplars_sql))
+)(_docs_query(exemplars_sql, spread=False))

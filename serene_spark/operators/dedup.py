@@ -764,16 +764,27 @@ def containment_bottomk_sql(dialect: str) -> str:
     argument); the bias is RECALL-ONLY since survivors are exactly
     verified.  Output: estimated + exact containment per surfaced pair.
     """
+    return (
+        f"WITH {shingles_rel(dialect)},"
+        + containment_bottomk_tail(dialect, "shingles")
+    )
+
+
+def containment_bottomk_tail(dialect: str, sh_rel: str) -> str:
+    """The probe/verify tail over a NAMED shingle relation — spliced by the
+    one-statement oracle and the materialized Spark runner (which
+    checkpoints shingles once; this tail references the relation six
+    times, and Spark's CTE inlining would recompute the whole shingling
+    pass per reference)."""
     return f"""
-WITH {shingles_rel(dialect)},
 df AS (
-  SELECT sh, COUNT(*) AS n_docs FROM shingles GROUP BY sh
+  SELECT sh, COUNT(*) AS n_docs FROM {sh_rel} GROUP BY sh
 ),
 bk AS (
   SELECT doc_id, sh FROM (
     SELECT doc_id, sh,
            ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY md5(sh), sh) AS rn
-    FROM shingles
+    FROM {sh_rel}
   ) r WHERE rn <= {BK_K}
 ),
 probes AS (
@@ -785,7 +796,7 @@ k_actual AS (
 ),
 hits AS (
   SELECT p.doc_id AS d1, s.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS n_hit
-  FROM probes p JOIN shingles s ON p.sh = s.sh AND p.doc_id <> s.doc_id
+  FROM probes p JOIN {sh_rel} s ON p.sh = s.sh AND p.doc_id <> s.doc_id
   GROUP BY p.doc_id, s.doc_id
 ),
 cand AS (
@@ -794,13 +805,13 @@ cand AS (
   WHERE h.n_hit >= {BK_MIN_HITS} * ka.k AND ka.k > 0
 ),
 counts AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM shingles GROUP BY doc_id
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM {sh_rel} GROUP BY doc_id
 ),
 exact AS (
   SELECT c.d1, c.d2, c.n_hit, c.k, CAST(COUNT(*) AS BIGINT) AS n_common
   FROM cand c
-  JOIN shingles s1 ON s1.doc_id = c.d1
-  JOIN shingles s2 ON s2.doc_id = c.d2 AND s2.sh = s1.sh
+  JOIN {sh_rel} s1 ON s1.doc_id = c.d1
+  JOIN {sh_rel} s2 ON s2.doc_id = c.d2 AND s2.sh = s1.sh
   GROUP BY c.d1, c.d2, c.n_hit, c.k
 )
 SELECT e.d1 AS doc_id_1, e.d2 AS doc_id_2,
@@ -816,8 +827,17 @@ WHERE CAST(e.n_common AS DOUBLE) / n1.n_sh >= {CONTAIN_THRESHOLD}
 
 
 def _containment_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized runner: shingles checkpointed ONCE (the tail references
+    the relation six times — inlined CTEs would shingle the corpus six
+    times over)."""
     register_views(spark, sf_dir, ("documents",), spread=True)
-    return spark.sql(containment_bottomk_sql(SPARK))
+    sh = spark.sql(
+        f"WITH {shingles_rel(SPARK)} SELECT * FROM shingles"
+    ).localCheckpoint(eager=True)
+    sh.createOrReplaceTempView("__serene_bkshingles")
+    return spark.sql(
+        "WITH " + containment_bottomk_tail(SPARK, "__serene_bkshingles")
+    )
 
 
 register(

@@ -452,6 +452,32 @@ register(
 ATTRIBUTION_WINDOW_S = 3600  # last-touch lookback: 1 hour
 
 
+def attribution_prologue(dialect: str, pairs_select: str) -> str:
+    """Shared clicks/purchases/pairs prologue for the attribution model
+    family (last-touch / linear / decay) — ONE definition of the event
+    filters, the user equi-join, and the lookback window, so the three
+    models (and their tests) cannot desynchronize on what a "touch" is.
+    ``pairs_select`` is the model-specific projection (it may use the
+    ``p``/``c`` aliases and its own epoch expressions)."""
+    from serene_spark.functions.sqlgen import epoch_us
+
+    cus = epoch_us(dialect, "c.ts")
+    pus = epoch_us(dialect, "p.ts")
+    return f"""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT {pairs_select}
+  FROM purchases p JOIN clicks c
+    ON p.user_id = c.user_id
+   AND {pus} - {cus} BETWEEN 0 AND CAST({ATTRIBUTION_WINDOW_S} AS BIGINT) * 1000000
+)"""
+
+
 def attribution_sql(dialect: str) -> str:
     """Last-touch click attribution: each purchase is credited to the same
     user's most recent click within the preceding hour (ties broken by
@@ -469,21 +495,9 @@ def attribution_sql(dialect: str) -> str:
 
     cus = epoch_us(dialect, "c.ts")
     pus = epoch_us(dialect, "p.ts")
-    return f"""
-WITH clicks AS (
-  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
-),
-purchases AS (
-  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
-),
-pairs AS (
-  SELECT p.event_id AS purchase_id, p.user_id,
+    return attribution_prologue(dialect, f"""p.event_id AS purchase_id, p.user_id,
          {pus} AS purchase_us, p.value,
-         c.event_id AS click_id, {cus} AS click_us
-  FROM purchases p JOIN clicks c
-    ON p.user_id = c.user_id
-   AND {pus} - {cus} BETWEEN 0 AND CAST({ATTRIBUTION_WINDOW_S} AS BIGINT) * 1000000
-)
+         c.event_id AS click_id, {cus} AS click_us""") + f"""
 SELECT CAST(purchase_id AS BIGINT) AS purchase_id,
        CAST(user_id AS BIGINT) AS user_id,
        CAST(purchase_us AS BIGINT) AS purchase_us,
@@ -522,24 +536,10 @@ def attribution_linear_sql(dialect: str) -> str:
     residual, time-bucketed at 100 TB); the rollup is one click-keyed
     aggregation with decimal-exact credit sums.
     """
-    from serene_spark.functions.sqlgen import epoch_us
-
-    cus = epoch_us(dialect, "c.ts")
-    pus = epoch_us(dialect, "p.ts")
-    return f"""
-WITH clicks AS (
-  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
-),
-purchases AS (
-  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
-),
-pairs AS (
-  SELECT p.event_id AS purchase_id, p.user_id, p.value,
-         c.event_id AS click_id
-  FROM purchases p JOIN clicks c
-    ON p.user_id = c.user_id
-   AND {pus} - {cus} BETWEEN 0 AND CAST({ATTRIBUTION_WINDOW_S} AS BIGINT) * 1000000
-),
+    return attribution_prologue(
+        dialect,
+        "p.event_id AS purchase_id, p.user_id, p.value, c.event_id AS click_id",
+    ) + f""",
 credited AS (
   SELECT click_id, user_id, purchase_id,
          CAST(ROUND(CAST(value AS DOUBLE)
@@ -578,31 +578,24 @@ def attribution_decay_sql(dialect: str) -> str:
     Determinism: the weight exponent is an exact integer-microsecond ratio;
     each weight rounds at 9 dp before the per-purchase normalization sum
     (DECIMAL — aggregation order cannot move it), and the final credit
-    rounds at 6 dp.  Same bounded pair join as the other two models.
+    rounds at 6 dp.  Residual risk (accepted, same as the POWER users in
+    curation/prep): POWER is transcendental, so a 1-ulp libm-vs-Math.pow
+    difference could straddle a 9-dp rounding boundary on an unlucky
+    exponent — the 9-dp round makes this ~1e-7-probable per weight, and
+    the parity gate would surface it loudly, not silently.  Same bounded
+    pair join as the other two models.
     """
     from serene_spark.functions.sqlgen import epoch_us
 
     cus = epoch_us(dialect, "c.ts")
     pus = epoch_us(dialect, "p.ts")
-    return f"""
-WITH clicks AS (
-  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
-),
-purchases AS (
-  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
-),
-pairs AS (
-  SELECT p.event_id AS purchase_id, p.user_id, p.value,
+    return attribution_prologue(dialect, f"""p.event_id AS purchase_id, p.user_id, p.value,
          c.event_id AS click_id,
          CAST(ROUND(
            POWER(CAST(2 AS DOUBLE),
                  -(({pus} - {cus})
                    / CAST({DECAY_HALF_LIFE_S} * 1000000 AS DOUBLE))),
-         9) AS DECIMAL(18,9)) AS w
-  FROM purchases p JOIN clicks c
-    ON p.user_id = c.user_id
-   AND {pus} - {cus} BETWEEN 0 AND CAST({ATTRIBUTION_WINDOW_S} AS BIGINT) * 1000000
-),
+         9) AS DECIMAL(18,9)) AS w""") + f""",
 credited AS (
   SELECT click_id, user_id, purchase_id,
          CAST(ROUND(CAST(value AS DOUBLE) * CAST(w AS DOUBLE)
@@ -638,11 +631,19 @@ def retention_days_sql(dialect: str) -> str:
     -> (first day, active-day set) then cohort-day rollup with conditional
     counts; the user-day relation is the only event-cardinality reduce.
     Rates are exact integer ratios rounded at 6 dp.
+
+    RIGHT-CENSORED: a cohort whose day+n horizon exceeds the observed data
+    range reports NULL for that horizon, not 0 — a zero there would be
+    indistinguishable from genuine 0% retention and bias every
+    across-cohort retention-curve average downward at the data edge.
     """
     day = idiv(dialect, f"({epoch_s(dialect, 'ts')})", 86400)
+    observable = "first_day + {n} <= (SELECT MAX(day) FROM user_days)"
     flags = ",\n       ".join(
-        f"CAST(SUM(d{n}) AS BIGINT) AS d{n}_retained,\n"
-        f"       ROUND(CAST(SUM(d{n}) AS DOUBLE) / COUNT(*), 6) AS d{n}_rate"
+        f"CAST(CASE WHEN {observable.format(n=n)} THEN SUM(d{n}) END AS BIGINT)"
+        f" AS d{n}_retained,\n"
+        f"       CASE WHEN {observable.format(n=n)} THEN "
+        f"ROUND(CAST(SUM(d{n}) AS DOUBLE) / COUNT(*), 6) END AS d{n}_rate"
         for n in RETENTION_DAYS
     )
     day_flags = ",\n         ".join(

@@ -326,15 +326,18 @@ act_sel AS (
   SELECT COUNT(*) AS actual FROM lineitem WHERE l_extendedprice < {SEL_PRED_PRICE}
 ),
 rows_out AS (
+  -- FLOOR before the BIGINT cast: a fractional estimate would otherwise
+  -- truncate in Spark but round-to-nearest in DuckDB (it is integral on
+  -- this corpus only because the audited keys are unique PKs)
   SELECT 'join_customer_orders' AS target,
-         CAST((SELECT n FROM stats_c) * (SELECT n FROM stats_o)
-              / GREATEST((SELECT ndv FROM stats_c), (SELECT ndv_ck FROM stats_o))
+         CAST(FLOOR(CAST((SELECT n FROM stats_c) AS DOUBLE) * (SELECT n FROM stats_o)
+              / GREATEST((SELECT ndv FROM stats_c), (SELECT ndv_ck FROM stats_o)))
               AS BIGINT) AS estimated,
          CAST((SELECT actual FROM act_co) AS BIGINT) AS actual
   UNION ALL
   SELECT 'join_orders_lineitem',
-         CAST((SELECT n FROM stats_o) * (SELECT n FROM stats_l)
-              / GREATEST((SELECT ndv_ok FROM stats_o), (SELECT ndv FROM stats_l))
+         CAST(FLOOR(CAST((SELECT n FROM stats_o) AS DOUBLE) * (SELECT n FROM stats_l)
+              / GREATEST((SELECT ndv_ok FROM stats_o), (SELECT ndv FROM stats_l)))
               AS BIGINT),
          CAST((SELECT actual FROM act_ol) AS BIGINT)
   UNION ALL

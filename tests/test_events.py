@@ -110,9 +110,44 @@ def test_retention_days_matches_pandas(spark, sf_dir):
     rows = {r["cohort_day"]: r
             for r in load_all()["events_retention_days"].spark(spark, sf_dir).collect()}
     assert set(rows) == set(cohorts)
+    max_day = max(d for days in days_by_user for d in [max(days)])
     for day, exp in cohorts.items():
         r = rows[day]
         assert r["n_users"] == exp["n"]
         for n in RETENTION_DAYS:
-            assert r[f"d{n}_retained"] == exp[n], (day, n)
-            assert abs(r[f"d{n}_rate"] - round(exp[n] / exp["n"], 6)) < 1e-6
+            if day + n > max_day:  # right-censored: NULL, never a fake 0
+                assert r[f"d{n}_retained"] is None and r[f"d{n}_rate"] is None
+            else:
+                assert r[f"d{n}_retained"] == exp[n], (day, n)
+                assert abs(r[f"d{n}_rate"] - round(exp[n] / exp["n"], 6)) < 1e-6
+
+
+def test_retention_days_right_censoring(spark):
+    """A cohort near the data edge must report NULL for unobservable
+    horizons, not a fake 0% (every corpus cohort here starts early, so
+    censoring needs a constructed stream)."""
+    import datetime
+
+    from serene_spark.functions.sqlgen import SPARK as SP
+    from serene_spark.operators.events import retention_days_sql
+
+    t0 = datetime.datetime(2024, 3, 1)
+    rows = [
+        # u1: first active day 0, also active day 1 -> D1=1; D7/D14 unobservable
+        (1, "u1", "view", t0, 0.0),
+        (2, "u1", "view", t0 + datetime.timedelta(days=1), 0.0),
+        # u2: first active day 2 (the data edge) -> everything unobservable
+        (3, "u2", "view", t0 + datetime.timedelta(days=2), 0.0),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string, ts timestamp, value double"
+    ).createOrReplaceTempView("events")
+    try:
+        got = {r["cohort_day"]: r
+               for r in spark.sql(retention_days_sql(SP)).collect()}
+    finally:
+        spark.catalog.dropTempView("events")
+    d0, d2 = sorted(got)
+    assert got[d0]["d1_retained"] == 1 and got[d0]["d1_rate"] == 1.0
+    assert got[d0]["d7_retained"] is None and got[d0]["d14_rate"] is None
+    assert got[d2]["d1_retained"] is None and got[d2]["d1_rate"] is None

@@ -73,30 +73,60 @@ def main() -> int:
         )
 
     names = args.names or sorted(osql)
+    unknown = [n for n in names if n not in osql]
+    if unknown:  # an unknown name is an error, not silent "clean" coverage
+        for n in unknown:
+            print("UNKNOWN QUERY:", n)
+        return 1
+
+    def _col_types(cols, rows):
+        """First NON-NULL Python type per column over a row sample —
+        single-row sampling would compare two engines' arbitrary (and
+        possibly different) first rows, where one side's NULL both fakes
+        divergences and hides real ones."""
+        out = {}
+        for i, c in enumerate(cols):
+            t = None
+            for r in rows:
+                if r[i] is not None:
+                    t = _ty(r[i])
+                    break
+            out[c] = t  # None = all-NULL in the sample
+        return out
+
     bad: list[tuple] = []
+    tolerated: list[tuple] = []
+    skipped: list[str] = []
     for name in names:
-        if name not in osql:
-            continue
         try:
             sdf = qs[name](spark, args.sf)
-            srow = sdf.limit(1).collect()
+            srows = [tuple(r) for r in sdf.limit(50).collect()]
             cur = con.execute(osql[name])
-            orow = cur.fetchone()
-            if not srow or orow is None:
+            orows = cur.fetchmany(50)
+            if not srows or not orows:
+                skipped.append(name)  # nothing inspected — NOT clean
                 continue
-            smap = dict(zip(sdf.columns, [_ty(v) for v in srow[0]]))
-            omap = dict(zip([d[0] for d in cur.description],
-                            [_ty(v) for v in orow]))
+            smap = _col_types(sdf.columns, srows)
+            omap = _col_types([d[0] for d in cur.description], orows)
             for c, a in smap.items():
                 b = omap.get(c)
-                if a != b and {a, b} not in _TOLERATED:
+                if a is None or b is None or a == b:
+                    continue
+                if {a, b} in _TOLERATED:
+                    tolerated.append((name, c, a, b))
+                else:
                     bad.append((name, c, a, b))
         except Exception as ex:  # surface, keep sweeping
             bad.append((name, "<error>", str(ex)[:100], ""))
 
     for row in bad:
         print("DIVERGENT:", row)
-    print(f"{len(names) - len({b[0] for b in bad})}/{len(names)} type-clean")
+    for row in tolerated:  # visible, non-failing (integer-width presentation)
+        print("tolerated:", row)
+    if skipped:
+        print(f"skipped (no rows at this sf, NOT checked): {skipped}")
+    n_clean = len(names) - len({b[0] for b in bad}) - len(skipped)
+    print(f"{n_clean}/{len(names)} type-clean, {len(skipped)} skipped")
     return 1 if bad else 0
 
 
