@@ -325,3 +325,61 @@ def test_trending_twin_equals_batch(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert got == batch and len(got) > 0
+
+
+def test_trending_twin_across_two_drains(spark, sf_dir, tmp_path):
+    """The read-side-rank claim under incremental arrival: drain half the
+    events, then the rest (same overlapping hours arriving 'late' but
+    within the watermark), and the re-ranked view must equal the batch
+    trending query over the full corpus — counts maintained incrementally,
+    ranks recomputed read-side each time."""
+    from serene_spark.catalog import load_table, register_views
+    from serene_spark.registry import load_all
+    from serene_spark.streaming.events_stream import (
+        read_events_stream,
+        run_available_now,
+        trending_rank_sql,
+        tumbling_counts,
+    )
+
+    events_dir = tmp_path / "events_2d"
+    events_dir.mkdir()
+    ev = load_table(spark, sf_dir, "events")
+    # split by event id parity: both halves span the SAME hours, so the
+    # second drain updates existing windows rather than appending new ones
+    def _land(predicate: str, stage: str) -> None:
+        """Write a batch to a staging dir, then land its part files flat in
+        the watched dir (the stream source does not recurse)."""
+        import glob
+
+        stage_dir = tmp_path / stage
+        ev.filter(predicate).coalesce(1).write.parquet(str(stage_dir))
+        for i, f in enumerate(glob.glob(str(stage_dir / "part-*.parquet"))):
+            shutil.copy(f, events_dir / f"{stage}-{i}.parquet")
+
+    _land("event_id % 2 = 0", "batch0")
+    stream = tumbling_counts(read_events_stream(spark, str(events_dir)))
+    ckpt = str(tmp_path / "ckpt_2d")
+    q = run_available_now(stream, "trend_2d", ckpt)
+    q.awaitTermination(120)
+    partial = spark.sql(trending_rank_sql("trend_2d")).count()
+    assert partial > 0
+
+    _land("event_id % 2 = 1", "batch1")
+    stream = tumbling_counts(read_events_stream(spark, str(events_dir)))
+    q = run_available_now(stream, "trend_2d", ckpt)
+    q.awaitTermination(120)
+
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(trending_rank_sql("trend_2d")).select(
+            "window_start", "event_type", "n_events", "rk"
+        ).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in load_all()["events_trending_hourly"].spark(spark, sf_dir).select(
+            "window_start", "event_type", "n_events", "rk"
+        ).collect()
+    )
+    assert got == batch
