@@ -531,3 +531,31 @@ register("q11_important_stock", oracle=Q11_SQL, doc="TPC-H-style Q11: per-part s
 register("q12_priority_shipping", oracle=Q12_SQL, doc="TPC-H-style Q12: dual CASE-count priority split per line status")(_sql_query(Q12_SQL))
 register("q16_parts_supplier_count", oracle=Q16_SQL, doc="TPC-H-style Q16: distinct-supplier counts per part attrs with NOT-IN exclusion")(_sql_query(Q16_SQL))
 register("q20_excess_stock", oracle=Q20_SQL, doc="TPC-H-style Q20: nested IN-subquery chain for over-supplied small parts")(_sql_query(Q20_SQL))
+
+
+# PIVOT matrix expressed as conditional aggregation — the one formulation
+# both engines share (Spark's PIVOT clause and DuckDB's PIVOT statement
+# differ syntactically AND in output-column naming, so the portable form
+# IS the classic CASE-sum, which is also exactly what both engines compile
+# their pivot sugar down to). Fixed status columns keep the schema stable
+# (a dynamic pivot needs two passes by definition — collect the domain,
+# then generate; the CLI/service layer is where that composition lives).
+PIVOT_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_p
+FROM orders
+GROUP BY year(o_orderdate)
+"""
+
+register("pivot_orders_status_by_year", oracle=PIVOT_SQL,
+         doc="PIVOT matrix (order year x status: counts + decimal-exact "
+         "revenue) as portable conditional aggregation — one scan, "
+         "map-side combinable")(_sql_query(PIVOT_SQL))
