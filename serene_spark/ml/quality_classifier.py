@@ -98,3 +98,42 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     model, _ = train_quality_model(spark, sf_dir)
     n_classes = model.stages[-1].numClasses
     return _prob_good(model.transform(quality_frame(spark, sf_dir)), n_classes)
+
+
+N_CALIB_BINS = 10
+
+
+@register(
+    "quality_score_calibration",
+    doc="decile reliability diagram for the distilled quality model: per "
+    "score bin, mean predicted p(good) vs the rule gate's actual pass "
+    "rate (rows-only; monotonicity + bin accounting pinned by pytest)",
+)
+def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (calibration curve) for the distilled quality
+    classifier: bin every document by predicted p(good) into
+    ``N_CALIB_BINS`` equal-width bins and compare the bin's mean predicted
+    probability against the ACTUAL rule-gate pass rate — the standard
+    check before using model scores as sampling weights or thresholds
+    (a well-calibrated model's curve hugs the diagonal; a gap is exactly
+    the correction a downstream threshold must absorb).
+
+    Scale shape: scoring is the existing model transform (broadcast
+    model); the diagram is one bin-keyed aggregation over (bin, label,
+    prob) — map-side combinable, N_CALIB_BINS output rows.
+    """
+    scored = quality_classifier_score(spark, sf_dir)
+    b = F.least(
+        F.lit(N_CALIB_BINS - 1),
+        F.floor(F.col("prob_good") * N_CALIB_BINS).cast("int"),
+    )
+    return (
+        scored.withColumn("bin", b)
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.avg("prob_good"), 6).alias("mean_predicted"),
+            F.round(F.avg(F.col("rule_label").cast("double")), 6).alias("actual_pass_rate"),
+        )
+        .orderBy("bin")
+    )

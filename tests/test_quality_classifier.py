@@ -42,3 +42,30 @@ def test_training_is_deterministic(spark, sf_dir):
         for r in quality_classifier_score(spark, sf_dir).collect()
     }
     assert a == b
+
+
+def test_quality_calibration_diagram(spark, sf_dir):
+    """Bin accounting + the property the diagram exists to check: actual
+    pass rate increases with predicted probability across populated bins."""
+    from serene_spark.ml.quality_classifier import N_CALIB_BINS
+    from serene_spark.registry import load_all
+
+    qs = load_all()
+    rows = sorted(
+        qs["quality_score_calibration"].spark(spark, sf_dir).collect(),
+        key=lambda r: r["bin"],
+    )
+    n_scored = qs["quality_classifier_score"].spark(spark, sf_dir).count()
+    assert sum(r["n_docs"] for r in rows) == n_scored
+    for r in rows:
+        assert 0 <= r["bin"] < N_CALIB_BINS
+        assert 0.0 <= r["mean_predicted"] <= 1.0
+        assert 0.0 <= r["actual_pass_rate"] <= 1.0
+        # bin membership consistent with its mean
+        assert r["bin"] / N_CALIB_BINS - 1e-6 <= r["mean_predicted"] \
+            <= (r["bin"] + 1) / N_CALIB_BINS + 1e-6
+    # weak monotonicity over well-populated bins: the distilled model must
+    # not be anti-calibrated (higher predicted -> lower actual)
+    big = [r for r in rows if r["n_docs"] >= 10]
+    if len(big) >= 2:
+        assert big[-1]["actual_pass_rate"] >= big[0]["actual_pass_rate"]
