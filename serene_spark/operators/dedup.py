@@ -847,3 +847,86 @@ register(
     "the tier the Jaccard-tuned LSH bands cannot reach; estimate gates, "
     "exact containment verifies (recall-only df cap documented)",
 )(_containment_bottomk)
+
+
+# --- MinHash estimator-error audit -------------------------------------------
+
+
+def minhash_error_sql(dialect: str) -> str:
+    """The MinHash estimator's promise, MEASURED (the cms/bloom
+    "guarantees measured, not assumed" discipline applied to the dedup
+    pipeline's own sketch): for every banded candidate pair, the
+    matching-minima estimate (k={N_MINHASH} permutations) against the
+    EXACT shingle Jaccard, summarized as mean/max absolute error and the
+    fraction of pairs within two binomial standard errors
+    (2*sqrt(J(1-J)/k) + 1/k) of the truth — the bound the estimator
+    theory promises per UNCONDITIONAL pair.  Banded candidates are
+    conditioned on band collisions (i.e. on the estimate being high), so
+    the measured fraction sits BELOW the unconditional ~95% — that
+    selection bias is part of what the audit shows, not an error.  A
+    DRIFTING fraction across corpus versions is what says the signature
+    size is too small BEFORE dedup quality silently degrades.
+
+    Scale: both relations are the already-bounded candidate set; the audit
+    adds one pair-keyed join on top of the dedup run it piggybacks on.
+    """
+    return f"""
+WITH {minhash_rel(dialect)},
+est AS (WITH {lsh_body(dialect)}),
+exact_pairs AS (WITH {verified_body(dialect, "mh", "shingles", threshold=0.0)})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(ABS(e.est_jaccard - x.jaccard)), 6) AS mean_abs_error,
+       ROUND(MAX(ABS(e.est_jaccard - x.jaccard)), 6) AS max_abs_error,
+       ROUND(CAST(SUM(CASE WHEN ABS(e.est_jaccard - x.jaccard)
+                        <= 2 * SQRT(x.jaccard * (1 - x.jaccard) / {N_MINHASH})
+                             + 1.0 / {N_MINHASH}
+                      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         AS frac_within_2se
+FROM est e
+JOIN exact_pairs x ON e.doc_id_1 = x.doc_id_1 AND e.doc_id_2 = x.doc_id_2
+"""
+
+
+def _minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized runner: shingles + signatures once (the audit reads
+    both the estimate and the exact-verify tails)."""
+    from serene_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("documents",), spread=True)
+    sh = spark.sql(
+        f"WITH {shingles_rel(SPARK)} SELECT * FROM shingles"
+    ).localCheckpoint(eager=True)
+    sh.createOrReplaceTempView("__serene_eshingles")
+    mh = spark.sql(
+        f"""WITH hashes AS (
+              SELECT doc_id, {hex_to_int(SPARK, "substr(md5(sh), 1, 8)")} AS h1,
+                     {hex_to_int(SPARK, "substr(md5(sh), 9, 8)")} AS h2
+              FROM __serene_eshingles)
+            SELECT doc_id,
+                   {", ".join(f"MIN((h1 + {i} * h2) % {MH_PRIME}) AS mh{i}" for i in range(N_MINHASH))}
+            FROM hashes GROUP BY doc_id"""
+    ).localCheckpoint(eager=True)
+    mh.createOrReplaceTempView("__serene_emh")
+    return spark.sql(f"""
+WITH est AS (WITH {lsh_body(SPARK, "__serene_emh")}),
+exact_pairs AS (WITH {verified_body(SPARK, "__serene_emh", "__serene_eshingles", threshold=0.0)})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(ABS(e.est_jaccard - x.jaccard)), 6) AS mean_abs_error,
+       ROUND(MAX(ABS(e.est_jaccard - x.jaccard)), 6) AS max_abs_error,
+       ROUND(CAST(SUM(CASE WHEN ABS(e.est_jaccard - x.jaccard)
+                        <= 2 * SQRT(x.jaccard * (1 - x.jaccard) / {N_MINHASH})
+                             + 1.0 / {N_MINHASH}
+                      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         AS frac_within_2se
+FROM est e
+JOIN exact_pairs x ON e.doc_id_1 = x.doc_id_1 AND e.doc_id_2 = x.doc_id_2
+""")
+
+
+register(
+    "minhash_estimate_error",
+    oracle=minhash_error_sql(DUCKDB),
+    doc=f"MinHash estimator audit: matching-minima estimate vs exact "
+    "Jaccard over the banded candidates — mean/max abs error + fraction "
+    "within the 2-SE binomial bound the theory promises",
+)(_minhash_error)

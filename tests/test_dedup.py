@@ -83,3 +83,18 @@ def test_bottomk_invariants_on_corpus(spark, sf_dir):
         assert 0.0 <= r["jaccard"] <= r["containment_exact"] <= 1.0
         assert r["containment_exact"] >= 0.8
         assert 0.0 <= r["containment_est"] <= 1.0
+
+
+def test_minhash_estimate_error_audit(spark, sf_dir):
+    """The estimator audit's own sanity: mean |error| consistent with the
+    k=16 binomial SE scale, and a solid majority of (selection-biased)
+    candidates inside the 2-SE bound."""
+    from serene_spark.registry import load_all
+
+    [r] = load_all()["minhash_estimate_error"].spark(spark, sf_dir).collect()
+    assert r["n_pairs"] > 100
+    # binomial SE at k=16 peaks at 0.125; the mean |error| must sit at
+    # that scale, not an order off (which would mean a broken estimator)
+    assert 0.01 < r["mean_abs_error"] < 0.2
+    assert r["max_abs_error"] < 0.6
+    assert r["frac_within_2se"] > 0.7  # biased-conditional, below ~95%
