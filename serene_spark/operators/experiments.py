@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from serene_spark.catalog import register_views
-from serene_spark.functions.sqlgen import DUCKDB, SPARK, epoch_us, hex_to_int, idiv
+from serene_spark.functions.sqlgen import DUCKDB, SPARK, epoch_s, epoch_us, hex_to_int, idiv
 from serene_spark.registry import register
 
 HOUR_US = 3600 * 1_000_000
@@ -197,3 +197,38 @@ register(
     doc="LTV curves: cumulative purchase revenue per user by weekly signup "
     "cohort and account age (the payback readout beside retention)",
 )(_events_query(clv_cohort_sql))
+
+
+def dow_seasonality_sql(dialect: str) -> str:
+    """Day-of-week multiplicative seasonal index per event type — the
+    weekly cycle beside ``events_seasonality``'s daily (hour-of-day)
+    cycle; together they form the expected-load baseline a rate monitor
+    divides by.  DOW is computed from the epoch DAY NUMBER (day 0 =
+    1970-01-01, a Thursday, so dow = (epoch_day + 4) % 7 with 0=Sunday) —
+    pure integer arithmetic, dodging the engines' divergent DAYOFWEEK/
+    dayofweek conventions entirely.  One scan, two metadata-scale aggs.
+    """
+    day = idiv(dialect, f"({epoch_s(dialect, 'ts')})", 86400)
+    return f"""
+WITH by_dow AS (
+  SELECT event_type, ({day} + 4) % 7 AS dow, COUNT(*) AS n
+  FROM events GROUP BY event_type, ({day} + 4) % 7
+),
+totals AS (
+  SELECT event_type, SUM(n) AS total, COUNT(*) AS n_dows
+  FROM by_dow GROUP BY event_type
+)
+SELECT b.event_type, CAST(b.dow AS INT) AS dow,
+       CAST(b.n AS BIGINT) AS n_events,
+       ROUND(CAST(b.n AS DOUBLE) * t.n_dows / t.total, 6) AS seasonal_index
+FROM by_dow b JOIN totals t ON b.event_type = t.event_type
+"""
+
+
+register(
+    "events_dow_seasonality",
+    oracle=dow_seasonality_sql(DUCKDB),
+    doc="day-of-week multiplicative seasonal index per event type (integer "
+    "epoch-day arithmetic, no engine DAYOFWEEK divergence); the weekly "
+    "cycle beside the hour-of-day profile",
+)(_events_query(dow_seasonality_sql))

@@ -85,3 +85,34 @@ def test_clv_cohort_curves_match_pandas(spark):
     for c, grp in out.groupby("cohort_week"):
         srt = grp.sort_values("age_week")["cum_revenue_per_user"]
         assert (srt.diff().dropna() >= -1e-9).all()
+
+
+def test_dow_seasonality(spark, sf_dir):
+    """Index definition and the dow mapping (epoch day 0 = Thursday)."""
+    import datetime
+
+    from serene_spark.catalog import load_table
+    from serene_spark.registry import load_all
+
+    rows = load_all()["events_dow_seasonality"].spark(spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type", "CAST(unix_timestamp(ts) / 86400 AS BIGINT) AS day"
+    ).toPandas()
+    ev["dow"] = (ev["day"] + 4) % 7
+    for r in rows:
+        sub = ev[ev["event_type"] == r["event_type"]]
+        n = int((sub["dow"] == r["dow"]).sum())
+        assert r["n_events"] == n
+        n_dows = sub["dow"].nunique()
+        assert abs(r["seasonal_index"] - round(n * n_dows / len(sub), 6)) < 1e-6
+        # dow convention: (epoch_day + 4) % 7 with 0 = Sunday
+        any_day = int(sub[sub["dow"] == r["dow"]]["day"].iloc[0])
+        date = datetime.date(1970, 1, 1) + datetime.timedelta(days=any_day)
+        assert (date.isoweekday() % 7) == r["dow"]
+    # indices average to ~1 weighted by counts
+    for etype in {r["event_type"] for r in rows}:
+        sub = [r for r in rows if r["event_type"] == etype]
+        total = sum(r["n_events"] for r in sub)
+        w = sum(r["seasonal_index"] * r["n_events"] for r in sub) / total
+        assert 0.9 < w < 1.2  # near 1 unless the week is wildly skewed
