@@ -25,7 +25,6 @@ import networkx as nx
 
 from serene_spark.modeler.ssd import (
     CLASS_NODE,
-    OBJECT_PROPERTY,
     Ontology,
     SemanticModel,
 )

@@ -42,7 +42,7 @@ from serene_spark.modeler.ssd import (
     SsdLink,
     SsdNode,
 )
-from serene_spark.modeler.suggest import SemanticScores, suggest_models
+from serene_spark.modeler.suggest import suggest_models
 from serene_spark.registry import register
 
 REPORT_ONTOLOGY = load_ontology(

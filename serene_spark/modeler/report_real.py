@@ -25,7 +25,7 @@ from functools import lru_cache
 from pyspark.sql import DataFrame, SparkSession
 
 from serene_spark.modeler.alignment import AlignmentGraph
-from serene_spark.modeler.ssd import CLASS_NODE, DATA_NODE, Ontology, Ssd
+from serene_spark.modeler.ssd import DATA_NODE, Ontology, Ssd
 from serene_spark.modeler.ssd_io import load_ssd
 from serene_spark.modeler.suggest import suggest_models
 from serene_spark.registry import register

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from serene_spark.catalog import COLUMNS, load_table, register_views
+from serene_spark.catalog import COLUMNS, load_table
 from serene_spark.functions.melt import melt, melt_sql
 from serene_spark.functions.sqlgen import DUCKDB, SPARK
 from serene_spark.operators.profile_chardist import chardist_sql
