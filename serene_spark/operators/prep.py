@@ -10,8 +10,10 @@ Scale shapes (100 TB):
   weighted term rounded to 9 dp and summed as DECIMAL so aggregation order
   cannot move the result.  The infinite-memory recursive EWMA is
   deliberately truncated at EWMA_WINDOW hours: (1-α)^24 < 0.08, and a
-  bounded window is expressible as a join both engines compute identically
-  (a recursion is not).
+  bounded window is expressible as a join both engines compute identically.
+  (Spark 4.1 does ship WITH RECURSIVE — see supplier_hierarchy_rollup —
+  but UNION ALL-only, and an unbounded EWMA recursion would also carry
+  state the truncation argument exists to avoid.)
 * ``winsorize_events`` — exact per-type p01/p99 via the count-based
   histogram method (events_value_quantiles' shape: map-side-combined value
   histogram, cumulative window over the tiny distinct relation), then one

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from serene_spark.catalog import register_views
+from serene_spark.functions.sqlgen import DUCKDB, SPARK, idiv
 from serene_spark.registry import register
 
 DISC = "(1 - CAST(l_discount AS DECIMAL(8,2)))"
@@ -559,3 +560,52 @@ register("pivot_orders_status_by_year", oracle=PIVOT_SQL,
          doc="PIVOT matrix (order year x status: counts + decimal-exact "
          "revenue) as portable conditional aggregation — one scan, "
          "map-side combinable")(_sql_query(PIVOT_SQL))
+
+
+def hierarchy_rollup_sql(dialect: str) -> str:
+    """Recursive hierarchy rollup — the engine's first WITH RECURSIVE
+    operator (Spark 4.1 ships recursive CTEs; both engines now share the
+    construct, retiring this repo's earlier 'recursion is not
+    engine-shared' constraint for TREE-shaped closures).  Suppliers form a
+    derived management tree (parent = suppkey div 10, roots 1..9); the
+    recursion emits every (node, ancestor, depth) pair and the rollup
+    answers the org question: per ancestor, subtree size, total account
+    balance, and deepest report.
+
+    Safety: Spark's recursion supports UNION ALL only (no UNION-distinct
+    dedup across iterations), which is EXACTLY correct on a tree — each
+    node reaches each ancestor along one path, so no row multiplicity can
+    occur; a cyclic or DAG-shaped closure would need the iterative
+    DataFrame loops (dedup_clusters / cc_large_star), which remain the
+    production shape for general graphs.  Depth is bounded by the key
+    width (4 levels at sf0.1).  Decimal-exact balance sums.
+    """
+    parent = idiv(dialect, "s_suppkey", 10)
+    return f"""
+WITH RECURSIVE anc(node, ancestor, depth) AS (
+  SELECT s_suppkey, s_suppkey, 0 FROM supplier
+  UNION ALL
+  SELECT a.node, p.parent, a.depth + 1
+  FROM anc a
+  JOIN (SELECT s_suppkey AS child, {parent} AS parent
+        FROM supplier WHERE s_suppkey >= 10) p
+    ON a.ancestor = p.child
+),
+balances AS (
+  SELECT s_suppkey, CAST(s_acctbal AS DECIMAL(18,2)) AS bal FROM supplier
+)
+SELECT CAST(x.ancestor AS BIGINT) AS ancestor,
+       CAST(COUNT(*) AS BIGINT) AS subtree_size,
+       CAST(SUM(b.bal) AS DOUBLE) AS subtree_acctbal,
+       CAST(MAX(x.depth) AS BIGINT) AS max_depth
+FROM anc x JOIN balances b ON x.node = b.s_suppkey
+GROUP BY x.ancestor
+HAVING COUNT(*) > 1
+"""
+
+
+register("supplier_hierarchy_rollup", oracle=hierarchy_rollup_sql(DUCKDB),
+         doc="recursive (WITH RECURSIVE) org-hierarchy rollup over the "
+         "derived supplier tree: per ancestor, subtree size / balance / "
+         "depth — UNION ALL recursion, exactly safe on trees")(
+    _sql_query(hierarchy_rollup_sql(SPARK)))
