@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from serene_spark.catalog import register_views
-from serene_spark.functions.sqlgen import DUCKDB, SPARK, idiv
+from serene_spark.functions.sqlgen import DUCKDB, SPARK, epoch_s, explode_seq, idiv
 from serene_spark.registry import register
 
 DISC = "(1 - CAST(l_discount AS DECIMAL(8,2)))"
@@ -609,3 +609,63 @@ register("supplier_hierarchy_rollup", oracle=hierarchy_rollup_sql(DUCKDB),
          "derived supplier tree: per ancestor, subtree size / balance / "
          "depth — UNION ALL recursion, exactly safe on trees")(
     _sql_query(hierarchy_rollup_sql(SPARK)))
+
+
+# Explicit GROUPING SETS — the generalization ROLLUP and CUBE are sugar
+# for: exactly the grains a dashboard needs (by status, by year, grand
+# total) without CUBE's unwanted cross combinations or ROLLUP's forced
+# hierarchy. Same one-scan partial-aggregation plan as the siblings.
+GROUPING_SETS_SQL = """
+SELECT
+  CASE WHEN GROUPING(o_orderstatus) = 1 THEN '<all>' ELSE o_orderstatus END AS orderstatus,
+  CASE WHEN GROUPING(yr) = 1 THEN -1 ELSE yr END AS order_year,
+  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(yr) AS BIGINT) AS grouping_id,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM (SELECT o_orderstatus, CAST(year(o_orderdate) AS BIGINT) AS yr,
+             o_totalprice FROM orders) t
+GROUP BY GROUPING SETS ((o_orderstatus), (yr), ())
+"""
+
+register("grouping_sets_orders", oracle=GROUPING_SETS_SQL,
+         doc="explicit GROUPING SETS (by status / by year / grand total) — "
+         "the exact dashboard grains without CUBE's cross terms, one scan")(
+    _sql_query(GROUPING_SETS_SQL))
+
+
+def calendar_dim_sql(dialect: str) -> str:
+    """Date-dimension spine over the orders date range — the standard
+    warehouse calendar table, generated in-query (sequence explode over
+    the min..max epoch-day span, integer DOW arithmetic, ISO-style week
+    number as days-since-epoch div 7 so both engines agree without
+    touching their divergent WEEK() conventions).  Joined back to orders
+    for per-day counts so empty days carry explicit zeros — the gap-aware
+    spine every time-series rollup wants underneath it.
+    """
+    day = idiv(dialect, f"({epoch_s(dialect, 'o_orderdate')})", 86400)
+    return f"""
+WITH bounds AS (
+  SELECT MIN({day}) AS d0, MAX({day}) AS d1 FROM orders
+),
+spine AS (
+  SELECT {explode_seq(dialect, "(SELECT d0 FROM bounds)", "(SELECT d1 FROM bounds)")} AS day
+  FROM bounds
+),
+per_day AS (
+  SELECT {day} AS day, COUNT(*) AS n FROM orders GROUP BY {day}
+)
+SELECT CAST(s.day AS BIGINT) AS epoch_day,
+       CAST((s.day + 4) % 7 AS INT) AS dow,
+       CAST({idiv(dialect, "(s.day + 4)", "7")} AS BIGINT) AS week_num,
+       CAST(CASE WHEN (s.day + 4) % 7 IN (0, 6) THEN 1 ELSE 0 END AS INT)
+         AS is_weekend,
+       CAST(COALESCE(p.n, 0) AS BIGINT) AS n_orders
+FROM spine s LEFT JOIN per_day p ON s.day = p.day
+"""
+
+
+register("calendar_dim_orders", oracle=calendar_dim_sql(DUCKDB),
+         doc="generated date-dimension spine over the orders range (dow / "
+         "week / weekend flags via integer epoch-day arithmetic) with "
+         "per-day counts — empty days carry explicit zeros")(
+    _sql_query(calendar_dim_sql(SPARK)))

@@ -34,3 +34,47 @@ def test_hierarchy_rollup_matches_python(spark, sf_dir):
         assert r["subtree_size"] == d["n"]
         assert abs(r["subtree_acctbal"] - round(d["bal"], 2)) < 0.01
         assert r["max_depth"] == d["maxd"]
+
+
+def test_grouping_sets_grains(spark, sf_dir):
+    """Exactly three grains, each internally consistent with the base."""
+    from serene_spark.registry import load_all
+
+    rows = load_all()["grouping_sets_orders"].spark(spark, sf_dir).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r["grouping_id"], []).append(r)
+    # gid 1 = by status (year grouped), gid 2 = by year, gid 3 = grand total
+    assert set(by_gid) == {1, 2, 3}
+    total = by_gid[3][0]
+    assert len(by_gid[3]) == 1
+    assert sum(r["n_orders"] for r in by_gid[1]) == total["n_orders"]
+    assert sum(r["n_orders"] for r in by_gid[2]) == total["n_orders"]
+    assert abs(sum(r["total_price"] for r in by_gid[1]) - total["total_price"]) < 0.01
+    for r in by_gid[1]:
+        assert r["order_year"] == -1 and r["orderstatus"] != "<all>"
+    for r in by_gid[2]:
+        assert r["orderstatus"] == "<all>" and r["order_year"] > 0
+
+
+def test_calendar_dim_spine(spark, sf_dir):
+    """Contiguous spine, correct dow/weekend flags, zeros on empty days,
+    counts conserve."""
+    import datetime
+
+    from serene_spark.registry import load_all
+
+    rows = sorted(
+        load_all()["calendar_dim_orders"].spark(spark, sf_dir).collect(),
+        key=lambda r: r["epoch_day"],
+    )
+    days = [r["epoch_day"] for r in rows]
+    assert days == list(range(days[0], days[-1] + 1))  # contiguous
+    n_orders_total = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert sum(r["n_orders"] for r in rows) == n_orders_total
+    assert any(r["n_orders"] == 0 for r in rows) or len(rows) < 400
+    for r in rows[:50]:
+        date = datetime.date(1970, 1, 1) + datetime.timedelta(days=r["epoch_day"])
+        assert r["dow"] == date.isoweekday() % 7
+        assert r["is_weekend"] == int(r["dow"] in (0, 6))
+        assert r["week_num"] == (r["epoch_day"] + 4) // 7
