@@ -232,3 +232,77 @@ register(
     "epoch-day arithmetic, no engine DAYOFWEEK divergence); the weekly "
     "cycle beside the hour-of-day profile",
 )(_events_query(dow_seasonality_sql))
+
+
+RFM_BINS = 5
+
+
+def rfm_sql(dialect: str) -> str:
+    """RFM segmentation over orders — recency (days since last order),
+    frequency (order count), monetary (total spend) quintiles per
+    customer, composed into the classic segment code.  Quintile
+    boundaries come from the count-histogram quantile over each
+    dimension's DISTINCT-value relation (the engine's exact-quantile
+    pattern — never NTILE, whose tie handling diverges across engines);
+    bin = count of boundaries at or below the value, so ties land
+    deterministically in the same bin everywhere.  Reference date =
+    corpus MAX(o_orderdate) (self-contained and reproducible; a live
+    deployment passes its own anchor).  One orders scan -> per-customer
+    relation; everything after is customer-cardinality.
+    """
+    day = idiv(dialect, f"({epoch_s(dialect, 'o_orderdate')})", 86400)
+
+    def quintile_bounds(rel: str, col: str) -> str:
+        return f"""
+  SELECT {", ".join(
+      f"MIN(CASE WHEN cc >= ceil({q}.0 * n / {RFM_BINS}) THEN v END) AS b{q}"
+      for q in range(1, RFM_BINS)
+  )}
+  FROM (
+    SELECT v, SUM(c) OVER (ORDER BY v) AS cc, SUM(c) OVER () AS n
+    FROM (SELECT {col} AS v, COUNT(*) AS c FROM {rel} GROUP BY {col}) h
+  ) t"""
+
+    def bin_expr(col: str, bounds: str) -> str:
+        return "(" + " + ".join(
+            f"CASE WHEN {col} > (SELECT b{q} FROM {bounds}) THEN 1 ELSE 0 END"
+            for q in range(1, RFM_BINS)
+        ) + " + 1)"
+
+    return f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         (SELECT MAX({day}) FROM orders) - MAX({day}) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+rb AS ({quintile_bounds("per_cust", "recency_days")}),
+fb AS ({quintile_bounds("per_cust", "frequency")}),
+mb AS ({quintile_bounds("per_cust", "monetary")})
+SELECT o_custkey,
+       CAST(recency_days AS BIGINT) AS recency_days,
+       CAST(frequency AS BIGINT) AS frequency,
+       CAST(monetary AS DOUBLE) AS monetary,
+       CAST({RFM_BINS + 1} - {bin_expr("recency_days", "rb")} AS INT) AS r_score,
+       CAST({bin_expr("frequency", "fb")} AS INT) AS f_score,
+       CAST({bin_expr("monetary", "mb")} AS INT) AS m_score
+FROM per_cust
+"""
+
+
+def _orders_query(sql_fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, ("orders",))
+        return spark.sql(sql_fn(SPARK))
+
+    return run
+
+
+register(
+    "rfm_segments",
+    oracle=rfm_sql(DUCKDB),
+    doc=f"RFM segmentation: recency/frequency/monetary {RFM_BINS}-quantile "
+    "scores per customer via the count-histogram quantile (never NTILE — "
+    "divergent tie handling); r inverted so 5 = most recent",
+)(_orders_query(rfm_sql))

@@ -116,3 +116,51 @@ def test_dow_seasonality(spark, sf_dir):
         total = sum(r["n_events"] for r in sub)
         w = sum(r["seasonal_index"] * r["n_events"] for r in sub) / total
         assert 0.9 < w < 1.2  # near 1 unless the week is wildly skewed
+
+
+def test_rfm_segments_match_pandas(spark, sf_dir):
+    import numpy as np
+
+    from serene_spark.operators.experiments import RFM_BINS
+    from serene_spark.registry import load_all
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        "o_custkey",
+        "CAST(unix_timestamp(CAST(o_orderdate AS TIMESTAMP)) / 86400 AS BIGINT) AS day",
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS price",
+    ).toPandas()
+    anchor = orders["day"].max()
+    per = orders.groupby("o_custkey").agg(
+        last=("day", "max"), frequency=("day", "size"), monetary=("price", "sum")
+    )
+    per["recency_days"] = anchor - per["last"]
+
+    def bounds(vals):
+        v = np.sort(np.unique(vals))
+        cum = np.array([int((vals <= x).sum()) for x in v])
+        n = len(vals)
+        return [
+            v[np.argmax(cum >= np.ceil(q * n / RFM_BINS))]
+            for q in range(1, RFM_BINS)
+        ]
+
+    rb = bounds(per["recency_days"].values)
+    fb = bounds(per["frequency"].values)
+    mb = bounds(per["monetary"].values.astype(float))
+
+    def score(v, bs):
+        return sum(1 for b in bs if v > b) + 1
+
+    rows = {r["o_custkey"]: r
+            for r in load_all()["rfm_segments"].spark(spark, sf_dir).collect()}
+    assert set(rows) == set(per.index)
+    for ck, p in per.iterrows():
+        r = rows[ck]
+        assert r["recency_days"] == p["recency_days"]
+        assert r["frequency"] == p["frequency"]
+        assert abs(r["monetary"] - float(p["monetary"])) < 0.01
+        assert r["r_score"] == RFM_BINS + 1 - score(p["recency_days"], rb)
+        assert r["f_score"] == score(p["frequency"], fb)
+        assert r["m_score"] == score(float(p["monetary"]), mb)
+    # scores span the full range on a corpus this size
+    assert {r["m_score"] for r in rows.values()} == set(range(1, RFM_BINS + 1))
