@@ -306,3 +306,44 @@ register(
     "scores per customer via the count-histogram quantile (never NTILE — "
     "divergent tie handling); r inverted so 5 = most recent",
 )(_orders_query(rfm_sql))
+
+
+def revenue_mom_sql(dialect: str) -> str:
+    """Month-over-month revenue: monthly totals + absolute and percent
+    deltas via LAG over the MONTH-cardinality relation (the window runs
+    over ~tens of rows, never order-cardinality; month key = integer
+    year*12+month so ordering needs no date arithmetic in the frame).
+    First month's deltas are NULL (no prior), not zero.
+    """
+    mkey = "CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)"
+    return f"""
+WITH monthly AS (
+  SELECT {mkey} AS month_key,
+         CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(month(o_orderdate) AS INT) AS mon,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders
+  GROUP BY year(o_orderdate), month(o_orderdate)
+),
+with_prev AS (
+  SELECT month_key, yr, mon, revenue, n_orders,
+         LAG(revenue) OVER (ORDER BY month_key) AS prev_revenue
+  FROM monthly
+)
+SELECT month_key, yr, mon,
+       CAST(revenue AS DOUBLE) AS revenue,
+       n_orders,
+       CAST(revenue - prev_revenue AS DOUBLE) AS mom_delta,
+       ROUND(CAST(revenue - prev_revenue AS DOUBLE)
+             / CAST(prev_revenue AS DOUBLE) * 100, 6) AS mom_pct
+FROM with_prev
+"""
+
+
+register(
+    "revenue_mom",
+    oracle=revenue_mom_sql(DUCKDB),
+    doc="month-over-month revenue deltas (LAG over the month-cardinality "
+    "relation; first month NULL, not zero)",
+)(_orders_query(revenue_mom_sql))

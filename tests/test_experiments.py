@@ -164,3 +164,25 @@ def test_rfm_segments_match_pandas(spark, sf_dir):
         assert r["m_score"] == score(float(p["monetary"]), mb)
     # scores span the full range on a corpus this size
     assert {r["m_score"] for r in rows.values()} == set(range(1, RFM_BINS + 1))
+
+
+def test_revenue_mom(spark, sf_dir):
+    from serene_spark.registry import load_all
+
+    rows = sorted(
+        load_all()["revenue_mom"].spark(spark, sf_dir).collect(),
+        key=lambda r: r["month_key"],
+    )
+    assert rows
+    assert rows[0]["mom_delta"] is None and rows[0]["mom_pct"] is None
+    for prev, cur in zip(rows, rows[1:]):
+        if cur["month_key"] == prev["month_key"] + 1:
+            assert abs(cur["mom_delta"] - (cur["revenue"] - prev["revenue"])) < 0.01
+            assert abs(cur["mom_pct"]
+                       - round((cur["revenue"] - prev["revenue"])
+                               / prev["revenue"] * 100, 6)) < 1e-4
+    total = sum(r["revenue"] for r in rows)
+    expected = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s"
+    ).collect()[0]["s"]
+    assert abs(total - expected) < 0.01
