@@ -669,3 +669,53 @@ register("calendar_dim_orders", oracle=calendar_dim_sql(DUCKDB),
          "week / weekend flags via integer epoch-day arithmetic) with "
          "per-day counts — empty days carry explicit zeros")(
     _sql_query(calendar_dim_sql(SPARK)))
+
+
+def backlog_sql(dialect: str) -> str:
+    """Open-order backlog per day — the SWEEP-LINE interval-count pattern:
+    each order contributes +1 on its placement day and -1 the day after
+    its last lineitem SHIPMENT (this corpus carries l_shipdate, not receiptdate); the running sum over the day-keyed delta
+    relation IS the number of open orders on every day.  This is THE
+    scale shape for interval overlap counting: the shuffle carries two
+    delta rows per order (never a day x order interval join, which is
+    span-quadratic), and the cumulative window runs over the tiny
+    distinct-day relation.  Orders with no lineitems never close
+    (documented; the FK audit counts them).
+    """
+    oday = idiv(dialect, f"({epoch_s(dialect, 'o_orderdate')})", 86400)
+    rday = idiv(dialect, f"({epoch_s(dialect, 'l_shipdate')})", 86400)
+    return f"""
+WITH closes AS (
+  SELECT l_orderkey, MAX({rday}) + 1 AS close_day
+  FROM lineitem GROUP BY l_orderkey
+),
+-- only NON-EMPTY intervals sweep: the synthetic dates are independent, so
+-- some orders "close" before they open (cd <= od) — an empty interval that
+-- must contribute NO deltas (a -1 landing before its +1 transiently
+-- corrupts every day between them); lineitem-less orders are the
+-- dq_fk_orphans population and are excluded rather than left open forever
+spans AS (
+  SELECT {oday} AS open_day, c.close_day
+  FROM orders o JOIN closes c ON o.o_orderkey = c.l_orderkey
+  WHERE c.close_day > {oday}
+),
+deltas AS (
+  SELECT open_day AS day, 1 AS delta FROM spans
+  UNION ALL
+  SELECT close_day AS day, -1 AS delta FROM spans
+),
+per_day AS (
+  SELECT day, SUM(delta) AS d FROM deltas GROUP BY day
+)
+SELECT CAST(day AS BIGINT) AS epoch_day,
+       CAST(SUM(d) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS open_orders
+FROM per_day
+"""
+
+
+register("order_backlog_daily", oracle=backlog_sql(DUCKDB),
+         doc="open-order backlog per day via the sweep-line +1/-1 delta "
+         "pattern — two delta rows per order, cumulative window over the "
+         "distinct-day relation; never a day x interval join")(
+    _sql_query(backlog_sql(SPARK)))

@@ -78,3 +78,30 @@ def test_calendar_dim_spine(spark, sf_dir):
         assert r["dow"] == date.isoweekday() % 7
         assert r["is_weekend"] == int(r["dow"] in (0, 6))
         assert r["week_num"] == (r["epoch_day"] + 4) // 7
+
+
+def test_order_backlog_sweep(spark, sf_dir):
+    """Sweep-line backlog recomputed independently by interval membership."""
+    from serene_spark.registry import load_all
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        "o_orderkey",
+        "CAST(unix_timestamp(CAST(o_orderdate AS TIMESTAMP)) / 86400 AS BIGINT) AS od",
+    ).toPandas()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+        "l_orderkey",
+        "CAST(unix_timestamp(CAST(l_shipdate AS TIMESTAMP)) / 86400 AS BIGINT) AS sd",
+    ).toPandas()
+    close = li.groupby("l_orderkey")["sd"].max() + 1
+    intervals = orders.join(close.rename("cd"), on="o_orderkey", how="inner")
+    intervals = intervals[intervals["cd"] > intervals["od"]]  # non-empty only
+
+    rows = {r["epoch_day"]: r["open_orders"]
+            for r in load_all()["order_backlog_daily"].spark(spark, sf_dir).collect()}
+    # spot-check 15 days spread over the range by brute interval membership
+    days = sorted(rows)
+    for day in days[:: max(1, len(days) // 15)]:
+        expected = int(((intervals["od"] <= day) & (day < intervals["cd"])).sum())
+        assert rows[day] == expected, day
+    # backlog returns to zero after the last close
+    assert rows[days[-1]] == 0
