@@ -1,0 +1,170 @@
+"""Classical hypothesis tests as one-scan aggregations: chi-square
+independence and the Mann-Whitney U rank test.
+
+These join the experiments family (A/B z-test, A/A calibration in
+operators/experiments.py) with the two tests every analytics engine is
+asked for next:
+
+* ``chisq_type_dow`` — Pearson chi-square independence of event type vs
+  day-of-week ("does traffic mix shift across the week?").  One scan
+  reduces events to the contingency counts; the complete grid (including
+  empty cells — omitting them understates the statistic) is the cross of
+  the two MARGIN relations (5 x 7 rows here — margin-cardinality, never
+  data-scale; the same tiny-grid device as the basket-pair generator).
+  chi2 = sum (O-E)^2 / E with E = row_total * col_total / N from exact
+  integer counts; per-cell contributions are rounded to 12 dp and summed
+  in DECIMAL so the total is aggregation-order independent.
+* ``mannwhitney_value`` — Mann-Whitney U comparing the `value`
+  distribution of two event types without normality assumptions (the
+  robust sibling of the A/B z-test).  The scale device: ranks are never
+  assigned per row.  Values quantize to DECIMAL(18,2) cents (the drift
+  suite's convention, making ties well-defined and engine-exact), reduce
+  to a per-(value, side) count histogram, and every tied-average rank
+  comes from cumulative windows over the DISTINCT-value relation.
+  Working in doubled-rank units (avgrank2 = 2*cum_before + t + 1) keeps
+  the whole rank algebra in exact BIGINTs — U is computed integer-exact
+  and only the final z divides in DOUBLE.  The variance carries the
+  standard tie correction sigma^2 = nA*nB/12 * ((N+1) - sum(t^3-t) /
+  (N*(N-1))) (Lehmann, Nonparametrics 1975).
+
+At 100 TB both tests stay two-level aggregations (map-side partial
+counts -> margin/histogram relations); no window ever sees a data-scale
+row count.  Independent non-SQL reference: numpy implementations in
+tests/test_hypothesis_tests.py (scipy is not in the container).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from serene_spark.catalog import register_views
+from serene_spark.functions.sqlgen import DUCKDB, SPARK, epoch_s, idiv
+from serene_spark.registry import register
+
+MWU_SIDE_A = "click"
+MWU_SIDE_B = "purchase"
+
+
+def chisq_sql(dialect: str) -> str:
+    day = idiv(dialect, f"({epoch_s(dialect, 'ts')})", 86400)
+    return f"""
+WITH cells AS (
+  SELECT event_type, (({day}) + 4) % 7 AS dow, COUNT(*) AS n
+  FROM events
+  GROUP BY event_type, (({day}) + 4) % 7
+),
+row_m AS (
+  SELECT event_type, SUM(n) AS n_row FROM cells GROUP BY event_type
+),
+col_m AS (
+  SELECT dow, SUM(n) AS n_col FROM cells GROUP BY dow
+),
+tot AS (
+  SELECT SUM(n) AS n_tot FROM cells
+),
+grid AS (
+  -- complete contingency grid: cross of the two margin relations
+  -- (margin-cardinality, never data-scale), zero-filled observed counts
+  SELECT r.event_type, c.dow, r.n_row, c.n_col,
+         COALESCE(x.n, 0) AS n_obs,
+         CAST(r.n_row AS DOUBLE) * c.n_col / (SELECT n_tot FROM tot)
+           AS expected
+  FROM row_m r
+  JOIN col_m c ON 1 = 1
+  LEFT JOIN cells x ON x.event_type = r.event_type AND x.dow = c.dow
+),
+contrib AS (
+  SELECT event_type, dow, n_obs, expected,
+         ROUND((n_obs - expected) * (n_obs - expected) / expected, 12)
+           AS cell_chi2
+  FROM grid
+),
+total AS (
+  SELECT ROUND(CAST(SUM(CAST(cell_chi2 AS DECIMAL(28,12))) AS DOUBLE), 6)
+           AS chi2,
+         (COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT dow) - 1) AS dof
+  FROM contrib
+)
+SELECT event_type,
+       CAST(dow AS INT) AS dow,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       ROUND(expected, 6) AS expected,
+       ROUND(cell_chi2, 6) AS cell_chi2,
+       (SELECT chi2 FROM total) AS chi2_total,
+       CAST((SELECT dof FROM total) AS BIGINT) AS dof
+FROM contrib
+ORDER BY event_type, dow
+"""
+
+
+def mwu_sql(dialect: str) -> str:
+    return f"""
+WITH hist AS (
+  SELECT CAST(value AS DECIMAL(18,2)) AS v,
+         SUM(CASE WHEN event_type = '{MWU_SIDE_A}' THEN 1 ELSE 0 END) AS na_v,
+         SUM(CASE WHEN event_type = '{MWU_SIDE_B}' THEN 1 ELSE 0 END) AS nb_v
+  FROM events
+  WHERE event_type IN ('{MWU_SIDE_A}', '{MWU_SIDE_B}') AND value IS NOT NULL
+  GROUP BY CAST(value AS DECIMAL(18,2))
+),
+ranked AS (
+  -- doubled-rank units keep tied-average ranks in exact BIGINTs:
+  -- avgrank2(v) = 2 * (# strictly smaller) + t_v + 1
+  SELECT na_v, nb_v, na_v + nb_v AS t_v,
+         2 * (SUM(na_v + nb_v) OVER (ORDER BY v ASC)
+              - (na_v + nb_v)) + (na_v + nb_v) + 1 AS avgrank2
+  FROM hist
+),
+sums AS (
+  SELECT SUM(na_v) AS n_a, SUM(nb_v) AS n_b,
+         SUM(na_v * avgrank2) AS ra2,
+         SUM(t_v * t_v * t_v - t_v) AS tie_cube
+  FROM ranked
+)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(ra2 - n_a * (n_a + 1) AS DOUBLE) / 2 AS u_a,
+       CAST(n_a AS DOUBLE) * n_b
+         - CAST(ra2 - n_a * (n_a + 1) AS DOUBLE) / 2 AS u_b,
+       ROUND((CAST(ra2 - n_a * (n_a + 1) AS DOUBLE) / 2
+              - CAST(n_a AS DOUBLE) * n_b / 2)
+             / sqrt(CAST(n_a AS DOUBLE) * n_b / 12
+                    * ((n_a + n_b + 1)
+                       - CAST(tie_cube AS DOUBLE)
+                         / (CAST(n_a + n_b AS DOUBLE)
+                            * (n_a + n_b - 1)))), 6) AS z,
+       CASE WHEN ABS((CAST(ra2 - n_a * (n_a + 1) AS DOUBLE) / 2
+                      - CAST(n_a AS DOUBLE) * n_b / 2)
+                    / sqrt(CAST(n_a AS DOUBLE) * n_b / 12
+                           * ((n_a + n_b + 1)
+                              - CAST(tie_cube AS DOUBLE)
+                                / (CAST(n_a + n_b AS DOUBLE)
+                                   * (n_a + n_b - 1))))) > 1.959964
+            THEN 1 ELSE 0 END AS reject_95
+FROM sums
+"""
+
+
+def _q(sql_fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, ("events",))
+        return spark.sql(sql_fn(SPARK))
+
+    return run
+
+
+register(
+    "chisq_type_dow",
+    oracle=chisq_sql(DUCKDB),
+    doc="Pearson chi-square independence of event type vs day-of-week: "
+    "complete margin-cross grid with zero cells, integer-exact "
+    "expected counts, decimal-summed contributions",
+)(_q(chisq_sql))
+
+register(
+    "mannwhitney_value",
+    oracle=mwu_sql(DUCKDB),
+    doc="Mann-Whitney U (tie-corrected normal approximation) comparing "
+    "event values across two types via the per-value count histogram "
+    "in doubled-rank BIGINT units — ranks never assigned per row",
+)(_q(mwu_sql))

@@ -89,6 +89,8 @@ def load_all() -> dict[str, Query]:
         "serene_spark.operators.vocab",
         "serene_spark.operators.experiments",
         "serene_spark.operators.stats_extra",
+        "serene_spark.operators.survival",
+        "serene_spark.operators.hypothesis_tests",
         "serene_spark.operators.basket",
         "serene_spark.modeler.octopus",
         "serene_spark.modeler.report_fixture",

@@ -1,0 +1,126 @@
+"""Chi-square + Mann-Whitney U (operators/hypothesis_tests.py).
+
+Oracle parity runs in the driver gate; these pin both statistics against
+numpy references computed from first principles (scipy is not in the
+container) and the tests' response to injected effects.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from serene_spark.operators.hypothesis_tests import MWU_SIDE_A, MWU_SIDE_B
+from serene_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events(spark) -> pd.DataFrame:
+    from serene_spark.catalog import load_table
+
+    return load_table(spark, SF, "events").toPandas()
+
+
+def test_chisq_matches_numpy(spark):
+    out = load_all()["chisq_type_dow"].spark(spark, SF).toPandas()
+    ev = _events(spark)
+    ev["dow"] = ((ev["ts"].astype("int64") // 10**9) // 86400 + 4) % 7
+    ct = pd.crosstab(ev["event_type"], ev["dow"])
+    # complete grid including structural zeros
+    obs = ct.reindex(columns=range(7), fill_value=0) if ct.shape[1] < 7 else ct
+    o = obs.to_numpy(dtype=float)
+    e = o.sum(axis=1, keepdims=True) @ o.sum(axis=0, keepdims=True) / o.sum()
+    chi2 = float(((o - e) ** 2 / e).sum())
+    dof = (o.shape[0] - 1) * (o.shape[1] - 1)
+    assert len(out) == o.size
+    assert out["dof"].iloc[0] == dof
+    assert abs(out["chi2_total"].iloc[0] - chi2) < 2e-6
+    # cell-level agreement
+    for _, row in out.iterrows():
+        oij = obs.loc[row["event_type"], row["dow"]]
+        assert row["n_obs"] == oij
+    # observed margins reproduce
+    assert int(out["n_obs"].sum()) == len(ev)
+
+
+def test_chisq_detects_injected_dependence(spark):
+    """A type pinned to one weekday must inflate chi2 far past the 5x7
+    99th-percentile critical value (dof=24 -> 42.98)."""
+    ev = _events(spark)
+    ev["dow"] = ((ev["ts"].astype("int64") // 10**9) // 86400 + 4) % 7
+    base = pd.crosstab(ev["event_type"], ev["dow"]).to_numpy(dtype=float)
+
+    def chi2_of(o):
+        e = o.sum(axis=1, keepdims=True) @ o.sum(axis=0, keepdims=True) / o.sum()
+        return float(((o - e) ** 2 / e).sum())
+
+    skewed = base.copy()
+    skewed[0, :] = 0
+    skewed[0, 3] = base[0, :].sum()  # all of type 0 lands on Wednesday
+    assert chi2_of(skewed) > 42.98
+    assert chi2_of(skewed) > chi2_of(base) + 100
+
+
+def _mwu_reference(a: np.ndarray, b: np.ndarray) -> tuple[float, float]:
+    """U statistic for side a + tie-corrected z, textbook formulas."""
+    allv = np.concatenate([a, b])
+    order = allv.argsort(kind="mergesort")
+    ranks = np.empty(len(allv))
+    # average ranks for ties
+    sv = allv[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0
+        i = j
+    ra = ranks[: len(a)].sum()
+    na, nb = len(a), len(b)
+    u_a = ra - na * (na + 1) / 2.0
+    n = na + nb
+    _, t = np.unique(allv, return_counts=True)
+    tie = (t**3 - t).sum()
+    sigma = np.sqrt(na * nb / 12.0 * ((n + 1) - tie / (n * (n - 1))))
+    z = (u_a - na * nb / 2.0) / sigma
+    return u_a, z
+
+
+def test_mwu_matches_numpy(spark):
+    out = load_all()["mannwhitney_value"].spark(spark, SF).toPandas().iloc[0]
+    ev = _events(spark)
+    ev = ev[ev["value"].notna()]
+    a = ev[ev.event_type == MWU_SIDE_A]["value"].round(2).to_numpy()
+    b = ev[ev.event_type == MWU_SIDE_B]["value"].round(2).to_numpy()
+    u_a, z = _mwu_reference(a, b)
+    assert out["n_a"] == len(a) and out["n_b"] == len(b)
+    assert abs(out["u_a"] - u_a) < 1e-9
+    assert abs(out["u_a"] + out["u_b"] - len(a) * len(b)) < 1e-9
+    assert abs(out["z"] - z) < 2e-6
+    assert out["reject_95"] == int(abs(z) > 1.959964)
+
+
+def test_mwu_detects_injected_shift():
+    """A location-shifted sample must push |z| past the 95% bound, and the
+    doubled-rank integer algebra must match the float reference under
+    heavy ties."""
+    rng = np.random.default_rng(7)
+    a = np.round(rng.normal(10, 2, 400), 1)  # 1-dp rounding -> many ties
+    b = np.round(rng.normal(11, 2, 400), 1)
+    u_a, z = _mwu_reference(a, b)
+    assert abs(z) > 1.959964
+    # integer doubled-rank recomputation (the SQL's algebra) agrees exactly
+    import collections
+
+    cnt_a = collections.Counter(a.tolist())
+    cnt_b = collections.Counter(b.tolist())
+    vals = sorted(set(cnt_a) | set(cnt_b))
+    cum = 0
+    ra2 = 0
+    for v in vals:
+        t = cnt_a[v] + cnt_b[v]
+        ra2 += cnt_a[v] * (2 * cum + t + 1)
+        cum += t
+    u_int = (ra2 - len(a) * (len(a) + 1)) / 2.0
+    assert abs(u_int - u_a) < 1e-9
