@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from serene_spark.catalog import register_views
-from serene_spark.functions.sqlgen import DUCKDB, SPARK, explode_seq
+from serene_spark.functions.sqlgen import DUCKDB, SPARK, epoch_s, explode_seq
 from serene_spark.registry import register
 
 from serene_spark.operators.matview import SPLIT_TS  # shared snapshot boundary
@@ -139,9 +139,97 @@ GROUP BY event_type
 """
 
 
+def cusum_sql(dialect: str) -> str:
+    """CUSUM changepoint detection over daily order revenue — the
+    complement of KS/PSI: those compare two PRE-DECLARED windows; CUSUM
+    LOCATES the break.  Standardized deviations from the series mean are
+    cumulatively summed; because the z's sum to zero by construction the
+    path is a bridge, max |S_d| / sqrt(n) converges to the Kolmogorov
+    sup-of-Brownian-bridge law, and the 1.358 critical value (alpha=0.05)
+    applies (Page 1954 CUSUM; MacNeill 1974 for the bridge limit).  The
+    argmax day IS the change-point estimate.
+
+    Determinism: daily revenue in exact DECIMAL; mean/std derive from
+    decimal-exact (sum, sum-of-squares) so both engines see identical
+    doubles; z terms are rounded to 12 dp and bridge-summed in DECIMAL
+    over the ordered day window; argmax tie-breaks on earliest day.
+    Empty days enter as zero-revenue rows (generated spine) — omitting
+    them would shift every standardization moment.
+
+    Scale shape (100 TB): orders reduce to the calendar-bounded per-day
+    relation in one keyed agg; every window after that is spine-sized.
+    sigma = 0 (constant series) guards to a zero path, no detection.
+    """
+    day = f"CAST(FLOOR(({epoch_s(dialect, 'o_orderdate')}) / 86400.0) AS BIGINT)"
+    return f"""
+WITH per_day AS (
+  SELECT {day} AS day, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY {day}
+),
+bounds AS (
+  SELECT MIN(day) AS d0, MAX(day) AS d1 FROM per_day
+),
+spine AS (
+  SELECT {explode_seq(dialect, "(SELECT d0 FROM bounds)", "(SELECT d1 FROM bounds)")} AS day
+  FROM bounds
+),
+series AS (
+  SELECT s.day, COALESCE(p.rev, CAST(0 AS DECIMAL(18,2))) AS rev
+  FROM spine s LEFT JOIN per_day p ON s.day = p.day
+),
+mom AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(rev AS DECIMAL(28,2))) AS s1,
+         SUM(CAST(rev AS DECIMAL(28,2)) * rev) AS s2
+  FROM series
+),
+stdz AS (
+  SELECT day, rev,
+         CASE WHEN (SELECT CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n FROM mom) <= 0
+              THEN 0.0
+              ELSE ROUND((CAST(rev AS DOUBLE) - (SELECT CAST(s1 AS DOUBLE) / n FROM mom))
+                         / sqrt((SELECT (CAST(s2 AS DOUBLE)
+                                         - CAST(s1 AS DOUBLE) * s1 / n) / n FROM mom)), 12)
+              END AS z
+  FROM series
+),
+path AS (
+  SELECT day, rev,
+         SUM(CAST(z AS DECIMAL(28,12))) OVER (ORDER BY day ASC) AS s_d
+  FROM stdz
+),
+peak AS (
+  SELECT day AS cp_day, abs_s FROM (
+    SELECT day, ABS(CAST(s_d AS DOUBLE)) AS abs_s,
+           ROW_NUMBER() OVER (ORDER BY ABS(CAST(s_d AS DOUBLE)) DESC, day ASC) AS rn
+    FROM path
+  ) r WHERE rn = 1
+)
+SELECT CAST(day AS BIGINT) AS epoch_day,
+       CAST(rev AS DOUBLE) AS revenue,
+       ROUND(CAST(s_d AS DOUBLE), 6) AS cusum,
+       CASE WHEN day = (SELECT cp_day FROM peak) THEN 1 ELSE 0 END AS is_changepoint,
+       ROUND((SELECT abs_s FROM peak)
+             / sqrt((SELECT CAST(n AS DOUBLE) FROM mom)), 6) AS bridge_stat,
+       CASE WHEN (SELECT abs_s FROM peak)
+                 / sqrt((SELECT CAST(n AS DOUBLE) FROM mom)) > 1.358
+            THEN 1 ELSE 0 END AS shift_detected
+FROM path
+ORDER BY day
+"""
+
+
 def _events_query(sql_fn):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir, ("events",))
+        return spark.sql(sql_fn(SPARK))
+
+    return run
+
+
+def _orders_query(sql_fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, ("orders",))
         return spark.sql(sql_fn(SPARK))
 
     return run
@@ -153,6 +241,14 @@ register(
     doc="Kolmogorov-Smirnov drift statistic per event type between the "
     "training window and current slice — integer-exact maximization",
 )(_events_query(drift_ks_sql))
+
+register(
+    "cusum_daily_revenue",
+    oracle=cusum_sql(DUCKDB),
+    doc="CUSUM changepoint over daily revenue: standardized bridge path "
+    "from decimal-exact moments, argmax day = change-point estimate, "
+    "Kolmogorov 1.358 critical value on max|S|/sqrt(n)",
+)(_orders_query(cusum_sql))
 
 register(
     "drift_psi_events",

@@ -132,3 +132,68 @@ def test_brand_new_event_type_flags_as_drift(spark):
     # 'signup' keeps its pre-split rows so it must carry real statistics
     assert rows["signup"]["n_ref"] > 0
     spark.catalog.dropTempView("events")
+
+
+def _cusum_reference(rev: np.ndarray):
+    """Textbook standardized-CUSUM bridge: returns (path, cp_idx, stat)."""
+    mu = rev.mean()
+    sd = rev.std()  # population std, matching the SQL's /n
+    z = (rev - mu) / sd
+    path = np.cumsum(z)
+    cp = int(np.abs(path).argmax())  # ties: argmax takes the earliest
+    return path, cp, float(np.abs(path).max() / np.sqrt(len(rev)))
+
+
+def test_cusum_matches_numpy(spark):
+    out = (
+        load_all()["cusum_daily_revenue"].spark(spark, SF).toPandas()
+        .sort_values("epoch_day").reset_index(drop=True)
+    )
+    path, cp, stat = _cusum_reference(out["revenue"].to_numpy())
+    assert np.abs(out["cusum"].to_numpy() - path).max() < 2e-6
+    assert out.loc[cp, "is_changepoint"] == 1
+    assert out["is_changepoint"].sum() == 1
+    assert abs(out["bridge_stat"].iloc[0] - stat) < 2e-6
+    # the path is a bridge: it must return to ~0 at the horizon
+    assert abs(out["cusum"].iloc[-1]) < 1e-4
+    # spine completeness: consecutive days, no gaps
+    days = out["epoch_day"].to_numpy()
+    assert (np.diff(days) == 1).all()
+
+
+def test_cusum_locates_injected_level_shift(spark):
+    """A clean level shift at a known day must (a) trip the 1.358 bridge
+    bound and (b) place the argmax exactly at the last pre-shift day
+    (where the bridge's expected path peaks)."""
+    import datetime
+
+    import pandas as pd
+
+    from serene_spark.functions.sqlgen import SPARK
+    from serene_spark.operators.drift import cusum_sql
+
+    base = datetime.datetime(2020, 1, 1)
+    rows = []
+    rng = np.random.default_rng(11)
+    for i in range(400):
+        price = 100.0 + (80.0 if i >= 250 else 0.0) + float(rng.normal(0, 5))
+        rows.append((i + 1, base + datetime.timedelta(days=i), round(price, 2)))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+    )
+    df.createOrReplaceTempView("orders")
+    out = (
+        spark.sql(cusum_sql(SPARK)).toPandas()
+        .sort_values("epoch_day").reset_index(drop=True)
+    )
+    spark.catalog.dropTempView("orders")
+    assert out["shift_detected"].iloc[0] == 1
+    assert out["bridge_stat"].iloc[0] > 1.358
+    cp_idx = int(out.index[out["is_changepoint"] == 1][0])
+    # expected argmax = day 249, the last pre-shift day; the sigma=5 noise
+    # against an 80-unit shift cannot move it more than a step or two
+    assert abs(cp_idx - 249) <= 2, cp_idx
+    # path shape: pre-shift segment drifts below the mean and holds the
+    # global minimum; the bridge closes back to ~0 at the horizon
+    assert out["cusum"].iloc[:250].min() == out["cusum"].min()
+    assert abs(out["cusum"].iloc[-1]) < 1e-4
