@@ -1,0 +1,154 @@
+"""Forecasting: Holt's linear-trend exponential smoothing over monthly
+revenue, as a recursive CTE over the month-cardinality series.
+
+EWMA (operators/timeseries.py) handles level-only smoothing as a
+geometric-weight window because its recurrence has scalar geometric
+structure.  Holt's method tracks (level, trend) jointly —
+
+    l_i = alpha*y_i + (1-alpha)*(l_{i-1} + b_{i-1})
+    b_i = beta*(l_i - l_{i-1}) + (1-beta)*b_{i-1}
+
+a coupled linear recurrence whose y-coefficients are NOT geometric, so
+no window reformulation exists; this is exactly the tree/chain recursion
+WITH RECURSIVE covers (supplier_hierarchy_rollup precedent — Spark 4.1
+UNION ALL recursion, safe here because the chain advances i by exactly 1
+per step: one row per iteration, no multiplicity possible).
+
+Scale shape (100 TB): orders reduce to the MONTH-cardinality series in
+one keyed agg (~80 rows here — bounded by the calendar, never data
+volume); the recursion walks that tiny relation sequentially, which is
+the honest cost of an inherently sequential recurrence.  Spark's
+recursion-level limit (spark.sql.cteRecursionLevelLimit, default 100)
+bounds the walk — monthly grain keeps any realistic horizon far under
+it, and a longer series would aggregate to the same monthly grain first.
+
+Determinism: level and trend are rounded to 9 dp at EVERY recursion step
+(both engines re-quantize to the same value before the next step, so
+float drift cannot compound); the input series is exact-decimal monthly
+revenue cast once to DOUBLE.  Init: l_1 = y_1, b_1 = y_2 - y_1 (Hyndman
+& Athanasopoulos, FPP3 ch. 8).  In-sample one-step forecasts join each
+row to the previous state; a 3-month horizon extends the final state
+linearly (revenue NULL, is_forecast = 1 — never fake actuals).
+
+Reference has no forecasting; extends the analytics surface.
+Independent non-SQL reference: pure-python Holt in tests/test_forecast.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from serene_spark.catalog import register_views
+from serene_spark.functions.sqlgen import DUCKDB, SPARK, explode_seq
+from serene_spark.registry import register
+
+ALPHA = "0.3"
+BETA = "0.1"
+HORIZON = 3
+
+
+SERIES_SQL = """
+SELECT month_key, y,
+       ROW_NUMBER() OVER (ORDER BY month_key) AS i
+FROM (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+           AS month_key,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+  FROM orders
+  GROUP BY year(o_orderdate), month(o_orderdate)
+) m
+"""
+
+
+def holt_sql(dialect: str, series_rel: str | None = None) -> str:
+    """Shared recursion body; ``series_rel`` lets the Spark runner swap in
+    a pre-materialized series view (the recursion otherwise re-plans the
+    full orders lineage at every level)."""
+    a = f"CAST({ALPHA} AS DOUBLE)"
+    b = f"CAST({BETA} AS DOUBLE)"
+    series = series_rel if series_rel is not None else f"({SERIES_SQL})"
+    return f"""
+WITH RECURSIVE series AS (
+  SELECT * FROM {series} s0
+),
+hw(i, lvl, trd) AS (
+  SELECT CAST(1 AS BIGINT),
+         s1.y,
+         ROUND(s2.y - s1.y, 9)
+  FROM series s1 JOIN series s2 ON s1.i = 1 AND s2.i = 2
+  UNION ALL
+  SELECT t.i, t.nl,
+         ROUND({b} * (t.nl - t.lvl) + (1 - {b}) * t.trd, 9)
+  FROM (
+    SELECT s.i,
+           ROUND({a} * s.y + (1 - {a}) * (h.lvl + h.trd), 9) AS nl,
+           h.lvl, h.trd
+    FROM hw h JOIN series s ON s.i = h.i + 1
+  ) t
+),
+fitted AS (
+  SELECT s.month_key, s.i, s.y, h.lvl, h.trd,
+         hp.lvl + hp.trd AS forecast
+  FROM series s
+  JOIN hw h ON h.i = s.i
+  LEFT JOIN hw hp ON hp.i = s.i - 1
+),
+last_state AS (
+  SELECT s.month_key AS last_key, h.lvl, h.trd
+  FROM hw h JOIN series s ON s.i = h.i
+  WHERE h.i = (SELECT MAX(i) FROM series)
+),
+horizon AS (
+  SELECT last_key + h AS month_key, lvl, trd,
+         lvl + h * trd AS forecast, h
+  FROM (SELECT ls.*, {explode_seq(dialect, 1, HORIZON)} AS h FROM last_state ls) x
+)
+SELECT CAST(month_key AS BIGINT) AS month_key,
+       CAST({_div_mk(dialect)} AS INT) AS yr,
+       CAST(month_key % 12 + 1 AS INT) AS mon,
+       ROUND(y, 6) AS revenue,
+       ROUND(lvl, 6) AS level,
+       ROUND(trd, 6) AS trend,
+       ROUND(forecast, 6) AS forecast,
+       ROUND(y - forecast, 6) AS err,
+       CAST(0 AS INT) AS is_forecast
+FROM fitted
+UNION ALL
+SELECT CAST(month_key AS BIGINT),
+       CAST({_div_mk(dialect)} AS INT),
+       CAST(month_key % 12 + 1 AS INT),
+       NULL, ROUND(lvl, 6), ROUND(trd, 6),
+       ROUND(forecast, 6), NULL,
+       CAST(1 AS INT)
+FROM horizon
+ORDER BY month_key
+"""
+
+
+def _div_mk(dialect: str) -> str:
+    # month_key is non-negative, so truncating and flooring division agree
+    from serene_spark.functions.sqlgen import idiv
+
+    return idiv(dialect, "month_key", 12)
+
+
+def _holt_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    register_views(spark, sf_dir, ("orders",))
+    view = f"holt_series_{uuid.uuid4().hex}"
+    # month-cardinality relation, materialized ONCE so the recursion's 80
+    # sequential levels never re-plan the orders scan (conventions: loop
+    # inputs get localCheckpoint; per-call uuid view for thread safety)
+    spark.sql(SERIES_SQL).localCheckpoint(eager=True).createOrReplaceTempView(view)
+    return spark.sql(holt_sql(SPARK, series_rel=view))
+
+
+register(
+    "holt_forecast_monthly",
+    oracle=holt_sql(DUCKDB),
+    doc="Holt linear-trend exponential smoothing over monthly revenue via "
+    "WITH RECURSIVE on the month-cardinality series (9-dp re-quantized "
+    "each step so float drift cannot compound across engines); "
+    f"in-sample one-step forecasts + {HORIZON}-month horizon",
+)(_holt_run)

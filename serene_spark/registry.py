@@ -90,6 +90,7 @@ def load_all() -> dict[str, Query]:
         "serene_spark.operators.experiments",
         "serene_spark.operators.stats_extra",
         "serene_spark.operators.survival",
+        "serene_spark.operators.forecast",
         "serene_spark.operators.hypothesis_tests",
         "serene_spark.operators.basket",
         "serene_spark.modeler.octopus",
