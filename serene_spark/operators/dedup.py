@@ -562,6 +562,94 @@ register("dedup_clusters", oracle=_clusters_oracle(),
          doc="duplicate clusters: connected components over verified LSH pairs — "
              "iterative min-label propagation on Spark, recursive-CTE closure "
              "as the DuckDB oracle")(dedup_clusters)
+
+
+def canonical_select_body(dialect: str, clusters_rel: str) -> str:
+    """Keep-best canonical selection over near-dup clusters — the decision
+    layer the cluster assignment exists FOR: every document gets a keep/drop
+    verdict, with near-dup groups keeping exactly one representative.
+
+    Keeper rule (deterministic, integer-keyed — no float ordering): prefer
+    documents that pass the quality gate, then the LONGEST text, then the
+    smallest doc_id.  "Keep the longest passing member" is the standard
+    near-dup curation policy (the longest version of a boilerplate-wrapped
+    article is usually the complete one).  Documents in no verified pair are
+    their own keeper (cluster of one) via the LEFT JOIN fallback.
+
+    Scale shape: the window partitions by CLUSTER id — near-dup components
+    are tiny, so no partition ever sees more than a handful of rows; the
+    quality join is doc-keyed.  One data-scale shuffle total.
+    """
+    from serene_spark.operators.text_analysis import text_quality_sql
+
+    return f"""
+q AS ({text_quality_sql(dialect)}),
+membership AS (
+  SELECT d.doc_id,
+         COALESCE(c.cluster, d.doc_id) AS cluster,
+         d.n_chars
+  FROM documents d LEFT JOIN {clusters_rel} c ON d.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT m.doc_id, m.cluster, m.n_chars,
+         CAST(q.quality_pass AS INT) AS quality_pass,
+         ROW_NUMBER() OVER (PARTITION BY m.cluster
+                            ORDER BY q.quality_pass DESC, m.n_chars DESC,
+                                     m.doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY m.cluster) AS n_in_cluster
+  FROM membership m JOIN q ON q.doc_id = m.doc_id
+)
+SELECT doc_id,
+       CAST(cluster AS BIGINT) AS cluster,
+       CAST(n_in_cluster AS BIGINT) AS n_in_cluster,
+       quality_pass,
+       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS is_keeper,
+       CAST(MIN(CASE WHEN rn = 1 THEN doc_id END)
+              OVER (PARTITION BY cluster) AS BIGINT) AS keeper_doc_id
+FROM ranked
+ORDER BY doc_id
+"""
+
+
+def _canonical_oracle() -> str:
+    return (
+        f"WITH RECURSIVE pairs AS ({lsh_verified_sql(DUCKDB)}),\n"
+        "edges AS (\n"
+        "  SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs\n"
+        "  UNION ALL\n"
+        "  SELECT doc_id_2, doc_id_1 FROM pairs\n"
+        "),\n"
+        "nodes AS (SELECT DISTINCT src AS doc_id FROM edges),\n"
+        "reach(a, b) AS (\n"
+        "  SELECT doc_id, doc_id FROM nodes\n"
+        "  UNION\n"
+        "  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src\n"
+        "),\n"
+        "clusters AS (\n"
+        "  SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster\n"
+        "  FROM reach GROUP BY a\n"
+        "),\n"
+        + canonical_select_body(DUCKDB, "clusters")
+    )
+
+
+def dedup_canonical_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner: iterative CC labels (dedup_clusters), materialized once,
+    then the shared selection body over a per-call uuid view."""
+    import uuid
+
+    labels = dedup_clusters(spark, sf_dir).localCheckpoint(eager=True)
+    view = f"__serene_canon_{uuid.uuid4().hex}"
+    labels.createOrReplaceTempView(view)
+    register_views(spark, sf_dir, ("documents",), spread=True)
+    return spark.sql(f"WITH {canonical_select_body(SPARK, view)}")
+
+
+register("dedup_canonical_select", oracle=_canonical_oracle(),
+         doc="keep-best canonical selection over near-dup clusters: every "
+             "document verdicted, one keeper per cluster by (quality_pass, "
+             "longest text, doc_id) — integer-keyed deterministic ordering")(
+    dedup_canonical_select)
 register("simhash_signatures", oracle=simhash_signatures_sql(DUCKDB),
          doc="64-bit SimHash signatures (4 x 16-bit words) via md5-hex bit "
              "voting")(_sql_query(simhash_signatures_sql))

@@ -98,3 +98,56 @@ def test_minhash_estimate_error_audit(spark, sf_dir):
     assert 0.01 < r["mean_abs_error"] < 0.2
     assert r["max_abs_error"] < 0.6
     assert r["frac_within_2se"] > 0.7  # biased-conditional, below ~95%
+
+
+def test_canonical_select_invariants(spark, sf_dir):
+    """Keep-best selection: exactly one keeper per cluster, keeper rule =
+    (quality_pass DESC, n_chars DESC, doc_id ASC), full corpus coverage,
+    cross-checked against a pandas recomputation from the cluster labels."""
+    from serene_spark.registry import load_all
+
+    out = load_all()["dedup_canonical_select"].spark(spark, sf_dir).toPandas()
+    docs = load_all()["text_quality"].spark(spark, sf_dir).toPandas()
+
+    # every document verdicted exactly once
+    assert len(out) == len(docs)
+    assert out["doc_id"].is_unique
+
+    # exactly one keeper per cluster, and it is the cluster's own member
+    per = out.groupby("cluster")
+    assert (per["is_keeper"].sum() == 1).all()
+    for cl, g in per:
+        keeper = g.loc[g["is_keeper"] == 1, "doc_id"].iloc[0]
+        assert (g["keeper_doc_id"] == keeper).all()
+        assert keeper in set(g["doc_id"])
+
+    # the emitted quality_pass agrees with the registered text_quality op
+    merged = out.merge(
+        docs[["doc_id", "quality_pass"]], on="doc_id", suffixes=("", "_q")
+    )
+    assert (merged["quality_pass"] == merged["quality_pass_q"]).all()
+
+    # independent pandas recomputation of the keeper rule
+    from serene_spark.catalog import load_table
+
+    dn = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars").toPandas()
+    m2 = merged.merge(dn, on="doc_id")
+    for _, g in m2.groupby("cluster"):
+        g = g.sort_values(
+            ["quality_pass", "n_chars", "doc_id"], ascending=[False, False, True]
+        )
+        assert g["keeper_doc_id"].iloc[0] == g["doc_id"].iloc[0]
+
+    # singleton docs (no verified near-dup) keep themselves
+    singles = out[out["n_in_cluster"] == 1]
+    assert (singles["is_keeper"] == 1).all()
+    assert (singles["keeper_doc_id"] == singles["doc_id"]).all()
+
+    # drops happen only inside multi-member clusters, and the multi-member
+    # clusters agree with the registered cluster assignment
+    clusters = load_all()["dedup_clusters"].spark(spark, sf_dir).toPandas()
+    multi = out[out["n_in_cluster"] > 1]
+    assert set(multi["doc_id"]) <= set(clusters["doc_id"])
+    lab = dict(zip(clusters["doc_id"], clusters["cluster"]))
+    for _, r in multi.iterrows():
+        assert lab[r["doc_id"]] == r["cluster"]
