@@ -330,6 +330,109 @@ def range_join_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Forward as-of join with tolerance: each click's NEXT purchase by the
+# same user within a bounded horizon (the conversion-lookup join — "did this
+# click convert, and to which purchase?"). Complements the backward as-of
+# above: strict (> ts) direction, 7-day tolerance, unmatched probes kept
+# with NULLs. Joins forward WITHIN events (orders all predate the event
+# window in this corpus, so an events->orders forward join would be vacuous).
+
+ASOF_FWD_TOLERANCE_DAYS = 7
+ASOF_FWD_PROBE = "click"
+ASOF_FWD_TARGET = "purchase"
+
+ASOF_FWD_ORACLE_SQL = f"""
+WITH cand AS (
+  SELECT c.event_id, p.event_id AS p_id, p.ts AS p_ts,
+         ROW_NUMBER() OVER (PARTITION BY c.event_id
+                            ORDER BY p.ts ASC, p.event_id ASC) AS rn
+  FROM events c
+  JOIN events p
+    ON p.user_id = c.user_id
+   AND p.event_type = '{ASOF_FWD_TARGET}'
+   AND p.ts > c.ts
+   AND epoch_us(p.ts) - epoch_us(c.ts)
+       <= CAST({ASOF_FWD_TOLERANCE_DAYS} AS BIGINT) * 86400 * 1000000
+  WHERE c.event_type = '{ASOF_FWD_PROBE}'
+)
+SELECT e.event_id,
+       e.user_id,
+       c.p_id AS next_purchase_id,
+       CAST(c.p_ts AS VARCHAR) AS next_purchase_ts
+FROM events e
+LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c ON c.event_id = e.event_id
+WHERE e.event_type = '{ASOF_FWD_PROBE}'
+"""
+
+
+@register(
+    "asof_fwd_click_purchase",
+    oracle=ASOF_FWD_ORACLE_SQL,
+    doc="forward as-of join with tolerance: each click's next purchase "
+    "strictly after it and within 7 days (union + one forward-looking "
+    "window — never materializes click x purchase pairs; the oracle is "
+    "the naive inequality join + argmin)",
+)
+def asof_fwd_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward twin of ``asof_join_events_orders``: same union-then-window
+    device, but the window looks FORWARD (frame current row ->
+    unboundedFollowing, ``first(ignorenulls)``).  Sort key (ts, is_probe)
+    with targets = 0 < probes = 1 makes the direction STRICT: a purchase
+    at exactly the click's timestamp sorts BEFORE the click, lands
+    outside the forward frame, and does not match — the complement of
+    the backward join's inclusive boundary.  Equal-ts purchases tie-break
+    on event_id.  The 7-day tolerance is a post-window filter (NULLing
+    late matches), so the shuffle shape is unchanged:
+    O(|probes| + |targets|) rows, one sort per user partition, no pair
+    materialization at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    probe_side = ev.filter(F.col("event_type") == ASOF_FWD_PROBE).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("bigint").alias("t_id"),
+        F.lit(None).cast("timestamp").alias("t_ts"),
+        F.lit(1).alias("is_probe"),
+    )
+    target_side = ev.filter(F.col("event_type") == ASOF_FWD_TARGET).select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("event_id").alias("t_id"),
+        F.col("ts").alias("t_ts"),
+        F.lit(0).alias("is_probe"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe", F.col("t_id").asc_nulls_last())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    # microsecond horizon: unix_timestamp() truncates to seconds, which
+    # would disagree with the oracle's epoch_us boundary on sub-second gaps
+    horizon_us = ASOF_FWD_TOLERANCE_DAYS * 86400 * 1_000_000
+    return (
+        probe_side.unionByName(target_side)
+        .withColumn("next_purchase_id", F.first("t_id", ignorenulls=True).over(w))
+        .withColumn("next_p_ts", F.first("t_ts", ignorenulls=True).over(w))
+        .filter("is_probe = 1")
+        .withColumn(
+            "in_horizon",
+            (F.unix_micros("next_p_ts") - F.unix_micros("ts")) <= horizon_us,
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.when(F.col("in_horizon"), F.col("next_purchase_id"))
+            .cast("bigint")
+            .alias("next_purchase_id"),
+            F.when(F.col("in_horizon"), F.col("next_p_ts"))
+            .cast("string")
+            .alias("next_purchase_ts"),
+        )
+    )
+
+
 # --- Sliding windows, exact quantiles, and funnel analysis --------------------
 
 

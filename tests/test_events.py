@@ -151,3 +151,92 @@ def test_retention_days_right_censoring(spark):
     assert got[d0]["d1_retained"] == 1 and got[d0]["d1_rate"] == 1.0
     assert got[d0]["d7_retained"] is None and got[d0]["d14_rate"] is None
     assert got[d2]["d1_retained"] is None and got[d2]["d1_rate"] is None
+
+
+def test_asof_fwd_strictness_tolerance_and_direction(spark):
+    """Forward as-of semantics on a hand-built cohort: strict (> ts)
+    boundary, earliest-next selection, 7-day tolerance NULLing, and
+    probe users with no target passing through with NULLs."""
+    import datetime
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from serene_spark.operators.events import asof_fwd_click_purchase
+
+    t0 = datetime.datetime(2020, 6, 1, 12, 0, 0)
+    rows = [
+        # u1: purchase at the SAME instant (excluded, strict) + one 2 days out
+        (1, t0, 1, "click", 1.0, "{}"),
+        (10, t0, 1, "purchase", 5.0, "{}"),
+        (11, t0 + datetime.timedelta(days=2), 1, "purchase", 5.0, "{}"),
+        # u2: two purchases, earliest must win; equal-ts pair tie-breaks on id
+        (2, t0, 2, "click", 1.0, "{}"),
+        (21, t0 + datetime.timedelta(days=1), 2, "purchase", 5.0, "{}"),
+        (20, t0 + datetime.timedelta(days=1), 2, "purchase", 5.0, "{}"),
+        (22, t0 + datetime.timedelta(days=3), 2, "purchase", 5.0, "{}"),
+        # u3: next purchase 8 days out (> 7-day tolerance) -> NULL
+        (3, t0, 3, "click", 1.0, "{}"),
+        (30, t0 + datetime.timedelta(days=8), 3, "purchase", 5.0, "{}"),
+        # u4: no purchases at all
+        (4, t0, 4, "click", 1.0, "{}"),
+        (40, t0 + datetime.timedelta(days=1), 4, "view", 0.0, "{}"),
+    ]
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(ev).write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            r["event_id"]: r for r in asof_fwd_click_purchase(spark, d).collect()
+        }
+    assert set(got) == {1, 2, 3, 4}  # exactly the probes, one row each
+    assert got[1]["next_purchase_id"] == 11  # same-instant target skipped
+    assert got[2]["next_purchase_id"] == 20  # earliest ts, then min id
+    assert got[3]["next_purchase_id"] is None  # beyond tolerance
+    assert got[3]["next_purchase_ts"] is None
+    assert got[4]["next_purchase_id"] is None  # no targets
+
+
+def test_asof_fwd_corpus_invariants(spark):
+    """On the real corpus: every match is strictly in the future, within
+    the horizon, and is the EARLIEST qualifying purchase (pandas recheck);
+    the corpus must actually exercise both match and no-match paths."""
+    import pandas as pd
+
+    from serene_spark.catalog import load_table
+    from serene_spark.operators.events import (
+        ASOF_FWD_PROBE,
+        ASOF_FWD_TARGET,
+        ASOF_FWD_TOLERANCE_DAYS,
+        asof_fwd_click_purchase,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = asof_fwd_click_purchase(spark, sf).toPandas()
+    ev = load_table(spark, sf, "events").toPandas()
+    probes = ev[ev["event_type"] == ASOF_FWD_PROBE]
+    targets = ev[ev["event_type"] == ASOF_FWD_TARGET]
+    assert len(out) == len(probes)
+
+    horizon = pd.Timedelta(days=ASOF_FWD_TOLERANCE_DAYS)
+    t_by_user = dict(tuple(targets.groupby("user_id")))
+    ts = dict(zip(probes["event_id"], probes["ts"]))
+    n_matched = n_null = 0
+    for _, r in out.iterrows():
+        t = ts[r["event_id"]]
+        cands = t_by_user.get(r["user_id"])
+        exp = None
+        if cands is not None:
+            fut = cands[(cands["ts"] > t) & (cands["ts"] - t <= horizon)]
+            if len(fut):
+                first_ts = fut["ts"].min()
+                exp = int(fut[fut["ts"] == first_ts]["event_id"].min())
+        if exp is None:
+            n_null += 1
+            assert pd.isna(r["next_purchase_id"])
+        else:
+            n_matched += 1
+            assert int(r["next_purchase_id"]) == exp
+    assert n_matched > 0 and n_null > 0
