@@ -555,3 +555,94 @@ register(
     "(md5-ordered keyed rank — uniform, engine-independent, never a "
     "partition-order LIMIT)",
 )(_docs_query(exemplars_sql, spread=False))
+
+
+# --- Source-level quality profile: the host/domain filtering stage ----------
+
+SRC_PASS_RATE_MIN = 0.5   # keep a source only if >= half its docs pass quality
+SRC_DUP_RATE_MAX = 0.3    # ...and no more than 30% are exact duplicates
+
+
+def source_quality_sql(dialect: str) -> str:
+    """Per-source curation profile — the RefinedWeb/CCNet "filter at the
+    host level" stage: individual-document gates miss systematically bad
+    SOURCES (template farms, mirror hosts), which show up as low pass
+    rates and high duplicate rates in aggregate.  One profile row per
+    source: doc count, quality-gate pass rate, exact-duplicate rate
+    (corpus-wide md5 groups — a mirror host's copies count against IT,
+    not the canonical source, because only non-keeper docs are dups),
+    language spread + majority language, mean length, and the keep/drop
+    decision at the documented thresholds.
+
+    Scale shape (100 TB): three doc-keyed aggs (quality, lang, hash
+    keeper) joined doc-keyed, then ONE reduce to source cardinality;
+    the majority language comes from the (source, lang) count relation
+    (source x lang cardinality, never data-scale).  All rates are exact
+    integer-count divisions.
+    """
+    from serene_spark.operators.dedup import dedup_exact_sql, norm_expr
+    from serene_spark.operators.text_analysis import lang_id_sql, text_quality_sql
+
+    return f"""
+WITH q AS ({text_quality_sql(dialect)}),
+l AS ({lang_id_sql(dialect)}),
+k AS ({dedup_exact_sql(dialect)}),
+hashed AS (
+  SELECT doc_id, md5({norm_expr(dialect)}) AS text_hash FROM documents
+),
+flags AS (
+  SELECT d.source, d.doc_id, d.n_chars,
+         CAST(q.quality_pass AS INT) AS passes,
+         l.pred_lang,
+         CASE WHEN hx.doc_id = k.keeper_doc_id THEN 0 ELSE 1 END AS is_dup
+  FROM documents d
+  JOIN q ON q.doc_id = d.doc_id
+  JOIN l ON l.doc_id = d.doc_id
+  JOIN hashed hx ON hx.doc_id = d.doc_id
+  JOIN k ON k.text_hash = hx.text_hash
+),
+lang_counts AS (
+  SELECT source, pred_lang, COUNT(*) AS n
+  FROM flags GROUP BY source, pred_lang
+),
+major AS (
+  SELECT source, pred_lang AS top_lang, n AS top_lang_n
+  FROM (
+    SELECT source, pred_lang, n,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY n DESC, pred_lang ASC) AS rn
+    FROM lang_counts
+  ) r WHERE rn = 1
+),
+prof AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         SUM(passes) AS n_pass,
+         SUM(is_dup) AS n_dup,
+         SUM(n_chars) AS sum_chars,
+         COUNT(DISTINCT pred_lang) AS n_langs
+  FROM flags GROUP BY source
+)
+SELECT p.source,
+       CAST(p.n_docs AS BIGINT) AS n_docs,
+       ROUND(CAST(p.n_pass AS DOUBLE) / p.n_docs, 6) AS pass_rate,
+       ROUND(CAST(p.n_dup AS DOUBLE) / p.n_docs, 6) AS dup_rate,
+       ROUND(CAST(p.sum_chars AS DOUBLE) / p.n_docs, 6) AS mean_chars,
+       CAST(p.n_langs AS BIGINT) AS n_langs,
+       m.top_lang,
+       ROUND(CAST(m.top_lang_n AS DOUBLE) / p.n_docs, 6) AS top_lang_share,
+       CAST(CASE WHEN CAST(p.n_pass AS DOUBLE) / p.n_docs >= {SRC_PASS_RATE_MIN}
+                  AND CAST(p.n_dup AS DOUBLE) / p.n_docs <= {SRC_DUP_RATE_MAX}
+            THEN 1 ELSE 0 END AS INT) AS keep_source
+FROM prof p JOIN major m ON m.source = p.source
+ORDER BY p.source
+"""
+
+
+register(
+    "source_quality_profile",
+    oracle=source_quality_sql(DUCKDB),
+    doc="per-source curation profile (host-level filtering stage): quality "
+    "pass rate, exact-dup rate (non-keeper docs), language spread + "
+    "majority, mean length, keep/drop decision at documented thresholds",
+)(_docs_query(source_quality_sql))

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from serene_spark.catalog import register_views
-from serene_spark.functions.sqlgen import DUCKDB, SPARK, epoch_s, idiv
+from serene_spark.functions.sqlgen import DUCKDB, SPARK, epoch_s, explode_seq, idiv
 from serene_spark.registry import register
 
 MWU_SIDE_A = "click"
@@ -168,3 +168,83 @@ register(
     "event values across two types via the per-value count histogram "
     "in doubled-rank BIGINT units — ranks never assigned per row",
 )(_q(mwu_sql))
+
+
+# --- Benford first-digit conformity audit -----------------------------------
+
+
+def benford_sql(dialect: str) -> str:
+    """Benford's-law conformity audit over order totals — the classic
+    financial-forensics screen (fabricated or systematically generated
+    amounts rarely reproduce the log-uniform leading-digit law).  Reports
+    per-digit observed vs expected log10(1 + 1/d) shares, the chi-square
+    distance, and Nigrini's Mean Absolute Deviation statistic with his
+    published conformity bands (MAD <= 0.006 close, <= 0.012 acceptable,
+    <= 0.015 marginal, else nonconforming).
+
+    The leading digit comes from the DECIMAL's string form — log10 +
+    FLOOR would hinge on last-ulp libm behavior at exact powers of ten,
+    where the two engines could legitimately disagree; string extraction
+    is representation-exact.  The digit spine 1..9 is generated so
+    zero-count digits still contribute their expected share.  One scan to
+    a 9-row relation; every ratio an exact integer-count division.
+    """
+    first_digit = "substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING), 1, 1)"
+    return f"""
+WITH digits AS (
+  SELECT CAST({first_digit} AS INT) AS d, COUNT(*) AS n
+  FROM orders
+  WHERE o_totalprice > 0
+  GROUP BY 1
+),
+tot AS (SELECT SUM(n) AS n_tot FROM digits),
+spine AS (
+  SELECT {explode_seq(dialect, 1, 9)} AS d FROM (SELECT 1 AS one) o
+),
+cells AS (
+  SELECT s.d,
+         COALESCE(g.n, 0) AS n_obs,
+         CAST(COALESCE(g.n, 0) AS DOUBLE) / (SELECT n_tot FROM tot) AS obs_frac,
+         LOG10(1.0 + 1.0 / s.d) AS exp_frac
+  FROM spine s LEFT JOIN digits g ON g.d = s.d
+),
+stats AS (
+  SELECT ROUND(CAST(SUM(CAST(ROUND(
+             (n_obs - exp_frac * (SELECT n_tot FROM tot))
+             * (n_obs - exp_frac * (SELECT n_tot FROM tot))
+             / (exp_frac * (SELECT n_tot FROM tot)), 12) AS DECIMAL(28,12)))
+           AS DOUBLE), 6) AS chi2,
+         ROUND(CAST(SUM(CAST(ROUND(ABS(obs_frac - exp_frac) / 9, 12)
+                             AS DECIMAL(28,12))) AS DOUBLE), 6) AS mad
+  FROM cells
+)
+SELECT CAST(d AS INT) AS digit,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       ROUND(obs_frac, 6) AS obs_frac,
+       ROUND(exp_frac, 6) AS exp_frac,
+       (SELECT chi2 FROM stats) AS chi2_total,
+       (SELECT mad FROM stats) AS mad,
+       CASE WHEN (SELECT mad FROM stats) <= 0.006 THEN 'close'
+            WHEN (SELECT mad FROM stats) <= 0.012 THEN 'acceptable'
+            WHEN (SELECT mad FROM stats) <= 0.015 THEN 'marginal'
+            ELSE 'nonconforming' END AS conformity
+FROM cells
+ORDER BY d
+"""
+
+
+def _orders_q(sql_fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, ("orders",))
+        return spark.sql(sql_fn(SPARK))
+
+    return run
+
+
+register(
+    "benford_audit_prices",
+    oracle=benford_sql(DUCKDB),
+    doc="Benford first-digit conformity audit over order totals: "
+    "representation-exact digit extraction (never log10+FLOOR), "
+    "chi-square distance + Nigrini MAD conformity bands",
+)(_orders_q(benford_sql))

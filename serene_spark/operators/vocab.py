@@ -221,3 +221,81 @@ register(
     doc="per-dimension embedding audit: mean/std/min/max/zero-fraction "
     "with decimal-exact moment sums",
 )(_emb_query(embedding_dim_stats_sql))
+
+
+# --- int8 scalar quantization audit (the memory tier below PQ) --------------
+
+
+def embedding_sq8_audit_sql(dialect: str) -> str:
+    """Per-dimension INT8 scalar-quantization audit — the cheapest
+    embedding compression tier (4x over float32, below PQ's ~16x): each
+    dimension maps affinely onto codes 0..255 between its corpus min/max.
+    Before committing an index to SQ8, measure what it costs: this audit
+    reports per-dimension reconstruction error against the EXACT bound
+    step/2 = (max-min)/510 that round-to-nearest quantization guarantees.
+
+    Integer-exact throughout: values quantize to micro-units (the
+    embedding_dim_stats convention — float->DECIMAL casts diverge across
+    engines, double-multiply + FLOOR is IEEE-identical); the code is
+    round-half-up in pure BIGINT arithmetic
+    (code = (2*255*(x-min) + range) // (2*range)), and the reconstruction
+    error lives in the exact numerator space
+    err_255 = 255*(x-min) - code*range, so MSE/max-error aggregate as
+    integers (DECIMAL-cast sums) and only the final normalizations divide
+    in double.  Degenerate dimensions (max = min) emit code 0 / error 0.
+
+    Scale shape: one scan explodes to (dim, value) -> per-dim min/max
+    (64-key agg, map-side combined) -> broadcast-joined back -> per-dim
+    error agg.  Two passes over the corpus, both map-side combining to
+    64 rows per partition.
+    """
+    v = element_at(dialect, "embedding", "i")
+    return f"""
+WITH dims AS (
+  SELECT i, CAST(FLOOR(CAST({v} AS DOUBLE) * 1000000) AS BIGINT) AS x
+  FROM (
+    SELECT embedding, {explode_seq(dialect, 1, EMB_DIM)} AS i FROM embeddings
+  ) e
+),
+edges AS (
+  SELECT i, MIN(x) AS lo, MAX(x) AS hi, MAX(x) - MIN(x) AS rng
+  FROM dims GROUP BY i
+),
+coded AS (
+  SELECT d.i, d.x, e.lo, e.hi, e.rng,
+         CASE WHEN e.rng = 0 THEN 0
+              ELSE CAST(FLOOR((2 * 255 * CAST(d.x - e.lo AS DOUBLE)
+                               + e.rng) / (2 * e.rng)) AS BIGINT)
+              END AS code
+  FROM dims d JOIN edges e ON d.i = e.i
+),
+errs AS (
+  SELECT i, lo, hi, rng, code,
+         255 * (x - lo) - code * rng AS err_255
+  FROM coded
+)
+SELECT CAST(i AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(MIN(lo) AS DOUBLE) / 1e6, 6) AS min_x,
+       ROUND(CAST(MAX(hi) AS DOUBLE) / 1e6, 6) AS max_x,
+       CAST(MIN(code) AS BIGINT) AS min_code,
+       CAST(MAX(code) AS BIGINT) AS max_code,
+       ROUND(sqrt(CAST(SUM(CAST(err_255 AS DECIMAL(38,0)) * err_255) AS DOUBLE)
+                  / COUNT(*)) / (255.0 * 1e6), 6) AS rms_err,
+       ROUND(CAST(MAX(ABS(err_255)) AS DOUBLE) / (255.0 * 1e6), 6) AS max_abs_err,
+       ROUND(CAST(MAX(rng) AS DOUBLE) / (510.0 * 1e6), 6) AS err_bound,
+       CAST(CASE WHEN MAX(ABS(err_255)) * 510 <= MAX(rng) * 255 + 255
+            THEN 1 ELSE 0 END AS INT) AS within_bound
+FROM errs
+GROUP BY i
+ORDER BY i
+"""
+
+
+register(
+    "embedding_sq8_audit",
+    oracle=embedding_sq8_audit_sql(DUCKDB),
+    doc="per-dimension INT8 scalar-quantization audit: round-half-up codes "
+    "and reconstruction error in exact integer numerator space, measured "
+    "against the step/2 bound round-to-nearest guarantees",
+)(_emb_query(embedding_sq8_audit_sql))

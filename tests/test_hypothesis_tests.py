@@ -124,3 +124,57 @@ def test_mwu_detects_injected_shift():
         cum += t
     u_int = (ra2 - len(a) * (len(a) + 1)) / 2.0
     assert abs(u_int - u_a) < 1e-9
+
+
+def test_benford_matches_numpy(spark):
+    out = load_all()["benford_audit_prices"].spark(spark, SF).toPandas()
+    from serene_spark.catalog import load_table
+
+    od = load_table(spark, SF, "orders").toPandas()
+    first = od["o_totalprice"].round(2).astype(str).str[0].astype(int)
+    n = len(first)
+    assert len(out) == 9
+    exp = np.log10(1 + 1 / np.arange(1, 10))
+    obs = np.array([(first == d).sum() for d in range(1, 10)])
+    assert (out.sort_values("digit")["n_obs"].to_numpy() == obs).all()
+    chi2 = (((obs - exp * n) ** 2) / (exp * n)).sum()
+    mad = np.abs(obs / n - exp).mean()
+    assert abs(out["chi2_total"].iloc[0] - chi2) < 2e-6
+    assert abs(out["mad"].iloc[0] - mad) < 2e-6
+    band = out["conformity"].iloc[0]
+    m = out["mad"].iloc[0]
+    expect = (
+        "close" if m <= 0.006 else
+        "acceptable" if m <= 0.012 else
+        "marginal" if m <= 0.015 else "nonconforming"
+    )
+    assert band == expect
+
+
+def test_benford_separates_conforming_from_uniform(spark):
+    """A log-uniform (Benford-conforming by construction) sample must land
+    in the close band; a uniform sample must be flagged nonconforming."""
+    import pandas as pd
+
+    from serene_spark.functions.sqlgen import SPARK as SPARK_D
+    from serene_spark.operators.hypothesis_tests import benford_sql
+
+    rng = np.random.default_rng(3)
+
+    def run(prices):
+        df = pd.DataFrame(
+            {"o_orderkey": np.arange(len(prices)) + 1, "o_totalprice": prices}
+        )
+        sdf = spark.createDataFrame(df)
+        sdf.createOrReplaceTempView("orders")
+        got = spark.sql(benford_sql(SPARK_D)).toPandas()
+        spark.catalog.dropTempView("orders")
+        return got
+
+    benford = np.round(10 ** rng.uniform(2, 6, 20000), 2)  # log-uniform
+    uniform = np.round(rng.uniform(100, 999, 20000), 2)    # first digits 1-9 uniform
+    b = run(benford)
+    u = run(uniform)
+    assert b["mad"].iloc[0] <= 0.006 and b["conformity"].iloc[0] == "close"
+    assert u["mad"].iloc[0] > 0.015 and u["conformity"].iloc[0] == "nonconforming"
+    assert u["chi2_total"].iloc[0] > b["chi2_total"].iloc[0] * 10

@@ -104,3 +104,42 @@ def test_bpe_trainer_matches_python_reference(spark):
     sample = vocab.orderBy("word").limit(20).collect()
     for r in sample:
         assert r["syms"] == words[r["word"]], r["word"]
+
+
+def test_embedding_sq8_audit_numpy_reference(spark, sf_dir):
+    """SQ8 codes and errors recomputed in numpy micro-unit space; the
+    round-to-nearest bound step/2 must hold on every dimension."""
+    import numpy as np
+
+    from serene_spark.catalog import load_table
+    from serene_spark.registry import load_all
+
+    out = (
+        load_all()["embedding_sq8_audit"].spark(spark, sf_dir).toPandas()
+        .sort_values("dim").reset_index(drop=True)
+    )
+    emb = load_table(spark, sf_dir, "embeddings").toPandas()
+    mat = np.array(emb["embedding"].tolist(), dtype=np.float32).astype(np.float64)
+    micro = np.floor(mat * 1_000_000).astype(np.int64)
+
+    assert (out["within_bound"] == 1).all()
+    for _, r in out.iterrows():
+        x = micro[:, int(r["dim"]) - 1]
+        lo, hi = int(x.min()), int(x.max())
+        rng = hi - lo
+        assert abs(r["min_x"] - round(lo / 1e6, 6)) < 1e-9
+        assert abs(r["max_x"] - round(hi / 1e6, 6)) < 1e-9
+        if rng == 0:
+            assert r["rms_err"] == 0.0
+            continue
+        code = (2 * 255 * (x - lo) + rng) // (2 * rng)
+        assert r["min_code"] == code.min() and r["max_code"] == code.max()
+        assert 0 <= code.min() and code.max() <= 255
+        err255 = 255 * (x - lo) - code * rng
+        rms = np.sqrt((err255.astype(np.float64) ** 2).mean()) / (255.0 * 1e6)
+        assert abs(r["rms_err"] - round(rms, 6)) < 2e-6
+        assert abs(
+            r["max_abs_err"] - round(np.abs(err255).max() / (255.0 * 1e6), 6)
+        ) < 2e-6
+        # the round-to-nearest guarantee, in exact integer space
+        assert np.abs(err255).max() * 2 <= rng * 255 + 255
