@@ -150,3 +150,91 @@ register(
     "splits) + Gini coefficient from the grouped Lorenz curve, "
     "zero-revenue customers included",
 )(_q(concentration_sql, ("customer", "orders")))
+
+
+def boxplot_sql(dialect: str) -> str:
+    """Per-segment boxplot statistics (Tukey 1977): exact quartiles,
+    1.5-IQR whiskers, and outlier counts over order totals by market
+    segment — the grouped-distribution summary every BI layer asks for.
+
+    Quartiles use the engine's exact count-histogram quantile (value at
+    the smallest cumulative count >= ceil(q*n/4), over the per-segment
+    DISTINCT-value relation) — never percentile_cont/disc, whose
+    interpolation conventions diverge across engines.  Whiskers are the
+    extreme values still inside the Tukey fences (q1/q3 -/+ 1.5*IQR);
+    fences are computed in DOUBLE from the exact decimal quartiles (both
+    engines derive the identical double, so the comparisons agree), and
+    outliers are counted from the histogram, never per row.
+
+    Scale shape: one orders scan + broadcast customer-dim join reduce to
+    the (segment, value) histogram; every window after that is
+    histogram-sized and keyed by segment.
+    """
+    return f"""
+WITH joined AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS v
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+hist AS (
+  SELECT seg, v, COUNT(*) AS c FROM joined GROUP BY seg, v
+),
+cum AS (
+  SELECT seg, v, c,
+         SUM(c) OVER (PARTITION BY seg ORDER BY v) AS cc,
+         SUM(c) OVER (PARTITION BY seg) AS n
+  FROM hist
+),
+quart AS (
+  SELECT seg,
+         MAX(n) AS n,
+         MIN(v) AS min_v,
+         MAX(v) AS max_v,
+         MIN(CASE WHEN cc >= ceil(1.0 * n / 4) THEN v END) AS q1,
+         MIN(CASE WHEN cc >= ceil(2.0 * n / 4) THEN v END) AS med,
+         MIN(CASE WHEN cc >= ceil(3.0 * n / 4) THEN v END) AS q3
+  FROM cum GROUP BY seg
+),
+fences AS (
+  SELECT seg, n, min_v, max_v, q1, med, q3,
+         CAST(q1 AS DOUBLE) - 1.5 * (CAST(q3 AS DOUBLE) - CAST(q1 AS DOUBLE))
+           AS lo_fence,
+         CAST(q3 AS DOUBLE) + 1.5 * (CAST(q3 AS DOUBLE) - CAST(q1 AS DOUBLE))
+           AS hi_fence
+  FROM quart
+),
+wh AS (
+  SELECT h.seg,
+         MIN(CASE WHEN CAST(h.v AS DOUBLE) >= f.lo_fence THEN h.v END)
+           AS lo_whisker,
+         MAX(CASE WHEN CAST(h.v AS DOUBLE) <= f.hi_fence THEN h.v END)
+           AS hi_whisker,
+         SUM(CASE WHEN CAST(h.v AS DOUBLE) < f.lo_fence
+                    OR CAST(h.v AS DOUBLE) > f.hi_fence
+                  THEN h.c ELSE 0 END) AS n_outliers
+  FROM hist h JOIN fences f ON f.seg = h.seg
+  GROUP BY h.seg
+)
+SELECT f.seg AS mktsegment,
+       CAST(f.n AS BIGINT) AS n,
+       CAST(f.min_v AS DOUBLE) AS min_x,
+       CAST(f.q1 AS DOUBLE) AS q1,
+       CAST(f.med AS DOUBLE) AS median,
+       CAST(f.q3 AS DOUBLE) AS q3,
+       CAST(f.max_v AS DOUBLE) AS max_x,
+       ROUND(CAST(f.q3 AS DOUBLE) - CAST(f.q1 AS DOUBLE), 6) AS iqr,
+       CAST(w.lo_whisker AS DOUBLE) AS lo_whisker,
+       CAST(w.hi_whisker AS DOUBLE) AS hi_whisker,
+       CAST(w.n_outliers AS BIGINT) AS n_outliers
+FROM fences f JOIN wh w ON w.seg = f.seg
+ORDER BY f.seg
+"""
+
+
+register(
+    "boxplot_orders_by_segment",
+    oracle=boxplot_sql(DUCKDB),
+    doc="per-segment Tukey boxplot stats: exact count-histogram quartiles "
+    "(never percentile_cont's divergent interpolation), 1.5-IQR "
+    "whiskers, histogram-counted outliers",
+)(_q(boxplot_sql, ("orders", "customer")))

@@ -186,3 +186,45 @@ def test_revenue_mom(spark, sf_dir):
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s"
     ).collect()[0]["s"]
     assert abs(total - expected) < 0.01
+
+
+def test_boxplot_matches_pandas(spark):
+    """Boxplot stats recomputed independently: ceil-rank quartiles, Tukey
+    fences, whiskers, outlier counts."""
+    import math
+
+    import numpy as np
+
+    from serene_spark.catalog import load_table
+    from serene_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    out = load_all()["boxplot_orders_by_segment"].spark(spark, sf).toPandas()
+    od = load_table(spark, sf, "orders").toPandas()
+    cu = load_table(spark, sf, "customer").toPandas()
+    df = od.merge(cu, left_on="o_custkey", right_on="c_custkey")
+    df["v"] = df["o_totalprice"].round(2)
+
+    assert len(out) == df["c_mktsegment"].nunique()
+    for _, r in out.iterrows():
+        vals = np.sort(df[df["c_mktsegment"] == r["mktsegment"]]["v"].to_numpy())
+        n = len(vals)
+        assert r["n"] == n
+
+        def q_at(q):  # value at the smallest cumulative count >= ceil(q*n/4)
+            return vals[math.ceil(q * n / 4) - 1]
+
+        assert abs(r["q1"] - q_at(1)) < 1e-9
+        assert abs(r["median"] - q_at(2)) < 1e-9
+        assert abs(r["q3"] - q_at(3)) < 1e-9
+        assert abs(r["min_x"] - vals[0]) < 1e-9
+        assert abs(r["max_x"] - vals[-1]) < 1e-9
+        iqr = q_at(3) - q_at(1)
+        lo_f, hi_f = q_at(1) - 1.5 * iqr, q_at(3) + 1.5 * iqr
+        inside = vals[(vals >= lo_f) & (vals <= hi_f)]
+        assert abs(r["lo_whisker"] - inside.min()) < 1e-9
+        assert abs(r["hi_whisker"] - inside.max()) < 1e-9
+        assert r["n_outliers"] == int(((vals < lo_f) | (vals > hi_f)).sum())
+        # structural sanity
+        assert r["min_x"] <= r["lo_whisker"] <= r["q1"] <= r["median"] \
+            <= r["q3"] <= r["hi_whisker"] <= r["max_x"]
