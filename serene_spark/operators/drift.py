@@ -256,3 +256,76 @@ register(
     doc=f"Population Stability Index over {PSI_BINS} shared equi-width "
     "bins, Laplace-smoothed, decimal-exact term sums",
 )(_events_query(drift_psi_sql))
+
+
+def mad_outliers_sql(dialect: str) -> str:
+    """Robust daily-revenue outliers via the modified z-score
+    0.6745*(x - median)/MAD, flagged at |z| > 3.5 (Iglewicz & Hoaglin
+    1993) — the robust sibling of the mean/std hourly-anomaly gate:
+    median/MAD have a 50% breakdown point, so the outliers themselves
+    cannot drag the threshold the way they inflate a standard deviation.
+
+    Both the median and the MAD are EXACT count-histogram medians
+    (value at cumulative count >= ceil(n/2)) — two passes over the tiny
+    per-day relation, no percentile_cont.  Deviations |x - med| stay in
+    exact DECIMAL; only the final z divides in double.  MAD = 0
+    (majority-constant series) guards to NULL z with outlier =
+    (x != median).  Observed days only: this detector asks "which
+    TRADING days were anomalous", while the CUSUM sibling standardizes
+    over the full calendar spine to locate level breaks.
+
+    Scale shape: one orders scan to the day relation; both medians are
+    windows over the day-cardinality histogram.
+    """
+    day = f"CAST(FLOOR(({epoch_s(dialect, 'o_orderdate')}) / 86400.0) AS BIGINT)"
+    return f"""
+WITH per_day AS (
+  SELECT {day} AS day, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY {day}
+),
+med AS (
+  SELECT MIN(CASE WHEN cc >= ceil(n / 2.0) THEN rev END) AS m
+  FROM (
+    SELECT rev, SUM(c) OVER (ORDER BY rev) AS cc, SUM(c) OVER () AS n
+    FROM (SELECT rev, COUNT(*) AS c FROM per_day GROUP BY rev) h
+  ) t
+),
+devs AS (
+  SELECT day, rev,
+         ABS(CAST(rev AS DECIMAL(19,2)) - (SELECT m FROM med)) AS adev
+  FROM per_day
+),
+madv AS (
+  SELECT MIN(CASE WHEN cc >= ceil(n / 2.0) THEN adev END) AS mad
+  FROM (
+    SELECT adev, SUM(c) OVER (ORDER BY adev) AS cc, SUM(c) OVER () AS n
+    FROM (SELECT adev, COUNT(*) AS c FROM devs GROUP BY adev) h
+  ) t
+)
+SELECT CAST(day AS BIGINT) AS epoch_day,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST((SELECT m FROM med) AS DOUBLE) AS median_rev,
+       CAST((SELECT mad FROM madv) AS DOUBLE) AS mad,
+       CASE WHEN (SELECT mad FROM madv) = 0 THEN NULL
+            ELSE ROUND(0.6745 * CAST(CAST(rev AS DECIMAL(19,2))
+                                     - (SELECT m FROM med) AS DOUBLE)
+                       / CAST((SELECT mad FROM madv) AS DOUBLE), 6)
+            END AS robust_z,
+       CAST(CASE WHEN (SELECT mad FROM madv) = 0
+                 THEN CASE WHEN rev <> (SELECT m FROM med) THEN 1 ELSE 0 END
+                 WHEN ABS(0.6745 * CAST(CAST(rev AS DECIMAL(19,2))
+                                        - (SELECT m FROM med) AS DOUBLE)
+                          / CAST((SELECT mad FROM madv) AS DOUBLE)) > 3.5
+                 THEN 1 ELSE 0 END AS INT) AS is_outlier
+FROM devs
+ORDER BY day
+"""
+
+
+register(
+    "robust_outliers_daily",
+    oracle=mad_outliers_sql(DUCKDB),
+    doc="robust daily-revenue outliers: modified z-score via EXACT "
+    "count-histogram median and MAD (50% breakdown — outliers cannot "
+    "drag the threshold), |z| > 3.5 Iglewicz-Hoaglin gate",
+)(_orders_query(mad_outliers_sql))

@@ -491,3 +491,54 @@ WHERE c.n_tokens > 0
 register("corpus_chunks", oracle=corpus_chunks_sql(DUCKDB),
          doc="end-to-end training sequences: corpus_select keepers chunked "
              "into overlapping token windows")(_sql_query(corpus_chunks_sql))
+
+
+def readability_sql(dialect: str) -> str:
+    """Flesch reading-ease + Flesch-Kincaid grade per document — the
+    readability feature every quality-filter stack carries beside the
+    ratio gates (Flesch 1948; Kincaid et al. 1975):
+
+        ease  = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)
+        grade = 0.39*(words/sentences) + 11.8*(syllables/words) - 15.59
+
+    Counting conventions (deterministic, regex-only — a dictionary
+    syllabifier is not expressible engine-side and the heuristic is the
+    standard production shortcut): words = alphabetic runs, sentences =
+    terminator runs [.!?]+, syllables ~= vowel-group runs [aeiouy]+ over
+    the lowercased text.  Terminator-free documents count as ONE sentence
+    (GREATEST guard), empty documents emit NULL scores rather than fake
+    zeros.  One scan, three regex counts per row, no joins; ratios are
+    exact integer divisions rounded at 6 dp.
+    """
+    words = re_extract_all_count(dialect, "lower(text)", "[a-z]+")
+    sents = re_extract_all_count(dialect, "text", "[.!?]+")
+    syls = re_extract_all_count(dialect, "lower(text)", "[aeiouy]+")
+    return f"""
+WITH counts AS (
+  SELECT doc_id,
+         CAST({words} AS BIGINT) AS n_words,
+         GREATEST(CAST({sents} AS BIGINT), 1) AS n_sentences,
+         CAST({syls} AS BIGINT) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words = 0 THEN NULL
+            ELSE ROUND(206.835
+                       - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                       - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+            END AS flesch_ease,
+       CASE WHEN n_words = 0 THEN NULL
+            ELSE ROUND(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                       + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+                       - 15.59, 6)
+            END AS fk_grade
+FROM counts
+ORDER BY doc_id
+"""
+
+
+register("readability_scores", oracle=readability_sql(DUCKDB),
+         doc="Flesch reading-ease + Flesch-Kincaid grade per document via "
+             "deterministic regex counting (vowel-group syllables, "
+             "terminator-run sentences with a >=1 guard)")(
+    _sql_query(readability_sql))

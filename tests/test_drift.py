@@ -197,3 +197,56 @@ def test_cusum_locates_injected_level_shift(spark):
     # global minimum; the bridge closes back to ~0 at the horizon
     assert out["cusum"].iloc[:250].min() == out["cusum"].min()
     assert abs(out["cusum"].iloc[-1]) < 1e-4
+
+
+def test_mad_outliers_matches_numpy(spark):
+    """Median/MAD/modified-z recomputed independently; the ceil-rank
+    median convention must match exactly."""
+    out = (
+        load_all()["robust_outliers_daily"].spark(spark, SF).toPandas()
+        .sort_values("epoch_day").reset_index(drop=True)
+    )
+    rev = out["revenue"].to_numpy()
+    sv = np.sort(rev)
+    med = sv[int(np.ceil(len(sv) / 2)) - 1]  # value at cc >= ceil(n/2)
+    adev = np.sort(np.round(np.abs(rev - med), 2))
+    mad = adev[int(np.ceil(len(adev) / 2)) - 1]
+    assert abs(out["median_rev"].iloc[0] - med) < 1e-9
+    assert abs(out["mad"].iloc[0] - mad) < 1e-9
+    z = 0.6745 * (rev - med) / mad
+    assert np.abs(out["robust_z"].to_numpy() - np.round(z, 6)).max() < 2e-6
+    assert (out["is_outlier"].to_numpy() == (np.abs(z) > 3.5).astype(int)).all()
+
+
+def test_mad_outliers_resist_contamination(spark):
+    """The robust property itself: injecting extreme days must NOT move
+    the median/MAD materially (50% breakdown), and the injected days must
+    all be flagged — the mean/std detector's threshold would have been
+    dragged by the same contamination."""
+    import datetime
+
+    import pandas as pd
+
+    from serene_spark.functions.sqlgen import SPARK as SPARK_D
+    from serene_spark.operators.drift import mad_outliers_sql
+
+    rng = np.random.default_rng(5)
+    base = datetime.datetime(2021, 1, 1)
+    rows = []
+    k = 0
+    for i in range(300):
+        price = float(np.round(rng.normal(1000, 50), 2))
+        rows.append((k := k + 1, base + datetime.timedelta(days=i), price))
+    # 20 contaminated days at 100x
+    for i in range(300, 320):
+        rows.append((k := k + 1, base + datetime.timedelta(days=i), 100000.0))
+    df = pd.DataFrame(rows, columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+    spark.createDataFrame(df).createOrReplaceTempView("orders")
+    out = spark.sql(mad_outliers_sql(SPARK_D)).toPandas()
+    spark.catalog.dropTempView("orders")
+    flagged = out[out["revenue"] >= 99999.0]
+    assert len(flagged) == 20 and (flagged["is_outlier"] == 1).all()
+    assert abs(out["median_rev"].iloc[0] - 1000) < 25  # unmoved by contamination
+    # clean days essentially unflagged
+    clean = out[out["revenue"] < 99999.0]
+    assert clean["is_outlier"].mean() < 0.02
