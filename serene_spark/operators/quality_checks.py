@@ -227,3 +227,80 @@ register(
     doc="referential-integrity audit: orphan counts for every FK edge of "
     "the star schema via broadcast anti-joins",
 )(_q(dq_fk_orphans_sql, _DQ_TABLES))
+
+
+# --- k-anonymity / l-diversity audit (privacy governance) -------------------
+
+KANON_K = 5   # a quasi-identifier group smaller than k re-identifies
+LDIV_L = 3    # a group with < l distinct sensitive values leaks by inference
+
+
+def k_anonymity_sql(dialect: str) -> str:
+    """k-anonymity + l-diversity audit over the customer table before any
+    data release (Sweeney 2002; Machanavajjhala et al. 2007) — the
+    governance sibling of the PII scan: that one finds DIRECT identifiers,
+    this one measures how re-identifiable the remaining quasi-identifiers
+    (nation x market segment x balance band) leave each row, and whether
+    small groups also leak their sensitive attribute (exact balance) by
+    inference.
+
+    Output: one row per QI equivalence class with its size, distinct
+    sensitive count, and the two flags; corpus-level risk shares repeated
+    on every row (frac of ROWS, not groups, below k — the re-id exposure
+    a release would carry).
+
+    Scale shape: one scan -> QI-keyed agg (map-side combined); the
+    summary is a scalar subquery over the group relation.  Balance bands
+    quantize as FLOOR over the exact double (cents are < 2^53, so the
+    double is exact and the division/FLOOR IEEE-identical on both
+    engines) — never DECIMAL division, whose scale rules diverge.
+    """
+    band = ("CAST(FLOOR(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE)"
+            " / 1000) AS BIGINT)")
+    return f"""
+WITH classes AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         {band} AS balance_band,
+         COUNT(*) AS class_size,
+         COUNT(DISTINCT CAST(c_acctbal AS DECIMAL(18,2))) AS n_sensitive
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment, {band}
+),
+summary AS (
+  SELECT SUM(CASE WHEN class_size < {KANON_K} THEN class_size ELSE 0 END) AS rows_below_k,
+         SUM(class_size) AS n_rows,
+         MIN(class_size) AS min_class
+  FROM classes
+)
+SELECT CAST(nation AS BIGINT) AS nation,
+       segment,
+       balance_band,
+       CAST(class_size AS BIGINT) AS class_size,
+       CAST(n_sensitive AS BIGINT) AS n_sensitive,
+       CAST(CASE WHEN class_size >= {KANON_K} THEN 1 ELSE 0 END AS INT)
+         AS k_anonymous,
+       CAST(CASE WHEN n_sensitive >= {LDIV_L} THEN 1 ELSE 0 END AS INT)
+         AS l_diverse,
+       ROUND(CAST((SELECT rows_below_k FROM summary) AS DOUBLE)
+             / (SELECT n_rows FROM summary), 6) AS frac_rows_below_k,
+       CAST((SELECT min_class FROM summary) AS BIGINT) AS min_class_size
+FROM classes
+ORDER BY nation, segment, balance_band
+"""
+
+
+def _customer_q(sql_fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, ("customer",))
+        return spark.sql(sql_fn(SPARK))
+
+    return run
+
+
+register(
+    "k_anonymity_audit",
+    oracle=k_anonymity_sql(DUCKDB),
+    doc=f"k-anonymity (k={KANON_K}) + l-diversity (l={LDIV_L}) audit over "
+    "quasi-identifier classes (nation x segment x balance band): class "
+    "sizes, sensitive diversity, row-level re-identification exposure",
+)(_customer_q(k_anonymity_sql))

@@ -120,3 +120,80 @@ def test_dq_fk_dimension_joins_broadcast_and_one_scan_per_child(spark):
     m = re.search(r"FileScan parquet \[([^\]]*)\][^\n]*lineitem\.parquet", plan)
     read_cols = {c.split("#")[0] for c in m.group(1).split(",")}
     assert read_cols == {"l_orderkey", "l_partkey", "l_suppkey"}
+
+
+def test_k_anonymity_pandas_recheck(spark, sf_dir):
+    """Class sizes, diversity, flags, and the row-level exposure share
+    recomputed independently with pandas."""
+    import numpy as np
+
+    from serene_spark.catalog import load_table
+    from serene_spark.operators.quality_checks import KANON_K, LDIV_L
+    from serene_spark.registry import load_all
+
+    out = load_all()["k_anonymity_audit"].spark(spark, sf_dir).toPandas()
+    cu = load_table(spark, sf_dir, "customer").toPandas()
+    cu["bal"] = cu["c_acctbal"].round(2)
+    cu["band"] = np.floor(cu["bal"] / 1000).astype(int)
+    g = (
+        cu.groupby(["c_nationkey", "c_mktsegment", "band"])
+        .agg(size=("c_custkey", "size"), nsens=("bal", "nunique"))
+        .reset_index()
+    )
+    assert len(out) == len(g)
+    ref = {
+        (r["c_nationkey"], r["c_mktsegment"], r["band"]): (r["size"], r["nsens"])
+        for _, r in g.iterrows()
+    }
+    for _, r in out.iterrows():
+        size, nsens = ref[(r["nation"], r["segment"], r["balance_band"])]
+        assert r["class_size"] == size
+        assert r["n_sensitive"] == nsens
+        assert r["k_anonymous"] == int(size >= KANON_K)
+        assert r["l_diverse"] == int(nsens >= LDIV_L)
+    below = g[g["size"] < KANON_K]["size"].sum()
+    assert abs(out["frac_rows_below_k"].iloc[0] - round(below / len(cu), 6)) < 1e-9
+    assert out["min_class_size"].iloc[0] == g["size"].min()
+    # row conservation: class sizes cover every customer exactly once
+    assert int(out["class_size"].sum()) == len(cu)
+    # this corpus's banded balances are nearly unique -> the audit must
+    # report heavy exposure, which is the correct (and useful) reading
+    assert out["frac_rows_below_k"].iloc[0] > 0.9
+
+
+def test_k_anonymity_flags_on_constructed_classes(spark):
+    """A fixture with one large diverse class, one large uniform class,
+    and one singleton must produce exactly the right flag matrix."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from serene_spark.functions.sqlgen import SPARK as SPARK_D
+    from serene_spark.operators.quality_checks import k_anonymity_sql
+
+    rows = []
+    cid = 0
+    # class A: nation 1 / seg X / band 0 — size 10, all-distinct balances
+    for i in range(10):
+        rows.append((cid := cid + 1, "c", 1, 100.0 + i, "X"))
+    # class B: nation 2 / seg Y / band 0 — size 8, single balance value
+    for _ in range(8):
+        rows.append((cid := cid + 1, "c", 2, 500.0, "Y"))
+    # class C: nation 3 / seg Z — singleton
+    rows.append((cid := cid + 1, "c", 3, 900.0, "Z"))
+    df = pd.DataFrame(
+        rows, columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(df).write.parquet(os.path.join(d, "customer.parquet"))
+        from serene_spark.catalog import register_views
+
+        register_views(spark, d, ("customer",))
+        out = spark.sql(k_anonymity_sql(SPARK_D)).toPandas()
+    by = out.set_index("nation")
+    assert by.loc[1, "k_anonymous"] == 1 and by.loc[1, "l_diverse"] == 1
+    assert by.loc[2, "k_anonymous"] == 1 and by.loc[2, "l_diverse"] == 0  # uniform leaks
+    assert by.loc[3, "k_anonymous"] == 0  # singleton re-identifies
+    assert abs(out["frac_rows_below_k"].iloc[0] - round(1 / 19, 6)) < 1e-9
+    assert out["min_class_size"].iloc[0] == 1
