@@ -357,3 +357,77 @@ def test_skew_and_cbo_audits_no_cartesian(spark, sf_dir):
         # everything else must be free of cross products
         if name != "zorder_skip_estimate":
             assert not has_cartesian(df), name
+
+
+def test_new_session_ops_no_cartesian(spark, sf_dir):
+    """The round-4 additions that must stay keyed/broadcast at scale.
+    chisq's margin-cross grid and benford's digit spine are deliberate
+    tiny-relation crosses (margin x margin / 9-row), so they are exempt;
+    everything else must plan without a cross product."""
+    from serene_spark.registry import load_all
+
+    for name in (
+        "km_order_gap",
+        "km_order_gap_by_segment",
+        "mannwhitney_value",
+        "cusum_daily_revenue",
+        "robust_outliers_daily",
+        "asof_fwd_click_purchase",
+        "source_quality_profile",
+        "embedding_sq8_audit",
+        "boxplot_orders_by_segment",
+        "readability_scores",
+        "k_anonymity_audit",
+    ):
+        df = load_all()[name].spark(spark, sf_dir)
+        assert not has_cartesian(df), name
+
+
+def test_km_segment_windows_are_segment_keyed(spark, sf_dir):
+    """The stratified KM curve must partition every cumulative window by
+    segment — a global window would serialize all strata through one
+    task (the overall curve's single-partition window is the documented
+    duration-histogram exception)."""
+    import re
+
+    from serene_spark.registry import load_all
+
+    df = load_all()["km_order_gap_by_segment"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    # every risk/product window carries the seg partition key
+    assert all("seg" in s or "o_custkey" in s for s in specs), plan
+
+
+def test_boxplot_broadcasts_customer_dim(spark, sf_dir):
+    from serene_spark.registry import load_all
+
+    df = load_all()["boxplot_orders_by_segment"].spark(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    assert not has_cartesian(df)
+
+
+def test_readability_is_map_only(spark, sf_dir):
+    """Three regex counts per row, no joins: the plan must contain no
+    join at all and keep whole-stage codegen."""
+    from serene_spark.registry import load_all
+
+    df = load_all()["readability_scores"].spark(spark, sf_dir)
+    plan = plan_text(df)
+    assert "Join" not in plan, plan
+    assert has_codegen(df)
+
+
+def test_canonical_select_windows_are_cluster_keyed(spark, sf_dir):
+    """Keeper selection must partition by cluster id (components are
+    tiny); a global window would funnel the corpus through one task."""
+    import re
+
+    from serene_spark.registry import load_all
+
+    df = load_all()["dedup_canonical_select"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    assert all("cluster" in s for s in specs), plan
