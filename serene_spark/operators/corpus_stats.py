@@ -335,3 +335,81 @@ register(
     "orders' customer keys probed against all customers: zero false "
     "negatives, FPR vs ground truth — the runtime-filter pruning pattern",
 )(_bloom)
+
+
+# --- Zipf-law fit over the token frequency distribution ---------------------
+
+ZIPF_TOP_N = 500  # fit over the head; the hapax tail is quantization noise
+
+
+def zipf_fit_sql(dialect: str) -> str:
+    """Zipf exponent of the corpus token distribution — log-log least
+    squares of frequency against rank over the top-{ZIPF_TOP_N} types
+    (Zipf 1949; natural text sits near s = 1, templated or synthetic
+    text drifts off).  The number summarizes what the CMS/heavy-hitter
+    family measures pointwise: how concentrated the vocabulary is.
+
+    One corpus scan reduces to the (token, freq) vocabulary relation;
+    the rank and the regression sums are vocabulary-head-sized.  Rank is
+    deterministic (freq DESC, token ASC).  Regression moments are
+    12-dp-rounded DECIMAL sums of LN terms (the engine's log-sum
+    convention); slope/intercept/R^2 divide once in double.  The fitted
+    slope is emitted as the POSITIVE Zipf exponent s.
+    """
+    return f"""
+WITH {tokens_rel(dialect)},
+vocab AS (
+  SELECT tok, COUNT(*) AS freq FROM tokens GROUP BY tok
+),
+ranked AS (
+  SELECT freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, tok ASC) AS rnk
+  FROM vocab
+),
+pts AS (
+  SELECT CAST(ROUND(LN(rnk), 12) AS DECIMAL(28,12)) AS lx,
+         CAST(ROUND(LN(freq), 12) AS DECIMAL(28,12)) AS ly
+  FROM ranked WHERE rnk <= {ZIPF_TOP_N}
+),
+mom AS (
+  SELECT COUNT(*) AS n,
+         SUM(lx) AS sx, SUM(ly) AS sy,
+         SUM(CAST(ROUND(CAST(lx AS DOUBLE) * CAST(lx AS DOUBLE), 12)
+                  AS DECIMAL(28,12))) AS sxx,
+         SUM(CAST(ROUND(CAST(lx AS DOUBLE) * CAST(ly AS DOUBLE), 12)
+                  AS DECIMAL(28,12))) AS sxy,
+         SUM(CAST(ROUND(CAST(ly AS DOUBLE) * CAST(ly AS DOUBLE), 12)
+                  AS DECIMAL(28,12))) AS syy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+       ROUND(-(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+         AS zipf_exponent,
+       ROUND((CAST(sy AS DOUBLE)
+              - CAST(sx AS DOUBLE)
+                * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             ) / n, 6) AS log_intercept,
+       ROUND(
+         ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+         / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS r_squared
+FROM mom
+"""
+
+
+def _zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",), spread=True)
+    return spark.sql(zipf_fit_sql(SPARK))
+
+
+register(
+    "zipf_fit_tokens",
+    oracle=zipf_fit_sql(DUCKDB),
+    doc=f"Zipf exponent via log-log least squares over the top-{ZIPF_TOP_N} "
+    "token ranks (deterministic rank, decimal-summed log moments): the "
+    "vocabulary-concentration summary beside the CMS heavy hitters",
+)(_zipf)

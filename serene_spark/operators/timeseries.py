@@ -29,6 +29,7 @@ from serene_spark.functions.sqlgen import (
     SPARK,
     arg_max_by,
     arg_min_by,
+    epoch_s,
     epoch_us,
     explode_seq,
     idiv,
@@ -137,3 +138,157 @@ register(
     doc="daily OHLC downsample per event type with deterministic "
     "(epoch, event_id) open/close tie-break",
 )(_events_query(ts_ohlc_sql))
+
+
+# --- Autocorrelation + classical seasonal decomposition ---------------------
+
+ACF_MAX_LAG = 30
+
+
+def ts_acf_sql(dialect: str) -> str:
+    """Sample autocorrelation of daily revenue at lags 1..{ACF_MAX_LAG} —
+    the first diagnostic read before fitting any forecaster (is there
+    weekly structure? how fast does memory decay?).  Uses the standard
+    biased estimator r_k = sum_t (x_t - xbar)(x_(t+k) - xbar) / sum_t
+    (x_t - xbar)^2 (constant denominator, Box & Jenkins convention) over
+    the FULL calendar spine — empty days are real zeros of the series;
+    skipping them would splice non-adjacent days together.
+
+    Determinism: xbar from decimal-exact sums; each lag's cross products
+    are 12-dp-rounded DECIMAL terms.  The lag join is a day-keyed
+    equi-join of the spine to itself shifted by the exploded lag — at
+    100 TB the series relation is calendar-bounded, so the K-way
+    self-join never touches data-scale rows.  White-noise band
+    +/- 1.96/sqrt(n) emitted per row.
+    """
+    day = f"CAST(FLOOR(({epoch_s(dialect, 'o_orderdate')}) / 86400.0) AS BIGINT)"
+    return f"""
+WITH per_day AS (
+  SELECT {day} AS day, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY {day}
+),
+bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM per_day),
+spine AS (
+  SELECT {explode_seq(dialect, "(SELECT d0 FROM bounds)", "(SELECT d1 FROM bounds)")} AS day
+  FROM bounds
+),
+series AS (
+  SELECT s.day, CAST(COALESCE(p.rev, 0) AS DOUBLE) AS x
+  FROM spine s LEFT JOIN per_day p ON s.day = p.day
+),
+mom AS (
+  SELECT COUNT(*) AS n, AVG(x) AS xbar,
+         SUM(CAST(ROUND((x - (SELECT AVG(x) FROM series))
+                        * (x - (SELECT AVG(x) FROM series)), 9)
+                  AS DECIMAL(28,9))) AS denom
+  FROM series
+),
+lagged AS (
+  SELECT l.lag, a.x AS xa, b.x AS xb
+  FROM (SELECT {explode_seq(dialect, 1, ACF_MAX_LAG)} AS lag
+        FROM (SELECT 1 AS one) o) l
+  JOIN series a ON 1 = 1
+  JOIN series b ON b.day = a.day + l.lag
+),
+nums AS (
+  SELECT lag,
+         COUNT(*) AS n_pairs,
+         SUM(CAST(ROUND((xa - (SELECT xbar FROM mom))
+                        * (xb - (SELECT xbar FROM mom)), 9)
+                  AS DECIMAL(28,9))) AS num
+  FROM lagged GROUP BY lag
+)
+SELECT CAST(lag AS INT) AS lag,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       ROUND(CAST(num AS DOUBLE) / CAST((SELECT denom FROM mom) AS DOUBLE), 6)
+         AS acf,
+       ROUND(1.96 / sqrt((SELECT CAST(n AS DOUBLE) FROM mom)), 6) AS wn_band,
+       CAST(CASE WHEN ABS(CAST(num AS DOUBLE)
+                          / CAST((SELECT denom FROM mom) AS DOUBLE))
+                      > 1.96 / sqrt((SELECT CAST(n AS DOUBLE) FROM mom))
+            THEN 1 ELSE 0 END AS INT) AS significant
+FROM nums
+ORDER BY lag
+"""
+
+
+def ts_decompose_sql(dialect: str) -> str:
+    """Classical additive seasonal decomposition of monthly revenue
+    (trend = centered 12-month moving average with half-weight end
+    months, seasonal = mean-adjusted monthly index of the detrended
+    series, residual = remainder) — the textbook pre-STL decomposition
+    (Hyndman FPP3 ch. 3), exactly reproducible in SQL because every
+    stage is a window or group mean over the MONTH-cardinality relation.
+
+    Determinism: monthly revenue decimal-exact; the centered MA averages
+    12-dp-rounded terms; seasonal indices mean-center through a scalar
+    subquery so they sum to ~0 by construction.  Edge months (first/last
+    6) carry NULL trend/residual — never extrapolated.
+    """
+    mkey = "CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)"
+    return f"""
+WITH monthly AS (
+  SELECT {mkey} AS month_key,
+         CAST(month(o_orderdate) AS INT) AS mon,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+  FROM orders GROUP BY year(o_orderdate), month(o_orderdate)
+),
+trended AS (
+  -- centered MA(12): average of a 13-month window with half weight on
+  -- both end months = (0.5*y[-6] + y[-5..+5] + 0.5*y[+6]) / 12
+  SELECT month_key, mon, y,
+         CASE WHEN COUNT(*) OVER w = 13 THEN
+           ROUND((SUM(ROUND(y, 6)) OVER w
+                  - 0.5 * FIRST_VALUE(ROUND(y, 6)) OVER w
+                  - 0.5 * LAST_VALUE(ROUND(y, 6)) OVER w) / 12, 6)
+         END AS trend
+  FROM monthly
+  WINDOW w AS (ORDER BY month_key ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+),
+detr AS (
+  SELECT month_key, mon, y, trend, y - trend AS dt FROM trended
+),
+sidx AS (
+  SELECT mon, ROUND(AVG(ROUND(dt, 6)), 6) AS raw_idx
+  FROM detr WHERE dt IS NOT NULL GROUP BY mon
+),
+season AS (
+  SELECT mon, ROUND(raw_idx - (SELECT AVG(raw_idx) FROM sidx), 6) AS seasonal
+  FROM sidx
+)
+SELECT m.month_key,
+       m.mon,
+       ROUND(m.y, 6) AS revenue,
+       t.trend,
+       s.seasonal,
+       ROUND(m.y - t.trend - s.seasonal, 6) AS residual
+FROM monthly m
+JOIN trended t ON t.month_key = m.month_key
+LEFT JOIN season s ON s.mon = m.mon
+ORDER BY m.month_key
+"""
+
+
+def _orders_query(sql_fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, ("orders",))
+        return spark.sql(sql_fn(SPARK))
+
+    return run
+
+
+register(
+    "ts_acf_daily",
+    oracle=ts_acf_sql(DUCKDB),
+    doc=f"sample autocorrelation of daily revenue, lags 1..{ACF_MAX_LAG} "
+    "(Box-Jenkins constant-denominator estimator over the full calendar "
+    "spine; day-keyed lag self-join, calendar-bounded), white-noise band",
+)(_orders_query(ts_acf_sql))
+
+register(
+    "ts_decompose_monthly",
+    oracle=ts_decompose_sql(DUCKDB),
+    doc="classical additive decomposition of monthly revenue: centered "
+    "MA(12) trend (half-weight ends), mean-centered monthly seasonal "
+    "index, residual; edge months NULL, never extrapolated",
+)(_orders_query(ts_decompose_sql))

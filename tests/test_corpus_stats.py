@@ -117,3 +117,86 @@ def test_source_minhash_estimates_exact_jaccard(spark):
     for pair, e in est.items():
         if pair not in exact:
             assert e <= 0.05, (pair, e)
+
+
+def test_zipf_fit_matches_numpy_lstsq(spark, sf_dir):
+    """Slope/intercept/R^2 recomputed with numpy polyfit over the same
+    deterministic rank relation."""
+    import numpy as np
+
+    from serene_spark.operators.corpus_stats import ZIPF_TOP_N
+    from serene_spark.registry import load_all
+
+    [r] = load_all()["zipf_fit_tokens"].spark(spark, sf_dir).collect()
+    # rebuild the vocabulary through the registered token relation
+    import duckdb
+
+    from serene_spark.functions.sqlgen import DUCKDB
+    from serene_spark.operators.text_analysis import tokens_rel
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    vocab = con.execute(
+        f"WITH {tokens_rel(DUCKDB)} SELECT tok, COUNT(*) AS freq "
+        "FROM tokens GROUP BY tok ORDER BY freq DESC, tok"
+    ).df()
+    freqs = vocab["freq"].to_numpy()[:ZIPF_TOP_N]
+    lx = np.log(np.arange(1, len(freqs) + 1))
+    ly = np.log(freqs)
+    slope, intercept = np.polyfit(lx, ly, 1)
+    assert r["n_points"] == len(freqs)
+    assert abs(r["zipf_exponent"] - (-slope)) < 1e-4
+    assert abs(r["log_intercept"] - intercept) < 1e-3
+    corr = np.corrcoef(lx, ly)[0, 1]
+    assert abs(r["r_squared"] - corr**2) < 1e-4
+    # the synthetic corpus's vocabulary is deliberately near-uniform, so
+    # the exponent reads LOW (~0.18) — exactly the "templated/synthetic
+    # text drifts off s=1" signal the operator exists to surface
+    assert 0.0 < r["zipf_exponent"] < 0.5
+    # ...and with a correspondingly poor power-law fit — the generator
+    # draws tokens near-uniformly, so there is no log-log line to find.
+    # The constructed-exponent test below proves the fit finds one when
+    # it exists (R^2 > 0.98 there).
+    assert r["r_squared"] < 0.5
+
+
+def test_zipf_recovers_constructed_exponent(spark):
+    """A corpus whose token frequencies follow an exact power law must
+    return that exponent (up to rank-1 fit tolerance)."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from serene_spark.functions.sqlgen import SPARK as SPARK_D
+    from serene_spark.operators.corpus_stats import zipf_fit_sql
+
+    s_true = 1.2
+    words = [f"w{i:04d}" for i in range(400)]
+    toks = []
+    for rank, w in enumerate(words, start=1):
+        toks.extend([w] * max(1, int(round(8000 / rank**s_true))))
+    rng = np.random.default_rng(0)
+    rng.shuffle(toks)
+    # pack into docs of ~200 tokens
+    texts = [" ".join(toks[i : i + 200]) for i in range(0, len(toks), 200)]
+    df = pd.DataFrame(
+        {
+            "doc_id": range(1, len(texts) + 1),
+            "text": texts,
+            "lang": "en",
+            "source": "zipf",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(df).write.parquet(os.path.join(d, "documents.parquet"))
+        from serene_spark.catalog import register_views
+
+        register_views(spark, d, ("documents",))
+        [r] = spark.sql(zipf_fit_sql(SPARK_D)).collect()
+    assert abs(r["zipf_exponent"] - s_true) < 0.1, r["zipf_exponent"]
+    assert r["r_squared"] > 0.98

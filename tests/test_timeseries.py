@@ -81,3 +81,86 @@ def test_plans_single_event_scan(spark):
         plan = q.spark(spark, SF)._jdf.queryExecution().executedPlan().toString()
         scans = len(re.findall(r"FileScan parquet[^\n]*events\.parquet", plan))
         assert scans == 1, (name, plan)
+
+
+def test_acf_matches_numpy(spark):
+    """Box-Jenkins constant-denominator ACF recomputed with numpy over the
+    same zero-filled calendar spine."""
+    import numpy as np
+
+    from serene_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    out = (
+        load_all()["ts_acf_daily"].spark(spark, sf).toPandas()
+        .sort_values("lag").reset_index(drop=True)
+    )
+    cus = load_all()["cusum_daily_revenue"].spark(spark, sf).toPandas()
+    x = cus.sort_values("epoch_day")["revenue"].to_numpy()  # spine incl. zeros
+    xc = x - x.mean()
+    denom = (xc**2).sum()
+    for _, r in out.iterrows():
+        k = int(r["lag"])
+        ref = (xc[:-k] * xc[k:]).sum() / denom
+        assert abs(r["acf"] - round(ref, 6)) < 2e-6, (k, r["acf"], ref)
+        assert r["n_pairs"] == len(x) - k
+        assert abs(r["wn_band"] - round(1.96 / np.sqrt(len(x)), 6)) < 1e-9
+        assert r["significant"] == int(abs(ref) > 1.96 / np.sqrt(len(x)))
+    # a weekly-periodic series must show its period in the ACF
+    import datetime
+
+    import pandas as pd
+
+    from serene_spark.functions.sqlgen import SPARK as SPARK_D
+    from serene_spark.operators.timeseries import ts_acf_sql
+
+    base = datetime.datetime(2020, 1, 1)
+    rows = [
+        (i + 1, base + datetime.timedelta(days=i),
+         1000.0 + (500.0 if i % 7 == 0 else 0.0))
+        for i in range(280)
+    ]
+    df = pd.DataFrame(rows, columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+    spark.createDataFrame(df).createOrReplaceTempView("orders")
+    per = spark.sql(ts_acf_sql(SPARK_D)).toPandas().set_index("lag")
+    spark.catalog.dropTempView("orders")
+    for k in (7, 14, 21, 28):
+        assert per.loc[k, "acf"] > 0.8 and per.loc[k, "significant"] == 1
+    for k in (3, 10, 17):
+        assert per.loc[k, "acf"] < 0.1
+
+
+def test_decompose_matches_numpy(spark):
+    """Centered MA(12) trend, mean-centered seasonal index, residual —
+    recomputed with numpy convolution over the same monthly series."""
+    import numpy as np
+
+    from serene_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    out = (
+        load_all()["ts_decompose_monthly"].spark(spark, sf).toPandas()
+        .sort_values("month_key").reset_index(drop=True)
+    )
+    y = out["revenue"].to_numpy()
+    n = len(y)
+    w = np.r_[0.5, np.ones(11), 0.5] / 12
+    trend = np.full(n, np.nan)
+    for i in range(6, n - 6):
+        trend[i] = round((w * np.round(y[i - 6 : i + 7], 6)).sum(), 6)
+    got_t = out["trend"].to_numpy()
+    assert np.isnan(got_t[:6]).all() and np.isnan(got_t[-6:]).all()
+    assert np.nanmax(np.abs(got_t - trend)) < 2e-5
+    dt = y - trend
+    mons = out["mon"].to_numpy()
+    raw = {m: np.nanmean(np.round(dt[mons == m], 6)) for m in range(1, 13)}
+    grand = np.mean([raw[m] for m in range(1, 13)])
+    for m in range(1, 13):
+        s_ref = raw[m] - grand
+        got = out[out["mon"] == m]["seasonal"].iloc[0]
+        assert abs(got - s_ref) < 2e-4, (m, got, s_ref)
+    # identity: residual = y - trend - seasonal wherever trend exists
+    res = out["residual"].to_numpy()
+    s = out["seasonal"].to_numpy()
+    mask = ~np.isnan(got_t)
+    assert np.abs(res[mask] - (y[mask] - got_t[mask] - s[mask])).max() < 2e-5
