@@ -292,3 +292,93 @@ register(
     "MA(12) trend (half-weight ends), mean-centered monthly seasonal "
     "index, residual; edge months NULL, never extrapolated",
 )(_orders_query(ts_decompose_sql))
+
+
+def trend_mk_sql(dialect: str) -> str:
+    """Mann-Kendall trend test + Theil-Sen slope over daily revenue — the
+    nonparametric trend pair (Mann 1945; Kendall 1975; Sen 1968): MK asks
+    "is there a monotone trend at all" from pairwise orderings alone (no
+    linearity or normality assumed), Sen answers "how steep" with the
+    median pairwise slope — both immune to the outliers that would steer
+    a least-squares line.
+
+    All statistics derive from ONE pair relation over the calendar-
+    bounded day spine (zeros included — the same series CUSUM and ACF
+    read).  S and the tie correction are exact integer arithmetic on
+    DECIMAL comparisons; the Sen slope is the exact count-histogram
+    median of 9-dp-rounded pairwise slopes (even pair counts take the
+    lower-middle value at cc >= ceil(n/2) — the engine's median
+    convention).  Continuity-corrected z, flagged at |z| > 1.96.
+
+    Scale: pairs are spine^2/2 — bounded by the CALENDAR (2.9M here),
+    never data volume; a decade of days stays ~6.6M pairs, and longer
+    horizons aggregate to the monthly grain first.
+    """
+    day = f"CAST(FLOOR(({epoch_s(dialect, 'o_orderdate')}) / 86400.0) AS BIGINT)"
+    return f"""
+WITH per_day AS (
+  SELECT {day} AS day, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY {day}
+),
+bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM per_day),
+spine AS (
+  SELECT {explode_seq(dialect, "(SELECT d0 FROM bounds)", "(SELECT d1 FROM bounds)")} AS day
+  FROM bounds
+),
+series AS (
+  SELECT s.day, COALESCE(p.rev, CAST(0 AS DECIMAL(18,2))) AS x
+  FROM spine s LEFT JOIN per_day p ON s.day = p.day
+),
+n_rel AS (SELECT COUNT(*) AS n FROM series),
+pairs AS (
+  SELECT CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn,
+         ROUND(CAST(b.x - a.x AS DOUBLE) / (b.day - a.day), 9) AS slope
+  FROM series a JOIN series b ON b.day > a.day
+),
+s_stat AS (SELECT SUM(sgn) AS s FROM pairs),
+ties AS (
+  SELECT SUM(t * (t - 1) * (2 * t + 5)) AS tie_term
+  FROM (SELECT COUNT(*) AS t FROM series GROUP BY x) g
+),
+var_s AS (
+  SELECT (CAST(n AS DECIMAL(18,0)) * (n - 1) * (2 * n + 5)
+          - (SELECT tie_term FROM ties)) / 18.0 AS v
+  FROM n_rel
+),
+sen AS (
+  SELECT MIN(CASE WHEN cc >= ceil(np / 2.0) THEN slope END) AS sen_slope
+  FROM (
+    SELECT slope, SUM(c) OVER (ORDER BY slope) AS cc, SUM(c) OVER () AS np
+    FROM (SELECT slope, COUNT(*) AS c FROM pairs GROUP BY slope) h
+  ) t
+)
+SELECT CAST((SELECT n FROM n_rel) AS BIGINT) AS n_days,
+       CAST((SELECT s FROM s_stat) AS BIGINT) AS mk_s,
+       ROUND(CAST((SELECT v FROM var_s) AS DOUBLE), 6) AS var_s,
+       ROUND(CASE WHEN (SELECT s FROM s_stat) > 0
+                  THEN ((SELECT s FROM s_stat) - 1)
+                       / sqrt(CAST((SELECT v FROM var_s) AS DOUBLE))
+                  WHEN (SELECT s FROM s_stat) < 0
+                  THEN ((SELECT s FROM s_stat) + 1)
+                       / sqrt(CAST((SELECT v FROM var_s) AS DOUBLE))
+                  ELSE 0.0 END, 6) AS z,
+       (SELECT sen_slope FROM sen) AS sen_slope_per_day,
+       CAST(CASE WHEN ABS(CASE WHEN (SELECT s FROM s_stat) > 0
+                               THEN ((SELECT s FROM s_stat) - 1)
+                                    / sqrt(CAST((SELECT v FROM var_s) AS DOUBLE))
+                               WHEN (SELECT s FROM s_stat) < 0
+                               THEN ((SELECT s FROM s_stat) + 1)
+                                    / sqrt(CAST((SELECT v FROM var_s) AS DOUBLE))
+                               ELSE 0.0 END) > 1.96
+            THEN 1 ELSE 0 END AS INT) AS trend_detected
+"""
+
+
+register(
+    "trend_mann_kendall",
+    oracle=trend_mk_sql(DUCKDB),
+    doc="Mann-Kendall monotone-trend test + Theil-Sen median slope over "
+    "daily revenue: exact integer S with tie-corrected variance, "
+    "histogram-median pairwise slope — calendar-bounded pair relation, "
+    "outlier-immune by construction",
+)(_orders_query(trend_mk_sql))

@@ -164,3 +164,65 @@ def test_decompose_matches_numpy(spark):
     s = out["seasonal"].to_numpy()
     mask = ~np.isnan(got_t)
     assert np.abs(res[mask] - (y[mask] - got_t[mask] - s[mask])).max() < 2e-5
+
+
+def test_mann_kendall_matches_numpy(spark):
+    """S, tie-corrected variance, continuity-corrected z, and the Sen
+    slope recomputed from first principles over the same spine."""
+    import numpy as np
+
+    from serene_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    [r] = load_all()["trend_mann_kendall"].spark(spark, sf).collect()
+    cus = load_all()["cusum_daily_revenue"].spark(spark, sf).toPandas()
+    x = cus.sort_values("epoch_day")["revenue"].to_numpy()
+    n = len(x)
+    assert r["n_days"] == n
+    diff = np.sign(x[None, :] - x[:, None])
+    s = int(np.triu(diff, 1).sum())
+    assert r["mk_s"] == s
+    _, t = np.unique(x, return_counts=True)
+    var = (n * (n - 1) * (2 * n + 5) - (t * (t - 1) * (2 * t + 5)).sum()) / 18
+    assert abs(r["var_s"] - round(var, 6)) < 1e-6
+    z = (s - 1) / np.sqrt(var) if s > 0 else (s + 1) / np.sqrt(var) if s < 0 else 0.0
+    assert abs(r["z"] - round(z, 6)) < 2e-6
+    assert r["trend_detected"] == int(abs(z) > 1.96)
+    # Sen slope: lower-middle of the sorted pairwise slopes (cc >= ceil/2)
+    idx = np.triu_indices(n, 1)
+    slopes = np.round((x[idx[1]] - x[idx[0]]) / (idx[1] - idx[0]), 9)
+    sv = np.sort(slopes)
+    sen = sv[int(np.ceil(len(sv) / 2)) - 1]
+    assert abs(r["sen_slope_per_day"] - sen) < 1e-9
+
+
+def test_mann_kendall_detects_injected_trend(spark):
+    """A clean upward drift must flag with a positive z and recover its
+    slope; a flat noisy series must not flag."""
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    from serene_spark.functions.sqlgen import SPARK as SPARK_D
+    from serene_spark.operators.timeseries import trend_mk_sql
+
+    rng = np.random.default_rng(13)
+    base = datetime.datetime(2020, 1, 1)
+
+    def run(vals):
+        rows = [
+            (i + 1, base + datetime.timedelta(days=i), float(v))
+            for i, v in enumerate(vals)
+        ]
+        df = pd.DataFrame(rows, columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+        spark.createDataFrame(df).createOrReplaceTempView("orders")
+        [got] = spark.sql(trend_mk_sql(SPARK_D)).collect()
+        spark.catalog.dropTempView("orders")
+        return got
+
+    up = run(np.round(1000 + 2.0 * np.arange(300) + rng.normal(0, 20, 300), 2))
+    flat = run(np.round(1000 + rng.normal(0, 20, 300), 2))
+    assert up["trend_detected"] == 1 and up["z"] > 10
+    assert abs(up["sen_slope_per_day"] - 2.0) < 0.2
+    assert flat["trend_detected"] == 0
