@@ -413,3 +413,85 @@ register(
     "token ranks (deterministic rank, decimal-summed log moments): the "
     "vocabulary-concentration summary beside the CMS heavy hitters",
 )(_zipf)
+
+
+# --- Heaps-law fit: vocabulary growth against corpus size -------------------
+
+
+def heaps_fit_sql(dialect: str) -> str:
+    """Heaps-law exponent of vocabulary growth — V(N) ~ K * N^beta over
+    the corpus prefix in doc_id (ingestion) order (Heaps 1978; natural
+    text sits near beta ~ 0.4-0.6).  The capacity-planning twin of the
+    Zipf fit: it predicts how fast the token vocabulary (and any
+    per-type state — embeddings, CMS width, BPE merges) grows as the
+    corpus scales.
+
+    Each token's FIRST owning doc attributes it as "new" exactly once
+    (MIN(doc_id) — one keyed agg); cumulative token count N_d and
+    cumulative vocabulary V_d are windows over the DOC-cardinality
+    relation, and the log-log regression moments are 12-dp-rounded
+    DECIMAL sums — the zipf_fit_tokens algebra on a different curve.
+    """
+    return f"""
+WITH {tokens_rel(dialect)},
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_toks FROM tokens GROUP BY doc_id
+),
+firsts AS (
+  SELECT MIN(doc_id) AS first_doc, COUNT(DISTINCT tok) AS n_new
+  FROM (SELECT tok, MIN(doc_id) AS doc_id FROM tokens GROUP BY tok) f
+  GROUP BY doc_id
+),
+curve AS (
+  SELECT p.doc_id,
+         SUM(p.n_toks) OVER (ORDER BY p.doc_id) AS big_n,
+         SUM(COALESCE(f.n_new, 0)) OVER (ORDER BY p.doc_id) AS v
+  FROM per_doc p LEFT JOIN firsts f ON f.first_doc = p.doc_id
+),
+pts AS (
+  SELECT CAST(ROUND(LN(big_n), 12) AS DECIMAL(28,12)) AS lx,
+         CAST(ROUND(LN(v), 12) AS DECIMAL(28,12)) AS ly
+  FROM curve WHERE big_n > 0 AND v > 0
+),
+mom AS (
+  SELECT COUNT(*) AS n,
+         SUM(lx) AS sx, SUM(ly) AS sy,
+         SUM(CAST(ROUND(CAST(lx AS DOUBLE) * CAST(lx AS DOUBLE), 12)
+                  AS DECIMAL(28,12))) AS sxx,
+         SUM(CAST(ROUND(CAST(lx AS DOUBLE) * CAST(ly AS DOUBLE), 12)
+                  AS DECIMAL(28,12))) AS sxy,
+         SUM(CAST(ROUND(CAST(ly AS DOUBLE) * CAST(ly AS DOUBLE), 12)
+                  AS DECIMAL(28,12))) AS syy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+         AS heaps_beta,
+       ROUND((CAST(sy AS DOUBLE)
+              - CAST(sx AS DOUBLE)
+                * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             ) / n, 6) AS log_k,
+       ROUND(
+         ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+         / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS r_squared
+FROM mom
+"""
+
+
+def _heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",), spread=True)
+    return spark.sql(heaps_fit_sql(SPARK))
+
+
+register(
+    "heaps_fit_tokens",
+    oracle=heaps_fit_sql(DUCKDB),
+    doc="Heaps-law vocabulary-growth exponent via log-log least squares "
+    "over the doc-ordered (corpus size, vocabulary size) curve — the "
+    "capacity-planning twin of the Zipf fit (per-type state growth)",
+)(_heaps)

@@ -200,3 +200,84 @@ def test_zipf_recovers_constructed_exponent(spark):
         [r] = spark.sql(zipf_fit_sql(SPARK_D)).collect()
     assert abs(r["zipf_exponent"] - s_true) < 0.1, r["zipf_exponent"]
     assert r["r_squared"] > 0.98
+
+
+def test_heaps_fit_matches_numpy(spark, sf_dir):
+    """Vocabulary-growth curve + log-log fit recomputed in python over
+    the same token relation and doc order."""
+    import duckdb
+    import numpy as np
+
+    from serene_spark.functions.sqlgen import DUCKDB
+    from serene_spark.operators.text_analysis import tokens_rel
+    from serene_spark.registry import load_all
+
+    [r] = load_all()["heaps_fit_tokens"].spark(spark, sf_dir).collect()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    toks = con.execute(
+        f"WITH {tokens_rel(DUCKDB)} SELECT doc_id, tok FROM tokens ORDER BY doc_id"
+    ).df()
+    seen: set = set()
+    ns, vs = [], []
+    big_n = 0
+    for doc_id, grp in toks.groupby("doc_id", sort=True):
+        big_n += len(grp)
+        seen.update(grp["tok"])
+        ns.append(big_n)
+        vs.append(len(seen))
+    lx, ly = np.log(ns), np.log(vs)
+    slope, intercept = np.polyfit(lx, ly, 1)
+    assert r["n_points"] == len(ns)
+    assert abs(r["heaps_beta"] - slope) < 1e-4
+    assert abs(r["log_k"] - intercept) < 1e-3
+    assert abs(r["r_squared"] - np.corrcoef(lx, ly)[0, 1] ** 2) < 1e-4
+    # the synthetic corpus's small shared vocabulary saturates within the
+    # first documents, so the growth curve is nearly flat (beta ~ 0.08,
+    # poor fit) — the "this corpus will not grow your per-type state"
+    # capacity signal; the constructed test below pins real Heaps growth
+    assert 0.0 < r["heaps_beta"] < 0.3
+    assert r["r_squared"] < 0.5
+
+
+def test_heaps_growth_on_zipf_sampled_corpus(spark):
+    """Token streams sampled from a Zipf distribution exhibit Heaps
+    growth (the classical derivation links the two laws); the fit must
+    find a clean sublinear exponent with a strong R^2."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from serene_spark.functions.sqlgen import SPARK as SPARK_D
+    from serene_spark.operators.corpus_stats import heaps_fit_sql
+
+    rng = np.random.default_rng(21)
+    vocab_size = 20000
+    ranks = np.arange(1, vocab_size + 1)
+    probs = 1.0 / ranks**1.1
+    probs /= probs.sum()
+    draw = rng.choice(ranks, size=60000, p=probs)
+    toks = [f"t{v}" for v in draw]
+    texts = [" ".join(toks[i : i + 300]) for i in range(0, len(toks), 300)]
+    df = pd.DataFrame(
+        {
+            "doc_id": range(1, len(texts) + 1),
+            "text": texts,
+            "lang": "en",
+            "source": "zipfgen",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(df).write.parquet(os.path.join(d, "documents.parquet"))
+        from serene_spark.catalog import register_views
+
+        register_views(spark, d, ("documents",))
+        [r] = spark.sql(heaps_fit_sql(SPARK_D)).collect()
+    assert 0.5 < r["heaps_beta"] < 1.0, r["heaps_beta"]
+    assert r["r_squared"] > 0.97
