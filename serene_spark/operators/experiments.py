@@ -28,6 +28,7 @@ from serene_spark.functions.sqlgen import DUCKDB, SPARK, epoch_s, epoch_us, hex_
 from serene_spark.registry import register
 
 HOUR_US = 3600 * 1_000_000
+DAY_US = 24 * HOUR_US
 
 
 def ab_test_sql(dialect: str) -> str:
@@ -347,3 +348,107 @@ register(
     doc="month-over-month revenue deltas (LAG over the month-cardinality "
     "relation; first month NULL, not zero)",
 )(_orders_query(revenue_mom_sql))
+
+
+# --- A/B power analysis -----------------------------------------------------
+
+POWER_MDE_GRID = (2, 5, 10, 20)  # relative MDEs, percent
+_Z_ALPHA2 = 1.959964  # alpha = 0.05, two-sided
+_Z_BETA = 0.841621    # 80% power
+
+
+def ab_power_sql(dialect: str) -> str:
+    """Sample-size adequacy for the registered A/B test — the question a
+    team asks BEFORE reading the z-score: at the observed baseline rate,
+    how many users per arm would detecting a 2/5/10/20% relative lift
+    require (two-proportion formula, alpha=.05 two-sided, 80% power;
+    Fleiss et al. 2003), and is the current allocation there yet?  The
+    'powered' flag avoids a normal-CDF evaluation (no erf in engine-
+    shared SQL): required-n comparison is the standard design check.
+
+    One row per MDE. Reuses the exact arm construction of ab_test_conversion
+    (same splice), so the two queries can never disagree about what an
+    exposure or conversion is.  Arms relation is 2 rows; everything
+    below is grid arithmetic.
+    """
+    inner = ab_test_sql(dialect)
+    grid_arms = "\n  UNION ALL\n  ".join(
+        f"SELECT CAST({m} AS INT) AS mde_pct" for m in POWER_MDE_GRID
+    )
+    return f"""
+WITH ab AS ({inner}),
+grid AS (
+  {grid_arms}
+),
+calc AS (
+  SELECT g.mde_pct,
+         CAST(ab.n_converted_a AS DOUBLE) / ab.n_exposed_a AS p1,
+         CAST(ab.n_converted_a AS DOUBLE) / ab.n_exposed_a
+           * (1 + g.mde_pct / 100.0) AS p2,
+         LEAST(ab.n_exposed_a, ab.n_exposed_b) AS n_current
+  FROM grid g JOIN ab ON 1 = 1
+)
+SELECT mde_pct,
+       ROUND(p1, 6) AS baseline_rate,
+       ROUND(p2, 6) AS target_rate,
+       CAST(CEIL(
+         ({_Z_ALPHA2} * sqrt(2 * ((p1 + p2) / 2) * (1 - (p1 + p2) / 2))
+          + {_Z_BETA} * sqrt(p1 * (1 - p1) + p2 * (1 - p2)))
+         * ({_Z_ALPHA2} * sqrt(2 * ((p1 + p2) / 2) * (1 - (p1 + p2) / 2))
+            + {_Z_BETA} * sqrt(p1 * (1 - p1) + p2 * (1 - p2)))
+         / ((p2 - p1) * (p2 - p1))) AS BIGINT) AS n_required_per_arm,
+       CAST(n_current AS BIGINT) AS n_current_min_arm,
+       CAST(CASE WHEN n_current >= CEIL(
+         ({_Z_ALPHA2} * sqrt(2 * ((p1 + p2) / 2) * (1 - (p1 + p2) / 2))
+          + {_Z_BETA} * sqrt(p1 * (1 - p1) + p2 * (1 - p2)))
+         * ({_Z_ALPHA2} * sqrt(2 * ((p1 + p2) / 2) * (1 - (p1 + p2) / 2))
+            + {_Z_BETA} * sqrt(p1 * (1 - p1) + p2 * (1 - p2)))
+         / ((p2 - p1) * (p2 - p1)))
+            THEN 1 ELSE 0 END AS INT) AS adequately_powered
+FROM calc
+ORDER BY mde_pct
+"""
+
+
+register(
+    "ab_power_analysis",
+    oracle=ab_power_sql(DUCKDB),
+    doc="two-proportion sample-size adequacy for the A/B test: required n "
+    "per arm at 2/5/10/20% relative MDE (alpha=.05, 80% power) vs the "
+    "current allocation — splices the exact ab_test arm construction",
+)(_events_query(ab_power_sql))
+
+
+def new_vs_returning_sql(dialect: str) -> str:
+    """Daily new-vs-returning active users — the growth dashboard's first
+    row: each user attributes as NEW on their first active day (MIN over
+    one keyed agg) and RETURNING on later active days.  Conservation
+    holds by construction: sum(new) over all days = total distinct
+    users; new + returning = that day's actives.
+    """
+    day = idiv(dialect, epoch_us(dialect, "ts"), str(DAY_US))
+    return f"""
+WITH user_days AS (
+  SELECT user_id, {day} AS day FROM events GROUP BY user_id, {day}
+),
+firsts AS (
+  SELECT user_id, MIN(day) AS first_day FROM user_days GROUP BY user_id
+)
+SELECT CAST(u.day AS BIGINT) AS day_bucket,
+       CAST(COUNT(*) AS BIGINT) AS active_users,
+       CAST(SUM(CASE WHEN u.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS new_users,
+       CAST(SUM(CASE WHEN u.day > f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS returning_users
+FROM user_days u JOIN firsts f ON f.user_id = u.user_id
+GROUP BY u.day
+ORDER BY u.day
+"""
+
+
+register(
+    "users_new_vs_returning",
+    oracle=new_vs_returning_sql(DUCKDB),
+    doc="daily new vs returning actives (first-day attribution via one "
+    "keyed agg; conservation pinned: sum(new) = distinct users)",
+)(_events_query(new_vs_returning_sql))

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from serene_spark.catalog import register_views
 from serene_spark.functions.melt import melt_sql
-from serene_spark.functions.sqlgen import DUCKDB, SPARK, explode_seq
+from serene_spark.functions.sqlgen import DUCKDB, SPARK, epoch_s, explode_seq
 from serene_spark.registry import register
 
 # Declarative constraint suite for lineitem — the Deequ Check(...) analog.
@@ -304,3 +304,57 @@ register(
     "quasi-identifier classes (nation x segment x balance band): class "
     "sizes, sensitive diversity, row-level re-identification exposure",
 )(_customer_q(k_anonymity_sql))
+
+
+# --- Duplicate-payment detection (fraud/ops audit) --------------------------
+
+DUP_PAY_WINDOW_DAYS = 7
+
+
+def duplicate_payments_sql(dialect: str) -> str:
+    """Suspected duplicate payments: pairs of orders by the SAME customer
+    for the SAME exact amount within {DUP_PAY_WINDOW_DAYS} days — the
+    classic accounts-payable double-charge screen (the Benford audit's
+    row-level sibling: that one reads the whole ledger's shape, this one
+    names the suspect pairs).
+
+    The join is an EQUI-join on (customer, exact decimal amount) — the
+    only pairs that can match — with the date window as a post-filter
+    and a.o_orderkey < b.o_orderkey canonicalization; per-key blowup is
+    bounded by repeats-of-identical-amount per customer, which is
+    exactly the anomaly being hunted.  At 100 TB this stays a keyed
+    shuffle; no inequality join ever forms.
+    """
+    day_a = f"CAST(FLOOR(({epoch_s(dialect, 'a.o_orderdate')}) / 86400.0) AS BIGINT)"
+    day_b = f"CAST(FLOOR(({epoch_s(dialect, 'b.o_orderdate')}) / 86400.0) AS BIGINT)"
+    return f"""
+SELECT CAST(a.o_custkey AS BIGINT) AS custkey,
+       CAST(a.o_orderkey AS BIGINT) AS orderkey_1,
+       CAST(b.o_orderkey AS BIGINT) AS orderkey_2,
+       CAST(CAST(a.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS amount,
+       CAST(ABS({day_b} - {day_a}) AS BIGINT) AS gap_days
+FROM orders a
+JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND CAST(a.o_totalprice AS DECIMAL(18,2)) = CAST(b.o_totalprice AS DECIMAL(18,2))
+ AND a.o_orderkey < b.o_orderkey
+WHERE ABS({day_b} - {day_a}) <= {DUP_PAY_WINDOW_DAYS}
+ORDER BY custkey, orderkey_1, orderkey_2
+"""
+
+
+def _orders_q(sql_fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, ("orders",))
+        return spark.sql(sql_fn(SPARK))
+
+    return run
+
+
+register(
+    "duplicate_payments",
+    oracle=duplicate_payments_sql(DUCKDB),
+    doc=f"duplicate-payment screen: same customer + same exact amount "
+    f"within {DUP_PAY_WINDOW_DAYS} days, equi-joined on (customer, "
+    "amount) — never an inequality join; canonical pair order",
+)(_orders_q(duplicate_payments_sql))

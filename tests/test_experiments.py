@@ -228,3 +228,58 @@ def test_boxplot_matches_pandas(spark):
         # structural sanity
         assert r["min_x"] <= r["lo_whisker"] <= r["q1"] <= r["median"] \
             <= r["q3"] <= r["hi_whisker"] <= r["max_x"]
+
+
+def test_ab_power_matches_numpy(spark):
+    """Fleiss two-proportion required-n recomputed in python; grid
+    monotonicity (bigger MDE -> smaller n); consistency with the A/B
+    test's own arm counts."""
+    import math
+
+    from serene_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    out = load_all()["ab_power_analysis"].spark(spark, sf).toPandas()
+    ab = load_all()["ab_test_conversion"].spark(spark, sf).collect()[0]
+    p1 = ab["n_converted_a"] / ab["n_exposed_a"]
+    n_cur = min(ab["n_exposed_a"], ab["n_exposed_b"])
+    za, zb = 1.959964, 0.841621
+    assert sorted(out["mde_pct"]) == [2, 5, 10, 20]
+    for _, r in out.iterrows():
+        p2 = p1 * (1 + r["mde_pct"] / 100.0)
+        pbar = (p1 + p2) / 2
+        n_req = math.ceil(
+            (za * math.sqrt(2 * pbar * (1 - pbar))
+             + zb * math.sqrt(p1 * (1 - p1) + p2 * (1 - p2))) ** 2
+            / (p2 - p1) ** 2
+        )
+        assert r["n_required_per_arm"] == n_req
+        assert r["n_current_min_arm"] == n_cur
+        assert r["adequately_powered"] == int(n_cur >= n_req)
+        assert abs(r["baseline_rate"] - round(p1, 6)) < 1e-9
+    ns = out.sort_values("mde_pct")["n_required_per_arm"].to_numpy()
+    assert (ns[:-1] > ns[1:]).all()  # finer effects need more users
+
+
+def test_new_vs_returning_conservation(spark):
+    """sum(new) = distinct users; new + returning = actives; day one is
+    all-new; pandas recheck per day."""
+    from serene_spark.catalog import load_table
+    from serene_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    out = (
+        load_all()["users_new_vs_returning"].spark(spark, sf).toPandas()
+        .sort_values("day_bucket").reset_index(drop=True)
+    )
+    ev = load_table(spark, sf, "events").toPandas()
+    ev["day"] = (ev["ts"].astype("int64") // 10**9) // 86400
+    assert int(out["new_users"].sum()) == ev["user_id"].nunique()
+    assert (out["new_users"] + out["returning_users"] == out["active_users"]).all()
+    assert out.loc[0, "returning_users"] == 0  # nobody can return on day one
+    firsts = ev.groupby("user_id")["day"].min()
+    for _, r in out.iterrows():
+        day_users = set(ev[ev["day"] == r["day_bucket"]]["user_id"])
+        exp_new = sum(1 for u in day_users if firsts[u] == r["day_bucket"])
+        assert r["active_users"] == len(day_users)
+        assert r["new_users"] == exp_new

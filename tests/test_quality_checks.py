@@ -197,3 +197,51 @@ def test_k_anonymity_flags_on_constructed_classes(spark):
     assert by.loc[3, "k_anonymous"] == 0  # singleton re-identifies
     assert abs(out["frac_rows_below_k"].iloc[0] - round(1 / 19, 6)) < 1e-9
     assert out["min_class_size"].iloc[0] == 1
+
+
+def test_duplicate_payments_fixture_and_clean_corpus(spark, sf_dir):
+    """The synthetic ledger carries no duplicate payments at any SF (the
+    clean-audit reading — verified empty, like dedup_embedding_cosine's
+    threshold-gated emptiness); semantics are pinned on a constructed
+    ledger with an in-window duplicate, an out-of-window repeat, and a
+    same-day different-amount near-miss."""
+    import datetime
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from serene_spark.functions.sqlgen import SPARK as SPARK_D
+    from serene_spark.operators.quality_checks import duplicate_payments_sql
+    from serene_spark.registry import load_all
+
+    assert load_all()["duplicate_payments"].spark(spark, sf_dir).count() == 0
+
+    t0 = datetime.datetime(2022, 3, 1)
+    rows = [
+        # cust 1: exact duplicate 3 days apart -> flagged
+        (101, 1, t0, 250.00),
+        (102, 1, t0 + datetime.timedelta(days=3), 250.00),
+        # cust 1: same amount again 40 days later -> NOT flagged vs 101/102
+        (103, 1, t0 + datetime.timedelta(days=40), 250.00),
+        # cust 2: same day, different amounts -> not flagged
+        (201, 2, t0, 100.00),
+        (202, 2, t0, 100.01),
+        # cust 3: same amount, different customers -> never joined
+        (301, 3, t0, 250.00),
+        # cust 4: triple within window -> all 3 pairs flagged
+        (401, 4, t0, 75.50),
+        (402, 4, t0 + datetime.timedelta(days=1), 75.50),
+        (403, 4, t0 + datetime.timedelta(days=2), 75.50),
+    ]
+    df = pd.DataFrame(
+        rows, columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    spark.createDataFrame(df).createOrReplaceTempView("orders")
+    out = spark.sql(duplicate_payments_sql(SPARK_D)).toPandas()
+    spark.catalog.dropTempView("orders")
+    pairs = set(zip(out["orderkey_1"], out["orderkey_2"]))
+    assert pairs == {(101, 102), (401, 402), (401, 403), (402, 403)}
+    assert (out["gap_days"] <= 7).all()
+    g = out[out["orderkey_1"] == 101].iloc[0]
+    assert g["gap_days"] == 3 and g["custkey"] == 1 and g["amount"] == 250.00
