@@ -178,3 +178,99 @@ register(
     "aggregate snapshot merged with delta partials; oracle is the full "
     "recompute, so parity checks the maintenance identity itself",
 )(_events_query(matview_incremental_sql))
+
+
+# --- Retractable aggregate maintenance (updates + deletes) ------------------
+
+
+def retractable_delta_sql(dialect: str) -> str:
+    """Incremental aggregate maintenance under a FULL CDC feed — the step
+    past matview_incremental_hourly: that one merges append-only
+    partials; this one maintains an aggregate over keys that UPDATE and
+    DELETE.  The device is signed deltas: every op contributes
+    (live_after - live_before) to the sum and a +/-1/0 transition to the
+    live count, so the maintained aggregate is ONE summation over the
+    changelog — no per-key state table, no reprocessing.
+
+    live_before derives from the per-key LAG (a value is live unless the
+    previous op was a DELETE); the whole query is one key-partitioned
+    window plus one global aggregation of decimal-exact deltas.  The
+    ORACLE is the full recompute over the latest-state relation (count +
+    sum of live keys) — parity between the two formulations IS the
+    maintenance-identity proof, the matview_incremental convention.
+    """
+    from serene_spark.operators.cdc import _ops_rel
+
+    return f"""
+WITH {_ops_rel(dialect)},
+seq AS (
+  SELECT user_id, op,
+         CAST(COALESCE(value, 0) AS DECIMAL(18,2)) AS v,
+         LAG(op) OVER (PARTITION BY user_id
+                       ORDER BY ts_us, event_id) AS prev_op,
+         LAG(CAST(COALESCE(value, 0) AS DECIMAL(18,2)))
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_v
+  FROM ops
+),
+deltas AS (
+  SELECT CASE WHEN op = 'D' THEN CAST(0 AS DECIMAL(18,2)) ELSE v END
+         - CASE WHEN prev_op IS NULL OR prev_op = 'D'
+                THEN CAST(0 AS DECIMAL(18,2)) ELSE prev_v END AS dv,
+         (CASE WHEN op = 'D' THEN 0 ELSE 1 END)
+         - (CASE WHEN prev_op IS NULL OR prev_op = 'D' THEN 0 ELSE 1 END)
+           AS dc,
+         op
+  FROM seq
+)
+SELECT CAST(SUM(dc) AS BIGINT) AS n_live,
+       ROUND(CAST(SUM(CAST(dv AS DECIMAL(28,2))) AS DOUBLE), 6) AS total_value,
+       CAST(COUNT(*) AS BIGINT) AS n_ops,
+       CAST(SUM(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+       CAST(SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+       CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
+FROM deltas
+"""
+
+
+def retractable_recompute_sql(dialect: str) -> str:
+    """The recompute twin: aggregate the latest live state directly."""
+    from serene_spark.operators.cdc import _ops_rel
+
+    return f"""
+WITH {_ops_rel(dialect)},
+latest AS (
+  SELECT user_id, op,
+         CAST(COALESCE(value, 0) AS DECIMAL(18,2)) AS v,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts_us DESC, event_id DESC) AS rk
+  FROM ops
+),
+counts AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_ops,
+         CAST(SUM(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+         CAST(SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+         CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
+  FROM ops
+)
+SELECT CAST(SUM(CASE WHEN l.op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+       ROUND(CAST(SUM(CASE WHEN l.op <> 'D'
+                           THEN CAST(l.v AS DECIMAL(28,2))
+                           ELSE CAST(0 AS DECIMAL(28,2)) END) AS DOUBLE), 6)
+         AS total_value,
+       (SELECT n_ops FROM counts) AS n_ops,
+       (SELECT n_inserts FROM counts) AS n_inserts,
+       (SELECT n_updates FROM counts) AS n_updates,
+       (SELECT n_deletes FROM counts) AS n_deletes
+FROM latest l WHERE l.rk = 1
+"""
+
+
+register(
+    "matview_retractable_agg",
+    # oracle = recompute over latest state: parity IS the signed-delta
+    # maintenance-identity proof (the matview_incremental convention)
+    oracle=retractable_recompute_sql(DUCKDB),
+    doc="retractable aggregate maintenance under updates + deletes: "
+    "signed (live_after - live_before) deltas summed once over the "
+    "changelog, proven equal to the latest-state recompute by parity",
+)(_events_query(retractable_delta_sql))
