@@ -248,3 +248,89 @@ register(
     "representation-exact digit extraction (never log10+FLOOR), "
     "chi-square distance + Nigrini MAD conformity bands",
 )(_orders_q(benford_sql))
+
+
+# --- Kruskal-Wallis k-sample rank test --------------------------------------
+
+
+def kruskal_sql(dialect: str) -> str:
+    """Kruskal-Wallis H test across ALL event types' value distributions —
+    the k-sample generalization of the Mann-Whitney U (Kruskal & Wallis
+    1952): one rank algebra answers "do ANY of the k groups differ"
+    before pairwise tests are even justified.
+
+    Same scale device as the MWU: values quantize to DECIMAL(18,2)
+    cents, reduce to a per-(value, group) count histogram, and the
+    doubled-rank units avgrank2 = 2*cum_before + t + 1 keep every rank
+    sum in exact BIGINTs; H and its tie correction
+    1 - sum(t^3 - t)/(N^3 - N) divide in double only at the end.  One
+    row per group (n, integer-exact mean rank) with the global H, dof,
+    and the chi-square(k-1) 95% decision repeated.
+
+    The chi-square critical value is looked up from a fixed dof table
+    (1..8) — evaluating the inverse-chi-square CDF engine-side would
+    need special functions neither dialect shares.
+    """
+    # chi2 95% critical values, dof 1..8
+    crit = {1: 3.841459, 2: 5.991465, 3: 7.814728, 4: 9.487729,
+            5: 11.070498, 6: 12.591587, 7: 14.067140, 8: 15.507313}
+    crit_case = "CASE (SELECT k FROM groups_n) - 1 " + " ".join(
+        f"WHEN {d} THEN {v}" for d, v in crit.items()
+    ) + " ELSE NULL END"
+    return f"""
+WITH hist AS (
+  SELECT event_type AS grp, CAST(value AS DECIMAL(18,2)) AS v, COUNT(*) AS c
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, CAST(value AS DECIMAL(18,2))
+),
+vals AS (
+  SELECT v, SUM(c) AS t_v FROM hist GROUP BY v
+),
+ranked_vals AS (
+  SELECT v, t_v,
+         2 * (SUM(t_v) OVER (ORDER BY v ASC) - t_v) + t_v + 1 AS avgrank2
+  FROM vals
+),
+per_group AS (
+  SELECT h.grp,
+         SUM(h.c) AS n_g,
+         SUM(h.c * r.avgrank2) AS r2_g
+  FROM hist h JOIN ranked_vals r ON r.v = h.v
+  GROUP BY h.grp
+),
+groups_n AS (
+  SELECT COUNT(*) AS k, SUM(n_g) AS n_tot FROM per_group
+),
+ties AS (
+  SELECT SUM(t_v * t_v * t_v - t_v) AS tie_cube FROM vals
+),
+h_stat AS (
+  -- H = 12/(N(N+1)) * sum(R_g^2 / n_g) - 3(N+1), with R_g = r2_g / 2;
+  -- divided by the tie correction 1 - tie_cube/(N^3 - N)
+  SELECT ROUND(
+    (12.0 / (CAST(n_tot AS DOUBLE) * (n_tot + 1))
+     * (SELECT SUM(CAST(r2_g AS DOUBLE) * r2_g / (4.0 * n_g)) FROM per_group)
+     - 3.0 * (n_tot + 1))
+    / (1.0 - CAST((SELECT tie_cube FROM ties) AS DOUBLE)
+             / (CAST(n_tot AS DOUBLE) * n_tot * n_tot - n_tot)), 6) AS h
+  FROM groups_n
+)
+SELECT g.grp AS event_type,
+       CAST(g.n_g AS BIGINT) AS n,
+       ROUND(CAST(g.r2_g AS DOUBLE) / (2.0 * g.n_g), 6) AS mean_rank,
+       (SELECT h FROM h_stat) AS h_stat,
+       CAST((SELECT k FROM groups_n) - 1 AS BIGINT) AS dof,
+       CAST(CASE WHEN (SELECT h FROM h_stat) > {crit_case}
+            THEN 1 ELSE 0 END AS INT) AS reject_95
+FROM per_group g
+ORDER BY g.grp
+"""
+
+
+register(
+    "kruskal_wallis_value",
+    oracle=kruskal_sql(DUCKDB),
+    doc="Kruskal-Wallis H across all event types (k-sample MWU sibling): "
+    "doubled-rank BIGINT algebra over the value histogram, tie-corrected, "
+    "chi-square(k-1) decision from a fixed critical table",
+)(_q(kruskal_sql))

@@ -178,3 +178,85 @@ def test_benford_separates_conforming_from_uniform(spark):
     assert b["mad"].iloc[0] <= 0.006 and b["conformity"].iloc[0] == "close"
     assert u["mad"].iloc[0] > 0.015 and u["conformity"].iloc[0] == "nonconforming"
     assert u["chi2_total"].iloc[0] > b["chi2_total"].iloc[0] * 10
+
+
+def _kw_reference(groups: list[np.ndarray]) -> float:
+    """Tie-corrected Kruskal-Wallis H, textbook formulas."""
+    allv = np.concatenate(groups)
+    n = len(allv)
+    order = allv.argsort(kind="mergesort")
+    ranks = np.empty(n)
+    sv = allv[order]
+    i = 0
+    while i < n:
+        j = i
+        while j < n and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0
+        i = j
+    off = 0
+    h = 0.0
+    for g in groups:
+        rg = ranks[off : off + len(g)].sum()
+        h += rg * rg / len(g)
+        off += len(g)
+    h = 12.0 / (n * (n + 1)) * h - 3 * (n + 1)
+    _, t = np.unique(allv, return_counts=True)
+    corr = 1 - (t**3 - t).sum() / (n**3 - n)
+    return h / corr
+
+
+def test_kruskal_matches_numpy(spark):
+    out = load_all()["kruskal_wallis_value"].spark(spark, SF).toPandas()
+    ev = _events(spark)
+    ev = ev[ev["value"].notna()]
+    types = sorted(ev["event_type"].unique())
+    groups = [ev[ev.event_type == t]["value"].round(2).to_numpy() for t in types]
+    h = _kw_reference(groups)
+    assert sorted(out["event_type"]) == types
+    assert abs(out["h_stat"].iloc[0] - round(h, 6)) < 2e-6
+    assert out["dof"].iloc[0] == len(types) - 1
+    crit = {1: 3.841459, 2: 5.991465, 3: 7.814728, 4: 9.487729}[len(types) - 1]
+    assert out["reject_95"].iloc[0] == int(h > crit)
+    # per-group n and mean rank agree
+    allv = np.concatenate(groups)
+    order = allv.argsort(kind="mergesort")
+    ranks = np.empty(len(allv))
+    sv = allv[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0
+        i = j
+    off = 0
+    for t, g in zip(types, groups):
+        r = out[out["event_type"] == t].iloc[0]
+        assert r["n"] == len(g)
+        mr = ranks[off : off + len(g)].mean()
+        assert abs(r["mean_rank"] - round(mr, 6)) < 2e-6
+        off += len(g)
+
+
+def test_kruskal_detects_injected_group_shift(spark):
+    """Shifting one group's values must flip the omnibus decision."""
+    from pyspark.sql import functions as F
+
+    from serene_spark.catalog import load_table
+    from serene_spark.functions.sqlgen import SPARK as SPARK_D
+    from serene_spark.operators.hypothesis_tests import kruskal_sql
+
+    ev = load_table(spark, SF, "events")
+    shifted = ev.withColumn(
+        "value",
+        F.when(F.col("event_type") == "signup", F.col("value") + 1000.0)
+        .otherwise(F.col("value")),
+    )
+    shifted.createOrReplaceTempView("events")
+    shifted_out = spark.sql(kruskal_sql(SPARK_D)).toPandas()
+    spark.catalog.dropTempView("events")
+    assert shifted_out["reject_95"].iloc[0] == 1
+    # the shifted group holds the top mean rank by a wide margin
+    top = shifted_out.sort_values("mean_rank").iloc[-1]
+    assert top["event_type"] == "signup"
