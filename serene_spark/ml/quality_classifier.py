@@ -137,3 +137,102 @@ def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+N_ISO_BINS = 20
+
+
+def _pava_expand(rates: list[float], weights: list[int]) -> list[float]:
+    """PAVA returning one fitted value per input bin."""
+    blocks: list[list[float]] = [[r, float(w), 1] for r, w in zip(rates, weights)]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][0] <= blocks[i + 1][0] + 1e-15:
+            i += 1
+            continue
+        r1, w1, c1 = blocks[i]
+        r2, w2, c2 = blocks[i + 1]
+        blocks[i] = [(r1 * w1 + r2 * w2) / (w1 + w2), w1 + w2, c1 + c2]
+        del blocks[i + 1]
+        if i > 0:
+            i -= 1
+    out: list[float] = []
+    for r, _w, c in blocks:
+        out.extend([r] * int(c))
+    return out
+
+
+@register(
+    "quality_score_isotonic",
+    doc="isotonic (PAVA) recalibration of the distilled quality model over "
+    "20 score bins: monotone calibrated rates + Brier decomposition "
+    "(raw model / unconstrained bin rates / isotonic) — rows-only, "
+    "PAVA pinned against a pure-python reference",
+)
+def quality_score_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic recalibration — the correction the reliability diagram
+    (quality_score_calibration) motivates: fit the L2-optimal MONOTONE
+    mapping from predicted p(good) to observed pass rate with
+    pool-adjacent-violators over ``N_ISO_BINS`` score bins, and report
+    the Brier decomposition: raw model vs unconstrained per-bin rates
+    (the Brier-optimal per-bin constant) vs the isotonic fit.  By
+    construction iso >= bin-rate Brier (monotonicity is a constraint)
+    and the iso mapping never inverts a score ordering — the property a
+    downstream threshold needs.
+
+    Scale shape: scoring is the broadcast model transform; the bin
+    aggregation is one map-side-combinable keyed agg to N_ISO_BINS rows;
+    PAVA runs driver-side on those bins (bin-cardinality, the
+    modeler-graph convention); the Brier sums are one more pass with the
+    tiny calibrated map broadcast back.  Rows-only: the RF scoring step
+    is not SQL-expressible.
+    """
+    scored = quality_classifier_score(spark, sf_dir).localCheckpoint(eager=True)
+    b = F.least(
+        F.lit(N_ISO_BINS - 1), F.floor(F.col("prob_good") * N_ISO_BINS).cast("int")
+    )
+    binned = scored.withColumn("bin", b)
+    agg = (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.avg("prob_good").alias("mean_predicted"),
+            F.avg(F.col("rule_label").cast("double")).alias("raw_rate"),
+        )
+        .orderBy("bin")
+        .collect()
+    )
+    rates = [r["raw_rate"] for r in agg]
+    weights = [r["n_docs"] for r in agg]
+    iso = _pava_expand(rates, weights)
+    iso_map = {int(r["bin"]): (r, iso_v) for r, iso_v in zip(agg, iso)}
+
+    map_df = scored.sparkSession.createDataFrame(
+        [(int(r["bin"]), float(r["raw_rate"]), float(v)) for r, v in zip(agg, iso)],
+        "bin int, bin_rate double, iso_rate double",
+    )
+    joined = binned.join(F.broadcast(map_df), "bin")
+    briers = joined.agg(
+        F.avg((F.col("prob_good") - F.col("rule_label")) ** 2).alias("raw"),
+        F.avg((F.col("bin_rate") - F.col("rule_label")) ** 2).alias("binr"),
+        F.avg((F.col("iso_rate") - F.col("rule_label")) ** 2).alias("iso"),
+    ).collect()[0]
+
+    rows = [
+        (
+            int(r["bin"]),
+            int(r["n_docs"]),
+            round(float(r["mean_predicted"]), 6),
+            round(float(r["raw_rate"]), 6),
+            round(float(v), 6),
+            round(float(briers["raw"]), 6),
+            round(float(briers["binr"]), 6),
+            round(float(briers["iso"]), 6),
+        )
+        for r, v in zip(agg, iso)
+    ]
+    return scored.sparkSession.createDataFrame(
+        rows,
+        "bin int, n_docs bigint, mean_predicted double, raw_rate double, "
+        "iso_rate double, brier_raw double, brier_bin double, brier_iso double",
+    ).orderBy("bin")

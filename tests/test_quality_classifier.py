@@ -69,3 +69,65 @@ def test_quality_calibration_diagram(spark, sf_dir):
     big = [r for r in rows if r["n_docs"] >= 10]
     if len(big) >= 2:
         assert big[-1]["actual_pass_rate"] >= big[0]["actual_pass_rate"]
+
+
+def test_isotonic_calibration_properties(spark):
+    """PAVA output pinned against an independent pure-python isotonic
+    fit on the same bin aggregates; monotonicity; Brier ordering
+    (unconstrained bin rates <= isotonic, by projection)."""
+    import numpy as np
+
+    from serene_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    out = (
+        load_all()["quality_score_isotonic"].spark(spark, sf).toPandas()
+        .sort_values("bin").reset_index(drop=True)
+    )
+    # independent PAVA: brute-force over the (rate, weight) sequence
+    rates = out["raw_rate"].to_numpy(dtype=float)
+    weights = out["n_docs"].to_numpy(dtype=float)
+
+    def pava_ref(y, w):
+        y = list(map(float, y))
+        w = list(map(float, w))
+        n = len(y)
+        fit = y[:]
+        # iterate to fixed point: repeatedly pool any adjacent violator
+        changed = True
+        blocks = [[fit[i], w[i], [i]] for i in range(n)]
+        while changed:
+            changed = False
+            i = 0
+            while i < len(blocks) - 1:
+                if blocks[i][0] > blocks[i + 1][0] + 1e-15:
+                    r = (blocks[i][0] * blocks[i][1]
+                         + blocks[i + 1][0] * blocks[i + 1][1]) / (
+                        blocks[i][1] + blocks[i + 1][1]
+                    )
+                    blocks[i] = [r, blocks[i][1] + blocks[i + 1][1],
+                                 blocks[i][2] + blocks[i + 1][2]]
+                    del blocks[i + 1]
+                    changed = True
+                else:
+                    i += 1
+        res = [0.0] * n
+        for r, _w, idxs in blocks:
+            for k in idxs:
+                res[k] = r
+        return np.array(res)
+
+    ref = pava_ref(rates, weights)
+    assert np.abs(out["iso_rate"].to_numpy() - np.round(ref, 6)).max() < 2e-6
+    # monotone nondecreasing in score bin
+    iso = out["iso_rate"].to_numpy()
+    assert (np.diff(iso) >= -1e-9).all()
+    # Brier ordering: the unconstrained per-bin rate is the Brier-optimal
+    # per-bin constant, so adding the monotonicity constraint cannot beat it
+    assert out["brier_bin"].iloc[0] <= out["brier_iso"].iloc[0] + 1e-9
+    # weighted mean is conserved by PAVA pooling
+    assert abs(
+        float((iso * weights).sum() - (rates * weights).sum())
+    ) < 1e-6 * weights.sum()
+    # bins cover all scored documents
+    assert out["n_docs"].sum() > 0
