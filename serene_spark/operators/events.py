@@ -781,3 +781,85 @@ register(
     "first-activity-day cohort (exact-day definition); two keyed "
     "aggregations over the reduced user-day relation",
 )(lambda spark, sf_dir: (register_views(spark, sf_dir), spark.sql(retention_days_sql(SPARK)))[1])
+
+
+# --- Session entry/exit routes + bounce rate --------------------------------
+
+
+def session_routes_sql(dialect: str) -> str:
+    """Web-analytics session routing: per (entry event type, exit event
+    type) route, session counts, bounce share (single-event sessions),
+    mean events and span — the report behind "where do sessions start,
+    where do they die".  Splices the SAME 30-minute-gap session
+    assignment as ``events_sessionize`` (one definition of a session
+    engine-wide); entry/exit are deterministic arg_min/arg_max by the
+    zero-padded (epoch, event_id) total-order key, so equal-timestamp
+    edges cannot flap between engines.  The corpus-wide bounce rate is
+    repeated per row from exact integer counts.
+
+    Scale shape: the session assignment is the sessionizer's one
+    user-keyed window; everything after is a (route)-keyed agg over the
+    session-cardinality relation.
+    """
+    from serene_spark.functions.sqlgen import arg_max_by, arg_min_by, epoch_us
+    from serene_spark.operators.timeseries import _sortkey
+
+    us = epoch_us(dialect, "ts")
+    lag_us = epoch_us(dialect, "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)")
+    key = _sortkey(dialect)
+    return f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN {us} - {lag_us} > {SESSION_GAP_US} THEN 1 ELSE 0 END
+           AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM marked
+),
+per_session AS (
+  SELECT user_id, session_id,
+         COUNT(*) AS n_events,
+         {arg_min_by(dialect, "event_type", key)} AS entry_type,
+         {arg_max_by(dialect, "event_type", key)} AS exit_type,
+         {epoch_us(dialect, "MAX(ts)")} - {epoch_us(dialect, "MIN(ts)")} AS span_us
+  FROM sess GROUP BY user_id, session_id
+),
+tot AS (
+  SELECT COUNT(*) AS n_total,
+         SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounce_total
+  FROM per_session
+)
+SELECT entry_type,
+       exit_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6) AS avg_events,
+       ROUND(CAST(SUM(span_us) AS DOUBLE) / COUNT(*) / 1000000, 6) AS avg_span_sec,
+       ROUND(CAST((SELECT n_bounce_total FROM tot) AS DOUBLE)
+             / (SELECT n_total FROM tot), 6) AS corpus_bounce_rate
+FROM per_session
+GROUP BY entry_type, exit_type
+ORDER BY entry_type, exit_type
+"""
+
+
+def _session_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serene_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(session_routes_sql("spark"))
+
+
+register(
+    "session_entry_exit",
+    oracle=session_routes_sql("duckdb"),
+    doc="session routing report: per (entry, exit) event-type route, "
+    "session counts + bounce share + mean events/span; same 30-min "
+    "session definition as events_sessionize, deterministic total-order "
+    "entry/exit keys",
+)(_session_routes)

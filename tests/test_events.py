@@ -240,3 +240,46 @@ def test_asof_fwd_corpus_invariants(spark):
             n_matched += 1
             assert int(r["next_purchase_id"]) == exp
     assert n_matched > 0 and n_null > 0
+
+
+def test_session_routes_pandas_recheck(spark):
+    """Entry/exit routes + bounce accounting recomputed independently by
+    replaying the 30-min session rule in pandas."""
+    import pandas as pd
+
+    from serene_spark.catalog import load_table
+    from serene_spark.operators.events import SESSION_GAP_US
+    from serene_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    out = load_all()["session_entry_exit"].spark(spark, sf).toPandas()
+    ev = (
+        load_table(spark, sf, "events").toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    ev["us"] = ev["ts"].astype("int64") // 1000
+    routes: dict[tuple, list] = {}
+    n_total = n_bounce = 0
+    for _, g in ev.groupby("user_id"):
+        gaps = g["us"].diff()
+        new_s = (gaps > SESSION_GAP_US).fillna(False).cumsum()
+        for _, s in g.groupby(new_s):
+            entry = s.iloc[0]["event_type"]
+            exit_ = s.iloc[-1]["event_type"]
+            span = (s["us"].max() - s["us"].min()) / 1e6
+            routes.setdefault((entry, exit_), []).append((len(s), span))
+            n_total += 1
+            n_bounce += int(len(s) == 1)
+    assert len(out) == len(routes)
+    for _, r in out.iterrows():
+        sessions = routes[(r["entry_type"], r["exit_type"])]
+        assert r["n_sessions"] == len(sessions)
+        assert r["n_bounces"] == sum(1 for n, _ in sessions if n == 1)
+        assert abs(r["avg_events"] - round(sum(n for n, _ in sessions) / len(sessions), 6)) < 1e-6
+        assert abs(r["avg_span_sec"] - round(sum(s for _, s in sessions) / len(sessions), 6)) < 1e-5
+        assert abs(r["corpus_bounce_rate"] - round(n_bounce / n_total, 6)) < 1e-9
+    # session accounting closes: route sessions sum to the sessionizer's total
+    tot_sessions = (
+        load_all()["events_sessionize"].spark(spark, sf).toPandas()["n_sessions"].sum()
+    )
+    assert int(out["n_sessions"].sum()) == int(tot_sessions)
