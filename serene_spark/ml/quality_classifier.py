@@ -205,7 +205,6 @@ def quality_score_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     rates = [r["raw_rate"] for r in agg]
     weights = [r["n_docs"] for r in agg]
     iso = _pava_expand(rates, weights)
-    iso_map = {int(r["bin"]): (r, iso_v) for r, iso_v in zip(agg, iso)}
 
     map_df = scored.sparkSession.createDataFrame(
         [(int(r["bin"]), float(r["raw_rate"]), float(v)) for r, v in zip(agg, iso)],

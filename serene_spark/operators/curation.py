@@ -591,13 +591,17 @@ hashed AS (
   SELECT doc_id, md5({norm_expr(dialect)}) AS text_hash FROM documents
 ),
 flags AS (
+  -- LEFT JOINs on the token-derived relations: a zero-token document
+  -- has no quality/lang row but must still count in the source's
+  -- denominator (as failing quality, language 'unknown') — dropping it
+  -- would let a host full of unusable docs look BETTER in the profile
   SELECT d.source, d.doc_id, d.n_chars,
-         CAST(q.quality_pass AS INT) AS passes,
-         l.pred_lang,
+         CAST(COALESCE(q.quality_pass, 0.0) AS INT) AS passes,
+         COALESCE(l.pred_lang, 'unknown') AS pred_lang,
          CASE WHEN hx.doc_id = k.keeper_doc_id THEN 0 ELSE 1 END AS is_dup
   FROM documents d
-  JOIN q ON q.doc_id = d.doc_id
-  JOIN l ON l.doc_id = d.doc_id
+  LEFT JOIN q ON q.doc_id = d.doc_id
+  LEFT JOIN l ON l.doc_id = d.doc_id
   JOIN hashed hx ON hx.doc_id = d.doc_id
   JOIN k ON k.text_hash = hx.text_hash
 ),

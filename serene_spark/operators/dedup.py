@@ -591,13 +591,17 @@ membership AS (
   FROM documents d LEFT JOIN {clusters_rel} c ON d.doc_id = c.doc_id
 ),
 ranked AS (
+  -- LEFT JOIN + COALESCE: a zero-token document (all punctuation/CJK)
+  -- has no text_quality row; it must still receive a verdict (as a
+  -- failing-quality member), not silently vanish from the output
   SELECT m.doc_id, m.cluster, m.n_chars,
-         CAST(q.quality_pass AS INT) AS quality_pass,
+         CAST(COALESCE(q.quality_pass, 0.0) AS INT) AS quality_pass,
          ROW_NUMBER() OVER (PARTITION BY m.cluster
-                            ORDER BY q.quality_pass DESC, m.n_chars DESC,
+                            ORDER BY COALESCE(q.quality_pass, 0.0) DESC,
+                                     m.n_chars DESC,
                                      m.doc_id ASC) AS rn,
          COUNT(*) OVER (PARTITION BY m.cluster) AS n_in_cluster
-  FROM membership m JOIN q ON q.doc_id = m.doc_id
+  FROM membership m LEFT JOIN q ON q.doc_id = m.doc_id
 )
 SELECT doc_id,
        CAST(cluster AS BIGINT) AS cluster,

@@ -387,25 +387,32 @@ calc AS (
            * (1 + g.mde_pct / 100.0) AS p2,
          LEAST(ab.n_exposed_a, ab.n_exposed_b) AS n_current
   FROM grid g JOIN ab ON 1 = 1
+),
+req AS (
+  -- degenerate-case guard (the CUSUM/MAD/KM convention): p1 = 0 has no
+  -- relative MDE, and p2 >= 1 is an unreachable target — both emit NULL
+  -- required-n rather than sqrt-of-negative (DuckDB errors, Spark NaNs)
+  -- or a divide-by-zero that the engines NULL/inf differently
+  SELECT mde_pct, p1, p2, n_current,
+         CASE WHEN p1 <= 0 OR p2 >= 1 THEN NULL
+              ELSE CAST(CEIL(
+                ({_Z_ALPHA2} * sqrt(2 * ((p1 + p2) / 2) * (1 - (p1 + p2) / 2))
+                 + {_Z_BETA} * sqrt(p1 * (1 - p1) + p2 * (1 - p2)))
+                * ({_Z_ALPHA2} * sqrt(2 * ((p1 + p2) / 2) * (1 - (p1 + p2) / 2))
+                   + {_Z_BETA} * sqrt(p1 * (1 - p1) + p2 * (1 - p2)))
+                / ((p2 - p1) * (p2 - p1))) AS BIGINT)
+              END AS n_req
+  FROM calc
 )
 SELECT mde_pct,
        ROUND(p1, 6) AS baseline_rate,
        ROUND(p2, 6) AS target_rate,
-       CAST(CEIL(
-         ({_Z_ALPHA2} * sqrt(2 * ((p1 + p2) / 2) * (1 - (p1 + p2) / 2))
-          + {_Z_BETA} * sqrt(p1 * (1 - p1) + p2 * (1 - p2)))
-         * ({_Z_ALPHA2} * sqrt(2 * ((p1 + p2) / 2) * (1 - (p1 + p2) / 2))
-            + {_Z_BETA} * sqrt(p1 * (1 - p1) + p2 * (1 - p2)))
-         / ((p2 - p1) * (p2 - p1))) AS BIGINT) AS n_required_per_arm,
+       n_req AS n_required_per_arm,
        CAST(n_current AS BIGINT) AS n_current_min_arm,
-       CAST(CASE WHEN n_current >= CEIL(
-         ({_Z_ALPHA2} * sqrt(2 * ((p1 + p2) / 2) * (1 - (p1 + p2) / 2))
-          + {_Z_BETA} * sqrt(p1 * (1 - p1) + p2 * (1 - p2)))
-         * ({_Z_ALPHA2} * sqrt(2 * ((p1 + p2) / 2) * (1 - (p1 + p2) / 2))
-            + {_Z_BETA} * sqrt(p1 * (1 - p1) + p2 * (1 - p2)))
-         / ((p2 - p1) * (p2 - p1)))
-            THEN 1 ELSE 0 END AS INT) AS adequately_powered
-FROM calc
+       CAST(CASE WHEN n_req IS NULL THEN 0
+                 WHEN n_current >= n_req THEN 1 ELSE 0 END AS INT)
+         AS adequately_powered
+FROM req
 ORDER BY mde_pct
 """
 

@@ -47,17 +47,38 @@ BETA = "0.1"
 HORIZON = 3
 
 
-SERIES_SQL = """
-SELECT month_key, y,
-       ROW_NUMBER() OVER (ORDER BY month_key) AS i
+def series_sql(dialect: str) -> str:
+    """Month-spine series: a calendar gap month enters as an explicit
+    zero-revenue row — without the spine, ROW_NUMBER would splice
+    non-adjacent months into consecutive recurrence steps (the same
+    reasoning as the CUSUM/ACF day spines)."""
+    return f"""
+SELECT s.month_key, COALESCE(m.y, CAST(0 AS DOUBLE)) AS y,
+       ROW_NUMBER() OVER (ORDER BY s.month_key) AS i
 FROM (
-  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
-           AS month_key,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
-  FROM orders
-  GROUP BY year(o_orderdate), month(o_orderdate)
-) m
+  SELECT {explode_seq(dialect, "(SELECT MIN(month_key) FROM __holt_monthly)",
+                      "(SELECT MAX(month_key) FROM __holt_monthly)")} AS month_key
+  FROM (SELECT 1 AS one) o
+) s
+LEFT JOIN __holt_monthly m ON m.month_key = s.month_key
 """
+
+
+MONTHLY_SQL = """
+SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+         AS month_key,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+FROM orders
+GROUP BY year(o_orderdate), month(o_orderdate)
+"""
+
+
+def series_inline_sql(dialect: str) -> str:
+    """Series with the monthly CTE inlined (oracle form)."""
+    return (
+        "(WITH __holt_monthly AS (" + MONTHLY_SQL + ")"
+        + series_sql(dialect) + ")"
+    )
 
 
 def holt_sql(dialect: str, series_rel: str | None = None) -> str:
@@ -66,7 +87,7 @@ def holt_sql(dialect: str, series_rel: str | None = None) -> str:
     full orders lineage at every level)."""
     a = f"CAST({ALPHA} AS DOUBLE)"
     b = f"CAST({BETA} AS DOUBLE)"
-    series = series_rel if series_rel is not None else f"({SERIES_SQL})"
+    series = series_rel if series_rel is not None else series_inline_sql(dialect)
     return f"""
 WITH RECURSIVE series AS (
   SELECT * FROM {series} s0
@@ -140,7 +161,9 @@ def _holt_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     # month-cardinality relation, materialized ONCE so the recursion's 80
     # sequential levels never re-plan the orders scan (conventions: loop
     # inputs get localCheckpoint; per-call uuid view for thread safety)
-    spark.sql(SERIES_SQL).localCheckpoint(eager=True).createOrReplaceTempView(view)
+    spark.sql(
+        f"WITH __holt_monthly AS ({MONTHLY_SQL}) {series_sql(SPARK)}"
+    ).localCheckpoint(eager=True).createOrReplaceTempView(view)
     return spark.sql(holt_sql(SPARK, series_rel=view))
 
 

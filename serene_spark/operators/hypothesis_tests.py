@@ -38,7 +38,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from serene_spark.catalog import register_views
-from serene_spark.functions.sqlgen import DUCKDB, SPARK, epoch_s, explode_seq, idiv
+from serene_spark.functions.sqlgen import (
+    DUCKDB,
+    SPARK,
+    epoch_s,
+    explode_seq,
+    idiv,
+    re_extract,
+)
 from serene_spark.registry import register
 
 MWU_SIDE_A = "click"
@@ -116,9 +123,12 @@ ranked AS (
   FROM hist
 ),
 sums AS (
+  -- DECIMAL(38,0) accumulators: ra2 ~ N^2 and tie_cube ~ N^3 wrap a
+  -- BIGINT sum past ~3e9 valued rows in non-ANSI Spark while DuckDB
+  -- promotes to HUGEINT — the drift-KS decimal-factor convention
   SELECT SUM(na_v) AS n_a, SUM(nb_v) AS n_b,
-         SUM(na_v * avgrank2) AS ra2,
-         SUM(t_v * t_v * t_v - t_v) AS tie_cube
+         SUM(CAST(na_v AS DECIMAL(19,0)) * avgrank2) AS ra2,
+         SUM(CAST(t_v AS DECIMAL(19,0)) * t_v * t_v - t_v) AS tie_cube
   FROM ranked
 )
 SELECT CAST(n_a AS BIGINT) AS n_a,
@@ -182,19 +192,26 @@ def benford_sql(dialect: str) -> str:
     published conformity bands (MAD <= 0.006 close, <= 0.012 acceptable,
     <= 0.015 marginal, else nonconforming).
 
-    The leading digit comes from the DECIMAL's string form — log10 +
-    FLOOR would hinge on last-ulp libm behavior at exact powers of ten,
-    where the two engines could legitimately disagree; string extraction
-    is representation-exact.  The digit spine 1..9 is generated so
-    zero-count digits still contribute their expected share.  One scan to
-    a 9-row relation; every ratio an exact integer-count division.
+    The leading SIGNIFICANT digit comes from the DECIMAL's string form
+    (first [1-9] character — amounts in (0, 1) like 0.75 lead with
+    '0.', and Benford's law is about the first significant digit, so
+    '7' is the correct read; a bare first-character substr would bin
+    them into a phantom digit 0 outside the 1..9 spine and deflate
+    every share).  String extraction, never log10 + FLOOR, whose
+    last-ulp libm behavior at exact powers of ten could split the
+    engines.  Amounts rounding to 0.00 cents have no significant digit
+    and are excluded from both numerator and denominator.  The digit
+    spine 1..9 is generated so zero-count digits still contribute their
+    expected share.  One scan to a 9-row relation; every ratio an exact
+    integer-count division.
     """
-    first_digit = "substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING), 1, 1)"
+    dec_str = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING)"
+    first_digit = re_extract(dialect, dec_str, "([1-9])", 1)
     return f"""
 WITH digits AS (
   SELECT CAST({first_digit} AS INT) AS d, COUNT(*) AS n
   FROM orders
-  WHERE o_totalprice > 0
+  WHERE o_totalprice > 0 AND {first_digit} <> ''
   GROUP BY 1
 ),
 tot AS (SELECT SUM(n) AS n_tot FROM digits),
@@ -292,9 +309,11 @@ ranked_vals AS (
   FROM vals
 ),
 per_group AS (
+  -- DECIMAL accumulators: rank sums ~ N^2 wrap BIGINT in non-ANSI
+  -- Spark past ~3e9 rows while DuckDB promotes to HUGEINT
   SELECT h.grp,
          SUM(h.c) AS n_g,
-         SUM(h.c * r.avgrank2) AS r2_g
+         SUM(CAST(h.c AS DECIMAL(19,0)) * r.avgrank2) AS r2_g
   FROM hist h JOIN ranked_vals r ON r.v = h.v
   GROUP BY h.grp
 ),
@@ -302,7 +321,7 @@ groups_n AS (
   SELECT COUNT(*) AS k, SUM(n_g) AS n_tot FROM per_group
 ),
 ties AS (
-  SELECT SUM(t_v * t_v * t_v - t_v) AS tie_cube FROM vals
+  SELECT SUM(CAST(t_v AS DECIMAL(19,0)) * t_v * t_v - t_v) AS tie_cube FROM vals
 ),
 h_stat AS (
   -- H = 12/(N(N+1)) * sum(R_g^2 / n_g) - 3(N+1), with R_g = r2_g / 2;
@@ -320,8 +339,11 @@ SELECT g.grp AS event_type,
        ROUND(CAST(g.r2_g AS DOUBLE) / (2.0 * g.n_g), 6) AS mean_rank,
        (SELECT h FROM h_stat) AS h_stat,
        CAST((SELECT k FROM groups_n) - 1 AS BIGINT) AS dof,
-       CAST(CASE WHEN (SELECT h FROM h_stat) > {crit_case}
-            THEN 1 ELSE 0 END AS INT) AS reject_95
+       -- dof beyond the table -> NULL (undecidable), never a silent
+       -- "not rejected": h > NULL is NULL and the CASE must preserve it
+       CAST(CASE WHEN {crit_case} IS NULL THEN NULL
+                 WHEN (SELECT h FROM h_stat) > {crit_case}
+                 THEN 1 ELSE 0 END AS INT) AS reject_95
 FROM per_group g
 ORDER BY g.grp
 """

@@ -176,10 +176,17 @@ series AS (
   SELECT s.day, CAST(COALESCE(p.rev, 0) AS DOUBLE) AS x
   FROM spine s LEFT JOIN per_day p ON s.day = p.day
 ),
+xbar_rel AS (
+  -- mean from decimal-exact revenue total over the spine length —
+  -- a bare AVG over doubles would depend on partial-aggregation order
+  -- (registry determinism rule), unlike this single division
+  SELECT (SELECT CAST(SUM(CAST(rev AS DECIMAL(28,2))) AS DOUBLE) FROM per_day)
+         / (SELECT CAST(COUNT(*) AS DOUBLE) FROM series) AS xbar
+),
 mom AS (
-  SELECT COUNT(*) AS n, AVG(x) AS xbar,
-         SUM(CAST(ROUND((x - (SELECT AVG(x) FROM series))
-                        * (x - (SELECT AVG(x) FROM series)), 9)
+  SELECT COUNT(*) AS n,
+         SUM(CAST(ROUND((x - (SELECT xbar FROM xbar_rel))
+                        * (x - (SELECT xbar FROM xbar_rel)), 9)
                   AS DECIMAL(28,9))) AS denom
   FROM series
 ),
@@ -193,8 +200,8 @@ lagged AS (
 nums AS (
   SELECT lag,
          COUNT(*) AS n_pairs,
-         SUM(CAST(ROUND((xa - (SELECT xbar FROM mom))
-                        * (xb - (SELECT xbar FROM mom)), 9)
+         SUM(CAST(ROUND((xa - (SELECT xbar FROM xbar_rel))
+                        * (xb - (SELECT xbar FROM xbar_rel)), 9)
                   AS DECIMAL(28,9))) AS num
   FROM lagged GROUP BY lag
 )
@@ -227,11 +234,24 @@ def ts_decompose_sql(dialect: str) -> str:
     """
     mkey = "CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)"
     return f"""
-WITH monthly AS (
+WITH per_month AS (
   SELECT {mkey} AS month_key,
-         CAST(month(o_orderdate) AS INT) AS mon,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
   FROM orders GROUP BY year(o_orderdate), month(o_orderdate)
+),
+monthly AS (
+  -- month spine: a calendar gap month enters as an explicit zero —
+  -- without it the ROWS window would splice non-adjacent months into
+  -- one "centered" 13-month average (the CUSUM/ACF day-spine reasoning)
+  SELECT s.month_key,
+         CAST(s.month_key % 12 + 1 AS INT) AS mon,
+         COALESCE(p.y, CAST(0 AS DOUBLE)) AS y
+  FROM (
+    SELECT {explode_seq(dialect, "(SELECT MIN(month_key) FROM per_month)",
+                        "(SELECT MAX(month_key) FROM per_month)")} AS month_key
+    FROM (SELECT 1 AS one) o
+  ) s
+  LEFT JOIN per_month p ON p.month_key = s.month_key
 ),
 trended AS (
   -- centered MA(12): average of a 13-month window with half weight on
@@ -249,11 +269,17 @@ detr AS (
   SELECT month_key, mon, y, trend, y - trend AS dt FROM trended
 ),
 sidx AS (
-  SELECT mon, ROUND(AVG(ROUND(dt, 6)), 6) AS raw_idx
+  -- decimal-summed means (registry determinism rule: no bare double AVG)
+  SELECT mon,
+         ROUND(CAST(SUM(CAST(ROUND(dt, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*), 6) AS raw_idx
   FROM detr WHERE dt IS NOT NULL GROUP BY mon
 ),
 season AS (
-  SELECT mon, ROUND(raw_idx - (SELECT AVG(raw_idx) FROM sidx), 6) AS seasonal
+  SELECT mon,
+         ROUND(raw_idx
+               - (SELECT CAST(SUM(CAST(raw_idx AS DECIMAL(18,6))) AS DOUBLE)
+                         / COUNT(*) FROM sidx), 6) AS seasonal
   FROM sidx
 )
 SELECT m.month_key,
@@ -337,7 +363,7 @@ pairs AS (
 ),
 s_stat AS (SELECT SUM(sgn) AS s FROM pairs),
 ties AS (
-  SELECT SUM(t * (t - 1) * (2 * t + 5)) AS tie_term
+  SELECT SUM(CAST(t AS DECIMAL(19,0)) * (t - 1) * (2 * t + 5)) AS tie_term
   FROM (SELECT COUNT(*) AS t FROM series GROUP BY x) g
 ),
 var_s AS (

@@ -109,8 +109,12 @@ def test_canonical_select_invariants(spark, sf_dir):
     out = load_all()["dedup_canonical_select"].spark(spark, sf_dir).toPandas()
     docs = load_all()["text_quality"].spark(spark, sf_dir).toPandas()
 
-    # every document verdicted exactly once
-    assert len(out) == len(docs)
+    # every document verdicted exactly once — against the FULL corpus
+    # (a zero-token doc has no text_quality row but must still appear)
+    from serene_spark.catalog import load_table as _lt
+
+    n_corpus = _lt(spark, sf_dir, "documents").count()
+    assert len(out) == n_corpus
     assert out["doc_id"].is_unique
 
     # exactly one keeper per cluster, and it is the cluster's own member

@@ -84,7 +84,7 @@ def test_holt_tracks_injected_trend(spark):
     import pandas as pd
 
     from serene_spark.functions.sqlgen import SPARK
-    from serene_spark.operators.forecast import SERIES_SQL, holt_sql
+    from serene_spark.operators.forecast import MONTHLY_SQL, holt_sql, series_sql
 
     rows = []
     for i in range(48):
@@ -96,7 +96,9 @@ def test_holt_tracks_injected_trend(spark):
     )
     df.createOrReplaceTempView("orders")
     view = "holt_series_test"
-    spark.sql(SERIES_SQL).localCheckpoint(eager=True).createOrReplaceTempView(view)
+    spark.sql(
+        f"WITH __holt_monthly AS ({MONTHLY_SQL}) {series_sql(SPARK)}"
+    ).localCheckpoint(eager=True).createOrReplaceTempView(view)
     out = (
         spark.sql(holt_sql(SPARK, series_rel=view)).toPandas()
         .sort_values("month_key").reset_index(drop=True)
@@ -111,3 +113,33 @@ def test_holt_tracks_injected_trend(spark):
     last_y = fit["revenue"].iloc[-1]
     for h in range(1, HORIZON + 1):
         assert abs(hor["forecast"].iloc[h - 1] - (last_y + 50.0 * h)) < 1e-5
+
+
+def test_holt_series_spine_fills_gap_months(spark):
+    """A calendar gap month must enter the recurrence as an explicit zero
+    step — not be spliced out (the review-pass fix): with a gap, the
+    series length equals the calendar span and the missing month carries
+    y = 0."""
+    import datetime
+
+    import pandas as pd
+
+    from serene_spark.functions.sqlgen import SPARK as SPARK_D
+    from serene_spark.operators.forecast import MONTHLY_SQL, series_sql
+
+    rows = []
+    k = 0
+    for i in [0, 1, 3, 4]:  # month index 2 missing entirely
+        d = datetime.datetime(2021, 1 + i, 15)
+        rows.append((k := k + 1, d, 1000.0))
+    df = pd.DataFrame(rows, columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+    spark.createDataFrame(df).createOrReplaceTempView("orders")
+    series = (
+        spark.sql(f"WITH __holt_monthly AS ({MONTHLY_SQL}) {series_sql(SPARK_D)}")
+        .toPandas().sort_values("i").reset_index(drop=True)
+    )
+    spark.catalog.dropTempView("orders")
+    assert len(series) == 5  # full calendar span, not 4 present months
+    assert (series["month_key"].diff().dropna() == 1).all()
+    assert series.loc[2, "y"] == 0.0  # the gap month, explicit zero
+    assert series.loc[0, "y"] == 1000.0 and series.loc[4, "y"] == 1000.0

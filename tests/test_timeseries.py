@@ -226,3 +226,39 @@ def test_mann_kendall_detects_injected_trend(spark):
     assert up["trend_detected"] == 1 and up["z"] > 10
     assert abs(up["sen_slope_per_day"] - 2.0) < 0.2
     assert flat["trend_detected"] == 0
+
+
+def test_decompose_spine_fills_gap_months(spark):
+    """The centered MA(12) must see a gap month as a zero row, never
+    splice non-adjacent months into one window (review-pass fix)."""
+    import datetime
+
+    import pandas as pd
+
+    from serene_spark.functions.sqlgen import SPARK as SPARK_D
+    from serene_spark.operators.timeseries import ts_decompose_sql
+
+    rows = []
+    k = 0
+    for i in range(30):
+        if i == 15:
+            continue  # gap month
+        d = datetime.datetime(2020 + i // 12, i % 12 + 1, 10)
+        rows.append((k := k + 1, d, 1200.0))
+    df = pd.DataFrame(rows, columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+    spark.createDataFrame(df).createOrReplaceTempView("orders")
+    out = (
+        spark.sql(ts_decompose_sql(SPARK_D)).toPandas()
+        .sort_values("month_key").reset_index(drop=True)
+    )
+    spark.catalog.dropTempView("orders")
+    assert len(out) == 30  # calendar span, gap included
+    assert (out["month_key"].diff().dropna() == 1).all()
+    gap = out.iloc[15]
+    assert gap["revenue"] == 0.0
+    # the zero month genuinely enters its neighbors' centered averages:
+    # months within 6 of the gap carry a trend depressed by ~1200/12
+    near = out.iloc[12]["trend"]
+    far = out.iloc[7]["trend"]
+    assert abs(far - 1200.0) < 1e-6
+    assert abs(near - (1200.0 - 1200.0 / 12)) < 1e-6
