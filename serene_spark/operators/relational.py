@@ -719,3 +719,109 @@ register("order_backlog_daily", oracle=backlog_sql(DUCKDB),
          "pattern — two delta rows per order, cumulative window over the "
          "distinct-day relation; never a day x interval join")(
     _sql_query(backlog_sql(SPARK)))
+
+
+# --- Supply-chain analytics: fulfilment lead time + supplier concentration --
+
+
+def lead_time_sql(dialect: str) -> str:
+    """Order-fulfilment lead time per order priority: days from order
+    placement to the LAST lineitem shipment (the order is fulfilled when
+    its final line ships), summarized with exact histogram quantiles
+    (p50/p90/p99 at ceil-rank, the engine's quantile convention) and
+    decimal-exact means — the SLA report every fulfilment team runs.
+
+    One lineitem scan reduces to per-order last-ship days (keyed agg on
+    the natural join key), one broadcast-light join back to orders, and
+    the quantiles read the (priority, lead_days) count histogram —
+    priority-keyed windows over a histogram-sized relation.
+
+    The synthetic corpus ships some lines BEFORE placement (the
+    close-before-open quirk order_backlog_daily documents); those
+    surface here as NEGATIVE lead days by design — clamping would hide
+    exactly the rows a dq constraint should catch.
+    """
+    o_day = f"CAST(FLOOR(({epoch_s(dialect, 'o.o_orderdate')}) / 86400.0) AS BIGINT)"
+    s_day = f"CAST(FLOOR(({epoch_s(dialect, 'l.l_shipdate')}) / 86400.0) AS BIGINT)"
+    return f"""
+WITH last_ship AS (
+  SELECT l.l_orderkey, MAX({s_day}) AS ship_day
+  FROM lineitem l GROUP BY l.l_orderkey
+),
+leads AS (
+  SELECT o.o_orderpriority AS priority,
+         s.ship_day - {o_day} AS lead_days
+  FROM orders o JOIN last_ship s ON s.l_orderkey = o.o_orderkey
+),
+hist AS (
+  SELECT priority, lead_days, COUNT(*) AS c FROM leads GROUP BY priority, lead_days
+),
+cum AS (
+  SELECT priority, lead_days, c,
+         SUM(c) OVER (PARTITION BY priority ORDER BY lead_days) AS cc,
+         SUM(c) OVER (PARTITION BY priority) AS n
+  FROM hist
+)
+SELECT priority,
+       CAST(MAX(n) AS BIGINT) AS n_orders,
+       CAST(MIN(lead_days) AS BIGINT) AS min_days,
+       CAST(MIN(CASE WHEN cc >= ceil(n * 0.50) THEN lead_days END) AS BIGINT) AS p50_days,
+       CAST(MIN(CASE WHEN cc >= ceil(n * 0.90) THEN lead_days END) AS BIGINT) AS p90_days,
+       CAST(MIN(CASE WHEN cc >= ceil(n * 0.99) THEN lead_days END) AS BIGINT) AS p99_days,
+       CAST(MAX(lead_days) AS BIGINT) AS max_days,
+       ROUND(CAST(SUM(CAST(lead_days AS DECIMAL(19,0)) * c) AS DOUBLE)
+             / MAX(n), 6) AS mean_days
+FROM cum
+GROUP BY priority
+ORDER BY priority
+"""
+
+
+def supplier_hhi_sql(dialect: str) -> str:
+    """Supplier concentration per nation: the Herfindahl-Hirschman index
+    over suppliers' shares of their nation's lineitem revenue — the
+    supply-risk screen (HHI > 0.25 = highly concentrated under the
+    DOJ/FTC convention, scaled 0..1).  Shares are exact integer-count
+    decimal divisions; per-supplier revenue is ONE decimal-exact keyed
+    agg and the HHI sums 12-dp-rounded share squares in DECIMAL per
+    nation (supplier-cardinality relation).
+    """
+    return f"""
+WITH per_supp AS (
+  SELECT s.s_nationkey AS nation, l.l_suppkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS rev
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY s.s_nationkey, l.l_suppkey
+),
+tot AS (
+  SELECT nation, SUM(CAST(rev AS DECIMAL(28,2))) AS total_rev,
+         COUNT(*) AS n_suppliers
+  FROM per_supp GROUP BY nation
+)
+SELECT CAST(p.nation AS BIGINT) AS nation,
+       CAST(MAX(t.n_suppliers) AS BIGINT) AS n_suppliers,
+       ROUND(CAST(MAX(t.total_rev) AS DOUBLE), 6) AS total_revenue,
+       ROUND(CAST(SUM(CAST(ROUND(
+           (CAST(p.rev AS DOUBLE) / CAST(t.total_rev AS DOUBLE))
+         * (CAST(p.rev AS DOUBLE) / CAST(t.total_rev AS DOUBLE)), 12)
+         AS DECIMAL(28,12))) AS DOUBLE), 6) AS hhi,
+       CAST(CASE WHEN SUM(CAST(ROUND(
+           (CAST(p.rev AS DOUBLE) / CAST(t.total_rev AS DOUBLE))
+         * (CAST(p.rev AS DOUBLE) / CAST(t.total_rev AS DOUBLE)), 12)
+         AS DECIMAL(28,12))) > 0.25 THEN 1 ELSE 0 END AS INT)
+         AS concentrated
+FROM per_supp p JOIN tot t ON t.nation = p.nation
+GROUP BY p.nation
+ORDER BY p.nation
+"""
+
+
+register("lead_time_by_priority", oracle=lead_time_sql(DUCKDB),
+         doc="order-fulfilment lead time per priority: exact histogram "
+         "p50/p90/p99 (ceil-rank) from placement to last lineitem "
+         "shipment, decimal-exact means")(_sql_query(lead_time_sql(SPARK)))
+
+register("supplier_hhi_by_nation", oracle=supplier_hhi_sql(DUCKDB),
+         doc="supplier concentration: Herfindahl index over suppliers' "
+         "revenue shares per nation, 0.25 DOJ/FTC concentration flag, "
+         "decimal-summed share squares")(_sql_query(supplier_hhi_sql(SPARK)))

@@ -105,3 +105,60 @@ def test_order_backlog_sweep(spark, sf_dir):
         assert rows[day] == expected, day
     # backlog returns to zero after the last close
     assert rows[days[-1]] == 0
+
+
+def test_lead_time_pandas_recheck(spark):
+    """Lead-time quantiles/means recomputed independently per priority."""
+    import math
+
+    import numpy as np
+
+    from serene_spark.catalog import load_table
+    from serene_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    out = load_all()["lead_time_by_priority"].spark(spark, sf).toPandas()
+    od = load_table(spark, sf, "orders").toPandas()
+    li = load_table(spark, sf, "lineitem").toPandas()
+    od["o_day"] = (od["o_orderdate"].astype("int64") // 10**9) // 86400
+    li["s_day"] = (li["l_shipdate"].astype("int64") // 10**9) // 86400
+    last = li.groupby("l_orderkey")["s_day"].max()
+    df = od.join(last.rename("ship_day"), on="o_orderkey", how="inner")
+    df["lead"] = df["ship_day"] - df["o_day"]
+    assert len(out) == df["o_orderpriority"].nunique()
+    for _, r in out.iterrows():
+        v = np.sort(df[df["o_orderpriority"] == r["priority"]]["lead"].to_numpy())
+        n = len(v)
+        assert r["n_orders"] == n
+        assert r["min_days"] == v[0] and r["max_days"] == v[-1]
+        for q, col in ((0.5, "p50_days"), (0.9, "p90_days"), (0.99, "p99_days")):
+            assert r[col] == v[math.ceil(n * q) - 1], (r["priority"], col)
+        assert abs(r["mean_days"] - round(v.mean(), 6)) < 1e-6
+    # the synthetic corpus ships some lines BEFORE order placement (the
+    # same quirk order_backlog_daily documents); the lead-time report
+    # must surface those as negative days, not clamp them — routing them
+    # to a DQ constraint is the downstream pipeline's decision
+    assert int(out["min_days"].min()) < 0
+
+
+def test_supplier_hhi_pandas_recheck(spark):
+    """HHI recomputed from revenue shares; bounds 1/n <= HHI <= 1."""
+    from serene_spark.catalog import load_table
+    from serene_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    out = load_all()["supplier_hhi_by_nation"].spark(spark, sf).toPandas()
+    li = load_table(spark, sf, "lineitem").toPandas()
+    su = load_table(spark, sf, "supplier").toPandas()
+    df = li.merge(su, left_on="l_suppkey", right_on="s_suppkey")
+    df["rev"] = df["l_extendedprice"].round(2)
+    for _, r in out.iterrows():
+        g = df[df["s_nationkey"] == r["nation"]]
+        per = g.groupby("l_suppkey")["rev"].sum()
+        shares = per / per.sum()
+        hhi = float((shares**2).sum())
+        assert r["n_suppliers"] == len(per)
+        assert abs(r["hhi"] - round(hhi, 6)) < 2e-6
+        assert 1.0 / len(per) - 1e-9 <= r["hhi"] <= 1.0 + 1e-9
+        assert r["concentrated"] == int(hhi > 0.25)
+        assert abs(r["total_revenue"] - round(per.sum(), 2)) < 1e-6
