@@ -358,3 +358,81 @@ register(
     f"within {DUP_PAY_WINDOW_DAYS} days, equi-joined on (customer, "
     "amount) — never an inequality join; canonical pair order",
 )(_orders_q(duplicate_payments_sql))
+
+
+# --- Cross-table consistency audit ------------------------------------------
+
+
+def dq_cross_table_sql(dialect: str) -> str:
+    """Cross-table consistency — the DQ dimension single-table constraints
+    cannot see: (a) lineitems shipping BEFORE their order's placement,
+    (b) orders with no lineitems at all, (c) the header-vs-lines
+    reconciliation (order total vs the sum of its line prices) that
+    every finance close runs.  On this synthetic corpus the checks
+    return honest findings: ship-before-order rows exist (the
+    close-before-open quirk order_backlog_daily and lead_time document)
+    and NO header matches its lines (totals are generated independently)
+    — the audit measures, it does not assume.
+
+    Scale shape: one lineitem scan reduces to per-order (line total,
+    min ship day) — a single keyed agg on the natural join key — then
+    one join to orders and one global aggregation of decimal-exact
+    gaps.  No window, no data-scale pairs.
+    """
+    o_day = f"CAST(FLOOR(({epoch_s(dialect, 'o.o_orderdate')}) / 86400.0) AS BIGINT)"
+    s_day = f"CAST(FLOOR(({epoch_s(dialect, 'l_shipdate')}) / 86400.0) AS BIGINT)"
+    return f"""
+WITH per_order AS (
+  SELECT l_orderkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS line_total,
+         MIN({s_day}) AS first_ship_day,
+         COUNT(*) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+),
+joined AS (
+  SELECT o.o_orderkey,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS header_total,
+         {o_day} AS order_day,
+         p.line_total, p.first_ship_day, p.n_lines
+  FROM orders o LEFT JOIN per_order p ON p.l_orderkey = o.o_orderkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN n_lines IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orders_no_lines,
+       CAST(SUM(CASE WHEN first_ship_day < order_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ship_before_order,
+       CAST(SUM(CASE WHEN line_total IS NOT NULL
+                      AND ABS(CAST(header_total - line_total AS DOUBLE)) >= 0.01
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_total_mismatch,
+       ROUND(CAST(SUM(ABS(CAST(header_total - line_total AS DECIMAL(28,2))))
+                  AS DOUBLE)
+             / SUM(CASE WHEN line_total IS NOT NULL THEN 1 ELSE 0 END), 6)
+         AS mean_abs_gap,
+       ROUND(CAST(SUM(CASE WHEN line_total IS NOT NULL
+                           THEN CAST(ROUND(ABS(CAST(header_total - line_total
+                                                    AS DOUBLE))
+                                           / CAST(header_total AS DOUBLE), 12)
+                                AS DECIMAL(28,12))
+                           ELSE CAST(0 AS DECIMAL(28,12)) END) AS DOUBLE)
+             / SUM(CASE WHEN line_total IS NOT NULL THEN 1 ELSE 0 END), 6)
+         AS mean_rel_gap
+FROM joined
+"""
+
+
+def _orders_lineitem_q(sql_fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, ("orders", "lineitem"))
+        return spark.sql(sql_fn(SPARK))
+
+    return run
+
+
+register(
+    "dq_cross_table",
+    oracle=dq_cross_table_sql(DUCKDB),
+    doc="cross-table consistency audit: ship-before-order rows, orders "
+    "without lines, header-vs-lines total reconciliation (the corpus "
+    "honestly fails it: totals are generated independently) — one "
+    "keyed agg + one join, no data-scale pairs",
+)(_orders_lineitem_q(dq_cross_table_sql))

@@ -245,3 +245,83 @@ def test_duplicate_payments_fixture_and_clean_corpus(spark, sf_dir):
     assert (out["gap_days"] <= 7).all()
     g = out[out["orderkey_1"] == 101].iloc[0]
     assert g["gap_days"] == 3 and g["custkey"] == 1 and g["amount"] == 250.00
+
+
+def test_dq_cross_table_pandas_recheck_and_injection(spark, sf_dir):
+    """Cross-table audit recomputed in pandas on the real corpus (which
+    honestly fails reconciliation), plus an injected orphan-order /
+    consistent-ledger fixture pinning the clean path."""
+    import datetime
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from serene_spark.catalog import load_table
+    from serene_spark.functions.sqlgen import SPARK as SPARK_D
+    from serene_spark.operators.quality_checks import dq_cross_table_sql
+    from serene_spark.registry import load_all
+
+    [r] = load_all()["dq_cross_table"].spark(spark, sf_dir).collect()
+    od = load_table(spark, sf_dir, "orders").toPandas()
+    li = load_table(spark, sf_dir, "lineitem").toPandas()
+    od["day"] = (od["o_orderdate"].astype("int64") // 10**9) // 86400
+    li["sday"] = (li["l_shipdate"].astype("int64") // 10**9) // 86400
+    per = li.groupby("l_orderkey").agg(
+        total=("l_extendedprice", lambda s: s.round(2).sum()),
+        first_ship=("sday", "min"),
+        n=("l_orderkey", "size"),
+    )
+    j = od.join(per, on="o_orderkey")
+    assert r["n_orders"] == len(od)
+    assert r["n_orders_no_lines"] == int(j["n"].isna().sum())
+    have = j[j["n"].notna()]
+    assert r["n_ship_before_order"] == int((have["first_ship"] < have["day"]).sum())
+    gaps = (have["o_totalprice"].round(2) - have["total"]).abs()
+    assert r["n_total_mismatch"] == int((gaps >= 0.01).sum())
+    assert abs(r["mean_abs_gap"] - round(gaps.mean(), 6)) < 1e-4
+    # the corpus generates totals independently of lines: the audit must
+    # report that honestly, not assume consistency
+    assert r["n_total_mismatch"] == len(have)
+
+    # constructed consistent ledger + one orphan + one early ship
+    t0 = datetime.datetime(2022, 1, 10)
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3],
+            "o_custkey": [1, 1, 2],
+            "o_orderdate": [t0, t0, t0],
+            "o_totalprice": [300.0, 50.0, 10.0],  # order 3 has no lines
+            "o_orderstatus": ["F"] * 3,
+            "o_orderpriority": ["1-URGENT"] * 3,
+        }
+    )
+    lines = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 2],
+            "l_partkey": [1, 2, 3],
+            "l_suppkey": [1, 1, 1],
+            "l_linenumber": [1, 2, 1],
+            "l_quantity": [1.0, 1.0, 1.0],
+            "l_extendedprice": [100.0, 200.0, 49.0],  # order 2 off by 1.00
+            "l_discount": [0.0] * 3,
+            "l_tax": [0.0] * 3,
+            "l_returnflag": ["N"] * 3,
+            "l_linestatus": ["O"] * 3,
+            "l_shipdate": [
+                t0 + datetime.timedelta(days=5),
+                t0 + datetime.timedelta(days=9),
+                t0 - datetime.timedelta(days=2),  # ships before placement
+            ],
+        }
+    )
+    spark.createDataFrame(orders).createOrReplaceTempView("orders")
+    spark.createDataFrame(lines).createOrReplaceTempView("lineitem")
+    [f] = spark.sql(dq_cross_table_sql(SPARK_D)).collect()
+    spark.catalog.dropTempView("orders")
+    spark.catalog.dropTempView("lineitem")
+    assert f["n_orders"] == 3
+    assert f["n_orders_no_lines"] == 1
+    assert f["n_ship_before_order"] == 1
+    assert f["n_total_mismatch"] == 1        # order 1 reconciles exactly
+    assert abs(f["mean_abs_gap"] - round(1.0 / 2, 6)) < 1e-9
