@@ -108,19 +108,36 @@ register(
 
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
-SESSIONIZE_ORACLE_SQL = f"""
-WITH marked AS (
-  SELECT user_id, ts, event_id,
-         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
-                   > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_session
+
+def session_assign_rel(dialect: str) -> str:
+    """THE engine-wide session definition (30-minute inactivity gap,
+    (ts, event_id) total order), as a spliceable marked+sess CTE pair —
+    every consumer (the sessionizer oracle, the entry/exit routing
+    report) splices this one body so the rule cannot desync."""
+    from serene_spark.functions.sqlgen import epoch_us as _eus
+
+    us = _eus(dialect, "ts")
+    lag_us = _eus(
+        dialect, "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    )
+    return f"""
+marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN {us} - {lag_us} > {SESSION_GAP_US} THEN 1 ELSE 0 END
+           AS new_session
   FROM events
 ),
 sess AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id, event_type,
          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
   FROM marked
-),
+)"""
+
+
+SESSIONIZE_ORACLE_SQL = f"""
+WITH {session_assign_rel("duckdb")},
 per_session AS (
   SELECT user_id, session_id, COUNT(*) AS n_events,
          (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS span_sec
@@ -804,23 +821,9 @@ def session_routes_sql(dialect: str) -> str:
     from serene_spark.functions.sqlgen import arg_max_by, arg_min_by, epoch_us
     from serene_spark.operators.timeseries import _sortkey
 
-    us = epoch_us(dialect, "ts")
-    lag_us = epoch_us(dialect, "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)")
     key = _sortkey(dialect)
     return f"""
-WITH marked AS (
-  SELECT user_id, ts, event_id, event_type,
-         CASE WHEN {us} - {lag_us} > {SESSION_GAP_US} THEN 1 ELSE 0 END
-           AS new_session
-  FROM events
-),
-sess AS (
-  SELECT user_id, ts, event_id, event_type,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_id
-  FROM marked
-),
+WITH {session_assign_rel(dialect)},
 per_session AS (
   SELECT user_id, session_id,
          COUNT(*) AS n_events,

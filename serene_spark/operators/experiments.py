@@ -381,9 +381,12 @@ grid AS (
   {grid_arms}
 ),
 calc AS (
+  -- NULLIF: a zero-exposure arm would be 0/0 BEFORE the p1/p2 guard
+  -- below can fire (ANSI Spark raises; DuckDB NULLs) — NULL p1 flows
+  -- into the NULL-required-n path like every other degenerate case
   SELECT g.mde_pct,
-         CAST(ab.n_converted_a AS DOUBLE) / ab.n_exposed_a AS p1,
-         CAST(ab.n_converted_a AS DOUBLE) / ab.n_exposed_a
+         CAST(ab.n_converted_a AS DOUBLE) / NULLIF(ab.n_exposed_a, 0) AS p1,
+         CAST(ab.n_converted_a AS DOUBLE) / NULLIF(ab.n_exposed_a, 0)
            * (1 + g.mde_pct / 100.0) AS p2,
          LEAST(ab.n_exposed_a, ab.n_exposed_b) AS n_current
   FROM grid g JOIN ab ON 1 = 1

@@ -130,28 +130,35 @@ sums AS (
          SUM(CAST(na_v AS DECIMAL(19,0)) * avgrank2) AS ra2,
          SUM(CAST(t_v AS DECIMAL(19,0)) * t_v * t_v - t_v) AS tie_cube
   FROM ranked
+),
+stat AS (
+  -- tie-corrected variance computed ONCE, guarded: all-tied samples (or
+  -- N < 2) make it 0, and the z would be 0/0 — which ANSI Spark RAISES
+  -- while DuckDB NULLs; the guard emits NULL (undecidable), never a crash
+  SELECT n_a, n_b, ra2,
+         CASE WHEN n_a + n_b < 2 THEN NULL
+              ELSE CAST(n_a AS DOUBLE) * n_b / 12
+                   * ((n_a + n_b + 1)
+                      - CAST(tie_cube AS DOUBLE)
+                        / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))
+              END AS var_u
+  FROM sums
 )
 SELECT CAST(n_a AS BIGINT) AS n_a,
        CAST(n_b AS BIGINT) AS n_b,
        CAST(ra2 - n_a * (n_a + 1) AS DOUBLE) / 2 AS u_a,
        CAST(n_a AS DOUBLE) * n_b
          - CAST(ra2 - n_a * (n_a + 1) AS DOUBLE) / 2 AS u_b,
-       ROUND((CAST(ra2 - n_a * (n_a + 1) AS DOUBLE) / 2
-              - CAST(n_a AS DOUBLE) * n_b / 2)
-             / sqrt(CAST(n_a AS DOUBLE) * n_b / 12
-                    * ((n_a + n_b + 1)
-                       - CAST(tie_cube AS DOUBLE)
-                         / (CAST(n_a + n_b AS DOUBLE)
-                            * (n_a + n_b - 1)))), 6) AS z,
-       CASE WHEN ABS((CAST(ra2 - n_a * (n_a + 1) AS DOUBLE) / 2
-                      - CAST(n_a AS DOUBLE) * n_b / 2)
-                    / sqrt(CAST(n_a AS DOUBLE) * n_b / 12
-                           * ((n_a + n_b + 1)
-                              - CAST(tie_cube AS DOUBLE)
-                                / (CAST(n_a + n_b AS DOUBLE)
-                                   * (n_a + n_b - 1))))) > 1.959964
+       CASE WHEN var_u IS NULL OR var_u <= 0 THEN NULL
+            ELSE ROUND((CAST(ra2 - n_a * (n_a + 1) AS DOUBLE) / 2
+                        - CAST(n_a AS DOUBLE) * n_b / 2) / sqrt(var_u), 6)
+            END AS z,
+       CASE WHEN var_u IS NULL OR var_u <= 0 THEN NULL
+            WHEN ABS((CAST(ra2 - n_a * (n_a + 1) AS DOUBLE) / 2
+                      - CAST(n_a AS DOUBLE) * n_b / 2) / sqrt(var_u))
+                 > 1.959964
             THEN 1 ELSE 0 END AS reject_95
-FROM sums
+FROM stat
 """
 
 
@@ -325,13 +332,21 @@ ties AS (
 ),
 h_stat AS (
   -- H = 12/(N(N+1)) * sum(R_g^2 / n_g) - 3(N+1), with R_g = r2_g / 2;
-  -- divided by the tie correction 1 - tie_cube/(N^3 - N)
-  SELECT ROUND(
-    (12.0 / (CAST(n_tot AS DOUBLE) * (n_tot + 1))
-     * (SELECT SUM(CAST(r2_g AS DOUBLE) * r2_g / (4.0 * n_g)) FROM per_group)
-     - 3.0 * (n_tot + 1))
-    / (1.0 - CAST((SELECT tie_cube FROM ties) AS DOUBLE)
-             / (CAST(n_tot AS DOUBLE) * n_tot * n_tot - n_tot)), 6) AS h
+  -- divided by the tie correction 1 - tie_cube/(N^3 - N).  Guard: an
+  -- all-tied corpus (or N < 2) zeroes the correction — ANSI Spark
+  -- RAISES on the 0/0 where DuckDB NULLs, so emit NULL explicitly
+  SELECT CASE
+    WHEN n_tot < 2 THEN NULL  -- separate branch: OR may not short-circuit
+    WHEN 1.0 - CAST((SELECT tie_cube FROM ties) AS DOUBLE)
+               / (CAST(n_tot AS DOUBLE) * n_tot * n_tot - n_tot) <= 0
+    THEN NULL
+    ELSE ROUND(
+      (12.0 / (CAST(n_tot AS DOUBLE) * (n_tot + 1))
+       * (SELECT SUM(CAST(r2_g AS DOUBLE) * r2_g / (4.0 * n_g)) FROM per_group)
+       - 3.0 * (n_tot + 1))
+      / (1.0 - CAST((SELECT tie_cube FROM ties) AS DOUBLE)
+               / (CAST(n_tot AS DOUBLE) * n_tot * n_tot - n_tot)), 6)
+    END AS h
   FROM groups_n
 )
 SELECT g.grp AS event_type,
@@ -339,9 +354,11 @@ SELECT g.grp AS event_type,
        ROUND(CAST(g.r2_g AS DOUBLE) / (2.0 * g.n_g), 6) AS mean_rank,
        (SELECT h FROM h_stat) AS h_stat,
        CAST((SELECT k FROM groups_n) - 1 AS BIGINT) AS dof,
-       -- dof beyond the table -> NULL (undecidable), never a silent
-       -- "not rejected": h > NULL is NULL and the CASE must preserve it
+       -- dof beyond the table OR a degenerate (all-tied) H -> NULL
+       -- (undecidable), never a silent "not rejected": x > NULL is NULL
+       -- and would fall through to ELSE 0 without the explicit branches
        CAST(CASE WHEN {crit_case} IS NULL THEN NULL
+                 WHEN (SELECT h FROM h_stat) IS NULL THEN NULL
                  WHEN (SELECT h FROM h_stat) > {crit_case}
                  THEN 1 ELSE 0 END AS INT) AS reject_95
 FROM per_group g

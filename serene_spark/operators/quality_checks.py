@@ -404,9 +404,13 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
        CAST(SUM(CASE WHEN line_total IS NOT NULL
                       AND ABS(CAST(header_total - line_total AS DOUBLE)) >= 0.01
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_total_mismatch,
+       -- NULLIF denominators: with NO reconcilable orders both means are
+       -- 0/0, which ANSI Spark raises and DuckDB NULLs (the repo's
+       -- pair_features NULLIF convention)
        ROUND(CAST(SUM(ABS(CAST(header_total - line_total AS DECIMAL(28,2))))
                   AS DOUBLE)
-             / SUM(CASE WHEN line_total IS NOT NULL THEN 1 ELSE 0 END), 6)
+             / NULLIF(SUM(CASE WHEN line_total IS NOT NULL
+                                THEN 1 ELSE 0 END), 0), 6)
          AS mean_abs_gap,
        ROUND(CAST(SUM(CASE WHEN line_total IS NOT NULL
                            THEN CAST(ROUND(ABS(CAST(header_total - line_total
@@ -414,7 +418,8 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
                                            / CAST(header_total AS DOUBLE), 12)
                                 AS DECIMAL(28,12))
                            ELSE CAST(0 AS DECIMAL(28,12)) END) AS DOUBLE)
-             / SUM(CASE WHEN line_total IS NOT NULL THEN 1 ELSE 0 END), 6)
+             / NULLIF(SUM(CASE WHEN line_total IS NOT NULL
+                                THEN 1 ELSE 0 END), 0), 6)
          AS mean_rel_gap
 FROM joined
 """

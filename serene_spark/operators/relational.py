@@ -797,22 +797,27 @@ tot AS (
   SELECT nation, SUM(CAST(rev AS DECIMAL(28,2))) AS total_rev,
          COUNT(*) AS n_suppliers
   FROM per_supp GROUP BY nation
+),
+hhi_rel AS (
+  -- share-square sum computed ONCE per nation; hhi and the 0.25 flag
+  -- both read it, so they can never disagree (the h_stat pattern)
+  SELECT p.nation,
+         MAX(t.n_suppliers) AS n_suppliers,
+         MAX(t.total_rev) AS total_rev,
+         SUM(CAST(ROUND(
+             (CAST(p.rev AS DOUBLE) / CAST(t.total_rev AS DOUBLE))
+           * (CAST(p.rev AS DOUBLE) / CAST(t.total_rev AS DOUBLE)), 12)
+           AS DECIMAL(28,12))) AS hhi_sum
+  FROM per_supp p JOIN tot t ON t.nation = p.nation
+  GROUP BY p.nation
 )
-SELECT CAST(p.nation AS BIGINT) AS nation,
-       CAST(MAX(t.n_suppliers) AS BIGINT) AS n_suppliers,
-       ROUND(CAST(MAX(t.total_rev) AS DOUBLE), 6) AS total_revenue,
-       ROUND(CAST(SUM(CAST(ROUND(
-           (CAST(p.rev AS DOUBLE) / CAST(t.total_rev AS DOUBLE))
-         * (CAST(p.rev AS DOUBLE) / CAST(t.total_rev AS DOUBLE)), 12)
-         AS DECIMAL(28,12))) AS DOUBLE), 6) AS hhi,
-       CAST(CASE WHEN SUM(CAST(ROUND(
-           (CAST(p.rev AS DOUBLE) / CAST(t.total_rev AS DOUBLE))
-         * (CAST(p.rev AS DOUBLE) / CAST(t.total_rev AS DOUBLE)), 12)
-         AS DECIMAL(28,12))) > 0.25 THEN 1 ELSE 0 END AS INT)
-         AS concentrated
-FROM per_supp p JOIN tot t ON t.nation = p.nation
-GROUP BY p.nation
-ORDER BY p.nation
+SELECT CAST(nation AS BIGINT) AS nation,
+       CAST(n_suppliers AS BIGINT) AS n_suppliers,
+       ROUND(CAST(total_rev AS DOUBLE), 6) AS total_revenue,
+       ROUND(CAST(hhi_sum AS DOUBLE), 6) AS hhi,
+       CAST(CASE WHEN hhi_sum > 0.25 THEN 1 ELSE 0 END AS INT) AS concentrated
+FROM hhi_rel
+ORDER BY nation
 """
 
 

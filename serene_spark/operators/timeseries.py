@@ -207,10 +207,15 @@ nums AS (
 )
 SELECT CAST(lag AS INT) AS lag,
        CAST(n_pairs AS BIGINT) AS n_pairs,
-       ROUND(CAST(num AS DOUBLE) / CAST((SELECT denom FROM mom) AS DOUBLE), 6)
-         AS acf,
+       -- zero-variance guard: a constant series has no autocorrelation
+       -- (denom = 0, and ANSI Spark RAISES on the 0/0 where DuckDB NULLs)
+       CASE WHEN (SELECT denom FROM mom) = 0 THEN NULL
+            ELSE ROUND(CAST(num AS DOUBLE)
+                       / CAST((SELECT denom FROM mom) AS DOUBLE), 6)
+            END AS acf,
        ROUND(1.96 / sqrt((SELECT CAST(n AS DOUBLE) FROM mom)), 6) AS wn_band,
-       CAST(CASE WHEN ABS(CAST(num AS DOUBLE)
+       CAST(CASE WHEN (SELECT denom FROM mom) = 0 THEN NULL
+                 WHEN ABS(CAST(num AS DOUBLE)
                           / CAST((SELECT denom FROM mom) AS DOUBLE))
                       > 1.96 / sqrt((SELECT CAST(n AS DOUBLE) FROM mom))
             THEN 1 ELSE 0 END AS INT) AS significant

@@ -260,3 +260,32 @@ def test_kruskal_detects_injected_group_shift(spark):
     # the shifted group holds the top mean rank by a wide margin
     top = shifted_out.sort_values("mean_rank").iloc[-1]
     assert top["event_type"] == "signup"
+
+
+def test_degenerate_guards_raise_nothing(spark):
+    """ANSI Spark raises on 0/0 where DuckDB NULLs — the degenerate
+    guards must emit NULL (undecidable) on all-tied samples instead of
+    crashing (second-review fix)."""
+    import datetime
+
+    import pandas as pd
+
+    from serene_spark.functions.sqlgen import SPARK as SPARK_D
+    from serene_spark.operators.hypothesis_tests import kruskal_sql, mwu_sql
+
+    t0 = datetime.datetime(2024, 3, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(minutes=i), i % 3,
+         ["click", "purchase", "view"][i % 3], 7.0, "{}")  # ONE tied value
+        for i in range(30)
+    ]
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    spark.createDataFrame(ev).createOrReplaceTempView("events")
+    [m] = spark.sql(mwu_sql(SPARK_D)).collect()
+    kw = spark.sql(kruskal_sql(SPARK_D)).collect()
+    spark.catalog.dropTempView("events")
+    assert m["z"] is None and m["reject_95"] is None  # undecidable, not 0
+    assert m["u_a"] == m["u_b"]  # all tied -> U at its null midpoint
+    assert all(r["h_stat"] is None and r["reject_95"] is None for r in kw)

@@ -325,3 +325,32 @@ def test_dq_cross_table_pandas_recheck_and_injection(spark, sf_dir):
     assert f["n_ship_before_order"] == 1
     assert f["n_total_mismatch"] == 1        # order 1 reconciles exactly
     assert abs(f["mean_abs_gap"] - round(1.0 / 2, 6)) < 1e-9
+
+
+def test_dq_cross_table_all_orphans_yields_null_means(spark):
+    """Orders with an empty lineitem table: the reconciliation means are
+    0/0 and must emit NULL, not raise under ANSI (second-review fix)."""
+    import datetime
+
+    import pandas as pd
+
+    from serene_spark.functions.sqlgen import SPARK as SPARK_D
+    from serene_spark.operators.quality_checks import dq_cross_table_sql
+
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2],
+            "o_custkey": [1, 1],
+            "o_orderdate": [datetime.datetime(2022, 1, 1)] * 2,
+            "o_totalprice": [10.0, 20.0],
+        }
+    )
+    spark.createDataFrame(orders).createOrReplaceTempView("orders")
+    spark.createDataFrame(
+        [], "l_orderkey long, l_extendedprice double, l_shipdate timestamp"
+    ).createOrReplaceTempView("lineitem")
+    [r] = spark.sql(dq_cross_table_sql(SPARK_D)).collect()
+    spark.catalog.dropTempView("orders")
+    spark.catalog.dropTempView("lineitem")
+    assert r["n_orders"] == 2 and r["n_orders_no_lines"] == 2
+    assert r["mean_abs_gap"] is None and r["mean_rel_gap"] is None

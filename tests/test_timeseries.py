@@ -262,3 +262,26 @@ def test_decompose_spine_fills_gap_months(spark):
     far = out.iloc[7]["trend"]
     assert abs(far - 1200.0) < 1e-6
     assert abs(near - (1200.0 - 1200.0 / 12)) < 1e-6
+
+
+def test_acf_constant_series_yields_null(spark):
+    """A constant series has no autocorrelation: denom = 0 must emit NULL
+    acf (ANSI Spark would raise on the 0/0; second-review fix)."""
+    import datetime
+
+    import pandas as pd
+
+    from serene_spark.functions.sqlgen import SPARK as SPARK_D
+    from serene_spark.operators.timeseries import ts_acf_sql
+
+    rows = [
+        (i + 1, datetime.datetime(2020, 1, 1) + datetime.timedelta(days=i), 500.0)
+        for i in range(90)
+    ]
+    df = pd.DataFrame(rows, columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+    spark.createDataFrame(df).createOrReplaceTempView("orders")
+    out = spark.sql(ts_acf_sql(SPARK_D)).toPandas()
+    spark.catalog.dropTempView("orders")
+    assert len(out) == 30
+    assert out["acf"].isna().all()
+    assert out["significant"].isna().all()
