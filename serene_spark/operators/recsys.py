@@ -1,0 +1,194 @@
+"""Recommender / merchandising analytics: ABC classification, item-item
+collaborative filtering, and Wilson-lower-bound rate ranking.
+
+* ``abc_pareto_parts`` — ABC (Pareto) inventory classification: parts
+  ranked by lifetime discounted revenue, classified A (first 80% of
+  cumulative revenue), B (80-95%), C (tail), with per-class part counts,
+  revenue and shares.  The classic merchandising cut behind "20% of SKUs
+  drive 80% of revenue".  Scale shape: one lineitem scan reduced to the
+  part-level revenue relation (catalog-sized, orders of magnitude smaller
+  than fact rows), then windows over THAT relation only; the class
+  boundary is an exact DECIMAL comparison (0.80 * total is exact decimal
+  multiplication in both engines), never a DOUBLE epsilon.  At extreme
+  catalog sizes the cumulative window becomes a range-partitioned sort —
+  still never a fact-table window.
+* ``item_item_cosine`` — item-item collaborative filtering (Sarwar et
+  al., "Item-based collaborative filtering recommendation algorithms",
+  WWW 2001) on binary basket membership: cosine(a,b) =
+  co_orders / sqrt(orders_a * orders_b), top-``CF_TOP_K`` neighbors per
+  part among pairs co-ordered >= ``CF_MIN_CO`` times.  Candidate pairs are
+  generated INSIDE each basket (pair count bounded by Σ basket_size²,
+  never catalog²) — the same in-basket generation as ``basket_part_lift``
+  but producing the symmetric neighbor ranking a recommender serves, not
+  association rules.  Deterministic: rank on (rounded cosine DESC,
+  co-count DESC, neighbor id).
+* ``wilson_return_rank`` — parts ranked by the LOWER bound of the Wilson
+  score interval (Wilson 1927; popularized for ranking by E. Miller,
+  "How not to sort by average rating") on their line-item return rate
+  (``l_returnflag = 'R'``), z = 1.96.  The raw rate over-ranks small-n
+  flukes; the Wilson lower bound is the defensible "worst plausible rate"
+  ordering. One scan to per-part (returns, n) counts; the interval is
+  closed-form per-part arithmetic on that catalog-sized relation.
+  Parity: all interval math in DOUBLE with explicit CAST'd literals (a
+  bare ``1.96`` is DECIMAL in DuckDB), identical operation order both
+  engines, output rounded to 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from serene_spark.catalog import register_views
+from serene_spark.functions.sqlgen import DUCKDB, SPARK
+from serene_spark.registry import register
+
+CF_MIN_CO = 3   # min co-orders for a candidate pair (63 pairs at sf0.01)
+CF_TOP_K = 3    # neighbors kept per part
+WILSON_MIN_N = 5     # min line items before a part is rankable
+WILSON_TOP_K = 20
+
+REVENUE = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))"
+
+
+def abc_pareto_sql(dialect: str) -> str:
+    return f"""
+WITH part_rev AS (
+  SELECT l_partkey, CAST(SUM({REVENUE}) AS DECIMAL(38,4)) AS revenue
+  FROM lineitem
+  GROUP BY l_partkey
+),
+ranked AS (
+  SELECT l_partkey, revenue,
+         SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+         SUM(revenue) OVER () AS total_rev,
+         ROW_NUMBER() OVER (ORDER BY revenue DESC, l_partkey) AS pos
+  FROM part_rev
+),
+classed AS (
+  SELECT CASE WHEN cum_rev * 100 <= total_rev * 80 THEN 'A'
+              WHEN cum_rev * 100 <= total_rev * 95 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         revenue, total_rev, pos
+  FROM ranked
+)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(MIN(pos) AS BIGINT) AS first_rank,
+       CAST(MAX(pos) AS BIGINT) AS last_rank,
+       CAST(SUM(revenue) AS DOUBLE) AS revenue,
+       ROUND(CAST(SUM(revenue) AS DOUBLE) / CAST(MAX(total_rev) AS DOUBLE), 6)
+         AS revenue_share
+FROM classed
+GROUP BY abc_class
+ORDER BY abc_class
+"""
+
+
+def item_item_cosine_sql(dialect: str) -> str:
+    return f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+part_support AS (
+  SELECT l_partkey, COUNT(*) AS s FROM baskets GROUP BY l_partkey
+),
+pair_support AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS s_ab
+  FROM baskets a
+  JOIN baskets b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {CF_MIN_CO}
+),
+sym AS (
+  SELECT part_a AS part, part_b AS neighbor, s_ab FROM pair_support
+  UNION ALL
+  SELECT part_b AS part, part_a AS neighbor, s_ab FROM pair_support
+),
+scored AS (
+  SELECT y.part, y.neighbor,
+         CAST(y.s_ab AS BIGINT) AS n_co_orders,
+         ROUND(CAST(y.s_ab AS DOUBLE)
+               / sqrt(CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE)), 6) AS cosine
+  FROM sym y
+  JOIN part_support sa ON y.part = sa.l_partkey
+  JOIN part_support sb ON y.neighbor = sb.l_partkey
+),
+rk AS (
+  SELECT part, neighbor, n_co_orders, cosine,
+         ROW_NUMBER() OVER (PARTITION BY part
+                            ORDER BY cosine DESC, n_co_orders DESC, neighbor) AS pos
+  FROM scored
+)
+SELECT part, neighbor, n_co_orders, cosine, CAST(pos AS BIGINT) AS pos
+FROM rk
+WHERE pos <= {CF_TOP_K}
+"""
+
+
+def wilson_sql(dialect: str) -> str:
+    z = "CAST(1.96 AS DOUBLE)"
+    return f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         COUNT(*) AS n,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+  FROM lineitem
+  GROUP BY l_partkey
+  HAVING COUNT(*) >= {WILSON_MIN_N}
+),
+scored AS (
+  SELECT l_partkey,
+         CAST(n AS BIGINT) AS n_lineitems,
+         CAST(r AS BIGINT) AS n_returned,
+         ROUND(CAST(r AS DOUBLE) / n, 6) AS raw_rate,
+         ROUND(
+           (CAST(r AS DOUBLE) / n
+              + {z} * {z} / (2 * CAST(n AS DOUBLE))
+              - {z} * sqrt((CAST(r AS DOUBLE) / n * (1 - CAST(r AS DOUBLE) / n)
+                            + {z} * {z} / (4 * CAST(n AS DOUBLE)))
+                           / CAST(n AS DOUBLE)))
+           / (1 + {z} * {z} / CAST(n AS DOUBLE)), 6) AS wilson_lower
+  FROM per_part
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY wilson_lower DESC, l_partkey) AS pos
+  FROM scored
+)
+SELECT l_partkey, n_lineitems, n_returned, raw_rate, wilson_lower,
+       CAST(pos AS BIGINT) AS pos
+FROM rk
+WHERE pos <= {WILSON_TOP_K}
+"""
+
+
+def _lineitem_query(sql_fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, ("lineitem",))
+        return spark.sql(sql_fn(SPARK))
+
+    return run
+
+
+register(
+    "abc_pareto_parts",
+    oracle=abc_pareto_sql(DUCKDB),
+    doc="ABC (Pareto) part classification by cumulative revenue share; "
+    "windows only over the catalog-sized part relation, exact decimal "
+    "class boundaries",
+)(_lineitem_query(abc_pareto_sql))
+
+register(
+    "item_item_cosine",
+    oracle=item_item_cosine_sql(DUCKDB),
+    doc=f"item-item CF: cosine on binary basket membership, top-{CF_TOP_K} "
+    f"neighbors per part among pairs co-ordered >= {CF_MIN_CO} times; "
+    "in-basket candidate generation",
+)(_lineitem_query(item_item_cosine_sql))
+
+register(
+    "wilson_return_rank",
+    oracle=wilson_sql(DUCKDB),
+    doc=f"Wilson lower-bound ranking of part return rates (z=1.96, "
+    f"n >= {WILSON_MIN_N}); small-n flukes cannot out-rank established rates",
+)(_lineitem_query(wilson_sql))

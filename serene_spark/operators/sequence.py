@@ -121,6 +121,88 @@ register(
 )(_events_query(anomalies_sql))
 
 
+N_POWER_ITER = 3  # unrolled power-iteration steps (oracle-checkable)
+
+
+def stationary_sql(dialect: str) -> str:
+    """Stationary distribution of the event-type Markov chain by
+    ``N_POWER_ITER`` unrolled power-iteration steps from the uniform start.
+
+    The transition matrix is the ``event_transitions`` relation (state
+    cardinality = #event types, tiny); each step is one join + one keyed
+    agg over that tiny relation, so the ONLY data-scale work is the single
+    user-keyed LEAD window that builds the pair counts — identical to the
+    ``pagerank_suppliers`` shape (data-scale edge build, then iterations on
+    the reduced graph).  Numeric determinism is the pagerank convention:
+    masses live in DECIMAL(18,9), every product is re-quantized to 9 dp
+    before the exact decimal SUM, so partial-aggregation order can never
+    surface.  The empirical long-run share is emitted beside pi as the
+    fixed-point readout (for an ergodic chain the two converge); the
+    convergence-looped sibling pattern lives in ``pagerank_converged``.
+    """
+    us = epoch_us(dialect, "ts")
+    steps = []
+    for i in range(1, N_POWER_ITER + 1):
+        steps.append(f"""
+pi{i} AS (
+  SELECT p.nxt AS event_type,
+         SUM(CAST(ROUND(CAST(a.pi AS DOUBLE) * CAST(p.prob AS DOUBLE), 9)
+                  AS DECIMAL(18,9))) AS pi
+  FROM pi{i - 1} a JOIN p ON a.event_type = p.prev
+  GROUP BY p.nxt
+)""")
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY {us}, event_id) AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT event_type, next_type, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+row_tot AS (
+  SELECT event_type, SUM(n) AS ct FROM pairs GROUP BY event_type
+),
+p AS (
+  SELECT pa.event_type AS prev, pa.next_type AS nxt,
+         CAST(ROUND(CAST(pa.n AS DOUBLE) / rt.ct, 9) AS DECIMAL(18,9)) AS prob
+  FROM pairs pa JOIN row_tot rt ON pa.event_type = rt.event_type
+),
+states AS (
+  SELECT DISTINCT event_type FROM events
+),
+pi0 AS (
+  SELECT event_type,
+         CAST(ROUND(CAST(1 AS DOUBLE) / (SELECT COUNT(*) FROM states), 9)
+              AS DECIMAL(18,9)) AS pi
+  FROM states
+),{",".join(steps)},
+emp AS (
+  SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type
+)
+SELECT s.event_type,
+       ROUND(CAST(COALESCE(f.pi, 0) AS DOUBLE), 6) AS pi_stationary,
+       ROUND(CAST(e.n_events AS DOUBLE) / SUM(e.n_events) OVER (), 6)
+         AS empirical_share,
+       CAST(e.n_events AS BIGINT) AS n_events
+FROM states s
+LEFT JOIN pi{N_POWER_ITER} f ON s.event_type = f.event_type
+JOIN emp e ON s.event_type = e.event_type
+"""
+
+
+register(
+    "markov_stationary",
+    oracle=stationary_sql(DUCKDB),
+    doc=f"stationary distribution of the event-type chain: {N_POWER_ITER} "
+    "unrolled decimal-exact power-iteration steps beside the empirical "
+    "long-run share",
+)(_events_query(stationary_sql))
+
+
 CONV_WINDOW_US = 24 * 3600 * 1_000_000  # purchase counts if within 24h of view
 
 

@@ -93,6 +93,7 @@ def load_all() -> dict[str, Query]:
         "serene_spark.operators.forecast",
         "serene_spark.operators.hypothesis_tests",
         "serene_spark.operators.basket",
+        "serene_spark.operators.recsys",
         "serene_spark.modeler.octopus",
         "serene_spark.modeler.report_fixture",
         "serene_spark.modeler.museum",

@@ -1,0 +1,135 @@
+"""Recommender / merchandising operators (operators/recsys.py) and the
+Markov stationary distribution (operators/sequence.py) against independent
+python/numpy references at sf0.001."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+
+from serene_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_abc_pareto_matches_python(spark):
+    out = load_all()["abc_pareto_parts"].spark(spark, SF).toPandas()
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    li["rev"] = (li.l_extendedprice.round(2) * (1 - li.l_discount.round(2))).round(4)
+    rev = li.groupby("l_partkey")["rev"].sum().round(4)
+    order = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(v for _, v in order)
+    cum, classes = 0.0, []
+    for _k, v in order:
+        cum = round(cum + v, 4)
+        # exact decimal boundary: compare in integer 1e4-units to dodge floats
+        cu, tu = round(cum * 10000), round(total * 10000)
+        classes.append("A" if cu * 100 <= tu * 80 else ("B" if cu * 100 <= tu * 95 else "C"))
+    want = Counter(classes)
+    got = dict(zip(out.abc_class, out.n_parts))
+    assert got == dict(want)
+    assert set(out.abc_class) == {"A", "B", "C"}
+    # classes partition the rank range contiguously and shares sum to 1
+    out = out.sort_values("abc_class")
+    assert list(out.first_rank)[0] == 1
+    assert list(out.last_rank)[-1] == len(order)
+    assert abs(out.revenue_share.sum() - 1.0) < 1e-4
+    # by construction (rank-ordered cut) mean revenue per part declines A→B→C;
+    # the synthetic corpus is NOT Pareto-skewed, so no claim on class sizes
+    mean_rev = {r.abc_class: r.revenue / r.n_parts for r in out.itertuples()}
+    assert mean_rev["A"] > mean_rev["B"] > mean_rev["C"]
+
+
+def test_item_item_cosine_matches_python(spark):
+    out = load_all()["item_item_cosine"].spark(spark, SF).toPandas()
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    baskets = li.groupby("l_orderkey")["l_partkey"].apply(lambda s: sorted(set(s)))
+    part_s: Counter = Counter()
+    pair_s: Counter = Counter()
+    for items in baskets:
+        part_s.update(items)
+        from itertools import combinations
+
+        pair_s.update(combinations(items, 2))
+    neigh: dict[int, list] = {}
+    for (a, b), c in pair_s.items():
+        if c < 3:
+            continue
+        cos = round(c / math.sqrt(part_s[a] * part_s[b]), 6)
+        neigh.setdefault(a, []).append((-cos, -c, b))
+        neigh.setdefault(b, []).append((-cos, -c, a))
+    expected = {}
+    for p, lst in neigh.items():
+        lst.sort()
+        for pos, (ncos, nc, q) in enumerate(lst[:3], start=1):
+            expected[(p, pos)] = (q, -nc, -ncos)
+    assert len(out) == len(expected)
+    for _, r in out.iterrows():
+        q, c, cos = expected[(r["part"], r["pos"])]
+        assert r["neighbor"] == q and r["n_co_orders"] == c
+        assert abs(r["cosine"] - cos) < 1e-9
+    # symmetry of the underlying metric: if (a→b) ranked, cosine(a,b)=cosine(b,a)
+    pair_cos = {(r["part"], r["neighbor"]): r["cosine"] for _, r in out.iterrows()}
+    for (a, b), cos in pair_cos.items():
+        if (b, a) in pair_cos:
+            assert pair_cos[(b, a)] == cos
+
+
+def test_wilson_rank_matches_python(spark):
+    out = load_all()["wilson_return_rank"].spark(spark, SF).toPandas()
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    g = li.groupby("l_partkey").agg(
+        n=("l_returnflag", "size"), r=("l_returnflag", lambda s: (s == "R").sum())
+    )
+    g = g[g.n >= 5]
+    z = 1.96
+    rows = []
+    for k, row in g.iterrows():
+        n, r = float(row.n), float(row.r)
+        p = r / n
+        lb = (p + z * z / (2 * n) - z * math.sqrt((p * (1 - p) + z * z / (4 * n)) / n)) / (
+            1 + z * z / n
+        )
+        rows.append((round(lb, 6), k, int(row.n), int(row.r)))
+    rows.sort(key=lambda t: (-t[0], t[1]))
+    assert len(out) == min(20, len(rows))
+    for i, (_, r) in enumerate(out.sort_values("pos").iterrows()):
+        lb, k, n, ret = rows[i]
+        assert r["l_partkey"] == k and r["n_lineitems"] == n and r["n_returned"] == ret
+        assert abs(r["wilson_lower"] - lb) < 1e-9
+        # the lower bound is strictly below the raw rate whenever r>0
+        if ret > 0:
+            assert r["wilson_lower"] < r["raw_rate"]
+
+
+def test_markov_stationary_matches_numpy(spark):
+    out = load_all()["markov_stationary"].spark(spark, SF).toPandas()
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    ev = ev.sort_values(["user_id", "ts_us", "event_id"])
+    trans: Counter = Counter()
+    for _uid, grp in ev.groupby("user_id"):
+        types = list(grp.event_type)
+        for a, b in zip(types, types[1:]):
+            trans[(a, b)] += 1
+    states = sorted(ev.event_type.unique())
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    P = np.zeros((k, k))
+    for (a, b), c in trans.items():
+        P[idx[a], idx[b]] = c
+    row = P.sum(axis=1, keepdims=True)
+    P = np.round(np.divide(P, row, where=row > 0), 9)
+    pi = np.full(k, round(1.0 / k, 9))
+    for _ in range(3):
+        pi = np.round(pi @ P, 9)  # per-step re-quantization mirrors the SQL
+    got = dict(zip(out.event_type, out.pi_stationary))
+    for s in states:
+        assert abs(got[s] - round(pi[idx[s]], 6)) < 2e-6
+    # mass is conserved (sub-stochastic loss only from terminal-event rows)
+    assert 0.99 < out.pi_stationary.sum() <= 1.000001
+    # empirical share is a genuine distribution and n_events matches
+    assert abs(out.empirical_share.sum() - 1.0) < 1e-4
+    assert out.n_events.sum() == len(ev)
