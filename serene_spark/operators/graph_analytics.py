@@ -215,3 +215,99 @@ register(
     "dedup_clusters' O(diameter) one-hop propagation; labels pinned equal "
     "in tests",
 )(_cc_large_star)
+
+
+KCORE_MAX_ROUNDS = 64
+
+
+def core_numbers(edges: DataFrame, max_rounds: int = KCORE_MAX_ROUNDS):
+    """Full k-core decomposition by iterated neighborhood h-index
+    (Lü et al., "The H-index of a network node and its relation to degree
+    and coreness", Nature Communications 2016): start every node at its
+    degree; each round replaces a node's value with the h-index of its
+    neighbors' values (the largest r such that r neighbors hold value
+    >= r); the fixed point is EXACTLY the core number.
+
+    Why this and not sequential peeling: peeling removes the global
+    min-degree node one k-level at a time — O(k_max) synchronous rounds,
+    pathological on the dense co-purchase graph (k_max ~ n).  The h-index
+    iteration is a purely LOCAL recurrence: each round is one value-join
+    onto the edge relation + one per-node window (rank neighbors by value
+    desc, h = max rank with value >= rank) — node-keyed shuffles only, and
+    it converges in a handful of rounds on real topologies regardless of
+    density.  Convergence is detected by an aggregate-only checksum
+    (count + sum of values), never a collect; values only decrease, so the
+    checksum is monotone and cannot alias a change.
+
+    ``edges`` must hold both directions (src, dst).  Returns
+    ((node, degree, core) DataFrame, rounds_run).
+    """
+    from pyspark.sql import functions as F
+
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    vals = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("val"))
+        .withColumnRenamed("src", "node")
+        .localCheckpoint(eager=True)
+    )
+    degrees = vals.withColumnRenamed("val", "degree")
+    rounds = 0
+    prev = None
+    while rounds < max_rounds:
+        rounds += 1
+        nbr = (
+            edges.join(vals.withColumnRenamed("node", "dst"), "dst")
+            .select(F.col("src").alias("node"), "val")
+        )
+        from pyspark.sql import Window
+
+        # rank order among equal vals is irrelevant: h depends only on the
+        # sorted multiset of neighbor values
+        w = F.row_number().over(Window.partitionBy("node").orderBy(F.desc("val")))
+        hidx = (
+            nbr.withColumn("rk", w)
+            .groupBy("node")
+            .agg(
+                F.max(
+                    F.when(F.col("val") >= F.col("rk"), F.col("rk")).otherwise(0)
+                ).alias("h")
+            )
+        )
+        # core values never exceed the current value (monotone decrease)
+        vals = (
+            vals.join(hidx, "node")
+            .select("node", F.least("val", "h").alias("val"))
+            .localCheckpoint(eager=True)
+        )
+        row = vals.agg(
+            F.count("*").alias("n"), F.sum("val").alias("s")
+        ).collect()[0]
+        cur = (row["n"], row["s"])
+        if cur == prev:
+            break
+        prev = cur
+    out = degrees.join(vals, "node").select(
+        "node", "degree", F.col("val").alias("core")
+    )
+    return out, rounds
+
+
+def _kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("lineitem", "orders"))
+    edges = spark.sql(f"WITH {edges_sql(SPARK)} SELECT src, dst FROM edges")
+    out, _ = core_numbers(edges)
+    return out.selectExpr(
+        "CAST(node AS BIGINT) AS s_suppkey",
+        "CAST(degree AS BIGINT) AS degree",
+        "CAST(core AS BIGINT) AS core_number",
+    ).orderBy("s_suppkey")
+
+
+register(
+    "kcore_suppliers",
+    oracle=None,
+    doc="full k-core decomposition of the supplier co-purchase graph via "
+    "the iterated-h-index local recurrence (exact core numbers, "
+    "aggregate-only convergence); pinned against networkx in tests",
+)(_kcore_suppliers)
