@@ -96,6 +96,8 @@ def load_all() -> dict[str, Query]:
         "serene_spark.operators.recsys",
         "serene_spark.operators.infotheory",
         "serene_spark.operators.coreset",
+        "serene_spark.operators.hybrid_search",
+        "serene_spark.operators.bootstrap",
         "serene_spark.modeler.octopus",
         "serene_spark.modeler.report_fixture",
         "serene_spark.modeler.museum",
