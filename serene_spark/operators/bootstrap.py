@@ -79,11 +79,17 @@ rep_means AS (
 ranked AS (
   SELECT m, ROW_NUMBER() OVER (ORDER BY m, rep) AS pos FROM rep_means
 ),
-se AS (
+folded AS (
+  -- ONE pass over the B replicate means folds the CI indices and the SE
+  -- moments together: a scalar subquery per statistic would make Catalyst
+  -- inline (and re-execute) the whole exploded CTE chain per reference —
+  -- measured as 3 extra scans of the 100x-exploded fact relation
   SELECT CAST(COUNT(*) AS BIGINT) AS b,
+         MIN(CASE WHEN pos = {lo_idx} THEN m END) AS ci_lo,
+         MIN(CASE WHEN pos = {hi_idx} THEN m END) AS ci_hi,
          SUM(CAST(m AS DECIMAL(28,6))) AS s1,
          SUM(CAST(m AS DECIMAL(28,6)) * CAST(m AS DECIMAL(28,6))) AS s2
-  FROM rep_means
+  FROM ranked
 ),
 point AS (
   SELECT ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
@@ -91,14 +97,14 @@ point AS (
          CAST(COUNT(*) AS BIGINT) AS n
   FROM orders
 )
-SELECT (SELECT m FROM point) AS mean_rev,
-       (SELECT n FROM point) AS n_orders,
-       (SELECT MIN(m) FROM ranked WHERE pos = {lo_idx}) AS ci_lo,
-       (SELECT MIN(m) FROM ranked WHERE pos = {hi_idx}) AS ci_hi,
-       ROUND(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / b)
-                  / (b - 1)), 6) AS bootstrap_se,
-       b AS n_reps
-FROM se
+SELECT p.m AS mean_rev,
+       p.n AS n_orders,
+       f.ci_lo,
+       f.ci_hi,
+       ROUND(sqrt((CAST(f.s2 AS DOUBLE) - CAST(f.s1 AS DOUBLE) * CAST(f.s1 AS DOUBLE) / f.b)
+                  / (f.b - 1)), 6) AS bootstrap_se,
+       f.b AS n_reps
+FROM folded f CROSS JOIN point p
 """
 
 

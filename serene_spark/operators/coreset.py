@@ -22,9 +22,13 @@ selected point's 64 dims (metadata-sized → broadcast; partial BIGINT sums
 combine map-side), then LEAST-folds into the running nearest-center
 distance and takes one global TakeOrdered(1) argmax — k rounds = k linear
 passes, the distributed form of farthest-first traversal (2-approximation
-to the optimal k-center cover).  The melt is materialized once Spark-side.
-Production at huge N seeds from a uniform sample first (the standard
-sampled-Gonzalez refinement); the greedy recurrence is identical.
+to the optimal k-center cover).  Spark-side the quantized melt is
+materialized ONCE (localCheckpoint + view, the pagerank convention) —
+Catalyst inlines a CTE at every reference site, and the un-materialized
+chain re-derived the parquet scan 200+ times.  The DuckDB oracle stays
+the single-statement chain.  At huge N production seeds from a uniform
+sample first (the standard sampled-Gonzalez refinement) — the greedy
+recurrence is identical.
 """
 
 from __future__ import annotations
@@ -52,8 +56,25 @@ def _dist_rel(name: str, sel: str) -> str:
 )"""
 
 
-def kcenter_sql(dialect: str) -> str:
+def pm_prologue_sql(dialect: str) -> str:
+    """The quantized-melt CTE body (shared with the Spark-side
+    materialization — see ``_kcenter``)."""
     x = element_at(dialect, "embedding", "i")
+    return f"""pm AS (
+  SELECT vec_id, i AS d,
+         CAST(FLOOR(CAST({x} AS DOUBLE) * {SCALE}) AS BIGINT) AS xq
+  FROM (
+    SELECT vec_id, embedding, {explode_seq(dialect, 1, str(DIM))} AS i
+    FROM embeddings
+  ) e
+)"""
+
+
+def kcenter_tail_sql(dialect: str) -> str:
+    """Everything after ``pm`` — the greedy selection chain.  Run by Spark
+    against the MATERIALIZED pm view: Catalyst inlines a CTE at every
+    reference site, and the selection chain references pm O(k) times (the
+    measured inlined plan re-derived the parquet scan 200+ times)."""
     ctes = [
         "sel1 AS (\n  SELECT MIN(vec_id) AS vec_id FROM pm\n)",
         _dist_rel("d1", "sel1"),
@@ -74,15 +95,7 @@ def kcenter_sql(dialect: str) -> str:
         for i in range(1, KC_K + 1)
     ]
     return f"""
-WITH pm AS (
-  SELECT vec_id, i AS d,
-         CAST(FLOOR(CAST({x} AS DOUBLE) * {SCALE}) AS BIGINT) AS xq
-  FROM (
-    SELECT vec_id, embedding, {explode_seq(dialect, 1, str(DIM))} AS i
-    FROM embeddings
-  ) e
-),
-{",".join(ctes)}
+WITH {",".join(ctes)}
 SELECT CAST(sel_order AS BIGINT) AS sel_order,
        CAST(vec_id AS BIGINT) AS vec_id,
        CAST(radius_sq AS BIGINT) AS radius_sq
@@ -90,12 +103,19 @@ FROM ({" UNION ALL ".join(selects)}) u
 """
 
 
-def _embeddings_query(sql_fn):
-    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        register_views(spark, sf_dir, ("embeddings",))
-        return spark.sql(sql_fn(SPARK))
+def kcenter_sql(dialect: str) -> str:
+    """Full single-statement form (the DuckDB oracle)."""
+    tail = kcenter_tail_sql(dialect)
+    assert tail.startswith("\nWITH ")
+    return f"\nWITH {pm_prologue_sql(dialect)},\n{tail[len('WITH ') + 1:]}"
 
-    return run
+
+def _kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("embeddings",))
+    spark.sql(
+        f"WITH {pm_prologue_sql(SPARK)} SELECT * FROM pm"
+    ).localCheckpoint(eager=True).createOrReplaceTempView("pm")
+    return spark.sql(kcenter_tail_sql(SPARK))
 
 
 register(
@@ -105,4 +125,4 @@ register(
     "exemplars over embeddings with the monotone coverage-radius curve; "
     "integer-exact, so the iterative greedy trajectory is oracle-checked "
     "bit-for-bit",
-)(_embeddings_query(kcenter_sql))
+)(_kcenter)

@@ -63,12 +63,14 @@ pm AS (
 )"""
 
 
-def rrf_sql(dialect: str) -> str:
+def rrf_tail_sql(dialect: str) -> str:
+    """Everything after ``tokens``/``pm`` — Spark runs this against the
+    MATERIALIZED base views (Catalyst inlines a CTE per reference; the
+    un-materialized chain re-ran the regex tokenizer and the embedding
+    melt several times each)."""
     terms = "(" + ", ".join(f"'{t}'" for t in QUERY_TERMS) + ")"
     return f"""
-WITH {tokens_rel(dialect)},
-{_pm_rel(dialect)},
-n_docs AS (
+WITH n_docs AS (
   SELECT COUNT(DISTINCT doc_id) AS n FROM tokens
 ),
 postings AS (
@@ -128,12 +130,20 @@ LIMIT {RRF_TOP_K}
 """
 
 
-def matryoshka_sql(dialect: str) -> str:
+def rrf_sql(dialect: str) -> str:
+    """Full single-statement form (the DuckDB oracle)."""
+    tail = rrf_tail_sql(dialect)
+    assert tail.startswith("\nWITH ")
+    return (f"\nWITH {tokens_rel(dialect).lstrip()},"
+            f"{_pm_rel(dialect)},\n{tail[len('WITH ') + 1:]}")
+
+
+def matryoshka_tail_sql(dialect: str) -> str:
+    """Everything after ``pm`` (same materialization rationale)."""
     tiers = " UNION ALL ".join(f"SELECT {k} AS kd" for k in MRL_DIMS)
     full = max(MRL_DIMS)
     return f"""
-WITH {_pm_rel(dialect)},
-tiers AS ({tiers}),
+WITH tiers AS ({tiers}),
 queries AS (
   SELECT DISTINCT vec_id FROM pm ORDER BY vec_id LIMIT {MRL_N_QUERIES}
 ),
@@ -173,12 +183,32 @@ ORDER BY dims_kept
 """
 
 
-def _q(sql_fn, tables):
-    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        register_views(spark, sf_dir, tables)
-        return spark.sql(sql_fn(SPARK))
+def matryoshka_sql(dialect: str) -> str:
+    """Full single-statement form (the DuckDB oracle)."""
+    tail = matryoshka_tail_sql(dialect)
+    assert tail.startswith("\nWITH ")
+    return f"\nWITH {_pm_rel(dialect).lstrip()},\n{tail[len('WITH ') + 1:]}"
 
-    return run
+
+def _materialize_pm(spark: SparkSession) -> None:
+    spark.sql(
+        f"WITH {_pm_rel(SPARK).lstrip().rstrip()} SELECT * FROM pm"
+    ).localCheckpoint(eager=True).createOrReplaceTempView("pm")
+
+
+def _rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents", "embeddings"))
+    spark.sql(
+        f"WITH {tokens_rel(SPARK).lstrip()} SELECT * FROM tokens"
+    ).localCheckpoint(eager=True).createOrReplaceTempView("tokens")
+    _materialize_pm(spark)
+    return spark.sql(rrf_tail_sql(SPARK))
+
+
+def _matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("embeddings",))
+    _materialize_pm(spark)
+    return spark.sql(matryoshka_tail_sql(SPARK))
 
 
 register(
@@ -187,7 +217,7 @@ register(
     doc=f"reciprocal-rank fusion (K={RRF_K}) of a pruned-posting lexical "
     "ranker and an integer-exact embedding-cosine ranker; fusion cost "
     "bounded by candidate depth, never corpus size",
-)(_q(rrf_sql, ("documents", "embeddings")))
+)(_rrf)
 
 register(
     "matryoshka_recall",
@@ -195,4 +225,4 @@ register(
     doc=f"truncated-dimension retrieval recall audit over dim prefixes "
     f"{MRL_DIMS}: per-query top-{MRL_K} by integer-exact dot product vs "
     "full-dimension ground truth, fixed query sample",
-)(_q(matryoshka_sql, ("embeddings",)))
+)(_matryoshka)

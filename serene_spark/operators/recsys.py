@@ -85,12 +85,16 @@ ORDER BY abc_class
 """
 
 
-def item_item_cosine_sql(dialect: str) -> str:
+BASKETS_PROLOGUE = "baskets AS (\n  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem\n)"
+
+
+def item_item_tail_sql(dialect: str) -> str:
+    """Everything after ``baskets`` — run by Spark against the
+    MATERIALIZED basket view (Catalyst inlines a CTE per reference; the
+    support/pair/scored chain references baskets 3+ times, which re-derived
+    the lineitem scan 6 times un-materialized)."""
     return f"""
-WITH baskets AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-),
-part_support AS (
+WITH part_support AS (
   SELECT l_partkey, COUNT(*) AS s FROM baskets GROUP BY l_partkey
 ),
 pair_support AS (
@@ -124,6 +128,21 @@ SELECT part, neighbor, n_co_orders, cosine, CAST(pos AS BIGINT) AS pos
 FROM rk
 WHERE pos <= {CF_TOP_K}
 """
+
+
+def item_item_cosine_sql(dialect: str) -> str:
+    """Full single-statement form (the DuckDB oracle)."""
+    tail = item_item_tail_sql(dialect)
+    assert tail.startswith("\nWITH ")
+    return f"\nWITH {BASKETS_PROLOGUE},\n{tail[len('WITH ') + 1:]}"
+
+
+def _item_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("lineitem",))
+    spark.sql(
+        f"WITH {BASKETS_PROLOGUE} SELECT * FROM baskets"
+    ).localCheckpoint(eager=True).createOrReplaceTempView("baskets")
+    return spark.sql(item_item_tail_sql(SPARK))
 
 
 def wilson_sql(dialect: str) -> str:
@@ -184,7 +203,7 @@ register(
     doc=f"item-item CF: cosine on binary basket membership, top-{CF_TOP_K} "
     f"neighbors per part among pairs co-ordered >= {CF_MIN_CO} times; "
     "in-basket candidate generation",
-)(_lineitem_query(item_item_cosine_sql))
+)(_item_item)
 
 register(
     "wilson_return_rank",

@@ -140,7 +140,41 @@ def stationary_sql(dialect: str) -> str:
     fixed-point readout (for an ergodic chain the two converge); the
     convergence-looped sibling pattern lives in ``pagerank_converged``.
     """
+    tail = stationary_tail_sql(dialect)
+    assert tail.startswith("\nWITH ")
+    return (
+        f"\nWITH {stationary_pairs_prologue(dialect)},\n"
+        f"{stationary_emp_prologue(dialect)},\n{tail[len('WITH ') + 1:]}"
+    )
+
+
+def stationary_pairs_prologue(dialect: str) -> str:
+    """The data-scale half: one user-keyed LEAD window → pair counts."""
     us = epoch_us(dialect, "ts")
+    return f"""seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY {us}, event_id) AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT event_type, next_type, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)"""
+
+
+def stationary_emp_prologue(dialect: str) -> str:
+    return """emp AS (
+  SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type
+)"""
+
+
+def stationary_tail_sql(dialect: str) -> str:
+    """Iterations over the tiny materialized ``pairs``/``emp`` relations —
+    Spark runs this against localCheckpoint'd views, because Catalyst
+    inlines a CTE per reference and the un-materialized chain re-derived
+    the data-scale LEAD window once per power-iteration step."""
     steps = []
     for i in range(1, N_POWER_ITER + 1):
         steps.append(f"""
@@ -152,18 +186,7 @@ pi{i} AS (
   GROUP BY p.nxt
 )""")
     return f"""
-WITH seq AS (
-  SELECT user_id, event_type,
-         LEAD(event_type) OVER (PARTITION BY user_id
-                                ORDER BY {us}, event_id) AS next_type
-  FROM events
-),
-pairs AS (
-  SELECT event_type, next_type, COUNT(*) AS n
-  FROM seq WHERE next_type IS NOT NULL
-  GROUP BY event_type, next_type
-),
-row_tot AS (
+WITH row_tot AS (
   SELECT event_type, SUM(n) AS ct FROM pairs GROUP BY event_type
 ),
 p AS (
@@ -172,17 +195,14 @@ p AS (
   FROM pairs pa JOIN row_tot rt ON pa.event_type = rt.event_type
 ),
 states AS (
-  SELECT DISTINCT event_type FROM events
+  SELECT event_type FROM emp
 ),
 pi0 AS (
   SELECT event_type,
          CAST(ROUND(CAST(1 AS DOUBLE) / (SELECT COUNT(*) FROM states), 9)
               AS DECIMAL(18,9)) AS pi
   FROM states
-),{",".join(steps)},
-emp AS (
-  SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type
-)
+),{",".join(steps)}
 SELECT s.event_type,
        ROUND(CAST(COALESCE(f.pi, 0) AS DOUBLE), 6) AS pi_stationary,
        ROUND(CAST(e.n_events AS DOUBLE) / SUM(e.n_events) OVER (), 6)
@@ -194,13 +214,24 @@ JOIN emp e ON s.event_type = e.event_type
 """
 
 
+def _markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    spark.sql(
+        f"WITH {stationary_pairs_prologue(SPARK)} SELECT * FROM pairs"
+    ).localCheckpoint(eager=True).createOrReplaceTempView("pairs")
+    spark.sql(
+        f"WITH {stationary_emp_prologue(SPARK)} SELECT * FROM emp"
+    ).localCheckpoint(eager=True).createOrReplaceTempView("emp")
+    return spark.sql(stationary_tail_sql(SPARK))
+
+
 register(
     "markov_stationary",
     oracle=stationary_sql(DUCKDB),
     doc=f"stationary distribution of the event-type chain: {N_POWER_ITER} "
     "unrolled decimal-exact power-iteration steps beside the empirical "
     "long-run share",
-)(_events_query(stationary_sql))
+)(_markov_stationary)
 
 
 CONV_WINDOW_US = 24 * 3600 * 1_000_000  # purchase counts if within 24h of view

@@ -431,3 +431,87 @@ def test_canonical_select_windows_are_cluster_keyed(spark, sf_dir):
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs
     assert all("cluster" in s for s in specs), plan
+
+
+def test_session_recsys_info_ops_no_cartesian(spark, sf_dir):
+    """This session's additions that must stay keyed at scale.  Exempt by
+    design: matryoshka_recall crosses the 4-row tier spine with the query
+    melt (tiny x bounded), kcenter_select compares every point against ONE
+    selected point per round (a 64-row broadcast side Catalyst may plan as
+    BNLJ), and bootstrap_ci_revenue folds its two single-row stat relations
+    with a 1x1 join — constant-sized sides, not data x data."""
+    from serene_spark.plans.explain_audit import has_cartesian
+    from serene_spark.registry import load_all
+
+    for name in (
+        "abc_pareto_parts",
+        "item_item_cosine",
+        "wilson_return_rank",
+        "markov_stationary",
+        "mutual_info_orders",
+        "hybrid_rrf_search",
+    ):
+        df = load_all()[name].spark(spark, sf_dir)
+        assert not has_cartesian(df), name
+
+
+def test_abc_pareto_prunes_lineitem_columns(spark, sf_dir):
+    """The ABC scan must read exactly the 3 columns it uses (partkey,
+    extendedprice, discount) — a full-width read of the fact table is the
+    100 TB failure mode."""
+    from serene_spark.plans.explain_audit import read_schema_columns
+    from serene_spark.registry import load_all
+
+    df = load_all()["abc_pareto_parts"].spark(spark, sf_dir)
+    assert read_schema_columns(df) == 3
+
+
+def test_item_item_pairs_are_basket_keyed(spark, sf_dir):
+    """The CF pair generation must join ON the order key (in-basket,
+    cost sum(basket^2)) — the plan must carry an equi-join on l_orderkey,
+    never a part x part product."""
+    from serene_spark.plans.explain_audit import plan_text
+    from serene_spark.registry import load_all
+
+    txt = plan_text(load_all()["item_item_cosine"].spark(spark, sf_dir))
+    assert "l_orderkey" in txt
+    assert "CartesianProduct" not in txt
+
+
+def test_bootstrap_is_one_scan(spark, sf_dir):
+    """All 100 Poisson replicates must come from ONE orders scan (the
+    explode multiplies rows map-side); a per-replicate rescan would read
+    the fact table B times."""
+    from serene_spark.plans.explain_audit import plan_text
+    from serene_spark.registry import load_all
+
+    txt = plan_text(load_all()["bootstrap_ci_revenue"].spark(spark, sf_dir))
+    # one scan for the replicate explode + one for the point estimate
+    # (each scan prints twice in formatted plans: tree line + detail block)
+    scans = sum(1 for l in txt.splitlines() if l.startswith("(") and "Scan parquet" in l)
+    assert scans <= 2, txt
+
+
+def test_cte_heavy_ops_consume_materialized_base(spark, sf_dir):
+    """The iterative/multi-reference CTE queries must run their tails
+    against the ONE materialized base relation: Catalyst inlines a CTE at
+    every reference site, and before materialization these plans re-derived
+    the parquet scan up to 200+ times (kcenter) / 36 times (mutual_info).
+    Zero parquet scans in the returned plan = the base was scanned exactly
+    once, in the localCheckpoint pass."""
+    from serene_spark.plans.explain_audit import plan_text
+    from serene_spark.registry import load_all
+
+    for name in (
+        "mutual_info_orders",
+        "kcenter_select",
+        "item_item_cosine",
+        "markov_stationary",
+        "hybrid_rrf_search",
+        "matryoshka_recall",
+    ):
+        txt = plan_text(load_all()[name].spark(spark, sf_dir))
+        scans = sum(
+            1 for l in txt.splitlines() if l.startswith("(") and "Scan parquet" in l
+        )
+        assert scans == 0, (name, scans)
