@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from serene_spark.catalog import register_views
-from serene_spark.functions.sqlgen import DUCKDB, SPARK
+from serene_spark.functions.sqlgen import DUCKDB, SPARK, idiv
 from serene_spark.registry import register
 
 CF_MIN_CO = 3   # min co-orders for a candidate pair (63 pairs at sf0.01)
@@ -50,9 +50,11 @@ WILSON_TOP_K = 20
 REVENUE = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))"
 
 
-def abc_pareto_sql(dialect: str) -> str:
-    return f"""
-WITH part_rev AS (
+def abc_classed_rel(dialect: str) -> str:
+    """Shared CTE chain: per-part revenue → cumulative-share ABC class
+    (spliced verbatim by ``abc_pareto_parts`` and ``abc_xyz_matrix`` so the
+    class boundaries cannot desync — the engine's shared-body convention)."""
+    return f"""part_rev AS (
   SELECT l_partkey, CAST(SUM({REVENUE}) AS DECIMAL(38,4)) AS revenue
   FROM lineitem
   GROUP BY l_partkey
@@ -66,12 +68,18 @@ ranked AS (
   FROM part_rev
 ),
 classed AS (
-  SELECT CASE WHEN cum_rev * 100 <= total_rev * 80 THEN 'A'
+  SELECT l_partkey,
+         CASE WHEN cum_rev * 100 <= total_rev * 80 THEN 'A'
               WHEN cum_rev * 100 <= total_rev * 95 THEN 'B'
               ELSE 'C' END AS abc_class,
          revenue, total_rev, pos
   FROM ranked
-)
+)"""
+
+
+def abc_pareto_sql(dialect: str) -> str:
+    return f"""
+WITH {abc_classed_rel(dialect)}
 SELECT abc_class,
        CAST(COUNT(*) AS BIGINT) AS n_parts,
        CAST(MIN(pos) AS BIGINT) AS first_rank,
@@ -181,6 +189,111 @@ WHERE pos <= {WILSON_TOP_K}
 """
 
 
+XYZ_X_MAX = "0.5"  # CV boundaries: X steady, Y variable, Z erratic
+XYZ_Y_MAX = "1.0"
+
+
+def abc_xyz_sql(dialect: str) -> str:
+    """ABC (revenue) x XYZ (demand variability) matrix — the two-axis
+    inventory-planning classification: XYZ classes come from the
+    coefficient of variation of QUARTERLY demand per part over the full
+    quarter spine (a part selling in 2 of 28 quarters is erratic BECAUSE
+    of the zero quarters — computing CV over observed quarters only would
+    misfile it as steady).  Spine = catalog x quarters (bounded), moments
+    are decimal-exact, sqrt is the single float step, and the ABC chain is
+    the shared ``abc_classed_rel`` body so the boundaries cannot desync."""
+    q = f"CAST(YEAR(l_shipdate) AS BIGINT) * 4 + {idiv(dialect, '(CAST(MONTH(l_shipdate) AS BIGINT) - 1)', '3')}"
+    return f"""
+WITH {abc_classed_rel(dialect)},
+quarters AS (
+  SELECT DISTINCT {q} AS qtr FROM lineitem
+),
+pq AS (
+  SELECT l_partkey, {q} AS qtr,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
+  FROM lineitem GROUP BY l_partkey, 2
+),
+spine AS (
+  SELECT p.l_partkey, q.qtr FROM (SELECT DISTINCT l_partkey FROM pq) p
+  CROSS JOIN quarters q
+),
+filled AS (
+  SELECT s.l_partkey, COALESCE(pq.qty, 0) AS qty
+  FROM spine s LEFT JOIN pq ON s.l_partkey = pq.l_partkey AND s.qtr = pq.qtr
+),
+mom AS (
+  SELECT l_partkey,
+         COUNT(*) AS n,
+         SUM(qty) AS s1,
+         SUM(qty * qty) AS s2
+  FROM filled GROUP BY l_partkey
+),
+xyz AS (
+  SELECT l_partkey,
+         CASE
+           WHEN s1 = 0 THEN 'Z'
+           WHEN sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                     / (n - 1)) / (CAST(s1 AS DOUBLE) / n) <= {XYZ_X_MAX} THEN 'X'
+           WHEN sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                     / (n - 1)) / (CAST(s1 AS DOUBLE) / n) <= {XYZ_Y_MAX} THEN 'Y'
+           ELSE 'Z'
+         END AS xyz_class
+  FROM mom
+)
+SELECT c.abc_class, x.xyz_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(c.revenue) AS DOUBLE) AS revenue,
+       ROUND(CAST(SUM(c.revenue) AS DOUBLE) / CAST(MAX(c.total_rev) AS DOUBLE), 6)
+         AS revenue_share
+FROM classed c JOIN xyz x ON c.l_partkey = x.l_partkey
+GROUP BY c.abc_class, x.xyz_class
+ORDER BY c.abc_class, x.xyz_class
+"""
+
+
+DID_CUT = "1999-01-01"  # pre/post boundary for the promo diff-in-differences
+
+
+def did_promo_sql(dialect: str) -> str:
+    """Difference-in-differences on promo parts: the causal-inference
+    template (treated = PROMO p_type, control = everything else; periods
+    split at {DID_CUT}).  On this synthetic corpus no real intervention
+    exists, so the estimate doubles as an A/A-style calibration — the
+    readout must sit near zero (pinned in tests), exactly like the
+    ``ab_test_conversion`` null-split check.  One fact scan; the part dim
+    broadcasts; cells are decimal-exact revenue means."""
+    return f"""
+WITH tagged AS (
+  SELECT CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END AS treated,
+         CASE WHEN l.l_shipdate >= TIMESTAMP '{DID_CUT}' THEN 1 ELSE 0 END AS post,
+         CAST({REVENUE} AS DECIMAL(18,4)) AS rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+cells AS (
+  SELECT treated, post,
+         COUNT(*) AS n,
+         CAST(SUM(rev) AS DECIMAL(38,4)) AS s
+  FROM tagged GROUP BY treated, post
+),
+wide AS (
+  SELECT
+    MAX(CASE WHEN treated = 1 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS t_pre,
+    MAX(CASE WHEN treated = 1 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS t_post,
+    MAX(CASE WHEN treated = 0 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS c_pre,
+    MAX(CASE WHEN treated = 0 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS c_post,
+    SUM(n) AS n_total
+  FROM cells
+)
+SELECT ROUND(t_pre, 6) AS treated_pre_mean,
+       ROUND(t_post, 6) AS treated_post_mean,
+       ROUND(c_pre, 6) AS control_pre_mean,
+       ROUND(c_post, 6) AS control_post_mean,
+       ROUND((t_post - t_pre) - (c_post - c_pre), 6) AS did_estimate,
+       CAST(n_total AS BIGINT) AS n_lineitems
+FROM wide
+"""
+
+
 def _lineitem_query(sql_fn):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir, ("lineitem",))
@@ -211,3 +324,27 @@ register(
     doc=f"Wilson lower-bound ranking of part return rates (z=1.96, "
     f"n >= {WILSON_MIN_N}); small-n flukes cannot out-rank established rates",
 )(_lineitem_query(wilson_sql))
+
+
+def _li_part_query(sql_fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, ("lineitem", "part"))
+        return spark.sql(sql_fn(SPARK))
+
+    return run
+
+
+register(
+    "abc_xyz_matrix",
+    oracle=abc_xyz_sql(DUCKDB),
+    doc="ABC (revenue) x XYZ (quarterly-demand CV over the full quarter "
+    "spine) inventory classification matrix; shared ABC body, decimal-"
+    "exact moments",
+)(_lineitem_query(abc_xyz_sql))
+
+register(
+    "did_promo_revenue",
+    oracle=did_promo_sql(DUCKDB),
+    doc=f"difference-in-differences on promo parts split at {DID_CUT}; "
+    "null-intervention corpus makes it an A/A calibration (estimate ~ 0)",
+)(_li_part_query(did_promo_sql))

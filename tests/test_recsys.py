@@ -133,3 +133,58 @@ def test_markov_stationary_matches_numpy(spark):
     # empirical share is a genuine distribution and n_events matches
     assert abs(out.empirical_share.sum() - 1.0) < 1e-4
     assert out.n_events.sum() == len(ev)
+
+
+def test_abc_xyz_matches_python(spark):
+    out = load_all()["abc_xyz_matrix"].spark(spark, SF).toPandas()
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    li["qty"] = li.l_quantity.round(2)
+    li["qtr"] = li.l_shipdate.dt.year * 4 + (li.l_shipdate.dt.month - 1) // 3
+    quarters = sorted(li.qtr.unique())
+    xyz = {}
+    for part, grp in li.groupby("l_partkey"):
+        per_q = grp.groupby("qtr")["qty"].sum()
+        vals = [round(float(per_q.get(q, 0.0)), 2) for q in quarters]
+        n = len(vals)
+        s1, s2 = sum(vals), sum(v * v for v in vals)
+        if s1 == 0:
+            xyz[part] = "Z"
+            continue
+        cv = math.sqrt((s2 - s1 * s1 / n) / (n - 1)) / (s1 / n)
+        xyz[part] = "X" if cv <= 0.5 else ("Y" if cv <= 1.0 else "Z")
+    # ABC classes from the shared reference logic (already validated above)
+    li["rev"] = (li.l_extendedprice.round(2) * (1 - li.l_discount.round(2))).round(4)
+    rev = li.groupby("l_partkey")["rev"].sum().round(4)
+    order = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = round(sum(v for _, v in order) * 10000)
+    cum, abc = 0, {}
+    for k, v in order:
+        cum += round(v * 10000)
+        abc[k] = "A" if cum * 100 <= total * 80 else ("B" if cum * 100 <= total * 95 else "C")
+    want = Counter((abc[p], xyz[p]) for p in abc)
+    got = {(r.abc_class, r.xyz_class): r.n_parts for r in out.itertuples()}
+    assert got == dict(want)
+    assert abs(out.revenue_share.sum() - 1.0) < 1e-4
+
+
+def test_did_promo_is_null_calibrated(spark):
+    row = load_all()["did_promo_revenue"].spark(spark, SF).collect()[0]
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    pt = spark.read.parquet(f"{SF}/part.parquet").toPandas()
+    m = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    m["rev"] = (m.l_extendedprice.round(2) * (1 - m.l_discount.round(2))).round(4)
+    m["treated"] = (m.p_type == "PROMO").astype(int)
+    m["post"] = (m.l_shipdate >= "1999-01-01").astype(int)
+    cells = m.groupby(["treated", "post"])["rev"].agg(["sum", "size"])
+    mean = {k: round(round(v["sum"], 4) / v["size"], 6) for k, v in cells.iterrows()}
+    assert row["treated_pre_mean"] == mean[(1, 0)]
+    assert row["treated_post_mean"] == mean[(1, 1)]
+    assert row["control_pre_mean"] == mean[(0, 0)]
+    assert row["control_post_mean"] == mean[(0, 1)]
+    assert row["n_lineitems"] == len(m)
+    did = (mean[(1, 1)] - mean[(1, 0)]) - (mean[(0, 1)] - mean[(0, 0)])
+    assert abs(row["did_estimate"] - round(did, 6)) < 1e-6
+    # no intervention exists in the synthetic corpus: the estimate is an
+    # A/A calibration and must be small relative to the outcome scale
+    scale = mean[(0, 0)]
+    assert abs(row["did_estimate"]) < 0.15 * scale
