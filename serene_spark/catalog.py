@@ -104,3 +104,40 @@ def register_views(
         if spread:
             df = _spread(df)
         df.createOrReplaceTempView(t)
+
+
+def compose_with(bases: list[tuple[str, str]], tail_sql: str) -> str:
+    """Single-statement SQL from base CTE bodies + a tail that starts with
+    WITH — the oracle-side composition for operators whose Spark runner
+    materializes the bases (``run_materialized``)."""
+    heads = ",\n".join(body for _, body in bases)
+    t = tail_sql.lstrip()
+    assert t.startswith("WITH "), t[:40]
+    return f"\nWITH {heads},\n{t[len('WITH '):]}"
+
+
+def run_materialized(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...],
+    bases: list[tuple[str, str]],
+    tail_sql: str,
+    spread: bool = False,
+):
+    """Materialize each base CTE once (localCheckpoint + temp view), then
+    run the tail against the views.
+
+    Catalyst inlines a CTE at EVERY reference site, so a tail that reads a
+    base relation k times re-derives its whole input pipeline — including
+    the parquet scan — k times (measured this session: 148 scans for the
+    triangle wedge chain, 102 for Mann-Kendall's pairwise ranks).  One
+    eager localCheckpoint per base caps the fact-table cost at one scan
+    regardless of how many times the tail refers to it.  Bases are
+    materialized in order, so later bases may reference earlier views.
+    """
+    register_views(spark, sf_dir, tables, spread=spread)
+    for view, body in bases:
+        spark.sql(f"WITH {body} SELECT * FROM {view}").localCheckpoint(
+            eager=True
+        ).createOrReplaceTempView(view)
+    return spark.sql(tail_sql)

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from serene_spark.catalog import register_views
+from serene_spark.catalog import compose_with, register_views, run_materialized
 from serene_spark.functions.sqlgen import DUCKDB, SPARK, element_at, explode_seq, idiv
 from serene_spark.registry import register
 
@@ -80,24 +80,30 @@ best{i} AS (
 )"""
 
 
-def _kmeans_prefix_sql(dialect: str) -> str:
-    """Shared CTE chain: quantized melt + rank-K init + N_ITER Lloyd
-    iterations (the SINGLE formulation — kmeans_embeddings and the quality
-    audit both splice it, so they cannot desync)."""
+def kmeans_pm_bases(dialect: str) -> list[tuple[str, str]]:
+    """The quantized melt as a materialization base: the Lloyd chain
+    references pm twice per iteration (assign + update) and Catalyst
+    inlines each reference back to the parquet scan (45 scans measured
+    for the trainer, 91 for the quality audit before materialization)."""
     x = element_at(dialect, "embedding", "i")
-    iters = "".join(_iter_ctes(dialect, i) for i in range(N_ITER))
-    return f"""
-WITH pm AS (
+    return [("pm", f"""pm AS (
   SELECT vec_id, i AS d,
          CAST(FLOOR(CAST({x} AS DOUBLE) * {SCALE}) AS BIGINT) AS xq
   FROM (
     SELECT vec_id, embedding, {explode_seq(dialect, 1, str(DIM))} AS i
     FROM embeddings
   ) e
-),
-init_ids AS (
+)""")]
+
+
+def _chain_after_pm(dialect: str) -> str:
+    """rank-K init + N_ITER Lloyd iterations (the SINGLE formulation —
+    kmeans_embeddings and the quality audit both splice it, so they
+    cannot desync)."""
+    iters = "".join(_iter_ctes(dialect, i) for i in range(N_ITER))
+    return f"""init_ids AS (
   SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
-  FROM (SELECT DISTINCT vec_id FROM embeddings) v
+  FROM (SELECT DISTINCT vec_id FROM pm) v
 ),
 cm0 AS (
   SELECT ii.cid, p.d, p.xq AS cq
@@ -106,9 +112,20 @@ cm0 AS (
 ){iters}"""
 
 
+def _kmeans_prefix_sql(dialect: str) -> str:
+    return f"""
+WITH {kmeans_pm_bases(dialect)[0][1]},
+{_chain_after_pm(dialect)}"""
+
+
 def kmeans_sql(dialect: str) -> str:
+    return compose_with(kmeans_pm_bases(dialect), kmeans_tail_sql(dialect))
+
+
+def kmeans_tail_sql(dialect: str) -> str:
     last = N_ITER - 1
-    return f"""{_kmeans_prefix_sql(dialect)},
+    return f"""
+WITH {_chain_after_pm(dialect)},
 sizes AS (
   SELECT cid, COUNT(*) AS n_points,
          CAST(SUM(CAST(dist AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS inertia
@@ -123,8 +140,9 @@ FROM cm{N_ITER} c LEFT JOIN sizes s ON c.cid = s.cid
 
 
 def _kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir, ("embeddings",))
-    return spark.sql(kmeans_sql(SPARK))
+    return run_materialized(
+        spark, sf_dir, ("embeddings",), kmeans_pm_bases(SPARK), kmeans_tail_sql(SPARK)
+    )
 
 
 register(
@@ -259,7 +277,12 @@ def kmeans_quality_sql(dialect: str) -> str:
     like the trainer itself.  Centroid-pair separation is a K x K x D join
     over the metadata-sized centroid relation.
     """
-    return f"""{_kmeans_prefix_sql(dialect)},
+    return compose_with(kmeans_pm_bases(dialect), kmeans_quality_tail_sql(dialect))
+
+
+def kmeans_quality_tail_sql(dialect: str) -> str:
+    return f"""
+WITH {_chain_after_pm(dialect)},
 fa AS (
   SELECT p.vec_id, c.cid,
          SUM((p.xq - c.cq) * (p.xq - c.cq)) AS dist
@@ -301,8 +324,10 @@ FROM cohesion co JOIN separation s ON co.cid = s.cid
 
 
 def _kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir, ("embeddings",))
-    return spark.sql(kmeans_quality_sql(SPARK))
+    return run_materialized(
+        spark, sf_dir, ("embeddings",), kmeans_pm_bases(SPARK),
+        kmeans_quality_tail_sql(SPARK)
+    )
 
 
 register(

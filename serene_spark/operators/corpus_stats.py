@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from serene_spark.catalog import register_views
+from serene_spark.catalog import compose_with, register_views, run_materialized
 from serene_spark.functions.sqlgen import DUCKDB, SPARK, explode_seq, hex_to_int
 from serene_spark.operators.curation import grams_rel
 from serene_spark.operators.text_analysis import tokens_rel
@@ -258,6 +258,13 @@ def bloom_stats_sql(dialect: str) -> str:
     InjectRuntimeFilter/bloom join pruning): at 100 TB the filter built
     from the small side prunes the big side's shuffle input map-side.
     """
+    return compose_with(bloom_bases(dialect), bloom_tail_sql(dialect))
+
+
+def bloom_bases(dialect: str) -> list[tuple[str, str]]:
+    """Materialization bases: member_keys is the ONE orders scan (the k
+    build arms and the ground-truth join all read the distinct-key view);
+    probe positions build once instead of once per tail reference."""
     str_t = "STRING" if dialect == SPARK else "VARCHAR"
 
     def pos(i: int, expr: str) -> str:
@@ -265,20 +272,20 @@ def bloom_stats_sql(dialect: str) -> str:
         return f"{h} % {BLOOM_M}"
 
     build_arms = "\n  UNION ALL\n".join(
-        f"  SELECT DISTINCT {pos(i, 'o_custkey')} AS b FROM orders"
+        f"  SELECT DISTINCT {pos(i, 'o_custkey')} AS b FROM member_keys"
         for i in range(BLOOM_K)
     )
     probe_arms = "\n  UNION ALL\n".join(
         f"  SELECT c_custkey, {pos(i, 'c_custkey')} AS pos FROM probe_keys"
         for i in range(BLOOM_K)
     )
-    return f"""
-WITH bits AS (
+    member = "member_keys AS (\n  SELECT DISTINCT o_custkey FROM orders\n)"
+    bits = f"""bits AS (
   SELECT DISTINCT b FROM (
 {build_arms}
   ) u
-),
-probe_keys AS (
+)"""
+    probe_keys = """probe_keys AS (
   -- customers (members at most sf) plus keys negated below zero, which are
   -- non-members BY CONSTRUCTION at any scale factor (custkeys are >= 0; a
   -- fixed shift would collide with real customers once keys reach its
@@ -287,16 +294,26 @@ probe_keys AS (
   SELECT c_custkey FROM customer
   UNION ALL
   SELECT -(c_custkey + 1) FROM customer
-),
-probe_pos AS (
+)"""
+    probe_pos = f"""probe_pos AS (
   -- membership as a JOIN, not k correlated EXISTS (which Catalyst fails
   -- to de-correlate against a shared CTE): a key is a bloom member iff
   -- EVERY one of its distinct positions is set
   SELECT DISTINCT c_custkey, pos FROM (
 {probe_arms}
   ) q
-),
-hits AS (
+)"""
+    return [
+        ("member_keys", member),
+        ("bits", bits),
+        ("probe_keys", probe_keys),
+        ("probe_pos", probe_pos),
+    ]
+
+
+def bloom_tail_sql(dialect: str) -> str:
+    return f"""
+WITH hits AS (
   SELECT p.c_custkey,
          COUNT(*) AS n_pos,
          SUM(CASE WHEN bt.b IS NULL THEN 0 ELSE 1 END) AS n_hit
@@ -308,7 +325,7 @@ verdicts AS (
          CASE WHEN h.n_hit = h.n_pos THEN 1 ELSE 0 END AS bloom_member,
          CASE WHEN m.o_custkey IS NULL THEN 0 ELSE 1 END AS true_member
   FROM hits h
-  LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) m
+  LEFT JOIN member_keys m
     ON h.c_custkey = m.o_custkey
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
@@ -322,10 +339,11 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
 FROM verdicts
 """
 
-
 def _bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir, ("orders", "customer"))
-    return spark.sql(bloom_stats_sql(SPARK))
+    return run_materialized(
+        spark, sf_dir, ("orders", "customer"), bloom_bases(SPARK),
+        bloom_tail_sql(SPARK)
+    )
 
 
 register(

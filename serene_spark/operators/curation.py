@@ -589,7 +589,34 @@ l AS ({lang_id_sql(dialect)}),
 k AS ({dedup_exact_sql(dialect)}),
 hashed AS (
   SELECT doc_id, md5({norm_expr(dialect)}) AS text_hash FROM documents
-),
+),{source_quality_tail_body(dialect)}
+"""
+
+
+def source_quality_base_views(dialect: str) -> list[tuple[str, str]]:
+    """The three composed sub-queries + the hash relation as FULL
+    statements (each internally tokenizes/scans documents) — the Spark
+    runner materializes each ONCE; inlined, the profile re-derived the
+    documents scan 12 times."""
+    from serene_spark.operators.dedup import dedup_exact_sql, norm_expr
+    from serene_spark.operators.text_analysis import lang_id_sql, text_quality_sql
+
+    return [
+        ("q", text_quality_sql(dialect)),
+        ("l", lang_id_sql(dialect)),
+        ("k", dedup_exact_sql(dialect)),
+        ("hashed", f"SELECT doc_id, md5({norm_expr(dialect)}) AS text_hash FROM documents"),
+    ]
+
+
+def source_quality_tail_sql(dialect: str) -> str:
+    return f"""
+WITH {source_quality_tail_body(dialect)}
+"""
+
+
+def source_quality_tail_body(dialect: str) -> str:
+    return f"""
 flags AS (
   -- LEFT JOINs on the token-derived relations: a zero-token document
   -- has no quality/lang row but must still count in the source's
@@ -643,10 +670,17 @@ ORDER BY p.source
 """
 
 
+def _source_quality_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",), spread=True)
+    for view, sql in source_quality_base_views(SPARK):
+        spark.sql(sql).localCheckpoint(eager=True).createOrReplaceTempView(view)
+    return spark.sql(source_quality_tail_sql(SPARK))
+
+
 register(
     "source_quality_profile",
     oracle=source_quality_sql(DUCKDB),
     doc="per-source curation profile (host-level filtering stage): quality "
     "pass rate, exact-dup rate (non-keeper docs), language spread + "
     "majority, mean length, keep/drop decision at documented thresholds",
-)(_docs_query(source_quality_sql))
+)(_source_quality_materialized)

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from serene_spark.catalog import register_views
+from serene_spark.catalog import compose_with, register_views, run_materialized
 from serene_spark.functions.sqlgen import DUCKDB, SPARK, epoch_s, explode_seq
 from serene_spark.registry import register
 
@@ -160,13 +160,20 @@ def cusum_sql(dialect: str) -> str:
     relation in one keyed agg; every window after that is spine-sized.
     sigma = 0 (constant series) guards to a zero path, no detection.
     """
+    return compose_with(cusum_bases(dialect), cusum_tail_sql(dialect))
+
+
+def cusum_bases(dialect: str) -> list[tuple[str, str]]:
+    """Materialization bases: one orders scan (per_day), one zero-filled
+    series — the tail's moment/standardize/path/peak chain references the
+    series repeatedly and Catalyst would otherwise re-derive the scan per
+    reference (70 measured)."""
     day = f"CAST(FLOOR(({epoch_s(dialect, 'o_orderdate')}) / 86400.0) AS BIGINT)"
-    return f"""
-WITH per_day AS (
+    per_day = f"""per_day AS (
   SELECT {day} AS day, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
   FROM orders GROUP BY {day}
-),
-bounds AS (
+)"""
+    series = f"""bounds AS (
   SELECT MIN(day) AS d0, MAX(day) AS d1 FROM per_day
 ),
 spine AS (
@@ -176,8 +183,13 @@ spine AS (
 series AS (
   SELECT s.day, COALESCE(p.rev, CAST(0 AS DECIMAL(18,2))) AS rev
   FROM spine s LEFT JOIN per_day p ON s.day = p.day
-),
-mom AS (
+)"""
+    return [("per_day", per_day), ("series", series)]
+
+
+def cusum_tail_sql(dialect: str) -> str:
+    return f"""
+WITH mom AS (
   SELECT COUNT(*) AS n,
          SUM(CAST(rev AS DECIMAL(28,2))) AS s1,
          SUM(CAST(rev AS DECIMAL(28,2)) * rev) AS s2
@@ -248,7 +260,8 @@ register(
     doc="CUSUM changepoint over daily revenue: standardized bridge path "
     "from decimal-exact moments, argmax day = change-point estimate, "
     "Kolmogorov 1.358 critical value on max|S|/sqrt(n)",
-)(_orders_query(cusum_sql))
+)(lambda spark, sf_dir: run_materialized(
+    spark, sf_dir, ("orders",), cusum_bases(SPARK), cusum_tail_sql(SPARK)))
 
 register(
     "drift_psi_events",
@@ -277,13 +290,20 @@ def mad_outliers_sql(dialect: str) -> str:
     Scale shape: one orders scan to the day relation; both medians are
     windows over the day-cardinality histogram.
     """
+    return compose_with(mad_bases(dialect), mad_tail_sql(dialect))
+
+
+def mad_bases(dialect: str) -> list[tuple[str, str]]:
     day = f"CAST(FLOOR(({epoch_s(dialect, 'o_orderdate')}) / 86400.0) AS BIGINT)"
-    return f"""
-WITH per_day AS (
+    return [("per_day", f"""per_day AS (
   SELECT {day} AS day, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
   FROM orders GROUP BY {day}
-),
-med AS (
+)""")]
+
+
+def mad_tail_sql(dialect: str) -> str:
+    return f"""
+WITH med AS (
   SELECT MIN(CASE WHEN cc >= ceil(n / 2.0) THEN rev END) AS m
   FROM (
     SELECT rev, SUM(c) OVER (ORDER BY rev) AS cc, SUM(c) OVER () AS n
@@ -328,4 +348,5 @@ register(
     doc="robust daily-revenue outliers: modified z-score via EXACT "
     "count-histogram median and MAD (50% breakdown — outliers cannot "
     "drag the threshold), |z| > 3.5 Iglewicz-Hoaglin gate",
-)(_orders_query(mad_outliers_sql))
+)(lambda spark, sf_dir: run_materialized(
+    spark, sf_dir, ("orders",), mad_bases(SPARK), mad_tail_sql(SPARK)))

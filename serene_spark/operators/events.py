@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from serene_spark.catalog import load_table, register_views
+from serene_spark.catalog import compose_with, load_table, register_views, run_materialized
 from serene_spark.functions.sqlgen import DUCKDB, SPARK, epoch_s, explode_seq, idiv
 from serene_spark.registry import register
 
@@ -770,11 +770,31 @@ def retention_days_sql(dialect: str) -> str:
         f"MAX(CASE WHEN ud.day = f.first_day + {n} THEN 1 ELSE 0 END) AS d{n}"
         for n in RETENTION_DAYS
     )
-    return f"""
-WITH user_days AS (
+    return compose_with(retention_days_bases(dialect), retention_days_tail_sql(dialect))
+
+
+def retention_days_bases(dialect: str) -> list[tuple[str, str]]:
+    day = idiv(dialect, f"({epoch_s(dialect, 'ts')})", 86400)
+    return [("user_days", f"""user_days AS (
   SELECT DISTINCT user_id, {day} AS day FROM events
-),
-firsts AS (
+)""")]
+
+
+def retention_days_tail_sql(dialect: str) -> str:
+    observable = "first_day + {n} <= (SELECT MAX(day) FROM user_days)"
+    flags = ",\n       ".join(
+        f"CAST(CASE WHEN {observable.format(n=n)} THEN SUM(d{n}) END AS BIGINT)"
+        f" AS d{n}_retained,\n"
+        f"       CASE WHEN {observable.format(n=n)} THEN "
+        f"ROUND(CAST(SUM(d{n}) AS DOUBLE) / COUNT(*), 6) END AS d{n}_rate"
+        for n in RETENTION_DAYS
+    )
+    day_flags = ",\n         ".join(
+        f"MAX(CASE WHEN ud.day = f.first_day + {n} THEN 1 ELSE 0 END) AS d{n}"
+        for n in RETENTION_DAYS
+    )
+    return f"""
+WITH firsts AS (
   SELECT user_id, MIN(day) AS first_day FROM user_days GROUP BY user_id
 ),
 per_user AS (
@@ -797,7 +817,9 @@ register(
     doc=f"D{'/D'.join(str(n) for n in RETENTION_DAYS)} daily retention per "
     "first-activity-day cohort (exact-day definition); two keyed "
     "aggregations over the reduced user-day relation",
-)(lambda spark, sf_dir: (register_views(spark, sf_dir), spark.sql(retention_days_sql(SPARK)))[1])
+)(lambda spark, sf_dir: run_materialized(
+    spark, sf_dir, ("events",), retention_days_bases(SPARK),
+    retention_days_tail_sql(SPARK)))
 
 
 # --- Session entry/exit routes + bounce rate --------------------------------
@@ -852,8 +874,6 @@ ORDER BY entry_type, exit_type
 
 
 def _session_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from serene_spark.catalog import register_views
-
     register_views(spark, sf_dir, ("events",))
     return spark.sql(session_routes_sql("spark"))
 

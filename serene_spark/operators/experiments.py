@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from serene_spark.catalog import register_views
+from serene_spark.catalog import compose_with, register_views, run_materialized
 from serene_spark.functions.sqlgen import DUCKDB, SPARK, epoch_s, epoch_us, hex_to_int, idiv
 from serene_spark.registry import register
 
@@ -251,8 +251,21 @@ def rfm_sql(dialect: str) -> str:
     deployment passes its own anchor).  One orders scan -> per-customer
     relation; everything after is customer-cardinality.
     """
-    day = idiv(dialect, f"({epoch_s(dialect, 'o_orderdate')})", 86400)
+    return compose_with(rfm_bases(dialect), rfm_tail_sql(dialect))
 
+
+def rfm_bases(dialect: str) -> list[tuple[str, str]]:
+    day = idiv(dialect, f"({epoch_s(dialect, 'o_orderdate')})", 86400)
+    return [("per_cust", f"""per_cust AS (
+  SELECT o_custkey,
+         (SELECT MAX({day}) FROM orders) - MAX({day}) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS monetary
+  FROM orders GROUP BY o_custkey
+)""")]
+
+
+def rfm_tail_sql(dialect: str) -> str:
     def quintile_bounds(rel: str, col: str) -> str:
         return f"""
   SELECT {", ".join(
@@ -271,14 +284,7 @@ def rfm_sql(dialect: str) -> str:
         ) + " + 1)"
 
     return f"""
-WITH per_cust AS (
-  SELECT o_custkey,
-         (SELECT MAX({day}) FROM orders) - MAX({day}) AS recency_days,
-         COUNT(*) AS frequency,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS monetary
-  FROM orders GROUP BY o_custkey
-),
-rb AS ({quintile_bounds("per_cust", "recency_days")}),
+WITH rb AS ({quintile_bounds("per_cust", "recency_days")}),
 fb AS ({quintile_bounds("per_cust", "frequency")}),
 mb AS ({quintile_bounds("per_cust", "monetary")})
 SELECT o_custkey,
@@ -306,7 +312,8 @@ register(
     doc=f"RFM segmentation: recency/frequency/monetary {RFM_BINS}-quantile "
     "scores per customer via the count-histogram quantile (never NTILE — "
     "divergent tie handling); r inverted so 5 = most recent",
-)(_orders_query(rfm_sql))
+)(lambda spark, sf_dir: run_materialized(
+    spark, sf_dir, ("orders",), rfm_bases(SPARK), rfm_tail_sql(SPARK)))
 
 
 def revenue_mom_sql(dialect: str) -> str:

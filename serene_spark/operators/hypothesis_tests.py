@@ -37,7 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from serene_spark.catalog import register_views
+from serene_spark.catalog import compose_with, register_views, run_materialized
 from serene_spark.functions.sqlgen import (
     DUCKDB,
     SPARK,
@@ -53,14 +53,21 @@ MWU_SIDE_B = "purchase"
 
 
 def chisq_sql(dialect: str) -> str:
+    return compose_with(chisq_bases(dialect), chisq_tail_sql(dialect))
+
+
+def chisq_bases(dialect: str) -> list[tuple[str, str]]:
     day = idiv(dialect, f"({epoch_s(dialect, 'ts')})", 86400)
-    return f"""
-WITH cells AS (
+    return [("cells", f"""cells AS (
   SELECT event_type, (({day}) + 4) % 7 AS dow, COUNT(*) AS n
   FROM events
   GROUP BY event_type, (({day}) + 4) % 7
-),
-row_m AS (
+)""")]
+
+
+def chisq_tail_sql(dialect: str) -> str:
+    return f"""
+WITH row_m AS (
   SELECT event_type, SUM(n) AS n_row FROM cells GROUP BY event_type
 ),
 col_m AS (
@@ -176,7 +183,8 @@ register(
     doc="Pearson chi-square independence of event type vs day-of-week: "
     "complete margin-cross grid with zero cells, integer-exact "
     "expected counts, decimal-summed contributions",
-)(_q(chisq_sql))
+)(lambda spark, sf_dir: run_materialized(
+    spark, sf_dir, ("events",), chisq_bases(SPARK), chisq_tail_sql(SPARK)))
 
 register(
     "mannwhitney_value",
@@ -212,16 +220,23 @@ def benford_sql(dialect: str) -> str:
     expected share.  One scan to a 9-row relation; every ratio an exact
     integer-count division.
     """
+    return compose_with(benford_bases(dialect), benford_tail_sql(dialect))
+
+
+def benford_bases(dialect: str) -> list[tuple[str, str]]:
     dec_str = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING)"
     first_digit = re_extract(dialect, dec_str, "([1-9])", 1)
-    return f"""
-WITH digits AS (
+    return [("digits", f"""digits AS (
   SELECT CAST({first_digit} AS INT) AS d, COUNT(*) AS n
   FROM orders
   WHERE o_totalprice > 0 AND {first_digit} <> ''
   GROUP BY 1
-),
-tot AS (SELECT SUM(n) AS n_tot FROM digits),
+)""")]
+
+
+def benford_tail_sql(dialect: str) -> str:
+    return f"""
+WITH tot AS (SELECT SUM(n) AS n_tot FROM digits),
 spine AS (
   SELECT {explode_seq(dialect, 1, 9)} AS d FROM (SELECT 1 AS one) o
 ),
@@ -271,7 +286,8 @@ register(
     doc="Benford first-digit conformity audit over order totals: "
     "representation-exact digit extraction (never log10+FLOOR), "
     "chi-square distance + Nigrini MAD conformity bands",
-)(_orders_q(benford_sql))
+)(lambda spark, sf_dir: run_materialized(
+    spark, sf_dir, ("orders",), benford_bases(SPARK), benford_tail_sql(SPARK)))
 
 
 # --- Kruskal-Wallis k-sample rank test --------------------------------------
@@ -295,19 +311,25 @@ def kruskal_sql(dialect: str) -> str:
     (1..8) — evaluating the inverse-chi-square CDF engine-side would
     need special functions neither dialect shares.
     """
-    # chi2 95% critical values, dof 1..8
+    return compose_with(kruskal_bases(dialect), kruskal_tail_sql(dialect))
+
+
+def kruskal_bases(dialect: str) -> list[tuple[str, str]]:
+    return [("hist", """hist AS (
+  SELECT event_type AS grp, CAST(value AS DECIMAL(18,2)) AS v, COUNT(*) AS c
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, CAST(value AS DECIMAL(18,2))
+)""")]
+
+
+def kruskal_tail_sql(dialect: str) -> str:
     crit = {1: 3.841459, 2: 5.991465, 3: 7.814728, 4: 9.487729,
             5: 11.070498, 6: 12.591587, 7: 14.067140, 8: 15.507313}
     crit_case = "CASE (SELECT k FROM groups_n) - 1 " + " ".join(
         f"WHEN {d} THEN {v}" for d, v in crit.items()
     ) + " ELSE NULL END"
     return f"""
-WITH hist AS (
-  SELECT event_type AS grp, CAST(value AS DECIMAL(18,2)) AS v, COUNT(*) AS c
-  FROM events WHERE value IS NOT NULL
-  GROUP BY event_type, CAST(value AS DECIMAL(18,2))
-),
-vals AS (
+WITH vals AS (
   SELECT v, SUM(c) AS t_v FROM hist GROUP BY v
 ),
 ranked_vals AS (
@@ -372,4 +394,5 @@ register(
     doc="Kruskal-Wallis H across all event types (k-sample MWU sibling): "
     "doubled-rank BIGINT algebra over the value histogram, tie-corrected, "
     "chi-square(k-1) decision from a fixed critical table",
-)(_q(kruskal_sql))
+)(lambda spark, sf_dir: run_materialized(
+    spark, sf_dir, ("events",), kruskal_bases(SPARK), kruskal_tail_sql(SPARK)))

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from serene_spark.catalog import register_views
+from serene_spark.catalog import compose_with, register_views, run_materialized
 from serene_spark.functions.sqlgen import DUCKDB, SPARK, explode_seq
 from serene_spark.registry import register
 
@@ -79,13 +79,11 @@ def concentration_sql(dialect: str) -> str:
     result.  Customers without orders enter as zero-revenue rows (LEFT
     JOIN) — omitting them understates inequality.
     """
-    term = (
-        "(CAST(n_cust AS DOUBLE) / (SELECT CAST(total_cust AS DOUBLE) FROM tot))"
-        " * (2 * CAST(cum_asc AS DOUBLE) - CAST(rev AS DOUBLE) * n_cust)"
-        " / (SELECT CAST(total_rev AS DOUBLE) FROM tot)"
-    )
-    return f"""
-WITH per_cust AS (
+    return compose_with(concentration_bases(dialect), concentration_tail_sql(dialect))
+
+
+def concentration_bases(dialect: str) -> list[tuple[str, str]]:
+    return [("hist", """per_cust AS (
   SELECT c.c_custkey,
          COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS rev
   FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
@@ -93,8 +91,17 @@ WITH per_cust AS (
 ),
 hist AS (
   SELECT rev, COUNT(*) AS n_cust FROM per_cust GROUP BY rev
-),
-tot AS (
+)""")]
+
+
+def concentration_tail_sql(dialect: str) -> str:
+    term = (
+        "(CAST(n_cust AS DOUBLE) / (SELECT CAST(total_cust AS DOUBLE) FROM tot))"
+        " * (2 * CAST(cum_asc AS DOUBLE) - CAST(rev AS DOUBLE) * n_cust)"
+        " / (SELECT CAST(total_rev AS DOUBLE) FROM tot)"
+    )
+    return f"""
+WITH tot AS (
   SELECT SUM(CAST(rev AS DECIMAL(28,2)) * n_cust) AS total_rev,
          SUM(n_cust) AS total_cust
   FROM hist
@@ -149,7 +156,9 @@ register(
     doc="revenue concentration: ABC classes (80/95 cumulative-share "
     "splits) + Gini coefficient from the grouped Lorenz curve, "
     "zero-revenue customers included",
-)(_q(concentration_sql, ("customer", "orders")))
+)(lambda spark, sf_dir: run_materialized(
+    spark, sf_dir, ("customer", "orders"), concentration_bases(SPARK),
+    concentration_tail_sql(SPARK)))
 
 
 def boxplot_sql(dialect: str) -> str:

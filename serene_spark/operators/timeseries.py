@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from serene_spark.catalog import register_views
+from serene_spark.catalog import compose_with, register_views, run_materialized
 from serene_spark.functions.sqlgen import (
     DUCKDB,
     SPARK,
@@ -161,13 +161,18 @@ def ts_acf_sql(dialect: str) -> str:
     self-join never touches data-scale rows.  White-noise band
     +/- 1.96/sqrt(n) emitted per row.
     """
+    return compose_with(acf_bases(dialect), acf_tail_sql(dialect))
+
+
+def acf_bases(dialect: str) -> list[tuple[str, str]]:
+    """Materialization bases: the orders scan happens once (per_day), the
+    zero-filled calendar series derives from it once."""
     day = f"CAST(FLOOR(({epoch_s(dialect, 'o_orderdate')}) / 86400.0) AS BIGINT)"
-    return f"""
-WITH per_day AS (
+    per_day = f"""per_day AS (
   SELECT {day} AS day, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
   FROM orders GROUP BY {day}
-),
-bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM per_day),
+)"""
+    series = f"""bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM per_day),
 spine AS (
   SELECT {explode_seq(dialect, "(SELECT d0 FROM bounds)", "(SELECT d1 FROM bounds)")} AS day
   FROM bounds
@@ -175,8 +180,13 @@ spine AS (
 series AS (
   SELECT s.day, CAST(COALESCE(p.rev, 0) AS DOUBLE) AS x
   FROM spine s LEFT JOIN per_day p ON s.day = p.day
-),
-xbar_rel AS (
+)"""
+    return [("per_day", per_day), ("series", series)]
+
+
+def acf_tail_sql(dialect: str) -> str:
+    return f"""
+WITH xbar_rel AS (
   -- mean from decimal-exact revenue total over the spine length —
   -- a bare AVG over doubles would depend on partial-aggregation order
   -- (registry determinism rule), unlike this single division
@@ -314,7 +324,8 @@ register(
     doc=f"sample autocorrelation of daily revenue, lags 1..{ACF_MAX_LAG} "
     "(Box-Jenkins constant-denominator estimator over the full calendar "
     "spine; day-keyed lag self-join, calendar-bounded), white-noise band",
-)(_orders_query(ts_acf_sql))
+)(lambda spark, sf_dir: run_materialized(
+    spark, sf_dir, ("orders",), acf_bases(SPARK), acf_tail_sql(SPARK)))
 
 register(
     "ts_decompose_monthly",
@@ -345,13 +356,19 @@ def trend_mk_sql(dialect: str) -> str:
     never data volume; a decade of days stays ~6.6M pairs, and longer
     horizons aggregate to the monthly grain first.
     """
+    return compose_with(mk_bases(dialect), mk_tail_sql(dialect))
+
+
+def mk_bases(dialect: str) -> list[tuple[str, str]]:
+    """Materialization bases: orders scan once; the pair relation (the
+    spine^2/2 workhorse read by BOTH s_stat and the Sen histogram) builds
+    once instead of once per reference."""
     day = f"CAST(FLOOR(({epoch_s(dialect, 'o_orderdate')}) / 86400.0) AS BIGINT)"
-    return f"""
-WITH per_day AS (
+    per_day = f"""per_day AS (
   SELECT {day} AS day, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
   FROM orders GROUP BY {day}
-),
-bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM per_day),
+)"""
+    series = f"""bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM per_day),
 spine AS (
   SELECT {explode_seq(dialect, "(SELECT d0 FROM bounds)", "(SELECT d1 FROM bounds)")} AS day
   FROM bounds
@@ -359,13 +376,18 @@ spine AS (
 series AS (
   SELECT s.day, COALESCE(p.rev, CAST(0 AS DECIMAL(18,2))) AS x
   FROM spine s LEFT JOIN per_day p ON s.day = p.day
-),
-n_rel AS (SELECT COUNT(*) AS n FROM series),
-pairs AS (
+)"""
+    pairs = """pairs AS (
   SELECT CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn,
          ROUND(CAST(b.x - a.x AS DOUBLE) / (b.day - a.day), 9) AS slope
   FROM series a JOIN series b ON b.day > a.day
-),
+)"""
+    return [("per_day", per_day), ("series", series), ("pairs", pairs)]
+
+
+def mk_tail_sql(dialect: str) -> str:
+    return f"""
+WITH n_rel AS (SELECT COUNT(*) AS n FROM series),
 s_stat AS (SELECT SUM(sgn) AS s FROM pairs),
 ties AS (
   SELECT SUM(CAST(t AS DECIMAL(19,0)) * (t - 1) * (2 * t + 5)) AS tie_term
@@ -412,4 +434,5 @@ register(
     "daily revenue: exact integer S with tie-corrected variance, "
     "histogram-median pairwise slope — calendar-bounded pair relation, "
     "outlier-immune by construction",
-)(_orders_query(trend_mk_sql))
+)(lambda spark, sf_dir: run_materialized(
+    spark, sf_dir, ("orders",), mk_bases(SPARK), mk_tail_sql(SPARK)))

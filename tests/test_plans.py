@@ -509,9 +509,31 @@ def test_cte_heavy_ops_consume_materialized_base(spark, sf_dir):
         "markov_stationary",
         "hybrid_rrf_search",
         "matryoshka_recall",
+        # the repo-wide sweep's top offenders, re-based the same way
+        # (pre-fix scan counts: 148/102/91/70/48/45/38/27/18/15/14/13/12/10/8)
+        "triangle_counts",
+        "trend_mann_kendall",
+        "kmeans_cluster_quality",
+        "cusum_daily_revenue",
+        "ts_acf_daily",
+        "kmeans_embeddings",
+        "kruskal_wallis_value",
+        "benford_audit_prices",
+        "rfm_segments",
+        "robust_outliers_daily",
+        "customer_spend_concentration",
+        "bloom_filter_stats",
+        "chisq_type_dow",
+        "events_retention_days",
     ):
         txt = plan_text(load_all()[name].spark(spark, sf_dir))
         scans = sum(
             1 for l in txt.splitlines() if l.startswith("(") and "Scan parquet" in l
         )
         assert scans == 0, (name, scans)
+    # source_quality's tail reads the documents METADATA columns directly
+    # (source/n_chars — not derivable from the materialized token views);
+    # down from 12 scans to the 2 legitimate metadata reads
+    txt = plan_text(load_all()["source_quality_profile"].spark(spark, sf_dir))
+    scans = sum(1 for l in txt.splitlines() if l.startswith("(") and "Scan parquet" in l)
+    assert scans <= 2, scans
