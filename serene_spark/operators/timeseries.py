@@ -436,3 +436,109 @@ register(
     "outlier-immune by construction",
 )(lambda spark, sf_dir: run_materialized(
     spark, sf_dir, ("orders",), mk_bases(SPARK), mk_tail_sql(SPARK)))
+
+
+CCF_MAX_LAG = 24  # hours
+CCF_X_TYPE = "view"
+CCF_Y_TYPE = "purchase"
+
+
+def ccf_bases(dialect: str) -> list[tuple[str, str]]:
+    """One events scan to hourly (view, purchase) counts; zero-filled over
+    the full hour spine (empty hours are real zeros — skipping them would
+    splice non-adjacent hours and fabricate correlation)."""
+    hour = idiv(dialect, epoch_s(dialect, "ts"), "3600")
+    per_hour = f"""per_hour AS (
+  SELECT {hour} AS hr,
+         SUM(CASE WHEN event_type = '{CCF_X_TYPE}' THEN 1 ELSE 0 END) AS nx,
+         SUM(CASE WHEN event_type = '{CCF_Y_TYPE}' THEN 1 ELSE 0 END) AS ny
+  FROM events
+  WHERE event_type IN ('{CCF_X_TYPE}', '{CCF_Y_TYPE}')
+  GROUP BY 1
+)"""
+    series = f"""bounds AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM per_hour),
+hspine AS (
+  SELECT {explode_seq(dialect, "(SELECT h0 FROM bounds)", "(SELECT h1 FROM bounds)")} AS hr
+  FROM bounds
+),
+series AS (
+  SELECT s.hr,
+         CAST(COALESCE(p.nx, 0) AS DOUBLE) AS x,
+         CAST(COALESCE(p.ny, 0) AS DOUBLE) AS y
+  FROM hspine s LEFT JOIN per_hour p ON s.hr = p.hr
+)"""
+    return [("per_hour", per_hour), ("series", series)]
+
+
+def ccf_tail_sql(dialect: str) -> str:
+    """Cross-correlation r_xy(k) = sum (x_t - xbar)(y_(t+k) - ybar) /
+    sqrt(sum (x-xbar)^2 * sum (y-ybar)^2) at lags 0..CCF_MAX_LAG (the
+    Box-Jenkins full-series-moment convention, like ts_acf).  The peak
+    lag answers 'by how many hours does x lead y' at the aggregate level
+    — the population-level complement of the per-user
+    conversion_lag_quantiles.  12-dp decimal term sums; the lag join is
+    hour-keyed over the calendar-bounded series."""
+    return f"""
+WITH mom AS (
+  SELECT COUNT(*) AS n,
+         (SELECT CAST(SUM(CAST(nx AS DECIMAL(28,0))) AS DOUBLE) FROM per_hour)
+           / COUNT(*) AS xbar,
+         (SELECT CAST(SUM(CAST(ny AS DECIMAL(28,0))) AS DOUBLE) FROM per_hour)
+           / COUNT(*) AS ybar
+  FROM series
+),
+denoms AS (
+  SELECT SUM(CAST(ROUND((x - (SELECT xbar FROM mom))
+                        * (x - (SELECT xbar FROM mom)), 9)
+                  AS DECIMAL(28,9))) AS dx,
+         SUM(CAST(ROUND((y - (SELECT ybar FROM mom))
+                        * (y - (SELECT ybar FROM mom)), 9)
+                  AS DECIMAL(28,9))) AS dy
+  FROM series
+),
+lagged AS (
+  SELECT l.lag, a.x AS xa, b.y AS yb
+  FROM (SELECT {explode_seq(dialect, 0, "CCF_MAX_LAG_N")} AS lag
+        FROM (SELECT 1 AS one) o) l
+  JOIN series a ON 1 = 1
+  JOIN series b ON b.hr = a.hr + l.lag
+),
+nums AS (
+  SELECT lag, COUNT(*) AS n_pairs,
+         SUM(CAST(ROUND((xa - (SELECT xbar FROM mom))
+                        * (yb - (SELECT ybar FROM mom)), 9)
+                  AS DECIMAL(28,9))) AS num
+  FROM lagged GROUP BY lag
+),
+scored AS (
+  SELECT lag, n_pairs,
+         CASE WHEN (SELECT dx FROM denoms) = 0 OR (SELECT dy FROM denoms) = 0
+              THEN NULL
+              ELSE ROUND(CAST(num AS DOUBLE)
+                         / sqrt(CAST((SELECT dx FROM denoms) AS DOUBLE)
+                                * CAST((SELECT dy FROM denoms) AS DOUBLE)), 6)
+              END AS ccf
+  FROM nums
+)
+SELECT CAST(lag AS INT) AS lag_hours,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       ccf,
+       CAST(CASE WHEN ccf = (SELECT MAX(ccf) FROM scored) THEN 1 ELSE 0 END AS INT)
+         AS is_peak
+FROM scored
+ORDER BY lag_hours
+""".replace("CCF_MAX_LAG_N", str(CCF_MAX_LAG))
+
+
+def ccf_sql(dialect: str) -> str:
+    return compose_with(ccf_bases(dialect), ccf_tail_sql(dialect))
+
+
+register(
+    "ccf_view_purchase",
+    oracle=ccf_sql(DUCKDB),
+    doc=f"cross-correlation of hourly {CCF_X_TYPE} vs {CCF_Y_TYPE} volume "
+    f"at lags 0..{CCF_MAX_LAG}h with the peak-lag flag — the aggregate "
+    "lead-lag complement of conversion_lag_quantiles",
+)(lambda spark, sf_dir: run_materialized(
+    spark, sf_dir, ("events",), ccf_bases(SPARK), ccf_tail_sql(SPARK)))

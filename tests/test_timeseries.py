@@ -285,3 +285,37 @@ def test_acf_constant_series_yields_null(spark):
     assert len(out) == 30
     assert out["acf"].isna().all()
     assert out["significant"].isna().all()
+
+
+def test_ccf_matches_numpy(spark):
+    import numpy as np
+
+    from serene_spark.registry import load_all
+
+    out = load_all()["ccf_view_purchase"].spark(spark, "/root/testdata/sf0.001").toPandas()
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").toPandas()
+    ev = ev[ev.event_type.isin(["view", "purchase"])]
+    ev["hr"] = ev["ts"].astype("datetime64[us]").astype("int64") // (3600 * 1_000_000)
+    h0, h1 = ev.hr.min(), ev.hr.max()
+    idx = {h: i for i, h in enumerate(range(h0, h1 + 1))}
+    x = np.zeros(len(idx)); y = np.zeros(len(idx))
+    for h, grp in ev.groupby("hr"):
+        x[idx[h]] = (grp.event_type == "view").sum()
+        y[idx[h]] = (grp.event_type == "purchase").sum()
+    xb, yb = x.mean(), y.mean()
+    dx = ((x - xb) ** 2).sum(); dy = ((y - yb) ** 2).sum()
+    want = {}
+    for k in range(25):
+        num = ((x[: len(x) - k] - xb) * (y[k:] - yb)).sum()
+        want[k] = round(num / np.sqrt(dx * dy), 6)
+    got = dict(zip(out.lag_hours, out.ccf))
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 2e-6, k
+    # exactly one peak flag, at the argmax lag
+    peaks = out[out.is_peak == 1]
+    assert len(peaks) == 1
+    assert peaks.iloc[0].lag_hours == max(want, key=want.get)
+    # n_pairs shrinks by exactly one per unit lag (series length - k)
+    n0 = out[out.lag_hours == 0].iloc[0].n_pairs
+    assert all(r.n_pairs == n0 - r.lag_hours for r in out.itertuples())
