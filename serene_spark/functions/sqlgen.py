@@ -230,3 +230,18 @@ def arg_max_by(dialect: str, val: str, key: str) -> str:
     """Value of ``val`` at the maximum ``key`` (DuckDB arg_max / Spark max_by)."""
     fn = "arg_max" if dialect == DUCKDB else "max_by"
     return f"{fn}({val}, {key})"
+
+
+def mat(dialect: str) -> str:
+    """DuckDB-only ``AS MATERIALIZED`` CTE hint (returns "" for Spark).
+
+    The Spark runner materializes multiply-referenced or chain-segment
+    bases as localCheckpoint views (catalog.run_materialized), so its SQL
+    never needs — and does not support — the keyword.  The DuckDB oracle
+    is one statement, and DuckDB 1.0 inlines single-reference CTEs: a
+    deep iteration chain or a many-reference base re-inlines its whole
+    input pipeline at every site (attribution_markov measured 58s -> 0.2s
+    with hints; the un-hinted 40-level chain hung the optimizer >5 min).
+    Use on every multiply-referenced base and every iteration-segment
+    terminal in dialect-shared generators."""
+    return "MATERIALIZED " if dialect == DUCKDB else ""
