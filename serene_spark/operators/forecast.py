@@ -175,3 +175,167 @@ register(
     "each step so float drift cannot compound across engines); "
     f"in-sample one-step forecasts + {HORIZON}-month horizon",
 )(_holt_run)
+
+
+# ---------------------------------------- Holt-Winters (additive, season 7)
+
+HW_ALPHA = "0.3"
+HW_BETA = "0.1"
+HW_GAMMA = "0.2"
+HW_M = 7
+HW_HORIZON = 7
+
+
+def hw_series_sql(dialect: str) -> str:
+    """Zero-filled daily purchase-revenue spine with a 1-based index.
+    The events window is calendar-bounded (30 days in the corpus; at any
+    scale you fit seasonal smoothing on a bounded recent window), so the
+    recursion depth is fixed regardless of data volume."""
+    return f"""
+SELECT s.day, COALESCE(p.rev, CAST(0 AS DECIMAL(18,2))) AS rev,
+       CAST(COALESCE(p.rev, 0) AS DOUBLE) AS y,
+       ROW_NUMBER() OVER (ORDER BY s.day) AS i
+FROM (
+  SELECT {explode_seq(dialect, "(SELECT MIN(day) FROM __hw_daily)",
+                      "(SELECT MAX(day) FROM __hw_daily)")} AS day
+  FROM (SELECT 1 AS one) o
+) s
+LEFT JOIN __hw_daily p ON p.day = s.day
+"""
+
+
+def hw_daily_sql(dialect: str) -> str:
+    from serene_spark.functions.sqlgen import epoch_s
+
+    day = f"CAST(FLOOR(({epoch_s(dialect, 'ts')}) / 86400.0) AS BIGINT)"
+    return f"""
+SELECT {day} AS day, SUM(CAST(value AS DECIMAL(18,2))) AS rev
+FROM events
+WHERE event_type = 'purchase' AND value IS NOT NULL
+GROUP BY {day}
+"""
+
+
+def hw_series_inline_sql(dialect: str) -> str:
+    return (
+        "(WITH __hw_daily AS (" + hw_daily_sql(dialect) + ")"
+        + hw_series_sql(dialect) + ")"
+    )
+
+
+def holt_winters_sql(dialect: str, series_rel: str | None = None) -> str:
+    """Additive Holt-Winters (FPP3 ch. 8.3): level + trend + a ROTATING
+    7-slot seasonal register carried through the recursion —
+
+        l_t = a(y_t - s_{t-m}) + (1-a)(l_{t-1} + b_{t-1})
+        b_t = B(l_t - l_{t-1}) + (1-B)b_{t-1}
+        s_t = G(y_t - l_{t-1} - b_{t-1}) + (1-G)s_{t-m}
+
+    WITH RECURSIVE carries (lvl, trd, s1..s7) where s1 is always the
+    seasonal index the NEXT step consumes; each update shifts the
+    register left and appends the refreshed index.  Init (classical):
+    l_m = mean(week 1), b_m = (mean(week 2) - mean(week 1))/m, s_j =
+    y_j - mean(week 1) — all from decimal-exact weekly sums.  Every
+    state component re-quantizes to 9 dp per step, so float drift
+    cannot compound across engines.  In-sample one-step forecasts join
+    each row to the previous state; the {HW_HORIZON}-day horizon reads
+    the final register directly (slot h seasons step N+h)."""
+    a = f"CAST({HW_ALPHA} AS DOUBLE)"
+    b = f"CAST({HW_BETA} AS DOUBLE)"
+    g = f"CAST({HW_GAMMA} AS DOUBLE)"
+    m = HW_M
+    series = series_rel if series_rel is not None else hw_series_inline_sql(dialect)
+    regs = ", ".join(f"s{j}" for j in range(1, m + 1))
+    y_arms = ",\n         ".join(
+        f"CAST(MAX(CASE WHEN i = {j} THEN rev END) AS DOUBLE) AS y{j}"
+        for j in range(1, m + 1)
+    )
+    s_init = ",\n         ".join(
+        f"ROUND(i0.y{j} - CAST(i0.w1 AS DOUBLE) / {m}, 9)" for j in range(1, m + 1)
+    )
+    rotate = ", ".join(f"t.s{j}" for j in range(2, m + 1))
+    h_case = "CASE h " + " ".join(
+        f"WHEN {j} THEN s{j}" for j in range(1, m + 1)
+    ) + " END"
+    return f"""
+WITH RECURSIVE series AS (
+  SELECT * FROM {series} s0
+),
+init AS (
+  SELECT SUM(CASE WHEN i BETWEEN 1 AND {m} THEN rev END) AS w1,
+         SUM(CASE WHEN i BETWEEN {m + 1} AND {2 * m} THEN rev END) AS w2,
+         {y_arms}
+  FROM series
+),
+hw(i, lvl, trd, {regs}) AS (
+  SELECT CAST({m} AS BIGINT),
+         ROUND(CAST(i0.w1 AS DOUBLE) / {m}, 9),
+         ROUND((CAST(i0.w2 AS DOUBLE) - CAST(i0.w1 AS DOUBLE)) / ({m} * {m}), 9),
+         {s_init}
+  FROM init i0
+  UNION ALL
+  SELECT t.i,
+         t.nl,
+         ROUND({b} * (t.nl - t.lvl) + (1 - {b}) * t.trd, 9),
+         {rotate},
+         ROUND({g} * (t.y - t.lvl - t.trd) + (1 - {g}) * t.s1, 9)
+  FROM (
+    SELECT s.i, s.y, h.lvl, h.trd, {", ".join(f"h.s{j} AS s{j}" for j in range(1, m + 1))},
+           ROUND({a} * (s.y - h.s1) + (1 - {a}) * (h.lvl + h.trd), 9) AS nl
+    FROM hw h JOIN series s ON s.i = h.i + 1
+  ) t
+),
+fitted AS (
+  SELECT s.day, s.i, s.y, h.lvl, h.trd,
+         hp.lvl + hp.trd + hp.s1 AS forecast
+  FROM series s
+  JOIN hw h ON h.i = s.i
+  JOIN hw hp ON hp.i = s.i - 1
+),
+last_state AS (
+  SELECT s.day AS last_day, h.*
+  FROM hw h JOIN series s ON s.i = h.i
+  WHERE h.i = (SELECT MAX(i) FROM series)
+),
+horizon AS (
+  SELECT last_day + h AS day, lvl + h * trd + {h_case} AS forecast,
+         lvl, trd, h
+  FROM (SELECT ls.*, {explode_seq(dialect, 1, HW_HORIZON)} AS h
+        FROM last_state ls) x
+)
+SELECT CAST(day AS BIGINT) AS day,
+       ROUND(y, 6) AS revenue,
+       ROUND(lvl, 6) AS level,
+       ROUND(trd, 6) AS trend,
+       ROUND(forecast, 6) AS forecast,
+       ROUND(y - forecast, 6) AS err,
+       CAST(0 AS INT) AS is_forecast
+FROM fitted
+UNION ALL
+SELECT CAST(day AS BIGINT),
+       NULL, ROUND(lvl, 6), ROUND(trd, 6), ROUND(forecast, 6), NULL,
+       CAST(1 AS INT)
+FROM horizon
+ORDER BY day
+"""
+
+
+def _hw_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    register_views(spark, sf_dir, ("events",))
+    view = f"hw_series_{uuid.uuid4().hex}"
+    spark.sql(
+        f"WITH __hw_daily AS ({hw_daily_sql(SPARK)}) {hw_series_sql(SPARK)}"
+    ).localCheckpoint(eager=True).createOrReplaceTempView(view)
+    return spark.sql(holt_winters_sql(SPARK, series_rel=view))
+
+
+register(
+    "holt_winters_daily",
+    oracle=holt_winters_sql(DUCKDB),
+    doc="additive Holt-Winters (season 7) over daily purchase revenue via "
+    "WITH RECURSIVE carrying a rotating 7-slot seasonal register, 9-dp "
+    "re-quantized per step; classical first/second-week init, in-sample "
+    f"one-step forecasts + {HW_HORIZON}-day seasonal horizon",
+)(_hw_run)

@@ -56,9 +56,10 @@ N_NEWTON = 10
 # --------------------------------------------------------------- Welch t
 
 
-def ttest_sql(dialect: str) -> str:
-    return f"""
-WITH sides AS (
+def ttest_bases(dialect: str) -> list[tuple[str, str]]:
+    """One scan -> per-side exact moments; materialized because the tail
+    reads the relation once per side."""
+    return [("m", f"""sides AS (
   SELECT CASE WHEN event_type = '{TT_SIDE_A}' THEN 'a' ELSE 'b' END AS side,
          CAST(value AS DECIMAL(18,2)) AS v
   FROM events
@@ -67,8 +68,12 @@ WITH sides AS (
 m AS {mat(dialect)}(
   SELECT side, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS q
   FROM sides GROUP BY side
-),
-w AS (
+)""")]
+
+
+def ttest_tail_sql(dialect: str) -> str:
+    return f"""
+WITH w AS (
   SELECT a.n AS n_a, b.n AS n_b,
          CAST(a.s AS DOUBLE) / a.n AS mean_a,
          CAST(b.s AS DOUBLE) / b.n AS mean_b,
@@ -96,31 +101,43 @@ FROM w
 """
 
 
+def ttest_sql(dialect: str) -> str:
+    return compose_with(ttest_bases(dialect), ttest_tail_sql(dialect))
+
+
 register(
     "ttest_welch_value",
     oracle=ttest_sql(DUCKDB),
     doc=f"Welch two-sample t-test on value ({TT_SIDE_A} vs {TT_SIDE_B}): "
     "decimal-exact (n, Σx, Σx²) per side from one scan, closed-form t + "
     "Welch–Satterthwaite df",
-)(lambda spark, sf_dir: (
-    register_views(spark, sf_dir),
-    spark.sql(ttest_sql(SPARK)),
-)[1])
+)(lambda spark, sf_dir: run_materialized(
+    spark, sf_dir, ("events",), ttest_bases(SPARK), ttest_tail_sql(SPARK)))
 
 
 # ------------------------------------------------------------ one-way ANOVA
 
 
-def anova_sql(dialect: str) -> str:
-    return f"""
-WITH g AS {mat(dialect)}(
+def anova_groups_rel(dialect: str) -> str:
+    """THE per-group moment relation (n, Σx, Σx²) — spliced by the ANOVA
+    omnibus test and the Tukey HSD post-hoc so the group definition
+    cannot desync."""
+    return f"""g AS {mat(dialect)}(
   SELECT event_type, COUNT(*) AS n,
          SUM(CAST(value AS DECIMAL(18,2))) AS s,
          SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS q
   FROM events WHERE value IS NOT NULL
   GROUP BY event_type
-),
-tot AS {mat(dialect)}(
+)"""
+
+
+def anova_groups_bases(dialect: str) -> list[tuple[str, str]]:
+    return [("g", anova_groups_rel(dialect))]
+
+
+def anova_tail_sql(dialect: str) -> str:
+    return f"""
+WITH tot AS {mat(dialect)}(
   SELECT SUM(n) AS n_tot, CAST(SUM(s) AS DOUBLE) AS s_tot, COUNT(*) AS k
   FROM g
 ),
@@ -155,15 +172,65 @@ ORDER BY p.event_type
 """
 
 
+def anova_sql(dialect: str) -> str:
+    return compose_with(anova_groups_bases(dialect), anova_tail_sql(dialect))
+
+
 register(
     "anova_value_by_type",
     oracle=anova_sql(DUCKDB),
     doc="one-way ANOVA of value across event types: per-group decimal-exact "
     "moments from one scan, 12-dp-quantized SSW/SSB decimal sums, F + eta^2",
-)(lambda spark, sf_dir: (
-    register_views(spark, sf_dir),
-    spark.sql(anova_sql(SPARK)),
-)[1])
+)(lambda spark, sf_dir: run_materialized(
+    spark, sf_dir, ("events",), anova_groups_bases(SPARK),
+    anova_tail_sql(SPARK)))
+
+
+def tukey_sql(dialect: str) -> str:
+    """Tukey HSD post-hoc: which pairs differ, after the omnibus F.  The
+    studentized-range statistic q = (m_i − m_j) / sqrt(MSW/2 · (1/n_i +
+    1/n_j)) per unordered pair, from the SAME spliced group relation as
+    the omnibus ANOVA — the pair cross is group-cardinality² (≤ 25 rows
+    here), never data-scale."""
+    return f"""
+WITH msw AS (
+  SELECT CAST(SUM(CAST(ROUND(CAST(q AS DOUBLE)
+                             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 12)
+                       AS DECIMAL(38,12))) AS DOUBLE)
+           / (SUM(n) - COUNT(*)) AS msw,
+         SUM(n) - COUNT(*) AS df_within
+  FROM g
+)
+SELECT a.event_type AS type_a,
+       b.event_type AS type_b,
+       CAST(a.n AS BIGINT) AS n_a,
+       CAST(b.n AS BIGINT) AS n_b,
+       ROUND(CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n, 6)
+         AS mean_diff,
+       ROUND(sqrt((SELECT msw FROM msw) / 2
+                  * (1.0 / a.n + 1.0 / b.n)), 6) AS se_q,
+       ROUND((CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+             / sqrt((SELECT msw FROM msw) / 2 * (1.0 / a.n + 1.0 / b.n)), 6)
+         AS q_stat,
+       CAST((SELECT df_within FROM msw) AS BIGINT) AS df_within
+FROM g a JOIN g b ON a.event_type < b.event_type
+ORDER BY type_a, type_b
+"""
+
+
+def tukey_full_sql(dialect: str) -> str:
+    return compose_with(anova_groups_bases(dialect), tukey_sql(dialect))
+
+
+register(
+    "anova_tukey_pairs",
+    oracle=tukey_full_sql(DUCKDB),
+    doc="Tukey HSD post-hoc after the one-way ANOVA: studentized-range q per "
+    "type pair from the spliced group-moment relation (pair cross is "
+    "group-cardinality squared, never data-scale)",
+)(lambda spark, sf_dir: run_materialized(
+    spark, sf_dir, ("events",), anova_groups_bases(SPARK),
+    tukey_sql(SPARK)))
 
 
 # ------------------------------------------------------- OLS with inference

@@ -140,3 +140,124 @@ register(
     doc="segment-stratified Kaplan-Meier repurchase curves (broadcast "
     "customer-dim join, per-segment windows over the same one scan)",
 )(_q(km_segment_sql, ("orders", "customer")))
+
+
+# ----------------------------------------------------------- log-rank test
+
+LR_SEG_A = "BUILDING"
+LR_SEG_B = "MACHINERY"
+
+
+def logrank_bases(dialect: str) -> list[tuple[str, str]]:
+    """Per-duration two-group histogram (d_j deaths, t_j total arrivals)
+    from the SAME duration construction as the KM curves: consecutive
+    order gaps observed, last-order gaps censored at the horizon.  One
+    LEAD pass over two segments' orders -> a calendar-bounded relation;
+    materialized because the tail reads it through two cumulative windows
+    and the group-size scalars."""
+    from serene_spark.functions.sqlgen import mat
+
+    day = idiv(dialect, f"({epoch_s(dialect, 'o_orderdate')})", 86400)
+    body = f"""ordered AS (
+  SELECT c.c_mktsegment AS seg, o.o_custkey, {day} AS day,
+         LEAD({day}) OVER (PARTITION BY o.o_custkey ORDER BY {day}, o.o_orderkey)
+           AS next_day
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment IN ('{LR_SEG_A}', '{LR_SEG_B}')
+),
+horizon AS (
+  SELECT MAX(day) AS mx FROM ordered
+),
+durs AS (
+  SELECT seg,
+         CASE WHEN next_day IS NULL THEN (SELECT mx FROM horizon) - day
+              ELSE next_day - day END AS dur,
+         CASE WHEN next_day IS NULL THEN 0 ELSE 1 END AS ev
+  FROM ordered
+),
+lr_hist AS {mat(dialect)}(
+  SELECT dur,
+         SUM(CASE WHEN seg = '{LR_SEG_A}' THEN ev ELSE 0 END) AS d1,
+         SUM(CASE WHEN seg = '{LR_SEG_B}' THEN ev ELSE 0 END) AS d2,
+         SUM(CASE WHEN seg = '{LR_SEG_A}' THEN 1 ELSE 0 END) AS t1,
+         SUM(CASE WHEN seg = '{LR_SEG_B}' THEN 1 ELSE 0 END) AS t2
+  FROM durs GROUP BY dur
+)"""
+    return [("lr_hist", body)]
+
+
+def logrank_tail_sql(dialect: str) -> str:
+    """Mantel-Haenszel log-rank over the pooled duration spine: at every
+    duration with deaths, expected-under-H0 e1 = d*n1/n and the
+    hypergeometric variance v = d*(n1/n)*(n2/n)*(n-d)/(n-1); terms are
+    12-dp-quantized decimal sums (aggregation-order independent), the
+    observed counts stay exact integers end-to-end."""
+    return f"""
+WITH risk AS (
+  SELECT dur, d1, d2,
+         SUM(t1) OVER (ORDER BY dur DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1,
+         SUM(t2) OVER (ORDER BY dur DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n2
+  FROM lr_hist
+),
+contrib AS (
+  SELECT dur, d1, d2, n1, n2, d1 + d2 AS d, n1 + n2 AS n
+  FROM risk WHERE d1 + d2 > 0
+),
+terms AS (
+  SELECT SUM(d1) AS o1, SUM(d2) AS o2,
+         SUM(CAST(ROUND(CAST(d AS DOUBLE) * n1 / n, 12)
+                  AS DECIMAL(28,12))) AS e1,
+         SUM(CAST(ROUND(CAST(d AS DOUBLE) * n2 / n, 12)
+                  AS DECIMAL(28,12))) AS e2,
+         SUM(CAST(ROUND(CASE WHEN n > 1
+                             THEN CAST(d AS DOUBLE) * n1 * n2 * (n - d)
+                                  / (CAST(n AS DOUBLE) * n * (n - 1))
+                             ELSE 0 END, 12) AS DECIMAL(28,12))) AS v
+  FROM contrib
+),
+sizes AS (
+  SELECT SUM(t1) AS subj1, SUM(t2) AS subj2 FROM lr_hist
+)
+SELECT '{LR_SEG_A}' AS seg_a,
+       '{LR_SEG_B}' AS seg_b,
+       CAST((SELECT subj1 FROM sizes) AS BIGINT) AS n_durations_a,
+       CAST((SELECT subj2 FROM sizes) AS BIGINT) AS n_durations_b,
+       CAST(o1 AS BIGINT) AS observed_a,
+       ROUND(CAST(e1 AS DOUBLE), 6) AS expected_a,
+       CAST(o2 AS BIGINT) AS observed_b,
+       ROUND(CAST(e2 AS DOUBLE), 6) AS expected_b,
+       CASE WHEN CAST(v AS DOUBLE) = 0 THEN NULL
+            ELSE ROUND((o1 - CAST(e1 AS DOUBLE)) * (o1 - CAST(e1 AS DOUBLE))
+                       / CAST(v AS DOUBLE), 6) END AS chi2,
+       CASE WHEN CAST(v AS DOUBLE) = 0 THEN NULL
+            ELSE ROUND((o1 - CAST(e1 AS DOUBLE)) / sqrt(CAST(v AS DOUBLE)), 6)
+            END AS z
+FROM terms
+"""
+
+
+def logrank_sql(dialect: str) -> str:
+    from serene_spark.catalog import compose_with
+
+    return compose_with(logrank_bases(dialect), logrank_tail_sql(dialect))
+
+
+def _logrank_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serene_spark.catalog import run_materialized
+
+    return run_materialized(
+        spark, sf_dir, ("orders", "customer"),
+        logrank_bases(SPARK), logrank_tail_sql(SPARK),
+    )
+
+
+register(
+    "km_logrank_segments",
+    oracle=logrank_sql(DUCKDB),
+    doc=f"Mantel-Haenszel log-rank test comparing {LR_SEG_A} vs {LR_SEG_B} "
+    "repurchase-gap survival (the KM curves' companion test): exact "
+    "integer observed counts, 12-dp-quantized decimal expected/variance "
+    "sums over the calendar-bounded duration spine",
+)(_logrank_run)

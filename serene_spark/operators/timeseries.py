@@ -542,3 +542,79 @@ register(
     "lead-lag complement of conversion_lag_quantiles",
 )(lambda spark, sf_dir: run_materialized(
     spark, sf_dir, ("events",), ccf_bases(SPARK), ccf_tail_sql(SPARK)))
+
+
+# ------------------------------------------------- AR(2) via Yule-Walker
+
+
+def ar2_tail_sql(dialect: str) -> str:
+    """AR(2) fitted by the Yule-Walker equations over the SAME zero-filled
+    daily-revenue spine as the ACF (acf_bases splice — one definition of
+    the series).  Biased autocovariances c0..c2 (divide by n, the YW
+    convention that keeps the system positive-definite) from 9-dp-
+    quantized decimal product sums; then the closed 2x2 solve
+
+        phi1 = r1(1 - r2) / (1 - r1^2),   phi2 = (r2 - r1^2) / (1 - r1^2)
+
+    with innovation variance sigma2 = c0(1 - phi1 r1 - phi2 r2) and the
+    stationarity-triangle flags.  Everything after the spine is
+    constant-size closed-form arithmetic on exact moments."""
+    xbar = "(SELECT xbar FROM xbar_rel)"
+    return f"""
+WITH xbar_rel AS (
+  SELECT (SELECT CAST(SUM(CAST(rev AS DECIMAL(28,2))) AS DOUBLE) FROM per_day)
+         / (SELECT CAST(COUNT(*) AS DOUBLE) FROM series) AS xbar
+),
+c0_rel AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND((x - {xbar}) * (x - {xbar}), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS css
+  FROM series
+),
+lagged AS (
+  SELECT l.lag,
+         CAST(SUM(CAST(ROUND((a.x - {xbar}) * (b.x - {xbar}), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS num
+  FROM (SELECT {explode_seq(dialect, 1, 2)} AS lag FROM (SELECT 1 AS one) o) l
+  JOIN series a ON 1 = 1
+  JOIN series b ON b.day = a.day + l.lag
+  GROUP BY l.lag
+),
+mom AS (
+  SELECT (SELECT n FROM c0_rel) AS n,
+         (SELECT css FROM c0_rel) / (SELECT n FROM c0_rel) AS c0,
+         (SELECT num FROM lagged WHERE lag = 1) / (SELECT n FROM c0_rel) AS c1,
+         (SELECT num FROM lagged WHERE lag = 2) / (SELECT n FROM c0_rel) AS c2
+),
+yw AS (
+  SELECT n, c0, c1 / c0 AS r1, c2 / c0 AS r2,
+         (c1 / c0) * (1 - c2 / c0) / (1 - (c1 / c0) * (c1 / c0)) AS phi1,
+         (c2 / c0 - (c1 / c0) * (c1 / c0))
+           / (1 - (c1 / c0) * (c1 / c0)) AS phi2
+  FROM mom
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       ROUND(c0, 6) AS c0,
+       ROUND(r1, 6) AS r1,
+       ROUND(r2, 6) AS r2,
+       ROUND(phi1, 6) AS phi1,
+       ROUND(phi2, 6) AS phi2,
+       ROUND(c0 * (1 - phi1 * r1 - phi2 * r2), 6) AS sigma2,
+       CAST(CASE WHEN phi1 + phi2 < 1 AND phi2 - phi1 < 1
+                 AND ABS(phi2) < 1 THEN 1 ELSE 0 END AS INT) AS stationary
+FROM yw
+"""
+
+
+def ar2_sql(dialect: str) -> str:
+    return compose_with(acf_bases(dialect), ar2_tail_sql(dialect))
+
+
+register(
+    "ar2_yule_walker",
+    oracle=ar2_sql(DUCKDB),
+    doc="AR(2) daily-revenue model by Yule-Walker: biased autocovariances "
+    "c0..c2 as 9-dp-quantized decimal sums over the ACF's spliced day "
+    "spine, closed-form phi1/phi2/sigma2 + stationarity-triangle flag",
+)(lambda spark, sf_dir: run_materialized(
+    spark, sf_dir, ("orders",), acf_bases(SPARK), ar2_tail_sql(SPARK)))
