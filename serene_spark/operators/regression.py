@@ -359,45 +359,62 @@ sess_features AS {m}(
     return [("sess_features", body)]
 
 
-def _newton_step(k: int, m: str) -> str:
-    """One Newton/IRLS update: score the previous β, reduce to the
-    12-dp-quantized gradient + Hessian moments, apply the closed-form
-    3×3 solve, re-quantize β to 9 dp."""
-    prev = f"nb{k - 1}"
+LINPRED = ("(CAST(b.b0 AS DOUBLE) + CAST(b.b1 AS DOUBLE) * f.x1"
+           " + CAST(b.b2 AS DOUBLE) * f.x2)")
+
+
+def _newton_step(
+    k: int,
+    m: str,
+    feature_rel: str,
+    mu_expr: str,
+    weight_expr: str,
+    prefix: str = "nb",
+) -> str:
+    """One GLM Newton/IRLS update, family-generic: score the previous β
+    (``mu_expr`` over the linear predictor, 9-dp-quantized), reduce to
+    the 12-dp-quantized gradient Σx(y−μ) + Hessian Σxxᵀw moments
+    (``weight_expr`` over μ), apply the closed-form 3×3 solve,
+    re-quantize β to 9 dp.  Shared by the logistic (μ = σ(z), w =
+    μ(1−μ)) and Poisson (μ = eᶻ, w = μ) fits."""
+    prev = f"{prefix}{k - 1}"
     h = {k2: f"CAST(m.h{k2} AS DOUBLE)" for k2 in ("00", "01", "02", "11", "12", "22")}
     det, adj = _inv3(h)
     g = [f"CAST(m.g{j} AS DOUBLE)" for j in range(3)]
     delta = [_solve3(det, adj, g, j) for j in range(3)]
+    w = weight_expr
     mom_arms = ",\n         ".join(
         [
             "SUM(CAST(ROUND(y - p, 12) AS DECIMAL(28,12))) AS g0",
             "SUM(CAST(ROUND(x1 * (y - p), 12) AS DECIMAL(28,12))) AS g1",
             "SUM(CAST(ROUND(x2 * (y - p), 12) AS DECIMAL(28,12))) AS g2",
-            "SUM(CAST(ROUND(p * (1 - p), 12) AS DECIMAL(28,12))) AS h00",
-            "SUM(CAST(ROUND(x1 * p * (1 - p), 12) AS DECIMAL(28,12))) AS h01",
-            "SUM(CAST(ROUND(x2 * p * (1 - p), 12) AS DECIMAL(28,12))) AS h02",
-            "SUM(CAST(ROUND(x1 * x1 * p * (1 - p), 12) AS DECIMAL(28,12))) AS h11",
-            "SUM(CAST(ROUND(x1 * x2 * p * (1 - p), 12) AS DECIMAL(28,12))) AS h12",
-            "SUM(CAST(ROUND(x2 * x2 * p * (1 - p), 12) AS DECIMAL(28,12))) AS h22",
+            f"SUM(CAST(ROUND({w}, 12) AS DECIMAL(28,12))) AS h00",
+            f"SUM(CAST(ROUND(x1 * {w}, 12) AS DECIMAL(28,12))) AS h01",
+            f"SUM(CAST(ROUND(x2 * {w}, 12) AS DECIMAL(28,12))) AS h02",
+            f"SUM(CAST(ROUND(x1 * x1 * {w}, 12) AS DECIMAL(28,12))) AS h11",
+            f"SUM(CAST(ROUND(x1 * x2 * {w}, 12) AS DECIMAL(28,12))) AS h12",
+            f"SUM(CAST(ROUND(x2 * x2 * {w}, 12) AS DECIMAL(28,12))) AS h22",
         ]
     )
-    return f"""z{k} AS (
+    return f"""z{prefix}{k} AS (
   SELECT f.y, f.x1, f.x2,
-         ROUND(1 / (1 + EXP(-(CAST(b.b0 AS DOUBLE)
-                              + CAST(b.b1 AS DOUBLE) * f.x1
-                              + CAST(b.b2 AS DOUBLE) * f.x2))), 9) AS p
-  FROM sess_features f CROSS JOIN {prev} b
+         ROUND({mu_expr}, 9) AS p
+  FROM {feature_rel} f CROSS JOIN {prev} b
 ),
-mom{k} AS (
+mom{prefix}{k} AS (
   SELECT {mom_arms}
-  FROM z{k}
+  FROM z{prefix}{k}
 ),
-nb{k} AS {m}(
+{prefix}{k} AS {m}(
   SELECT CAST(ROUND(CAST(b.b0 AS DOUBLE) + {delta[0]}, 9) AS DECIMAL(18,9)) AS b0,
          CAST(ROUND(CAST(b.b1 AS DOUBLE) + {delta[1]}, 9) AS DECIMAL(18,9)) AS b1,
          CAST(ROUND(CAST(b.b2 AS DOUBLE) + {delta[2]}, 9) AS DECIMAL(18,9)) AS b2
-  FROM mom{k} m CROSS JOIN {prev} b
+  FROM mom{prefix}{k} m CROSS JOIN {prev} b
 )"""
+
+
+LOGIT_MU = f"1 / (1 + EXP(-{LINPRED}))"
+LOGIT_W = "p * (1 - p)"
 
 
 def logit_newton_bases(dialect: str) -> list[tuple[str, str]]:
@@ -411,7 +428,10 @@ def logit_newton_bases(dialect: str) -> list[tuple[str, str]]:
 )""",
     )]
     for k in range(1, N_NEWTON + 1):
-        bases.append((f"nb{k}", _newton_step(k, m)))
+        bases.append((
+            f"nb{k}",
+            _newton_step(k, m, "sess_features", LOGIT_MU, LOGIT_W),
+        ))
     return bases
 
 
@@ -483,3 +503,127 @@ register(
     spark, sf_dir, ("events",),
     logit_feature_bases(SPARK) + logit_newton_bases(SPARK),
     logit_tail_sql(SPARK)))
+
+
+# ------------------------------------------- Poisson GLM (diurnal counts)
+
+N_POISSON = 8
+TWO_PI = "6.283185307179586"
+POISSON_TERMS = ("intercept", "sin_hour", "cos_hour")
+POISSON_MU = f"EXP({LINPRED})"
+POISSON_W = "p"
+
+
+def poisson_feature_bases(dialect: str) -> list[tuple[str, str]]:
+    """Hourly purchase counts on a ZERO-FILLED hour spine (an hour with no
+    purchases is a real observation — dropping it biases the rate up),
+    with first-harmonic diurnal regressors sin/cos(2π·hod/24), 9-dp
+    quantized so engine libm ulp differences cannot leak."""
+    from serene_spark.functions.sqlgen import epoch_s
+
+    m = mat(dialect)
+    hour = f"CAST(FLOOR(({epoch_s(dialect, 'ts')}) / 3600.0) AS BIGINT)"
+    body = f"""per_hour AS (
+  SELECT {hour} AS hr, COUNT(*) AS y
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY {hour}
+),
+hbounds AS (
+  SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM per_hour
+),
+hspine AS (
+  SELECT {explode_seq(dialect, "(SELECT h0 FROM hbounds)", "(SELECT h1 FROM hbounds)")} AS hr
+  FROM hbounds
+),
+hour_features AS {m}(
+  SELECT CAST(COALESCE(p.y, 0) AS DOUBLE) AS y,
+         ROUND(SIN({TWO_PI} * (s.hr % 24) / 24), 9) AS x1,
+         ROUND(COS({TWO_PI} * (s.hr % 24) / 24), 9) AS x2
+  FROM hspine s LEFT JOIN per_hour p ON p.hr = s.hr
+)"""
+    return [("hour_features", body)]
+
+
+def poisson_newton_bases(dialect: str) -> list[tuple[str, str]]:
+    m = mat(dialect)
+    bases = [(
+        "pb0",
+        """pb0 AS (
+  -- init at the null model: b0 = ln(mean rate), harmonics 0 —
+  -- Newton then converges in a handful of steps
+  SELECT CAST(ROUND(LN(SUM(y) / COUNT(*)), 9) AS DECIMAL(18,9)) AS b0,
+         CAST(0 AS DECIMAL(18,9)) AS b1,
+         CAST(0 AS DECIMAL(18,9)) AS b2
+  FROM hour_features
+)""",
+    )]
+    for k in range(1, N_POISSON + 1):
+        bases.append((
+            f"pb{k}",
+            _newton_step(k, m, "hour_features", POISSON_MU, POISSON_W,
+                         prefix="pb"),
+        ))
+    return bases
+
+
+def poisson_tail_sql(dialect: str) -> str:
+    term_case = "CASE i " + " ".join(
+        f"WHEN {j + 1} THEN '{t}'" for j, t in enumerate(POISSON_TERMS)
+    ) + " END"
+    coef_case = ("CASE i WHEN 1 THEN s.b0 WHEN 2 THEN s.b1"
+                 " WHEN 3 THEN s.b2 END")
+    return f"""
+WITH scored AS (
+  SELECT f.y, ROUND(EXP(CAST(b.b0 AS DOUBLE)
+                        + CAST(b.b1 AS DOUBLE) * f.x1
+                        + CAST(b.b2 AS DOUBLE) * f.x2), 9) AS lam
+  FROM hour_features f CROSS JOIN pb{N_POISSON} b
+),
+fit AS {mat(dialect)}(
+  SELECT COUNT(*) AS n,
+         -- Poisson deviance: 2 Σ [y ln(y/λ) − (y − λ)], y = 0 term → λ
+         SUM(CAST(ROUND(2 * (CASE WHEN y > 0 THEN y * LN(y / lam) ELSE 0 END
+                              - (y - lam)), 12) AS DECIMAL(28,12))) AS deviance
+  FROM scored
+),
+summary AS (
+  SELECT b.b0, b.b1, b.b2, f.n,
+         CAST(f.deviance AS DOUBLE) AS deviance,
+         -- amplitude + peak hour of the fitted diurnal cycle
+         sqrt(CAST(b.b1 AS DOUBLE) * CAST(b.b1 AS DOUBLE)
+              + CAST(b.b2 AS DOUBLE) * CAST(b.b2 AS DOUBLE)) AS amplitude,
+         (24 / CAST({TWO_PI} AS DOUBLE))
+           * ATAN2(CAST(b.b1 AS DOUBLE), CAST(b.b2 AS DOUBLE)) AS phase_h
+  FROM pb{N_POISSON} b CROSS JOIN fit f
+)
+SELECT {term_case} AS term,
+       ROUND(CAST(({coef_case}) AS DOUBLE), 6) AS coefficient,
+       CAST(s.n AS BIGINT) AS n_hours,
+       ROUND(s.deviance, 6) AS deviance,
+       ROUND(s.deviance / (s.n - 3), 6) AS dispersion,
+       ROUND(s.amplitude, 6) AS amplitude,
+       ROUND(CASE WHEN s.phase_h < 0 THEN s.phase_h + 24
+                  ELSE s.phase_h END, 6) AS peak_hour
+FROM (SELECT s.*, {explode_seq(dialect, 1, 3)} AS i FROM summary s) s
+ORDER BY term
+"""
+
+
+def poisson_sql(dialect: str) -> str:
+    return compose_with(
+        poisson_feature_bases(dialect) + poisson_newton_bases(dialect),
+        poisson_tail_sql(dialect),
+    )
+
+
+register(
+    "poisson_hourly_glm",
+    oracle=poisson_sql(DUCKDB),
+    doc=f"Poisson GLM of hourly purchase counts on first-harmonic diurnal "
+    f"regressors, {N_POISSON} unrolled Newton steps via the shared GLM "
+    "machinery (12-dp decimal gradient/Hessian sums, 9-dp beta) — "
+    "deviance/dispersion + fitted cycle amplitude and peak hour",
+)(lambda spark, sf_dir: run_materialized(
+    spark, sf_dir, ("events",),
+    poisson_feature_bases(SPARK) + poisson_newton_bases(SPARK),
+    poisson_tail_sql(SPARK)))

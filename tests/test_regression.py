@@ -152,3 +152,42 @@ def test_logit_fit_quality(spark):
     assert 0 <= out["mcfadden_r2"].iloc[0] < 1
     assert 0.5 <= out["accuracy"].iloc[0] <= 1
     assert out["log_lik"].iloc[0] < 0
+
+
+def test_poisson_matches_numpy_irls(spark):
+    out = (
+        load_all()["poisson_hourly_glm"]
+        .spark(spark, SF)
+        .toPandas()
+        .set_index("term")
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev[ev.event_type == "purchase"]
+    ts = ev["ts"].astype("int64")
+    hr = (ts // 10**9 // 3600 if ts.max() > 10**16 else ts // 10**6 // 3600)
+    per = hr.value_counts().sort_index()
+    spine = pd.Series(0, index=range(per.index.min(), per.index.max() + 1))
+    spine.loc[per.index] = per
+    y = spine.to_numpy().astype(float)
+    hod = np.array(spine.index) % 24
+    x1 = np.round(np.sin(2 * np.pi * hod / 24), 9)
+    x2 = np.round(np.cos(2 * np.pi * hod / 24), 9)
+    X = np.column_stack([np.ones(len(y)), x1, x2])
+    beta = np.array([np.log(y.mean()), 0.0, 0.0])
+    for _ in range(50):
+        lam = np.exp(X @ beta)
+        delta = np.linalg.solve(X.T @ (X * lam[:, None]), X.T @ (y - lam))
+        beta += delta
+        if np.abs(delta).max() < 1e-12:
+            break
+    assert out.loc["intercept", "n_hours"] == len(y)
+    for j, term in enumerate(["intercept", "sin_hour", "cos_hour"]):
+        assert abs(out.loc[term, "coefficient"] - beta[j]) < 1e-3, (term, beta[j])
+    lam = np.exp(X @ beta)
+    dev = 2 * np.sum(np.where(y > 0, y * np.log(y / lam), 0) - (y - lam))
+    assert abs(out["deviance"].iloc[0] - dev) < 0.01
+    assert abs(out["dispersion"].iloc[0] - dev / (len(y) - 3)) < 1e-4
+    amp = np.hypot(beta[1], beta[2])
+    assert abs(out["amplitude"].iloc[0] - amp) < 1e-3
+    peak = (24 / (2 * np.pi)) * np.arctan2(beta[1], beta[2]) % 24
+    assert abs(out["peak_hour"].iloc[0] - peak) < 0.05 or amp < 1e-3
