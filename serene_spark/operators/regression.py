@@ -627,3 +627,159 @@ register(
     spark, sf_dir, ("events",),
     poisson_feature_bases(SPARK) + poisson_newton_bases(SPARK),
     poisson_tail_sql(SPARK)))
+
+
+# ------------------------------------------- OLS residual diagnostics
+
+
+def ols_moment_bases(dialect: str) -> list[tuple[str, str]]:
+    """The OLS moments + solved coefficients as materialized one-row
+    relations, so the diagnostics pass can score residuals without
+    re-deriving the solve (and the 9-dp-quantized β is THE shared fit)."""
+    m = mat(dialect)
+    x1 = "CAST(l_quantity AS DECIMAL(18,2))"
+    x2 = "CAST(l_discount AS DECIMAL(18,2))"
+    y = ("CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))"
+         " * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DECIMAL(18,2))")
+    h = {
+        "00": "CAST(m.n AS DOUBLE)",
+        "01": "CAST(m.s1 AS DOUBLE)",
+        "02": "CAST(m.s2 AS DOUBLE)",
+        "11": "CAST(m.q11 AS DOUBLE)",
+        "12": "CAST(m.q12 AS DOUBLE)",
+        "22": "CAST(m.q22 AS DOUBLE)",
+    }
+    det, adj = _inv3(h)
+    g = ["CAST(m.sy AS DOUBLE)", "CAST(m.x1y AS DOUBLE)", "CAST(m.x2y AS DOUBLE)"]
+    beta = [_solve3(det, adj, g, j) for j in range(3)]
+    mom = f"""ols_m AS {m}(
+  SELECT COUNT(*) AS n,
+         SUM({x1}) AS s1, SUM({x2}) AS s2, SUM({y}) AS sy,
+         SUM({x1} * {x1}) AS q11, SUM({x2} * {x2}) AS q22,
+         SUM({x1} * {x2}) AS q12,
+         SUM({x1} * {y}) AS x1y, SUM({x2} * {y}) AS x2y,
+         SUM({y} * {y}) AS yy
+  FROM lineitem
+)"""
+    betas = f"""ols_beta AS (
+  SELECT CAST(ROUND({beta[0]}, 9) AS DECIMAL(28,9)) AS b0,
+         CAST(ROUND({beta[1]}, 9) AS DECIMAL(28,9)) AS b1,
+         CAST(ROUND({beta[2]}, 9) AS DECIMAL(28,9)) AS b2,
+         m.n
+  FROM (SELECT * FROM ols_m) m
+)"""
+    return [("ols_m", mom), ("ols_beta", betas)]
+
+
+def ols_diag_tail_sql(dialect: str) -> str:
+    """Breusch-Pagan (LM form) + Jarque-Bera over the OLS residuals.
+
+    Second pass over lineitem: residuals e = y − Xβ̂ from the shared
+    9-dp β, quantized to 6 dp; the auxiliary regression e² ~ x1 + x2
+    solves with the same closed 3×3 machinery (BP = n·R²_aux), skewness
+    and kurtosis come from decimal-exact Σe..Σe⁴ (JB = n/6·(S² +
+    (K−3)²/4)).  Everything reduces to one wide aggregation — the
+    data-scale work is two scans total (moments, then residual
+    moments), never a window."""
+    x1d = "CAST(l_quantity AS DOUBLE)"
+    x2d = "CAST(l_discount AS DOUBLE)"
+    yd = ("CAST(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))"
+          " * (1 - CAST(l_discount AS DECIMAL(18,2))), 2)"
+          " AS DECIMAL(18,2)) AS DOUBLE)")
+    h = {
+        "00": "CAST(a.n AS DOUBLE)",
+        "01": "CAST(a.as1 AS DOUBLE)",
+        "02": "CAST(a.as2 AS DOUBLE)",
+        "11": "CAST(a.aq11 AS DOUBLE)",
+        "12": "CAST(a.aq12 AS DOUBLE)",
+        "22": "CAST(a.aq22 AS DOUBLE)",
+    }
+    det, adj = _inv3(h)
+    g = ["CAST(a.su AS DOUBLE)", "CAST(a.x1u AS DOUBLE)", "CAST(a.x2u AS DOUBLE)"]
+    bu = [_solve3(det, adj, g, j) for j in range(3)]
+    sse_aux = (f"(CAST(a.uu AS DOUBLE) - ({bu[0]}) * CAST(a.su AS DOUBLE)"
+               f" - ({bu[1]}) * CAST(a.x1u AS DOUBLE)"
+               f" - ({bu[2]}) * CAST(a.x2u AS DOUBLE))")
+    sst_aux = ("(CAST(a.uu AS DOUBLE)"
+               " - CAST(a.su AS DOUBLE) * CAST(a.su AS DOUBLE) / a.n)")
+    return f"""
+WITH scored AS (
+  SELECT CAST(ROUND({yd} - (CAST(b.b0 AS DOUBLE)
+                            + CAST(b.b1 AS DOUBLE) * {x1d}
+                            + CAST(b.b2 AS DOUBLE) * {x2d}), 6)
+              AS DECIMAL(24,6)) AS e,
+         CAST(l_quantity AS DECIMAL(18,2)) AS x1,
+         CAST(l_discount AS DECIMAL(18,2)) AS x2
+  FROM lineitem CROSS JOIN ols_beta b
+),
+a AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(e AS DECIMAL(38,6))) AS se1,
+         SUM(CAST(ROUND(CAST(e AS DOUBLE) * CAST(e AS DOUBLE), 6)
+                  AS DECIMAL(38,6))) AS se2,
+         SUM(CAST(ROUND(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
+                        * CAST(e AS DOUBLE), 4) AS DECIMAL(38,4))) AS se3,
+         SUM(CAST(ROUND(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
+                        * CAST(e AS DOUBLE) * CAST(e AS DOUBLE), 2)
+                  AS DECIMAL(38,2))) AS se4,
+         -- auxiliary-regression moments: u = e^2 on (x1, x2)
+         SUM(CAST(x1 AS DECIMAL(18,2))) AS as1,
+         SUM(CAST(x2 AS DECIMAL(18,2))) AS as2,
+         SUM(CAST(x1 AS DECIMAL(18,2)) * x1) AS aq11,
+         SUM(CAST(x2 AS DECIMAL(18,2)) * x2) AS aq22,
+         SUM(CAST(x1 AS DECIMAL(18,2)) * x2) AS aq12,
+         SUM(CAST(ROUND(CAST(e AS DOUBLE) * CAST(e AS DOUBLE), 6)
+                  AS DECIMAL(38,6))) AS su,
+         SUM(CAST(ROUND(CAST(x1 AS DOUBLE) * CAST(e AS DOUBLE)
+                        * CAST(e AS DOUBLE), 4) AS DECIMAL(38,4))) AS x1u,
+         SUM(CAST(ROUND(CAST(x2 AS DOUBLE) * CAST(e AS DOUBLE)
+                        * CAST(e AS DOUBLE), 6) AS DECIMAL(38,6))) AS x2u,
+         SUM(CAST(ROUND(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
+                        * CAST(e AS DOUBLE) * CAST(e AS DOUBLE), 2)
+                  AS DECIMAL(38,2))) AS uu
+  FROM scored
+),
+stats AS (
+  SELECT n,
+         CAST(se1 AS DOUBLE) / n AS m1,
+         CAST(se2 AS DOUBLE) / n AS m2r,
+         CAST(se3 AS DOUBLE) / n AS m3r,
+         CAST(se4 AS DOUBLE) / n AS m4r,
+         1 - {sse_aux} / {sst_aux} AS r2_aux
+  FROM a
+),
+shaped AS (
+  -- central moments from raw moments (mean residual ~ 0 but not exactly,
+  -- because beta is 9-dp-quantized)
+  SELECT n, r2_aux,
+         m2r - m1 * m1 AS mu2,
+         m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1 AS mu3,
+         m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r - 3 * m1 * m1 * m1 * m1 AS mu4
+  FROM stats
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(mu3 / (mu2 * sqrt(mu2)), 6) AS resid_skewness,
+       ROUND(mu4 / (mu2 * mu2), 6) AS resid_kurtosis,
+       ROUND(n / 6.0 * (mu3 / (mu2 * sqrt(mu2)) * (mu3 / (mu2 * sqrt(mu2)))
+             + (mu4 / (mu2 * mu2) - 3) * (mu4 / (mu2 * mu2) - 3) / 4), 6)
+         AS jarque_bera,
+       ROUND(n * r2_aux, 6) AS breusch_pagan_lm,
+       CAST(2 AS BIGINT) AS bp_df
+FROM shaped
+"""
+
+
+def ols_diag_sql(dialect: str) -> str:
+    return compose_with(ols_moment_bases(dialect), ols_diag_tail_sql(dialect))
+
+
+register(
+    "ols_residual_diagnostics",
+    oracle=ols_diag_sql(DUCKDB),
+    doc="OLS residual diagnostics for the revenue model: Jarque-Bera "
+    "normality (skew/kurtosis from decimal-exact residual moment sums) + "
+    "Breusch-Pagan LM heteroskedasticity (auxiliary e^2 ~ x regression via "
+    "the shared 3x3 solve); two scans total, no windows",
+)(lambda spark, sf_dir: run_materialized(
+    spark, sf_dir, ("lineitem",), ols_moment_bases(SPARK),
+    ols_diag_tail_sql(SPARK)))
