@@ -102,6 +102,7 @@ def load_all() -> dict[str, Query]:
         "serene_spark.operators.attribution_markov",
         "serene_spark.operators.regression",
         "serene_spark.operators.geospatial",
+        "serene_spark.operators.multivariate",
         "serene_spark.modeler.octopus",
         "serene_spark.modeler.report_fixture",
         "serene_spark.modeler.museum",
