@@ -31,6 +31,7 @@ from serene_spark.functions.sqlgen import (
     SPARK,
     element_at,
     explode_seq,
+    mat,
     split_re,
 )
 from serene_spark.operators.text_analysis import NORM
@@ -214,6 +215,81 @@ register(
     doc=f"BPE training-round statistic: top-{TOP_MERGES} adjacent token-pair "
     "frequencies (the round's merge candidates), distributed TakeOrdered",
 )(_docs_query(bpe_top_merges_sql))
+
+
+# --- PMI collocations (Church & Hanks, CL 1990) ------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOP = 20
+
+
+def pmi_collocations_sql(dialect: str) -> str:
+    """Pointwise mutual information of adjacent token pairs:
+    PMI(x,y) = ln( (c(x,y)/N_pairs) / ((c(x)/N_toks)·(c(y)/N_toks)) ).
+    Counts are exact integers from the SAME token stream bpe_top_merges
+    reads; ln happens once per surviving pair (count >= {PMI_MIN_COUNT},
+    which kills the low-count PMI explosion).  One scan feeds both the
+    unigram and the bigram relation; the final ranking is over the tiny
+    filtered pair relation."""
+    toks = split_re(dialect, NORM(dialect), "[^a-z0-9]+")
+    n = "size(toks)" if dialect == SPARK else "len(toks)"
+    t_i = element_at(dialect, "toks", "i")
+    t_next = element_at(dialect, "toks", "i + 1")
+    return f"""
+WITH doc_toks AS (
+  SELECT doc_id, toks FROM (SELECT doc_id, {toks} AS toks FROM documents) d
+),
+uni AS (
+  SELECT tok, COUNT(*) AS c FROM (
+    SELECT {t_i} AS tok
+    FROM (SELECT toks, {explode_seq(dialect, 1, n)} AS i FROM doc_toks) u
+  ) t WHERE tok <> '' GROUP BY tok
+),
+uni_tot AS {mat(dialect)}(SELECT SUM(c) AS n_toks FROM uni),
+pairs AS (
+  SELECT {t_i} AS left_tok, {t_next} AS right_tok
+  FROM (
+    SELECT doc_id, toks, {explode_seq(dialect, 1, f"{n} - 1")} AS i
+    FROM doc_toks WHERE {n} >= 2
+  ) p
+  WHERE {t_i} <> '' AND {t_next} <> ''
+),
+pair_counts AS (
+  SELECT left_tok, right_tok, COUNT(*) AS c_xy
+  FROM pairs GROUP BY left_tok, right_tok
+),
+pair_tot AS {mat(dialect)}(SELECT SUM(c_xy) AS n_pairs FROM pair_counts),
+scored AS (
+  SELECT p.left_tok, p.right_tok, p.c_xy, ux.c AS c_x, uy.c AS c_y,
+         ROUND(ln((CAST(p.c_xy AS DOUBLE) / pt.n_pairs)
+                  / ((CAST(ux.c AS DOUBLE) / ut.n_toks)
+                     * (CAST(uy.c AS DOUBLE) / ut.n_toks))), 6) AS pmi
+  FROM pair_counts p
+  JOIN uni ux ON p.left_tok = ux.tok
+  JOIN uni uy ON p.right_tok = uy.tok
+  JOIN pair_tot pt ON 1 = 1
+  JOIN uni_tot ut ON 1 = 1
+  WHERE p.c_xy >= {PMI_MIN_COUNT}
+)
+SELECT left_tok, right_tok,
+       CAST(c_xy AS BIGINT) AS pair_count,
+       CAST(c_x AS BIGINT) AS left_count,
+       CAST(c_y AS BIGINT) AS right_count,
+       pmi
+FROM scored
+ORDER BY pmi DESC, left_tok, right_tok
+LIMIT {PMI_TOP}
+"""
+
+
+register(
+    "pmi_collocations",
+    oracle=pmi_collocations_sql(DUCKDB),
+    doc=f"PMI collocations (Church & Hanks 1990): top-{PMI_TOP} adjacent "
+    f"token pairs by pointwise mutual information, count >= {PMI_MIN_COUNT} "
+    "guard against the low-count explosion; exact integer counts, ln at "
+    "the edge",
+)(_docs_query(pmi_collocations_sql))
 
 register(
     "embedding_dim_stats",

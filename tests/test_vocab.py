@@ -143,3 +143,30 @@ def test_embedding_sq8_audit_numpy_reference(spark, sf_dir):
         ) < 2e-6
         # the round-to-nearest guarantee, in exact integer space
         assert np.abs(err255).max() * 2 <= rng * 255 + 255
+
+
+def test_pmi_collocations_match_python(spark):
+    from serene_spark.operators.vocab import PMI_MIN_COUNT, PMI_TOP
+    import math
+
+    out = load_all()["pmi_collocations"].spark(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    uni: Counter = Counter()
+    pairs: Counter = Counter()
+    for text in docs["text"]:
+        toks = [t for t in _re.split(r"[^a-z0-9]+", _re.sub(r"\s+", " ", text.lower()).strip()) if t]
+        uni.update(toks)
+        pairs.update(zip(toks, toks[1:]))
+    n_toks = sum(uni.values())
+    n_pairs = sum(pairs.values())
+    scored = []
+    for (l, r), c in pairs.items():
+        if c >= PMI_MIN_COUNT:
+            pmi = round(math.log((c / n_pairs) / ((uni[l] / n_toks) * (uni[r] / n_toks))), 6)
+            scored.append((-pmi, l, r, c))
+    scored.sort()
+    expect = scored[:PMI_TOP]
+    assert len(out) == min(PMI_TOP, len(expect))
+    for row, (neg_pmi, l, r, c) in zip(out, expect):
+        assert (row["left_tok"], row["right_tok"], row["pair_count"]) == (l, r, c)
+        assert abs(row["pmi"] - (-neg_pmi)) < 1e-5
