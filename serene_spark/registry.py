@@ -106,6 +106,7 @@ def load_all() -> dict[str, Query]:
         "serene_spark.operators.attribution_rules",
         "serene_spark.operators.feature_eng",
         "serene_spark.operators.estimation",
+        "serene_spark.operators.interval_join",
         "serene_spark.modeler.octopus",
         "serene_spark.modeler.report_fixture",
         "serene_spark.modeler.museum",
