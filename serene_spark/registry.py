@@ -109,6 +109,7 @@ def load_all() -> dict[str, Query]:
         "serene_spark.operators.interval_join",
         "serene_spark.operators.elasticity",
         "serene_spark.operators.embedding_audit",
+        "serene_spark.operators.phonetic",
         "serene_spark.modeler.octopus",
         "serene_spark.modeler.report_fixture",
         "serene_spark.modeler.museum",
