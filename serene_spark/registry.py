@@ -110,6 +110,9 @@ def load_all() -> dict[str, Query]:
         "serene_spark.operators.elasticity",
         "serene_spark.operators.embedding_audit",
         "serene_spark.operators.phonetic",
+        "serene_spark.operators.lorenz",
+        "serene_spark.operators.forecast_backtest",
+        "serene_spark.operators.bitemporal",
         "serene_spark.modeler.octopus",
         "serene_spark.modeler.report_fixture",
         "serene_spark.modeler.museum",

@@ -1,0 +1,109 @@
+"""Round-5 batch-3 operators: Lorenz curve, forecast backtest, bitemporal.
+Pandas/numpy pins beside the driver-gate oracle parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from serene_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_lorenz_matches_pandas(spark):
+    out = load_all()["lorenz_customers"].spark(spark, SF).toPandas()
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    per = (
+        o.assign(v=o.o_totalprice.round(2))
+        .groupby("o_custkey")["v"].sum().round(2)
+        .rename("rev").reset_index()
+        .sort_values(["rev", "o_custkey"]).reset_index(drop=True)
+    )
+    n = len(per)
+    per["decile"] = np.ceil(10.0 * (per.index + 1) / n).astype(int)
+    grp = per.groupby("decile")["rev"].agg(["sum", "size"])
+    tot = grp["sum"].sum()
+    cum = grp["sum"].cumsum()
+    assert len(out) == len(grp)
+    for _, r in out.iterrows():
+        d = int(r["decile"])
+        assert r["n_customers"] == grp.loc[d, "size"]
+        assert abs(r["revenue_share"] - grp.loc[d, "sum"] / tot) < 1e-6
+        assert abs(r["cum_revenue_share"] - cum.loc[d] / tot) < 1e-6
+    # Lorenz curve properties: monotone, ends at 1, never above the diagonal
+    assert (out["cum_revenue_share"].diff().dropna() >= -1e-12).all()
+    assert abs(out["cum_revenue_share"].iloc[-1] - 1.0) < 1e-6
+    assert (out["equality_gap"] >= -1e-9).all()
+
+
+def test_forecast_backtest_matches_pandas(spark):
+    out = load_all()["forecast_backtest_baselines"].spark(spark, SF).toPandas()
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    dt = pd.to_datetime(o.o_orderdate)
+    mi = dt.dt.year * 12 + dt.dt.month
+    s = o.assign(m=mi, v=o.o_totalprice.round(2)).groupby("m")["v"].sum()
+    s = s.reindex(range(s.index.min(), s.index.max() + 1), fill_value=0.0)
+    m0 = s.index.min()
+    rows = {}
+    for h in (1, 2, 3):
+        for model in ("naive", "snaive", "drift"):
+            apes, aes, n = [], [], 0
+            for origin in s.index:
+                if origin < m0 + 12 or origin + h > s.index.max():
+                    continue
+                a = s[origin + h]
+                if model == "naive":
+                    f = s[origin]
+                elif model == "snaive":
+                    f = s[origin + h - 12]
+                else:
+                    f = s[origin] + h * (s[origin] - s[m0]) / (origin - m0)
+                n += 1
+                aes.append(round(abs(f - a), 6))
+                if a > 0:
+                    apes.append(round(abs(f - a) / a, 12))
+            rows[(model, h)] = (n, sum(apes) / len(apes), sum(aes) / n)
+    for _, r in out.iterrows():
+        n, mape, mae = rows[(r["model"], r["horizon"])]
+        assert r["n_origins"] == n
+        assert abs(r["mape"] - mape) < 1e-5
+        assert abs(r["mae"] - mae) < 1e-3
+
+
+def test_bitemporal_then_never_exceeds_final(spark):
+    out = load_all()["bitemporal_as_of"].spark(spark, SF).toPandas()
+    assert len(out) == 8
+    piv = out.pivot(index="audit_point", columns="knowledge", values="n_live")
+    # 'then' sees a subset of ops (txn-lagged) -> live count can differ, but
+    # the op sets are nested, so the reconstruction uses <= the information
+    for k in piv.index:
+        then_rows = out[(out.audit_point == k) & (out.knowledge == "then")]
+        final_rows = out[(out.audit_point == k) & (out.knowledge == "final")]
+        assert len(then_rows) == 1 and len(final_rows) == 1
+
+
+def test_bitemporal_matches_pandas(spark):
+    out = load_all()["bitemporal_as_of"].spark(spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    us = ev.ts.astype("int64") // 1000 if ev.ts.dtype.kind == "i" else (
+        ev.ts.astype("datetime64[ns]").astype("int64") // 1000
+    )
+    df = pd.DataFrame({
+        "user": ev.user_id, "eid": ev.event_id, "valid": us,
+        "txn": us + (ev.event_id % 7 + 1) * 3_600_000_000,
+        "op": np.where(ev.event_type == "signup", "I",
+                       np.where(ev.event_type == "error", "D", "U")),
+        "value": ev.value.round(2),
+    })
+    v0, v1 = df.valid.min(), df.valid.max()
+    for k in range(1, 5):
+        v_at = v0 + k * ((v1 - v0) // 5)
+        for know in ("then", "final"):
+            vis = df[(df.valid <= v_at)
+                     & ((df.txn <= v_at) if know == "then" else True)]
+            latest = vis.sort_values(["valid", "eid"]).groupby("user").tail(1)
+            live = latest[latest.op != "D"]
+            r = out[(out.audit_point == k) & (out.knowledge == know)].iloc[0]
+            assert r["n_live"] == len(live)
+            assert abs(r["live_value"] - round(live.value.sum(), 2)) < 1e-6
