@@ -324,3 +324,82 @@ register(
     "the iterated-h-index local recurrence (exact core numbers, "
     "aggregate-only convergence); pinned against networkx in tests",
 )(_kcore_suppliers)
+
+
+# --- degree distribution + Hill tail estimator -------------------------------
+
+HILL_MIN_K = 5
+
+
+def degree_hist_sql(dialect: str) -> str:
+    """Degree histogram of the customer-supplier BIPARTITE graph (supplier
+    popularity = distinct customers served) + the Hill estimator of the
+    tail exponent (Hill, Ann. Stat. 1975):
+    alpha = k / SUM_{i<=k} ln(d_(i) / d_(k+1)), k = max(HILL_MIN_K, n/10).
+
+    The bipartite degree is the one with signal here: the co-purchase
+    PROJECTION of this corpus is complete (measured: every supplier
+    co-occurs with every other, all degrees = n-1), so its histogram is a
+    single row and the Hill ln-sum is exactly zero.  The projection
+    degeneracy is itself guarded: a zero ln-sum yields NULL alpha instead
+    of an ANSI division error — stated, not silent.  The histogram keys on
+    degree (bounded cardinality); the Hill sum runs over the
+    NODE-cardinality ranked relation, each ln term 12-dp-quantized and
+    DECIMAL-summed.  The corpus tail is thin, so alpha is large; the
+    heavy-tail case lives in zipf_fit_tokens."""
+    from serene_spark.functions.sqlgen import idiv
+
+    k_expr = f"GREATEST({HILL_MIN_K}, " + idiv(dialect, "nn.cnt", "10") + ")"
+    return f"""
+WITH cs AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+deg AS (
+  SELECT s AS node, COUNT(*) AS degree FROM cs GROUP BY s
+),
+nn AS (SELECT COUNT(*) AS cnt FROM deg),
+ranked AS (
+  SELECT degree,
+         ROW_NUMBER() OVER (ORDER BY degree DESC, node) AS rk
+  FROM deg
+),
+kk AS (SELECT {k_expr} AS k FROM nn),
+dk1 AS (
+  SELECT CAST(r.degree AS DOUBLE) AS d_k1
+  FROM ranked r JOIN kk ON r.rk = kk.k + 1
+),
+hill AS (
+  SELECT kk.k,
+         SUM(CAST(ROUND(ln(CAST(r.degree AS DOUBLE) / d.d_k1), 12)
+                  AS DECIMAL(20,12))) AS lnsum
+  FROM ranked r JOIN kk ON r.rk <= kk.k JOIN dk1 d ON 1 = 1
+  GROUP BY kk.k
+),
+hist AS (
+  SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
+)
+SELECT CAST(h.degree AS BIGINT) AS degree,
+       CAST(h.n_nodes AS BIGINT) AS n_nodes,
+       ROUND(CASE WHEN CAST(hl.lnsum AS DOUBLE) = 0 THEN NULL
+                  ELSE CAST(hl.k AS DOUBLE) / CAST(hl.lnsum AS DOUBLE) END, 6)
+         AS hill_alpha,
+       CAST(hl.k AS BIGINT) AS hill_k
+FROM hist h JOIN hill hl ON 1 = 1
+ORDER BY degree
+"""
+
+
+def _degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("lineitem", "orders"))
+    return spark.sql(degree_hist_sql(SPARK))
+
+
+register(
+    "graph_degree_hist",
+    oracle=degree_hist_sql(DUCKDB),
+    doc="Supplier-popularity (bipartite) degree histogram + Hill tail-"
+    "exponent estimator over the top-k degrees (k = max(5, n/10)); exact "
+    "integer degrees, 12-dp-quantized decimal ln sums, degenerate-tail "
+    "NULL guard",
+)(_degree_hist)

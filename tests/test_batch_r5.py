@@ -107,3 +107,33 @@ def test_bitemporal_matches_pandas(spark):
             r = out[(out.audit_point == k) & (out.knowledge == know)].iloc[0]
             assert r["n_live"] == len(live)
             assert abs(r["live_value"] - round(live.value.sum(), 2)) < 1e-6
+
+
+def test_degree_hist_matches_pandas(spark):
+    import math
+
+    out = load_all()["graph_degree_hist"].spark(spark, SF).toPandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    cs = (
+        li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        [["o_custkey", "l_suppkey"]].drop_duplicates()
+    )
+    deg = cs.groupby("l_suppkey").size().sort_values(ascending=False)
+    hist = deg.value_counts()
+    assert len(out) == len(hist)
+    for _, r in out.iterrows():
+        assert r["n_nodes"] == hist[r["degree"]]
+    n = len(deg)
+    k = max(5, n // 10)
+    # deterministic rank: by (degree desc, node asc)
+    ranked = sorted(zip(-deg.values, deg.index))
+    d = [-x for x, _ in ranked]
+    lnsum = sum(round(math.log(d[i] / d[k]), 12) for i in range(k))
+    alpha = k / lnsum if lnsum else None
+    got = out["hill_alpha"].iloc[0]
+    assert out["hill_k"].iloc[0] == k
+    if alpha is None:
+        assert pd.isna(got)
+    else:
+        assert abs(got - alpha) < 1e-5
