@@ -193,3 +193,99 @@ register(
     "sources — the incremental-crawl value estimate behind "
     "snapshot_delta_dedup",
 )(_q(novelty_sql, ("documents",)))
+
+
+NDCG_K = 10
+
+
+def ndcg_sql(dialect: str) -> str:
+    """Ranking-quality audit of the BM25 ranking against an INDEPENDENT
+    graded-relevance signal: rel(d) = number of distinct query terms the
+    document contains (0..|Q|) — term coverage, a signal BM25 does not
+    optimize directly (it weighs tf/idf/length).  Emits DCG@K / IDCG@K /
+    NDCG@K (gains 2^rel − 1, log2 position discounts, the Jarvelin &
+    Kekalainen formulation) plus MRR of the first FULL-coverage document.
+    The ideal ranking orders by (rel DESC, doc_id) — ties carry equal gain,
+    so the tie-break cannot move IDCG.  Per-position terms are
+    9-dp-quantized and DECIMAL-summed.
+
+    This is the measured-error convention applied to the search stack: an
+    engine that ships a ranker ships the metric that judges it.  Scale:
+    everything downstream of the postings scan runs on candidate-K-sized
+    relations."""
+    rel = f"""rel AS (
+  SELECT doc_id, COUNT(DISTINCT tok) AS r
+  FROM tokens WHERE tok IN {_query_in_list()}
+  GROUP BY doc_id
+)"""
+    gain = "(POW(2.0, r) - 1)"
+    disc = "log2(pos + 1.0)"
+    return f"""
+WITH {tokens_rel(dialect)},
+doc_len AS (
+  SELECT doc_id, COUNT(*) AS dl FROM tokens GROUP BY doc_id
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM doc_len
+),
+postings AS (
+  SELECT tok, doc_id, COUNT(*) AS tf
+  FROM tokens WHERE tok IN {_query_in_list()}
+  GROUP BY tok, doc_id
+),
+df AS (
+  SELECT tok, COUNT(*) AS n_df FROM postings GROUP BY tok
+),
+contrib AS (
+  SELECT p.doc_id,
+         CAST(ROUND(
+           ln(1 + ((SELECT n_docs FROM stats) - d.n_df + 0.5) / (d.n_df + 0.5))
+           * (p.tf * ({BM25_K1} + 1))
+           / (p.tf + {BM25_K1} * (1 - {BM25_B}
+              + {BM25_B} * dl.dl * (SELECT n_docs FROM stats)
+                / CAST((SELECT total_len FROM stats) AS DOUBLE))),
+         9) AS DECIMAL(18,9)) AS term_score
+  FROM postings p
+  JOIN df d ON p.tok = d.tok
+  JOIN doc_len dl ON p.doc_id = dl.doc_id
+),
+ranked AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY SUM(term_score) DESC, doc_id) AS pos
+  FROM contrib GROUP BY doc_id
+),
+{rel},
+dcg AS (
+  SELECT SUM(CAST(ROUND({gain} / {disc}, 9) AS DECIMAL(18,9))) AS v
+  FROM ranked k JOIN rel USING (doc_id) WHERE pos <= {NDCG_K}
+),
+ideal AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY r DESC, doc_id) AS pos, r
+  FROM rel
+),
+idcg AS (
+  SELECT SUM(CAST(ROUND({gain} / {disc}, 9) AS DECIMAL(18,9))) AS v
+  FROM ideal WHERE pos <= {NDCG_K}
+),
+mrr AS (
+  SELECT MIN(pos) AS first_full
+  FROM ranked JOIN rel USING (doc_id)
+  WHERE r = {len(BM25_QUERY)}
+)
+SELECT CAST({NDCG_K} AS BIGINT) AS k,
+       ROUND(CAST(d.v AS DOUBLE), 6) AS dcg,
+       ROUND(CAST(i.v AS DOUBLE), 6) AS idcg,
+       ROUND(CAST(d.v AS DOUBLE) / CAST(i.v AS DOUBLE), 6) AS ndcg,
+       CAST(m.first_full AS BIGINT) AS first_full_coverage_rank,
+       ROUND(1.0 / m.first_full, 6) AS mrr_full_coverage
+FROM dcg d JOIN idcg i ON 1 = 1 JOIN mrr m ON 1 = 1
+"""
+
+
+register(
+    "retrieval_ndcg_audit",
+    oracle=ndcg_sql(DUCKDB),
+    doc=f"NDCG@{NDCG_K} / MRR audit of the BM25 ranking against "
+    "independent term-coverage graded relevance (2^rel-1 gains, log2 "
+    "discounts); the measured-error convention for the search stack",
+)(_q(ndcg_sql, ("documents",)))

@@ -542,3 +542,58 @@ register("readability_scores", oracle=readability_sql(DUCKDB),
              "deterministic regex counting (vowel-group syllables, "
              "terminator-run sentences with a >=1 guard)")(
     _sql_query(readability_sql))
+
+
+def langid_confusion_sql(dialect: str) -> str:
+    """Self-audit of the stopword-hit language identifier against the
+    corpus's GROUND-TRUTH ``lang`` column: full confusion matrix with
+    per-true-class recall shares and the overall accuracy carried on every
+    row.  The operator exists because a classifier an engine ships must
+    also ship its measured error — the sketch-audit convention applied to
+    the text stack.  All counts are exact integers; shares are integer
+    ratios rounded at the edge.
+
+    Scale: the lang-ID pass itself (one scan -> per-doc stopword hits);
+    the confusion agg keys on (true, pred) — constant cardinality."""
+    return f"""
+WITH {tokens_rel(dialect)},
+hits AS (
+  SELECT doc_id,
+         {_lang_hits_cols()}
+  FROM tokens GROUP BY doc_id
+),
+pred AS (
+  SELECT d.doc_id, d.lang AS true_lang,
+         COALESCE({LANG_PICK}, 'unknown') AS pred_lang
+  FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+),
+cells AS (
+  SELECT true_lang, pred_lang, COUNT(*) AS n
+  FROM pred GROUP BY true_lang, pred_lang
+),
+per_true AS (
+  SELECT true_lang, SUM(n) AS n_true FROM cells GROUP BY true_lang
+),
+acc AS (
+  SELECT SUM(CASE WHEN true_lang = pred_lang THEN n ELSE 0 END) AS hit,
+         SUM(n) AS tot
+  FROM cells
+)
+SELECT c.true_lang, c.pred_lang,
+       CAST(c.n AS BIGINT) AS n_docs,
+       ROUND(CAST(c.n AS DOUBLE) / t.n_true, 6) AS share_of_true,
+       ROUND(CAST(a.hit AS DOUBLE) / a.tot, 6) AS overall_accuracy
+FROM cells c
+JOIN per_true t ON c.true_lang = t.true_lang
+JOIN acc a ON 1 = 1
+ORDER BY c.true_lang, c.pred_lang
+"""
+
+
+register(
+    "langid_confusion",
+    oracle=langid_confusion_sql(DUCKDB),
+    doc="lang_id self-audit vs the corpus's ground-truth lang column: "
+    "confusion matrix, per-class recall shares, overall accuracy — "
+    "the measured-error convention applied to the text classifier",
+)(_sql_query(langid_confusion_sql))

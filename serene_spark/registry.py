@@ -113,6 +113,7 @@ def load_all() -> dict[str, Query]:
         "serene_spark.operators.lorenz",
         "serene_spark.operators.forecast_backtest",
         "serene_spark.operators.bitemporal",
+        "serene_spark.operators.sampling_design",
         "serene_spark.modeler.octopus",
         "serene_spark.modeler.report_fixture",
         "serene_spark.modeler.museum",

@@ -137,3 +137,61 @@ def test_degree_hist_matches_pandas(spark):
         assert pd.isna(got)
     else:
         assert abs(got - alpha) < 1e-5
+
+
+def test_langid_confusion_matches_pandas(spark):
+    out = load_all()["langid_confusion"].spark(spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    # independent recomputation of the engine's own prediction convention
+    pred_out = load_all()["lang_id"].spark(spark, SF).toPandas()
+    merged = docs.merge(pred_out[["doc_id", "pred_lang"]], on="doc_id", how="left")
+    merged["pred_lang"] = merged.pred_lang.fillna("unknown")
+    cells = merged.groupby(["lang", "pred_lang"]).size()
+    acc = (merged.lang == merged.pred_lang).mean()
+    assert out["n_docs"].sum() == len(docs)
+    for _, r in out.iterrows():
+        assert r["n_docs"] == cells[(r["true_lang"], r["pred_lang"])]
+    assert abs(out["overall_accuracy"].iloc[0] - acc) < 1e-6
+
+
+def test_ndcg_matches_python(spark):
+    import math
+
+    out = load_all()["retrieval_ndcg_audit"].spark(spark, SF).toPandas().iloc[0]
+    bm = load_all()["bm25_search"].spark(spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    q = ("spark", "shuffle", "broadcast")
+    import re as _re
+
+    rel = {}
+    for _, d in docs.iterrows():
+        toks = set(_re.split(r"[^a-z0-9]+", _re.sub(r"\s+", " ", d.text.lower()).strip()))
+        r = sum(1 for t in q if t in toks)
+        if r:
+            rel[d.doc_id] = r
+    k = 10
+    ranked = bm.sort_values("rank").doc_id.tolist()[:k]
+    dcg = sum(round((2 ** rel.get(d, 0) - 1) / math.log2(i + 2), 9)
+              for i, d in enumerate(ranked))
+    ideal = sorted(rel.values(), reverse=True)[:k]
+    idcg = sum(round((2 ** r - 1) / math.log2(i + 2), 9) for i, r in enumerate(ideal))
+    assert abs(out["dcg"] - dcg) < 1e-4
+    assert abs(out["idcg"] - idcg) < 1e-4
+    assert abs(out["ndcg"] - dcg / idcg) < 1e-4
+    assert 0 < out["ndcg"] <= 1.0
+
+
+def test_neyman_matches_numpy_and_beats_proportional(spark):
+    out = load_all()["neyman_allocation"].spark(spark, SF).toPandas()
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o["v"] = o.o_totalprice.round(2)
+    grp = o.groupby("o_orderpriority")["v"].agg(["size", "std"])
+    ns = (grp["size"] * grp["std"]).round(6).sum()
+    for _, r in out.iterrows():
+        e = grp.loc[r["stratum"]]
+        assert r["n_pop"] == e["size"]
+        assert abs(r["sigma"] - e["std"]) < 1e-4
+        assert abs(r["n_neyman"] - 10000 * e["size"] * e["std"] / ns) < 2e-2
+    assert abs(out["n_neyman"].sum() - 10000) < 1e-2
+    assert abs(out["n_proportional"].sum() - 10000) < 1e-2
+    assert out["var_neyman"].iloc[0] <= out["var_proportional"].iloc[0] + 1e-12
