@@ -29,7 +29,7 @@ construction.
 from __future__ import annotations
 
 from serene_spark.catalog import register_views
-from serene_spark.functions.sqlgen import DUCKDB, SPARK, epoch_us, idiv, mat
+from serene_spark.functions.sqlgen import DUCKDB, SPARK, epoch_us, explode_seq, idiv, mat
 from serene_spark.registry import register
 
 N_POINTS = 4
@@ -38,8 +38,7 @@ LAG_HOURS_MOD = 7
 
 def _bitemporal_sql(dialect: str) -> str:
     us = epoch_us(dialect, "ts")
-    seq = ("unnest(range(1, 5))" if dialect == DUCKDB
-           else "explode(sequence(1, 4))")
+    seq = explode_seq(dialect, 1, N_POINTS)
     return f"""
 WITH ops AS (
   SELECT user_id, event_id, {us} AS valid_us,

@@ -23,23 +23,16 @@ constant-size relation.
 from __future__ import annotations
 
 from serene_spark.catalog import register_views
-from serene_spark.functions.sqlgen import DUCKDB, SPARK, element_at, explode_seq, mat
-from serene_spark.operators.vocab import EMB_DIM
+from serene_spark.functions.sqlgen import DUCKDB, SPARK, mat
+from serene_spark.operators.vocab import emb_dims_rel
 from serene_spark.registry import register
 
 TOP_DIMS = 16
 
 
 def _fisher_sql(dialect: str) -> str:
-    v = element_at(dialect, "embedding", "i")
     return f"""
-WITH dims AS (
-  SELECT i, label, CAST(FLOOR(CAST({v} AS DOUBLE) * 1000000) AS BIGINT) AS x
-  FROM (
-    SELECT label, embedding, {explode_seq(dialect, 1, EMB_DIM)} AS i
-    FROM embeddings
-  ) e
-),
+WITH {emb_dims_rel(dialect, with_label=True)},
 cell AS {mat(dialect)}(
   SELECT i, label, COUNT(*) AS n, SUM(x) AS s,
          SUM(CAST(x AS DECIMAL(19,0)) * x) AS q

@@ -74,12 +74,17 @@ SUPP_LON_MILLI = _lon_milli("s_suppkey", 999959, 95789)
 
 
 def haversine_km(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
-    """Great-circle distance (km); inputs in degrees. Dialect-shared."""
+    """Great-circle distance (km); inputs in degrees. Dialect-shared.
+
+    The haversine term is clamped to 1.0 before asin: near-antipodal pairs
+    overflow to 1 + 2e-16 in double precision (measured: 308 of 8571 exact
+    antipodal millidegree pairs), which DuckDB's asin hard-errors on while
+    Spark returns NaN — the clamp keeps both engines at exactly pi*R."""
     return (
-        f"(2.0 * {EARTH_RADIUS_KM} * asin(sqrt("
+        f"(2.0 * {EARTH_RADIUS_KM} * asin(sqrt(LEAST(1.0, "
         f"pow(sin(radians(({lat2}) - ({lat1})) / 2), 2)"
         f" + cos(radians({lat1})) * cos(radians({lat2}))"
-        f" * pow(sin(radians(({lon2}) - ({lon1})) / 2), 2))))"
+        f" * pow(sin(radians(({lon2}) - ({lon1})) / 2), 2)))))"
     )
 
 
@@ -197,19 +202,23 @@ cand AS (
   SELECT a.key AS k1, a.lat_m, a.lon_m, b.key AS k2,
          b.lat_m AS lat_m2, b.lon_m AS lon_m2
   FROM probes a
-  JOIN (SELECT key, lat_m, lon_m,
-               (cx % {LON_CELLS} + {LON_CELLS}) % {LON_CELLS} AS cx, cy
-        FROM cells) b
+  -- b's cx is already in [0, LON_CELLS) by construction; only probes wrap
+  JOIN cells b
     ON a.cx = b.cx AND a.cy = b.cy AND a.key < b.key
 )"""
     return f"""
 WITH {pts},
-{cand}
+{cand},
+scored AS (
+  -- distance computed ONCE per candidate (filter + project would otherwise
+  -- each evaluate the ~10-function trig expression)
+  SELECT k1, k2, ROUND({d}, 4) AS dist_km FROM cand
+)
 SELECT CAST(k1 AS BIGINT) AS custkey_a,
        CAST(k2 AS BIGINT) AS custkey_b,
-       ROUND({d}, 4) AS dist_km
-FROM cand
-WHERE ROUND({d}, 4) <= {RADIUS_KM}
+       dist_km
+FROM scored
+WHERE dist_km <= {RADIUS_KM}
 ORDER BY custkey_a, custkey_b
 """
 

@@ -385,7 +385,9 @@ SELECT CAST(h.degree AS BIGINT) AS degree,
                   ELSE CAST(hl.k AS DOUBLE) / CAST(hl.lnsum AS DOUBLE) END, 6)
          AS hill_alpha,
        CAST(hl.k AS BIGINT) AS hill_k
-FROM hist h JOIN hill hl ON 1 = 1
+-- LEFT JOIN: with n <= k nodes there is no rank-(k+1) degree, hill is
+-- empty, and an inner join would silently erase the whole histogram
+FROM hist h LEFT JOIN hill hl ON 1 = 1
 ORDER BY degree
 """
 

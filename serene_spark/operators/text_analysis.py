@@ -563,9 +563,17 @@ hits AS (
   FROM tokens GROUP BY doc_id
 ),
 pred AS (
-  SELECT d.doc_id, d.lang AS true_lang,
-         COALESCE({LANG_PICK}, 'unknown') AS pred_lang
-  FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+  -- token-less docs have NO hits row; the LEFT JOIN's NULL counts must
+  -- COALESCE to 0 BEFORE the argmax CASE (NULL comparisons fall through
+  -- every WHEN to the ELSE arm, which would classify an empty doc as
+  -- 'fr', not 'unknown')
+  SELECT doc_id, true_lang, {LANG_PICK} AS pred_lang
+  FROM (
+    SELECT d.doc_id, d.lang AS true_lang,
+           COALESCE(h.en_hits, 0) AS en_hits, COALESCE(h.de_hits, 0) AS de_hits,
+           COALESCE(h.fr_hits, 0) AS fr_hits, COALESCE(h.es_hits, 0) AS es_hits
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+  ) j
 ),
 cells AS (
   SELECT true_lang, pred_lang, COUNT(*) AS n

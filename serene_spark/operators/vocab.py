@@ -165,19 +165,31 @@ def bpe_trained_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def emb_dims_rel(dialect: str, with_label: bool = False) -> str:
+    """The SHARED micro-unit-quantized (dim, value[, label]) relation every
+    embedding audit reads: values quantize to integer micro-units via FLOOR
+    of the exact float->double value — float->DECIMAL casts round
+    differently across engines at the last digit (measured), while double
+    multiply + FLOOR is IEEE-identical everywhere.  One definition so the
+    quantization convention cannot desync across audits."""
+    v = element_at(dialect, "embedding", "i")
+    label = "label, " if with_label else ""
+    return f"""dims AS (
+  SELECT i, {label}CAST(FLOOR(CAST({v} AS DOUBLE) * 1000000) AS BIGINT) AS x
+  FROM (
+    SELECT {label}embedding, {explode_seq(dialect, 1, EMB_DIM)} AS i FROM embeddings
+  ) e
+)"""
+
+
 def embedding_dim_stats_sql(dialect: str) -> str:
     """Values quantize to integer MICRO-UNITS via FLOOR of the exact
     float->double value: float->DECIMAL casts round differently across
     engines at the last digit (measured), while double multiply + FLOOR is
     IEEE-identical everywhere.  All moments then run in exact integers."""
-    v = element_at(dialect, "embedding", "i")
     return f"""
-WITH dims AS (
-  SELECT i, CAST(FLOOR(CAST({v} AS DOUBLE) * 1000000) AS BIGINT) AS x
-  FROM (
-    SELECT embedding, {explode_seq(dialect, 1, EMB_DIM)} AS i FROM embeddings
-  ) e
-)
+WITH {emb_dims_rel(dialect)}
 SELECT CAST(i AS BIGINT) AS dim,
        CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*) / 1e6, 6) AS mean,
@@ -325,14 +337,8 @@ def embedding_sq8_audit_sql(dialect: str) -> str:
     error agg.  Two passes over the corpus, both map-side combining to
     64 rows per partition.
     """
-    v = element_at(dialect, "embedding", "i")
     return f"""
-WITH dims AS (
-  SELECT i, CAST(FLOOR(CAST({v} AS DOUBLE) * 1000000) AS BIGINT) AS x
-  FROM (
-    SELECT embedding, {explode_seq(dialect, 1, EMB_DIM)} AS i FROM embeddings
-  ) e
-),
+WITH {emb_dims_rel(dialect)},
 edges AS (
   SELECT i, MIN(x) AS lo, MAX(x) AS hi, MAX(x) - MIN(x) AS rng
   FROM dims GROUP BY i
