@@ -469,3 +469,95 @@ register(
     doc="daily new vs returning actives (first-day attribution via one "
     "keyed agg; conservation pinned: sum(new) = distinct users)",
 )(_events_query(new_vs_returning_sql))
+
+
+# --- always-valid sequential test (mSPRT) ------------------------------------
+
+MSPRT_TAU_SQ = 25.0  # mixture variance: a DESIGN parameter, sized to the
+# anticipated effect scale (~5 value units); the always-valid guarantee
+# holds for ANY fixed choice (Johari et al., "Peeking at A/B tests", 2017)
+MSPRT_ALPHA = 0.05
+
+
+def msprt_sql(dialect: str) -> str:
+    """Always-valid sequential A/B monitoring of the event-value mean
+    difference: per day, CUMULATIVE per-arm decimal moments (n, Σx, Σx²)
+    via running windows over the day-level agg, the Welch variance of the
+    cumulative difference, the mSPRT mixture likelihood ratio
+    Λ_t = sqrt(V/(V+τ²))·exp(Δ²τ²/(2V(V+τ²))), and the always-valid
+    p-value p_t = min(1, 1/max_{s<=t} Λ_s) — the running max is one more
+    window.  Unlike the fixed-horizon z-test (ab_test_conversion), this
+    p-value survives CONTINUOUS peeking: rejecting the first day
+    p < alpha is valid.  Day-level sums are exact decimals; the windows
+    run over the DAY-cardinality relation, never raw events."""
+    day = idiv(dialect, f"({epoch_s(dialect, 'ts')})", 86400)
+    str_t = "STRING" if dialect == SPARK else "VARCHAR"
+    variant = (
+        f"{hex_to_int(dialect, f'substr(md5(CAST(user_id AS {str_t})), 1, 8)')} % 2"
+    )
+    v = "CAST(value AS DECIMAL(18,2))"
+    return f"""
+WITH daily AS (
+  SELECT {day} AS day, {variant} AS arm,
+         COUNT(*) AS n, SUM({v}) AS s, SUM({v} * {v}) AS q
+  FROM events WHERE value IS NOT NULL
+  GROUP BY {day}, {variant}
+),
+cum AS (
+  SELECT day, arm,
+         SUM(n) OVER (PARTITION BY arm ORDER BY day) AS n,
+         SUM(s) OVER (PARTITION BY arm ORDER BY day) AS s,
+         SUM(q) OVER (PARTITION BY arm ORDER BY day) AS q
+  FROM daily
+),
+-- align arms on the day spine (an arm may be missing on sparse days:
+-- carry nothing — only days where BOTH arms have history are testable)
+paired AS (
+  SELECT a.day,
+         a.n AS n_a, CAST(a.s AS DOUBLE) AS s_a, CAST(a.q AS DOUBLE) AS q_a,
+         b.n AS n_b, CAST(b.s AS DOUBLE) AS s_b, CAST(b.q AS DOUBLE) AS q_b
+  FROM (SELECT * FROM cum WHERE arm = 0) a
+  JOIN (SELECT * FROM cum WHERE arm = 1) b ON a.day = b.day
+  WHERE a.n >= 2 AND b.n >= 2
+),
+stat AS (
+  SELECT day, n_a, n_b,
+         s_a / n_a - s_b / n_b AS delta,
+         (q_a - s_a * s_a / n_a) / (n_a - 1) / n_a
+           + (q_b - s_b * s_b / n_b) / (n_b - 1) / n_b AS v
+  FROM paired
+),
+lam AS (
+  SELECT day, n_a, n_b, delta, v,
+         sqrt(v / (v + {MSPRT_TAU_SQ}))
+           * EXP(delta * delta * {MSPRT_TAU_SQ}
+                 / (2 * v * (v + {MSPRT_TAU_SQ}))) AS lambda_t
+  FROM stat
+),
+runmax AS (
+  SELECT day, n_a, n_b, delta, v, lambda_t,
+         MAX(ROUND(lambda_t, 9)) OVER (ORDER BY day) AS lambda_max
+  FROM lam
+)
+SELECT CAST(day AS BIGINT) AS epoch_day,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       ROUND(delta, 6) AS mean_diff,
+       ROUND(sqrt(v), 6) AS se,
+       ROUND(lambda_t, 6) AS lambda_t,
+       ROUND(LEAST(1.0, 1.0 / lambda_max), 6) AS p_always_valid,
+       CAST(CASE WHEN 1.0 / lambda_max < {MSPRT_ALPHA} THEN 1 ELSE 0 END
+            AS INT) AS rejected
+FROM runmax
+ORDER BY epoch_day
+"""
+
+
+register(
+    "ab_sequential_msprt",
+    oracle=msprt_sql(DUCKDB),
+    doc="Always-valid sequential A/B test (mSPRT mixture likelihood ratio, "
+    "Johari et al. 2017) on the event-value mean difference: cumulative "
+    "per-arm decimal moments per day, running-max likelihood, peeking-"
+    "safe p-value; windows over the day-cardinality relation only",
+)(_events_query(msprt_sql))

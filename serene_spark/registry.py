@@ -114,6 +114,8 @@ def load_all() -> dict[str, Query]:
         "serene_spark.operators.forecast_backtest",
         "serene_spark.operators.bitemporal",
         "serene_spark.operators.sampling_design",
+        "serene_spark.operators.causal",
+        "serene_spark.operators.order_stats",
         "serene_spark.modeler.octopus",
         "serene_spark.modeler.report_fixture",
         "serene_spark.modeler.museum",

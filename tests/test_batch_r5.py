@@ -195,3 +195,105 @@ def test_neyman_matches_numpy_and_beats_proportional(spark):
     assert abs(out["n_neyman"].sum() - 10000) < 1e-2
     assert abs(out["n_proportional"].sum() - 10000) < 1e-2
     assert out["var_neyman"].iloc[0] <= out["var_proportional"].iloc[0] + 1e-12
+
+
+def test_psm_matches_numpy_irls(spark):
+    out = load_all()["psm_stratified_att"].spark(spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    u = ev.groupby("user_id").agg(
+        n_err=("event_type", lambda s: (s == "error").sum()),
+        n_tot=("event_type", "size"),
+        n_click=("event_type", lambda s: (s == "click").sum()),
+        n_view=("event_type", lambda s: (s == "view").sum()),
+    )
+    pv = ev[(ev.event_type == "purchase") & ev.value.notna()]
+    u["outcome"] = pv.groupby("user_id")["value"].sum().round(2).reindex(u.index).fillna(0.0)
+    gne, gnt = u.n_err.sum(), u.n_tot.sum()
+    u["y"] = (u.n_err * gnt > gne * u.n_tot).astype(float)
+    X = np.column_stack([
+        np.ones(len(u)),
+        np.round(np.log1p(u.n_click.to_numpy(float)), 9),
+        np.round(np.log1p(u.n_view.to_numpy(float)), 9),
+    ])
+    y = u.y.to_numpy()
+    beta = np.zeros(3)
+    for _ in range(50):  # full-precision IRLS to convergence
+        p = 1 / (1 + np.exp(-X @ beta))
+        W = p * (1 - p)
+        H = X.T @ (X * W[:, None])
+        g = X.T @ (y - p)
+        step = np.linalg.solve(H, g)
+        beta = beta + step
+        if np.abs(step).max() < 1e-12:
+            break
+    p = np.round(1 / (1 + np.exp(-X @ beta)), 9)
+    df = pd.DataFrame({"p": p, "user": u.index, "t": y.astype(int),
+                       "o": u.outcome.to_numpy()})
+    df = df.sort_values(["p", "user"]).reset_index(drop=True)
+    df["stratum"] = np.ceil(5.0 * (df.index + 1) / len(df)).astype(int)
+    att_terms, w = [], 0
+    for s_id, g_ in df.groupby("stratum"):
+        t, c = g_[g_.t == 1], g_[g_.t == 0]
+        row = out[out.stratum == s_id].iloc[0]
+        assert (row["n_treated"], row["n_control"]) == (len(t), len(c))
+        if len(t) and len(c):
+            d = t.o.mean() - c.o.mean()
+            assert abs(row["att_stratum"] - d) < 1e-3
+            att_terms.append(len(t) * d)
+            w += len(t)
+    att = sum(att_terms) / w
+    assert abs(out["att_pooled"].iloc[0] - att) < 1e-3
+    naive = df[df.t == 1].o.mean() - df[df.t == 0].o.mean()
+    assert abs(out["naive_diff"].iloc[0] - naive) < 1e-6
+
+
+def test_msprt_matches_numpy(spark):
+    import hashlib
+
+    out = load_all()["ab_sequential_msprt"].spark(spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev[ev.value.notna()].copy()
+    sec = (pd.to_datetime(ev.ts) - pd.Timestamp(0)) // pd.Timedelta(seconds=1)
+    ev["day"] = sec // 86400
+    ev["arm"] = [int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+                 for u in ev.user_id]
+    ev["v"] = ev.value.round(2)
+    tau2 = 25.0
+    days = sorted(ev.day.unique())
+    lam_max, checked = 0.0, 0
+    for d in days:
+        cur = ev[ev.day <= d]
+        a, b = cur[cur.arm == 0].v, cur[cur.arm == 1].v
+        if len(a) < 2 or len(b) < 2:
+            continue
+        delta = a.mean() - b.mean()
+        v = a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+        lam = np.sqrt(v / (v + tau2)) * np.exp(delta**2 * tau2 / (2 * v * (v + tau2)))
+        lam_max = max(lam_max, round(lam, 9))
+        row = out[out.epoch_day == d]
+        if len(row):
+            r = row.iloc[0]
+            assert (r["n_a"], r["n_b"]) == (len(a), len(b))
+            assert abs(r["mean_diff"] - delta) < 1e-4
+            assert abs(r["lambda_t"] - lam) < 1e-4
+            assert abs(r["p_always_valid"] - min(1.0, 1.0 / lam_max)) < 1e-4
+            checked += 1
+    assert checked >= 5
+    # always-valid property: p is non-increasing
+    assert (out["p_always_valid"].diff().dropna() <= 1e-9).all()
+
+
+def test_median_ci_matches_numpy(spark):
+    out = load_all()["median_ci_orderstat"].spark(spark, SF).toPandas().iloc[0]
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    v = np.sort(o.o_totalprice.round(2).to_numpy())
+    n = len(v)
+    z = 1.959964
+    lo = max(1, int(np.floor(n / 2 - z * np.sqrt(n) / 2)))
+    hi = min(n, int(np.ceil(n / 2 + z * np.sqrt(n) / 2)) + 1)
+    med = v[int(np.ceil(n / 2)) - 1]
+    assert out["n"] == n
+    assert abs(out["median"] - med) < 1e-6
+    assert abs(out["ci_lo"] - v[lo - 1]) < 1e-6
+    assert abs(out["ci_hi"] - v[hi - 1]) < 1e-6
+    assert out["ci_lo"] <= out["median"] <= out["ci_hi"]
