@@ -274,3 +274,61 @@ register(
     "independent capped-tf graded relevance (2^rel-1 gains, log2 "
     "discounts); the measured-error convention for the search stack",
 )(_q(ndcg_sql, ("documents",)))
+
+
+CTFIDF_TOP = 5
+
+
+def class_tfidf_sql(dialect: str) -> str:
+    """Class-based TF-IDF (the BERTopic topic-labeling statistic,
+    Grootendorst 2022): each SOURCE is treated as one concatenated
+    document; score(t, c) = tf_{t,c} · ln(1 + A / f_t) with
+    tf the term's in-class count, f_t its corpus count, and A the average
+    per-class token count — the per-class re-weighting that surfaces the
+    terms DISTINCTIVE of a source rather than merely frequent.  Top
+    CTFIDF_TOP terms per source, ranked on (ROUND(score,6) DESC, term).
+    Counts are exact integers; ln happens once per (class, term).
+
+    Scale: one token scan → (source, term) keyed agg; the ranking window
+    partitions by source over the vocabulary-sized relation."""
+    return f"""
+WITH {tokens_rel(dialect)},
+src_tokens AS (
+  SELECT d.source, t.tok
+  FROM tokens t JOIN documents d ON t.doc_id = d.doc_id
+),
+cls AS (
+  SELECT source, tok, COUNT(*) AS tf
+  FROM src_tokens GROUP BY source, tok
+),
+corpus AS (
+  SELECT tok, SUM(tf) AS f FROM cls GROUP BY tok
+),
+avg_len AS (
+  SELECT CAST(SUM(tf) AS DOUBLE) / COUNT(DISTINCT source) AS a FROM cls
+),
+scored AS (
+  SELECT c.source, c.tok, c.tf,
+         ROUND(c.tf * ln(1 + (SELECT a FROM avg_len) / co.f), 6) AS ctfidf
+  FROM cls c JOIN corpus co ON c.tok = co.tok
+),
+ranked AS (
+  SELECT source, tok, tf, ctfidf,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY ctfidf DESC, tok) AS rk
+  FROM scored
+)
+SELECT source, tok AS term, CAST(tf AS BIGINT) AS tf_class,
+       ctfidf, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {CTFIDF_TOP}
+ORDER BY source, rk
+"""
+
+
+register(
+    "class_tfidf_sources",
+    oracle=class_tfidf_sql(DUCKDB),
+    doc=f"Class-based TF-IDF (BERTopic statistic): top-{CTFIDF_TOP} "
+    "DISTINCTIVE terms per source — in-class tf times ln(1 + avg-class-"
+    "len / corpus-freq); exact integer counts, ln at the edge",
+)(_q(class_tfidf_sql, ("documents",)))

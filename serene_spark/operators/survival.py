@@ -261,3 +261,74 @@ register(
     "integer observed counts, 12-dp-quantized decimal expected/variance "
     "sums over the calendar-bounded duration spine",
 )(_logrank_run)
+
+
+# --- Nelson-Aalen cumulative hazard ------------------------------------------
+
+
+def nelson_aalen_sql(dialect: str) -> str:
+    """Nelson-Aalen cumulative-hazard estimator over the SAME
+    time-to-next-order duration relation as Kaplan-Meier:
+
+        H(t) = sum_{t_i <= t} d_i / n_i        (Nelson 1972; Aalen 1978)
+
+    plus its standard error from the variance estimate sum d_i/n_i^2, and
+    the Fleming-Harrington survival exp(-H) emitted beside KM's
+    product-limit value — the two estimators' gap shrinks as risk sets
+    grow, and emitting both makes that check readable.  Hazard increments
+    are 12-dp-quantized and DECIMAL-summed (the KM log-term convention),
+    so the cumulative sums are aggregation-order exact."""
+    day = idiv(dialect, f"({epoch_s(dialect, 'o_orderdate')})", 86400)
+    return f"""
+WITH ordered AS (
+  SELECT o.o_custkey, {day} AS day,
+         LEAD({day}) OVER (PARTITION BY o.o_custkey ORDER BY {day}, o.o_orderkey)
+           AS next_day
+  FROM orders o
+),
+horizon AS (
+  SELECT MAX(day) AS mx FROM ordered
+),
+durs AS (
+  SELECT CASE WHEN next_day IS NULL THEN (SELECT mx FROM horizon) - day
+              ELSE next_day - day END AS dur,
+         CASE WHEN next_day IS NULL THEN 0 ELSE 1 END AS ev
+  FROM ordered
+),
+hist AS (
+  SELECT dur, SUM(ev) AS d, COUNT(*) - SUM(ev) AS c
+  FROM durs GROUP BY dur
+),
+risk AS (
+  SELECT dur, d, c,
+         SUM(d + c) OVER (ORDER BY dur DESC) AS n_risk
+  FROM hist
+),
+na AS (
+  SELECT dur, d, c, n_risk,
+         SUM(CAST(ROUND(CAST(d AS DOUBLE) / n_risk, 12) AS DECIMAL(28,12)))
+           OVER (ORDER BY dur ASC) AS h,
+         SUM(CAST(ROUND(CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE) * n_risk), 12)
+                  AS DECIMAL(28,12)))
+           OVER (ORDER BY dur ASC) AS var_h
+  FROM risk
+)
+SELECT CAST(dur AS BIGINT) AS gap_days,
+       CAST(d AS BIGINT) AS n_events,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       ROUND(CAST(h AS DOUBLE), 6) AS cum_hazard,
+       ROUND(sqrt(CAST(var_h AS DOUBLE)), 6) AS se_hazard,
+       ROUND(EXP(-CAST(h AS DOUBLE)), 6) AS survival_fh
+FROM na
+ORDER BY gap_days
+"""
+
+
+register(
+    "nelson_aalen_hazard",
+    oracle=nelson_aalen_sql(DUCKDB),
+    doc="Nelson-Aalen cumulative hazard + SE over the time-to-next-order "
+    "durations (same risk-set relation as KM), with the Fleming-"
+    "Harrington exp(-H) survival emitted for cross-checking the "
+    "product-limit curve",
+)(_q(nelson_aalen_sql, ("orders",)))

@@ -116,6 +116,7 @@ def load_all() -> dict[str, Query]:
         "serene_spark.operators.sampling_design",
         "serene_spark.operators.causal",
         "serene_spark.operators.order_stats",
+        "serene_spark.operators.conformal",
         "serene_spark.modeler.octopus",
         "serene_spark.modeler.report_fixture",
         "serene_spark.modeler.museum",

@@ -297,3 +297,81 @@ def test_median_ci_matches_numpy(spark):
     assert abs(out["ci_lo"] - v[lo - 1]) < 1e-6
     assert abs(out["ci_hi"] - v[hi - 1]) < 1e-6
     assert out["ci_lo"] <= out["median"] <= out["ci_hi"]
+
+
+def test_conformal_coverage_and_numpy(spark):
+    out = load_all()["conformal_interval_revenue"].spark(spark, SF).toPandas().iloc[0]
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    li["x1"] = li.l_quantity.round(2)
+    li["x2"] = li.l_discount.round(2)
+    li["y"] = (li.l_extendedprice.round(2) * (1 - li.l_discount.round(2))).round(2)
+    tr = li[li.l_orderkey % 3 == 0]
+    X = np.column_stack([np.ones(len(tr)), tr.x1, tr.x2])
+    beta = np.linalg.lstsq(X, tr.y.to_numpy(), rcond=None)[0]
+    assert abs(out["beta0"] - beta[0]) < 1e-3
+    assert abs(out["beta1"] - beta[1]) < 1e-3
+    assert abs(out["beta2"] - beta[2]) < 1e-1  # discount coef is large-scale
+    b = np.array([out["beta0"], out["beta1"], out["beta2"]])
+    cal = li[li.l_orderkey % 3 == 1]
+    r = np.round(np.abs(cal.y - (b[0] + b[1] * cal.x1 + b[2] * cal.x2)), 6)
+    k = min(len(r), int(np.ceil((len(r) + 1) * 0.9)))
+    q = np.sort(r.to_numpy())[k - 1]
+    # the operator computes residuals with its 9-dp internal betas; this
+    # reference uses the 6-dp OUTPUT betas, so allow a quantization ulp
+    assert abs(out["q_hat"] - q) < 5e-5
+    te = li[li.l_orderkey % 3 == 2]
+    rt = np.round(np.abs(te.y - (b[0] + b[1] * te.x1 + b[2] * te.x2)), 6)
+    cov = (rt <= q).mean()
+    assert abs(out["test_coverage"] - cov) < 5e-3
+    # the conformal guarantee: coverage ~ 0.9 on unseen data
+    assert 0.85 <= out["test_coverage"] <= 0.97
+
+
+def test_nelson_aalen_matches_python_and_bounds_km(spark):
+    na = load_all()["nelson_aalen_hazard"].spark(spark, SF).toPandas()
+    km = load_all()["km_order_gap"].spark(spark, SF).toPandas()
+    # H is nondecreasing; exp(-H) >= KM survival pointwise (standard bound)
+    assert (na["cum_hazard"].diff().dropna() >= -1e-12).all()
+    merged = na.merge(km, on="gap_days", suffixes=("_na", "_km"))
+    assert len(merged) == len(na) == len(km)
+    assert (merged["survival_fh"] - merged["survival"] >= -1e-6).all()
+    # python reference on the duration relation
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o["day"] = (pd.to_datetime(o.o_orderdate) - pd.Timestamp(0)).dt.days
+    o = o.sort_values(["o_custkey", "day", "o_orderkey"])
+    o["nxt"] = o.groupby("o_custkey")["day"].shift(-1)
+    mx = o.day.max()
+    dur = np.where(o.nxt.isna(), mx - o.day, o.nxt - o.day).astype(int)
+    ev = (~o.nxt.isna()).astype(int).to_numpy()
+    df = pd.DataFrame({"dur": dur, "ev": ev})
+    hist = df.groupby("dur").agg(d=("ev", "sum"), n=("ev", "size")).sort_index()
+    n_risk = hist.n[::-1].cumsum()[::-1]
+    h = (np.round(hist.d / n_risk, 12)).cumsum()
+    for _, r in na.head(50).iterrows():
+        assert abs(r["cum_hazard"] - h.loc[r["gap_days"]]) < 1e-6
+
+
+def test_class_tfidf_matches_python(spark):
+    import math
+    import re as _re
+    from collections import Counter
+
+    out = load_all()["class_tfidf_sources"].spark(spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    cls: dict[str, Counter] = {}
+    for _, d in docs.iterrows():
+        toks = [t for t in _re.split(r"[^a-z0-9]+",
+                                     _re.sub(r"\s+", " ", d.text.lower()).strip()) if t]
+        cls.setdefault(d.source, Counter()).update(toks)
+    corpus: Counter = Counter()
+    for c in cls.values():
+        corpus.update(c)
+    a = sum(corpus.values()) / len(cls)
+    for src, g in out.groupby("source"):
+        scored = sorted(
+            ((-round(tf * math.log(1 + a / corpus[t]), 6), t, tf)
+             for t, tf in cls[src].items())
+        )
+        for row, (neg, t, tf) in zip(g.itertuples(), scored):
+            assert (row.term, row.tf_class) == (t, tf)
+            assert abs(row.ctfidf - (-neg)) < 1e-5
