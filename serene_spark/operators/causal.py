@@ -152,3 +152,101 @@ register(
     "excluded from pooling with NULL att_stratum",
 )(lambda spark, sf_dir: run_materialized(
     spark, sf_dir, ("events",), _bases(SPARK), _tail(SPARK)))
+
+
+def _balance_tail(dialect: str) -> str:
+    """Standardized-mean-difference balance audit (the table every PSM
+    report must print before its ATT is believed): per confounder, SMD
+    between arms RAW vs AFTER stratification (treated-weighted within-
+    stratum differences over the raw pooled SD).  |SMD| < 0.1 is the
+    conventional balance bar; emitting raw beside adjusted makes the
+    stratification's work measurable."""
+    return f"""
+WITH scored AS (
+  SELECT CAST(f.y AS INT) AS treated, f.x1, f.x2, f.user_id,
+         ROUND(1 / (1 + EXP(-(CAST(b.b0 AS DOUBLE)
+                              + CAST(b.b1 AS DOUBLE) * f.x1
+                              + CAST(b.b2 AS DOUBLE) * f.x2))), 9) AS p
+  FROM psm_features f JOIN pb{N_STEPS} b ON 1 = 1
+),
+ranked AS (
+  SELECT treated, x1, x2,
+         ROW_NUMBER() OVER (ORDER BY p, user_id) AS rk,
+         COUNT(*) OVER () AS n
+  FROM scored
+),
+cov AS (
+  SELECT CAST(CEIL({N_STRATA}.0 * rk / n) AS INT) AS stratum, treated,
+         'log1p_clicks' AS covariate, x1 AS x
+  FROM ranked
+  UNION ALL
+  SELECT CAST(CEIL({N_STRATA}.0 * rk / n) AS INT), treated,
+         'log1p_views', x2
+  FROM ranked
+),
+raw AS (
+  SELECT covariate,
+         SUM(treated) AS n_t, SUM(1 - treated) AS n_c,
+         SUM(CASE WHEN treated = 1
+             THEN CAST(ROUND(x, 12) AS DECIMAL(28,12))
+             ELSE CAST(0 AS DECIMAL(28,12)) END) AS s_t,
+         SUM(CASE WHEN treated = 0
+             THEN CAST(ROUND(x, 12) AS DECIMAL(28,12))
+             ELSE CAST(0 AS DECIMAL(28,12)) END) AS s_c,
+         SUM(CASE WHEN treated = 1
+             THEN CAST(ROUND(x * x, 12) AS DECIMAL(28,12))
+             ELSE CAST(0 AS DECIMAL(28,12)) END) AS q_t,
+         SUM(CASE WHEN treated = 0
+             THEN CAST(ROUND(x * x, 12) AS DECIMAL(28,12))
+             ELSE CAST(0 AS DECIMAL(28,12)) END) AS q_c
+  FROM cov GROUP BY covariate
+),
+raw_stats AS (
+  SELECT covariate, n_t, n_c,
+         CAST(s_t AS DOUBLE) / n_t AS mt, CAST(s_c AS DOUBLE) / n_c AS mc,
+         (CAST(q_t AS DOUBLE) - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE) / n_t)
+           / (n_t - 1) AS vt,
+         (CAST(q_c AS DOUBLE) - CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE) / n_c)
+           / (n_c - 1) AS vc
+  FROM raw
+),
+cells AS (
+  SELECT covariate, stratum,
+         SUM(treated) AS n_t, SUM(1 - treated) AS n_c,
+         SUM(CASE WHEN treated = 1
+             THEN CAST(ROUND(x, 12) AS DECIMAL(28,12))
+             ELSE CAST(0 AS DECIMAL(28,12)) END) AS s_t,
+         SUM(CASE WHEN treated = 0
+             THEN CAST(ROUND(x, 12) AS DECIMAL(28,12))
+             ELSE CAST(0 AS DECIMAL(28,12)) END) AS s_c
+  FROM cov GROUP BY covariate, stratum
+),
+adj AS (
+  SELECT covariate,
+         CAST(SUM(CASE WHEN n_t > 0 AND n_c > 0 THEN CAST(ROUND(
+             n_t * (CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c),
+           9) AS DECIMAL(24,9)) ELSE CAST(0 AS DECIMAL(24,9)) END) AS DOUBLE)
+           / SUM(CASE WHEN n_t > 0 AND n_c > 0 THEN n_t ELSE 0 END) AS d_adj
+  FROM cells GROUP BY covariate
+)
+SELECT r.covariate,
+       CAST(r.n_t AS BIGINT) AS n_treated,
+       CAST(r.n_c AS BIGINT) AS n_control,
+       ROUND((r.mt - r.mc) / sqrt((r.vt + r.vc) / 2), 6) AS smd_raw,
+       ROUND(a.d_adj / sqrt((r.vt + r.vc) / 2), 6) AS smd_adjusted,
+       CAST(CASE WHEN ABS(a.d_adj) <= ABS(r.mt - r.mc) THEN 1 ELSE 0 END
+            AS INT) AS balance_improved
+FROM raw_stats r JOIN adj a ON r.covariate = a.covariate
+ORDER BY r.covariate
+"""
+
+
+register(
+    "psm_balance_smd",
+    oracle=compose_with(_bases(DUCKDB), _balance_tail(DUCKDB)),
+    doc="PSM balance audit: per-confounder standardized mean difference "
+    "raw vs after stratification (treated-weighted within-stratum "
+    "differences over the raw pooled SD) — the table a PSM report must "
+    "print before its ATT is believed; |SMD|<0.1 is the conventional bar",
+)(lambda spark, sf_dir: run_materialized(
+    spark, sf_dir, ("events",), _bases(SPARK), _balance_tail(SPARK)))

@@ -117,6 +117,8 @@ def load_all() -> dict[str, Query]:
         "serene_spark.operators.causal",
         "serene_spark.operators.order_stats",
         "serene_spark.operators.conformal",
+        "serene_spark.operators.wasserstein",
+        "serene_spark.operators.rank_corr",
         "serene_spark.modeler.octopus",
         "serene_spark.modeler.report_fixture",
         "serene_spark.modeler.museum",

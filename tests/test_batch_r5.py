@@ -375,3 +375,38 @@ def test_class_tfidf_matches_python(spark):
         for row, (neg, t, tf) in zip(g.itertuples(), scored):
             assert (row.term, row.tf_class) == (t, tf)
             assert abs(row.ctfidf - (-neg)) < 1e-5
+
+
+def test_wasserstein_matches_scipy_formula(spark):
+    out = load_all()["wasserstein_value_dist"].spark(spark, SF).toPandas().iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev[ev.value.notna()]
+    a = np.sort(ev.loc[ev.event_type == "click", "value"].round(2).to_numpy())
+    b = np.sort(ev.loc[ev.event_type == "purchase", "value"].round(2).to_numpy())
+    # independent reference: CDF-gap integral over the merged support
+    vs = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, vs, side="right") / len(a)
+    fb = np.searchsorted(b, vs, side="right") / len(b)
+    w1 = float(np.sum(np.abs(fa[:-1] - fb[:-1]) * np.diff(vs)))
+    assert out["n_click"] == len(a) and out["n_purchase"] == len(b)
+    assert abs(out["wasserstein_1"] - w1) < 1e-4
+
+
+def test_spearman_matches_scipy_style(spark):
+    out = load_all()["spearman_qty_price"].spark(spark, SF).toPandas().iloc[0]
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    x = li.l_quantity.round(2)
+    y = li.l_extendedprice.round(2)
+    rho = x.rank(method="average").corr(y.rank(method="average"))
+    assert out["n"] == len(li)
+    assert abs(out["spearman_rho"] - rho) < 1e-6
+
+
+def test_psm_balance_matches_pandas(spark):
+    out = load_all()["psm_balance_smd"].spark(spark, SF).toPandas()
+    assert set(out.covariate) == {"log1p_clicks", "log1p_views"}
+    # structural: SMDs finite, counts match the ATT op's totals
+    att = load_all()["psm_stratified_att"].spark(spark, SF).toPandas()
+    assert out["n_treated"].iloc[0] == att["n_treated"].sum()
+    assert out["n_control"].iloc[0] == att["n_control"].sum()
+    assert out["smd_raw"].notna().all() and out["smd_adjusted"].notna().all()
