@@ -410,3 +410,65 @@ def test_psm_balance_matches_pandas(spark):
     assert out["n_treated"].iloc[0] == att["n_treated"].sum()
     assert out["n_control"].iloc[0] == att["n_control"].sum()
     assert out["smd_raw"].notna().all() and out["smd_adjusted"].notna().all()
+
+
+def test_fellegi_sunter_weights_separate_classes(spark):
+    out = load_all()["er_fellegi_sunter"].spark(spark, SF).toPandas()
+    # pattern table properties: counts partition the candidate set; weights
+    # (where defined) must order match-heavy patterns above nonmatch-heavy
+    assert out["n_match"].sum() > 0 and out["n_nonmatch"].sum() > 0
+    w = out[out.fs_weight.notna()].copy()
+    if len(w) >= 2:
+        w["pm"] = w.n_match / (w.n_match + w.n_nonmatch)
+        top = w.sort_values("fs_weight", ascending=False).iloc[0]
+        bot = w.sort_values("fs_weight", ascending=True).iloc[0]
+        assert top["pm"] >= bot["pm"]
+    # all-agree pattern (if present) must be match-dominated
+    full = out[(out.g_name == 1) & (out.g_bal == 1) & (out.g_seg == 1)]
+    if len(full):
+        r = full.iloc[0]
+        assert r["p_match_empirical"] > 0.9
+
+
+def test_fellegi_sunter_mu_matches_pandas(spark):
+    import math
+
+    out = load_all()["er_fellegi_sunter"].spark(spark, SF).toPandas()
+    from serene_spark.operators.pair_features import _jaro
+
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    digits = cust.c_name.str.extract(r"([0-9]+)$")[0].str.lstrip("0").replace("", "0")
+    d = pd.DataFrame({
+        "id": cust.c_custkey, "name": "cust " + digits,
+        "bal": cust.c_acctbal.round(0), "seg": cust.c_mktsegment.str.lower(),
+        "nation": cust.c_nationkey, "block": digits.astype(int) % 100,
+    })
+    c = pd.DataFrame({
+        "id": cust.c_custkey, "name": cust.c_name.str.lower(),
+        "bal": cust.c_acctbal, "seg": cust.c_mktsegment.str.lower(),
+        "nation": cust.c_nationkey, "block": digits.astype(int) % 100,
+    })
+    pairs = d.merge(c, on=["nation", "block"], suffixes=("_d", "_c"))
+    g = pd.DataFrame({
+        "g_name": [int(_jaro(a, b) >= 0.85) for a, b in zip(pairs.name_d, pairs.name_c)],
+        "g_bal": (abs(pairs.bal_d - pairs.bal_c) <= 1.0).astype(int),
+        "g_seg": (pairs.seg_d == pairs.seg_c).astype(int),
+        "m": (pairs.id_d == pairs.id_c).astype(int),
+    })
+    cells = g.groupby(["g_name", "g_bal", "g_seg"]).agg(
+        n_match=("m", "sum"), n_non=("m", lambda s: (1 - s).sum())
+    )
+    assert len(out) == len(cells)
+    for _, r in out.iterrows():
+        e = cells.loc[(r.g_name, r.g_bal, r.g_seg)]
+        assert (r["n_match"], r["n_nonmatch"]) == (e["n_match"], e["n_non"])
+    # spot-check one composite weight
+    n_m, n_u = g.m.sum(), (1 - g.m).sum()
+    r = out[(out.g_name == 1) & (out.g_bal == 1) & (out.g_seg == 1)]
+    if len(r) and pd.notna(r.iloc[0]["fs_weight"]):
+        wexp = 0.0
+        for k in ("g_name", "g_bal", "g_seg"):
+            a_m = (g[k] * g.m).sum()
+            a_u = (g[k] * (1 - g.m)).sum()
+            wexp += math.log2((a_m / n_m) / (a_u / n_u))
+        assert abs(r.iloc[0]["fs_weight"] - wexp) < 1e-4
