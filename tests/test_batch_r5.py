@@ -472,3 +472,49 @@ def test_fellegi_sunter_mu_matches_pandas(spark):
             a_u = (g[k] * (1 - g.m)).sum()
             wexp += math.log2((a_m / n_m) / (a_u / n_u))
         assert abs(r.iloc[0]["fs_weight"] - wexp) < 1e-4
+
+
+def test_bh_matches_scipy_style(spark):
+    from math import erfc, sqrt
+
+    out = load_all()["multiple_testing_bh"].spark(spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev[ev.value.notna()].copy()
+    ev["v"] = ev.value.round(2)
+    types = sorted(ev.event_type.unique())
+    raws = {}
+    for t in types:
+        a = ev.loc[ev.event_type == t, "v"]
+        b = ev.loc[ev.event_type != t, "v"]
+        se = np.sqrt(a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b))
+        z = abs(a.mean() - b.mean()) / se
+        raws[t] = min(1.0, erfc(z / sqrt(2)))  # 2*SF(z)
+    m = len(types)
+    ordered = sorted(raws.items(), key=lambda kv: (kv[1], kv[0]))
+    bh, run = {}, 1.0
+    for i in range(m - 1, -1, -1):
+        t, p = ordered[i]
+        run = min(run, round(min(1.0, p * m / (i + 1)), 9))
+        bh[t] = run
+    for _, r in out.iterrows():
+        # A&S polynomial is accurate to ~1.5e-7 in erf -> ~3e-7 in p
+        assert abs(r["p_raw"] - raws[r["event_type"]]) < 1e-5
+        assert abs(r["p_bh"] - bh[r["event_type"]]) < 1e-5
+        assert r["rejected"] == int(bh[r["event_type"]] <= 0.05)
+
+
+def test_gumbel_matches_numpy(spark):
+    out = load_all()["evt_gumbel_return"].spark(spark, SF).toPandas().iloc[0]
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    dt = pd.to_datetime(o.o_orderdate)
+    mi = dt.dt.year * 12 + dt.dt.month
+    mx = o.assign(m=mi, v=o.o_totalprice.round(2)).groupby("m")["v"].max()
+    sigma = mx.std(ddof=1) * np.sqrt(6) / np.pi
+    mu = mx.mean() - 0.5772156649015329 * sigma
+    assert out["n_blocks"] == len(mx)
+    assert abs(out["gumbel_mu"] - mu) < 0.01
+    assert abs(out["gumbel_sigma"] - sigma) < 0.01
+    for t, col in ((12, "return_level_12mo"), (120, "return_level_120mo")):
+        rl = mu - sigma * np.log(-np.log(1 - 1 / t))
+        assert abs(out[col] - rl) < 0.02
+    assert out["return_level_120mo"] > out["return_level_12mo"] > out["gumbel_mu"]
