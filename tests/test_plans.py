@@ -537,3 +537,34 @@ def test_cte_heavy_ops_consume_materialized_base(spark, sf_dir):
     txt = plan_text(load_all()["source_quality_profile"].spark(spark, sf_dir))
     scans = sum(1 for l in txt.splitlines() if l.startswith("(") and "Scan parquet" in l)
     assert scans <= 2, scans
+
+
+def test_round5_operators_no_cartesian(spark, sf_dir):
+    """Round-5 additions: no plan may contain a CartesianProduct.  The
+    strict has_cartesian() helper also rejects BroadcastNestedLoopJoin,
+    which several of these ops use DELIBERATELY to attach a 1-row stats
+    relation (the broadcast side is constant-size by construction), so
+    this audit checks the cartesian operator itself."""
+    from serene_spark.plans.explain_audit import plan_text
+    from serene_spark.registry import load_all
+
+    qs = load_all()
+    for name in (
+        "mahalanobis_outliers",
+        "attribution_position_u",
+        "wasserstein_value_dist",
+        "spearman_qty_price",
+        "multiple_testing_bh",
+        "elasticity_loglog_parts",
+        "lorenz_customers",
+        "geo_nearest_supplier",
+    ):
+        df = qs[name].spark(spark, sf_dir)
+        assert "CartesianProduct" not in plan_text(df), name
+
+
+def test_elasticity_broadcasts_part_dim(spark, sf_dir):
+    from serene_spark.registry import load_all
+
+    df = load_all()["elasticity_loglog_parts"].spark(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
