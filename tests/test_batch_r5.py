@@ -518,3 +518,48 @@ def test_gumbel_matches_numpy(spark):
         rl = mu - sigma * np.log(-np.log(1 - 1 / t))
         assert abs(out[col] - rl) < 0.02
     assert out["return_level_120mo"] > out["return_level_12mo"] > out["gumbel_mu"]
+
+
+def _pm_two_months():
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    dt = pd.to_datetime(li.l_shipdate)
+    li = li.assign(m=dt.dt.year * 12 + dt.dt.month,
+                   v=li.l_extendedprice.round(2), q=li.l_quantity.round(2))
+    m1 = li.m.max()
+    a = li[li.m == m1 - 1].groupby("l_partkey").agg(v0=("v", "sum"), q0=("q", "sum"))
+    b = li[li.m == m1].groupby("l_partkey").agg(v1=("v", "sum"), q1=("q", "sum"))
+    return a.join(b, how="outer")
+
+
+def test_revenue_bridge_identity_and_pandas(spark):
+    out = load_all()["revenue_bridge_mom"].spark(spark, SF).toPandas().iloc[0]
+    j = _pm_two_months()
+    common = j.dropna()
+    p0, p1 = common.v0 / common.q0, common.v1 / common.q1
+    price = np.round((p1 - p0) * common.q0, 6).sum()
+    volume = np.round(p0 * (common.q1 - common.q0), 6).sum()
+    cross = np.round((p1 - p0) * (common.q1 - common.q0), 6).sum()
+    new = j[j.v0.isna()].v1.sum()
+    lost = j[j.v1.isna()].v0.sum()
+    assert abs(out["price_effect"] - price) < 0.02
+    assert abs(out["volume_effect"] - volume) < 0.02
+    assert abs(out["cross_effect"] - cross) < 0.02
+    assert abs(out["new_part_revenue"] - new) < 0.02
+    assert abs(out["lost_part_revenue"] - lost) < 0.02
+    assert abs(out["identity_residual"]) < 0.05
+    assert abs(out["delta_revenue"]
+               - (out["revenue_curr"] - out["revenue_prev"])) < 0.02
+
+
+def test_fisher_between_laspeyres_paasche(spark):
+    out = load_all()["price_index_fisher"].spark(spark, SF).toPandas().iloc[0]
+    j = _pm_two_months().dropna()
+    p0, p1 = j.v0 / j.q0, j.v1 / j.q1
+    lasp = np.round(p1 * j.q0, 6).sum() / np.round(p0 * j.q0, 6).sum()
+    paas = np.round(p1 * j.q1, 6).sum() / np.round(p0 * j.q1, 6).sum()
+    assert out["n_common_parts"] == len(j)
+    assert abs(out["laspeyres"] - lasp) < 1e-5
+    assert abs(out["paasche"] - paas) < 1e-5
+    assert abs(out["fisher"] - np.sqrt(lasp * paas)) < 1e-5
+    lo, hi = sorted([out["laspeyres"], out["paasche"]])
+    assert lo - 1e-9 <= out["fisher"] <= hi + 1e-9
