@@ -563,3 +563,47 @@ def test_fisher_between_laspeyres_paasche(spark):
     assert abs(out["fisher"] - np.sqrt(lasp * paas)) < 1e-5
     lo, hi = sorted([out["laspeyres"], out["paasche"]])
     assert lo - 1e-9 <= out["fisher"] <= hi + 1e-9
+
+
+def test_fairness_matches_quality_gate(spark):
+    out = load_all()["fairness_quality_by_lang"].spark(spark, SF).toPandas()
+    tq = load_all()["text_quality"].spark(spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    m = docs.merge(tq[["doc_id", "quality_pass"]], on="doc_id")
+    per = m.groupby("lang").agg(n=("quality_pass", "size"),
+                                p=("quality_pass", lambda s: (s == 1.0).sum()))
+    best = (per.p / per.n).max()
+    assert len(out) == len(per)
+    assert out["n_docs"].sum() == len(docs)
+    for _, r in out.iterrows():
+        e = per.loc[r["lang"]]
+        assert (r["n_docs"], r["n_pass"]) == (e["n"], e["p"])
+        ratio = (e["p"] / e["n"]) / best
+        assert abs(r["impact_ratio"] - ratio) < 1e-6
+        assert r["adverse_impact"] == int(ratio < 0.8)
+    assert (out["impact_ratio"] <= 1 + 1e-9).all()
+
+
+def test_slo_burn_matches_pandas(spark):
+    out = load_all()["slo_burn_rate"].spark(spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    sec = (pd.to_datetime(ev.ts) - pd.Timestamp(0)) // pd.Timedelta(seconds=1)
+    ev = ev.assign(h=sec // 3600, e=(ev.event_type == "error").astype(int))
+    hourly = ev.groupby("h").agg(n=("e", "size"), errs=("e", "sum"))
+    hourly = hourly.reindex(range(hourly.index.min(), hourly.index.max() + 1),
+                            fill_value=0)
+    budget = round(1 - 0.93, 6)
+    n_s = hourly.n.rolling(1, min_periods=1).sum()
+    e_s = hourly.errs.rolling(1, min_periods=1).sum()
+    n_l = hourly.n.rolling(6, min_periods=1).sum()
+    e_l = hourly.errs.rolling(6, min_periods=1).sum()
+    burn_s = np.where(n_s > 0, e_s / n_s / budget, 0.0)
+    burn_l = np.where(n_l > 0, e_l / n_l / budget, 0.0)
+    assert len(out) == len(hourly)
+    got = out.set_index("epoch_hour")
+    for i, h in enumerate(hourly.index):
+        r = got.loc[h]
+        assert r["n_events"] == hourly.n.iloc[i]
+        assert abs(r["burn_rate_1h"] - burn_s[i]) < 1e-6
+        assert abs(r["burn_rate_6h"] - burn_l[i]) < 1e-6
+        assert r["page_alert"] == int(burn_s[i] > 2.0 and burn_l[i] > 1.5)
