@@ -122,6 +122,7 @@ def load_all() -> dict[str, Query]:
         "serene_spark.operators.test_batteries",
         "serene_spark.operators.price_volume",
         "serene_spark.operators.governance_ops",
+        "serene_spark.operators.flow_metrics",
         "serene_spark.modeler.octopus",
         "serene_spark.modeler.report_fixture",
         "serene_spark.modeler.museum",

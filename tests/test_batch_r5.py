@@ -607,3 +607,45 @@ def test_slo_burn_matches_pandas(spark):
         assert abs(r["burn_rate_1h"] - burn_s[i]) < 1e-6
         assert abs(r["burn_rate_6h"] - burn_l[i]) < 1e-6
         assert r["page_alert"] == int(burn_s[i] > 2.0 and burn_l[i] > 1.5)
+
+
+def test_littles_law_identity(spark):
+    out = load_all()["littles_law_orders"].spark(spark, SF).toPandas().iloc[0]
+    # by construction L = lambda*W exactly for the complete window
+    assert abs(out["identity_gap"]) < 1e-6
+    assert abs(out["l_avg_wip"] - out["lambda_per_day"] * out["w_mean_days"]) < 1e-4
+    # pandas reference for W
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    od = (pd.to_datetime(o.o_orderdate) - pd.Timestamp(0)).dt.days
+    sd = (pd.to_datetime(li.l_shipdate) - pd.Timestamp(0)).dt.days
+    iv = pd.DataFrame({"k": o.o_orderkey, "s": od}).merge(
+        pd.DataFrame({"k": li.l_orderkey, "e": sd}).groupby("k").max(), on="k")
+    w = (iv.e - iv.s + 1).mean()
+    assert out["n_orders"] == len(iv)
+    assert abs(out["w_mean_days"] - w) < 1e-4
+
+
+def test_growth_accounting_conserves(spark):
+    out = load_all()["growth_accounting_weekly"].spark(spark, SF).toPandas()
+    assert len(out) >= 3
+    assert (out["conservation_residual"].abs() < 1e-9).all()
+    # pandas ledger reference
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev[(ev.event_type == "purchase") & ev.value.notna()].copy()
+    sec = (pd.to_datetime(ev.ts) - pd.Timestamp(0)) // pd.Timedelta(seconds=1)
+    ev["w"] = sec // (86400 * 7)
+    ev["v"] = ev.value.round(2)
+    um = ev.groupby(["user_id", "w"])["v"].sum()
+    weeks = sorted(um.index.get_level_values("w").unique())
+    for wk in weeks:
+        cur = um.xs(wk, level="w")
+        r = out[out.week_idx == wk].iloc[0]
+        assert abs(r["mrr"] - cur.sum()) < 1e-6
+        prev = um.xs(wk - 1, level="w") if wk - 1 in weeks else pd.Series(dtype=float)
+        # new = users whose first week is wk
+        first = um.reset_index().groupby("user_id")["w"].min()
+        new = cur[cur.index.isin(first[first == wk].index)].sum()
+        assert abs(r["new_rev"] - new) < 1e-6
+        churn = prev[~prev.index.isin(cur.index)].sum() if len(prev) else 0.0
+        assert abs(r["churned_rev"] - churn) < 1e-6
