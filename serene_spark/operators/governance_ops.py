@@ -78,16 +78,14 @@ register(
 )[1])
 
 
-def _burn_sql(dialect: str) -> str:
-    hour = idiv(dialect, f"({epoch_s(dialect, 'ts')})", 3600)
+def burn_fold_sql(dialect: str, hourly_body: str) -> str:
+    """The SHARED burn-rate fold over an (h, n, errs) hourly relation —
+    one definition used by BOTH the batch operator and the streaming
+    monitor's read side (streaming/burn_stream.py), so the streamed
+    readout cannot desync numerically from the batch twin."""
     budget = round(1 - SLO_TARGET, 6)
     return f"""
-WITH hourly AS (
-  SELECT {hour} AS h,
-         COUNT(*) AS n,
-         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errs
-  FROM events GROUP BY {hour}
-),
+WITH hourly AS ({hourly_body}),
 bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
 spine AS (
   SELECT {explode_seq(dialect, "(SELECT h0 FROM bounds)", "(SELECT h1 FROM bounds)")} AS h
@@ -127,6 +125,17 @@ SELECT CAST(h AS BIGINT) AS epoch_hour,
 FROM rates
 ORDER BY epoch_hour
 """
+
+
+def _burn_sql(dialect: str) -> str:
+    hour = idiv(dialect, f"({epoch_s(dialect, 'ts')})", 3600)
+    hourly = f"""
+  SELECT {hour} AS h,
+         COUNT(*) AS n,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errs
+  FROM events GROUP BY {hour}
+"""
+    return burn_fold_sql(dialect, hourly)
 
 
 register(
