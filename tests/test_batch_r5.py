@@ -649,3 +649,21 @@ def test_growth_accounting_conserves(spark):
         assert abs(r["new_rev"] - new) < 1e-6
         churn = prev[~prev.index.isin(cur.index)].sum() if len(prev) else 0.0
         assert abs(r["churned_rev"] - churn) < 1e-6
+
+
+def test_fe_within_matches_numpy(spark):
+    out = load_all()["fe_within_discount"].spark(spark, SF).toPandas().iloc[0]
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    li["x"] = li.l_discount.round(2)
+    li["y"] = (li.l_extendedprice.round(2) * (1 - li.l_discount.round(2))).round(2)
+    xd = li.x - li.groupby("l_partkey").x.transform("mean")
+    yd = li.y - li.groupby("l_partkey").y.transform("mean")
+    beta_w = (xd * yd).sum() / (xd * xd).sum()
+    beta_p = np.polyfit(li.x, li.y, 1)[0]
+    r2_w = (xd * yd).sum() ** 2 / ((xd * xd).sum() * (yd * yd).sum())
+    assert out["n_rows"] == len(li)
+    assert out["n_entities"] == li.l_partkey.nunique()
+    assert abs(out["beta_within"] - beta_w) < max(1e-3, abs(beta_w) * 1e-4)
+    assert abs(out["beta_pooled"] - beta_p) < max(1e-3, abs(beta_p) * 1e-4)
+    assert abs(out["r2_within"] - r2_w) < 1e-5
+    assert abs(out["heterogeneity_bias"] - (beta_w - beta_p)) < 2e-3
