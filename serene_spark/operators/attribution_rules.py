@@ -120,3 +120,106 @@ register(
     "the conversion instant, normalized per conversion, 12-dp-quantized "
     "decimal channel sums",
 )(_runner(_decay_sql(SPARK)))
+
+
+# --- exact Shapley attribution (4-channel coalition game) --------------------
+
+_CH_BITS = (("click", 1), ("view", 2), ("error", 4), ("signup", 8))
+_N_CH = 4
+
+
+def _shapley_sql(dialect: str) -> str:
+    """Exact Shapley-value attribution (Shapley 1953; the cooperative-game
+    model marketing uses beside Markov removal effects): the characteristic
+    function v(S) = number of conversions whose pre-conversion touch SET is
+    contained in coalition S, evaluated for all 2^4 coalitions of the four
+    non-purchase channels, then the exact Shapley sum
+    φ_i = Σ_{S∌i} |S|!(n−1−|S|)!/n! · (v(S∪{i}) − v(S)).
+
+    Everything is integer-exact until the constant factorial weights: the
+    touch set is a 4-bit mask (one MAX per channel over the user's
+    pre-conversion events), v is a containment join of the 16-row mask
+    histogram against the 16-row coalition relation, and the efficiency
+    axiom Σφ = v(full) − v(∅) is emitted as a residual instead of assumed.
+
+    Scale: the data-scale half is the SAME one-scan user-keyed reduction
+    every attribution operator uses; the game algebra runs on 16-row
+    relations."""
+    if dialect == DUCKDB:
+        seq16 = "unnest(range(0, 16))"
+        seq4 = "unnest(range(0, 4))"
+    else:
+        seq16 = "explode(sequence(0, 15))"
+        seq4 = "explode(sequence(0, 3))"
+    us = epoch_us(dialect, "ts")
+    bit_cases = " + ".join(
+        f"{bit} * MAX(CASE WHEN event_type = '{ch}' THEN 1 ELSE 0 END)"
+        for ch, bit in _CH_BITS
+    )
+    ch_rows = " UNION ALL ".join(
+        f"SELECT '{ch}' AS channel, {bit} AS bit" for ch, bit in _CH_BITS
+    )
+    # |S|!(n-1-|S|)!/n! for n=4: sizes 0..3
+    w = ("CASE bit_count(v0.S) WHEN 0 THEN CAST(0.25 AS DOUBLE)"
+         " WHEN 1 THEN CAST(1 AS DOUBLE) / 12"
+         " WHEN 2 THEN CAST(1 AS DOUBLE) / 12"
+         " ELSE CAST(0.25 AS DOUBLE) END")  # decimal-literal division truncates at engine-specific scales
+    return f"""
+WITH fp AS (
+  SELECT user_id, MIN({us}) AS fp_us
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+masks AS (
+  SELECT e.user_id, {bit_cases} AS mask
+  FROM events e JOIN fp f ON e.user_id = f.user_id
+  WHERE {us} < f.fp_us AND e.event_type <> 'purchase'
+  GROUP BY e.user_id
+),
+mask_hist AS (
+  SELECT mask, COUNT(*) AS cnt FROM masks GROUP BY mask
+),
+coalitions AS (SELECT {seq16} AS S),
+v AS (
+  -- v(S): conversions whose touch set is CONTAINED in S
+  SELECT c.S, COALESCE(SUM(CASE WHEN (h.mask & c.S) = h.mask THEN h.cnt END), 0) AS val
+  FROM coalitions c LEFT JOIN mask_hist h ON 1 = 1
+  GROUP BY c.S
+),
+channels AS ({ch_rows}),
+contribs AS (
+  SELECT ch.channel,
+         CAST(ROUND(({w}) * (v1.val - v0.val), 12) AS DECIMAL(24,12)) AS term
+  FROM channels ch
+  JOIN v v0 ON (v0.S & ch.bit) = 0
+  JOIN v v1 ON v1.S = v0.S + ch.bit
+),
+phi AS (
+  SELECT channel, SUM(term) AS shapley FROM contribs GROUP BY channel
+),
+eff AS (
+  SELECT (SELECT val FROM v WHERE S = 15) - (SELECT val FROM v WHERE S = 0)
+           AS total_gain,
+         SUM(shapley) AS phi_sum
+  FROM phi
+)
+SELECT p.channel,
+       ROUND(CAST(p.shapley AS DOUBLE), 6) AS shapley_conversions,
+       ROUND(CAST(p.shapley AS DOUBLE)
+             / CAST(e.total_gain AS DOUBLE), 6) AS shapley_share,
+       CAST(e.total_gain AS BIGINT) AS total_conversions,
+       -- efficiency axiom residual: zero up to the 12-dp term quantization
+       ROUND(CAST(e.phi_sum AS DOUBLE) - CAST(e.total_gain AS DOUBLE), 6)
+         AS efficiency_residual
+FROM phi p JOIN eff e ON 1 = 1
+ORDER BY p.channel
+"""
+
+
+register(
+    "attribution_shapley",
+    oracle=_shapley_sql(DUCKDB),
+    doc="Exact Shapley-value attribution over the 4-channel coalition game "
+    "(v(S) = conversions with touch set contained in S): integer-exact "
+    "16-coalition evaluation, factorial-weighted exact sum, efficiency "
+    "axiom residual emitted",
+)(_runner(_shapley_sql(SPARK)))

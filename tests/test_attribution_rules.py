@@ -76,3 +76,35 @@ def test_both_models_conserve_total_credit(spark):
     for name in ("attribution_position_u", "attribution_time_decay"):
         out = load_all()[name].spark(spark, SF).toPandas()
         assert abs(out["credit"].sum() - n_conv) < 1e-4, name
+
+
+def test_shapley_matches_python_game(spark):
+    from itertools import combinations
+    from math import factorial
+
+    out = load_all()["attribution_shapley"].spark(spark, SF).toPandas()
+    t = _touches()
+    bits = {"click": 1, "view": 2, "error": 4, "signup": 8}
+    masks = t.groupby("user_id")["event_type"].apply(
+        lambda s: sum({bits[x] for x in s})
+    )
+    from collections import Counter
+    hist = Counter(masks)
+
+    def v(S):
+        return sum(c for m, c in hist.items() if (m & S) == m)
+
+    n = 4
+    for _, r in out.iterrows():
+        b = bits[r["channel"]]
+        phi = 0.0
+        for S in range(16):
+            if S & b:
+                continue
+            k = bin(S).count("1")
+            w = factorial(k) * factorial(n - 1 - k) / factorial(n)
+            phi += round(w * (v(S | b) - v(S)), 12)
+        assert abs(r["shapley_conversions"] - phi) < 1e-5
+    assert abs(out["efficiency_residual"].iloc[0]) < 1e-5
+    assert abs(out["shapley_conversions"].sum()
+               - out["total_conversions"].iloc[0]) < 1e-4
