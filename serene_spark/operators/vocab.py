@@ -381,3 +381,63 @@ register(
     "and reconstruction error in exact integer numerator space, measured "
     "against the step/2 bound round-to-nearest guarantees",
 )(_emb_query(embedding_sq8_audit_sql))
+
+
+# --- term burstiness (Church & Gale 1995) ------------------------------------
+
+BURST_TOP = 20
+BURST_MIN_DOCS = 10
+
+
+def term_burstiness_sql(dialect: str) -> str:
+    """Term burstiness: the variance-to-mean ratio (index of dispersion) of
+    a term's PER-DOCUMENT counts (Church & Gale, "Poisson mixtures", 1995).
+    A Poisson-scattered function word has VMR ~= 1; a topical term is BURSTY
+    (VMR >> 1: absent from most docs, dense in a few) — the signal keyword
+    extractors and stopword inducers split on.  Zero-count docs ENTER the
+    moments (a term's absence is data): with n_docs total documents and the
+    term present in df of them, Sigma x and Sigma x^2 over all docs equal
+    the sums over present docs, so no join against absent docs is needed —
+    only the corpus doc count.  Exact integer sums; the one division at the
+    edge.  Top-{BURST_TOP} burstiest terms with df >= {BURST_MIN_DOCS}."""
+    from serene_spark.operators.text_analysis import tokens_rel
+
+    return f"""
+WITH {tokens_rel(dialect)},
+n_docs AS {mat(dialect)}(SELECT COUNT(*) AS nd FROM documents),
+per_doc AS (
+  SELECT tok, doc_id, COUNT(*) AS c FROM tokens GROUP BY tok, doc_id
+),
+moments AS (
+  SELECT tok, COUNT(*) AS df, SUM(c) AS s,
+         SUM(CAST(c AS DECIMAL(19,0)) * c) AS q
+  FROM per_doc GROUP BY tok
+),
+scored AS (
+  SELECT m.tok, m.df, m.s,
+         -- mean and variance over ALL nd docs (zeros included)
+         CAST(m.s AS DOUBLE) / d.nd AS mean_c,
+         (CAST(m.q AS DOUBLE)
+          - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE) / d.nd) / (d.nd - 1)
+           AS var_c
+  FROM moments m JOIN n_docs d ON 1 = 1
+  WHERE m.df >= {BURST_MIN_DOCS}
+)
+SELECT tok AS term,
+       CAST(df AS BIGINT) AS doc_freq,
+       CAST(s AS BIGINT) AS total_count,
+       ROUND(mean_c, 6) AS mean_per_doc,
+       ROUND(var_c / mean_c, 6) AS burstiness_vmr
+FROM scored
+ORDER BY ROUND(var_c / mean_c, 6) DESC, term
+LIMIT {BURST_TOP}
+"""
+
+
+register(
+    "term_burstiness",
+    oracle=term_burstiness_sql(DUCKDB),
+    doc=f"Church-Gale term burstiness: variance-to-mean ratio of per-doc "
+    f"counts with zero-count docs entering the moments analytically (no "
+    f"absent-doc join); top-{BURST_TOP} burstiest terms",
+)(_docs_query(term_burstiness_sql))

@@ -170,3 +170,26 @@ def test_pmi_collocations_match_python(spark):
     for row, (neg_pmi, l, r, c) in zip(out, expect):
         assert (row["left_tok"], row["right_tok"], row["pair_count"]) == (l, r, c)
         assert abs(row["pmi"] - (-neg_pmi)) < 1e-5
+
+
+def test_term_burstiness_matches_python(spark):
+    out = load_all()["term_burstiness"].spark(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    per_doc: dict[str, list[int]] = {}
+    nd = len(docs)
+    for text in docs["text"]:
+        toks = [t for t in _re.split(r"[^a-z0-9]+", _re.sub(r"\s+", " ", text.lower()).strip()) if t]
+        for tok, c in Counter(toks).items():
+            per_doc.setdefault(tok, []).append(c)
+    scored = []
+    for tok, cs in per_doc.items():
+        if len(cs) < 10:
+            continue
+        s, q = sum(cs), sum(c * c for c in cs)
+        mean = s / nd
+        var = (q - s * s / nd) / (nd - 1)
+        scored.append((-round(var / mean, 6), tok, len(cs), s))
+    scored.sort()
+    for row, (neg, tok, df, s) in zip(out, scored):
+        assert (row["term"], row["doc_freq"], row["total_count"]) == (tok, df, s)
+        assert abs(row["burstiness_vmr"] - (-neg)) < 1e-5
