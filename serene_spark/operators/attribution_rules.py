@@ -23,7 +23,7 @@ materialized as an array.
 
 from __future__ import annotations
 
-from serene_spark.catalog import register_views
+from serene_spark.catalog import compose_with, register_views, run_materialized
 from serene_spark.functions.sqlgen import DUCKDB, SPARK, epoch_us
 from serene_spark.registry import register
 
@@ -124,8 +124,49 @@ register(
 
 # --- exact Shapley attribution (4-channel coalition game) --------------------
 
+# the game is hardcoded to these four channels end-to-end (sequence bounds,
+# factorial weights, the S=15 efficiency probe)
 _CH_BITS = (("click", 1), ("view", 2), ("error", 4), ("signup", 8))
-_N_CH = 4
+
+
+def _shapley_bases(dialect: str) -> list[tuple[str, str]]:
+    """The data-scale half (events -> 16-row v relation), MATERIALIZED:
+    the tail references v four times (contribs v0/v1 + two efficiency
+    scalar subqueries), and an inlined CTE would re-derive the events
+    scan per reference on both engines."""
+    from serene_spark.functions.sqlgen import mat
+
+    m = mat(dialect)
+    us = epoch_us(dialect, "ts")
+    if dialect == DUCKDB:
+        seq16 = "unnest(range(0, 16))"
+    else:
+        seq16 = "explode(sequence(0, 15))"
+    bit_cases = " + ".join(
+        f"{bit} * MAX(CASE WHEN event_type = '{ch}' THEN 1 ELSE 0 END)"
+        for ch, bit in _CH_BITS
+    )
+    body = f"""fp AS (
+  SELECT user_id, MIN({us}) AS fp_us
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+masks AS (
+  SELECT e.user_id, {bit_cases} AS mask
+  FROM events e JOIN fp f ON e.user_id = f.user_id
+  WHERE {us} < f.fp_us AND e.event_type <> 'purchase'
+  GROUP BY e.user_id
+),
+mask_hist AS (
+  SELECT mask, COUNT(*) AS cnt FROM masks GROUP BY mask
+),
+coalitions AS (SELECT {seq16} AS S),
+v AS {m}(
+  -- v(S): conversions whose touch set is CONTAINED in S
+  SELECT c.S, COALESCE(SUM(CASE WHEN (h.mask & c.S) = h.mask THEN h.cnt END), 0) AS val
+  FROM coalitions c LEFT JOIN mask_hist h ON 1 = 1
+  GROUP BY c.S
+)"""
+    return [("v", body)]
 
 
 def _shapley_sql(dialect: str) -> str:
@@ -145,17 +186,6 @@ def _shapley_sql(dialect: str) -> str:
     Scale: the data-scale half is the SAME one-scan user-keyed reduction
     every attribution operator uses; the game algebra runs on 16-row
     relations."""
-    if dialect == DUCKDB:
-        seq16 = "unnest(range(0, 16))"
-        seq4 = "unnest(range(0, 4))"
-    else:
-        seq16 = "explode(sequence(0, 15))"
-        seq4 = "explode(sequence(0, 3))"
-    us = epoch_us(dialect, "ts")
-    bit_cases = " + ".join(
-        f"{bit} * MAX(CASE WHEN event_type = '{ch}' THEN 1 ELSE 0 END)"
-        for ch, bit in _CH_BITS
-    )
     ch_rows = " UNION ALL ".join(
         f"SELECT '{ch}' AS channel, {bit} AS bit" for ch, bit in _CH_BITS
     )
@@ -165,27 +195,7 @@ def _shapley_sql(dialect: str) -> str:
          " WHEN 2 THEN CAST(1 AS DOUBLE) / 12"
          " ELSE CAST(0.25 AS DOUBLE) END")  # decimal-literal division truncates at engine-specific scales
     return f"""
-WITH fp AS (
-  SELECT user_id, MIN({us}) AS fp_us
-  FROM events WHERE event_type = 'purchase' GROUP BY user_id
-),
-masks AS (
-  SELECT e.user_id, {bit_cases} AS mask
-  FROM events e JOIN fp f ON e.user_id = f.user_id
-  WHERE {us} < f.fp_us AND e.event_type <> 'purchase'
-  GROUP BY e.user_id
-),
-mask_hist AS (
-  SELECT mask, COUNT(*) AS cnt FROM masks GROUP BY mask
-),
-coalitions AS (SELECT {seq16} AS S),
-v AS (
-  -- v(S): conversions whose touch set is CONTAINED in S
-  SELECT c.S, COALESCE(SUM(CASE WHEN (h.mask & c.S) = h.mask THEN h.cnt END), 0) AS val
-  FROM coalitions c LEFT JOIN mask_hist h ON 1 = 1
-  GROUP BY c.S
-),
-channels AS ({ch_rows}),
+WITH channels AS ({ch_rows}),
 contribs AS (
   SELECT ch.channel,
          CAST(ROUND(({w}) * (v1.val - v0.val), 12) AS DECIMAL(24,12)) AS term
@@ -217,9 +227,10 @@ ORDER BY p.channel
 
 register(
     "attribution_shapley",
-    oracle=_shapley_sql(DUCKDB),
+    oracle=compose_with(_shapley_bases(DUCKDB), _shapley_sql(DUCKDB)),
     doc="Exact Shapley-value attribution over the 4-channel coalition game "
     "(v(S) = conversions with touch set contained in S): integer-exact "
     "16-coalition evaluation, factorial-weighted exact sum, efficiency "
     "axiom residual emitted",
-)(_runner(_shapley_sql(SPARK)))
+)(lambda spark, sf_dir: run_materialized(
+    spark, sf_dir, ("events",), _shapley_bases(SPARK), _shapley_sql(SPARK)))

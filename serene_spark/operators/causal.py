@@ -114,10 +114,11 @@ strata AS (
   FROM cells
 ),
 pooled AS (
+  -- the WHERE already restricts to both-arm strata, so the weight sum
+  -- ranges over exactly the pooled rows
   SELECT CAST(SUM(CAST(ROUND(n_t * (mean_t - mean_c), 9) AS DECIMAL(24,9)))
               AS DOUBLE)
-           / SUM(CASE WHEN mean_t IS NOT NULL AND mean_c IS NOT NULL
-                 THEN n_t ELSE 0 END) AS att
+           / SUM(n_t) AS att
   FROM strata WHERE mean_t IS NOT NULL AND mean_c IS NOT NULL
 ),
 naive AS (

@@ -209,7 +209,6 @@ def er_fellegi_sunter_sql(dialect: str) -> str:
         if dialect == DUCKDB
         else "__er_jaro(d.d_name, c.c_name_norm)"
     )
-    log2 = "log2" if dialect == SPARK else "log2"
     return f"""
 WITH {dirty_rel(dialect)},
 {clean_rel(dialect)},
@@ -240,29 +239,29 @@ weighted AS (
          -- per-field log2 likelihood ratios; NULL when an arm is degenerate
          (CASE WHEN p.g_name = 1 THEN
             CASE WHEN m.a_name_u > 0 AND m.a_name_m > 0 THEN
-              {log2}((CAST(m.a_name_m AS DOUBLE) / m.n_m)
+              log2((CAST(m.a_name_m AS DOUBLE) / m.n_m)
                      / (CAST(m.a_name_u AS DOUBLE) / m.n_u)) END
           ELSE
             CASE WHEN m.n_u > m.a_name_u AND m.n_m > m.a_name_m THEN
-              {log2}((CAST(m.n_m - m.a_name_m AS DOUBLE) / m.n_m)
+              log2((CAST(m.n_m - m.a_name_m AS DOUBLE) / m.n_m)
                      / (CAST(m.n_u - m.a_name_u AS DOUBLE) / m.n_u)) END
           END)
          + (CASE WHEN p.g_bal = 1 THEN
               CASE WHEN m.a_bal_u > 0 AND m.a_bal_m > 0 THEN
-                {log2}((CAST(m.a_bal_m AS DOUBLE) / m.n_m)
+                log2((CAST(m.a_bal_m AS DOUBLE) / m.n_m)
                        / (CAST(m.a_bal_u AS DOUBLE) / m.n_u)) END
             ELSE
               CASE WHEN m.n_u > m.a_bal_u AND m.n_m > m.a_bal_m THEN
-                {log2}((CAST(m.n_m - m.a_bal_m AS DOUBLE) / m.n_m)
+                log2((CAST(m.n_m - m.a_bal_m AS DOUBLE) / m.n_m)
                        / (CAST(m.n_u - m.a_bal_u AS DOUBLE) / m.n_u)) END
             END)
          + (CASE WHEN p.g_seg = 1 THEN
               CASE WHEN m.a_seg_u > 0 AND m.a_seg_m > 0 THEN
-                {log2}((CAST(m.a_seg_m AS DOUBLE) / m.n_m)
+                log2((CAST(m.a_seg_m AS DOUBLE) / m.n_m)
                        / (CAST(m.a_seg_u AS DOUBLE) / m.n_u)) END
             ELSE
               CASE WHEN m.n_u > m.a_seg_u AND m.n_m > m.a_seg_m THEN
-                {log2}((CAST(m.n_m - m.a_seg_m AS DOUBLE) / m.n_m)
+                log2((CAST(m.n_m - m.a_seg_m AS DOUBLE) / m.n_m)
                        / (CAST(m.n_u - m.a_seg_u AS DOUBLE) / m.n_u)) END
             END) AS fs_weight
   FROM patterns p JOIN mu m ON 1 = 1

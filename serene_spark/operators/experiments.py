@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from serene_spark.catalog import compose_with, register_views, run_materialized
-from serene_spark.functions.sqlgen import DUCKDB, SPARK, epoch_s, epoch_us, hex_to_int, idiv
+from serene_spark.functions.sqlgen import DUCKDB, SPARK, epoch_s, epoch_us, explode_seq, hex_to_int, idiv
 from serene_spark.registry import register
 
 HOUR_US = 3600 * 1_000_000
@@ -496,6 +496,7 @@ def msprt_sql(dialect: str) -> str:
         f"{hex_to_int(dialect, f'substr(md5(CAST(user_id AS {str_t})), 1, 8)')} % 2"
     )
     v = "CAST(value AS DECIMAL(18,2))"
+    spine_days = explode_seq(dialect, "(SELECT d0 FROM bounds)", "(SELECT d1 FROM bounds)")
     return f"""
 WITH daily AS (
   SELECT {day} AS day, {variant} AS arm,
@@ -503,15 +504,28 @@ WITH daily AS (
   FROM events WHERE value IS NOT NULL
   GROUP BY {day}, {variant}
 ),
+-- zero-filled (day x arm) spine: a day on which one arm is quiet must
+-- STILL emit a monitor row (its cumulative history is unchanged, not
+-- absent) — otherwise that day's lambda never enters the running max and
+-- a rejection is delayed
+bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+spine AS (
+  SELECT d.day, a.arm
+  FROM (SELECT {spine_days} AS day FROM bounds) d
+  CROSS JOIN (SELECT 0 AS arm UNION ALL SELECT 1) a
+),
+filled AS (
+  SELECT sp.day, sp.arm,
+         COALESCE(dl.n, 0) AS n, dl.s, dl.q
+  FROM spine sp LEFT JOIN daily dl ON sp.day = dl.day AND sp.arm = dl.arm
+),
 cum AS (
   SELECT day, arm,
          SUM(n) OVER (PARTITION BY arm ORDER BY day) AS n,
          SUM(s) OVER (PARTITION BY arm ORDER BY day) AS s,
          SUM(q) OVER (PARTITION BY arm ORDER BY day) AS q
-  FROM daily
+  FROM filled
 ),
--- align arms on the day spine (an arm may be missing on sparse days:
--- carry nothing — only days where BOTH arms have history are testable)
 paired AS (
   SELECT a.day,
          a.n AS n_a, CAST(a.s AS DOUBLE) AS s_a, CAST(a.q AS DOUBLE) AS q_a,

@@ -2,24 +2,24 @@
 the weekly revenue growth-accounting decomposition.
 
 * ``littles_law_orders`` — the queueing identity L = λ·W (Little 1961)
-  CHECKED on the order flow: L = time-averaged work-in-progress (orders
-  open between orderdate and their last lineitem shipment, averaged over
-  the observation days via the sweep-line +1/−1 trick —
-  order_backlog_daily's shape), λ = arrivals per day, W = mean time in
-  system.  The identity holds exactly for a complete observation window;
-  edge truncation (orders open at the window ends) perturbs it, so the
-  operator emits L, λ·W and their relative gap — an internal-consistency
-  audit of three independently-computed pipeline metrics.
+  CHECKED on the order flow: L = time-averaged work-in-progress computed
+  via the sweep-line +1/−1 daily WIP series (order_backlog_daily's shape
+  — an INDEPENDENT path from the duration sums), λ = arrivals per day,
+  W = mean time in system from per-order durations.  For a complete
+  observation window the identity holds exactly, and because the two
+  sides come from different computations the emitted gap is a real
+  consistency check (a broken sweep or corrupted intervals would surface
+  here), not an algebraic tautology.
 * ``growth_accounting_weekly`` — the SaaS growth-accounting ledger over
   user purchase revenue by week: NEW (first-ever week), RESURRECTED
-  (returned after an absent month), EXPANSION/CONTRACTION (same users
+  (returned after an absent week), EXPANSION/CONTRACTION (same users
   spending more/less than last week), CHURNED (last week's spenders
   gone).  Conservation law: MRR(t) = MRR(t−1) + new + resurrected +
   expansion − contraction − churned, which the output carries as an
   emitted residual (exact decimals — the residual is exactly zero).
 
 Scale: Little's law is two keyed aggs + a 2-row-per-order sweep;
-growth accounting is one (user, month) agg then a user-keyed LAG window
+growth accounting is one (user, week) agg then a user-keyed LAG window
 over the user-week relation, then a week agg.  No data-scale windows.
 """
 
@@ -42,28 +42,52 @@ def _little_bases(dialect: str) -> list[tuple[str, str]]:
 
 
 def _little_tail(dialect: str) -> str:
+    """L is computed INDEPENDENTLY of lambda*W: the sweep-line +1/-1 daily
+    WIP series (two delta rows per order, cumulative over the day index,
+    day-weighted mean) — so the identity gap is a real consistency check
+    between two different computations of the same quantity, not an
+    algebraic tautology.  For a complete observation window the two agree
+    exactly; corrupted intervals or a broken sweep would surface here."""
     return """
 WITH bounds AS (
   SELECT MIN(s) AS d0, MAX(e) AS d1, COUNT(*) AS n_orders,
          SUM(CAST(e - s + 1 AS DECIMAL(18,0))) AS total_days_in_system
   FROM iv
+),
+deltas AS (
+  SELECT s AS day, 1 AS delta FROM iv
+  UNION ALL
+  SELECT e + 1 AS day, -1 AS delta FROM iv
+),
+daily AS (
+  SELECT day, SUM(delta) AS d FROM deltas GROUP BY day
+),
+wip AS (
+  -- WIP level holds from this day until the NEXT delta day
+  SELECT day,
+         SUM(d) OVER (ORDER BY day) AS level,
+         LEAD(day) OVER (ORDER BY day) AS next_day
+  FROM daily
+),
+l_sweep AS (
+  SELECT SUM(CAST(level AS DECIMAL(18,0))
+             * (COALESCE(next_day, day + 1) - day)) AS wip_days
+  FROM wip
 )
-SELECT CAST(n_orders AS BIGINT) AS n_orders,
-       CAST(d1 - d0 + 1 AS BIGINT) AS window_days,
-       -- L: time-averaged WIP = total order-days / window days
-       ROUND(CAST(total_days_in_system AS DOUBLE) / (d1 - d0 + 1), 6) AS l_avg_wip,
-       -- lambda: arrivals per day
-       ROUND(CAST(n_orders AS DOUBLE) / (d1 - d0 + 1), 6) AS lambda_per_day,
-       -- W: mean days in system
-       ROUND(CAST(total_days_in_system AS DOUBLE) / n_orders, 6) AS w_mean_days,
-       -- lambda * W (= L exactly for this complete-window construction)
-       ROUND(CAST(n_orders AS DOUBLE) / (d1 - d0 + 1)
-             * CAST(total_days_in_system AS DOUBLE) / n_orders, 6) AS lambda_w,
-       ROUND(CAST(total_days_in_system AS DOUBLE) / (d1 - d0 + 1)
-             - CAST(n_orders AS DOUBLE) / (d1 - d0 + 1)
-               * CAST(total_days_in_system AS DOUBLE) / n_orders, 6)
+SELECT CAST(b.n_orders AS BIGINT) AS n_orders,
+       CAST(b.d1 - b.d0 + 1 AS BIGINT) AS window_days,
+       -- L via the sweep-line WIP series (independent computation)
+       ROUND(CAST(l.wip_days AS DOUBLE) / (b.d1 - b.d0 + 1), 6) AS l_avg_wip,
+       ROUND(CAST(b.n_orders AS DOUBLE) / (b.d1 - b.d0 + 1), 6) AS lambda_per_day,
+       ROUND(CAST(b.total_days_in_system AS DOUBLE) / b.n_orders, 6) AS w_mean_days,
+       -- lambda * W via the per-order duration sums
+       ROUND(CAST(b.n_orders AS DOUBLE) / (b.d1 - b.d0 + 1)
+             * CAST(b.total_days_in_system AS DOUBLE) / b.n_orders, 6) AS lambda_w,
+       ROUND(CAST(l.wip_days AS DOUBLE) / (b.d1 - b.d0 + 1)
+             - CAST(b.n_orders AS DOUBLE) / (b.d1 - b.d0 + 1)
+               * CAST(b.total_days_in_system AS DOUBLE) / b.n_orders, 6)
          AS identity_gap
-FROM bounds
+FROM bounds b JOIN l_sweep l ON 1 = 1
 """
 
 
@@ -80,14 +104,14 @@ register(
 def _growth_sql(dialect: str) -> str:
     # the event corpus spans ~1 calendar month -> the monthly ledger is a
     # single degenerate row; WEEKS give a real multi-period ledger
-    us_month = idiv(dialect, f"({epoch_s(dialect, 'ts')})", 86400 * 7)
+    wk = idiv(dialect, f"({epoch_s(dialect, 'ts')})", 86400 * 7)
     z = "CAST(0 AS DECIMAL(18,2))"
     return f"""
 WITH um AS (
-  SELECT user_id, {us_month} AS m,
+  SELECT user_id, {wk} AS m,
          SUM(CAST(value AS DECIMAL(18,2))) AS rev
   FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
-  GROUP BY user_id, {us_month}
+  GROUP BY user_id, {wk}
 ),
 lagged AS (
   SELECT user_id, m, rev,
@@ -95,8 +119,8 @@ lagged AS (
          LAG(rev) OVER (PARTITION BY user_id ORDER BY m) AS prev_rev
   FROM um
 ),
--- churn rows: a user's revenue VANISHING in month m+1 (one synthetic row
--- per user-month with no successor month)
+-- churn rows: a user's revenue VANISHING in week m+1 (one synthetic row
+-- per user-week with no successor week)
 flows AS (
   SELECT m,
          CASE WHEN prev_m IS NULL THEN rev ELSE {z} END AS new_rev,

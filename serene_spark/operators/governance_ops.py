@@ -13,12 +13,14 @@ owes its operators.
   gate is re-derived from the SAME text_quality expression the filter
   uses.
 * ``slo_burn_rate`` — multi-window error-budget burn (the SRE workbook
-  alerting pattern): with SLO = {SLO_TARGET} non-error share, the burn
-  rate of a window is (error share)/(1 − SLO); the standard page fires
-  when BOTH the long and short window burn above threshold
-  (14.4× over 1h AND 6× over 6h here, scaled to the corpus's hourly
-  spine).  Emits per-hour short/long burn rates and the joint alert
-  flag.  Zero-filled hour spine so quiet hours read burn 0, not a gap.
+  alerting pattern): with SLO = 0.93 non-error share, the burn rate of a
+  window is (error share)/(1 − SLO); the page fires when BOTH windows
+  burn above threshold — here 2.0× over 1h AND 1.5× over 6h (the
+  workbook's canonical 14.4×/6× pair assumes a 99.9 % SLO and month-long
+  budgets; these are scaled to the synthetic corpus's 7 % error base
+  rate and 30-day span).  Emits per-hour short/long burn rates and the
+  joint alert flag.  Zero-filled hour spine so quiet hours read burn 0,
+  not a gap.
 
 Scale: fairness is one scan + constant-key agg; burn-rate is one scan →
 hourly agg → two running-window sums over the HOUR-cardinality spine.

@@ -20,19 +20,25 @@ data.
 
 from __future__ import annotations
 
-from serene_spark.catalog import register_views
+from serene_spark.catalog import compose_with, run_materialized
 from serene_spark.functions.sqlgen import DUCKDB, SPARK, mat
 from serene_spark.registry import register
 
 
-def _spearman_sql(dialect: str) -> str:
+def _spearman_bases(dialect: str) -> list[tuple[str, str]]:
+    """rows_xy is referenced THREE times (both histograms + the rank
+    join-back); materialized so the fact scan happens once instead of
+    being inlined per reference."""
     x = "CAST(l_quantity AS DECIMAL(18,2))"
     y = "CAST(l_extendedprice AS DECIMAL(18,2))"
-    return f"""
-WITH rows_xy AS (
+    return [("rows_xy", f"""rows_xy AS {mat(dialect)}(
   SELECT {x} AS x, {y} AS y FROM lineitem
-),
-hx AS (
+)""")]
+
+
+def _spearman_sql(dialect: str) -> str:
+    return f"""
+WITH hx AS (
   SELECT x, COUNT(*) AS c FROM rows_xy GROUP BY x
 ),
 rx AS (
@@ -70,11 +76,9 @@ FROM m
 
 register(
     "spearman_qty_price",
-    oracle=_spearman_sql(DUCKDB),
+    oracle=compose_with(_spearman_bases(DUCKDB), _spearman_sql(DUCKDB)),
     doc="Spearman rank correlation of quantity vs extendedprice with exact "
     "integer-arithmetic tie midranks from value histograms (never "
     "RANK/NTILE tie conventions); exact decimal rank moments",
-)(lambda spark, sf_dir: (
-    register_views(spark, sf_dir, ("lineitem",)),
-    spark.sql(_spearman_sql(SPARK)),
-)[1])
+)(lambda spark, sf_dir: run_materialized(
+    spark, sf_dir, ("lineitem",), _spearman_bases(SPARK), _spearman_sql(SPARK)))

@@ -19,7 +19,7 @@ the engine-wide exact-quantile shape.
 
 from __future__ import annotations
 
-from serene_spark.catalog import register_views
+from serene_spark.catalog import compose_with, run_materialized
 from serene_spark.functions.sqlgen import DUCKDB, SPARK, mat
 from serene_spark.registry import register
 
@@ -27,21 +27,26 @@ SIDE_A = "click"
 SIDE_B = "purchase"
 
 
-def _w1_sql(dialect: str) -> str:
+def _w1_bases(dialect: str) -> list[tuple[str, str]]:
+    """hist is referenced twice (totals + CDF); materialized so the events
+    scan runs once instead of being inlined per reference."""
     v = "CAST(value AS DECIMAL(18,2))"
-    return f"""
-WITH sides AS (
+    return [("hist", f"""sides AS (
   SELECT CASE WHEN event_type = '{SIDE_A}' THEN 'a' ELSE 'b' END AS side, {v} AS v
   FROM events
   WHERE event_type IN ('{SIDE_A}', '{SIDE_B}') AND value IS NOT NULL
 ),
-hist AS (
+hist AS {mat(dialect)}(
   SELECT v,
          SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS ca,
          SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS cb
   FROM sides GROUP BY v
-),
-tot AS {mat(dialect)}(SELECT SUM(ca) AS na, SUM(cb) AS nb FROM hist),
+)""")]
+
+
+def _w1_sql(dialect: str) -> str:
+    return f"""
+WITH tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM hist),
 cdf AS (
   SELECT v,
          SUM(ca) OVER (ORDER BY v) AS cum_a,
@@ -66,12 +71,10 @@ FROM tot t
 
 register(
     "wasserstein_value_dist",
-    oracle=_w1_sql(DUCKDB),
+    oracle=compose_with(_w1_bases(DUCKDB), _w1_sql(DUCKDB)),
     doc=f"Exact 1-D Wasserstein-1 distance between {SIDE_A} and {SIDE_B} "
     "value distributions: closed-form CDF-gap integral over consecutive "
     "distinct values — binless drift in the value's own units; "
     "12-dp-quantized decimal segment sums",
-)(lambda spark, sf_dir: (
-    register_views(spark, sf_dir, ("events",)),
-    spark.sql(_w1_sql(SPARK)),
-)[1])
+)(lambda spark, sf_dir: run_materialized(
+    spark, sf_dir, ("events",), _w1_bases(SPARK), _w1_sql(SPARK)))
