@@ -605,3 +605,59 @@ register(
     "confusion matrix, per-class recall shares, overall accuracy — "
     "the measured-error convention applied to the text classifier",
 )(_sql_query(langid_confusion_sql))
+
+
+def tokenizer_fertility_sql(dialect: str) -> str:
+    """Per-language tokenizer-fertility audit — the multilingual training
+    cost table: chars per whitespace token (word length), BPE-ish subword
+    tokens per word via the bpe_token_estimate regex convention, subwords
+    per 100 chars, and each language's fertility RATIO to the corpus's
+    cheapest language.  Languages whose text fragments into more subwords
+    per character pay more sequence length for the same content — the
+    effect behind multilingual token-budget skew (and the quantitative
+    companion of fairness_quality_by_lang's selection-rate audit).  Exact
+    integer counts; divisions at the edge.
+
+    Scale: one scan -> per-language sums (constant keys)."""
+    subword = re_extract_all_count(
+        dialect, "text", "[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9 \\t\\n\\r]"
+    )
+    words = re_extract_all_count(dialect, "text", "[A-Za-z0-9]+")
+    return f"""
+WITH per_doc AS (
+  SELECT lang,
+         length(text) AS n_chars,
+         {words} AS n_words,
+         {subword} AS n_subwords
+  FROM documents
+),
+per_lang AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         SUM(n_chars) AS chars, SUM(n_words) AS words,
+         SUM(n_subwords) AS subwords
+  FROM per_doc GROUP BY lang
+),
+best AS (
+  SELECT MIN(CAST(subwords AS DOUBLE) / chars) AS cheapest FROM per_lang
+)
+SELECT p.lang,
+       CAST(p.n_docs AS BIGINT) AS n_docs,
+       CAST(p.words AS BIGINT) AS n_words,
+       CAST(p.subwords AS BIGINT) AS n_subwords,
+       ROUND(CAST(p.chars AS DOUBLE) / p.words, 6) AS chars_per_word,
+       ROUND(CAST(p.subwords AS DOUBLE) / p.words, 6) AS fertility,
+       ROUND(100.0 * p.subwords / p.chars, 6) AS subwords_per_100_chars,
+       ROUND(CAST(p.subwords AS DOUBLE) / p.chars / b.cheapest, 6)
+         AS cost_ratio_vs_cheapest
+FROM per_lang p JOIN best b ON 1 = 1
+ORDER BY p.lang
+"""
+
+
+register(
+    "tokenizer_fertility_by_lang",
+    oracle=tokenizer_fertility_sql(DUCKDB),
+    doc="Per-language tokenizer fertility: subword tokens per word, "
+    "subwords per 100 chars, and each language's token-cost ratio vs the "
+    "corpus's cheapest — the multilingual budget-skew table",
+)(_sql_query(tokenizer_fertility_sql))

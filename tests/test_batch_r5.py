@@ -667,3 +667,24 @@ def test_fe_within_matches_numpy(spark):
     assert abs(out["beta_pooled"] - beta_p) < max(1e-3, abs(beta_p) * 1e-4)
     assert abs(out["r2_within"] - r2_w) < 1e-5
     assert abs(out["heterogeneity_bias"] - (beta_w - beta_p)) < 2e-3
+
+
+def test_fertility_matches_python(spark):
+    import re as _re
+
+    out = load_all()["tokenizer_fertility_by_lang"].spark(spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    sub_re = _re.compile(r"[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9 \t\n\r]")
+    word_re = _re.compile(r"[A-Za-z0-9]+")
+    agg = {}
+    for _, d in docs.iterrows():
+        c, w, sw = len(d.text), len(word_re.findall(d.text)), len(sub_re.findall(d.text))
+        a = agg.setdefault(d.lang, [0, 0, 0, 0])
+        a[0] += 1; a[1] += c; a[2] += w; a[3] += sw
+    cheapest = min(a[3] / a[1] for a in agg.values())
+    for _, r in out.iterrows():
+        n, c, w, sw = agg[r["lang"]]
+        assert (r["n_docs"], r["n_words"], r["n_subwords"]) == (n, w, sw)
+        assert abs(r["fertility"] - sw / w) < 1e-6
+        assert abs(r["cost_ratio_vs_cheapest"] - (sw / c) / cheapest) < 1e-6
+    assert (out["cost_ratio_vs_cheapest"] >= 1 - 1e-9).all()
