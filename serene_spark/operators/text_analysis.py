@@ -646,7 +646,7 @@ SELECT p.lang,
        CAST(p.subwords AS BIGINT) AS n_subwords,
        ROUND(CAST(p.chars AS DOUBLE) / p.words, 6) AS chars_per_word,
        ROUND(CAST(p.subwords AS DOUBLE) / p.words, 6) AS fertility,
-       ROUND(100.0 * p.subwords / p.chars, 6) AS subwords_per_100_chars,
+       ROUND(CAST(100 AS DOUBLE) * p.subwords / p.chars, 6) AS subwords_per_100_chars,
        ROUND(CAST(p.subwords AS DOUBLE) / p.chars / b.cheapest, 6)
          AS cost_ratio_vs_cheapest
 FROM per_lang p JOIN best b ON 1 = 1
