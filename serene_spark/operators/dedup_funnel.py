@@ -1,0 +1,92 @@
+"""Dedup funnel accounting — "what did each dedup tier buy, per source":
+the table a curation run prints before committing to a corpus mix.
+
+``dedup_funnel_report``: per source, document and word-token counts at
+three stages —
+
+1. RAW — everything ingested;
+2. EXACT — keep-first (min doc_id) per normalized-text hash, the
+   ``dedup_exact`` rule verbatim (same ``norm_expr``);
+3. NEAR-DUP — exact survivors minus the higher-id member of every
+   VERIFIED LSH pair (the ``dedup_lsh_verified`` pipeline: banded
+   candidates, exact shingle-Jaccard ≥ 0.2).  Pair-level keep-first is
+   the deterministic greedy form; the cluster-canonical variant lives in
+   ``dedup_canonical_select`` — this report measures budget, and for
+   budget the pair rule upper-bounds the removable mass per pair chain.
+
+Emits per stage the kept-token percentage so the funnel reads directly
+as a budget statement.  Token counts are the regex word convention
+(token_stats); all counts exact integers.
+
+Scale: the verified-pair relation is the materialized LSH pipeline
+(never all-pairs); the funnel itself is three semi/anti joins + one
+source-keyed agg.
+"""
+
+from __future__ import annotations
+
+from serene_spark.catalog import compose_with, run_materialized
+from serene_spark.functions.sqlgen import DUCKDB, SPARK, mat, re_extract_all_count
+from serene_spark.operators.dedup import minhash_rel, norm_expr, verified_body
+from serene_spark.registry import register
+
+
+def _bases(dialect: str) -> list[tuple[str, str]]:
+    m = mat(dialect)
+    # verified_body is "<ctes>\nSELECT ..." — wrap its final SELECT as the
+    # pairs CTE so the whole verified-LSH pipeline materializes once
+    vb = verified_body(dialect, "mh", "shingles")
+    ctes, select = vb.rsplit("SELECT m.d1 AS doc_id_1", 1)
+    pairs_body = (
+        f"{minhash_rel(dialect)},\n{ctes.rstrip()},\n"
+        f"pairs AS {m}(SELECT m.d1 AS doc_id_1{select})"
+    )
+    words = re_extract_all_count(dialect, "text", "[A-Za-z0-9]+")
+    tok_body = f"""tok AS {m}(
+  SELECT doc_id, source, {words} AS n_tok,
+         md5({norm_expr(dialect)}) AS text_hash
+  FROM documents
+)"""
+    return [("tok", tok_body), ("pairs", pairs_body)]
+
+
+def _tail(dialect: str) -> str:
+    return """
+WITH keep_exact AS (
+  SELECT MIN(doc_id) AS doc_id FROM tok GROUP BY text_hash
+),
+near_drop AS (
+  SELECT DISTINCT doc_id_2 AS doc_id FROM pairs
+),
+staged AS (
+  SELECT t.source, t.n_tok,
+         CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS s_exact,
+         CASE WHEN k.doc_id IS NOT NULL AND d.doc_id IS NULL THEN 1 ELSE 0 END
+           AS s_near
+  FROM tok t
+  LEFT JOIN keep_exact k ON t.doc_id = k.doc_id
+  LEFT JOIN near_drop d ON t.doc_id = d.doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS docs_raw,
+       CAST(SUM(n_tok) AS BIGINT) AS tokens_raw,
+       CAST(SUM(s_exact) AS BIGINT) AS docs_exact,
+       CAST(SUM(s_exact * n_tok) AS BIGINT) AS tokens_exact,
+       CAST(SUM(s_near) AS BIGINT) AS docs_neardup,
+       CAST(SUM(s_near * n_tok) AS BIGINT) AS tokens_neardup,
+       ROUND(CAST(SUM(s_near * n_tok) AS DOUBLE) / SUM(n_tok), 6)
+         AS pct_tokens_kept
+FROM staged
+GROUP BY source
+ORDER BY source
+"""
+
+
+register(
+    "dedup_funnel_report",
+    oracle=compose_with(_bases(DUCKDB), _tail(DUCKDB)),
+    doc="Per-source dedup funnel: raw -> exact keep-first -> verified-LSH "
+    "pair keep-first, doc and word-token counts per stage + kept-token "
+    "share — the budget table a curation run prints before mixing",
+)(lambda spark, sf_dir: run_materialized(
+    spark, sf_dir, ("documents",), _bases(SPARK), _tail(SPARK), spread=True))

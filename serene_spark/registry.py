@@ -124,6 +124,7 @@ def load_all() -> dict[str, Query]:
         "serene_spark.operators.governance_ops",
         "serene_spark.operators.flow_metrics",
         "serene_spark.operators.panel",
+        "serene_spark.operators.dedup_funnel",
         "serene_spark.modeler.octopus",
         "serene_spark.modeler.report_fixture",
         "serene_spark.modeler.museum",

@@ -688,3 +688,23 @@ def test_fertility_matches_python(spark):
         assert abs(r["fertility"] - sw / w) < 1e-6
         assert abs(r["cost_ratio_vs_cheapest"] - (sw / c) / cheapest) < 1e-6
     assert (out["cost_ratio_vs_cheapest"] >= 1 - 1e-9).all()
+
+
+def test_dedup_funnel_consistency(spark):
+    out = load_all()["dedup_funnel_report"].spark(spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    # stage monotonicity + totals
+    assert out["docs_raw"].sum() == len(docs)
+    assert (out["docs_exact"] <= out["docs_raw"]).all()
+    assert (out["docs_neardup"] <= out["docs_exact"]).all()
+    assert (out["tokens_neardup"] <= out["tokens_exact"]).all()
+    assert ((out["pct_tokens_kept"] > 0) & (out["pct_tokens_kept"] <= 1)).all()
+    # exact stage matches the dedup_exact operator's keeper count
+    exact = load_all()["dedup_exact"].spark(spark, SF).toPandas()
+    assert out["docs_exact"].sum() == len(exact)
+    # near-dup stage drops exactly the distinct higher-id pair members that
+    # survived exact dedup
+    pairs = load_all()["dedup_lsh_verified"].spark(spark, SF).toPandas()
+    keepers = set(exact["keeper_doc_id"])
+    dropped = {d for d in set(pairs["doc_id_2"]) if d in keepers}
+    assert out["docs_exact"].sum() - out["docs_neardup"].sum() == len(dropped)
