@@ -125,6 +125,7 @@ def load_all() -> dict[str, Query]:
         "serene_spark.operators.flow_metrics",
         "serene_spark.operators.panel",
         "serene_spark.operators.dedup_funnel",
+        "serene_spark.operators.ops_research",
         "serene_spark.modeler.octopus",
         "serene_spark.modeler.report_fixture",
         "serene_spark.modeler.museum",

@@ -729,3 +729,48 @@ def test_sorted_neighborhood_recall_and_reduction(spark):
     assert out["candidate_fraction_of_all_pairs"] < 0.2
     assert out["n_candidates"] >= out["true_matches_found"] > 0
     assert 0 < out["recall"] <= 1
+
+
+def test_newsvendor_matches_numpy(spark):
+    out = load_all()["newsvendor_stock_level"].spark(spark, SF).toPandas().iloc[0]
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    days = (pd.to_datetime(o.o_orderdate) - pd.Timestamp(0)).dt.days
+    demand = days.value_counts().sort_index()
+    n = len(demand)
+    frac = 3.0 / 4.0
+    vals = np.sort(demand.to_numpy())
+    stock = vals[int(np.ceil(frac * n)) - 1]
+    under = np.maximum(vals - stock, 0).sum() / n
+    over = np.maximum(stock - vals, 0).sum() / n
+    assert out["n_days"] == n
+    assert out["stock_level"] == stock
+    assert abs(out["exp_underage_units"] - under) < 1e-6
+    assert abs(out["exp_overage_units"] - over) < 1e-6
+    assert abs(out["exp_daily_cost"] - (3 * under + over)) < 1e-5
+
+
+def test_retention_wilson_matches_python(spark):
+    import math
+
+    out = load_all()["retention_wilson"].spark(spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev[ev.event_type == "purchase"]
+    sec = (pd.to_datetime(ev.ts) - pd.Timestamp(0)) // pd.Timedelta(seconds=1)
+    uw = pd.DataFrame({"u": ev.user_id, "w": sec // (86400 * 7)}).drop_duplicates()
+    cohort = uw.groupby("u")["w"].min()
+    wmax = uw.w.max()
+    z = 1.959964
+    for _, r in out.iterrows():
+        c = r["cohort_week"]
+        assert c < wmax
+        users = cohort[cohort == c].index
+        retained = sum(((uw.u == u) & (uw.w == c + 1)).any() for u in users)
+        n = len(users)
+        assert (r["n_cohort"], r["retained"]) == (n, retained)
+        p = retained / n
+        center = p + z * z / (2 * n)
+        half = z * math.sqrt((p * (1 - p) + z * z / (4 * n)) / n)
+        denom = 1 + z * z / n
+        assert abs(r["wilson_lo"] - (center - half) / denom) < 1e-6
+        assert abs(r["wilson_hi"] - (center + half) / denom) < 1e-6
+        assert r["wilson_lo"] <= r["retention_rate"] <= r["wilson_hi"]
