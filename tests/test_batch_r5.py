@@ -774,3 +774,35 @@ def test_retention_wilson_matches_python(spark):
         assert abs(r["wilson_lo"] - (center - half) / denom) < 1e-6
         assert abs(r["wilson_hi"] - (center + half) / denom) < 1e-6
         assert r["wilson_lo"] <= r["retention_rate"] <= r["wilson_hi"]
+
+
+def test_qte_matches_numpy(spark):
+    import hashlib
+
+    out = load_all()["qte_deciles"].spark(spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev[ev.value.notna()].copy()
+    ev["arm"] = [int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+                 for u in ev.user_id]
+    ev["v"] = ev.value.round(2)
+    a = np.sort(ev.loc[ev.arm == 0, "v"].to_numpy())
+    b = np.sort(ev.loc[ev.arm == 1, "v"].to_numpy())
+    assert len(out) == 9
+    for _, r in out.iterrows():
+        q = r["quantile_q"]
+        qa = a[int(np.ceil(q * len(a))) - 1]
+        qb = b[int(np.ceil(q * len(b))) - 1]
+        assert abs(r["q_arm0"] - qa) < 1e-6
+        assert abs(r["q_arm1"] - qb) < 1e-6
+        assert abs(r["qte"] - (qb - qa)) < 1e-6
+
+
+def test_logit_calibration_consistency(spark):
+    out = load_all()["logit_calibration_bins"].spark(spark, SF).toPandas()
+    # bins partition the session relation; rates within [0,1]; the global
+    # Brier score is the n-weighted mean of bin contributions
+    assert out["n"].sum() > 0
+    assert ((out["observed_rate"] >= 0) & (out["observed_rate"] <= 1)).all()
+    assert ((out["mean_predicted"] >= 0) & (out["mean_predicted"] <= 1)).all()
+    brier = (out["brier_contribution"] * out["n"]).sum() / out["n"].sum()
+    assert 0 <= brier <= 0.25 + 1e-9  # a fitted model beats the coin
