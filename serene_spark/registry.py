@@ -127,6 +127,7 @@ def load_all() -> dict[str, Query]:
         "serene_spark.operators.dedup_funnel",
         "serene_spark.operators.ops_research",
         "serene_spark.operators.qte",
+        "serene_spark.operators.cuped",
         "serene_spark.modeler.octopus",
         "serene_spark.modeler.report_fixture",
         "serene_spark.modeler.museum",

@@ -806,3 +806,52 @@ def test_logit_calibration_consistency(spark):
     assert ((out["mean_predicted"] >= 0) & (out["mean_predicted"] <= 1)).all()
     brier = (out["brier_contribution"] * out["n"]).sum() / out["n"].sum()
     assert 0 <= brier <= 0.25 + 1e-9  # a fitted model beats the coin
+
+
+def test_cuped_matches_numpy(spark):
+    import hashlib
+
+    out = load_all()["ab_cuped_adjusted"].spark(spark, SF).toPandas().iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    us = (pd.to_datetime(ev.ts) - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+    t0, t1 = us.min(), us.max()
+    pv = ev[(ev.event_type == "purchase") & ev.value.notna()].copy()
+    pv_us = (pd.to_datetime(pv.ts) - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+    pv["pre"] = np.where(pv_us - t0 < (t1 - t0) // 2, pv.value.round(2), 0.0)
+    pv["post"] = np.where(pv_us - t0 >= (t1 - t0) // 2, pv.value.round(2), 0.0)
+    allu = ev.user_id.unique()
+    per = pv.groupby("user_id").agg(x=("pre", "sum"), y=("post", "sum"))
+    per = per.reindex(allu, fill_value=0.0)
+    per["arm"] = [int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+                  for u in per.index]
+    th = np.cov(per.x, per.y, ddof=1)[0, 1] / per.x.var(ddof=1)
+    per["a"] = per.y - th * (per.x - per.x.mean())
+    g = per.groupby("arm")
+    diff_raw = g.y.mean()[1] - g.y.mean()[0]
+    diff_cuped = g.a.mean()[1] - g.a.mean()[0]
+    assert out["n_arm0"] + out["n_arm1"] == len(per)
+    assert abs(out["theta"] - th) < 1e-3
+    assert abs(out["diff_raw"] - diff_raw) < 1e-3
+    assert abs(out["diff_cuped"] - diff_cuped) < 1e-2
+    vr = 1 - (g.a.var(ddof=1) / g.size()).sum() / (g.y.var(ddof=1) / g.size()).sum()
+    assert abs(out["variance_reduction"] - vr) < 1e-2
+
+
+def test_icc_matches_numpy(spark):
+    out = load_all()["icc_design_effect"].spark(spark, SF).toPandas().iloc[0]
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    df = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    df["v"] = df.o_totalprice.round(2)
+    k = df.c_nationkey.nunique()
+    n = len(df)
+    grand = df.v.mean()
+    grp = df.groupby("c_nationkey")["v"]
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for _, g in grp)
+    ssw = sum(((g - g.mean()) ** 2).sum() for _, g in grp)
+    msb, msw = ssb / (k - 1), ssw / (n - k)
+    m_bar = n / k
+    icc = (msb - msw) / (msb + (m_bar - 1) * msw)
+    assert (out["n_clusters"], out["n_orders"]) == (k, n)
+    assert abs(out["icc"] - icc) < 1e-5
+    assert abs(out["design_effect"] - (1 + (m_bar - 1) * icc)) < 1e-4
