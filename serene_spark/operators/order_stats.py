@@ -80,3 +80,49 @@ register(
     register_views(spark, sf_dir, ("orders",)),
     spark.sql(_median_ci_sql(SPARK)),
 )[1])
+
+
+def _wmedian_sql(dialect: str) -> str:
+    """Quantity-weighted median unit price: the 'typical price a unit was
+    bought at' (each row weighted by its quantity), vs the row-median that
+    over-represents small orders.  Engine-wide histogram shape: per-price
+    WEIGHT sums, cumulative window over distinct prices, first price whose
+    cumulative weight reaches half the total.  Both medians emitted — the
+    gap is the small-order bias made visible."""
+    price = "CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) / CAST(l_quantity AS DECIMAL(18,2)), 2) AS DECIMAL(18,2))"
+    return f"""
+WITH hist AS (
+  SELECT {price} AS p,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS w,
+         COUNT(*) AS c
+  FROM lineitem GROUP BY {price}
+),
+tot AS {mat(dialect)}(SELECT SUM(w) AS w_tot, SUM(c) AS n FROM hist),
+cum AS (
+  SELECT p, SUM(w) OVER (ORDER BY p) AS cw, SUM(c) OVER (ORDER BY p) AS cc
+  FROM hist
+),
+wmed AS (
+  SELECT MIN(p) AS v FROM cum JOIN tot ON CAST(cw AS DOUBLE) * 2 >= CAST(w_tot AS DOUBLE)
+),
+rmed AS (
+  SELECT MIN(p) AS v FROM cum JOIN tot ON cc * 2 >= n
+)
+SELECT CAST(t.n AS BIGINT) AS n_rows,
+       ROUND(CAST(w.v AS DOUBLE), 2) AS weighted_median_price,
+       ROUND(CAST(r.v AS DOUBLE), 2) AS row_median_price,
+       ROUND(CAST(w.v AS DOUBLE) - CAST(r.v AS DOUBLE), 2) AS weighting_gap
+FROM tot t JOIN wmed w ON 1 = 1 JOIN rmed r ON 1 = 1
+"""
+
+
+register(
+    "weighted_median_price",
+    oracle=_wmedian_sql(DUCKDB),
+    doc="Quantity-weighted median unit price via the histogram + cumulative-"
+    "weight rank selection (no global sort), emitted beside the row median "
+    "- the small-order bias made visible",
+)(lambda spark, sf_dir: (
+    register_views(spark, sf_dir, ("lineitem",)),
+    spark.sql(_wmedian_sql(SPARK)),
+)[1])

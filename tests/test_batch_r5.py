@@ -855,3 +855,19 @@ def test_icc_matches_numpy(spark):
     assert (out["n_clusters"], out["n_orders"]) == (k, n)
     assert abs(out["icc"] - icc) < 1e-5
     assert abs(out["design_effect"] - (1 + (m_bar - 1) * icc)) < 1e-4
+
+
+def test_weighted_median_matches_numpy(spark):
+    out = load_all()["weighted_median_price"].spark(spark, SF).toPandas().iloc[0]
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    p = np.round(li.l_extendedprice.round(2) / li.l_quantity.round(2), 2)
+    w = li.l_quantity.round(2)
+    order = np.argsort(p.to_numpy(), kind="mergesort")
+    ps, ws = p.to_numpy()[order], w.to_numpy()[order]
+    cw = np.cumsum(ws)
+    wmed = ps[np.searchsorted(cw * 2, cw[-1], side="left")]
+    n = len(ps)
+    rmed = np.sort(ps)[int(np.ceil(n / 2)) - 1]
+    assert out["n_rows"] == n
+    assert abs(out["weighted_median_price"] - wmed) < 1e-6
+    assert abs(out["row_median_price"] - rmed) < 1e-6
