@@ -114,3 +114,68 @@ register(
     register_views(spark, sf_dir, ("lineitem",)),
     spark.sql(_woe_sql(SPARK)),
 )[1])
+
+
+def _eb_sql(dialect: str) -> str:
+    """Empirical-Bayes (James-Stein style) shrinkage of per-brand mean
+    retail prices: each brand's mean is pulled toward the grand mean by
+    B_i = (sigma2/n_i) / (tau2 + sigma2/n_i), with the within-variance
+    sigma2 pooled from the one-way ANOVA MSW and the between-brand
+    variance tau2 by method of moments, floored at 0 (a negative moment
+    estimate means the groups are indistinguishable and everything
+    shrinks fully).  The parametric-prior sibling of the m-estimate
+    target encoder above: the smoothing strength here is ESTIMATED from
+    the data instead of fixed.  All moments exact decimals; the solve is
+    constant-size."""
+    v = "CAST(p_retailprice AS DECIMAL(18,2))"
+    return f"""
+WITH g AS (
+  SELECT p_brand, COUNT(*) AS n, SUM({v}) AS s, SUM({v} * {v}) AS q
+  FROM part GROUP BY p_brand
+),
+tot AS {mat(dialect)}(
+  SELECT COUNT(*) AS k, SUM(n) AS n_tot, SUM(s) AS s_tot,
+         SUM(CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 6)
+                  AS DECIMAL(28,6))) AS ssb_part,
+         SUM(q) AS q_tot,
+         SUM(CAST(ROUND(CAST(1 AS DOUBLE) / n, 9) AS DECIMAL(18,9)))
+           AS inv_n_sum
+  FROM g
+),
+hyper AS (
+  SELECT k, n_tot,
+         CAST(s_tot AS DOUBLE) / n_tot AS grand,
+         (CAST(q_tot AS DOUBLE) - CAST(ssb_part AS DOUBLE)) / (n_tot - k)
+           AS sigma2,
+         GREATEST(0.0,
+           (CAST(ssb_part AS DOUBLE)
+            - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / n_tot) / (k - 1)
+           - (CAST(q_tot AS DOUBLE) - CAST(ssb_part AS DOUBLE)) / (n_tot - k)
+             * CAST(inv_n_sum AS DOUBLE) / (k - 1) * k) AS tau2
+  FROM tot
+)
+SELECT g.p_brand,
+       CAST(g.n AS BIGINT) AS n,
+       ROUND(CAST(g.s AS DOUBLE) / g.n, 6) AS mean_raw,
+       ROUND(h.sigma2 / g.n / (h.tau2 + h.sigma2 / g.n), 6) AS shrink_b,
+       ROUND(h.grand
+             + (1 - h.sigma2 / g.n / (h.tau2 + h.sigma2 / g.n))
+               * (CAST(g.s AS DOUBLE) / g.n - h.grand), 6) AS mean_eb,
+       ROUND(h.grand, 6) AS grand_mean,
+       ROUND(h.tau2, 6) AS tau2
+FROM g JOIN hyper h ON 1 = 1
+ORDER BY g.p_brand
+"""
+
+
+register(
+    "eb_shrunk_brand_means",
+    oracle=_eb_sql(DUCKDB),
+    doc="Empirical-Bayes shrinkage of per-brand mean retail prices: pooled "
+    "within-variance + method-of-moments between-variance (floored at 0), "
+    "per-brand shrink factors and shrunk means — the estimated-prior "
+    "sibling of the fixed-m target encoder",
+)(lambda spark, sf_dir: (
+    register_views(spark, sf_dir, ("part",)),
+    spark.sql(_eb_sql(SPARK)),
+)[1])

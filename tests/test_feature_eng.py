@@ -51,3 +51,27 @@ def test_woe_iv_matches_pandas(spark):
             assert abs(r["woe"] - woe) < 1e-5
             iv += round((e["good"] / gt - e["bad"] / bt) * woe, 12)
     assert abs(out["iv_total"].iloc[0] - iv) < 1e-5
+
+
+def test_eb_shrinkage_properties_and_numpy(spark):
+    out = load_all()["eb_shrunk_brand_means"].spark(spark, SF).toPandas()
+    pt = pd.read_parquet(f"{SF}/part.parquet")
+    pt["v"] = pt.p_retailprice.round(2)
+    grp = pt.groupby("p_brand")["v"]
+    grand = pt.v.mean()
+    k, n = pt.p_brand.nunique(), len(pt)
+    ssb_part = sum(g.sum() ** 2 / len(g) for _, g in grp)
+    sigma2 = (np.sum(pt.v**2) - ssb_part) / (n - k)
+    tau2 = max(0.0, (ssb_part - pt.v.sum() ** 2 / n) / (k - 1)
+               - sigma2 * sum(round(1 / len(g), 9) for _, g in grp) / (k - 1) * k)
+    assert len(out) == k
+    for _, r in out.iterrows():
+        g = grp.get_group(r["p_brand"])
+        b = sigma2 / len(g) / (tau2 + sigma2 / len(g)) if tau2 > 0 else 1.0
+        eb = grand + (1 - b) * (g.mean() - grand)
+        assert abs(r["mean_raw"] - g.mean()) < 1e-4
+        assert abs(r["shrink_b"] - b) < 1e-3
+        assert abs(r["mean_eb"] - eb) < 1e-2
+        # shrinkage never overshoots the grand mean
+        lo, hi = sorted([g.mean(), grand])
+        assert lo - 1e-6 <= r["mean_eb"] <= hi + 1e-6
