@@ -348,3 +348,60 @@ register(
     doc=f"difference-in-differences on promo parts split at {DID_CUT}; "
     "null-intervention corpus makes it an A/A calibration (estimate ~ 0)",
 )(_li_part_query(did_promo_sql))
+
+
+def event_study_sql(dialect: str) -> str:
+    """Event-study leads and lags around the DiD cut: the per-period
+    generalization of ``did_promo`` (Sun & Abraham 2021's descriptive
+    baseline) — for every shipment YEAR, the treated-minus-control revenue
+    gap NORMALIZED to the last pre-period year, so the pre-cut
+    coefficients are the parallel-trends diagnostic (they must hover near
+    0 for the DiD to be credible) and the post-cut ones trace the effect's
+    dynamics.  On this corpus no intervention exists, so the whole path is
+    an A/A calibration: every coefficient sits in the noise band (pinned).
+    One fact scan; (treated, year) cells are decimal-exact revenue means."""
+    return f"""
+WITH tagged AS (
+  SELECT CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END AS treated,
+         CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS yr,
+         CAST({REVENUE} AS DECIMAL(18,4)) AS rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+cells AS (
+  SELECT treated, yr, COUNT(*) AS n, CAST(SUM(rev) AS DECIMAL(38,4)) AS s
+  FROM tagged GROUP BY treated, yr
+),
+gaps AS (
+  SELECT t.yr,
+         t.n + c.n AS n,
+         CAST(t.s AS DOUBLE) / t.n - CAST(c.s AS DOUBLE) / c.n AS gap
+  FROM (SELECT * FROM cells WHERE treated = 1) t
+  JOIN (SELECT * FROM cells WHERE treated = 0) c ON t.yr = c.yr
+),
+base AS (
+  -- normalization period: the last year BEFORE the cut
+  SELECT gap AS base_gap FROM gaps
+  WHERE yr = (SELECT MAX(yr) FROM gaps
+              WHERE yr < CAST(EXTRACT(YEAR FROM TIMESTAMP '{DID_CUT}') AS BIGINT))
+)
+SELECT CAST(g.yr AS BIGINT) AS year,
+       CAST(g.yr - CAST(EXTRACT(YEAR FROM TIMESTAMP '{DID_CUT}') AS BIGINT)
+            AS BIGINT) AS rel_year,
+       CAST(g.n AS BIGINT) AS n_rows,
+       ROUND(g.gap, 6) AS treated_control_gap,
+       ROUND(g.gap - b.base_gap, 6) AS event_study_coef
+FROM gaps g JOIN base b ON 1 = 1
+ORDER BY year
+"""
+
+
+register(
+    "event_study_promo",
+    oracle=event_study_sql(DUCKDB),
+    doc="Event-study leads/lags around the DiD cut: per-year treated-minus-"
+    "control gaps normalized to the last pre-period — pre-cut coefficients "
+    "ARE the parallel-trends diagnostic; A/A calibration on this corpus",
+)(lambda spark, sf_dir: (
+    register_views(spark, sf_dir, ("lineitem", "part")),
+    spark.sql(event_study_sql(SPARK)),
+)[1])

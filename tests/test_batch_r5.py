@@ -871,3 +871,30 @@ def test_weighted_median_matches_numpy(spark):
     assert out["n_rows"] == n
     assert abs(out["weighted_median_price"] - wmed) < 1e-6
     assert abs(out["row_median_price"] - rmed) < 1e-6
+
+
+def test_event_study_aa_calibration(spark):
+    out = load_all()["event_study_promo"].spark(spark, SF).toPandas()
+    # base year coefficient is exactly zero by normalization
+    base = out[out.rel_year == -1]
+    assert len(base) == 1 and abs(base.iloc[0]["event_study_coef"]) < 1e-9
+    # A/A corpus: every coefficient sits in a modest noise band relative to
+    # the overall revenue scale (~10% of mean revenue per row)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    scale = (li.l_extendedprice * (1 - li.l_discount)).mean()
+    assert (out["event_study_coef"].abs() < 0.15 * scale).all()
+    # pandas pin of one coefficient
+    pt = pd.read_parquet(f"{SF}/part.parquet")
+    df = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    df["rev"] = np.round(df.l_extendedprice.round(2) * (1 - df.l_discount.round(2)), 4)
+    df["treated"] = (df.p_type == "PROMO").astype(int)
+    df["yr"] = pd.to_datetime(df.l_shipdate).dt.year
+    gaps = {}
+    for yr, g in df.groupby("yr"):
+        t, c = g[g.treated == 1], g[g.treated == 0]
+        if len(t) and len(c):
+            gaps[yr] = t.rev.mean() - c.rev.mean()
+    base_gap = gaps[max(y for y in gaps if y < 1999)]
+    for _, r in out.iterrows():
+        if r["year"] in gaps:
+            assert abs(r["event_study_coef"] - (gaps[r["year"]] - base_gap)) < 1e-3
