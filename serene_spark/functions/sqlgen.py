@@ -245,3 +245,14 @@ def mat(dialect: str) -> str:
     Use on every multiply-referenced base and every iteration-segment
     terminal in dialect-shared generators."""
     return "MATERIALIZED " if dialect == DUCKDB else ""
+
+
+def variant_expr(dialect: str, user_col: str = "user_id") -> str:
+    """The engine-wide deterministic A/B arm assignment: md5 of the user id,
+    first 8 hex digits, mod 2.  ONE definition — ab_test_conversion,
+    ab_sequential_msprt, qte_deciles, ab_cuped_adjusted and their tests all
+    split on exactly this expression."""
+    str_t = "STRING" if dialect == SPARK else "VARCHAR"
+    return (
+        f"{hex_to_int(dialect, f'substr(md5(CAST({user_col} AS {str_t})), 1, 8)')} % 2"
+    )

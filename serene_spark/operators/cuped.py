@@ -25,28 +25,28 @@ in one pass; the estimator algebra runs on constants.
 from __future__ import annotations
 
 from serene_spark.catalog import compose_with, register_views, run_materialized
-from serene_spark.functions.sqlgen import DUCKDB, SPARK, epoch_us, hex_to_int, mat
+from serene_spark.functions.sqlgen import variant_expr, DUCKDB, SPARK, epoch_us, idiv, mat
 from serene_spark.registry import register
 
 
 def _cuped_bases(dialect: str) -> list[tuple[str, str]]:
     m = mat(dialect)
     us = epoch_us(dialect, "ts")
-    str_t = "STRING" if dialect == SPARK else "VARCHAR"
-    variant = (
-        f"{hex_to_int(dialect, f'substr(md5(CAST(user_id AS {str_t})), 1, 8)')} % 2"
-    )
+    variant = variant_expr(dialect)
     z = "CAST(0 AS DECIMAL(18,2))"
+    # integer floor midpoint: a fractional /2 and the tests' // disagree
+    # for an event landing exactly on the floored midpoint of an odd span
+    half_span = idiv(dialect, "(b.t1 - b.t0)", 2)
     body = f"""b AS (
   SELECT MIN({us}) AS t0, MAX({us}) AS t1 FROM events
 ),
 per_user AS {m}(
   SELECT user_id, {variant} AS arm,
          SUM(CASE WHEN event_type = 'purchase' AND value IS NOT NULL
-                   AND {us} - b.t0 < (b.t1 - b.t0) / 2
+                   AND {us} - b.t0 < {half_span}
              THEN CAST(value AS DECIMAL(18,2)) ELSE {z} END) AS x,
          SUM(CASE WHEN event_type = 'purchase' AND value IS NOT NULL
-                   AND {us} - b.t0 >= (b.t1 - b.t0) / 2
+                   AND {us} - b.t0 >= {half_span}
              THEN CAST(value AS DECIMAL(18,2)) ELSE {z} END) AS y
   FROM events JOIN b ON 1 = 1
   GROUP BY user_id, {variant}

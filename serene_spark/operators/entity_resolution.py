@@ -313,25 +313,6 @@ JW_BOOST_THRESHOLD = 0.7
 SN_WINDOW = 3
 
 
-def _jaro_winkler(a: str, b: str) -> float:
-    """Winkler's prefix boost over the shared Jaro base (Winkler 1990):
-    jw = j + min(prefix, 4) * 0.1 * (1 - j), applied only above the
-    BOOST THRESHOLD 0.7 — Winkler's original rule, and what DuckDB's
-    jaro_winkler_similarity implements (measured: the boost vanishes at
-    j <= 0.7)."""
-    from serene_spark.operators.pair_features import _jaro
-
-    j = _jaro(a, b)
-    if j <= JW_BOOST_THRESHOLD:
-        return j
-    p = 0
-    for ca, cb in zip(a[:JW_PREFIX_MAX], b[:JW_PREFIX_MAX]):
-        if ca != cb:
-            break
-        p += 1
-    return j + p * JW_SCALE * (1.0 - j)
-
-
 def er_jw_sql(dialect: str) -> str:
     """Jaro vs Jaro-Winkler over the blocked candidate pairs: the Winkler
     prefix boost is what separates same-entity name variants (shared
@@ -339,21 +320,26 @@ def er_jw_sql(dialect: str) -> str:
     scores makes the boost's effect measurable per pair.  Top 20 pairs by
     (ROUND(jw,6) DESC, ids)."""
     if dialect == DUCKDB:
-        jaro = "jaro_similarity(d.d_name, c.c_name_norm)"
-        jw = "jaro_winkler_similarity(d.d_name, c.c_name_norm)"
+        pair = ("SELECT d.dirty_id, c.c_custkey,\n"
+                "         ROUND(jaro_similarity(d.d_name, c.c_name_norm), 6) AS jaro,\n"
+                "         ROUND(jaro_winkler_similarity(d.d_name, c.c_name_norm), 6) AS jaro_winkler")
     else:
-        jaro = "__er_jaro(d.d_name, c.c_name_norm)"
-        jw = "__er_jw(d.d_name, c.c_name_norm)"
+        # ONE Arrow UDF returns [jaro, jw]: the Winkler boost reuses the
+        # quadratic Jaro base instead of recomputing it per pair
+        pair = ("SELECT dirty_id, c_custkey,\n"
+                "         ROUND(jj[0], 6) AS jaro, ROUND(jj[1], 6) AS jaro_winkler\n"
+                "  FROM (SELECT d.dirty_id, c.c_custkey,\n"
+                "               __er_jjw(d.d_name, c.c_name_norm) AS jj")
+    tail = ("" if dialect == DUCKDB
+            else ") inner_scored")
     return f"""
 WITH {dirty_rel(dialect)},
 {clean_rel(dialect)},
 scored AS (
-  SELECT d.dirty_id, c.c_custkey,
-         ROUND({jaro}, 6) AS jaro,
-         ROUND({jw}, 6) AS jaro_winkler
+  {pair}
   FROM dirty d
   JOIN clean c ON d.d_nation = c.c_nationkey AND d.d_block = c.c_block
-)
+{tail})
 SELECT dirty_id, c_custkey, jaro, jaro_winkler,
        ROUND(jaro_winkler - jaro, 6) AS winkler_boost
 FROM scored
@@ -362,19 +348,30 @@ LIMIT 20
 """
 
 
+def _jaro_and_jw(a: str, b: str) -> list[float]:
+    """Both scores from ONE quadratic Jaro computation."""
+    from serene_spark.operators.pair_features import _jaro
+
+    j = _jaro(a, b)
+    if j <= JW_BOOST_THRESHOLD:
+        return [j, j]
+    p = 0
+    for ca, cb in zip(a[:JW_PREFIX_MAX], b[:JW_PREFIX_MAX]):
+        if ca != cb:
+            break
+        p += 1
+    return [j, j + p * JW_SCALE * (1.0 - j)]
+
+
 def _er_jw(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import DoubleType
-
-    from serene_spark.operators.pair_features import _jaro
+    from pyspark.sql.types import ArrayType, DoubleType
 
     register_views(spark, sf_dir, ("customer",))
-    spark.udf.register("__er_jaro", pandas_udf(
-        lambda a, b: pd.Series([_jaro(x, y) for x, y in zip(a, b)]), DoubleType()))
-    spark.udf.register("__er_jw", pandas_udf(
-        lambda a, b: pd.Series([_jaro_winkler(x, y) for x, y in zip(a, b)]),
-        DoubleType()))
+    spark.udf.register("__er_jjw", pandas_udf(
+        lambda a, b: pd.Series([_jaro_and_jw(x, y) for x, y in zip(a, b)]),
+        ArrayType(DoubleType())))
     return spark.sql(er_jw_sql(SPARK))
 
 
@@ -422,12 +419,22 @@ bucketed AS (
   SELECT rec_id, role, rk, CAST(FLOOR((rk - 1.0) / {SN_WINDOW}) AS BIGINT) AS b
   FROM ranked
 ),
+-- each dirty record PROBES its own bucket and BOTH neighbors (the
+-- geo_grid_pairs shape): a window-mate can sit in bucket b-1, b or b+1
+-- (the old OR-of-two-equalities join missed b-1 - measured 7/10 true
+-- pairs found - and planned as a nested loop besides); the single-key
+-- equality lets both engines hash-join
+probes AS (
+  SELECT rec_id, rk, b + off AS b
+  FROM bucketed
+  CROSS JOIN (SELECT -1 AS off UNION ALL SELECT 0 UNION ALL SELECT 1) o
+  WHERE role = 'd'
+),
 cand AS (
   SELECT DISTINCT a.rec_id AS dirty_id, x.rec_id AS c_custkey
-  FROM bucketed a
+  FROM probes a
   JOIN bucketed x
-    ON (x.b = a.b OR x.b = a.b + 1)
-   AND a.role = 'd' AND x.role = 'c'
+    ON x.b = a.b AND x.role = 'c'
    AND ABS(x.rk - a.rk) <= {SN_WINDOW}
 ),
 stats AS (

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from serene_spark.catalog import compose_with, register_views, run_materialized
-from serene_spark.functions.sqlgen import DUCKDB, SPARK, epoch_s, epoch_us, explode_seq, hex_to_int, idiv
+from serene_spark.functions.sqlgen import variant_expr, DUCKDB, SPARK, epoch_s, epoch_us, explode_seq, hex_to_int, idiv
 from serene_spark.registry import register
 
 HOUR_US = 3600 * 1_000_000
@@ -32,10 +32,7 @@ DAY_US = 24 * HOUR_US
 
 
 def ab_test_sql(dialect: str) -> str:
-    str_t = "STRING" if dialect == SPARK else "VARCHAR"
-    variant = (
-        f"{hex_to_int(dialect, f'substr(md5(CAST(user_id AS {str_t})), 1, 8)')} % 2"
-    )
+    variant = variant_expr(dialect)
     return f"""
 WITH with_view AS (
   SELECT user_id, event_type, {epoch_us(dialect, 'ts')} AS ts_us,
@@ -491,10 +488,7 @@ def msprt_sql(dialect: str) -> str:
     p < alpha is valid.  Day-level sums are exact decimals; the windows
     run over the DAY-cardinality relation, never raw events."""
     day = idiv(dialect, f"({epoch_s(dialect, 'ts')})", 86400)
-    str_t = "STRING" if dialect == SPARK else "VARCHAR"
-    variant = (
-        f"{hex_to_int(dialect, f'substr(md5(CAST(user_id AS {str_t})), 1, 8)')} % 2"
-    )
+    variant = variant_expr(dialect)
     v = "CAST(value AS DECIMAL(18,2))"
     spine_days = explode_seq(dialect, "(SELECT d0 FROM bounds)", "(SELECT d1 FROM bounds)")
     return f"""

@@ -138,20 +138,24 @@ tot AS {mat(dialect)}(
          SUM(CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 6)
                   AS DECIMAL(28,6))) AS ssb_part,
          SUM(q) AS q_tot,
-         SUM(CAST(ROUND(CAST(1 AS DOUBLE) / n, 9) AS DECIMAL(18,9)))
-           AS inv_n_sum
+         SUM(CAST(n AS DECIMAL(19,0)) * n) AS n_sq_sum
   FROM g
 ),
 hyper AS (
+  -- method of moments: E[SSB] = (k-1)*sigma2 + tau2*(N - Sum n_i^2 / N)
+  -- => tau2 = max(0, (SSB - (k-1)*sigma2) / (N - Sum n_i^2 / N))
+  -- (the earlier weighted form under-corrected by ~sigma2, leaving
+  -- near-zero shrinkage exactly when groups are indistinguishable)
   SELECT k, n_tot,
          CAST(s_tot AS DOUBLE) / n_tot AS grand,
          (CAST(q_tot AS DOUBLE) - CAST(ssb_part AS DOUBLE)) / (n_tot - k)
            AS sigma2,
          GREATEST(0.0,
-           (CAST(ssb_part AS DOUBLE)
-            - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / n_tot) / (k - 1)
-           - (CAST(q_tot AS DOUBLE) - CAST(ssb_part AS DOUBLE)) / (n_tot - k)
-             * CAST(inv_n_sum AS DOUBLE) / (k - 1) * k) AS tau2
+           ((CAST(ssb_part AS DOUBLE)
+             - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / n_tot)
+            - (k - 1) * (CAST(q_tot AS DOUBLE) - CAST(ssb_part AS DOUBLE))
+              / (n_tot - k))
+           / (n_tot - CAST(n_sq_sum AS DOUBLE) / n_tot)) AS tau2
   FROM tot
 )
 SELECT g.p_brand,

@@ -85,7 +85,7 @@ register(
 )[1])
 
 
-def _wilson(p_hat: str, n: str) -> str:
+def _wilson(p_hat: str, n: str) -> tuple[str, str, str]:
     """Wilson score interval bound generator: center ± half-width over the
     adjusted denominator; z = Z95."""
     z2 = Z95 * Z95

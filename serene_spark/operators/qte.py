@@ -23,7 +23,7 @@ and reduces the session relation to 10 bins.
 from __future__ import annotations
 
 from serene_spark.catalog import compose_with, run_materialized
-from serene_spark.functions.sqlgen import DUCKDB, SPARK, hex_to_int, mat
+from serene_spark.functions.sqlgen import variant_expr, DUCKDB, SPARK, hex_to_int, mat
 from serene_spark.operators.regression import (
     N_NEWTON,
     logit_feature_bases,
@@ -37,10 +37,7 @@ QTE_QS = tuple(i / 10 for i in range(1, 10))
 def _qte_bases(dialect: str) -> list[tuple[str, str]]:
     """Per-(arm, value) histogram, MATERIALIZED: referenced by both the
     cumulative CDF and the per-arm totals."""
-    str_t = "STRING" if dialect == SPARK else "VARCHAR"
-    variant = (
-        f"{hex_to_int(dialect, f'substr(md5(CAST(user_id AS {str_t})), 1, 8)')} % 2"
-    )
+    variant = variant_expr(dialect)
     v = "CAST(value AS DECIMAL(18,2))"
     return [("hist", f"""hist AS {mat(dialect)}(
   SELECT {variant} AS arm, {v} AS v, COUNT(*) AS c

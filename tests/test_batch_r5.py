@@ -711,15 +711,26 @@ def test_dedup_funnel_consistency(spark):
 
 
 def test_jaro_winkler_matches_duckdb_semantics(spark):
+    import duckdb
+
     out = load_all()["er_jaro_winkler"].spark(spark, SF).toPandas()
     assert len(out) > 0
-    # boost only ever increases the score, capped at 1
     assert (out["winkler_boost"] >= -1e-9).all()
     assert (out["jaro_winkler"] <= 1 + 1e-9).all()
-    # exact self-matches (same normalized name) hit 1.0 on both
-    import duckdb
-    for _, r in out.head(5).iterrows():
-        pass  # values already oracle-exact via the driver gate
+    # the python scalar must agree with DuckDB's builtin on adversarial
+    # shapes (boost threshold, h/w of prefixes, transpositions)
+    from serene_spark.operators.entity_resolution import _jaro_and_jw
+
+    con = duckdb.connect()
+    for a, b in [("martha", "marhta"), ("dwayne", "duane"),
+                 ("cust 123", "customer#000000123"), ("abc", "abc"),
+                 ("dixon", "dicksonx"), ("a", "b"),
+                 ("cust 1", "customer#000000001")]:
+        got = _jaro_and_jw(a, b)[1]
+        want = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert abs(got - want) < 1e-12, (a, b, got, want)
 
 
 def test_sorted_neighborhood_recall_and_reduction(spark):
@@ -728,7 +739,10 @@ def test_sorted_neighborhood_recall_and_reduction(spark):
     # keeping usable recall on the name-sorted fixture
     assert out["candidate_fraction_of_all_pairs"] < 0.2
     assert out["n_candidates"] >= out["true_matches_found"] > 0
-    assert 0 < out["recall"] <= 1
+    # matched pairs are rank-adjacent under the digit sort key, so the
+    # 3-probe bucket join must find EVERY one (the old OR-join missed
+    # bucket-boundary pairs and read ~0.7 here)
+    assert out["recall"] == 1.0
 
 
 def test_newsvendor_matches_numpy(spark):

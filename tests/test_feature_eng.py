@@ -62,8 +62,9 @@ def test_eb_shrinkage_properties_and_numpy(spark):
     k, n = pt.p_brand.nunique(), len(pt)
     ssb_part = sum(g.sum() ** 2 / len(g) for _, g in grp)
     sigma2 = (np.sum(pt.v**2) - ssb_part) / (n - k)
-    tau2 = max(0.0, (ssb_part - pt.v.sum() ** 2 / n) / (k - 1)
-               - sigma2 * sum(round(1 / len(g), 9) for _, g in grp) / (k - 1) * k)
+    ssb = ssb_part - pt.v.sum() ** 2 / n
+    n_sq = sum(len(g) ** 2 for _, g in grp)
+    tau2 = max(0.0, (ssb - (k - 1) * sigma2) / (n - n_sq / n))
     assert len(out) == k
     for _, r in out.iterrows():
         g = grp.get_group(r["p_brand"])
