@@ -42,8 +42,10 @@ from serene_spark.functions.sqlgen import (
     DUCKDB,
     SPARK,
     epoch_s,
+    epoch_us,
     explode_seq,
     idiv,
+    mat,
     re_extract,
 )
 from serene_spark.registry import register
@@ -396,3 +398,76 @@ register(
     "chi-square(k-1) decision from a fixed critical table",
 )(lambda spark, sf_dir: run_materialized(
     spark, sf_dir, ("events",), kruskal_bases(SPARK), kruskal_tail_sql(SPARK)))
+
+
+# --- goodness of fit vs a FITTED continuous distribution ---------------------
+
+
+def gof_exponential_sql(dialect: str) -> str:
+    """Kolmogorov-Smirnov goodness-of-fit of inter-purchase gaps against a
+    FITTED exponential (lambda-hat = 1/mean gap): where drift_ks_events
+    compares two empirical samples, this tests one sample against the
+    memoryless model a Poisson-process assumption implies.  D is maximized
+    over the distinct-gap relation at BOTH sides of each CDF step (the
+    sup over a right-continuous step function needs the pre-jump gap too);
+    the parameter is estimated from the same data, so the plain KS
+    critical value is conservative — the Lilliefors-corrected 5% value
+    (0.96/sqrt(n), Lilliefors 1969 table for the exponential) is emitted
+    beside D and the decision uses it.  Exact integer CDF counts; exp()
+    at the edge.
+
+    Scale: one events scan -> per-user LEAD gaps -> distinct-gap
+    histogram + cumulative window (the engine-wide quantile shape)."""
+    us = epoch_us(dialect, "ts")
+    return f"""
+WITH pur AS (
+  SELECT user_id, {us} AS t FROM events WHERE event_type = 'purchase'
+),
+gaps AS (
+  SELECT CAST(nxt - t AS DOUBLE) / 86400000000 AS g
+  FROM (
+    SELECT t, LEAD(t) OVER (PARTITION BY user_id ORDER BY t) AS nxt
+    FROM pur
+  ) x WHERE nxt IS NOT NULL
+),
+hist AS (
+  SELECT g, COUNT(*) AS c FROM gaps GROUP BY g
+),
+nn AS {mat(dialect)}(
+  SELECT SUM(c) AS n, SUM(CAST(ROUND(g * c, 9) AS DECIMAL(28,9))) AS s
+  FROM hist
+),
+lam AS (
+  SELECT n, CAST(n AS DOUBLE) / CAST(s AS DOUBLE) AS lambda_hat FROM nn
+),
+cdf AS (
+  SELECT h.g, h.c, SUM(h.c) OVER (ORDER BY h.g) AS cum
+  FROM hist h
+),
+dstat AS (
+  -- sup over a right-continuous step function: check the CDF at the top
+  -- AND the bottom (cum - c) of every jump
+  SELECT MAX(GREATEST(
+           ABS(CAST(c.cum AS DOUBLE) / l.n - (1 - EXP(-l.lambda_hat * c.g))),
+           ABS(CAST(c.cum - c.c AS DOUBLE) / l.n
+               - (1 - EXP(-l.lambda_hat * c.g))))) AS d
+  FROM cdf c JOIN lam l ON 1 = 1
+)
+SELECT CAST(l.n AS BIGINT) AS n_gaps,
+       ROUND(l.lambda_hat, 6) AS lambda_per_day,
+       ROUND(1.0 / l.lambda_hat, 6) AS mean_gap_days,
+       ROUND(d.d, 6) AS ks_d,
+       ROUND(0.96 / sqrt(l.n), 6) AS lilliefors_crit_5pct,
+       CAST(CASE WHEN d.d > 0.96 / sqrt(l.n) THEN 1 ELSE 0 END AS INT)
+         AS reject_exponential
+FROM lam l JOIN dstat d ON 1 = 1
+"""
+
+
+register(
+    "gof_exponential_gaps",
+    oracle=gof_exponential_sql(DUCKDB),
+    doc="Lilliefors-corrected KS goodness-of-fit of inter-purchase gaps "
+    "against the fitted exponential: both-sides-of-step D over the "
+    "distinct-gap relation, estimated-parameter critical value emitted",
+)(_q(gof_exponential_sql))

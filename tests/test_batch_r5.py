@@ -912,3 +912,26 @@ def test_event_study_aa_calibration(spark):
     for _, r in out.iterrows():
         if r["year"] in gaps:
             assert abs(r["event_study_coef"] - (gaps[r["year"]] - base_gap)) < 1e-3
+
+
+def test_gof_exponential_matches_scipy_style(spark):
+    out = load_all()["gof_exponential_gaps"].spark(spark, SF).toPandas().iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    pur = ev[ev.event_type == "purchase"].copy()
+    us = (pd.to_datetime(pur.ts) - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+    pur["t"] = us
+    gaps = []
+    for _, g in pur.sort_values("t").groupby("user_id"):
+        d = np.diff(g.t.to_numpy()) / 86400e6
+        gaps.extend(d.tolist())
+    gaps = np.sort(np.array(gaps))
+    n = len(gaps)
+    lam = 1 / np.round(gaps * 1.0, 20).mean()
+    F = 1 - np.exp(-lam * gaps)
+    emp_hi = np.arange(1, n + 1) / n
+    emp_lo = np.arange(0, n) / n
+    d = max(np.abs(emp_hi - F).max(), np.abs(emp_lo - F).max())
+    assert out["n_gaps"] == n
+    assert abs(out["lambda_per_day"] - lam) < 1e-4
+    assert abs(out["ks_d"] - d) < 1e-4
+    assert out["reject_exponential"] == int(d > 0.96 / np.sqrt(n))
