@@ -471,3 +471,97 @@ register(
     "against the fitted exponential: both-sides-of-step D over the "
     "distinct-gap relation, estimated-parameter critical value emitted",
 )(_q(gof_exponential_sql))
+
+
+GOF_MIN_EXP = 5.0
+
+
+def gof_poisson_sql(dialect: str) -> str:
+    """Chi-square goodness-of-fit of HOURLY PURCHASE COUNTS against a
+    fitted Poisson(lambda-hat = mean count) — the discrete sibling of the
+    exponential-gap KS above, and the direct test of the Poisson-process
+    assumption the hourly GLM builds on.  The pmf needs k!: ln k! is a
+    cumulative 9-dp-quantized decimal sum of ln(k) over the k spine, so
+    the expected counts are engine-identical.  Tail categories with
+    expected < {GOF_MIN_EXP} merge into the last bin (the textbook rule);
+    chi2 sums 9-dp-quantized terms; df = bins − 2 (one for totals, one
+    for the estimated lambda).
+
+    Scale: one events scan -> hour counts -> count-of-counts histogram
+    (k-cardinality); the pmf spine and the chi2 run on that tiny
+    relation."""
+    hour = idiv(dialect, f"({epoch_s(dialect, 'ts')})", 3600)
+    return f"""
+WITH hourly AS (
+  SELECT {hour} AS h, COUNT(*) AS k
+  FROM events WHERE event_type = 'purchase' GROUP BY {hour}
+),
+bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+spine AS (
+  SELECT {explode_seq(dialect, "(SELECT h0 FROM bounds)", "(SELECT h1 FROM bounds)")} AS h
+  FROM bounds
+),
+counts AS (
+  -- zero-purchase hours are k = 0 observations, not gaps
+  SELECT s.h, COALESCE(y.k, 0) AS k
+  FROM spine s LEFT JOIN hourly y ON s.h = y.h
+),
+nn AS {mat(dialect)}(
+  SELECT COUNT(*) AS n, SUM(k) AS total, MAX(k) AS kmax FROM counts
+),
+obs AS (
+  SELECT k, COUNT(*) AS o FROM counts GROUP BY k
+),
+kspine AS (
+  SELECT {explode_seq(dialect, 0, "(SELECT kmax FROM nn)")} AS k FROM nn
+),
+lnfact AS (
+  SELECT k,
+         SUM(CAST(ROUND(CASE WHEN k = 0 THEN 0.0 ELSE LN(k) END, 9)
+                  AS DECIMAL(28,9))) OVER (ORDER BY k) AS lnk
+  FROM kspine
+),
+expected AS (
+  SELECT f.k,
+         n.n * EXP(-CAST(n.total AS DOUBLE) / n.n
+                   + f.k * LN(CAST(n.total AS DOUBLE) / n.n)
+                   - CAST(f.lnk AS DOUBLE)) AS e
+  FROM lnfact f JOIN nn n ON 1 = 1
+),
+-- textbook tail merge: categories from the first k whose expected count
+-- drops below the minimum all collapse into one bin
+cut AS {mat(dialect)}(
+  SELECT COALESCE(MIN(k), (SELECT kmax FROM nn) + 1) AS k_cut
+  FROM expected WHERE e < {GOF_MIN_EXP} AND k > 0
+),
+binned AS (
+  SELECT LEAST(e.k, c.k_cut) AS bin,
+         SUM(CAST(ROUND(e.e, 9) AS DECIMAL(28,9))) AS e,
+         SUM(COALESCE(o.o, 0)) AS o
+  FROM expected e
+  LEFT JOIN obs o ON e.k = o.k
+  JOIN cut c ON 1 = 1
+  GROUP BY LEAST(e.k, c.k_cut)
+),
+chi AS (
+  SELECT COUNT(*) AS n_bins,
+         SUM(CAST(ROUND((o - CAST(e AS DOUBLE)) * (o - CAST(e AS DOUBLE))
+                        / CAST(e AS DOUBLE), 9) AS DECIMAL(28,9))) AS x2
+  FROM binned
+)
+SELECT CAST(n.n AS BIGINT) AS n_hours,
+       ROUND(CAST(n.total AS DOUBLE) / n.n, 6) AS lambda_hat,
+       CAST(c.n_bins AS BIGINT) AS n_bins,
+       CAST(c.n_bins - 2 AS BIGINT) AS dof,
+       ROUND(CAST(c.x2 AS DOUBLE), 6) AS chi2
+FROM nn n JOIN chi c ON 1 = 1
+"""
+
+
+register(
+    "gof_poisson_hourly",
+    oracle=gof_poisson_sql(DUCKDB),
+    doc="Chi-square GoF of hourly purchase counts vs the fitted Poisson: "
+    "ln k! as a quantized cumulative spine sum, expected<5 tail merged "
+    "(textbook rule), zero-purchase hours counted as k=0 observations",
+)(_q(gof_poisson_sql))

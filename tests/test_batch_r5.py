@@ -935,3 +935,36 @@ def test_gof_exponential_matches_scipy_style(spark):
     assert abs(out["lambda_per_day"] - lam) < 1e-4
     assert abs(out["ks_d"] - d) < 1e-4
     assert out["reject_exponential"] == int(d > 0.96 / np.sqrt(n))
+
+
+def test_gof_poisson_matches_python(spark):
+    import math
+
+    out = load_all()["gof_poisson_hourly"].spark(spark, SF).toPandas().iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    pur = ev[ev.event_type == "purchase"]
+    sec = (pd.to_datetime(pur.ts) - pd.Timestamp(0)) // pd.Timedelta(seconds=1)
+    hours = (sec // 3600).to_numpy()
+    h0, h1 = hours.min(), hours.max()
+    counts = pd.Series(hours).value_counts().reindex(
+        range(h0, h1 + 1), fill_value=0
+    ).to_numpy()
+    n = len(counts)
+    lam = counts.mean()
+    kmax = counts.max()
+    lnk = np.cumsum([0.0] + [round(math.log(k), 9) for k in range(1, kmax + 1)])
+    e = n * np.exp(-lam + np.arange(kmax + 1) * math.log(lam) - lnk)
+    k_cut_cands = [k for k in range(1, kmax + 1) if e[k] < 5.0]
+    k_cut = min(k_cut_cands) if k_cut_cands else kmax + 1
+    obs = pd.Series(counts).value_counts()
+    bins = {}
+    for k in range(kmax + 1):
+        b = min(k, k_cut)
+        o = int(obs.get(k, 0))
+        eb, ob = bins.get(b, (0.0, 0))
+        bins[b] = (eb + round(e[k], 9), ob + o)
+    x2 = sum(round((ob - eb) ** 2 / eb, 9) for eb, ob in bins.values())
+    assert out["n_hours"] == n
+    assert abs(out["lambda_hat"] - lam) < 1e-5
+    assert out["n_bins"] == len(bins)
+    assert abs(out["chi2"] - x2) < 1e-3
