@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from serene_spark.catalog import compose_with, register_views, run_materialized
 from serene_spark.functions.sqlgen import (
+    mat,
     DUCKDB,
     SPARK,
     arg_max_by,
@@ -618,3 +619,78 @@ register(
     "spine, closed-form phi1/phi2/sigma2 + stationarity-triangle flag",
 )(lambda spark, sf_dir: run_materialized(
     spark, sf_dir, ("orders",), acf_bases(SPARK), ar2_tail_sql(SPARK)))
+
+
+# --- single-frequency periodogram ---------------------------------------------
+
+PGRAM_FREQS = (3.5, 7.0, 11.0, 30.0)  # candidate periods in days
+
+
+def periodogram_sql(dialect: str) -> str:
+    """Discrete periodogram at a handful of CANDIDATE PERIODS over the
+    mean-centered daily order-revenue series: per period T, the power
+    I(f) = (Σx·cos(2πt/T))² + (Σx·sin(2πt/T))², i.e. one Goertzel-style
+    projection per frequency — each is a plain SUM over the day series,
+    so seasonality detection costs one scan regardless of how many
+    candidate periods are probed (the FFT's O(n log n) buys ALL
+    frequencies, which a seasonality CHECK does not need).  Emits each
+    period's power and its share of the probed total: the weekly
+    period's dominance is the readout (the DOW-seasonality operator
+    shows the same cycle in event space).  Trig inputs are exact integer
+    day indices; per-day terms are 9-dp-quantized decimal sums.
+
+    Scale: one orders scan -> day agg -> |periods| x |days| map-only
+    projection terms -> constant-size power table."""
+    day = idiv(dialect, f"({epoch_s(dialect, 'o_orderdate')})", 86400)
+    t_rows = " UNION ALL ".join(
+        f"SELECT CAST({t} AS DOUBLE) AS period" for t in PGRAM_FREQS
+    )
+    return f"""
+WITH daily AS (
+  SELECT {day} AS d, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY {day}
+),
+mu AS {mat(dialect)}(
+  SELECT CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS m, MIN(d) AS d0 FROM daily
+),
+periods AS ({t_rows}),
+proj AS (
+  SELECT p.period,
+         SUM(CAST(ROUND((CAST(y.rev AS DOUBLE) - mu.m)
+                        * COS(2 * PI() * (y.d - mu.d0) / p.period), 9)
+             AS DECIMAL(28,9))) AS c,
+         SUM(CAST(ROUND((CAST(y.rev AS DOUBLE) - mu.m)
+                        * SIN(2 * PI() * (y.d - mu.d0) / p.period), 9)
+             AS DECIMAL(28,9))) AS s,
+         COUNT(*) AS n
+  FROM daily y JOIN mu ON 1 = 1 JOIN periods p ON 1 = 1
+  GROUP BY p.period
+),
+power AS (
+  SELECT period, n,
+         (CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
+          + CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n AS pw
+  FROM proj
+),
+tot AS (
+  SELECT SUM(CAST(ROUND(pw, 6) AS DECIMAL(28,6))) AS pw_tot FROM power
+)
+SELECT ROUND(CAST(p.period AS DOUBLE), 1) AS period_days,
+       CAST(p.n AS BIGINT) AS n_days,
+       ROUND(p.pw, 2) AS power,
+       ROUND(p.pw / CAST(t.pw_tot AS DOUBLE), 6) AS power_share
+FROM power p JOIN tot t ON 1 = 1
+ORDER BY period_days
+"""
+
+
+register(
+    "periodogram_candidate_periods",
+    oracle=periodogram_sql(DUCKDB),
+    doc="Goertzel-style single-frequency periodogram at candidate periods "
+    "(3.5/7/11/30 days) over mean-centered daily revenue: one scan, one "
+    "projection sum per period — seasonality checked without an FFT",
+)(lambda spark, sf_dir: (
+    register_views(spark, sf_dir, ("orders",)),
+    spark.sql(periodogram_sql(SPARK)),
+)[1])

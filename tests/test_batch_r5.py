@@ -968,3 +968,22 @@ def test_gof_poisson_matches_python(spark):
     assert abs(out["lambda_hat"] - lam) < 1e-5
     assert out["n_bins"] == len(bins)
     assert abs(out["chi2"] - x2) < 1e-3
+
+
+def test_periodogram_matches_numpy(spark):
+    out = load_all()["periodogram_candidate_periods"].spark(spark, SF).toPandas()
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    days = (pd.to_datetime(o.o_orderdate) - pd.Timestamp(0)).dt.days
+    daily = o.assign(d=days, v=o.o_totalprice.round(2)).groupby("d")["v"].sum()
+    x = daily.to_numpy() - daily.mean()
+    t = daily.index.to_numpy() - daily.index.min()
+    n = len(x)
+    assert len(out) == 4
+    for _, r in out.iterrows():
+        T = r["period_days"]
+        c = np.sum(np.round(x * np.cos(2 * np.pi * t / T), 9))
+        s = np.sum(np.round(x * np.sin(2 * np.pi * t / T), 9))
+        pw = (c * c + s * s) / n
+        assert r["n_days"] == n
+        assert abs(r["power"] - pw) < max(1.0, abs(pw) * 1e-6)
+    assert abs(out["power_share"].sum() - 1.0) < 1e-5
