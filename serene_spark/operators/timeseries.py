@@ -694,3 +694,110 @@ register(
     register_views(spark, sf_dir, ("orders",)),
     spark.sql(periodogram_sql(SPARK)),
 )[1])
+
+
+# --- Hurst exponent (rescaled range) -----------------------------------------
+
+HURST_SIZES = (16, 32, 64, 128)
+
+
+def hurst_sql(dialect: str) -> str:
+    """Hurst exponent of daily revenue by rescaled-range analysis (Hurst
+    1951; Mandelbrot-Wallis): for each block size T, partition the
+    zero-filled day series into full blocks, compute each block's
+    R (range of the cumulative deviations from the block mean) over
+    S (population std), average R/S per size, and read H off the
+    log-log slope across sizes — H≈0.5 is memoryless, H>0.5 persistent
+    trending, H<0.5 mean-reverting.  All block machinery is windows over
+    the DAY-cardinality relation; the slope is the closed-form simple
+    regression over |sizes| points with 9-dp-quantized decimal sums.
+    Partial trailing blocks are EXCLUDED (the standard convention —
+    mixing block lengths biases R/S).
+
+    Scale: one orders scan -> day agg; everything after is calendar-
+    bounded."""
+    day = idiv(dialect, f"({epoch_s(dialect, 'o_orderdate')})", 86400)
+    size_rows = " UNION ALL ".join(f"SELECT {t} AS t" for t in HURST_SIZES)
+    return f"""
+WITH raw AS (
+  SELECT {day} AS d, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY {day}
+),
+bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM raw),
+spine AS (
+  SELECT {explode_seq(dialect, "(SELECT d0 FROM bounds)", "(SELECT d1 FROM bounds)")} AS d
+  FROM bounds
+),
+series AS (
+  SELECT s.d - b.d0 AS i, CAST(COALESCE(r.rev, 0) AS DOUBLE) AS x
+  FROM spine s LEFT JOIN raw r ON s.d = r.d JOIN bounds b ON 1 = 1
+),
+sizes AS ({size_rows}),
+blocked AS (
+  SELECT z.t, {idiv(dialect, "s.i", "z.t")} AS blk, s.i, s.x
+  FROM series s JOIN sizes z ON 1 = 1
+),
+blk_stats AS (
+  SELECT t, blk, COUNT(*) AS n, AVG(x) AS m,
+         SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,6))) AS q,
+         SUM(CAST(ROUND(x, 6) AS DECIMAL(28,6))) AS s
+  FROM blocked GROUP BY t, blk
+),
+full_blocks AS (
+  SELECT t, blk,
+         CAST(s AS DOUBLE) / n AS m,
+         sqrt(GREATEST(0.0, (CAST(q AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n)) AS sd
+  FROM blk_stats WHERE n = t
+),
+cumdev AS (
+  SELECT b.t, b.blk, f.sd,
+         SUM(CAST(ROUND(b.x - f.m, 9) AS DECIMAL(28,9)))
+           OVER (PARTITION BY b.t, b.blk ORDER BY b.i) AS cd
+  FROM blocked b JOIN full_blocks f ON b.t = f.t AND b.blk = f.blk
+),
+rs AS (
+  SELECT t, blk, MAX(sd) AS sd,
+         CAST(MAX(cd) AS DOUBLE) - CAST(MIN(cd) AS DOUBLE) AS r
+  FROM cumdev GROUP BY t, blk
+),
+per_size AS (
+  SELECT t, COUNT(*) AS n_blocks,
+         CAST(SUM(CAST(ROUND(r / sd, 9) AS DECIMAL(28,9))) AS DOUBLE)
+           / COUNT(*) AS mean_rs
+  FROM rs WHERE sd > 0 GROUP BY t
+),
+fit AS (
+  SELECT COUNT(*) AS k,
+         SUM(CAST(ROUND(LN(CAST(t AS DOUBLE)), 9) AS DECIMAL(18,9))) AS sx,
+         SUM(CAST(ROUND(LN(mean_rs), 9) AS DECIMAL(18,9))) AS sy,
+         SUM(CAST(ROUND(LN(CAST(t AS DOUBLE)) * LN(mean_rs), 9)
+             AS DECIMAL(18,9))) AS sxy,
+         SUM(CAST(ROUND(LN(CAST(t AS DOUBLE)) * LN(CAST(t AS DOUBLE)), 9)
+             AS DECIMAL(18,9))) AS sxx
+  FROM per_size
+)
+SELECT p.t AS block_size,
+       CAST(p.n_blocks AS BIGINT) AS n_blocks,
+       ROUND(p.mean_rs, 6) AS mean_rescaled_range,
+       ROUND((f.k * CAST(f.sxy AS DOUBLE)
+              - CAST(f.sx AS DOUBLE) * CAST(f.sy AS DOUBLE))
+             / (f.k * CAST(f.sxx AS DOUBLE)
+                - CAST(f.sx AS DOUBLE) * CAST(f.sx AS DOUBLE)), 6)
+         AS hurst_exponent
+FROM per_size p JOIN fit f ON 1 = 1
+ORDER BY block_size
+"""
+
+
+register(
+    "hurst_daily_revenue",
+    oracle=hurst_sql(DUCKDB),
+    doc="Hurst exponent by rescaled-range analysis over block sizes "
+    "16/32/64/128 days (full blocks only): cumulative-deviation ranges "
+    "over population std per block, log-log closed-form slope across "
+    "sizes; H~0.5 memoryless, >0.5 persistent",
+)(lambda spark, sf_dir: (
+    register_views(spark, sf_dir, ("orders",)),
+    spark.sql(hurst_sql(SPARK)),
+)[1])

@@ -987,3 +987,33 @@ def test_periodogram_matches_numpy(spark):
         assert r["n_days"] == n
         assert abs(r["power"] - pw) < max(1.0, abs(pw) * 1e-6)
     assert abs(out["power_share"].sum() - 1.0) < 1e-5
+
+
+def test_hurst_matches_numpy(spark):
+    out = load_all()["hurst_daily_revenue"].spark(spark, SF).toPandas()
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    days = (pd.to_datetime(o.o_orderdate) - pd.Timestamp(0)).dt.days
+    daily = o.assign(d=days, v=o.o_totalprice.round(2)).groupby("d")["v"].sum()
+    daily = daily.reindex(range(daily.index.min(), daily.index.max() + 1),
+                          fill_value=0.0)
+    x = daily.to_numpy(dtype=float)
+    sizes = (16, 32, 64, 128)
+    mean_rs = {}
+    for T in sizes:
+        rss = []
+        for b in range(len(x) // T):
+            blk = x[b * T:(b + 1) * T]
+            sd = blk.std()  # population
+            if sd <= 0:
+                continue
+            cd = np.cumsum(np.round(blk - blk.mean(), 9))
+            rss.append(round((cd.max() - cd.min()) / sd, 9))
+        mean_rs[T] = sum(rss) / len(rss)
+    lx = np.log(np.array(sizes, dtype=float))
+    ly = np.log(np.array([mean_rs[T] for T in sizes]))
+    h = np.polyfit(lx, ly, 1)[0]
+    assert len(out) == 4
+    for _, r in out.iterrows():
+        assert abs(r["mean_rescaled_range"] - mean_rs[r["block_size"]]) < 1e-3
+    assert abs(out["hurst_exponent"].iloc[0] - h) < 1e-3
+    assert 0 < out["hurst_exponent"].iloc[0] < 1
