@@ -565,3 +565,74 @@ register(
     "ln k! as a quantized cumulative spine sum, expected<5 tail merged "
     "(textbook rule), zero-purchase hours counted as k=0 observations",
 )(_q(gof_poisson_sql))
+
+
+def runs_test_sql(dialect: str) -> str:
+    """Wald-Wolfowitz runs test for randomness of the daily revenue series
+    around its MEDIAN (the engine-wide exact-rank median, never an
+    interpolation): R = number of sign runs, compared to the conditional
+    null E[R] = 2*n1*n0/n + 1 and Var[R] = (E[R]-1)(E[R]-2)/(n-1), z with
+    continuity correction.  Too many runs = oscillation, too few =
+    clustering/trend — the nonparametric cousin of the ACF diagnostic.
+    Median-equal days are EXCLUDED (the standard convention).  Run
+    boundaries come from one LAG over the day series — no state beyond
+    the calendar-bounded relation.
+
+    Scale: one orders scan -> day agg -> median by histogram rank
+    selection -> one LAG window."""
+    day = idiv(dialect, f"({epoch_s(dialect, 'o_orderdate')})", 86400)
+    return f"""
+WITH daily AS (
+  SELECT {day} AS d, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY {day}
+),
+hist AS (SELECT rev, COUNT(*) AS c FROM daily GROUP BY rev),
+nn AS {mat(dialect)}(SELECT SUM(c) AS n FROM hist),
+med AS {mat(dialect)}(
+  SELECT MIN(h.rev) AS v
+  FROM (SELECT rev, SUM(c) OVER (ORDER BY rev) AS cum FROM hist) h
+  JOIN nn ON h.cum * 2 >= nn.n
+),
+signs AS (
+  SELECT d.d, CASE WHEN d.rev > m.v THEN 1 ELSE 0 END AS s
+  FROM daily d JOIN med m ON 1 = 1
+  WHERE d.rev <> m.v
+),
+runs AS (
+  SELECT s,
+         CASE WHEN LAG(s) OVER (ORDER BY d) IS NULL
+                OR LAG(s) OVER (ORDER BY d) <> s THEN 1 ELSE 0 END AS starts
+  FROM signs
+),
+stats AS (
+  SELECT SUM(starts) AS r, SUM(s) AS n1, COUNT(*) - SUM(s) AS n0, COUNT(*) AS n
+  FROM runs
+),
+z AS (
+  SELECT r, n1, n0, n,
+         2.0 * n1 * n0 / n + 1 AS e_r,
+         (2.0 * n1 * n0 / n + 1 - 1) * (2.0 * n1 * n0 / n + 1 - 2) / (n - 1)
+           AS v_r
+  FROM stats
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(n1 AS BIGINT) AS n_above,
+       CAST(n0 AS BIGINT) AS n_below,
+       CAST(r AS BIGINT) AS n_runs,
+       ROUND(e_r, 6) AS expected_runs,
+       ROUND((r - e_r + CASE WHEN r < e_r THEN 0.5 ELSE -0.5 END)
+             / sqrt(v_r), 6) AS z_stat
+FROM z
+"""
+
+
+register(
+    "runs_test_daily",
+    oracle=runs_test_sql(DUCKDB),
+    doc="Wald-Wolfowitz runs test of daily revenue around its exact-rank "
+    "median (median-equal days excluded): run boundaries from one LAG, "
+    "conditional-null z with continuity correction",
+)(lambda spark, sf_dir: (
+    register_views(spark, sf_dir, ("orders",)),
+    spark.sql(runs_test_sql(SPARK)),
+)[1])

@@ -1017,3 +1017,22 @@ def test_hurst_matches_numpy(spark):
         assert abs(r["mean_rescaled_range"] - mean_rs[r["block_size"]]) < 1e-3
     assert abs(out["hurst_exponent"].iloc[0] - h) < 1e-3
     assert 0 < out["hurst_exponent"].iloc[0] < 1
+
+
+def test_runs_test_matches_python(spark):
+    out = load_all()["runs_test_daily"].spark(spark, SF).toPandas().iloc[0]
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    days = (pd.to_datetime(o.o_orderdate) - pd.Timestamp(0)).dt.days
+    daily = o.assign(d=days, v=o.o_totalprice.round(2)).groupby("d")["v"].sum()
+    vals = np.sort(daily.to_numpy())
+    med = vals[np.searchsorted(np.arange(1, len(vals) + 1) * 2, len(vals),
+                               side="left")]
+    s = daily[daily != med] > med
+    s = s.sort_index().to_numpy()
+    r = 1 + int(np.sum(s[1:] != s[:-1]))
+    n1, n0, n = int(s.sum()), int((~s).sum()), len(s)
+    e = 2 * n1 * n0 / n + 1
+    v = (e - 1) * (e - 2) / (n - 1)
+    z = (r - e + (0.5 if r < e else -0.5)) / np.sqrt(v)
+    assert (out["n_days"], out["n_above"], out["n_below"], out["n_runs"]) == (n, n1, n0, r)
+    assert abs(out["z_stat"] - z) < 1e-5
