@@ -801,3 +801,92 @@ register(
     register_views(spark, sf_dir, ("orders",)),
     spark.sql(hurst_sql(SPARK)),
 )[1])
+
+
+# --- sample entropy -----------------------------------------------------------
+
+SAMPEN_M = 2
+SAMPEN_R_FRAC = 0.2
+
+
+def sampen_sql(dialect: str) -> str:
+    """Sample entropy of daily revenue (Richman & Moorman 2000): the
+    negative log conditional probability that two sequences similar for
+    m={SAMPEN_M} points (Chebyshev distance <= r = 0.2*std) remain similar
+    at m+1.  Template pairs come from ONE self-join of the day series with
+    its LEAD columns — both the m and m+1 match counts fall out of the
+    same pass via CASE arms, i<j so each unordered pair counts once and
+    self-matches are excluded by construction.  The join is quadratic in
+    the DAY count — calendar-bounded (~2.4k days => ~3M pairs), never
+    data-scale, and stated.  The tolerance r derives from the exact
+    decimal moment std.
+
+    Regular series (weekly cycles) produce LOW SampEn; white noise
+    high — the periodogram's nonlinear cousin."""
+    day = idiv(dialect, f"({epoch_s(dialect, 'o_orderdate')})", 86400)
+    return f"""
+WITH raw AS (
+  SELECT {day} AS d, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY {day}
+),
+bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM raw),
+spine AS (
+  SELECT {explode_seq(dialect, "(SELECT d0 FROM bounds)", "(SELECT d1 FROM bounds)")} AS d
+  FROM bounds
+),
+series AS (
+  SELECT s.d, CAST(COALESCE(r.rev, 0) AS DOUBLE) AS x
+  FROM spine s LEFT JOIN raw r ON s.d = r.d
+),
+mom AS {mat(dialect)}(
+  SELECT COUNT(*) AS n,
+         SUM(CAST(ROUND(x, 6) AS DECIMAL(28,6))) AS s,
+         SUM(CAST(ROUND(x * x, 6) AS DECIMAL(38,6))) AS q
+  FROM series
+),
+rr AS {mat(dialect)}(
+  SELECT {SAMPEN_R_FRAC} * sqrt((CAST(q AS DOUBLE)
+           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n) AS r
+  FROM mom
+),
+templ AS {mat(dialect)}(
+  SELECT d, x,
+         LEAD(x, 1) OVER (ORDER BY d) AS x1,
+         LEAD(x, 2) OVER (ORDER BY d) AS x2
+  FROM series
+),
+pairs AS (
+  SELECT
+    SUM(CASE WHEN GREATEST(ABS(a.x - b.x), ABS(a.x1 - b.x1)) <= rr.r
+        THEN 1 ELSE 0 END) AS b_count,
+    SUM(CASE WHEN a.x2 IS NOT NULL AND b.x2 IS NOT NULL
+              AND GREATEST(ABS(a.x - b.x), ABS(a.x1 - b.x1),
+                           ABS(a.x2 - b.x2)) <= rr.r
+        THEN 1 ELSE 0 END) AS a_count
+  FROM templ a
+  JOIN templ b ON a.d < b.d
+  JOIN rr ON 1 = 1
+  WHERE a.x1 IS NOT NULL AND b.x1 IS NOT NULL
+)
+SELECT CAST((SELECT n FROM mom) AS BIGINT) AS n_days,
+       ROUND((SELECT r FROM rr), 6) AS tolerance_r,
+       CAST(b_count AS BIGINT) AS m_matches,
+       CAST(a_count AS BIGINT) AS m1_matches,
+       ROUND(CASE WHEN a_count > 0 AND b_count > 0
+                  THEN -LN(CAST(a_count AS DOUBLE) / b_count) END, 6)
+         AS sample_entropy
+FROM pairs
+"""
+
+
+register(
+    "sample_entropy_daily",
+    oracle=sampen_sql(DUCKDB),
+    doc=f"Sample entropy (m={SAMPEN_M}, r=0.2*std) of daily revenue: one "
+    "self-join of the LEAD-templated day series yields both m and m+1 "
+    "match counts; calendar-bounded quadratic, stated; degenerate zero-"
+    "match case yields NULL",
+)(lambda spark, sf_dir: (
+    register_views(spark, sf_dir, ("orders",)),
+    spark.sql(sampen_sql(SPARK)),
+)[1])

@@ -1036,3 +1036,27 @@ def test_runs_test_matches_python(spark):
     z = (r - e + (0.5 if r < e else -0.5)) / np.sqrt(v)
     assert (out["n_days"], out["n_above"], out["n_below"], out["n_runs"]) == (n, n1, n0, r)
     assert abs(out["z_stat"] - z) < 1e-5
+
+
+def test_sample_entropy_matches_numpy(spark):
+    out = load_all()["sample_entropy_daily"].spark(spark, SF).toPandas().iloc[0]
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    days = (pd.to_datetime(o.o_orderdate) - pd.Timestamp(0)).dt.days
+    daily = o.assign(d=days, v=o.o_totalprice.round(2)).groupby("d")["v"].sum()
+    daily = daily.reindex(range(daily.index.min(), daily.index.max() + 1),
+                          fill_value=0.0)
+    x = daily.to_numpy(dtype=float)
+    n = len(x)
+    r = 0.2 * x.std()
+    b = a = 0
+    for i in range(n - 1):
+        for j in range(i + 1, n - 1):
+            if max(abs(x[i] - x[j]), abs(x[i + 1] - x[j + 1])) <= r:
+                b += 1
+                if i + 2 < n and j + 2 < n and abs(x[i + 2] - x[j + 2]) <= r:
+                    a += 1
+    assert out["n_days"] == n
+    assert abs(out["tolerance_r"] - r) < 1e-4
+    assert (out["m_matches"], out["m1_matches"]) == (b, a)
+    if a and b:
+        assert abs(out["sample_entropy"] - (-np.log(a / b))) < 1e-5
