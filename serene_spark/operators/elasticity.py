@@ -1,7 +1,10 @@
 """Grouped simple regression — per-segment price elasticity of demand.
 
 ``elasticity_loglog_parts``: the classic log-log demand model
-ln(quantity) = α + β·ln(price), fitted INDEPENDENTLY per part type with
+ln(quantity) = α + β·ln(unit price), fitted INDEPENDENTLY per part type
+with the UNIT price l_extendedprice / l_quantity as the regressor —
+extendedprice itself mechanically contains quantity, so regressing on it
+would measure the built-in qty-in-revenue identity, not price response —
 the closed-form simple-regression solution
 β = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²).  β is the price elasticity (a 1 %
 price increase moves demand β %).  Where ``ols_revenue_drivers`` fits one
@@ -25,7 +28,8 @@ from serene_spark.registry import register
 
 
 def _elasticity_sql(dialect: str) -> str:
-    x = "CAST(ROUND(ln(CAST(l_extendedprice AS DOUBLE)), 9) AS DECIMAL(18,9))"
+    x = ("CAST(ROUND(ln(CAST(l_extendedprice AS DOUBLE) "
+         "/ CAST(l_quantity AS DOUBLE)), 9) AS DECIMAL(18,9))")
     y = "CAST(ROUND(ln(CAST(l_quantity AS DOUBLE)), 9) AS DECIMAL(18,9))"
     sxy = "(m.n * CAST(m.qxy AS DOUBLE) - CAST(m.sx AS DOUBLE) * CAST(m.sy AS DOUBLE))"
     sxx = "(m.n * CAST(m.qxx AS DOUBLE) - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE))"

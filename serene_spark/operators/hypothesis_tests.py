@@ -412,7 +412,8 @@ def gof_exponential_sql(dialect: str) -> str:
     sup over a right-continuous step function needs the pre-jump gap too);
     the parameter is estimated from the same data, so the plain KS
     critical value is conservative — the Lilliefors-corrected 5% value
-    (0.96/sqrt(n), Lilliefors 1969 table for the exponential) is emitted
+    (1.06/sqrt(n), Lilliefors 1969 table, alpha=0.05 for the exponential
+    with estimated mean) is emitted
     beside D and the decision uses it.  Exact integer CDF counts; exp()
     at the edge.
 
@@ -457,8 +458,8 @@ SELECT CAST(l.n AS BIGINT) AS n_gaps,
        ROUND(l.lambda_hat, 6) AS lambda_per_day,
        ROUND(1.0 / l.lambda_hat, 6) AS mean_gap_days,
        ROUND(d.d, 6) AS ks_d,
-       ROUND(0.96 / sqrt(l.n), 6) AS lilliefors_crit_5pct,
-       CAST(CASE WHEN d.d > 0.96 / sqrt(l.n) THEN 1 ELSE 0 END AS INT)
+       ROUND(1.06 / sqrt(l.n), 6) AS lilliefors_crit_5pct,
+       CAST(CASE WHEN d.d > 1.06 / sqrt(l.n) THEN 1 ELSE 0 END AS INT)
          AS reject_exponential
 FROM lam l JOIN dstat d ON 1 = 1
 """

@@ -856,17 +856,21 @@ templ AS {mat(dialect)}(
   FROM series
 ),
 pairs AS (
+  -- Richman-Moorman restrict BOTH the m (B) and m+1 (A) counts to the
+  -- N-m templates that have a continuation, so the x2-NOT-NULL filter
+  -- sits in the WHERE (not just the A arm): otherwise the final
+  -- continuation-less template inflates B and deflates SampEn
   SELECT
     SUM(CASE WHEN GREATEST(ABS(a.x - b.x), ABS(a.x1 - b.x1)) <= rr.r
         THEN 1 ELSE 0 END) AS b_count,
-    SUM(CASE WHEN a.x2 IS NOT NULL AND b.x2 IS NOT NULL
-              AND GREATEST(ABS(a.x - b.x), ABS(a.x1 - b.x1),
+    SUM(CASE WHEN GREATEST(ABS(a.x - b.x), ABS(a.x1 - b.x1),
                            ABS(a.x2 - b.x2)) <= rr.r
         THEN 1 ELSE 0 END) AS a_count
   FROM templ a
   JOIN templ b ON a.d < b.d
   JOIN rr ON 1 = 1
   WHERE a.x1 IS NOT NULL AND b.x1 IS NOT NULL
+    AND a.x2 IS NOT NULL AND b.x2 IS NOT NULL
 )
 SELECT CAST((SELECT n FROM mom) AS BIGINT) AS n_days,
        ROUND((SELECT r FROM rr), 6) AS tolerance_r,

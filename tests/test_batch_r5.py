@@ -934,7 +934,7 @@ def test_gof_exponential_matches_scipy_style(spark):
     assert out["n_gaps"] == n
     assert abs(out["lambda_per_day"] - lam) < 1e-4
     assert abs(out["ks_d"] - d) < 1e-4
-    assert out["reject_exponential"] == int(d > 0.96 / np.sqrt(n))
+    assert out["reject_exponential"] == int(d > 1.06 / np.sqrt(n))
 
 
 def test_gof_poisson_matches_python(spark):
@@ -1049,11 +1049,13 @@ def test_sample_entropy_matches_numpy(spark):
     n = len(x)
     r = 0.2 * x.std()
     b = a = 0
-    for i in range(n - 1):
-        for j in range(i + 1, n - 1):
+    # Richman-Moorman: both A and B range over the N-m templates that
+    # have an m+1 continuation (i, j <= n-3 for m=2)
+    for i in range(n - 2):
+        for j in range(i + 1, n - 2):
             if max(abs(x[i] - x[j]), abs(x[i + 1] - x[j + 1])) <= r:
                 b += 1
-                if i + 2 < n and j + 2 < n and abs(x[i + 2] - x[j + 2]) <= r:
+                if abs(x[i + 2] - x[j + 2]) <= r:
                     a += 1
     assert out["n_days"] == n
     assert abs(out["tolerance_r"] - r) < 1e-4

@@ -15,7 +15,9 @@ def test_elasticity_matches_numpy(spark):
     li = pd.read_parquet(f"{SF}/lineitem.parquet")
     pt = pd.read_parquet(f"{SF}/part.parquet")
     df = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
-    df["x"] = np.round(np.log(df.l_extendedprice.astype(float)), 9)
+    df["x"] = np.round(
+        np.log(df.l_extendedprice.astype(float) / df.l_quantity.astype(float)), 9
+    )
     df["y"] = np.round(np.log(df.l_quantity.astype(float)), 9)
     for _, r in out.iterrows():
         g = df[df.p_type == r["p_type"]]
