@@ -131,7 +131,11 @@ def _cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _source_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serene_spark.operators.dedup import guard_exact_baseline
+
     register_views(spark, sf_dir, ("documents",), spread=True)
+    guard_exact_baseline(spark, "documents", "source_similarity",
+                         "source_similarity_minhash")
     grams = spark.sql(
         f"WITH {grams_rel(SPARK)} SELECT * FROM grams"
     ).localCheckpoint(eager=True)

@@ -18,9 +18,13 @@ the MinHash signature itself oracle-checkable — no engine-specific hash().
 
 Scale notes (100 TB): every stage is a narrow projection or a keyed
 aggregation/join; the shingle self-join of the exact variant is the only
-quadratic-risk op (kept for small corpora / verification; LSH is the
-production path). Band buckets with huge collision groups would be salted or
-capped in production; the skeleton keeps keys uniform by construction (md5).
+quadratic-risk op (kept for small corpora / verification, and gated by
+``guard_exact_baseline``; LSH is the production path). Band buckets with
+huge collision groups (boilerplate templates — the adversarial input md5
+uniformity can't smooth) are CAPPED: buckets over ``LSH_BUCKET_CAP`` switch
+to star pairing against the bucket hub, bounding per-bucket work at
+Theta(G) while preserving cluster connectivity; ``dedup_lsh_hot_buckets``
+reports every capped bucket.
 """
 
 from __future__ import annotations
@@ -176,14 +180,24 @@ def minhash_signatures_sql(dialect: str) -> str:
     return f"WITH {minhash_rel(dialect)} SELECT doc_id, {cols} FROM mh"
 
 
-def lsh_body(dialect: str, mh_rel: str = "mh", band_size: int = BAND_SIZE) -> str:
-    """The banded-LSH tail (bands → candidates → estimated Jaccard) over an
-    existing minhash relation ``mh_rel`` — shared by the one-statement oracle
-    and the materialized Spark runner. ``band_size`` (rows per band) is the
-    selectivity knob — derive it from a target threshold with
-    ``lsh_band_geometry`` instead of hardcoding when corpus size changes."""
+# Hot-bucket cap: a (band, sig) bucket holding G docs normally yields
+# Theta(G^2) candidate pairs in the bucket self-join. On a real crawl,
+# boilerplate templates create buckets with millions of members — the one
+# adversarial input md5 uniformity can't smooth. Buckets over the cap
+# switch to STAR pairing (every member pairs only with the bucket's min
+# doc_id hub): work and output drop to Theta(G) per hot bucket while
+# cluster CONNECTIVITY — what dedup actually consumes downstream via
+# connected components — is fully preserved (all members stay reachable
+# through the hub). Pair-level output inside a hot bucket is deliberately
+# sparser; dedup_lsh_hot_buckets reports every capped bucket so the loss
+# is observable, never silent.
+LSH_BUCKET_CAP = 1000
+
+
+def bands_rel(dialect: str, mh_rel: str = "mh", band_size: int = BAND_SIZE) -> str:
+    """The per-band signature relation: one row per (doc, band)."""
     n_bands = N_MINHASH // band_size
-    band_selects = " UNION ALL ".join(
+    return " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5("
         + " || '|' || ".join(
             f"CAST(mh{b * band_size + j} AS STRING)" for j in range(band_size)
@@ -191,15 +205,53 @@ def lsh_body(dialect: str, mh_rel: str = "mh", band_size: int = BAND_SIZE) -> st
         + f") AS sig FROM {mh_rel}"
         for b in range(n_bands)
     )
+
+
+def bands_cand_body(
+    dialect: str,
+    mh_rel: str = "mh",
+    band_size: int = BAND_SIZE,
+    cap: int = LSH_BUCKET_CAP,
+) -> str:
+    """bands → bucket sizes → capped candidate pairs (shared by every LSH
+    tail so candidate generation can never desync between them).
+
+    The cap lives on the PROBE side of the join: hot buckets (size > cap)
+    contribute only their hub row to ``bleft``, so the join enumerates
+    Theta(G) rows for a hot bucket instead of Theta(G^2) — the filter is
+    applied before the join, not after it."""
+    return f"""
+bands AS ({bands_rel(dialect, mh_rel, band_size)}),
+bsz AS (
+  SELECT band, sig, COUNT(*) AS g, MIN(doc_id) AS hub
+  FROM bands GROUP BY band, sig
+),
+bleft AS (
+  SELECT a.doc_id, a.band, a.sig
+  FROM bands a JOIN bsz z ON a.band = z.band AND a.sig = z.sig
+  WHERE z.g <= {cap} OR a.doc_id = z.hub
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bleft a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)"""
+
+
+def lsh_body(
+    dialect: str,
+    mh_rel: str = "mh",
+    band_size: int = BAND_SIZE,
+    cap: int = LSH_BUCKET_CAP,
+) -> str:
+    """The banded-LSH tail (bands → candidates → estimated Jaccard) over an
+    existing minhash relation ``mh_rel`` — shared by the one-statement oracle
+    and the materialized Spark runner. ``band_size`` (rows per band) is the
+    selectivity knob — derive it from a target threshold with
+    ``lsh_band_geometry`` instead of hardcoding when corpus size changes."""
     n_match = " + ".join(
         f"CASE WHEN m1.mh{i} = m2.mh{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH)
     )
-    return f"""
-bands AS ({band_selects}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-)
+    return f"""{bands_cand_body(dialect, mh_rel, band_size, cap)}
 SELECT cand.d1 AS doc_id_1, cand.d2 AS doc_id_2,
        round(CAST(({n_match}) AS DOUBLE) / {N_MINHASH}, 6) AS est_jaccard
 FROM cand
@@ -208,8 +260,9 @@ JOIN {mh_rel} m2 ON m2.doc_id = cand.d2
 """
 
 
-def minhash_lsh_sql(dialect: str, band_size: int = BAND_SIZE) -> str:
-    return f"WITH {minhash_rel(dialect)},\n{lsh_body(dialect, 'mh', band_size)}"
+def minhash_lsh_sql(dialect: str, band_size: int = BAND_SIZE,
+                    cap: int = LSH_BUCKET_CAP) -> str:
+    return f"WITH {minhash_rel(dialect)},\n{lsh_body(dialect, 'mh', band_size, cap)}"
 
 
 def _materialized_mh(spark: SparkSession, sf_dir: str):
@@ -237,26 +290,13 @@ def candidate_common_body(
     mh_rel: str = "mh",
     sh_rel: str = "shingles",
     band_size: int = BAND_SIZE,
+    cap: int = LSH_BUCKET_CAP,
 ) -> str:
-    """Shared LSH candidate machinery: bands → candidate pairs → per-doc
-    shingle counts → exact common-shingle counts.  Both verification tails
-    (resemblance/Jaccard and containment) splice this, so the candidate
-    generation cannot desync between them."""
-    n_bands = N_MINHASH // band_size
-    band_selects = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, md5("
-        + " || '|' || ".join(
-            f"CAST(mh{b * band_size + j} AS STRING)" for j in range(band_size)
-        )
-        + f") AS sig FROM {mh_rel}"
-        for b in range(n_bands)
-    )
-    return f"""
-bands AS ({band_selects}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-),
+    """Shared LSH candidate machinery: bands → capped candidate pairs →
+    per-doc shingle counts → exact common-shingle counts.  Both
+    verification tails (resemblance/Jaccard and containment) splice this,
+    so the candidate generation cannot desync between them."""
+    return f"""{bands_cand_body(dialect, mh_rel, band_size, cap)},
 counts AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM {sh_rel} GROUP BY doc_id
 ),
@@ -521,10 +561,47 @@ def _sql_query(sql_fn):
     return run
 
 
+# Exact-quadratic baselines refuse data-scale corpora (same refuse-and-
+# point-at-the-scale-sibling contract as train_semantic_classifier's
+# TRAIN_COLLECT_MAX guard in ml/pipeline.py): the probe is one parquet
+# metadata-cheap COUNT, so the guard itself never scans text.
+EXACT_BASELINE_MAX_DOCS = 50_000
+
+
+def guard_exact_baseline(spark: SparkSession, table: str, op: str,
+                         scale_sibling: str,
+                         max_docs: int = EXACT_BASELINE_MAX_DOCS) -> None:
+    """Refuse a corpus too large for an intentionally-quadratic baseline.
+
+    The exact all-pairs operators exist as verification oracles for their
+    bucketed scale siblings; on a production corpus their self-join is
+    Theta(n^2) candidate pairs and no amount of cluster would save it.
+    A cheap COUNT probe (parquet row-count metadata; no text scan) gates
+    them, mirroring the train-collect guard at ml/pipeline.py.
+    """
+    n = spark.table(table).count()
+    if n > max_docs:
+        raise ValueError(
+            f"{op} is the exact quadratic baseline (all-pairs self-join) and "
+            f"got {n} {table} rows > {max_docs}. On a data-scale corpus use "
+            f"the bucketed scale sibling `{scale_sibling}` instead; the exact "
+            f"baseline exists to verify it on samples."
+        )
+
+
+def _guarded_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",), spread=True)
+    guard_exact_baseline(spark, "documents", "dedup_ngram_jaccard",
+                         "dedup_lsh_verified")
+    return spark.sql(ngram_jaccard_sql(SPARK))
+
+
 register("dedup_exact", oracle=dedup_exact_sql(DUCKDB),
          doc="exact dedup: normalized-text hash groups with keeper doc id")(_sql_query(dedup_exact_sql))
 register("dedup_ngram_jaccard", oracle=ngram_jaccard_sql(DUCKDB),
-         doc=f"char-{SHINGLE_K}-gram Jaccard near-dup pairs (exact quadratic baseline)")(_sql_query(ngram_jaccard_sql))
+         doc=f"char-{SHINGLE_K}-gram Jaccard near-dup pairs (exact quadratic "
+             f"baseline; refuses corpora > {EXACT_BASELINE_MAX_DOCS} docs — "
+             f"use dedup_lsh_verified at scale)")(_guarded_ngram_jaccard)
 register("minhash_signatures", oracle=minhash_signatures_sql(DUCKDB),
          doc=f"{N_MINHASH}-permutation MinHash signatures (md5-min portable hashing)")(_sql_query(minhash_signatures_sql))
 register("dedup_minhash_lsh", oracle=minhash_lsh_sql(DUCKDB),
@@ -534,6 +611,32 @@ register("dedup_minhash_lsh", oracle=minhash_lsh_sql(DUCKDB),
 register("dedup_lsh_verified", oracle=lsh_verified_sql(DUCKDB),
          doc="complete dedup pipeline: LSH candidates -> exact shingle-Jaccard "
              "verification of candidates only (never all-pairs)")(dedup_lsh_verified_spark)
+
+
+def hot_bucket_report_sql(dialect: str, cap: int = LSH_BUCKET_CAP) -> str:
+    """Per-band LSH bucket-size audit: how close each band's buckets sit to
+    the hot-bucket cap, and how many docs fell under the star-pairing
+    overflow policy.  On a boilerplate-heavy crawl this is the first thing
+    to read after a dedup run — hot_docs > 0 means pair-level output inside
+    those buckets was star-sparsified (connectivity preserved)."""
+    return f"""
+WITH {minhash_rel(dialect)},
+bands AS ({bands_rel(dialect)}),
+bsz AS (SELECT band, sig, COUNT(*) AS g FROM bands GROUP BY band, sig)
+SELECT CAST(band AS INT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MAX(g) AS BIGINT) AS max_bucket,
+       CAST(SUM(CASE WHEN g > {cap} THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+       CAST(SUM(CASE WHEN g > {cap} THEN g ELSE 0 END) AS BIGINT) AS hot_docs
+FROM bsz GROUP BY band ORDER BY band
+"""
+
+
+register("dedup_lsh_hot_buckets", oracle=hot_bucket_report_sql(DUCKDB),
+         doc=f"per-band LSH bucket-size audit vs the hot-bucket cap "
+             f"({LSH_BUCKET_CAP}): bucket counts, max size, capped buckets "
+             f"and docs under the star-pairing overflow policy")(
+    _sql_query(hot_bucket_report_sql))
 def _clusters_oracle() -> str:
     """DuckDB oracle for the iterative Spark loop: connected components as a
     WITH RECURSIVE transitive closure (cluster id = min reachable doc_id).

@@ -155,3 +155,97 @@ def test_canonical_select_invariants(spark, sf_dir):
     lab = dict(zip(clusters["doc_id"], clusters["cluster"]))
     for _, r in multi.iterrows():
         assert lab[r["doc_id"]] == r["cluster"]
+
+
+def test_exact_baselines_refuse_data_scale_input(spark):
+    """The intentionally-quadratic baselines (dedup_ngram_jaccard,
+    source_similarity) refuse corpora above EXACT_BASELINE_MAX_DOCS and
+    point at their bucketed scale siblings — the same contract as the
+    train-collect guard in ml/pipeline.py."""
+    import pytest as _pytest
+
+    from serene_spark.operators.dedup import guard_exact_baseline
+
+    spark.range(0, 101).selectExpr(
+        "id AS doc_id", "'x' AS text", "'s' AS source"
+    ).createOrReplaceTempView("documents")
+    try:
+        with _pytest.raises(ValueError, match="dedup_lsh_verified"):
+            guard_exact_baseline(spark, "documents", "dedup_ngram_jaccard",
+                                 "dedup_lsh_verified", max_docs=100)
+        # under the cap: no raise
+        guard_exact_baseline(spark, "documents", "dedup_ngram_jaccard",
+                             "dedup_lsh_verified", max_docs=101)
+    finally:
+        spark.catalog.dropTempView("documents")
+
+
+def test_guarded_runners_still_pass_at_test_scale(spark, sf_dir):
+    """The registered guarded runners are unchanged below the cap."""
+    from serene_spark.registry import load_all
+
+    qs = load_all()
+    assert qs["dedup_ngram_jaccard"].spark(spark, sf_dir).count() > 0
+    assert qs["source_similarity"].spark(spark, sf_dir).count() > 0
+
+
+def test_hot_bucket_cap_bounds_candidates_and_keeps_connectivity(spark):
+    """Constructed boilerplate-heavy corpus: 30 identical template docs
+    (>10% of the corpus — every band bucket holds all 30, hot under a cap
+    of 8) plus a genuine near-dup pair and distinct filler.  The cap must
+    (a) bound hot-bucket candidates at G-1 star pairs instead of G(G-1)/2,
+    (b) leave connected-component CLUSTERS identical to the uncapped run,
+    (c) leave pairs outside the hot bucket untouched."""
+    from serene_spark.functions.sqlgen import SPARK as SP
+    from serene_spark.operators.dedup import minhash_lsh_sql
+
+    template = " ".join(f"boiler{i} plate{i} navbar{i} footer{i}"
+                        for i in range(40))
+    near = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(40))
+    docs = [(i, template) for i in range(1, 31)]
+    docs.append((100, near))
+    docs.append((101, near + " tail variation here"))
+    docs += [(200 + i,
+              f"unique document number {i} about " +
+              " ".join(f"topic{i}w{j}" for j in range(30)))
+             for i in range(10)]
+    spark.createDataFrame(docs, "doc_id long, text string") \
+        .createOrReplaceTempView("documents")
+
+    def cc(pairs):
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    try:
+        capped = [(r.doc_id_1, r.doc_id_2) for r in
+                  spark.sql(minhash_lsh_sql(SP, cap=8)).collect()]
+        uncapped = [(r.doc_id_1, r.doc_id_2) for r in
+                    spark.sql(minhash_lsh_sql(SP, cap=10 ** 9)).collect()]
+    finally:
+        spark.catalog.dropTempView("documents")
+
+    hot_ids = set(range(1, 31))
+    hot_capped = [p for p in capped if p[0] in hot_ids and p[1] in hot_ids]
+    hot_uncapped = [p for p in uncapped if p[0] in hot_ids and p[1] in hot_ids]
+    # (a) star pairs only: 29 vs the full 435 quadratic set
+    assert len(hot_uncapped) == 30 * 29 // 2
+    assert sorted(hot_capped) == [(1, d) for d in range(2, 31)]
+    # (b) identical clustering
+    assert cc(capped) == cc(uncapped)
+    # (c) pairs outside the hot bucket unchanged (the near-dup pair among
+    # them — recall on true non-boilerplate pairs is untouched)
+    outside = lambda ps: sorted(p for p in ps
+                                if not (p[0] in hot_ids and p[1] in hot_ids))
+    assert outside(capped) == outside(uncapped)
+    assert (100, 101) in capped
