@@ -35,6 +35,10 @@ BENCH_QUERIES = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # scale-validation hook: append extra registered queries (comma-sep)
+    # without touching the driver's 13-query headline set
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_QUERIES", "")
+    bench_queries = BENCH_QUERIES + [q for q in extra.split(",") if q]
     from serene_spark.registry import load_all
     from serene_spark.session import get_spark
 
@@ -116,7 +120,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total = 0.0
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         q = queries[name]
         t0 = time.time()
         q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -159,6 +159,25 @@ def arr_join(dialect: str, arr: str, sep: str) -> str:
     return f"array_join({arr}, '{sep}')"
 
 
+def arr_intersect_size(dialect: str, a: str, b: str) -> str:
+    """Distinct-element intersection cardinality of two arrays.
+
+    Both engines dedup: Spark's array_intersect and DuckDB's list_intersect
+    return distinct common elements, so the size is a set-intersection
+    count regardless of input multiplicity."""
+    if dialect == DUCKDB:
+        return f"len(list_intersect({a}, {b}))"
+    return f"size(array_intersect({a}, {b}))"
+
+
+def arr_collect(dialect: str, val: str) -> str:
+    """Unordered array aggregate (use where element order is irrelevant,
+    e.g. as set-intersection input)."""
+    if dialect == DUCKDB:
+        return f"list({val})"
+    return f"collect_list({val})"
+
+
 def arr_filter_nonempty(dialect: str, arr: str) -> str:
     """Drop empty-string elements (regex splits emit '' at boundaries)."""
     if dialect == DUCKDB:

@@ -6,7 +6,7 @@ operators mandated for the rebuild, designed Spark-first:
 - exact dedup        — hash-groupBy, one shuffle;
 - n-gram Jaccard     — shingle -> self-join on shingle -> count ratio (the
                        exact quadratic baseline; LSH below is the scale path);
-- MinHash + LSH      — shingle -> 16 min-hashes -> band buckets -> bucket join,
+- MinHash + LSH      — shingle -> 48 min-hashes -> 16x3 band buckets -> bucket join,
                        so candidate generation never goes quadratic;
 - SimHash            — per-token hash bit-voting -> 64-bit signature held as
                        4 x 16-bit words -> pigeonhole equi-join per word ->
@@ -35,6 +35,8 @@ from serene_spark.catalog import register_views
 from serene_spark.functions.sqlgen import (
     DUCKDB,
     SPARK,
+    arr_collect,
+    arr_intersect_size,
     bxor,
     explode_seq,
     hex_to_int,
@@ -81,10 +83,22 @@ def lsh_band_geometry(threshold: float, n_minhash: int = N_MINHASH) -> tuple[int
     return best
 
 
-# rows per LSH band, derived from the target threshold (8 bands x 2 rows for
-# the 0.35 target) — the registered queries inherit this, so retuning the
-# target rewrites every band list consistently on both engines.
-LSH_BANDS, BAND_SIZE = lsh_band_geometry(LSH_TARGET_JACCARD)
+# Permutation count for the LSH PIPELINE (the standalone signature query
+# stays at N_MINHASH=16 — its output schema is an oracle contract).  48
+# permutations buy rows-per-band r=3 at the same 0.35 target: a background
+# pair's band-collision probability falls from J_bg^2 to J_bg^3, which on a
+# self-similar corpus (measured J_bg ~ 0.04 on the synthetic 31-word-vocab
+# documents) cuts spurious candidates ~15x (measured 191k -> ~13k at sf0.1)
+# while the S-curve inflection stays at (1/16)^(1/3) = 0.397.  Candidate
+# volume is THE n^2 term of the whole pipeline — selectivity here is worth
+# 3x the signature compute.
+N_LSH = 48
+
+# (bands, rows per band) derived from the target threshold (16 bands x 3
+# rows for the 0.35 target at 48 permutations) — the registered queries
+# inherit this, so retuning the target rewrites every band list
+# consistently on both engines.
+LSH_BANDS, BAND_SIZE = lsh_band_geometry(LSH_TARGET_JACCARD, N_LSH)
 
 
 _WS_PAT = "[ \t\n\r]+"
@@ -149,19 +163,20 @@ WHERE CAST(c AS DOUBLE) / (n1.n_sh + n2.n_sh - c) >= {threshold}
 MH_PRIME = 4294967311
 
 
-def minhash_rel(dialect: str) -> str:
-    """16 min-hashes per doc as ONE wide aggregation.
+def minhash_rel(dialect: str, n: int = N_MINHASH) -> str:
+    """``n`` min-hashes per doc as ONE wide aggregation.
 
     One md5 per shingle, split into two 32-bit ints (h1, h2); permutation i
     is (h1 + i*h2) % P — so the whole signature is a single
-    ``groupBy(doc_id)`` with 16 MIN aggregates. No 16x row blowup, no
+    ``groupBy(doc_id)`` with ``n`` MIN aggregates. No n-x row blowup, no
     per-permutation hashing; partial aggregation (map-side combine) applies
-    to every MIN, so the shuffle carries 16 longs per doc, not per shingle.
+    to every MIN, so the shuffle carries ``n`` longs per doc, not per
+    shingle.
     """
     h1 = hex_to_int(dialect, "substr(md5(sh), 1, 8)")
     h2 = hex_to_int(dialect, "substr(md5(sh), 9, 8)")
     mins = ",\n         ".join(
-        f"MIN((h1 + {i} * h2) % {MH_PRIME}) AS mh{i}" for i in range(N_MINHASH)
+        f"MIN((h1 + {i} * h2) % {MH_PRIME}) AS mh{i}" for i in range(n)
     )
     return f"""
 {shingles_rel(dialect)},
@@ -196,7 +211,7 @@ LSH_BUCKET_CAP = 1000
 
 def bands_rel(dialect: str, mh_rel: str = "mh", band_size: int = BAND_SIZE) -> str:
     """The per-band signature relation: one row per (doc, band)."""
-    n_bands = N_MINHASH // band_size
+    n_bands = N_LSH // band_size
     return " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5("
         + " || '|' || ".join(
@@ -212,6 +227,7 @@ def bands_cand_body(
     mh_rel: str = "mh",
     band_size: int = BAND_SIZE,
     cap: int = LSH_BUCKET_CAP,
+    bands_src: str | None = None,
 ) -> str:
     """bands → bucket sizes → capped candidate pairs (shared by every LSH
     tail so candidate generation can never desync between them).
@@ -219,21 +235,36 @@ def bands_cand_body(
     The cap lives on the PROBE side of the join: hot buckets (size > cap)
     contribute only their hub row to ``bleft``, so the join enumerates
     Theta(G) rows for a hot bucket instead of Theta(G^2) — the filter is
-    applied before the join, not after it."""
+    applied before the join, not after it.
+
+    ``bands_src``: the Spark runners pre-materialize the bands relation
+    (a {LSH_BANDS}-branch UNION that the tail references three times —
+    Spark inlines CTEs, so without materialization the statement compiles
+    3 x {LSH_BANDS} union branches; measured ~5s of pure plan
+    compile/codegen at sf0.1) and pass its view name here."""
+    if bands_src is None:
+        return (f"\nbands AS ({bands_rel(dialect, mh_rel, band_size)}),"
+                + bands_cand_tail(dialect, "bands", cap))
+    return "\n" + bands_cand_tail(dialect, bands_src, cap).lstrip("\n")
+
+
+def bands_cand_tail(dialect: str, bands_src: str = "bands",
+                    cap: int = LSH_BUCKET_CAP) -> str:
+    """bucket sizes → capped probe side → candidate pairs, over an
+    existing bands relation (see bands_cand_body)."""
     return f"""
-bands AS ({bands_rel(dialect, mh_rel, band_size)}),
 bsz AS (
   SELECT band, sig, COUNT(*) AS g, MIN(doc_id) AS hub
-  FROM bands GROUP BY band, sig
+  FROM {bands_src} GROUP BY band, sig
 ),
 bleft AS (
   SELECT a.doc_id, a.band, a.sig
-  FROM bands a JOIN bsz z ON a.band = z.band AND a.sig = z.sig
+  FROM {bands_src} a JOIN bsz z ON a.band = z.band AND a.sig = z.sig
   WHERE z.g <= {cap} OR a.doc_id = z.hub
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-  FROM bleft a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  FROM bleft a JOIN {bands_src} b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 )"""
 
 
@@ -242,6 +273,7 @@ def lsh_body(
     mh_rel: str = "mh",
     band_size: int = BAND_SIZE,
     cap: int = LSH_BUCKET_CAP,
+    bands_src: str | None = None,
 ) -> str:
     """The banded-LSH tail (bands → candidates → estimated Jaccard) over an
     existing minhash relation ``mh_rel`` — shared by the one-statement oracle
@@ -249,11 +281,11 @@ def lsh_body(
     selectivity knob — derive it from a target threshold with
     ``lsh_band_geometry`` instead of hardcoding when corpus size changes."""
     n_match = " + ".join(
-        f"CASE WHEN m1.mh{i} = m2.mh{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH)
+        f"CASE WHEN m1.mh{i} = m2.mh{i} THEN 1 ELSE 0 END" for i in range(N_LSH)
     )
-    return f"""{bands_cand_body(dialect, mh_rel, band_size, cap)}
+    return f"""{bands_cand_body(dialect, mh_rel, band_size, cap, bands_src)}
 SELECT cand.d1 AS doc_id_1, cand.d2 AS doc_id_2,
-       round(CAST(({n_match}) AS DOUBLE) / {N_MINHASH}, 6) AS est_jaccard
+       round(CAST(({n_match}) AS DOUBLE) / {N_LSH}, 6) AS est_jaccard
 FROM cand
 JOIN {mh_rel} m1 ON m1.doc_id = cand.d1
 JOIN {mh_rel} m2 ON m2.doc_id = cand.d2
@@ -262,7 +294,7 @@ JOIN {mh_rel} m2 ON m2.doc_id = cand.d2
 
 def minhash_lsh_sql(dialect: str, band_size: int = BAND_SIZE,
                     cap: int = LSH_BUCKET_CAP) -> str:
-    return f"WITH {minhash_rel(dialect)},\n{lsh_body(dialect, 'mh', band_size, cap)}"
+    return f"WITH {minhash_rel(dialect, N_LSH)},\n{lsh_body(dialect, 'mh', band_size, cap)}"
 
 
 def _materialized_mh(spark: SparkSession, sf_dir: str):
@@ -275,50 +307,108 @@ def _materialized_mh(spark: SparkSession, sf_dir: str):
     from serene_spark.catalog import register_views
 
     register_views(spark, sf_dir, ("documents",), spread=True)
-    mh = spark.sql(f"WITH {minhash_rel(SPARK)} SELECT * FROM mh").localCheckpoint(eager=True)
+    mh = spark.sql(f"WITH {minhash_rel(SPARK, N_LSH)} SELECT * FROM mh").localCheckpoint(eager=True)
     mh.createOrReplaceTempView("__serene_mh")
     return "__serene_mh"
 
 
 def dedup_minhash_lsh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     mh_rel = _materialized_mh(spark, sf_dir)
-    return spark.sql(f"WITH {lsh_body(SPARK, mh_rel)}")
+    bands = spark.sql(bands_rel(SPARK, mh_rel)).localCheckpoint(eager=True)
+    bands.createOrReplaceTempView("__serene_mh_bands")
+    return spark.sql(
+        f"WITH {lsh_body(SPARK, mh_rel, bands_src='__serene_mh_bands')}")
+
+
+def docsketch_rel(dialect: str, n: int = N_LSH) -> str:
+    """ONE per-doc sketch relation carrying everything verification needs:
+    the shingle-set ARRAY (exact verify input), its cardinality, and the
+    ``n``-permutation minhash signature — all from a single groupBy over
+    the exploded shingles.
+
+    This replaces materializing the exploded shingle relation (doc-length
+    rows) AND a separate signature relation: the sketch is one row per doc
+    (~2 KB), so the Spark runners checkpoint 5k rows instead of 1.35M at
+    sf0.1, and every downstream join (bands, est, exact intersect) reads
+    the same relation with column pruning doing the slimming."""
+    h1 = hex_to_int(dialect, "substr(md5(sh), 1, 8)")
+    h2 = hex_to_int(dialect, "substr(md5(sh), 9, 8)")
+    # the array carries the 60-bit md5 prefix, not the shingle string:
+    # set sizes and intersections are identical (both engines hash the
+    # same md5; distinct shingles stay distinct up to a 2^-60-scale
+    # collision BOTH engines would share), and BIGINT intersection beats
+    # UTF8 string hashing ~3x in the per-pair verify
+    h64 = hex_to_int(dialect, "substr(md5(sh), 1, 15)")
+    mins = ",\n         ".join(
+        f"MIN((h1 + {i} * h2) % {MH_PRIME}) AS mh{i}" for i in range(n)
+    )
+    return f"""{shingles_rel(dialect)},
+sketch_hashes AS (
+  SELECT doc_id, {h64} AS sh64, {h1} AS h1, {h2} AS h2 FROM shingles
+),
+docsk AS (
+  SELECT doc_id,
+         {arr_collect(dialect, "sh64")} AS shs,
+         CAST(COUNT(*) AS BIGINT) AS n_sh,
+         {mins}
+  FROM sketch_hashes GROUP BY doc_id
+)"""
 
 
 def candidate_common_body(
     dialect: str,
-    mh_rel: str = "mh",
-    sh_rel: str = "shingles",
+    docsk_rel: str = "docsk",
     band_size: int = BAND_SIZE,
     cap: int = LSH_BUCKET_CAP,
+    mh_rel: str | None = None,
+    bands_src: str | None = None,
 ) -> str:
-    """Shared LSH candidate machinery: bands → capped candidate pairs →
-    per-doc shingle counts → exact common-shingle counts.  Both
-    verification tails (resemblance/Jaccard and containment) splice this,
-    so the candidate generation cannot desync between them."""
-    return f"""{bands_cand_body(dialect, mh_rel, band_size, cap)},
+    """Shared LSH candidate machinery over a doc-sketch relation: bands →
+    capped candidate pairs → exact common-shingle counts via array
+    intersection.  Both verification tails (resemblance/Jaccard and
+    containment) splice this, so the candidate generation cannot desync
+    between them.
+
+    Why array intersection and not a shingle-level join: the per-pair
+    shape ``cand ⋈ shingles ⋈ shingles`` materializes |cand| × shingles-
+    per-doc intermediate rows (measured 51M rows / 25s at sf0.1's 191k
+    candidates) — verify cost scales with candidates × doc LENGTH.  The
+    set-intersection shape joins cand to the per-doc sketch relation
+    twice (|cand| output rows, AQE broadcasts the sketch when it fits)
+    and computes |S(A) ∩ S(B)| engine-side per pair — same exact counts,
+    no data-scale intermediate, no shuffle of exploded shingles.  At
+    100 TB the sketch relation is one row per doc (~2 KB) —
+    shuffle-joinable on doc_id when too big to broadcast."""
+    return f"""{bands_cand_body(dialect, mh_rel or docsk_rel, band_size, cap, bands_src)},
 counts AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM {sh_rel} GROUP BY doc_id
+  SELECT doc_id, shs, n_sh FROM {docsk_rel}
 ),
 common AS (
-  SELECT c.d1, c.d2, CAST(COUNT(*) AS BIGINT) AS n_common
+  SELECT c.d1, c.d2,
+         CAST({arr_intersect_size(dialect, "a1.shs", "a2.shs")} AS BIGINT)
+           AS n_common
   FROM cand c
-  JOIN {sh_rel} s1 ON s1.doc_id = c.d1
-  JOIN {sh_rel} s2 ON s2.doc_id = c.d2 AND s2.sh = s1.sh
-  GROUP BY c.d1, c.d2
+  JOIN counts a1 ON a1.doc_id = c.d1
+  JOIN counts a2 ON a2.doc_id = c.d2
 )"""
 
 
 def verified_body(
     dialect: str,
-    mh_rel: str = "mh",
-    sh_rel: str = "shingles",
+    docsk_rel: str = "docsk",
     band_size: int = BAND_SIZE,
     threshold: float = 0.2,
+    mh_rel: str | None = None,
+    bands_src: str | None = None,
 ) -> str:
     """The verify tail (bands → candidates → exact shingle-Jaccard) over
-    existing minhash + shingle relations."""
-    return f"""{candidate_common_body(dialect, mh_rel, sh_rel, band_size)}
+    an existing doc-sketch relation (see ``docsketch_rel``).  ``mh_rel``
+    optionally points the band generation at a THIN signature-only
+    relation: checkpointed-RDD scans cannot column-prune, so on the Spark
+    side the 16-band UNION would otherwise deserialize the shingle arrays
+    16 times over (measured 5s of the tail at sf0.1)."""
+    return f"""{candidate_common_body(dialect, docsk_rel, band_size,
+                                      mh_rel=mh_rel, bands_src=bands_src)}
 SELECT m.d1 AS doc_id_1, m.d2 AS doc_id_2,
        round(CAST(m.n_common AS DOUBLE) / (n1.n_sh + n2.n_sh - m.n_common), 6) AS jaccard
 FROM common m
@@ -339,30 +429,52 @@ def lsh_verified_sql(dialect: str, band_size: int = BAND_SIZE, threshold: float 
     threshold). Candidates sharing no shingle fall out of the intersection
     join, which is correct: their true Jaccard is 0.
     """
-    return f"WITH {minhash_rel(dialect)},\n{verified_body(dialect, 'mh', 'shingles', band_size, threshold)}"
+    return f"WITH {docsketch_rel(dialect)},{verified_body(dialect, 'docsk', band_size, threshold)}"
 
 
-def dedup_lsh_verified_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialized runner: shingles and minhash each computed once
-    (see _materialized_mh on why Spark's CTE inlining makes this matter)."""
+def _materialized_docsk(spark: SparkSession, sf_dir: str,
+                        view: str) -> tuple[str, str]:
+    """Compute the per-doc sketch ONCE and truncate lineage — the LSH
+    tails reference it many times (bands + candidate joins + verify) and
+    Spark inlines CTEs, so without materialization the whole
+    shingle→sketch pipeline re-runs per reference (plan audit pins this).
+    One row per doc: localCheckpoint cost is sketch-sized, never
+    doc-length-sized. On a cluster, checkpoint to reliable storage or
+    write an intermediate table instead.
+
+    Returns (full_view, thin_view): full carries the shingle arrays for
+    the exact verify joins; thin is a signature-only RE-checkpoint of the
+    full one (derived, so the shingle pipeline still runs once) for the
+    band UNION — checkpointed-RDD scans deserialize whole rows, so the 16
+    band branches must not read rows that carry 2 KB arrays."""
+    from pyspark.sql import functions as F
+
     from serene_spark.catalog import register_views
 
     register_views(spark, sf_dir, ("documents",), spread=True)
-    sh = spark.sql(
-        f"WITH {shingles_rel(SPARK)} SELECT * FROM shingles"
+    sk = spark.sql(
+        f"WITH {docsketch_rel(SPARK)} SELECT * FROM docsk"
     ).localCheckpoint(eager=True)
-    sh.createOrReplaceTempView("__serene_shingles")
-    mh = spark.sql(
-        f"""WITH hashes AS (
-              SELECT doc_id, {hex_to_int(SPARK, "substr(md5(sh), 1, 8)")} AS h1,
-                     {hex_to_int(SPARK, "substr(md5(sh), 9, 8)")} AS h2
-              FROM __serene_shingles)
-            SELECT doc_id,
-                   {", ".join(f"MIN((h1 + {i} * h2) % {MH_PRIME}) AS mh{i}" for i in range(N_MINHASH))}
-            FROM hashes GROUP BY doc_id"""
+    sk.createOrReplaceTempView(view)
+    thin = sk.select(
+        "doc_id", *[F.col(f"mh{i}") for i in range(N_LSH)]
     ).localCheckpoint(eager=True)
-    mh.createOrReplaceTempView("__serene_vmh")
-    return spark.sql(f"WITH {verified_body(SPARK, '__serene_vmh', '__serene_shingles')}")
+    thin_view = f"{view}_thin"
+    thin.createOrReplaceTempView(thin_view)
+    # bands materialized too: the {LSH_BANDS}-branch UNION is referenced
+    # three times by the candidate tail, and compiling 3 x {LSH_BANDS}
+    # branches is pure plan overhead (measured ~5s at sf0.1)
+    bands = spark.sql(bands_rel(SPARK, thin_view)).localCheckpoint(eager=True)
+    bands_view = f"{view}_bands"
+    bands.createOrReplaceTempView(bands_view)
+    return view, thin_view, bands_view
+
+
+def dedup_lsh_verified_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized runner: the doc sketch computed once, tails over it."""
+    rel, thin, bands = _materialized_docsk(spark, sf_dir, "__serene_vdocsk")
+    return spark.sql(
+        f"WITH {verified_body(SPARK, rel, mh_rel=thin, bands_src=bands)}")
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -620,7 +732,7 @@ def hot_bucket_report_sql(dialect: str, cap: int = LSH_BUCKET_CAP) -> str:
     to read after a dedup run — hot_docs > 0 means pair-level output inside
     those buckets was star-sparsified (connectivity preserved)."""
     return f"""
-WITH {minhash_rel(dialect)},
+WITH {minhash_rel(dialect, N_LSH)},
 bands AS ({bands_rel(dialect)}),
 bsz AS (SELECT band, sig, COUNT(*) AS g FROM bands GROUP BY band, sig)
 SELECT CAST(band AS INT) AS band,
@@ -857,9 +969,9 @@ register("dedup_prefix_filter", oracle=ngram_jaccard_sql(DUCKDB, threshold=PF_TH
 CONTAIN_THRESHOLD = 0.8
 
 
-def containment_tail(
-    dialect: str, mh_rel: str = "mh", sh_rel: str = "shingles"
-) -> str:
+def containment_tail(dialect: str, docsk_rel: str = "docsk",
+                     mh_rel: str | None = None,
+                     bands_src: str | None = None) -> str:
     """Asymmetric CONTAINMENT verification over the shared candidate CTEs
     (Broder, "On the resemblance and containment of documents", SEQUENCES
     1997): c(A,B) = |S(A) ∩ S(B)| / |S(A)|.  Resemblance (Jaccard) misses
@@ -878,7 +990,8 @@ def containment_tail(
     exact containment for every pair the shared candidate generator
     surfaces, which is the right first tier on a near-dup-shaped corpus.
     """
-    return f"""{candidate_common_body(dialect, mh_rel, sh_rel)}
+    return f"""{candidate_common_body(dialect, docsk_rel, mh_rel=mh_rel,
+                                      bands_src=bands_src)}
 SELECT m.d1 AS doc_id_1, m.d2 AS doc_id_2,
        round(CAST(m.n_common AS DOUBLE) / n1.n_sh, 6) AS containment_1_in_2,
        round(CAST(m.n_common AS DOUBLE) / n2.n_sh, 6) AS containment_2_in_1,
@@ -892,33 +1005,16 @@ WHERE CAST(m.n_common AS DOUBLE) / n1.n_sh >= {CONTAIN_THRESHOLD}
 
 
 def containment_sql(dialect: str) -> str:
-    return f"WITH {minhash_rel(dialect)},{containment_tail(dialect)}"
+    return f"WITH {docsketch_rel(dialect)},{containment_tail(dialect)}"
 
 
 def dedup_containment_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialized runner: same shingle/minhash materialization as the
-    Jaccard verify (Spark would otherwise recompute shingles per CTE ref)."""
-    from serene_spark.catalog import register_views
-
-    register_views(spark, sf_dir, ("documents",), spread=True)
-    sh = spark.sql(
-        f"WITH {shingles_rel(SPARK)} SELECT * FROM shingles"
-    ).localCheckpoint(eager=True)
-    sh.createOrReplaceTempView("__serene_cshingles")
-    mh = spark.sql(
-        f"""WITH hashes AS (
-              SELECT doc_id, {hex_to_int(SPARK, "substr(md5(sh), 1, 8)")} AS h1,
-                     {hex_to_int(SPARK, "substr(md5(sh), 9, 8)")} AS h2
-              FROM __serene_cshingles)
-            SELECT doc_id,
-                   {", ".join(f"MIN((h1 + {i} * h2) % {MH_PRIME}) AS mh{i}" for i in range(N_MINHASH))}
-            FROM hashes GROUP BY doc_id"""
-    ).localCheckpoint(eager=True)
-    mh.createOrReplaceTempView("__serene_cmh")
+    """Materialized runner: same doc-sketch materialization as the Jaccard
+    verify (Spark would otherwise recompute the sketch per CTE ref)."""
+    rel, thin, bands = _materialized_docsk(spark, sf_dir, "__serene_cdocsk")
     # the SAME tail the oracle uses, over the materialized relations
     return spark.sql(
-        f"WITH {containment_tail(SPARK, '__serene_cmh', '__serene_cshingles')}"
-    )
+        f"WITH {containment_tail(SPARK, rel, mh_rel=thin, bands_src=bands)}")
 
 
 register(
@@ -1051,7 +1147,7 @@ def minhash_error_sql(dialect: str) -> str:
     """The MinHash estimator's promise, MEASURED (the cms/bloom
     "guarantees measured, not assumed" discipline applied to the dedup
     pipeline's own sketch): for every banded candidate pair, the
-    matching-minima estimate (k={N_MINHASH} permutations) against the
+    matching-minima estimate (k={N_LSH} permutations) against the
     EXACT shingle Jaccard, summarized as mean/max absolute error and the
     fraction of pairs within two binomial standard errors
     (2*sqrt(J(1-J)/k) + 1/k) of the truth — the bound the estimator
@@ -1066,15 +1162,15 @@ def minhash_error_sql(dialect: str) -> str:
     adds one pair-keyed join on top of the dedup run it piggybacks on.
     """
     return f"""
-WITH {minhash_rel(dialect)},
-est AS (WITH {lsh_body(dialect)}),
-exact_pairs AS (WITH {verified_body(dialect, "mh", "shingles", threshold=0.0)})
+WITH {docsketch_rel(dialect)},
+est AS (WITH {lsh_body(dialect, "docsk")}),
+exact_pairs AS (WITH {verified_body(dialect, "docsk", threshold=0.0)})
 SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
        ROUND(AVG(ABS(e.est_jaccard - x.jaccard)), 6) AS mean_abs_error,
        ROUND(MAX(ABS(e.est_jaccard - x.jaccard)), 6) AS max_abs_error,
        ROUND(CAST(SUM(CASE WHEN ABS(e.est_jaccard - x.jaccard)
-                        <= 2 * SQRT(x.jaccard * (1 - x.jaccard) / {N_MINHASH})
-                             + 1.0 / {N_MINHASH}
+                        <= 2 * SQRT(x.jaccard * (1 - x.jaccard) / {N_LSH})
+                             + 1.0 / {N_LSH}
                       THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
          AS frac_within_2se
 FROM est e
@@ -1085,32 +1181,17 @@ JOIN exact_pairs x ON e.doc_id_1 = x.doc_id_1 AND e.doc_id_2 = x.doc_id_2
 def _minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized runner: shingles + signatures once (the audit reads
     both the estimate and the exact-verify tails)."""
-    from serene_spark.catalog import register_views
-
-    register_views(spark, sf_dir, ("documents",), spread=True)
-    sh = spark.sql(
-        f"WITH {shingles_rel(SPARK)} SELECT * FROM shingles"
-    ).localCheckpoint(eager=True)
-    sh.createOrReplaceTempView("__serene_eshingles")
-    mh = spark.sql(
-        f"""WITH hashes AS (
-              SELECT doc_id, {hex_to_int(SPARK, "substr(md5(sh), 1, 8)")} AS h1,
-                     {hex_to_int(SPARK, "substr(md5(sh), 9, 8)")} AS h2
-              FROM __serene_eshingles)
-            SELECT doc_id,
-                   {", ".join(f"MIN((h1 + {i} * h2) % {MH_PRIME}) AS mh{i}" for i in range(N_MINHASH))}
-            FROM hashes GROUP BY doc_id"""
-    ).localCheckpoint(eager=True)
-    mh.createOrReplaceTempView("__serene_emh")
+    rel, thin, bands = _materialized_docsk(spark, sf_dir, "__serene_edocsk")
     return spark.sql(f"""
-WITH est AS (WITH {lsh_body(SPARK, "__serene_emh")}),
-exact_pairs AS (WITH {verified_body(SPARK, "__serene_emh", "__serene_eshingles", threshold=0.0)})
+WITH est AS (WITH {lsh_body(SPARK, thin, bands_src=bands)}),
+exact_pairs AS (WITH {verified_body(SPARK, rel, threshold=0.0, mh_rel=thin,
+                                    bands_src=bands)})
 SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
        ROUND(AVG(ABS(e.est_jaccard - x.jaccard)), 6) AS mean_abs_error,
        ROUND(MAX(ABS(e.est_jaccard - x.jaccard)), 6) AS max_abs_error,
        ROUND(CAST(SUM(CASE WHEN ABS(e.est_jaccard - x.jaccard)
-                        <= 2 * SQRT(x.jaccard * (1 - x.jaccard) / {N_MINHASH})
-                             + 1.0 / {N_MINHASH}
+                        <= 2 * SQRT(x.jaccard * (1 - x.jaccard) / {N_LSH})
+                             + 1.0 / {N_LSH}
                       THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
          AS frac_within_2se
 FROM est e

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from serene_spark.catalog import compose_with, run_materialized
 from serene_spark.functions.sqlgen import DUCKDB, SPARK, mat, re_extract_all_count
-from serene_spark.operators.dedup import minhash_rel, norm_expr, verified_body
+from serene_spark.operators.dedup import docsketch_rel, norm_expr, verified_body
 from serene_spark.registry import register
 
 
@@ -35,10 +35,10 @@ def _bases(dialect: str) -> list[tuple[str, str]]:
     m = mat(dialect)
     # verified_body is "<ctes>\nSELECT ..." — wrap its final SELECT as the
     # pairs CTE so the whole verified-LSH pipeline materializes once
-    vb = verified_body(dialect, "mh", "shingles")
+    vb = verified_body(dialect)
     ctes, select = vb.rsplit("SELECT m.d1 AS doc_id_1", 1)
     pairs_body = (
-        f"{minhash_rel(dialect)},\n{ctes.rstrip()},\n"
+        f"{docsketch_rel(dialect)},\n{ctes.rstrip()},\n"
         f"pairs AS {m}(SELECT m.d1 AS doc_id_1{select})"
     )
     words = re_extract_all_count(dialect, "text", "[A-Za-z0-9]+")

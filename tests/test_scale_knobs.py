@@ -21,10 +21,18 @@ def test_lsh_band_geometry_tracks_threshold():
 def test_registered_band_geometry_flows_from_threshold():
     """BAND_SIZE is derived from the target threshold, not hardcoded — the
     registered LSH queries inherit whatever the helper picks."""
-    from serene_spark.operators.dedup import BAND_SIZE, LSH_BANDS, LSH_TARGET_JACCARD
+    from serene_spark.operators.dedup import (
+        BAND_SIZE,
+        LSH_BANDS,
+        LSH_TARGET_JACCARD,
+        N_LSH,
+    )
 
-    assert (LSH_BANDS, BAND_SIZE) == lsh_band_geometry(LSH_TARGET_JACCARD)
-    assert LSH_BANDS * BAND_SIZE == 16
+    assert (LSH_BANDS, BAND_SIZE) == lsh_band_geometry(LSH_TARGET_JACCARD, N_LSH)
+    assert LSH_BANDS * BAND_SIZE == N_LSH == 48
+    # r=3 is the selectivity floor: background pairs collide per band at
+    # J_bg^3, which keeps candidate volume ~linear on self-similar corpora
+    assert BAND_SIZE >= 3
 
 
 def test_ann_geom_rel_matches_python_twin():
