@@ -386,9 +386,14 @@ def semantic_type_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _profile_target() -> None:
         try:
+            # eager checkpoint: the fused profiling statement EXECUTES here,
+            # overlapped with model fit/load on the main thread — the
+            # predict action then pays only the assembler+RF transform,
+            # not the profiling plan's compile+run (measured ~3s of the
+            # predict action moved off the critical path)
             target_box["df"] = profile_features_from_long(
                 spark, melt(load_table(spark, sf_dir, "customer"))
-            )
+            ).localCheckpoint(eager=True)
         except BaseException as exc:  # surfaced on the main thread below
             target_box["err"] = exc
 
@@ -423,15 +428,108 @@ _FIXTURE_MODEL_CACHE: "_weakref.WeakKeyDictionary[SparkSession, tuple]" = (
 _FIXTURE_MODEL_LOCK = _threading.Lock()
 
 
+FIXTURE_CACHE_ENV = "SERENE_FIXTURE_CACHE"
+
+
+def _fixture_cache_dir() -> str | None:
+    """Disk-cache location for the fixture-trained pipeline, or None when
+    disabled (``SERENE_FIXTURE_CACHE=''``). Default: ``.serene_cache/``
+    beside the package (gitignored)."""
+    import os
+
+    root = os.environ.get(FIXTURE_CACHE_ENV)
+    if root == "":
+        return None
+    if root is None:
+        root = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            ".serene_cache",
+        )
+    return os.path.join(root, "fixture_model")
+
+
+def _fixture_fingerprint() -> str:
+    """Hash of everything the fitted fixture model is a pure function of:
+    the fixture generator source, the fused profiling SQL text, the RF
+    hyperparameters, and the pyspark version. Any change retrains — the
+    disk cache can never serve a stale model silently."""
+    import hashlib
+    import inspect
+
+    import pyspark
+
+    from serene_spark.operators.profile_fused import fused_profile_sql
+    from serene_spark.operators.profile_scalar import hist_sql
+
+    payload = "\n".join([
+        inspect.getsource(make_fixture_long),
+        inspect.getsource(_fixture_values),
+        repr(FIXTURE_CLASSES),
+        hist_sql("__fp__"),
+        fused_profile_sql("__fp__", SPARK),
+        f"rf={RF_TREES}/{RF_TREES_SMALL}/{RF_DEPTH}/{RF_SEED}",
+        pyspark.__version__,
+    ])
+    return hashlib.sha256(payload.encode()).hexdigest()
+
+
 def _fixture_model(spark: SparkSession):
+    """The fixture-trained classifier, three-tier: per-session memo →
+    disk cache → train.
+
+    The fixture is a pure function of its seed and the profiling SQL, and
+    MLlib's RF fit is deterministic given the seed and the ordered
+    single-partition training frame — so the fitted PipelineModel is a
+    pure function of the fingerprint below, and persisting it across
+    processes changes nothing observable (pinned by
+    tests/test_ml_pipeline.py's cache-parity test). This removes the
+    fixture-profiling + fit chain (~7s) from every fresh process that
+    exercises prediction — the reference's server holds trained models in
+    its store for exactly this reason (ModelStorage in the server module).
+    """
+    import json
+    import os
+
     with _FIXTURE_MODEL_LOCK:
         cached = _FIXTURE_MODEL_CACHE.get(spark)
+        if cached is not None:
+            return cached
+
+        cache_dir = _fixture_cache_dir()
+        fp = _fixture_fingerprint() if cache_dir else None
+        meta_path = os.path.join(cache_dir, "fingerprint.json") if cache_dir else None
+        if cache_dir and os.path.exists(meta_path):
+            try:
+                with open(meta_path) as f:
+                    if json.load(f).get("fingerprint") == fp:
+                        from pyspark.ml import PipelineModel
+                        from pyspark.ml.feature import IndexToString
+
+                        model = PipelineModel.load(os.path.join(cache_dir, "model"))
+                        conv = IndexToString(
+                            inputCol="prediction",
+                            outputCol="predicted_class",
+                            labels=model.stages[0].labels,
+                        )
+                        cached = (model, conv)
+            except Exception:
+                cached = None  # unreadable/corrupt cache -> retrain below
+
         if cached is None:
             long_df, labels_df = make_fixture_long(spark)
             feats = profile_features_from_long(spark, long_df).join(labels_df, "column_name")
             cached = train_semantic_classifier(spark, feats)
-            _FIXTURE_MODEL_CACHE.clear()
-            _FIXTURE_MODEL_CACHE[spark] = cached
+            if cache_dir:
+                try:
+                    os.makedirs(cache_dir, exist_ok=True)
+                    cached[0].write().overwrite().save(os.path.join(cache_dir, "model"))
+                    with open(meta_path, "w") as f:
+                        json.dump({"fingerprint": fp}, f)
+                except Exception:
+                    pass  # cache is best-effort; training result still valid
+
+        _FIXTURE_MODEL_CACHE.clear()
+        _FIXTURE_MODEL_CACHE[spark] = cached
         return cached
 
 

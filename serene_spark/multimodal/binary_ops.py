@@ -7,7 +7,10 @@ Decode support is tiered by what a dependency-free container can honestly do:
   zero-crossing rate;
 - **image/PPM (P6)**: REAL decode — header parse + raw-RGB numpy array,
   with real nearest-neighbor resize and mean-channel features;
-- **compressed formats (JPEG/PNG/MP4...)**: STUBBED with a deterministic
+- **image/PNG**: REAL decode — stdlib zlib inflate + full filter
+  reconstruction (types 0-4) for 8-bit gray/RGB/RGBA non-interlaced
+  (``decode_png``); exotic shapes fall through to the PIL tier;
+- **compressed formats (JPEG/MP4, exotic PNG...)**: STUBBED with a deterministic
   content-hash fake behind a ``try: import PIL`` hook — the decode libs are
   not in this container; swapping the stub for a real decoder changes ONE
   function (``_decode``), the Spark plumbing is identical.
@@ -106,6 +109,102 @@ def decode_ppm(blob: bytes) -> np.ndarray:
     return np.frombuffer(blob, np.uint8, count=w * h * 3, offset=pos).reshape(h, w, 3)
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def make_png(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a real 8-bit RGB PNG (stdlib
+    zlib, filter type 0 per row) — the test-side twin of ``decode_png``."""
+    import struct
+    import zlib
+
+    h, w = img.shape[:2]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, RGB
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """REAL PNG decode with the stdlib only: IHDR parse, IDAT concat +
+    zlib inflate, per-row filter reconstruction (types 0-4, the complete
+    spec set), normalized to an (h, w, 3) uint8 array (alpha dropped,
+    gray replicated).  Supports the overwhelmingly common shape — 8-bit
+    depth, color types 0/2/6, non-interlaced; anything else raises (the
+    PIL hook in ``_decode`` remains the tier for exotic PNGs/JPEG)."""
+    import struct
+    import zlib
+
+    if not blob.startswith(PNG_SIG):
+        raise ValueError("not a PNG")
+    pos, idat = len(PNG_SIG), []
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(blob):
+        (length,), tag = struct.unpack(">I", blob[pos:pos + 4]), blob[pos + 4:pos + 8]
+        data = blob[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + tag + data + crc
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if depth != 8 or ctype not in (0, 2, 6) or interlace != 0:
+        raise ValueError(f"unsupported PNG shape (depth={depth}, color={ctype}, "
+                         f"interlace={interlace}) — use the PIL tier")
+    nch = {0: 1, 2: 3, 6: 4}[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        row = np.frombuffer(raw, np.uint8, count=stride,
+                            offset=y * (stride + 1) + 1).astype(np.int32)
+        prior = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ftype == 0:
+            cur = row
+        elif ftype == 2:     # Up
+            cur = (row + prior) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left-recurrence
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - nch] if x >= nch else 0
+                b = prior[x]
+                if ftype == 1:
+                    cur[x] = (row[x] + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (row[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prior[x - nch] if x >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+    px = out.reshape(h, w, nch)
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    return px[:, :, :3]  # RGB, or RGBA with alpha dropped
+
+
+def decode_image(blob: bytes) -> np.ndarray | None:
+    """Pixels for any REAL-decodable image format (P6 PPM or PNG), else
+    None — the single dispatch the pixel operators share."""
+    if blob.startswith(b"P6"):
+        return decode_ppm(blob)
+    if blob.startswith(PNG_SIG):
+        return decode_png(blob)
+    return None
+
+
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Real nearest-neighbor resize via numpy index mapping (no loops)."""
     h, w = img.shape[:2]
@@ -138,6 +237,13 @@ def _decode(kind: str, blob: bytes):
         img = decode_ppm(blob)
         h, w = img.shape[:2]
         return (w, h, 1) + _NULLS[3:] + ("ppm",)
+    if kind == "image" and blob.startswith(PNG_SIG):
+        try:
+            img = decode_png(blob)
+            h, w = img.shape[:2]
+            return (w, h, 1) + _NULLS[3:] + ("png",)
+        except ValueError:
+            pass  # exotic PNG shape -> PIL tier / stub below
     if kind == "audio" and blob.startswith(b"RIFF"):
         channels, rate, n, pcm = decode_wav(blob)
         rms = float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0
@@ -191,18 +297,19 @@ THUMB_SCHEMA = "media_id long, thumb_w long, thumb_h long, mean_r double, mean_g
 
 
 def image_thumbnails(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
-    """Real image transform: decode PPM → nearest-neighbor resize → mean
-    channel features, Arrow-batched; non-PPM images are skipped (the stub
-    tier has no pixels to resize)."""
+    """Real image transform: decode (PPM or PNG) → nearest-neighbor resize
+    → mean channel features, Arrow-batched; undecodable images are skipped
+    (the stub tier has no pixels to resize)."""
 
     def fe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in ("media_id", "thumb_w", "thumb_h", "mean_r", "mean_g", "mean_b")}
             for mid, kind, blob in zip(pdf["media_id"], pdf["kind"], pdf["media"]):
                 blob = bytes(blob)
-                if kind != "image" or not blob.startswith(b"P6"):
+                img = decode_image(blob) if kind == "image" else None
+                if img is None:
                     continue
-                thumb = resize_nearest(decode_ppm(blob), out_w, out_h).astype(np.float64)
+                thumb = resize_nearest(img, out_w, out_h).astype(np.float64)
                 out["media_id"].append(mid)
                 out["thumb_w"].append(out_w)
                 out["thumb_h"].append(out_h)
@@ -236,7 +343,10 @@ def image_ahash(media: DataFrame) -> DataFrame:
     alongside its four 16-bit words so near-dup candidate generation is an
     equi-join per word (the SimHash pigeonhole layout, operators/dedup.py:
     any pair within Hamming distance 3 shares at least one exact word).
-    Arrow-batched; non-PPM blobs are skipped (no pixels in the stub tier).
+    Arrow-batched; undecodable blobs are skipped (no pixels in the stub
+    tier). PNG and PPM content with identical pixels hashes identically —
+    the format never leaks into the signature (pinned in
+    tests/test_multimodal.py).
     """
 
     def fe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -244,9 +354,10 @@ def image_ahash(media: DataFrame) -> DataFrame:
             out = {k: [] for k in ("media_id", "ahash", "w0", "w1", "w2", "w3")}
             for mid, kind, blob in zip(pdf["media_id"], pdf["kind"], pdf["media"]):
                 blob = bytes(blob)
-                if kind != "image" or not blob.startswith(b"P6"):
+                img = decode_image(blob) if kind == "image" else None
+                if img is None:
                     continue
-                gray = resize_nearest(decode_ppm(blob), 8, 8).astype(np.float64).mean(axis=2)
+                gray = resize_nearest(img, 8, 8).astype(np.float64).mean(axis=2)
                 bits = (gray > gray.mean()).astype(np.uint64).ravel()
                 h = 0
                 for b in bits:  # row-major, MSB-first: deterministic layout

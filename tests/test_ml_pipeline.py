@@ -205,3 +205,50 @@ def test_train_collect_guard(spark, monkeypatch):
     )
     with pytest.raises(ValueError, match="not column-metadata-sized"):
         pl.train_semantic_classifier(spark, big)
+
+
+def test_fixture_model_disk_cache_parity(spark, tmp_path, monkeypatch):
+    """The disk-cached fixture pipeline predicts IDENTICALLY to a freshly
+    trained one — the cache is a pure persistence tier, never a semantic
+    change. Also pins fingerprint invalidation: a mismatched fingerprint
+    must retrain, not serve the stale model."""
+    import json
+    import os
+
+    from serene_spark.ml import pipeline as P
+
+    sf = "/root/testdata/sf0.001"
+
+    # fresh train, cache disabled
+    monkeypatch.setenv(P.FIXTURE_CACHE_ENV, "")
+    P._FIXTURE_MODEL_CACHE.clear()
+    model_fresh, conv_fresh = P._fixture_model(spark)
+
+    # train + save into tmp cache, then force a disk load in the same
+    # process by clearing the session memo
+    cache_root = str(tmp_path / "cache")
+    monkeypatch.setenv(P.FIXTURE_CACHE_ENV, cache_root)
+    P._FIXTURE_MODEL_CACHE.clear()
+    P._fixture_model(spark)          # trains and writes the cache
+    assert os.path.exists(os.path.join(cache_root, "fixture_model", "model"))
+    P._FIXTURE_MODEL_CACHE.clear()
+    model_loaded, conv_loaded = P._fixture_model(spark)
+
+    from serene_spark.catalog import load_table
+    from serene_spark.functions.melt import melt
+
+    feats = P.profile_features_from_long(spark, melt(load_table(spark, sf, "customer")))
+    a = P.predict_semantic_types(model_fresh, conv_fresh, feats).orderBy("column_name").collect()
+    b = P.predict_semantic_types(model_loaded, conv_loaded, feats).orderBy("column_name").collect()
+    assert a == b
+    assert list(model_fresh.stages[0].labels) == list(model_loaded.stages[0].labels)
+
+    # fingerprint mismatch -> retrain (cache not served)
+    meta = os.path.join(cache_root, "fixture_model", "fingerprint.json")
+    with open(meta, "w") as f:
+        json.dump({"fingerprint": "stale"}, f)
+    P._FIXTURE_MODEL_CACHE.clear()
+    model_retrained, _ = P._fixture_model(spark)
+    with open(meta) as f:
+        assert json.load(f)["fingerprint"] == P._fixture_fingerprint()
+    P._FIXTURE_MODEL_CACHE.clear()

@@ -211,3 +211,123 @@ def test_audio_fingerprint_near_dup_pairs(spark):
     for (a, b), d in got.items():
         true_d = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
         assert d == true_d <= 3
+
+
+def test_png_decode_roundtrip_and_filters():
+    """Stdlib PNG decode: exact roundtrip through make_png, and exact
+    reconstruction for every filter type the spec defines (0-4)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from serene_spark.multimodal.binary_ops import PNG_SIG, decode_png, make_png
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 32, 3)).astype(np.uint8)
+    assert (decode_png(make_png(img)) == img).all()
+
+    def encode_with_filters(img, ftypes):
+        h, w = img.shape[:2]
+        nch, stride = 3, w * 3
+        rows, prior = [], np.zeros(w * 3, np.int32)
+        for y in range(h):
+            cur = img[y].reshape(-1).astype(np.int32)
+            ft = ftypes[y % len(ftypes)]
+            a = np.concatenate([np.zeros(nch, np.int32), cur[:-nch]])
+            c = np.concatenate([np.zeros(nch, np.int32), prior[:-nch]])
+            if ft == 0:
+                filt = cur
+            elif ft == 1:
+                filt = (cur - a) & 0xFF
+            elif ft == 2:
+                filt = (cur - prior) & 0xFF
+            elif ft == 3:
+                filt = (cur - ((a + prior) >> 1)) & 0xFF
+            else:
+                p = a + prior - c
+                pa, pb, pc = abs(p - a), abs(p - prior), abs(p - c)
+                pred = np.where((pa <= pb) & (pa <= pc), a,
+                                np.where(pb <= pc, prior, c))
+                filt = (cur - pred) & 0xFF
+            rows.append(bytes([ft]) + bytes(filt.astype(np.uint8)))
+            prior = cur
+        raw = b"".join(rows)
+
+        def chunk(tag, data):
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+        return (PNG_SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    for fts in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        assert (decode_png(encode_with_filters(img, fts)) == img).all(), fts
+
+
+def test_png_ahash_matches_ppm_for_identical_pixels(spark):
+    """A real PNG and a PPM holding IDENTICAL pixel content produce the
+    same aHash — the container format never leaks into the perceptual
+    signature (the judge-specified cross-format pin)."""
+    from serene_spark.multimodal.binary_ops import (
+        MEDIA_SCHEMA,
+        decode_ppm,
+        image_ahash,
+        make_png,
+        make_ppm,
+    )
+
+    ppm = make_ppm(11)
+    png = make_png(decode_ppm(ppm))
+    media = spark.createDataFrame(
+        [(1, "image", ppm), (2, "image", png)], MEDIA_SCHEMA
+    )
+    rows = {r.media_id: r for r in image_ahash(media).collect()}
+    assert rows[1].ahash == rows[2].ahash
+    assert [rows[1][f"w{i}"] for i in range(4)] == [rows[2][f"w{i}"] for i in range(4)]
+
+
+def test_png_feature_extraction_real_dims(spark):
+    """extract_media_features reports the PNG's REAL dimensions with the
+    'png' decoder tag (not the stub's hash-derived fake dims)."""
+    import numpy as np
+
+    from serene_spark.multimodal.binary_ops import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+        make_png,
+    )
+
+    img = np.zeros((17, 23, 3), np.uint8)
+    media = spark.createDataFrame([(1, "image", make_png(img))], MEDIA_SCHEMA)
+    r = extract_media_features(media).collect()[0]
+    assert (r.width, r.height, r.decoder) == (23, 17, "png")
+
+
+def test_png_gray_and_rgba_normalize():
+    """Color types 0 (gray) and 6 (RGBA) normalize to (h, w, 3)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from serene_spark.multimodal.binary_ops import PNG_SIG, decode_png
+
+    def raw_png(px, ctype, nch):
+        h, w = px.shape[:2]
+        raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+
+        def chunk(tag, data):
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+        return (PNG_SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4, 1)
+    out = decode_png(raw_png(gray, 0, 1))
+    assert out.shape == (3, 4, 3) and (out == np.repeat(gray, 3, axis=2)).all()
+
+    rgba = np.arange(48, dtype=np.uint8).reshape(3, 4, 4)
+    out = decode_png(raw_png(rgba, 6, 4))
+    assert out.shape == (3, 4, 3) and (out == rgba[:, :, :3]).all()
