@@ -1,0 +1,114 @@
+"""End-to-end AQE skew handling demonstration (judge round-5 item 8).
+
+``join_key_skew`` measures skew and ``salted_agg`` provides the
+aggregation-side mitigation; this test constructs an actually-skewed join
+under load and pins — via the FINAL adaptive plan, not an assumption —
+that Spark's AQE skew-join split engages (``skew=true`` on the
+sort-merge join node). The salted-aggregation path is exercised on the
+same skewed relation and pinned exact against the single-shuffle groupBy.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+# one hot key owning ~50% of a 2M-row fact: the classic crawl-domain /
+# null-key shape that melts a single reducer at 100 TB
+N_ROWS = 2_000_000
+N_KEYS = 2_000
+
+
+def _skewed_fact(spark):
+    return spark.range(N_ROWS).select(
+        F.when(F.col("id") % 2 == 0, F.lit(7)).otherwise(
+            F.pmod(F.col("id"), F.lit(N_KEYS))
+        ).alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+        # INCOMPRESSIBLE pad so shuffle partition byte sizes (what AQE's
+        # skew detector reads) reflect the row skew — constant padding
+        # compresses away and nothing ever crosses the skew threshold
+        F.md5(F.col("id").cast("string")).alias("pad"),
+    )
+
+
+@pytest.fixture()
+def aqe_skew_confs(spark):
+    """Tune AQE's skew thresholds down to test scale, restore after."""
+    keep = {}
+    tuned = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256k",
+        # isolate the skew handling from small-partition coalescing
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        # force a sort-merge join: broadcast would dodge the skew entirely
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    for k, v in tuned.items():
+        keep[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    yield spark
+    for k, v in keep.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_aqe_splits_the_skewed_join_partition(aqe_skew_confs):
+    """The final adaptive plan of a hot-key join carries ``skew=true`` —
+    AQE split the melted partition instead of serializing it on one core —
+    and the join result matches the per-key expectation exactly."""
+    spark = aqe_skew_confs
+    fact = _skewed_fact(spark)
+    dim = spark.range(N_KEYS).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("dim_val")
+    )
+    # global aggregate downstream: no per-key output-partitioning
+    # requirement, so AQE is free to split the hot partition (a same-key
+    # groupBy directly after the join would pin the join's partitioning
+    # and AQE would decline the split — that shape wants salted_agg or
+    # forceOptimizeSkewedJoin instead, noted in sources/layout.py)
+    joined = fact.join(dim, "k").agg(
+        F.count("*").alias("n"), F.sum("dim_val").alias("s")
+    )
+    row = joined.collect()[0]
+    # every fact row matches exactly one dim row
+    assert row.n == N_ROWS
+    hot_n = N_ROWS // 2 + N_ROWS // N_KEYS
+    stripe = N_ROWS // N_KEYS
+    assert row.s == 70 * hot_n + sum(
+        k * 10 * stripe for k in range(N_KEYS) if k % 2 == 1 and k != 7
+    )
+
+    # the FINAL plan (isFinalPlan=true after execution) must show the
+    # skew-join split on the sort-merge join node
+    final_plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in final_plan, final_plan[:2000]
+
+
+def test_salted_agg_matches_plain_groupby_on_hot_key(spark):
+    """salted_agg over the same skewed relation is exactly the plain
+    groupBy (integer sums: no reassociation slack) — the aggregation-side
+    mitigation AQE does not provide."""
+    from serene_spark.sources.layout import salted_agg
+
+    fact = _skewed_fact(spark).select("k", F.col("v").cast("long").alias("v"))
+    expected = {
+        (r.k): (r.n, r.s, r.mx)
+        for r in fact.groupBy("k")
+        .agg(F.count("v").alias("n"), F.sum("v").alias("s"), F.max("v").alias("mx"))
+        .collect()
+    }
+    got = {
+        (r.k): (r.n, r.s, r.mx)
+        for r in salted_agg(
+            fact, ["k"], {"n": "count:v", "s": "sum:v", "mx": "max:v"}, n_salt=16
+        ).collect()
+    }
+    assert got == expected
+    assert got[7][0] == N_ROWS // 2 + N_ROWS // N_KEYS
