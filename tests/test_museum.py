@@ -269,9 +269,10 @@ def test_museum_e2e_s01_full_pipeline(spark):
 def test_leave_one_out_with_real_karma_tfidf_scores():
     """Suggestion driven by the museum files' REAL learnedSemanticTypes
     (Karma's TfIdf matcher scores) instead of ground truth — the noisy
-    multi-candidate path (measured this session: 29/29 suggest, 11/29
-    complete, mean class recall 0.911; degradation from the 0.978
-    ground-truth-driven figure is the expected matcher-noise cost)."""
+    multi-candidate path (measured: 29/29 suggest, 14/29 complete, mean
+    class recall 0.962 after the round-6 link-coherence ranking rework —
+    was 0.911 under the conf/(1+cost) blend; remaining degradation from
+    the 0.978 ground-truth-driven figure is the matcher-noise cost)."""
     from serene_spark.modeler.museum import suggest_with_learned_types
 
     recalls = []
@@ -285,8 +286,8 @@ def test_leave_one_out_with_real_karma_tfidf_scores():
         true_classes = {local_name(d) for _c, _h, d, _t in held.column_types if d}
         got = {n.label for n in ssd.semantic_model.nodes if n.node_type == CLASS_NODE}
         recalls.append(len(true_classes & got) / len(true_classes))
-    assert n_complete >= 10
-    assert sum(recalls) / len(recalls) >= 0.85
+    assert n_complete >= 14
+    assert sum(recalls) / len(recalls) >= 0.95
 
 
 def test_duplicate_column_names_keep_all_mappings():
