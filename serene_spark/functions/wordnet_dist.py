@@ -34,7 +34,13 @@ except Exception:  # ImportError or missing corpus download
 
 
 def backend() -> str:
-    return "nltk-wordnet" if _HAVE_WORDNET else "fallback-thesaurus"
+    if _HAVE_WORDNET:
+        return "nltk-wordnet"
+    from serene_spark.functions import wordnet_real
+
+    if wordnet_real.available():
+        return "princeton-dict"
+    return "fallback-thesaurus"
 
 
 # Embedded thesaurus for the fallback: synonym groups over the vocabulary
@@ -97,13 +103,33 @@ def _wordnet_dist(a: str, b: str, metric: str) -> float:  # pragma: no cover
 
 
 def token_distance(a: str, b: str, metric: str = "jcn") -> float:
-    """Distance in [0, 1] between two tokens (0 = same concept)."""
+    """Distance in [0, 1] between two tokens (0 = same concept).
+
+    Tiered: nltk JCN/LIN when its corpora are installed; else the real
+    Princeton dict (functions/wordnet_real.py — the reference's own
+    synonym-graph metric, WordNetDistanceMetric.scala, over the same
+    database the reference bundles) when one is on disk; else the
+    deterministic embedded thesaurus."""
     a, b = a.lower(), b.lower()
     if a == b:
         return 0.0
     if _HAVE_WORDNET:
         return _wordnet_dist(a, b, metric)
+    from serene_spark.functions import wordnet_real
+
+    if wordnet_real.available():
+        return _real_dict_dist(a, b)
     return _fallback_dist(a, b)
+
+
+@lru_cache(maxsize=4096)
+def _real_dict_dist(a: str, b: str) -> float:
+    from serene_spark.functions import wordnet_real
+
+    try:
+        return round(wordnet_real.wordnet_graph_distance(a, b), 6)
+    except Exception:
+        return _fallback_dist(a, b)
 
 
 def min_token_set_distance(
