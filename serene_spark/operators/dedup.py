@@ -433,7 +433,8 @@ def lsh_verified_sql(dialect: str, band_size: int = BAND_SIZE, threshold: float 
 
 
 def _materialized_docsk(spark: SparkSession, sf_dir: str,
-                        view: str) -> tuple[str, str]:
+                        view: str,
+                        band_size: int = BAND_SIZE) -> tuple[str, str, str]:
     """Compute the per-doc sketch ONCE and truncate lineage — the LSH
     tails reference it many times (bands + candidate joins + verify) and
     Spark inlines CTEs, so without materialization the whole
@@ -464,7 +465,9 @@ def _materialized_docsk(spark: SparkSession, sf_dir: str,
     # bands materialized too: the {LSH_BANDS}-branch UNION is referenced
     # three times by the candidate tail, and compiling 3 x {LSH_BANDS}
     # branches is pure plan overhead (measured ~5s at sf0.1)
-    bands = spark.sql(bands_rel(SPARK, thin_view)).localCheckpoint(eager=True)
+    bands = spark.sql(
+        bands_rel(SPARK, thin_view, band_size)
+    ).localCheckpoint(eager=True)
     bands_view = f"{view}_bands"
     bands.createOrReplaceTempView(bands_view)
     return view, thin_view, bands_view
@@ -475,6 +478,25 @@ def dedup_lsh_verified_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel, thin, bands = _materialized_docsk(spark, sf_dir, "__serene_vdocsk")
     return spark.sql(
         f"WITH {verified_body(SPARK, rel, mh_rel=thin, bands_src=bands)}")
+
+
+# The scale knob, DEMONSTRATED as a first-class query rather than a
+# docstring claim: at a 0.7 candidate target the geometry widens to
+# 8 bands x 6 rows, so a background pair (J_bg ~ 0.04 on this corpus)
+# collides per band at J_bg^6 ~ 4e-9 — candidate volume stays ~linear in
+# n at ANY corpus size, trading away recall below ~0.5 Jaccard (the
+# S-curve inflection moves to (1/8)^(1/6) = 0.707). This is the variant a
+# 100 TB boilerplate-heavy crawl runs first.
+STRICT_TARGET_JACCARD = 0.7
+STRICT_VERIFY_THRESHOLD = 0.5
+_, STRICT_BAND_SIZE = lsh_band_geometry(STRICT_TARGET_JACCARD, N_LSH)
+
+
+def dedup_lsh_verified_strict_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rel, thin, bands = _materialized_docsk(
+        spark, sf_dir, "__serene_vsdocsk", band_size=STRICT_BAND_SIZE
+    )
+    return spark.sql(f"WITH {verified_body(SPARK, rel, STRICT_BAND_SIZE, STRICT_VERIFY_THRESHOLD, mh_rel=thin, bands_src=bands)}")
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -723,6 +745,15 @@ register("dedup_minhash_lsh", oracle=minhash_lsh_sql(DUCKDB),
 register("dedup_lsh_verified", oracle=lsh_verified_sql(DUCKDB),
          doc="complete dedup pipeline: LSH candidates -> exact shingle-Jaccard "
              "verification of candidates only (never all-pairs)")(dedup_lsh_verified_spark)
+register("dedup_lsh_verified_strict",
+         oracle=lsh_verified_sql(DUCKDB, band_size=STRICT_BAND_SIZE,
+                                 threshold=STRICT_VERIFY_THRESHOLD),
+         doc=f"strict-threshold dedup (target J {STRICT_TARGET_JACCARD}, "
+             f"{N_LSH // STRICT_BAND_SIZE}x{STRICT_BAND_SIZE} bands, verify "
+             f">= {STRICT_VERIFY_THRESHOLD}): background band collisions at "
+             f"J_bg^{STRICT_BAND_SIZE} keep candidates ~linear at any corpus "
+             f"size — the first-pass variant for boilerplate-heavy crawls")(
+    dedup_lsh_verified_strict_spark)
 
 
 def hot_bucket_report_sql(dialect: str, cap: int = LSH_BUCKET_CAP) -> str:
