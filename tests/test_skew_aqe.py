@@ -37,6 +37,11 @@ def aqe_skew_confs(spark):
     """Tune AQE's skew thresholds down to test scale, restore after."""
     keep = {}
     tuned = {
+        # pin the pre-AQE partition count: the skew detector compares the
+        # hot partition against the MEDIAN partition, and a session left at
+        # a tiny shuffle-partition count by an earlier test makes the hot
+        # partition BE the median (nothing to split against)
+        "spark.sql.shuffle.partitions": "16",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
