@@ -44,14 +44,25 @@ _SEARCH_PATHS = (
 _POS_FILES = {"n": "noun", "a": "adj", "s": "adj", "r": "adv", "v": "verb"}
 
 
+_DIR_MEMO: tuple[str | None, str | None] | None = None  # (env_seen, dir)
+
+
 def wordnet_dir() -> str | None:
-    """The active dict directory, or None when no database is present."""
+    """The active dict directory, or None when no database is present.
+    Memoized per (process, SERENE_WORDNET_DIR value): the fallback tier
+    would otherwise stat the search paths on every token comparison."""
+    global _DIR_MEMO
     env = os.environ.get("SERENE_WORDNET_DIR")
+    if _DIR_MEMO is not None and _DIR_MEMO[0] == env:
+        return _DIR_MEMO[1]
     cands = (env,) + _SEARCH_PATHS if env else _SEARCH_PATHS
+    found = None
     for d in cands:
         if d and os.path.exists(os.path.join(d, "data.noun")):
-            return d
-    return None
+            found = d
+            break
+    _DIR_MEMO = (env, found)
+    return found
 
 
 class WordNetDb:
@@ -227,8 +238,9 @@ def wup_similarity(w1: str, w2: str) -> float:
 
 
 @lru_cache(maxsize=None)
-def _min_depths_cached(off: int) -> tuple[tuple[int, int], ...]:
-    d = db()
+def _min_depths_cached(d: WordNetDb, off: int) -> tuple[tuple[int, int], ...]:
+    # keyed by the db INSTANCE (like _hops): a process that swaps
+    # databases must not see depths computed from the previous dict
     depths: dict[int, int] = {}
     for path in d.root_paths(off):
         # path is synset-first, root-last; virtual root adds 1
@@ -241,7 +253,7 @@ def _min_depths_cached(off: int) -> tuple[tuple[int, int], ...]:
 
 
 def _min_depths(d: WordNetDb, off: int) -> dict[int, int]:
-    return dict(_min_depths_cached(off))
+    return dict(_min_depths_cached(d, off))
 
 
 @lru_cache(maxsize=None)

@@ -464,6 +464,12 @@ def _fixture_fingerprint() -> str:
     payload = "\n".join([
         inspect.getsource(make_fixture_long),
         inspect.getsource(_fixture_values),
+        # the TRAINING code itself: editing collect ordering, indexer
+        # behavior, tree-count switches, or the feature post-processing
+        # must retrain, not serve the stale model
+        inspect.getsource(train_semantic_classifier),
+        inspect.getsource(profile_features_from_long),
+        inspect.getsource(feature_columns),
         repr(FIXTURE_CLASSES),
         hist_sql("__fp__"),
         fused_profile_sql("__fp__", SPARK),

@@ -157,12 +157,6 @@ def suggest_models(
     the individual caps/threshold after validating its rules.
     """
     # Karma's scoring coefficients (modeling.properties:65-67 ships
-    # confidence=1.0, coherence=1.0, size=0.5). The size term here is a
-    # PROXY — Karma's sizeReduction normalizes model SIZE across its
-    # hypothesis batch, ours min-max-normalizes link cost — and measured on
-    # the museum-29 LOO workload the proxy's batch-dependence is pure
-    # ranking noise (it flips winners when top_k changes the batch):
-    # Karma's scoring coefficients (modeling.properties:65-67 ships
     # confidence=1.0, coherence=1.0, size=0.5). The operational default
     # here runs size at 0.0 with LINK COST as the deterministic tie-break
     # instead: the size term penalizes a model for carrying one more
@@ -211,7 +205,7 @@ def suggest_models(
     )
 
     # Pass 1 — enumerate hypotheses with their raw components.
-    hyps: list[tuple[Ssd, float, float, float]] = []  # ssd, cost, conf, coverage
+    hyps: list[tuple[Ssd, float, float, float]] = []  # ssd, cost, conf, link_coh
     seen_models: set[tuple[tuple[str, str, str], ...]] = set()
     for mapping in mappings:
         terminals = sorted({f"{cls}1" for cls, _p, _s in mapping})

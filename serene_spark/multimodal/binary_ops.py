@@ -197,11 +197,18 @@ def decode_png(blob: bytes) -> np.ndarray:
 
 def decode_image(blob: bytes) -> np.ndarray | None:
     """Pixels for any REAL-decodable image format (P6 PPM or PNG), else
-    None — the single dispatch the pixel operators share."""
-    if blob.startswith(b"P6"):
-        return decode_ppm(blob)
-    if blob.startswith(PNG_SIG):
-        return decode_png(blob)
+    None — the single dispatch the pixel operators share. Malformed or
+    unsupported-shape blobs (palette/16-bit/interlaced PNG, truncated
+    IDAT) return None rather than raising: the pixel operators' contract
+    is SKIP-undecodable, and an exception inside an Arrow UDF would fail
+    the whole task."""
+    try:
+        if blob.startswith(b"P6"):
+            return decode_ppm(blob)
+        if blob.startswith(PNG_SIG):
+            return decode_png(blob)
+    except Exception:
+        return None
     return None
 
 
@@ -242,8 +249,12 @@ def _decode(kind: str, blob: bytes):
             img = decode_png(blob)
             h, w = img.shape[:2]
             return (w, h, 1) + _NULLS[3:] + ("png",)
-        except ValueError:
-            pass  # exotic PNG shape -> PIL tier / stub below
+        except Exception:
+            # exotic shape raises ValueError, but CORRUPT bodies raise
+            # zlib.error / struct.error / IndexError — all must fall
+            # through to the PIL tier / deterministic stub, never fail
+            # the Arrow task
+            pass
     if kind == "audio" and blob.startswith(b"RIFF"):
         channels, rate, n, pcm = decode_wav(blob)
         rms = float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0

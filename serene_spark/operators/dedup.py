@@ -200,12 +200,16 @@ def minhash_signatures_sql(dialect: str) -> str:
 # boilerplate templates create buckets with millions of members — the one
 # adversarial input md5 uniformity can't smooth. Buckets over the cap
 # switch to STAR pairing (every member pairs only with the bucket's min
-# doc_id hub): work and output drop to Theta(G) per hot bucket while
-# cluster CONNECTIVITY — what dedup actually consumes downstream via
-# connected components — is fully preserved (all members stay reachable
-# through the hub). Pair-level output inside a hot bucket is deliberately
-# sparser; dedup_lsh_hot_buckets reports every capped bucket so the loss
-# is observable, never silent.
+# doc_id hub): work and output drop to Theta(G) per hot bucket, and at
+# the CANDIDATE level every member stays reachable through the hub.
+# Honest limit: in the VERIFIED pipelines the exact-Jaccard threshold
+# filters star pairs too, so a mixed hot bucket whose members are near
+# each other but far from the hub can have its cluster split (the
+# template-duplicate case that creates hot buckets in practice has
+# near-identical members, where the hub edge verifies) — pair-level
+# output inside a hot bucket is deliberately sparser either way, and
+# dedup_lsh_hot_buckets reports every capped bucket so the trade is
+# observable, never silent.
 LSH_BUCKET_CAP = 1000
 
 
@@ -238,10 +242,10 @@ def bands_cand_body(
     applied before the join, not after it.
 
     ``bands_src``: the Spark runners pre-materialize the bands relation
-    (a {LSH_BANDS}-branch UNION that the tail references three times —
+    (a one-branch-per-band UNION that the tail references three times —
     Spark inlines CTEs, so without materialization the statement compiles
-    3 x {LSH_BANDS} union branches; measured ~5s of pure plan
-    compile/codegen at sf0.1) and pass its view name here."""
+    3x that many union branches; measured ~5s of pure plan compile/codegen
+    at sf0.1) and pass its view name here."""
     if bands_src is None:
         return (f"\nbands AS ({bands_rel(dialect, mh_rel, band_size)}),"
                 + bands_cand_tail(dialect, "bands", cap))
@@ -443,11 +447,13 @@ def _materialized_docsk(spark: SparkSession, sf_dir: str,
     doc-length-sized. On a cluster, checkpoint to reliable storage or
     write an intermediate table instead.
 
-    Returns (full_view, thin_view): full carries the shingle arrays for
-    the exact verify joins; thin is a signature-only RE-checkpoint of the
-    full one (derived, so the shingle pipeline still runs once) for the
-    band UNION — checkpointed-RDD scans deserialize whole rows, so the 16
-    band branches must not read rows that carry 2 KB arrays."""
+    Returns (full_view, thin_view, bands_view): full carries the shingle
+    arrays for the exact verify joins; thin is a signature-only
+    RE-checkpoint of the full one (derived, so the shingle pipeline still
+    runs once) because checkpointed-RDD scans deserialize whole rows and
+    the band UNION must not read rows that carry 2 KB arrays; bands is
+    the materialized per-(doc, band) signature relation the candidate
+    tail references three times."""
     from pyspark.sql import functions as F
 
     from serene_spark.catalog import register_views
@@ -462,9 +468,9 @@ def _materialized_docsk(spark: SparkSession, sf_dir: str,
     ).localCheckpoint(eager=True)
     thin_view = f"{view}_thin"
     thin.createOrReplaceTempView(thin_view)
-    # bands materialized too: the {LSH_BANDS}-branch UNION is referenced
-    # three times by the candidate tail, and compiling 3 x {LSH_BANDS}
-    # branches is pure plan overhead (measured ~5s at sf0.1)
+    # bands materialized too: the per-band UNION is referenced three
+    # times by the candidate tail, and compiling 3x its branches is pure
+    # plan overhead (measured ~5s at sf0.1)
     bands = spark.sql(
         bands_rel(SPARK, thin_view, band_size)
     ).localCheckpoint(eager=True)

@@ -331,3 +331,49 @@ def test_png_gray_and_rgba_normalize():
     rgba = np.arange(48, dtype=np.uint8).reshape(3, 4, 4)
     out = decode_png(raw_png(rgba, 6, 4))
     assert out.shape == (3, 4, 3) and (out == rgba[:, :, :3]).all()
+
+
+def test_malformed_and_exotic_png_skip_not_crash(spark):
+    """Undecodable PNGs (corrupt IDAT, unsupported palette shape) must be
+    SKIPPED by the pixel operators and fall to the stub tier in feature
+    extraction — never fail the Arrow task (review finding: zlib.error /
+    struct.error escaped the ValueError-only handler)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from serene_spark.multimodal.binary_ops import (
+        MEDIA_SCHEMA,
+        PNG_SIG,
+        decode_image,
+        extract_media_features,
+        image_ahash,
+        make_png,
+    )
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    corrupt = (PNG_SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", b"\x00not-zlib-data") + chunk(b"IEND", b""))
+    palette = (PNG_SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(b"\x00" * 20)) + chunk(b"IEND", b""))
+    truncated = PNG_SIG + chunk(b"IHDR", struct.pack(">II", 4, 4))  # short IHDR
+    good = make_png(np.zeros((4, 4, 3), np.uint8))
+
+    assert decode_image(corrupt) is None
+    assert decode_image(palette) is None
+    assert decode_image(truncated) is None
+
+    media = spark.createDataFrame(
+        [(1, "image", corrupt), (2, "image", palette),
+         (3, "image", truncated), (4, "image", good)],
+        MEDIA_SCHEMA,
+    )
+    hashes = image_ahash(media).collect()
+    assert [r.media_id for r in hashes] == [4]  # bad ones skipped
+    feats = {r.media_id: r.decoder for r in extract_media_features(media).collect()}
+    assert feats[4] == "png"
+    assert feats[1] == feats[2] == feats[3] == "stub"  # fell through safely
