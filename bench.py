@@ -35,10 +35,14 @@ BENCH_QUERIES = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # scale-validation hook: append extra registered queries (comma-sep)
-    # without touching the driver's 13-query headline set
+    # scale-validation hooks: append extra registered queries (comma-sep),
+    # or restrict to a subset (big-SF runs split the set across processes
+    # to fit external timeouts) — the driver's default 13-query headline
+    # set is untouched when neither env var is set
     extra = os.environ.get("SPARK_GRAFT_EXTRA_QUERIES", "")
-    bench_queries = BENCH_QUERIES + [q for q in extra.split(",") if q]
+    only = os.environ.get("SPARK_GRAFT_ONLY_QUERIES", "")
+    base = [q for q in only.split(",") if q] if only else BENCH_QUERIES
+    bench_queries = base + [q for q in extra.split(",") if q]
     from serene_spark.registry import load_all
     from serene_spark.session import get_spark
 
