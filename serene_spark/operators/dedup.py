@@ -40,6 +40,7 @@ from serene_spark.functions.sqlgen import (
     bxor,
     explode_seq,
     hex_to_int,
+    mat,
     rr,
     split_re,
 )
@@ -779,6 +780,101 @@ SELECT CAST(band AS INT) AS band,
        CAST(SUM(CASE WHEN g > {cap} THEN g ELSE 0 END) AS BIGINT) AS hot_docs
 FROM bsz GROUP BY band ORDER BY band
 """
+
+
+PLANNER_SAMPLE = 100  # docs in the deterministic md5-ordered sample
+
+
+def lsh_geometry_planner_sql(dialect: str) -> str:
+    """The geometry DECISION, computed from the corpus itself: measure the
+    background Jaccard on a deterministic sample and report, for every
+    divisor geometry of the {N_LSH}-permutation signature, the S-curve
+    inflection and the EXPECTED background candidate volume at the full
+    corpus size — the table an operator reads before picking the
+    band_size knob (sf1/sf3/sf10 measurements in BASELINE.md validated
+    the model: expected ~ n(n-1)/2 * bands * J_bg^rows).
+
+    Determinism/portability: the sample is the {PLANNER_SAMPLE} lowest
+    md5(doc_id) docs (portable hash, no engine RNG); J_bg is the mean
+    48-permutation estimate over sample pairs BELOW the target threshold
+    (true near-dups excluded so they don't inflate the background), summed
+    as 6-dp DECIMAL so the mean is aggregation-order independent.
+
+    Scale: signatures are computed for the SAMPLE only (the full corpus
+    is touched once for COUNT and once for the md5 ordering — both
+    metadata-cheap scans); the pair matrix is sample-bounded (~5k rows).
+    """
+    n = norm_expr(dialect)
+    h1 = hex_to_int(dialect, "substr(md5(sh), 1, 8)")
+    h2 = hex_to_int(dialect, "substr(md5(sh), 9, 8)")
+    mins = ",\n         ".join(
+        f"MIN((h1 + {i} * h2) % {MH_PRIME}) AS mh{i}" for i in range(N_LSH)
+    )
+    n_match = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(N_LSH)
+    )
+    geoms = " UNION ALL ".join(
+        f"SELECT {r} AS rows_per_band, {N_LSH // r} AS bands"
+        for r in (1, 2, 3, 4, 6, 8, 12, 16, 24, 48)
+    )
+    return f"""
+WITH sample AS (
+  SELECT doc_id, {n} AS snorm
+  FROM documents
+  ORDER BY md5(CAST(doc_id AS STRING)), doc_id
+  LIMIT {PLANNER_SAMPLE}
+),
+corpus AS (SELECT COUNT(*) AS n_docs FROM documents),
+pos AS (
+  SELECT doc_id, snorm,
+         {explode_seq(dialect, 1, f'greatest(1, length(snorm) - {SHINGLE_K} + 1)')} AS i
+  FROM sample
+),
+shingles AS (
+  SELECT DISTINCT doc_id, substr(snorm, i, {SHINGLE_K}) AS sh FROM pos
+),
+hashes AS (
+  SELECT doc_id, {h1} AS h1, {h2} AS h2 FROM shingles
+),
+mh AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashes GROUP BY doc_id
+),
+est AS (
+  SELECT CAST(ROUND(CAST(({n_match}) AS DOUBLE) / {N_LSH}, 6)
+              AS DECIMAL(9,6)) AS e
+  FROM mh a JOIN mh b ON a.doc_id < b.doc_id
+),
+bg AS {mat(dialect)}(
+  -- background = pairs below the candidate target (near-dups excluded)
+  SELECT CAST(SUM(CAST(e AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS j_bg,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM est WHERE e < {LSH_TARGET_JACCARD}
+),
+geoms AS ({geoms})
+SELECT CAST(g.bands AS INT) AS bands,
+       CAST(g.rows_per_band AS INT) AS rows_per_band,
+       ROUND(power(1.0 / g.bands, 1.0 / g.rows_per_band), 6) AS inflection_j,
+       ROUND(bg.j_bg, 6) AS j_bg_sample,
+       CAST(c.n_docs AS BIGINT) AS n_docs,
+       ROUND(CAST(c.n_docs AS DOUBLE) * (c.n_docs - 1) / 2
+             * g.bands * power(bg.j_bg, g.rows_per_band), 3)
+         AS expected_bg_candidates
+FROM geoms g JOIN bg ON 1 = 1 JOIN corpus c ON 1 = 1
+ORDER BY g.rows_per_band
+"""
+
+
+register(
+    "lsh_geometry_planner",
+    oracle=lsh_geometry_planner_sql(DUCKDB),
+    doc=f"LSH geometry planner: measure background Jaccard on a "
+    f"deterministic {PLANNER_SAMPLE}-doc sample and report, per divisor "
+    f"geometry of the {N_LSH}-perm signature, the S-curve inflection and "
+    f"expected background candidate volume at the FULL corpus size — the "
+    f"table that picks the band_size knob before a dedup run",
+)(_sql_query(lsh_geometry_planner_sql))
 
 
 register("dedup_lsh_hot_buckets", oracle=hot_bucket_report_sql(DUCKDB),

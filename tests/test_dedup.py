@@ -249,3 +249,24 @@ def test_hot_bucket_cap_bounds_candidates_and_keeps_connectivity(spark):
                                 if not (p[0] in hot_ids and p[1] in hot_ids))
     assert outside(capped) == outside(uncapped)
     assert (100, 101) in capped
+
+
+def test_lsh_geometry_planner_model(spark, sf_dir):
+    """The planner's expected-background-candidate model must be internally
+    consistent: rows ordered by rows_per_band, inflection = (1/b)^(1/r),
+    expectation = n(n-1)/2 * b * j_bg^r, and monotone DECREASING in r
+    (each extra band row multiplies the background rate by j_bg < 1)."""
+    from serene_spark.registry import load_all
+
+    rows = load_all()["lsh_geometry_planner"].spark(spark, sf_dir).collect()
+    assert [r.rows_per_band for r in rows] == [1, 2, 3, 4, 6, 8, 12, 16, 24, 48]
+    assert all(r.bands * r.rows_per_band == 48 for r in rows)
+    for r in rows:
+        assert abs(r.inflection_j - (1.0 / r.bands) ** (1.0 / r.rows_per_band)) < 1e-6
+        exp = (r.n_docs * (r.n_docs - 1) / 2
+               * r.bands * r.j_bg_sample ** r.rows_per_band)
+        assert abs(r.expected_bg_candidates - exp) / max(exp, 1e-9) < 1e-3 or \
+            abs(r.expected_bg_candidates - exp) < 1e-2
+        assert 0.0 < r.j_bg_sample < 0.35
+    ecs = [r.expected_bg_candidates for r in rows]
+    assert ecs == sorted(ecs, reverse=True)
