@@ -200,17 +200,24 @@ def minhash_signatures_sql(dialect: str) -> str:
 # Theta(G^2) candidate pairs in the bucket self-join. On a real crawl,
 # boilerplate templates create buckets with millions of members — the one
 # adversarial input md5 uniformity can't smooth. Buckets over the cap
-# switch to STAR pairing (every member pairs only with the bucket's min
-# doc_id hub): work and output drop to Theta(G) per hot bucket, and at
-# the CANDIDATE level every member stays reachable through the hub.
-# Honest limit: in the VERIFIED pipelines the exact-Jaccard threshold
-# filters star pairs too, so a mixed hot bucket whose members are near
-# each other but far from the hub can have its cluster split (the
-# template-duplicate case that creates hot buckets in practice has
-# near-identical members, where the hub edge verifies) — pair-level
-# output inside a hot bucket is deliberately sparser either way, and
-# dedup_lsh_hot_buckets reports every capped bucket so the trade is
-# observable, never silent.
+# switch to STAR + CHAIN pairing, both Theta(G) per hot bucket:
+#   star  — every member pairs with the bucket's min-doc_id hub, so at
+#           the CANDIDATE level every member stays reachable;
+#   chain — members are sorted by their leading minhash coordinates
+#           (similar docs agree on most signature values, so each
+#           near-dup sub-cluster sorts CONTIGUOUS) and each member pairs
+#           with its sort successor. This closes the star-only recall
+#           hole in the VERIFIED pipelines: a mixed hot bucket whose
+#           members are near each other but far from the hub used to
+#           lose its sub-clusters (hub edges fail the exact-Jaccard
+#           verify); the chain edges inside a sorted sub-cluster verify
+#           and keep it connected (tests/test_dedup.py pins this on a
+#           constructed mixed-hot-bucket fixture).
+# Residual limit: a sub-cluster member whose LEADING minhashes all
+# deviate from its peers can still sort away from them — probability
+# ~(1-J)^4 per member at within-cluster Jaccard J, i.e. rare for the
+# template near-dups that create hot buckets. dedup_lsh_hot_buckets
+# reports every capped bucket so the trade is observable, never silent.
 LSH_BUCKET_CAP = 1000
 
 
@@ -249,14 +256,25 @@ def bands_cand_body(
     at sf0.1) and pass its view name here."""
     if bands_src is None:
         return (f"\nbands AS ({bands_rel(dialect, mh_rel, band_size)}),"
-                + bands_cand_tail(dialect, "bands", cap))
-    return "\n" + bands_cand_tail(dialect, bands_src, cap).lstrip("\n")
+                + bands_cand_tail(dialect, "bands", cap, sig_rel=mh_rel))
+    return "\n" + bands_cand_tail(dialect, bands_src, cap,
+                                  sig_rel=mh_rel).lstrip("\n")
 
 
 def bands_cand_tail(dialect: str, bands_src: str = "bands",
-                    cap: int = LSH_BUCKET_CAP) -> str:
+                    cap: int = LSH_BUCKET_CAP, sig_rel: str = "mh") -> str:
     """bucket sizes → capped probe side → candidate pairs, over an
-    existing bands relation (see bands_cand_body)."""
+    existing bands relation (see bands_cand_body).
+
+    Hot buckets (g > cap) emit star pairs (hub × members, via ``bleft``)
+    PLUS chain pairs: members sorted by (mh0..mh3, doc_id) — similar docs
+    agree on most minhash coordinates, so each near-dup sub-cluster sorts
+    contiguous — and each member pairs with its sort successor.  Both are
+    Theta(G) per hot bucket; the chain keeps sub-clusters connected in the
+    verified pipelines even when their members are far from the hub (the
+    star-only recall hole).  ``sig_rel`` supplies the minhash sort keys
+    (any relation with doc_id + mh0..mh3; the window runs over hot-bucket
+    members only, so its sort is bucket-local, never corpus-wide)."""
     return f"""
 bsz AS (
   SELECT band, sig, COUNT(*) AS g, MIN(doc_id) AS hub
@@ -267,9 +285,26 @@ bleft AS (
   FROM {bands_src} a JOIN bsz z ON a.band = z.band AND a.sig = z.sig
   WHERE z.g <= {cap} OR a.doc_id = z.hub
 ),
+hotm AS (
+  SELECT a.doc_id, a.band, a.sig,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.band, a.sig
+           ORDER BY m.mh0, m.mh1, m.mh2, m.mh3, a.doc_id) AS rn
+  FROM {bands_src} a
+  JOIN bsz z ON a.band = z.band AND a.sig = z.sig AND z.g > {cap}
+  JOIN {sig_rel} m ON m.doc_id = a.doc_id
+),
 cand AS (
-  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-  FROM bleft a JOIN {bands_src} b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  SELECT DISTINCT d1, d2 FROM (
+    SELECT a.doc_id AS d1, b.doc_id AS d2
+    FROM bleft a JOIN {bands_src} b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT LEAST(h1.doc_id, h2.doc_id) AS d1,
+           GREATEST(h1.doc_id, h2.doc_id) AS d2
+    FROM hotm h1 JOIN hotm h2
+      ON h1.band = h2.band AND h1.sig = h2.sig AND h2.rn = h1.rn + 1
+  ) u
 )"""
 
 
@@ -317,12 +352,22 @@ def _materialized_mh(spark: SparkSession, sf_dir: str):
     return "__serene_mh"
 
 
-def dedup_minhash_lsh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh_spark(spark: SparkSession, sf_dir: str,
+                            band_size: int | None = None) -> DataFrame:
+    """Default LSH runner — planner-tuned: when ``band_size`` is not
+    pinned by the caller, ``plan_band_size`` measures the corpus
+    background Jaccard and picks the narrowest geometry (>= the
+    LSH_TARGET_JACCARD-target default) whose expected background
+    candidate volume fits CANDIDATE_BUDGET_PER_DOC × n_docs — so the
+    registered default stays ~linear in candidates on self-similar
+    corpora instead of the fixed geometry's ~n²·J_bg³ blowup."""
+    if band_size is None:
+        band_size = plan_band_size(spark, sf_dir)
     mh_rel = _materialized_mh(spark, sf_dir)
-    bands = spark.sql(bands_rel(SPARK, mh_rel)).localCheckpoint(eager=True)
+    bands = spark.sql(bands_rel(SPARK, mh_rel, band_size)).localCheckpoint(eager=True)
     bands.createOrReplaceTempView("__serene_mh_bands")
     return spark.sql(
-        f"WITH {lsh_body(SPARK, mh_rel, bands_src='__serene_mh_bands')}")
+        f"WITH {lsh_body(SPARK, mh_rel, band_size, bands_src='__serene_mh_bands')}")
 
 
 def docsketch_rel(dialect: str, n: int = N_LSH) -> str:
@@ -405,6 +450,7 @@ def verified_body(
     threshold: float = 0.2,
     mh_rel: str | None = None,
     bands_src: str | None = None,
+    cap: int = LSH_BUCKET_CAP,
 ) -> str:
     """The verify tail (bands → candidates → exact shingle-Jaccard) over
     an existing doc-sketch relation (see ``docsketch_rel``).  ``mh_rel``
@@ -412,7 +458,7 @@ def verified_body(
     relation: checkpointed-RDD scans cannot column-prune, so on the Spark
     side the 16-band UNION would otherwise deserialize the shingle arrays
     16 times over (measured 5s of the tail at sf0.1)."""
-    return f"""{candidate_common_body(dialect, docsk_rel, band_size,
+    return f"""{candidate_common_body(dialect, docsk_rel, band_size, cap,
                                       mh_rel=mh_rel, bands_src=bands_src)}
 SELECT m.d1 AS doc_id_1, m.d2 AS doc_id_2,
        round(CAST(m.n_common AS DOUBLE) / (n1.n_sh + n2.n_sh - m.n_common), 6) AS jaccard
@@ -423,7 +469,8 @@ WHERE CAST(m.n_common AS DOUBLE) / (n1.n_sh + n2.n_sh - m.n_common) >= {threshol
 """
 
 
-def lsh_verified_sql(dialect: str, band_size: int = BAND_SIZE, threshold: float = 0.2) -> str:
+def lsh_verified_sql(dialect: str, band_size: int = BAND_SIZE, threshold: float = 0.2,
+                     cap: int = LSH_BUCKET_CAP) -> str:
     """The COMPLETE production dedup pipeline: banded-LSH candidate pairs
     followed by EXACT shingle-Jaccard verification of only those candidates.
 
@@ -434,7 +481,7 @@ def lsh_verified_sql(dialect: str, band_size: int = BAND_SIZE, threshold: float 
     threshold). Candidates sharing no shingle fall out of the intersection
     join, which is correct: their true Jaccard is 0.
     """
-    return f"WITH {docsketch_rel(dialect)},{verified_body(dialect, 'docsk', band_size, threshold)}"
+    return f"WITH {docsketch_rel(dialect)},{verified_body(dialect, 'docsk', band_size, threshold, cap=cap)}"
 
 
 def _materialized_docsk(spark: SparkSession, sf_dir: str,
@@ -480,11 +527,19 @@ def _materialized_docsk(spark: SparkSession, sf_dir: str,
     return view, thin_view, bands_view
 
 
-def dedup_lsh_verified_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialized runner: the doc sketch computed once, tails over it."""
-    rel, thin, bands = _materialized_docsk(spark, sf_dir, "__serene_vdocsk")
+def dedup_lsh_verified_spark(spark: SparkSession, sf_dir: str,
+                             band_size: int | None = None) -> DataFrame:
+    """Materialized runner: the doc sketch computed once, tails over it.
+    Band geometry is planner-tuned unless pinned (see
+    dedup_minhash_lsh_spark); the exact-Jaccard verify threshold is
+    unchanged by tuning — wider bands only trade away recall between the
+    verify floor and the raised S-curve inflection."""
+    if band_size is None:
+        band_size = plan_band_size(spark, sf_dir)
+    rel, thin, bands = _materialized_docsk(spark, sf_dir, "__serene_vdocsk",
+                                           band_size=band_size)
     return spark.sql(
-        f"WITH {verified_body(SPARK, rel, mh_rel=thin, bands_src=bands)}")
+        f"WITH {verified_body(SPARK, rel, band_size, mh_rel=thin, bands_src=bands)}")
 
 
 # The scale knob, DEMONSTRATED as a first-class query rather than a
@@ -717,8 +772,9 @@ def guard_exact_baseline(spark: SparkSession, table: str, op: str,
     The exact all-pairs operators exist as verification oracles for their
     bucketed scale siblings; on a production corpus their self-join is
     Theta(n^2) candidate pairs and no amount of cluster would save it.
-    A cheap COUNT probe (parquet row-count metadata; no text scan) gates
-    them, mirroring the train-collect guard at ml/pipeline.py.
+    A cheap COUNT probe gates them — row-count metadata when the table is
+    a plain parquet-backed view, a narrow count scan otherwise; never a
+    text scan — mirroring the train-collect guard at ml/pipeline.py.
     """
     n = spark.table(table).count()
     if n > max_docs:
@@ -747,11 +803,19 @@ register("minhash_signatures", oracle=minhash_signatures_sql(DUCKDB),
          doc=f"{N_MINHASH}-permutation MinHash signatures (md5-min portable hashing)")(_sql_query(minhash_signatures_sql))
 register("dedup_minhash_lsh", oracle=minhash_lsh_sql(DUCKDB),
          doc=f"MinHash LSH banded candidate pairs + estimated Jaccard (scale path; "
-             f"signatures materialized once; {LSH_BANDS}x{BAND_SIZE} band geometry "
-             f"derived from the {LSH_TARGET_JACCARD} target threshold)")(dedup_minhash_lsh_spark)
+             f"signatures materialized once; band geometry PLANNER-TUNED per corpus "
+             f"— {LSH_BANDS}x{BAND_SIZE} at the {LSH_TARGET_JACCARD} target unless "
+             f"the measured background Jaccard would push candidates past "
+             f"{CANDIDATE_BUDGET_PER_DOC:g}/doc, then bands widen automatically; "
+             f"hot buckets > {LSH_BUCKET_CAP} emit Theta(G) star+chain pairs — "
+             f"sub-clusters stay chain-connected, but a member whose leading "
+             f"minhashes all deviate from its peers can still detach)")(dedup_minhash_lsh_spark)
 register("dedup_lsh_verified", oracle=lsh_verified_sql(DUCKDB),
-         doc="complete dedup pipeline: LSH candidates -> exact shingle-Jaccard "
-             "verification of candidates only (never all-pairs)")(dedup_lsh_verified_spark)
+         doc=f"complete dedup pipeline: LSH candidates -> exact shingle-Jaccard "
+             f"verification of candidates only (never all-pairs); planner-tuned "
+             f"band geometry and the hot-bucket star+chain policy as in "
+             f"dedup_minhash_lsh (chain edges keep hot-bucket sub-clusters "
+             f"connected through the verify filter)")(dedup_lsh_verified_spark)
 register("dedup_lsh_verified_strict",
          oracle=lsh_verified_sql(DUCKDB, band_size=STRICT_BAND_SIZE,
                                  threshold=STRICT_VERIFY_THRESHOLD),
@@ -799,10 +863,16 @@ def lsh_geometry_planner_sql(dialect: str) -> str:
     48-permutation estimate over sample pairs BELOW the target threshold
     (true near-dups excluded so they don't inflate the background), summed
     as 6-dp DECIMAL so the mean is aggregation-order independent.
+    Degenerate corpora (< 2 sample docs, or every sample pair at/above the
+    target — i.e. all near-dups): j_bg COALESCEs to 0.0 and
+    ``n_pairs_sample`` reports how many background pairs informed it, so
+    the planner degrades explicitly instead of emitting NULL columns.
 
-    Scale: signatures are computed for the SAMPLE only (the full corpus
-    is touched once for COUNT and once for the md5 ordering — both
-    metadata-cheap scans); the pair matrix is sample-bounded (~5k rows).
+    Scale: signatures are computed for the SAMPLE only; the full corpus
+    is touched once for COUNT (metadata-only on plain parquet views) and
+    once for the md5 ordering — a narrow single-column scan with a TopK
+    sort, NOT metadata-free: budget one pass over the doc_id column when
+    sizing a planner run. The pair matrix is sample-bounded (~5k rows).
     """
     n = norm_expr(dialect)
     h1 = hex_to_int(dialect, "substr(md5(sh), 1, 8)")
@@ -847,8 +917,12 @@ est AS (
   FROM mh a JOIN mh b ON a.doc_id < b.doc_id
 ),
 bg AS {mat(dialect)}(
-  -- background = pairs below the candidate target (near-dups excluded)
-  SELECT CAST(SUM(CAST(e AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS j_bg,
+  -- background = pairs below the candidate target (near-dups excluded);
+  -- COALESCE: an empty background set (degenerate corpus) reads as
+  -- j_bg = 0.0, with n_pairs = 0 carrying the why
+  SELECT COALESCE(
+           CAST(SUM(CAST(e AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*),
+           0.0) AS j_bg,
          CAST(COUNT(*) AS BIGINT) AS n_pairs
   FROM est WHERE e < {LSH_TARGET_JACCARD}
 ),
@@ -857,6 +931,7 @@ SELECT CAST(g.bands AS INT) AS bands,
        CAST(g.rows_per_band AS INT) AS rows_per_band,
        ROUND(power(1.0 / g.bands, 1.0 / g.rows_per_band), 6) AS inflection_j,
        ROUND(bg.j_bg, 6) AS j_bg_sample,
+       CAST(bg.n_pairs AS BIGINT) AS n_pairs_sample,
        CAST(c.n_docs AS BIGINT) AS n_docs,
        ROUND(CAST(c.n_docs AS DOUBLE) * (c.n_docs - 1) / 2
              * g.bands * power(bg.j_bg, g.rows_per_band), 3)
@@ -873,8 +948,61 @@ register(
     f"deterministic {PLANNER_SAMPLE}-doc sample and report, per divisor "
     f"geometry of the {N_LSH}-perm signature, the S-curve inflection and "
     f"expected background candidate volume at the FULL corpus size — the "
-    f"table that picks the band_size knob before a dedup run",
+    f"table that picks the band_size knob before a dedup run (and that "
+    f"the default dedup_minhash_lsh/dedup_lsh_verified runners consult "
+    f"automatically via plan_band_size)",
 )(_sql_query(lsh_geometry_planner_sql))
+
+
+# Per-doc background-candidate budget the AUTO-tuned default geometry
+# tolerates: the planner's analytic model (validated against measured
+# sf1/sf3 candidate counts, BASELINE.md) predicts expected background
+# candidates per geometry; the default runners take the NARROWEST bands
+# (highest recall) whose prediction stays under budget × n_docs — which
+# by construction keeps default-path candidate volume O(n) at any corpus
+# size, closing the former fixed-geometry ~n²·J_bg³ blowup on
+# self-similar corpora.
+CANDIDATE_BUDGET_PER_DOC = 16.0
+
+_PLANNED_BAND_SIZE: dict[tuple[str, float], int] = {}
+
+
+def plan_band_size(spark: SparkSession, sf_dir: str,
+                   budget_per_doc: float = CANDIDATE_BUDGET_PER_DOC) -> int:
+    """Pick rows-per-band for the default LSH runners from the planner.
+
+    Runs ``lsh_geometry_planner`` (sample-bounded work: PLANNER_SAMPLE
+    doc signatures + one narrow doc_id TopK scan + one COUNT) and returns
+    the smallest rows_per_band >= the LSH_TARGET_JACCARD-target default
+    whose expected background candidates fit ``budget_per_doc * n_docs``;
+    falls back to the widest geometry when even that overflows. The
+    choice is cached per (sf_dir, budget) for the session — a corpus
+    mutated in place under the same path needs a new session (or a cache
+    clear) to re-plan.
+
+    On the synthetic test corpora at sf<=0.1 the measured J_bg (~0.04)
+    keeps the choice at the default geometry, so the registered oracles
+    (fixed at the default) stay exact; the tuning engages only where the
+    fixed geometry would blow up (sf1+ self-similar corpora).
+    """
+    key = (sf_dir, budget_per_doc)
+    got = _PLANNED_BAND_SIZE.get(key)
+    if got is not None:
+        return got
+    register_views(spark, sf_dir, ("documents",), spread=True)
+    rows = sorted(spark.sql(lsh_geometry_planner_sql(SPARK)).collect(),
+                  key=lambda r: r["rows_per_band"])
+    choice = None
+    for r in rows:
+        if r["rows_per_band"] < BAND_SIZE:
+            continue
+        if r["expected_bg_candidates"] <= budget_per_doc * r["n_docs"]:
+            choice = int(r["rows_per_band"])
+            break
+    if choice is None:
+        choice = int(rows[-1]["rows_per_band"])
+    _PLANNED_BAND_SIZE[key] = choice
+    return choice
 
 
 register("dedup_lsh_hot_buckets", oracle=hot_bucket_report_sql(DUCKDB),
