@@ -220,6 +220,16 @@ def minhash_signatures_sql(dialect: str) -> str:
 # reports every capped bucket so the trade is observable, never silent.
 LSH_BUCKET_CAP = 1000
 
+# Per-doc background-candidate budget the AUTO-tuned default geometry
+# tolerates: the planner's analytic model (validated against measured
+# sf1/sf3 candidate counts, BASELINE.md) predicts expected background
+# candidates per geometry; the default runners take the NARROWEST bands
+# (highest recall) whose prediction stays under budget × n_docs — which
+# by construction keeps default-path candidate volume O(n) at any corpus
+# size, closing the former fixed-geometry ~n²·J_bg³ blowup on
+# self-similar corpora.
+CANDIDATE_BUDGET_PER_DOC = 16.0
+
 
 def bands_rel(dialect: str, mh_rel: str = "mh", band_size: int = BAND_SIZE) -> str:
     """The per-band signature relation: one row per (doc, band)."""
@@ -953,16 +963,6 @@ register(
     f"automatically via plan_band_size)",
 )(_sql_query(lsh_geometry_planner_sql))
 
-
-# Per-doc background-candidate budget the AUTO-tuned default geometry
-# tolerates: the planner's analytic model (validated against measured
-# sf1/sf3 candidate counts, BASELINE.md) predicts expected background
-# candidates per geometry; the default runners take the NARROWEST bands
-# (highest recall) whose prediction stays under budget × n_docs — which
-# by construction keeps default-path candidate volume O(n) at any corpus
-# size, closing the former fixed-geometry ~n²·J_bg³ blowup on
-# self-similar corpora.
-CANDIDATE_BUDGET_PER_DOC = 16.0
 
 _PLANNED_BAND_SIZE: dict[tuple[str, float], int] = {}
 

@@ -238,9 +238,14 @@ def test_hot_bucket_cap_bounds_candidates_and_keeps_connectivity(spark):
     hot_ids = set(range(1, 31))
     hot_capped = [p for p in capped if p[0] in hot_ids and p[1] in hot_ids]
     hot_uncapped = [p for p in uncapped if p[0] in hot_ids and p[1] in hot_ids]
-    # (a) star pairs only: 29 vs the full 435 quadratic set
+    # (a) star + chain pairs: 57 (29 hub spokes + 28 extra successor
+    # links; (1,2) is in both sets) vs the full 435 quadratic set. The
+    # 30 members are byte-identical, so the chain sort keys (mh0..mh3)
+    # tie and the chain degenerates to doc_id order: (d, d+1).
     assert len(hot_uncapped) == 30 * 29 // 2
-    assert sorted(hot_capped) == [(1, d) for d in range(2, 31)]
+    star = {(1, d) for d in range(2, 31)}
+    chain = {(d, d + 1) for d in range(1, 30)}
+    assert sorted(hot_capped) == sorted(star | chain)
     # (b) identical clustering
     assert cc(capped) == cc(uncapped)
     # (c) pairs outside the hot bucket unchanged (the near-dup pair among
