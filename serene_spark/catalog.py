@@ -131,13 +131,17 @@ def run_materialized(
     base relation k times re-derives its whole input pipeline — including
     the parquet scan — k times (measured this session: 148 scans for the
     triangle wedge chain, 102 for Mann-Kendall's pairwise ranks).  One
-    eager localCheckpoint per base caps the fact-table cost at one scan
-    regardless of how many times the tail refers to it.  Bases are
-    materialized in order, so later bases may reference earlier views.
+    eager materialization per base caps the fact-table cost at one scan
+    regardless of how many times the tail refers to it (localCheckpoint
+    under local[*], reliable checkpoint on a cluster — see
+    serene_spark.materialize).  Bases are materialized in order, so later
+    bases may reference earlier views.
     """
+    from serene_spark.materialize import materialize
+
     register_views(spark, sf_dir, tables, spread=spread)
     for view, body in bases:
-        spark.sql(f"WITH {body} SELECT * FROM {view}").localCheckpoint(
-            eager=True
+        materialize(
+            spark.sql(f"WITH {body} SELECT * FROM {view}")
         ).createOrReplaceTempView(view)
     return spark.sql(tail_sql)

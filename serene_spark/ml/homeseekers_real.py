@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from serene_spark.registry import register
+from serene_spark.materialize import materialize
 
 HOMESEEKERS_CSV = "/root/reference/core/src/test/resources/homeseekers.csv"
 
@@ -72,7 +73,7 @@ def load_homeseekers_long(spark: SparkSession):
     # explodes combinatorially on that lineage — observed as a driver OOM
     # during optimization of any downstream agg. Cutting lineage here makes
     # every consumer plan against a leaf relation instead.
-    long_df = long_df.localCheckpoint(eager=True)
+    long_df = long_df.transform(materialize)
     labels_df = spark.createDataFrame(
         sorted((cols[i], c) for i, c in DEFAULT_LABELS.items()),
         "column_name string, class string",

@@ -25,6 +25,7 @@ from serene_spark.catalog import load_table
 from serene_spark.functions.melt import melt
 from serene_spark.functions.sqlgen import SPARK
 from serene_spark.registry import register
+from serene_spark.materialize import materialize
 
 RF_SEED = 5043          # TrainMlibSemanticTypeClassifier.scala:223
 RF_TREES = 128          # :43-48
@@ -79,9 +80,7 @@ def profile_features_from_long(
     hist_view = f"__serene_feat_hist_{tag}"
     long_df.createOrReplaceTempView(view)
     try:
-        spark.sql(f"SELECT * FROM ({hist_sql(view)}) h").localCheckpoint(
-            eager=True
-        ).createOrReplaceTempView(hist_view)
+        spark.sql(f"SELECT * FROM ({hist_sql(view)}) h").transform(materialize).createOrReplaceTempView(hist_view)
         out = spark.sql(
             fused_profile_sql(
                 hist_view,
@@ -393,7 +392,7 @@ def semantic_type_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
             # predict action moved off the critical path)
             target_box["df"] = profile_features_from_long(
                 spark, melt(load_table(spark, sf_dir, "customer"))
-            ).localCheckpoint(eager=True)
+            ).transform(materialize)
         except BaseException as exc:  # surfaced on the main thread below
             target_box["err"] = exc
 

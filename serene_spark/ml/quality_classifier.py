@@ -25,6 +25,7 @@ from serene_spark.catalog import register_views
 from serene_spark.functions.sqlgen import SPARK
 from serene_spark.operators.text_analysis import text_quality_sql
 from serene_spark.registry import register
+from serene_spark.materialize import materialize
 
 FEATURES = [
     "n_chars",
@@ -187,7 +188,7 @@ def quality_score_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny calibrated map broadcast back.  Rows-only: the RF scoring step
     is not SQL-expressible.
     """
-    scored = quality_classifier_score(spark, sf_dir).localCheckpoint(eager=True)
+    scored = quality_classifier_score(spark, sf_dir).transform(materialize)
     b = F.least(
         F.lit(N_ISO_BINS - 1), F.floor(F.col("prob_good") * N_ISO_BINS).cast("int")
     )

@@ -39,6 +39,7 @@ from serene_spark.modeler.karma_io import (
 )
 from serene_spark.modeler.suggest import suggest_models
 from serene_spark.registry import register
+from serene_spark.materialize import materialize
 
 MUSEUM_ROOT = "/root/reference/modeler/src/test/resources/karma/museum"
 
@@ -224,7 +225,7 @@ def museum_e2e_s01(spark: SparkSession):
     pairs = ", ".join(f"'{c}', coalesce(`{c}`, '')" for c in cols)
     long_df = wide.selectExpr(
         f"stack({len(cols)}, {pairs}) as (column_name, value)"
-    ).localCheckpoint(eager=True)  # cut loader-filter lineage (see
+    ).transform(materialize)  # cut loader-filter lineage (see
     # homeseekers_real: constraint propagation explodes under stack)
     labels_df = spark.createDataFrame(
         sorted((c, label_by_col[c]) for c in cols), "column_name string, class string"

@@ -32,6 +32,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from serene_spark.materialize import materialize
 
 MEDIA_SCHEMA = "media_id long, kind string, media binary"
 FEATURE_SCHEMA = (
@@ -396,7 +397,7 @@ def _pigeonhole_pairs(sigs: DataFrame, hash_col: str, max_hamming: int) -> DataF
         )
     from pyspark.sql import functions as F
 
-    sigs = sigs.localCheckpoint(eager=True)
+    sigs = sigs.transform(materialize)
     pairs = None
     for w in range(4):
         a = sigs.select(

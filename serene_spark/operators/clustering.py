@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from serene_spark.catalog import compose_with, register_views, run_materialized
 from serene_spark.functions.sqlgen import DUCKDB, SPARK, element_at, explode_seq, idiv
 from serene_spark.registry import register
+from serene_spark.materialize import materialize
 
 K = 8
 DIM = 64
@@ -180,7 +181,7 @@ def kmeans_converged(spark: SparkSession, sf_dir: str, max_iter: int = KMEANS_MA
                CAST(FLOOR(CAST({x} AS DOUBLE) * {SCALE}) AS BIGINT) AS xq
         FROM (SELECT vec_id, embedding, {explode_seq(SPARK, 1, str(DIM))} AS i
               FROM embeddings) e
-    """).localCheckpoint(eager=True)
+    """).transform(materialize)
     pm.createOrReplaceTempView("__km_pm")
     cm = spark.sql(f"""
         SELECT ii.cid, p.d, p.xq AS cq
@@ -189,7 +190,7 @@ def kmeans_converged(spark: SparkSession, sf_dir: str, max_iter: int = KMEANS_MA
               FROM (SELECT DISTINCT vec_id FROM __km_pm) v) ii
         JOIN __km_pm p ON ii.vec_id = p.vec_id
         WHERE ii.cid < {K}
-    """).localCheckpoint(eager=True)
+    """).transform(materialize)
 
     prev_assign = None
     n_iter = 0
@@ -207,7 +208,7 @@ def kmeans_converged(spark: SparkSession, sf_dir: str, max_iter: int = KMEANS_MA
               FROM __km_pm p JOIN __km_cm c ON p.d = c.d
               GROUP BY p.vec_id, c.cid
             ) r WHERE rn = 1
-        """).localCheckpoint(eager=True)
+        """).transform(materialize)
         best.createOrReplaceTempView("__km_best")
         cm = spark.sql(f"""
             SELECT o.cid, o.d, COALESCE(n.cq, o.cq) AS cq
@@ -217,7 +218,7 @@ def kmeans_converged(spark: SparkSession, sf_dir: str, max_iter: int = KMEANS_MA
               FROM __km_best b JOIN __km_pm p ON b.vec_id = p.vec_id
               GROUP BY b.cid, p.d
             ) n ON o.cid = n.cid AND o.d = n.d
-        """).localCheckpoint(eager=True)
+        """).transform(materialize)
         if prev_assign is not None:
             n_changed = (
                 best.alias("n")

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from serene_spark.catalog import register_views
 from serene_spark.functions.sqlgen import DUCKDB, SPARK, element_at, explode_seq
 from serene_spark.registry import register
+from serene_spark.materialize import materialize
 
 KC_K = 5
 DIM = 64
@@ -114,7 +115,7 @@ def _kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("embeddings",))
     spark.sql(
         f"WITH {pm_prologue_sql(SPARK)} SELECT * FROM pm"
-    ).localCheckpoint(eager=True).createOrReplaceTempView("pm")
+    ).transform(materialize).createOrReplaceTempView("pm")
     return spark.sql(kcenter_tail_sql(SPARK))
 
 

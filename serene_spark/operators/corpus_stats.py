@@ -33,6 +33,7 @@ from serene_spark.functions.sqlgen import DUCKDB, SPARK, explode_seq, hex_to_int
 from serene_spark.operators.curation import grams_rel
 from serene_spark.operators.text_analysis import tokens_rel
 from serene_spark.registry import register
+from serene_spark.materialize import materialize
 
 CMS_D = 4    # hash rows
 CMS_W = 512  # buckets per row
@@ -125,7 +126,7 @@ def _cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("documents",), spread=True)
     toks = spark.sql(
         f"WITH {tokens_rel(SPARK)} SELECT * FROM tokens"
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     toks.createOrReplaceTempView("__cms_tokens")
     return spark.sql(cms_tail_sql(SPARK, "__cms_tokens"))
 
@@ -138,7 +139,7 @@ def _source_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "source_similarity_minhash")
     grams = spark.sql(
         f"WITH {grams_rel(SPARK)} SELECT * FROM grams"
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     grams.createOrReplaceTempView("__sim_grams")
     return spark.sql(source_similarity_tail_sql("__sim_grams"))
 
@@ -228,7 +229,7 @@ def _source_sim_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("documents",), spread=True)
     grams = spark.sql(
         f"WITH {grams_rel(SPARK)} SELECT * FROM grams"
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     grams.createOrReplaceTempView("__simmh_grams")
     return spark.sql(source_minhash_tail_sql(SPARK, "__simmh_grams"))
 

@@ -46,6 +46,7 @@ from serene_spark.functions.sqlgen import (
 )
 from serene_spark.operators.text_analysis import NORM
 from serene_spark.registry import register
+from serene_spark.materialize import materialize
 
 GRAM_K = 8  # word n-gram width for decontamination (the common 8-13 range)
 BENCH_MOD = 17  # doc_id % 17 == 0 -> held-out "benchmark" subset
@@ -673,7 +674,7 @@ ORDER BY p.source
 def _source_quality_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("documents",), spread=True)
     for view, sql in source_quality_base_views(SPARK):
-        spark.sql(sql).localCheckpoint(eager=True).createOrReplaceTempView(view)
+        spark.sql(sql).transform(materialize).createOrReplaceTempView(view)
     return spark.sql(source_quality_tail_sql(SPARK))
 
 

@@ -29,6 +29,8 @@ reports every capped bucket.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 
 from serene_spark.catalog import register_views
@@ -45,6 +47,7 @@ from serene_spark.functions.sqlgen import (
     split_re,
 )
 from serene_spark.registry import register
+from serene_spark.materialize import materialize
 
 SHINGLE_K = 8          # char-shingle width
 N_MINHASH = 16         # minhash permutations
@@ -203,21 +206,25 @@ def minhash_signatures_sql(dialect: str) -> str:
 # switch to STAR + CHAIN pairing, both Theta(G) per hot bucket:
 #   star  — every member pairs with the bucket's min-doc_id hub, so at
 #           the CANDIDATE level every member stays reachable;
-#   chain — members are sorted by their leading minhash coordinates
-#           (similar docs agree on most signature values, so each
+#   chain — members are sorted by four stride-12 minhash coordinates
+#           (mh5/mh17/mh29/mh41 — chosen OUTSIDE the bucket's own band
+#           at every geometry up to band_size 12, see bands_cand_tail;
+#           similar docs agree on most signature values, so each
 #           near-dup sub-cluster sorts CONTIGUOUS) and each member pairs
 #           with its sort successor. This closes the star-only recall
 #           hole in the VERIFIED pipelines: a mixed hot bucket whose
 #           members are near each other but far from the hub used to
 #           lose its sub-clusters (hub edges fail the exact-Jaccard
 #           verify); the chain edges inside a sorted sub-cluster verify
-#           and keep it connected (tests/test_dedup.py pins this on a
-#           constructed mixed-hot-bucket fixture).
-# Residual limit: a sub-cluster member whose LEADING minhashes all
-# deviate from its peers can still sort away from them — probability
-# ~(1-J)^4 per member at within-cluster Jaccard J, i.e. rare for the
-# template near-dups that create hot buckets. dedup_lsh_hot_buckets
-# reports every capped bucket so the trade is observable, never silent.
+#           and keep it connected
+#           (tests/test_dedup.py::test_mixed_hot_bucket_chain_recall
+#           pins this on a constructed mixed-hot-bucket fixture).
+# Residual limit: a sub-cluster member whose four sort-coordinate
+# minhashes all deviate from its peers can still sort away from them —
+# probability ~(1-J)^4 per member at within-cluster Jaccard J, i.e. rare
+# for the template near-dups that create hot buckets.
+# dedup_lsh_hot_buckets reports every capped bucket so the trade is
+# observable, never silent.
 LSH_BUCKET_CAP = 1000
 
 # Per-doc background-candidate budget the AUTO-tuned default geometry
@@ -229,6 +236,22 @@ LSH_BUCKET_CAP = 1000
 # size, closing the former fixed-geometry ~n²·J_bg³ blowup on
 # self-similar corpora.
 CANDIDATE_BUDGET_PER_DOC = 16.0
+
+# Corpus size below which plan_band_size skips the planner probe and
+# returns the default geometry. Rationale (why skipping is SAFE, not just
+# fast): the probe costs a narrow full-corpus doc_id scan plus a fixed
+# ~seconds of query overhead; below this many docs, the worst the default
+# geometry can over-generate is n(n-1)/2 * bands * J_bg^3 candidates —
+# even at a pathological J_bg = 0.1 that is ~4e7 pairs at the threshold,
+# comparable to the probe's own cost — and the hot-bucket cap
+# independently bounds the blowup at ~bands*cap/2 pairs per doc. Planning
+# cannot pay for itself below the line; above it the n^2 term dominates
+# and the probe is budget-dust. (The probe was measured at ~3 s of a
+# 6.6 s dedup_minhash_lsh run on the 5k-doc sf0.1 bench corpus — pure
+# overhead at that scale.)
+PLANNER_MIN_DOCS = 50_000
+
+_LOG = logging.getLogger("serene_spark.dedup")
 
 
 def bands_rel(dialect: str, mh_rel: str = "mh", band_size: int = BAND_SIZE) -> str:
@@ -277,14 +300,25 @@ def bands_cand_tail(dialect: str, bands_src: str = "bands",
     existing bands relation (see bands_cand_body).
 
     Hot buckets (g > cap) emit star pairs (hub × members, via ``bleft``)
-    PLUS chain pairs: members sorted by (mh0..mh3, doc_id) — similar docs
-    agree on most minhash coordinates, so each near-dup sub-cluster sorts
-    contiguous — and each member pairs with its sort successor.  Both are
-    Theta(G) per hot bucket; the chain keeps sub-clusters connected in the
-    verified pipelines even when their members are far from the hub (the
-    star-only recall hole).  ``sig_rel`` supplies the minhash sort keys
-    (any relation with doc_id + mh0..mh3; the window runs over hot-bucket
-    members only, so its sort is bucket-local, never corpus-wide)."""
+    PLUS chain pairs: members sorted by (mh5, mh17, mh29, mh41, doc_id) —
+    similar docs agree on most minhash coordinates, so each near-dup
+    sub-cluster sorts contiguous — and each member pairs with its sort
+    successor.  Both are Theta(G) per hot bucket; the chain keeps
+    sub-clusters connected in the verified pipelines even when their
+    members are far from the hub (the star-only recall hole; pinned
+    end-to-end by tests/test_dedup.py::test_mixed_hot_bucket_chain_recall
+    on a constructed mixed-hot-bucket fixture).
+
+    The sort coordinates are stride-12 (5, 17, 29, 41) rather than
+    mh0..mh3 so that within any single band's bucket — where that band's
+    own coordinates are constant by construction — the keys stay
+    informative: at band_size 3/4/6/8/12 each key falls in a DIFFERENT
+    band, so every bucket keeps all four effective coordinates; at 16/24
+    two keys can share the bucket's band (3/2 effective), and only the
+    degenerate one-band 48 geometry falls back to doc_id order.
+    ``sig_rel`` supplies the minhash sort keys (any relation with doc_id
+    + mh5..mh41; the window runs over hot-bucket members only, so its
+    sort is bucket-local, never corpus-wide)."""
     return f"""
 bsz AS (
   SELECT band, sig, COUNT(*) AS g, MIN(doc_id) AS hub
@@ -299,7 +333,7 @@ hotm AS (
   SELECT a.doc_id, a.band, a.sig,
          ROW_NUMBER() OVER (
            PARTITION BY a.band, a.sig
-           ORDER BY m.mh0, m.mh1, m.mh2, m.mh3, a.doc_id) AS rn
+           ORDER BY m.mh5, m.mh17, m.mh29, m.mh41, a.doc_id) AS rn
   FROM {bands_src} a
   JOIN bsz z ON a.band = z.band AND a.sig = z.sig AND z.g > {cap}
   JOIN {sig_rel} m ON m.doc_id = a.doc_id
@@ -357,7 +391,7 @@ def _materialized_mh(spark: SparkSession, sf_dir: str):
     from serene_spark.catalog import register_views
 
     register_views(spark, sf_dir, ("documents",), spread=True)
-    mh = spark.sql(f"WITH {minhash_rel(SPARK, N_LSH)} SELECT * FROM mh").localCheckpoint(eager=True)
+    mh = spark.sql(f"WITH {minhash_rel(SPARK, N_LSH)} SELECT * FROM mh").transform(materialize)
     mh.createOrReplaceTempView("__serene_mh")
     return "__serene_mh"
 
@@ -374,7 +408,7 @@ def dedup_minhash_lsh_spark(spark: SparkSession, sf_dir: str,
     if band_size is None:
         band_size = plan_band_size(spark, sf_dir)
     mh_rel = _materialized_mh(spark, sf_dir)
-    bands = spark.sql(bands_rel(SPARK, mh_rel, band_size)).localCheckpoint(eager=True)
+    bands = spark.sql(bands_rel(SPARK, mh_rel, band_size)).transform(materialize)
     bands.createOrReplaceTempView("__serene_mh_bands")
     return spark.sql(
         f"WITH {lsh_body(SPARK, mh_rel, band_size, bands_src='__serene_mh_bands')}")
@@ -519,11 +553,11 @@ def _materialized_docsk(spark: SparkSession, sf_dir: str,
     register_views(spark, sf_dir, ("documents",), spread=True)
     sk = spark.sql(
         f"WITH {docsketch_rel(SPARK)} SELECT * FROM docsk"
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     sk.createOrReplaceTempView(view)
     thin = sk.select(
         "doc_id", *[F.col(f"mh{i}") for i in range(N_LSH)]
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     thin_view = f"{view}_thin"
     thin.createOrReplaceTempView(thin_view)
     # bands materialized too: the per-band UNION is referenced three
@@ -531,7 +565,7 @@ def _materialized_docsk(spark: SparkSession, sf_dir: str,
     # plan overhead (measured ~5s at sf0.1)
     bands = spark.sql(
         bands_rel(SPARK, thin_view, band_size)
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     bands_view = f"{view}_bands"
     bands.createOrReplaceTempView(bands_view)
     return view, thin_view, bands_view
@@ -594,13 +628,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.union(pairs.select("doc_id_2", "doc_id_1"))
         .toDF("src", "dst")
         .repartition("src")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("cluster", F.col("doc_id"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     for _ in range(32):  # bound >> O(log n) for any plausible cluster depth
         # each node adopts the min label among itself and its neighbors
@@ -617,7 +651,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 new_cluster.alias("new_cluster"),
                 (F.col("cluster") != new_cluster).cast("int").alias("changed"),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         n_changed = updated.agg(F.sum("changed")).collect()[0][0] or 0
         labels = updated.select("doc_id", F.col("new_cluster").alias("cluster"))
@@ -754,7 +788,7 @@ def dedup_simhash_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation 8 times (4 chunk projections x 2 join sides) — same Spark
     CTE-inlining hazard as the LSH tail."""
     register_views(spark, sf_dir, ("documents",), spread=True)
-    sim = spark.sql(f"WITH {simhash_rel(SPARK)} SELECT * FROM sim").localCheckpoint(eager=True)
+    sim = spark.sql(f"WITH {simhash_rel(SPARK)} SELECT * FROM sim").transform(materialize)
     sim.createOrReplaceTempView("__serene_sim")
     return spark.sql(f"WITH {simhash_pairs_body(SPARK, '__serene_sim')}")
 
@@ -816,7 +850,11 @@ register("dedup_minhash_lsh", oracle=minhash_lsh_sql(DUCKDB),
              f"signatures materialized once; band geometry PLANNER-TUNED per corpus "
              f"— {LSH_BANDS}x{BAND_SIZE} at the {LSH_TARGET_JACCARD} target unless "
              f"the measured background Jaccard would push candidates past "
-             f"{CANDIDATE_BUDGET_PER_DOC:g}/doc, then bands widen automatically; "
+             f"{CANDIDATE_BUDGET_PER_DOC:g}/doc, then bands widen automatically "
+             f"with a WARNING naming the chosen geometry; corpora under "
+             f"{PLANNER_MIN_DOCS} docs skip the probe and keep the default, so "
+             f"the fixed-geometry oracle is exact on every parity corpus by "
+             f"construction; "
              f"hot buckets > {LSH_BUCKET_CAP} emit Theta(G) star+chain pairs — "
              f"sub-clusters stay chain-connected, but a member whose leading "
              f"minhashes all deviate from its peers can still detach)")(dedup_minhash_lsh_spark)
@@ -837,15 +875,21 @@ register("dedup_lsh_verified_strict",
     dedup_lsh_verified_strict_spark)
 
 
-def hot_bucket_report_sql(dialect: str, cap: int = LSH_BUCKET_CAP) -> str:
+def hot_bucket_report_sql(dialect: str, cap: int = LSH_BUCKET_CAP,
+                          band_size: int = BAND_SIZE) -> str:
     """Per-band LSH bucket-size audit: how close each band's buckets sit to
     the hot-bucket cap, and how many docs fell under the star-pairing
     overflow policy.  On a boilerplate-heavy crawl this is the first thing
     to read after a dedup run — hot_docs > 0 means pair-level output inside
-    those buckets was star-sparsified (connectivity preserved)."""
+    those buckets was star-sparsified (connectivity preserved).
+
+    ``band_size`` MUST match the geometry the dedup run actually used:
+    the default runners are planner-tuned (see ``plan_band_size``), so an
+    audit of a tuned run must pass the same planned band_size or it will
+    describe a band layout the run never built."""
     return f"""
 WITH {minhash_rel(dialect, N_LSH)},
-bands AS ({bands_rel(dialect)}),
+bands AS ({bands_rel(dialect, band_size=band_size)}),
 bsz AS (SELECT band, sig, COUNT(*) AS g FROM bands GROUP BY band, sig)
 SELECT CAST(band AS INT) AS band,
        CAST(COUNT(*) AS BIGINT) AS n_buckets,
@@ -971,36 +1015,52 @@ def plan_band_size(spark: SparkSession, sf_dir: str,
                    budget_per_doc: float = CANDIDATE_BUDGET_PER_DOC) -> int:
     """Pick rows-per-band for the default LSH runners from the planner.
 
-    Runs ``lsh_geometry_planner`` (sample-bounded work: PLANNER_SAMPLE
-    doc signatures + one narrow doc_id TopK scan + one COUNT) and returns
-    the smallest rows_per_band >= the LSH_TARGET_JACCARD-target default
-    whose expected background candidates fit ``budget_per_doc * n_docs``;
-    falls back to the widest geometry when even that overflows. The
-    choice is cached per (sf_dir, budget) for the session — a corpus
-    mutated in place under the same path needs a new session (or a cache
-    clear) to re-plan.
+    Corpora under ``PLANNER_MIN_DOCS`` short-circuit to the default
+    geometry after one metadata-cheap COUNT (see the constant's rationale
+    — at small n the probe costs more than any blowup it could prevent).
+    Above the line, runs ``lsh_geometry_planner`` (sample-bounded work:
+    PLANNER_SAMPLE doc signatures + one narrow doc_id TopK scan) and
+    returns the smallest rows_per_band >= the LSH_TARGET_JACCARD-target
+    default whose expected background candidates fit
+    ``budget_per_doc * n_docs``; falls back to the widest geometry when
+    even that overflows. The choice is cached per (sf_dir, budget) for
+    the session — a corpus mutated in place under the same path needs a
+    new session (or a cache clear) to re-plan.
 
-    On the synthetic test corpora at sf<=0.1 the measured J_bg (~0.04)
-    keeps the choice at the default geometry, so the registered oracles
-    (fixed at the default) stay exact; the tuning engages only where the
-    fixed geometry would blow up (sf1+ self-similar corpora).
+    Oracle-parity contract: the registered DuckDB oracles are pinned at
+    the default geometry. Every parity corpus (sf <= 0.1, <= 5k docs)
+    sits below PLANNER_MIN_DOCS, so the runner uses the default there BY
+    CONSTRUCTION and parity cannot silently diverge. When the planner
+    does pick a non-default geometry it logs a WARNING naming the chosen
+    band_size — a tuned run is observable, never silent — and parity
+    checking at that scale must pin band_size explicitly (the SQL
+    generators all take it as a parameter).
     """
     key = (sf_dir, budget_per_doc)
     got = _PLANNED_BAND_SIZE.get(key)
     if got is not None:
         return got
     register_views(spark, sf_dir, ("documents",), spread=True)
-    rows = sorted(spark.sql(lsh_geometry_planner_sql(SPARK)).collect(),
-                  key=lambda r: r["rows_per_band"])
-    choice = None
-    for r in rows:
-        if r["rows_per_band"] < BAND_SIZE:
-            continue
-        if r["expected_bg_candidates"] <= budget_per_doc * r["n_docs"]:
-            choice = int(r["rows_per_band"])
-            break
-    if choice is None:
-        choice = int(rows[-1]["rows_per_band"])
+    n_docs = spark.table("documents").count()
+    if n_docs < PLANNER_MIN_DOCS:
+        choice = BAND_SIZE
+    else:
+        rows = sorted(spark.sql(lsh_geometry_planner_sql(SPARK)).collect(),
+                      key=lambda r: r["rows_per_band"])
+        choice = None
+        for r in rows:
+            if r["rows_per_band"] < BAND_SIZE:
+                continue
+            if r["expected_bg_candidates"] <= budget_per_doc * r["n_docs"]:
+                choice = int(r["rows_per_band"])
+                break
+        if choice is None:
+            choice = int(rows[-1]["rows_per_band"])
+    if choice != BAND_SIZE:
+        _LOG.warning(
+            "LSH geometry planner picked band_size=%d (default %d) for %s "
+            "(n_docs=%d): fixed-geometry oracles do not apply to this run",
+            choice, BAND_SIZE, sf_dir, n_docs)
     _PLANNED_BAND_SIZE[key] = choice
     return choice
 
@@ -1118,7 +1178,7 @@ def dedup_canonical_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     then the shared selection body over a per-call uuid view."""
     import uuid
 
-    labels = dedup_clusters(spark, sf_dir).localCheckpoint(eager=True)
+    labels = dedup_clusters(spark, sf_dir).transform(materialize)
     view = f"__serene_canon_{uuid.uuid4().hex}"
     labels.createOrReplaceTempView(view)
     register_views(spark, sf_dir, ("documents",), spread=True)
@@ -1214,7 +1274,7 @@ def _prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one shingling pass, consumed by freq/ranked/verify/counts (4 refs)
     sh = spark.sql(
         f"WITH {shingles_rel(SPARK)} SELECT * FROM shingles"
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     sh.createOrReplaceTempView("__pf_shingles")
     return spark.sql("WITH " + prefix_filter_tail_sql("__pf_shingles", SPARK))
 
@@ -1385,7 +1445,7 @@ def _containment_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("documents",), spread=True)
     sh = spark.sql(
         f"WITH {shingles_rel(SPARK)} SELECT * FROM shingles"
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     sh.createOrReplaceTempView("__serene_bkshingles")
     return spark.sql(
         "WITH " + containment_bottomk_tail(SPARK, "__serene_bkshingles")

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from serene_spark.catalog import register_views
 from serene_spark.functions.sqlgen import DUCKDB, SPARK, explode_seq
 from serene_spark.registry import register
+from serene_spark.materialize import materialize
 
 ALPHA = "0.3"
 BETA = "0.1"
@@ -163,7 +164,7 @@ def _holt_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inputs get localCheckpoint; per-call uuid view for thread safety)
     spark.sql(
         f"WITH __holt_monthly AS ({MONTHLY_SQL}) {series_sql(SPARK)}"
-    ).localCheckpoint(eager=True).createOrReplaceTempView(view)
+    ).transform(materialize).createOrReplaceTempView(view)
     return spark.sql(holt_sql(SPARK, series_rel=view))
 
 
@@ -327,7 +328,7 @@ def _hw_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = f"hw_series_{uuid.uuid4().hex}"
     spark.sql(
         f"WITH __hw_daily AS ({hw_daily_sql(SPARK)}) {hw_series_sql(SPARK)}"
-    ).localCheckpoint(eager=True).createOrReplaceTempView(view)
+    ).transform(materialize).createOrReplaceTempView(view)
     return spark.sql(holt_winters_sql(SPARK, series_rel=view))
 
 

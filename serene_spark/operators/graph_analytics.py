@@ -43,6 +43,7 @@ from serene_spark.catalog import register_views
 from serene_spark.functions.sqlgen import DUCKDB, SPARK
 from serene_spark.operators.graph_rank import edges_sql
 from serene_spark.registry import register
+from serene_spark.materialize import materialize
 
 TRI_TOP_K = 20
 
@@ -112,7 +113,7 @@ def _triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("lineitem", "orders"))
     spark.sql(
         f"WITH {edges_sql(SPARK)} SELECT src, dst FROM edges"
-    ).localCheckpoint(eager=True).createOrReplaceTempView("edges")
+    ).transform(materialize).createOrReplaceTempView("edges")
     return spark.sql(triangle_tail_sql(SPARK))
 
 
@@ -156,7 +157,7 @@ def large_star_cc(edges: DataFrame, max_rounds: int = 40) -> tuple[DataFrame, in
 
     edges = edges.select(
         F.least("lo", "hi").alias("lo"), F.greatest("lo", "hi").alias("hi")
-    ).where(F.col("lo") != F.col("hi")).distinct().localCheckpoint(eager=True)
+    ).where(F.col("lo") != F.col("hi")).distinct().transform(materialize)
 
     def _sym(e: DataFrame) -> DataFrame:
         return e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
@@ -181,7 +182,7 @@ def large_star_cc(edges: DataFrame, max_rounds: int = 40) -> tuple[DataFrame, in
             .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
             .where(F.col("lo") != F.col("hi"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         # small-star: re-hang the lower neighborhood (v < u) plus u itself
         sym = _sym(edges)
@@ -197,7 +198,7 @@ def large_star_cc(edges: DataFrame, max_rounds: int = 40) -> tuple[DataFrame, in
             .select(F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi"))
             .where(F.col("lo") != F.col("hi"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         cur = _edge_checksum(edges)
         if cur == prev:
@@ -257,12 +258,12 @@ def core_numbers(edges: DataFrame, max_rounds: int = KCORE_MAX_ROUNDS):
     """
     from pyspark.sql import functions as F
 
-    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    edges = edges.select("src", "dst").transform(materialize)
     vals = (
         edges.groupBy("src")
         .agg(F.count("*").alias("val"))
         .withColumnRenamed("src", "node")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     degrees = vals.withColumnRenamed("val", "degree")
     rounds = 0
@@ -291,7 +292,7 @@ def core_numbers(edges: DataFrame, max_rounds: int = KCORE_MAX_ROUNDS):
         vals = (
             vals.join(hidx, "node")
             .select("node", F.least("val", "h").alias("val"))
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         row = vals.agg(
             F.count("*").alias("n"), F.sum("val").alias("s")

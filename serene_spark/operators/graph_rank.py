@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from serene_spark.catalog import register_views
 from serene_spark.functions.sqlgen import DUCKDB, SPARK
 from serene_spark.registry import register
+from serene_spark.materialize import materialize
 
 DAMPING = "0.85"
 N_ITER = 3
@@ -116,11 +117,9 @@ def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("lineitem", "orders", "supplier"))
     edges = spark.sql(
         f"WITH {edges_sql(SPARK)} SELECT * FROM edges"
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     edges.createOrReplaceTempView("edges")
-    spark.sql("SELECT s_suppkey AS node FROM supplier").localCheckpoint(
-        eager=True
-    ).createOrReplaceTempView("nodes")
+    spark.sql("SELECT s_suppkey AS node FROM supplier").transform(materialize).createOrReplaceTempView("nodes")
     # degs is small but referenced per iteration; it derives from the
     # materialized edges view so each reference is one tiny agg
     return spark.sql(pagerank_tail_sql("edges"))
@@ -161,26 +160,22 @@ def pagerank_converged_run(
     register_views(spark, sf_dir, ("lineitem", "orders", "supplier"))
     edges = spark.sql(
         f"WITH {edges_sql(SPARK)} SELECT * FROM edges"
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     edges.createOrReplaceTempView("edges")
-    spark.sql("SELECT s_suppkey AS node FROM supplier").localCheckpoint(
-        eager=True
-    ).createOrReplaceTempView("nodes")
-    spark.sql("SELECT COUNT(*) AS cnt FROM nodes").localCheckpoint(
-        eager=True
-    ).createOrReplaceTempView("nn")
+    spark.sql("SELECT s_suppkey AS node FROM supplier").transform(materialize).createOrReplaceTempView("nodes")
+    spark.sql("SELECT COUNT(*) AS cnt FROM nodes").transform(materialize).createOrReplaceTempView("nn")
     spark.sql(
         "SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src"
-    ).localCheckpoint(eager=True).createOrReplaceTempView("degs")
+    ).transform(materialize).createOrReplaceTempView("degs")
 
     rank = spark.sql(
         "SELECT node, CAST(ROUND(1.0 / (SELECT cnt FROM nn), 9) "
         "AS DECIMAL(18,9)) AS rank FROM nodes"
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     n_iters, delta = 0, float("inf")
     for _ in range(max_iter):
         rank.createOrReplaceTempView("pr_prev")
-        new_rank = spark.sql(_iter_body("pr_prev")).localCheckpoint(eager=True)
+        new_rank = spark.sql(_iter_body("pr_prev")).transform(materialize)
         n_iters += 1
         delta = (
             new_rank.alias("a")

@@ -36,6 +36,7 @@ from serene_spark.catalog import register_views
 from serene_spark.functions.sqlgen import DUCKDB, SPARK, element_at, explode_seq
 from serene_spark.operators.text_analysis import tokens_rel
 from serene_spark.registry import register
+from serene_spark.materialize import materialize
 
 RRF_K = 60
 CAND_DEPTH = 50
@@ -193,14 +194,14 @@ def matryoshka_sql(dialect: str) -> str:
 def _materialize_pm(spark: SparkSession) -> None:
     spark.sql(
         f"WITH {_pm_rel(SPARK).lstrip().rstrip()} SELECT * FROM pm"
-    ).localCheckpoint(eager=True).createOrReplaceTempView("pm")
+    ).transform(materialize).createOrReplaceTempView("pm")
 
 
 def _rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("documents", "embeddings"))
     spark.sql(
         f"WITH {tokens_rel(SPARK).lstrip()} SELECT * FROM tokens"
-    ).localCheckpoint(eager=True).createOrReplaceTempView("tokens")
+    ).transform(materialize).createOrReplaceTempView("tokens")
     _materialize_pm(spark)
     return spark.sql(rrf_tail_sql(SPARK))
 

@@ -41,6 +41,7 @@ from serene_spark.functions.sqlgen import (
 )
 from serene_spark.operators.text_analysis import NORM
 from serene_spark.registry import register
+from serene_spark.materialize import materialize
 
 N_BUCKETS = 128
 # target-domain proxy: the "curated" sources whose distribution we want the
@@ -118,7 +119,7 @@ def _dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("documents",), spread=True)
     # materialize the tokenize pass once — the tail references it twice and
     # Catalyst inlines shared CTEs (cluster analog: checkpoint/Delta table)
-    dbc = spark.sql(doc_bucket_counts_sql(SPARK)).localCheckpoint(eager=True)
+    dbc = spark.sql(doc_bucket_counts_sql(SPARK)).transform(materialize)
     dbc.createOrReplaceTempView("__dsir_dbc")
     return spark.sql(dsir_tail_sql("__dsir_dbc"))
 
@@ -220,11 +221,11 @@ def dsir_weighted_sample_oracle_sql(dialect: str) -> str:
 
 def _dsir_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("documents",), spread=True)
-    dbc = spark.sql(doc_bucket_counts_sql(SPARK)).localCheckpoint(eager=True)
+    dbc = spark.sql(doc_bucket_counts_sql(SPARK)).transform(materialize)
     dbc.createOrReplaceTempView("__dsirws_dbc")
     # keyed is consumed by three selection stages — materialize it too, or
     # Catalyst re-runs the scoring aggregation per consumer
-    keyed = spark.sql(keyed_sql("__dsirws_dbc", SPARK)).localCheckpoint(eager=True)
+    keyed = spark.sql(keyed_sql("__dsirws_dbc", SPARK)).transform(materialize)
     keyed.createOrReplaceTempView("__dsirws_keyed")
     return spark.sql("WITH " + selection_sql("__dsirws_keyed").lstrip())
 

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from serene_spark.catalog import register_views
 from serene_spark.functions.sqlgen import DUCKDB, SPARK, log2
 from serene_spark.registry import register
+from serene_spark.materialize import materialize
 
 AXES = ("status", "priority", "oyear")
 PAIRS = (("status", "priority"), ("status", "oyear"), ("priority", "oyear"))
@@ -106,7 +107,7 @@ def _mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("orders",))
     spark.sql(
         f"WITH {cube_prologue_sql(SPARK)} SELECT * FROM cube0"
-    ).localCheckpoint(eager=True).createOrReplaceTempView("cube0")
+    ).transform(materialize).createOrReplaceTempView("cube0")
     return spark.sql(mutual_info_tail_sql(SPARK))
 
 

@@ -29,6 +29,7 @@ from serene_spark.functions.sqlgen import DUCKDB, SPARK, explode_seq, rr, split_
 from serene_spark.operators.profile_chardist import chardist_sql
 from serene_spark.operators.profile_typeinfer import typeinfer_sql
 from serene_spark.registry import register
+from serene_spark.materialize import materialize
 
 NONEMPTY = "length(trim(value)) > 0"
 
@@ -342,7 +343,7 @@ def _materialized_pair_query(profiles: dict[str, object], body_fn, table: str = 
         rels = []
         for name, sql_fn in profiles.items():
             rel = f"__serene_{name}_{table}"
-            spark.sql(sql_fn(view, SPARK)).localCheckpoint(eager=True).createOrReplaceTempView(rel)
+            spark.sql(sql_fn(view, SPARK)).transform(materialize).createOrReplaceTempView(rel)
             rels.append(rel)
         body = body_fn(*rels)
         return spark.sql("WITH " + body if body_is_cte_fragment else body)

@@ -32,6 +32,7 @@ from serene_spark.catalog import COLUMNS, load_table
 from serene_spark.functions.melt import melt, melt_sql
 from serene_spark.functions.sqlgen import DUCKDB, SPARK, count_chars, re_extract, rx
 from serene_spark.registry import register
+from serene_spark.materialize import materialize
 
 # Reference date/time regexes (FeatureExtractor.scala:517-562), rewritten
 # backslash-free for cross-dialect portability. The month-name alternation is
@@ -176,9 +177,7 @@ def profile_scalar(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     view = f"__serene_long_{table}"
     melt(df).createOrReplaceTempView(view)
     hist_view = f"__serene_hist_{table}"
-    spark.sql(f"SELECT * FROM ({hist_sql(view)}) h").localCheckpoint(
-        eager=True
-    ).createOrReplaceTempView(hist_view)
+    spark.sql(f"SELECT * FROM ({hist_sql(view)}) h").transform(materialize).createOrReplaceTempView(hist_view)
     return spark.sql("WITH " + scalar_body(SPARK, hist_view))
 
 

@@ -24,6 +24,7 @@ from serene_spark.catalog import COLUMNS, load_table
 from serene_spark.functions.melt import melt, melt_sql
 from serene_spark.functions.sqlgen import DUCKDB, SPARK, rx
 from serene_spark.registry import register
+from serene_spark.materialize import materialize
 
 NUM_PAT = "^[+-]?([0-9]{1,18}([.][0-9]{0,10})?|[.][0-9]{1,10})$"
 
@@ -191,7 +192,7 @@ def _make(counts_fn, body_fn, table: str, tag: str):
         view = f"__serene_long_{table}"
         melt(load_table(spark, sf_dir, table)).createOrReplaceTempView(view)
         rel = f"__serene_{tag}_{table}"
-        spark.sql(counts_fn(view)).localCheckpoint(eager=True).createOrReplaceTempView(rel)
+        spark.sql(counts_fn(view)).transform(materialize).createOrReplaceTempView(rel)
         return spark.sql("WITH " + body_fn(rel))
 
     return run

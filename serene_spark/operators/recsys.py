@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from serene_spark.catalog import register_views
 from serene_spark.functions.sqlgen import DUCKDB, SPARK, idiv
 from serene_spark.registry import register
+from serene_spark.materialize import materialize
 
 CF_MIN_CO = 3   # min co-orders for a candidate pair (63 pairs at sf0.01)
 CF_TOP_K = 3    # neighbors kept per part
@@ -149,7 +150,7 @@ def _item_item(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("lineitem",))
     spark.sql(
         f"WITH {BASKETS_PROLOGUE} SELECT * FROM baskets"
-    ).localCheckpoint(eager=True).createOrReplaceTempView("baskets")
+    ).transform(materialize).createOrReplaceTempView("baskets")
     return spark.sql(item_item_tail_sql(SPARK))
 
 

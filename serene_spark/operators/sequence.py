@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from serene_spark.catalog import register_views
 from serene_spark.functions.sqlgen import DUCKDB, SPARK, epoch_us, explode_seq, idiv
 from serene_spark.registry import register
+from serene_spark.materialize import materialize
 
 TRAIL = 24  # trailing window (hours) for the anomaly baseline
 Z_THRESHOLD = 3.0
@@ -218,10 +219,10 @@ def _markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
     spark.sql(
         f"WITH {stationary_pairs_prologue(SPARK)} SELECT * FROM pairs"
-    ).localCheckpoint(eager=True).createOrReplaceTempView("pairs")
+    ).transform(materialize).createOrReplaceTempView("pairs")
     spark.sql(
         f"WITH {stationary_emp_prologue(SPARK)} SELECT * FROM emp"
-    ).localCheckpoint(eager=True).createOrReplaceTempView("emp")
+    ).transform(materialize).createOrReplaceTempView("emp")
     return spark.sql(stationary_tail_sql(SPARK))
 
 

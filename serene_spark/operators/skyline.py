@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from serene_spark.catalog import register_views
 from serene_spark.functions.sqlgen import DUCKDB, SPARK, hex_to_int
 from serene_spark.registry import register
+from serene_spark.materialize import materialize
 
 # dominance criteria over part: minimize price, maximize size
 SAMPLE_MOD = 16  # ~1/16 deterministic sample feeds the pruner
@@ -76,7 +77,7 @@ def skyline_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT 1 FROM (SELECT * FROM part WHERE {_sample_pred(SPARK)}) a
           WHERE {_dominates('a', 'b')}
         )
-    """).localCheckpoint(eager=True)
+    """).transform(materialize)
     pruner.createOrReplaceTempView("__sky_pruner")
     # 2. prune the bulk with one broadcast anti-join (map-side)
     survivors = spark.sql(f"""
@@ -84,7 +85,7 @@ def skyline_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE NOT EXISTS (
           SELECT 1 FROM __sky_pruner a WHERE {_dominates('a', 'b')}
         )
-    """).localCheckpoint(eager=True)
+    """).transform(materialize)
     survivors.createOrReplaceTempView("__sky_survivors")
     # 3. exact verify among survivors only
     return spark.sql(f"""

@@ -28,6 +28,7 @@ from serene_spark.functions.sqlgen import (
     split_re,
 )
 from serene_spark.registry import register
+from serene_spark.materialize import materialize
 
 STOPWORDS = {
     "en": ("the", "and", "of", "to", "is", "in", "a", "that", "it", "for"),
@@ -395,7 +396,7 @@ def _top_tokens_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("documents",), spread=True)
     rel = "__serene_toptok_tokens"
     tokens = spark.sql(f"WITH {tokens_rel(SPARK)} SELECT * FROM tokens")
-    tokens.localCheckpoint(eager=True).createOrReplaceTempView(rel)
+    tokens.transform(materialize).createOrReplaceTempView(rel)
     return spark.sql("WITH " + top_tokens_tail(rel))
 
 

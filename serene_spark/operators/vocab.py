@@ -36,6 +36,7 @@ from serene_spark.functions.sqlgen import (
 )
 from serene_spark.operators.text_analysis import NORM
 from serene_spark.registry import register
+from serene_spark.materialize import materialize
 
 TOP_MERGES = 20
 EMB_DIM = 64
@@ -76,6 +77,56 @@ BPE_MERGES = 30
 EOW = "</w>"  # end-of-word marker (Sennrich et al., ACL 2016, Algorithm 1)
 
 
+def _merge_fold(left: str, right: str):
+    """Left-to-right non-overlapping merge of adjacent (left, right) symbol
+    pairs in the ``syms`` array, as one ``aggregate()`` fold — pure
+    Catalyst expressions, no Python in the loop.
+
+    Accumulator = (out array, pending: did the previous element equal
+    ``left`` without being emitted yet). Step cases, in order:
+      pending & x = right -> emit left||right, clear pending
+      pending & x = left  -> emit the stranded left, STAY pending (so
+                             "a a b" under (a,b) gives [a, ab])
+      pending             -> emit the stranded left then x
+      x = left            -> hold (pending)
+      otherwise           -> emit x
+    Finish: a still-pending left is emitted. This reproduces the classic
+    Sennrich merge exactly, including the left==right case ("aaa" under
+    (a,a) -> [aa, a]); literals bind as Columns so corpus tokens
+    containing quotes cannot break the expression."""
+    from pyspark.sql import functions as F
+
+    l_, r_, lr = F.lit(left), F.lit(right), F.lit(left + right)
+
+    def step(acc, x):
+        out, pending = acc["out"], acc["pending"]
+        return (
+            F.when(pending & (x == r_),
+                   F.struct(F.concat(out, F.array(lr)).alias("out"),
+                            F.lit(False).alias("pending")))
+            .when(pending & (x == l_),
+                  F.struct(F.concat(out, F.array(l_)).alias("out"),
+                           F.lit(True).alias("pending")))
+            .when(pending,
+                  F.struct(F.concat(out, F.array(l_, x)).alias("out"),
+                           F.lit(False).alias("pending")))
+            .when(x == l_,
+                  F.struct(out.alias("out"), F.lit(True).alias("pending")))
+            .otherwise(F.struct(F.concat(out, F.array(x)).alias("out"),
+                                F.lit(False).alias("pending")))
+        )
+
+    return F.aggregate(
+        F.col("syms"),
+        F.struct(F.expr("cast(array() as array<string>)").alias("out"),
+                 F.lit(False).alias("pending")),
+        step,
+        lambda acc: F.when(acc["pending"],
+                           F.concat(acc["out"], F.array(l_)))
+                     .otherwise(acc["out"]),
+    )
+
+
 def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES):
     """The FULL Sennrich BPE trainer, distributed:
 
@@ -85,8 +136,10 @@ def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES):
        (posexplode + keyed agg, map-side combined), deterministic argmax
        (count DESC, pair ASC) — ONE tiny row to the driver per round;
     3. the winning pair merges left-to-right non-overlapping in every
-       word's symbol array via an Arrow-batched pandas UDF (array surgery
-       built-ins can't express), and the vocab re-checkpoints every few
+       word's symbol array via ``aggregate()`` — a single left-fold over
+       the array with a (emitted, pending-left?) accumulator, entirely
+       JVM-side Catalyst expressions: no Python crosses the boundary in
+       the hot loop at all — and the vocab re-materializes every few
        rounds to bound loop lineage.
 
     Returns (merges, vocab_df): merges = [(left, right, weighted_count)],
@@ -94,7 +147,6 @@ def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES):
     against a pure-python reference in tests/test_vocab.py.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import ArrayType, StringType
 
     from serene_spark.operators.text_analysis import tokens_rel
 
@@ -109,7 +161,7 @@ def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES):
         F.concat(
             F.split(F.col("word"), ""), F.array(F.lit(EOW))
         ).alias("syms"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
 
     merges: list[tuple[str, str, int]] = []
     for rnd in range(n_merges):
@@ -130,21 +182,10 @@ SELECT l, r, SUM(freq) AS cnt FROM (
         left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
         merges.append((left, right, cnt))
 
-        def _merge_pair(syms, _l=left, _r=right):
-            out, i, n = [], 0, len(syms)
-            while i < n:
-                if i + 1 < n and syms[i] == _l and syms[i + 1] == _r:
-                    out.append(_l + _r)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            return out
-
-        merge_udf = F.udf(_merge_pair, ArrayType(StringType()))
-        vocab = vocab.select("word", "freq", merge_udf("syms").alias("syms"))
+        vocab = vocab.select(
+            "word", "freq", _merge_fold(left, right).alias("syms"))
         if rnd % 5 == 4 or rnd == n_merges - 1:  # bound loop lineage
-            vocab = vocab.localCheckpoint(eager=True)
+            vocab = vocab.transform(materialize)
     spark.catalog.dropTempView("__bpe_vocab")
     return merges, vocab
 
@@ -155,7 +196,8 @@ SELECT l, r, SUM(freq) AS cnt FROM (
     # against a pure-python Sennrich reference in tests/test_vocab.py
     doc=f"FULL BPE trainer (Sennrich ACL 2016): {BPE_MERGES} merge rounds "
     "over the word-frequency relation — per-round weighted pair argmax + "
-    "pandas-UDF symbol merge; the loop bpe_top_merges documents",
+    "JVM-side aggregate() fold for the symbol merge (no Python in the loop); "
+    "the loop bpe_top_merges documents",
 )
 def bpe_trained_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges, _vocab = bpe_train(spark, sf_dir)

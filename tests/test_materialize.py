@@ -1,0 +1,93 @@
+"""serene_spark.materialize — deploy-mode-aware lineage truncation.
+
+The helper exists so iterative operators never hard-code localCheckpoint
+(executor-lost-data on a real cluster). The local[*] path is covered
+in-process; the multi-executor path runs headline queries end-to-end on
+a real ``local-cluster[2,2,1024]`` master in a SUBPROCESS (two Spark
+contexts cannot share a JVM) and is gated behind SERENE_CLUSTER_SMOKE=1
+because it boots worker JVMs (~2 min).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+from serene_spark.materialize import materialize
+
+
+def test_materialize_local_uses_localcheckpoint(spark):
+    df = spark.range(100).withColumnRenamed("id", "n")
+    out = materialize(df)
+    # lineage is truncated: the materialized plan is a leaf scan, not the
+    # original Range
+    assert "Scan ExistingRDD" in out._jdf.queryExecution().executedPlan().toString() \
+        or out.rdd.getCheckpointFile() is None  # localCheckpoint: no file
+    assert out.count() == 100
+    assert out.schema == df.schema
+
+
+def test_materialize_prefers_reliable_checkpoint_when_dir_set(tmp_path):
+    # subprocess: setting a checkpoint dir on the shared session fixture
+    # would flip every later test onto the slower reliable-checkpoint path
+    code = textwrap.dedent(f"""
+        from pyspark.sql import SparkSession
+        from serene_spark.materialize import materialize
+        spark = (SparkSession.builder.master("local[2]")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        spark.sparkContext.setCheckpointDir("{tmp_path}/ckpt")
+        out = materialize(spark.range(10))
+        assert out.count() == 10
+        # reliable checkpoint writes rdd-* block dirs under the configured
+        # dir (Dataset.checkpoint wraps the files in a fresh LogicalRDD, so
+        # out.rdd.getCheckpointFile() cannot see them)
+        import glob
+        written = glob.glob("{tmp_path}/ckpt/*/rdd-*")
+        assert written, "expected reliable checkpoint files"
+        print("RELIABLE_OK")
+    """)
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=300,
+                       cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert "RELIABLE_OK" in r.stdout, r.stdout + r.stderr
+
+
+CLUSTER_SMOKE = textwrap.dedent("""
+    from pyspark.sql import SparkSession
+    from serene_spark.session import tune_session, _RUNTIME_CONFS
+
+    builder = (SparkSession.builder.master("local-cluster[2,2,1024]")
+               .appName("serene-cluster-smoke")
+               .config("spark.sql.shuffle.partitions", "8")
+               .config("spark.ui.enabled", "false"))
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = tune_session(builder.getOrCreate())
+
+    from serene_spark.registry import load_all
+    qs = load_all()
+    sf = "/root/testdata/sf0.001"
+    # headline queries that route through materialize(): iterative CC +
+    # pagerank loops, the LSH verified pipeline, and a run_materialized op
+    for name in ("dedup_lsh_verified", "dedup_clusters",
+                 "pagerank_converged", "profile_scalar_customer"):
+        if name not in qs:
+            continue
+        n = qs[name].spark(spark, sf).count()
+        print("SMOKE", name, n)
+    print("CLUSTER_SMOKE_OK")
+""")
+
+
+@pytest.mark.skipif(os.environ.get("SERENE_CLUSTER_SMOKE") != "1",
+                    reason="boots a local-cluster master with worker JVMs; "
+                           "set SERENE_CLUSTER_SMOKE=1 to run")
+def test_materialize_survives_multi_executor_cluster():
+    r = subprocess.run([sys.executable, "-c", CLUSTER_SMOKE],
+                       capture_output=True, text=True, timeout=540,
+                       cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert "CLUSTER_SMOKE_OK" in r.stdout, r.stdout[-2000:] + r.stderr[-4000:]
