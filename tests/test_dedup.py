@@ -275,3 +275,114 @@ def test_lsh_geometry_planner_model(spark, sf_dir):
         assert 0.0 < r.j_bg_sample < 0.35
     ecs = [r.expected_bg_candidates for r in rows]
     assert ecs == sorted(ecs, reverse=True)
+
+
+# -- mixed-hot-bucket chain-recall fixture ------------------------------------
+#
+# The constructed corpus in which star-only hot-bucket pairing PROVABLY
+# detaches a true near-dup cluster, and the chain pairing saves it:
+#
+#   T       — 56-word template (~440 shingles), shared by every doc
+#   B docs  — ids 101..105: T + " q{i}" -> pairwise J ~ 0.996 (near-dups)
+#   X docs  — ids 1..48: T + 49 unique words -> J(X, B) ~ 0.56, below the
+#             strict 0.6 verify threshold (far from every hub); each X is
+#             salt-crafted so its fresh shingles never beat T's minima on
+#             its assigned band's three permutations — it joins B's bucket
+#             there. Three X per band x 16 bands.
+#
+# With cap=5, EVERY bucket holding >= 2 B docs is (5B + >= 3X) = hot, and
+# its hub (min doc_id) is an X — far, so all star pairs fail verify.
+# Star-only therefore yields ZERO B-B pairs (replayed offline against the
+# same md5 pipeline); the chain sorts the five B docs contiguously (they
+# tie on mh5/mh17/mh29/mh41 and X coords are <= theirs, so X can never
+# split the block) and keeps the cluster connected as exactly the 4-edge
+# doc-id path. Salts found by /tmp-style offline search; deterministic
+# forever (md5).
+
+_MIX_TSALT = 1002
+_MIX_XSALTS = {
+    0: [5, 6, 8], 1: [0, 6, 45], 2: [0, 1, 3], 3: [1, 2, 5],
+    4: [0, 1, 2], 5: [2, 15, 17], 6: [3, 11, 12], 7: [0, 2, 8],
+    8: [4, 7, 12], 9: [0, 1, 2], 10: [7, 9, 14], 11: [2, 3, 9],
+    12: [8, 10, 15], 13: [2, 6, 8], 14: [0, 1, 6], 15: [2, 3, 6],
+}
+_MIX_B_IDS = list(range(101, 106))
+
+
+def _mix_words(rng, n, prefix):
+    import string
+
+    return " ".join(
+        prefix + "".join(rng.choice(string.ascii_lowercase) for _ in range(6))
+        for _ in range(n)
+    )
+
+
+def _mixed_fixture_docs():
+    import random
+
+    t = _mix_words(random.Random(f"T{_MIX_TSALT}"), 56, "t")
+    docs = []
+    xid = 1
+    for band in range(16):
+        for xsalt in _MIX_XSALTS[band]:
+            rng = random.Random(f"X{band}-{xsalt}")
+            docs.append((xid, t + " " + _mix_words(rng, 49, "")))
+            xid += 1
+    for i in _MIX_B_IDS:
+        docs.append((i, t + f" q{i}"))
+    return docs
+
+
+def test_mixed_hot_bucket_chain_recall(spark):
+    """End-to-end pin of the chain's reason to exist: a near-dup cluster
+    whose every bucket is hot with a far hub survives the verified
+    pipeline as exactly its chain path — where star-only pairing loses it
+    entirely (dedup.py's hot-bucket cap contract, r6 verdict hole #1)."""
+    from serene_spark.functions.sqlgen import SPARK as SP
+    from serene_spark.operators.dedup import lsh_verified_sql, minhash_lsh_sql
+
+    docs = _mixed_fixture_docs()
+    spark.createDataFrame(docs, "doc_id long, text string") \
+        .createOrReplaceTempView("documents")
+    try:
+        cands = [(r.doc_id_1, r.doc_id_2) for r in
+                 spark.sql(minhash_lsh_sql(SP, cap=5)).collect()]
+        verified = sorted(
+            (r.doc_id_1, r.doc_id_2) for r in
+            spark.sql(lsh_verified_sql(SP, cap=5, threshold=0.6)).collect())
+    finally:
+        spark.catalog.dropTempView("documents")
+
+    bset = set(_MIX_B_IDS)
+    path = [(101, 102), (102, 103), (103, 104), (104, 105)]
+
+    # precondition: B is only reachable through far hot-bucket hubs — star
+    # spokes from X hubs to every B member exist at the candidate level
+    star_to_b = {(a, b) for a, b in cands if a not in bset and b in bset}
+    assert {b for _, b in star_to_b} == bset
+    # the ONLY B-B candidates are the chain's successor links: no bucket
+    # anywhere gave the cluster a quadratic self-join (that would mean an
+    # uncapped pure-B bucket and the fixture would not pin the chain)
+    assert sorted((a, b) for a, b in cands
+                  if a in bset and b in bset) == path
+    # the verified output is EXACTLY the chain path: the cluster stays
+    # connected, every far pair (hub spokes, X-X) is filtered
+    assert verified == path
+
+
+def test_mixed_hot_bucket_fixture_duckdb_parity(duck):
+    """The same fixture through the DuckDB dialect of the same SQL —
+    dialect-shared candidate generation cannot desync on the one corpus
+    where the cap policy's hard case is exercised."""
+    import pandas as pd
+
+    from serene_spark.functions.sqlgen import DUCKDB
+    from serene_spark.operators.dedup import lsh_verified_sql
+
+    fixture = pd.DataFrame(_mixed_fixture_docs(), columns=["doc_id", "text"])
+    con = duck.cursor()
+    con.register("documents", fixture)
+    rows = con.execute(lsh_verified_sql(DUCKDB, cap=5, threshold=0.6)).fetchall()
+    assert sorted((r[0], r[1]) for r in rows) == [
+        (101, 102), (102, 103), (103, 104), (104, 105)]
