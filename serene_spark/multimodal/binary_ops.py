@@ -10,10 +10,15 @@ Decode support is tiered by what a dependency-free container can honestly do:
 - **image/PNG**: REAL decode — stdlib zlib inflate + full filter
   reconstruction (types 0-4) for 8-bit gray/RGB/RGBA non-interlaced
   (``decode_png``); exotic shapes fall through to the PIL tier;
-- **compressed formats (JPEG/MP4, exotic PNG...)**: STUBBED with a deterministic
-  content-hash fake behind a ``try: import PIL`` hook — the decode libs are
-  not in this container; swapping the stub for a real decoder changes ONE
-  function (``_decode``), the Spark plumbing is identical.
+- **image/JPEG**: REAL decode — baseline sequential JFIF (Huffman entropy
+  decode + dequant + IDCT + 4:4:4/4:2:2/4:2:0 upsampling + YCbCr→RGB,
+  restart markers handled; see multimodal/jpeg.py); progressive /
+  arithmetic / 12-bit shapes fall through to the PIL tier;
+- **remaining compressed formats (MP4, progressive JPEG, exotic PNG...)**:
+  STUBBED with a deterministic content-hash fake behind a ``try: import
+  PIL`` hook — the decode libs are not in this container; swapping the
+  stub for a real decoder changes ONE function (``_decode``), the Spark
+  plumbing is identical.
 
 Scale notes: media bytes never pass through a Python row loop — Arrow
 batches via mapInPandas; ``spark.sql.files.maxPartitionBytes`` (and at write
@@ -197,17 +202,22 @@ def decode_png(blob: bytes) -> np.ndarray:
 
 
 def decode_image(blob: bytes) -> np.ndarray | None:
-    """Pixels for any REAL-decodable image format (P6 PPM or PNG), else
-    None — the single dispatch the pixel operators share. Malformed or
-    unsupported-shape blobs (palette/16-bit/interlaced PNG, truncated
-    IDAT) return None rather than raising: the pixel operators' contract
-    is SKIP-undecodable, and an exception inside an Arrow UDF would fail
+    """Pixels for any REAL-decodable image format (P6 PPM, PNG or
+    baseline JPEG), else None — the single dispatch the pixel operators
+    share. Malformed or unsupported-shape blobs (palette/16-bit/
+    interlaced PNG, progressive JPEG, truncated streams) return None
+    rather than raising: the pixel operators' contract is
+    SKIP-undecodable, and an exception inside an Arrow UDF would fail
     the whole task."""
     try:
         if blob.startswith(b"P6"):
             return decode_ppm(blob)
         if blob.startswith(PNG_SIG):
             return decode_png(blob)
+        if blob.startswith(b"\xff\xd8"):
+            from serene_spark.multimodal.jpeg import decode_jpeg
+
+            return decode_jpeg(blob)
     except Exception:
         return None
     return None
@@ -255,6 +265,17 @@ def _decode(kind: str, blob: bytes):
             # zlib.error / struct.error / IndexError — all must fall
             # through to the PIL tier / deterministic stub, never fail
             # the Arrow task
+            pass
+    if kind == "image" and blob.startswith(b"\xff\xd8"):
+        try:
+            from serene_spark.multimodal.jpeg import decode_jpeg
+
+            img = decode_jpeg(blob)
+            h, w = img.shape[:2]
+            return (w, h, 1) + _NULLS[3:] + ("jpeg",)
+        except Exception:
+            # progressive/arithmetic/12-bit raise ValueError; corrupt
+            # bodies raise anything — all fall through to PIL tier/stub
             pass
     if kind == "audio" and blob.startswith(b"RIFF"):
         channels, rate, n, pcm = decode_wav(blob)

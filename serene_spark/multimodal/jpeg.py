@@ -1,0 +1,489 @@
+"""Baseline JFIF JPEG codec — stdlib + numpy, no imaging dependency.
+
+The real-decode tier for ``image/jpeg`` blobs (ITU-T T.81 baseline
+sequential, the format of essentially every camera/web JPEG):
+
+- ``decode_jpeg``: marker parse (APP*/COM skipped, DQT, SOF0, DHT, DRI,
+  SOS), Huffman entropy decode with byte-unstuffing and RSTn restart
+  handling, dequantize + inverse zigzag + 2-D IDCT per 8x8 block,
+  4:4:4 / 4:2:2 / 4:2:0 chroma upsampling, YCbCr->RGB. Progressive
+  (SOF2), arithmetic, 12-bit and hierarchical JPEGs raise ValueError —
+  they fall through to the PIL tier / stub in binary_ops._decode, same
+  contract as exotic PNG shapes.
+- ``make_jpeg``: the test-side twin — baseline 4:4:4 encoder with the
+  Annex-K example quantization (quality-scaled) and Huffman tables, so
+  the suite can construct REAL JPEG bytes and pin decode fidelity
+  against the lossless PPM twin of the same pixels
+  (tests/test_multimodal.py).
+
+Like decode_png in binary_ops (the precedent), correctness is pinned by
+construction + roundtrip fidelity bounds, not by golden binaries: the
+container ships no JPEG sample files and no PIL.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# -- shared tables (ITU-T T.81 Annex K) ---------------------------------------
+
+ZIGZAG = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63])
+
+Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99])
+
+Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99])
+
+# Annex K Huffman specs: (BITS counts for lengths 1..16, HUFFVAL symbols)
+DC_LUMA_SPEC = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)))
+DC_CHROMA_SPEC = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)))
+AC_LUMA_SPEC = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+AC_CHROMA_SPEC = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+
+def _huff_codes(spec):
+    """(BITS, HUFFVAL) -> {symbol: (code, length)} (canonical T.81 order)."""
+    counts, symbols = spec
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decoder(spec):
+    """(BITS, HUFFVAL) -> {(length, code): symbol}."""
+    return {(ln, c): s for s, (c, ln) in _huff_codes(spec).items()}
+
+
+_DCT = np.array([[np.sqrt((1.0 if u == 0 else 2.0) / 8.0)
+                  * np.cos((2 * x + 1) * u * np.pi / 16.0)
+                  for x in range(8)] for u in range(8)])
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+    return np.stack([
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0], axis=-1)
+
+
+def _ycbcr_to_rgb(y, cb, cr):
+    cb = cb - 128.0
+    cr = cr - 128.0
+    return np.clip(np.stack([
+        y + 1.402 * cr,
+        y - 0.344136 * cb - 0.714136 * cr,
+        y + 1.772 * cb], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+def _quality_scale(tbl: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(max(quality, 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((tbl * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+# -- encoder ------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """T.81 coefficient coding: value -> (size category, appended bits)."""
+    size = int(v != 0 and int(abs(v)).bit_length())
+    bits = v if v >= 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _encode_block(bw, block, qtbl, dc_code, ac_code, pred):
+    """DCT + quantize + entropy-code one 8x8 block; returns the new DC."""
+    coef = _DCT @ (block - 128.0) @ _DCT.T
+    q = np.round(coef.ravel() / qtbl).astype(np.int64)[ZIGZAG]
+    dc = int(q[0])
+    size, bits = _magnitude(dc - pred)
+    bw.put(*dc_code[size])
+    if size:
+        bw.put(bits, size)
+    run = 0
+    for v in q[1:]:
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.put(*ac_code[0xF0])  # ZRL
+            run -= 16
+        size, bits = _magnitude(int(v))
+        bw.put(*ac_code[(run << 4) | size])
+        bw.put(bits, size)
+        run = 0
+    if run:
+        bw.put(*ac_code[0x00])  # EOB
+    return dc
+
+
+def make_jpeg(img: np.ndarray, quality: int = 90,
+              subsample: str = "444", restart_interval: int = 0) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a baseline JFIF JPEG.
+
+    ``subsample``: "444" (no chroma subsampling) or "420" (2x2 chroma,
+    the camera/web default — also what gives decode_jpeg's upsampling
+    path real test coverage). ``restart_interval``: emit a DRI segment
+    and RSTn markers every N MCUs (0 = none) — exercises decode_jpeg's
+    restart resynchronization."""
+    if subsample not in ("444", "420"):
+        raise ValueError(subsample)
+    h, w = img.shape[:2]
+    qt = [_quality_scale(Q_LUMA, quality), _quality_scale(Q_CHROMA, quality)]
+    ycc = _rgb_to_ycbcr(img)
+    ysamp = (2, 2) if subsample == "420" else (1, 1)
+    mcu_px = 8 * ysamp[0]
+    ycc = np.pad(ycc, ((0, -h % mcu_px), (0, -w % mcu_px), (0, 0)),
+                 mode="edge")
+    if subsample == "420":
+        cb = ycc[:, :, 1].reshape(ycc.shape[0] // 2, 2,
+                                  ycc.shape[1] // 2, 2).mean(axis=(1, 3))
+        cr = ycc[:, :, 2].reshape(ycc.shape[0] // 2, 2,
+                                  ycc.shape[1] // 2, 2).mean(axis=(1, 3))
+    else:
+        cb, cr = ycc[:, :, 1], ycc[:, :, 2]
+    planes = [ycc[:, :, 0], cb, cr]
+    samps = [ysamp, (1, 1), (1, 1)]
+
+    dc_codes = [_huff_codes(DC_LUMA_SPEC), _huff_codes(DC_CHROMA_SPEC)]
+    ac_codes = [_huff_codes(AC_LUMA_SPEC), _huff_codes(AC_CHROMA_SPEC)]
+
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    mcu_count = 0
+    rst = 0
+    for my in range(ycc.shape[0] // mcu_px):
+        for mx in range(ycc.shape[1] // mcu_px):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()
+                bw.buf += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = [0, 0, 0]
+            mcu_count += 1
+            for comp, ((hs, vs), plane) in enumerate(zip(samps, planes)):
+                tsel = 0 if comp == 0 else 1
+                for v in range(vs):
+                    for u in range(hs):
+                        y0 = (my * vs + v) * 8
+                        x0 = (mx * hs + u) * 8
+                        pred[comp] = _encode_block(
+                            bw, plane[y0:y0 + 8, x0:x0 + 8], qt[tsel],
+                            dc_codes[tsel], ac_codes[tsel], pred[comp])
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    sy = (ysamp[0] << 4) | ysamp[1]
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    for tid, tbl in enumerate(qt):
+        out += seg(0xFFDB, bytes([tid]) + bytes(tbl.ravel()[ZIGZAG].tolist()))
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3)
+               + bytes([1, sy, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    for cls, tid, spec in ((0, 0, DC_LUMA_SPEC), (1, 0, AC_LUMA_SPEC),
+                           (0, 1, DC_CHROMA_SPEC), (1, 1, AC_CHROMA_SPEC)):
+        out += seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(spec[0]) + bytes(spec[1]))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    out += seg(0xFFDA, b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00")
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# -- decoder ------------------------------------------------------------------
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy segment with 0xFF00
+    unstuffing; RSTn markers reset byte alignment (caller resets DC)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self):
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _Restart(nxt)
+            else:
+                raise EOFError("marker in entropy data")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def expect_restart(self):
+        """At a restart boundary: drop pad bits (byte-align) and consume
+        the RSTn marker that must sit at the aligned position."""
+        self.acc = 0
+        self.n = 0
+        b0 = self.data[self.pos]
+        b1 = self.data[self.pos + 1]
+        if b0 != 0xFF or not (0xD0 <= b1 <= 0xD7):
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
+
+class _Restart(Exception):
+    def __init__(self, marker):
+        self.marker = marker
+
+
+def _decode_huff(br: _BitReader, table) -> int:
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | br.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def decode_jpeg(blob: bytes) -> np.ndarray:
+    """Baseline sequential JFIF -> (h, w, 3) uint8 RGB. Raises ValueError
+    on progressive/arithmetic/12-bit streams (PIL-tier shapes)."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    comps = None  # [(cid, hsamp, vsamp, qsel)]
+    h = w = None
+    restart_interval = 0
+    scan = None
+    while pos < len(blob):
+        if blob[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = blob[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        (length,) = struct.unpack(">H", blob[pos + 2:pos + 4])
+        data = blob[pos + 4:pos + 2 + length]
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            i = 0
+            while i < len(data):
+                prec, tid = data[i] >> 4, data[i] & 0x0F
+                if prec != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = np.zeros(64, np.int32)
+                tbl[ZIGZAG] = np.frombuffer(data[i + 1:i + 65], np.uint8)
+                qts[tid] = tbl
+                i += 65
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, n = struct.unpack(">BHHB", data[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for c in range(n):
+                cid, samp, qsel = data[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 0x0F, qsel))
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(f"non-baseline JPEG (SOF{marker - 0xC0}) — PIL tier")
+        elif marker == 0xC4:  # DHT — possibly several tables per segment
+            i = 0
+            while i < len(data):
+                cls, tid = data[i] >> 4, data[i] & 0x0F
+                counts = list(data[i + 1:i + 17])
+                nsym = sum(counts)
+                symbols = list(data[i + 17:i + 17 + nsym])
+                tab = _huff_decoder((counts, symbols))
+                (ac_tabs if cls else dc_tabs)[tid] = tab
+                i += 17 + nsym
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", data[:2])
+        elif marker == 0xDA:  # SOS
+            ns = data[0]
+            scan = []
+            for c in range(ns):
+                cid, tsel = data[1 + 2 * c], data[2 + 2 * c]
+                scan.append((cid, tsel >> 4, tsel & 0x0F))
+            pos = pos + 2 + length
+            break
+        pos += 2 + length
+    if comps is None or scan is None:
+        raise ValueError("missing SOF/SOS")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {}
+    for cid, hs, vs, _q in comps:
+        planes[cid] = np.zeros((mcuy * vs * 8, mcux * hs * 8), np.float64)
+
+    br = _BitReader(blob, pos)
+    pred = {cid: 0 for cid, *_ in comps}
+    idct = _DCT.T
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.expect_restart()
+                pred = {cid: 0 for cid, *_ in comps}
+            try:
+                for (cid, hs, vs, qsel), (scid, dct_, act_) in zip(comps, scan):
+                    for v in range(vs):
+                        for u in range(hs):
+                            s = _decode_huff(br, dc_tabs[dct_])
+                            diff = _extend(br.bits(s), s)
+                            pred[cid] += diff
+                            zz = np.zeros(64, np.int64)
+                            zz[0] = pred[cid]
+                            k = 1
+                            while k < 64:
+                                rs = _decode_huff(br, ac_tabs[act_])
+                                if rs == 0x00:  # EOB
+                                    break
+                                if rs == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                k += rs >> 4
+                                size = rs & 0x0F
+                                zz[k] = _extend(br.bits(size), size)
+                                k += 1
+                            coef = np.zeros(64, np.float64)
+                            coef[ZIGZAG] = zz * qts[qsel][ZIGZAG]
+                            block = idct @ coef.reshape(8, 8) @ _DCT + 128.0
+                            y0 = (my * vs + v) * 8
+                            x0 = (mx * hs + u) * 8
+                            planes[cid][y0:y0 + 8, x0:x0 + 8] = block
+            except _Restart as exc:  # RSTn inside an MCU = corrupt stream
+                raise ValueError("unexpected restart marker") from exc
+            mcu_count += 1
+
+    # upsample to full resolution and crop
+    full = []
+    for cid, hs, vs, _q in comps:
+        p = planes[cid]
+        if hs != hmax or vs != vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        g = np.clip(full[0].round(), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    return _ycbcr_to_rgb(full[0], full[1], full[2])
