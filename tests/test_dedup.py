@@ -386,3 +386,23 @@ def test_mixed_hot_bucket_fixture_duckdb_parity(duck):
     rows = con.execute(lsh_verified_sql(DUCKDB, cap=5, threshold=0.6)).fetchall()
     assert sorted((r[0], r[1]) for r in rows) == [
         (101, 102), (102, 103), (103, 104), (104, 105)]
+
+
+def test_plan_band_size_short_circuits_small_corpora(spark, sf_dir, monkeypatch):
+    """Below PLANNER_MIN_DOCS the default runners must NOT pay the
+    planner probe: plan_band_size answers with the default geometry after
+    one COUNT, never compiling the planner query (r7 advice: the probe
+    was ~3 s of a 6.6 s bench run at 5k docs)."""
+    import serene_spark.operators.dedup as D
+
+    def boom(*a, **k):
+        raise AssertionError("planner probe ran on a small corpus")
+
+    monkeypatch.setattr(D, "lsh_geometry_planner_sql", boom)
+    D._PLANNED_BAND_SIZE.clear()
+    try:
+        assert D.plan_band_size(spark, sf_dir) == D.BAND_SIZE
+        # and the choice is cached — a second call does no Spark work at all
+        assert D.plan_band_size(spark, sf_dir) == D.BAND_SIZE
+    finally:
+        D._PLANNED_BAND_SIZE.clear()
