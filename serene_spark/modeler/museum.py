@@ -97,17 +97,36 @@ def conversion_gate(flavor: str = "edm") -> dict[str, int | bool]:
     }
 
 
+def _unique_col_keys(km: KarmaModel) -> dict[str, str]:
+    """hnode id -> unique prediction key.
+
+    suggest_models keys columns by NAME; several museum sources carry
+    duplicate column names (s05-met: two 'values'; s10-s-18-artworks:
+    ELEVEN 'values') and a name-keyed dict silently merges them into one
+    pseudo-column — measured at 15 true columns -> 5 prediction entries
+    on s10, costing it 5 of its 11 classes (LOO recall 0.545). Duplicate
+    names get a stable ~hnode suffix so every column keeps its own
+    candidate list; unique names stay verbatim (golden orderings in
+    SuggestModelSpec-derived tests key on them)."""
+    from collections import Counter
+
+    counts = Counter(c for _h, c in km.source_columns)
+    return {h: (c if counts[c] == 1 else f"{c}~{h}")
+            for h, c in km.source_columns}
+
+
 def _predictions_from_user_types(km: KarmaModel) -> dict[str, dict[str, float]]:
     """Held-out source's column predictions from its own user annotations:
     column -> {"Class---property": 1.0} — the ground-truth analog of the
     matcher scores KarmaSuggestModel consumes (KarmaSuggestModel.scala:122-173
     builds candidate types per column from exactly such scored pairs)."""
+    keys = _unique_col_keys(km)
     preds: dict[str, dict[str, float]] = {}
     for col_name, h_id, dom, typ in km.column_types:
         if not dom:
             continue
         label = f"{local_name(dom)}---{local_name(typ)}"
-        preds.setdefault(col_name, {})[label] = 1.0
+        preds.setdefault(keys.get(h_id, col_name), {})[label] = 1.0
     return preds
 
 
@@ -118,7 +137,7 @@ def _predictions_from_learned_types(km: KarmaModel) -> dict[str, dict[str, float
     Using them as the prediction input exercises the noisy multi-candidate
     mapping enumeration (KarmaSuggestModel.scala:122-173) on genuine
     matcher output rather than ground truth."""
-    h_to_col = {h: c for h, c in km.source_columns}
+    h_to_col = _unique_col_keys(km)
     preds: dict[str, dict[str, float]] = {}
     for h_id, types in km.learned_types.items():
         col = h_to_col.get(h_id)

@@ -270,9 +270,12 @@ def test_leave_one_out_with_real_karma_tfidf_scores():
     """Suggestion driven by the museum files' REAL learnedSemanticTypes
     (Karma's TfIdf matcher scores) instead of ground truth — the noisy
     multi-candidate path (measured: 29/29 suggest, 14/29 complete, mean
-    class recall 0.962 after the round-6 link-coherence ranking rework —
-    was 0.911 under the conf/(1+cost) blend; remaining degradation from
-    the 0.978 ground-truth-driven figure is the matcher-noise cost)."""
+    class recall 0.975 after the round-8 duplicate-column-key fix —
+    s10's eleven 'values' columns used to collapse into one prediction
+    entry, recall 0.545 there; 0.962 before that, 0.911 under the old
+    conf/(1+cost) blend; remaining degradation from the ground-truth
+    figure is genuine matcher noise, e.g. s10's Title column never
+    ranks E35_Title)."""
     from serene_spark.modeler.museum import suggest_with_learned_types
 
     recalls = []
@@ -287,7 +290,7 @@ def test_leave_one_out_with_real_karma_tfidf_scores():
         got = {n.label for n in ssd.semantic_model.nodes if n.node_type == CLASS_NODE}
         recalls.append(len(true_classes & got) / len(true_classes))
     assert n_complete >= 14
-    assert sum(recalls) / len(recalls) >= 0.95
+    assert sum(recalls) / len(recalls) >= 0.97
 
 
 def test_duplicate_column_names_keep_all_mappings():
