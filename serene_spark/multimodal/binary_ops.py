@@ -76,12 +76,24 @@ def make_ppm(seed: int, width: int = 32, height: int = 24) -> bytes:
 
 
 def make_fake_media(spark: SparkSession, n: int = 64) -> DataFrame:
-    """Synthetic media corpus: REAL WAVs and PPMs, hash-blob 'video'."""
+    """Synthetic media corpus: REAL WAVs and real images rotating through
+    the three decodable containers (PPM, PNG, baseline JPEG — same pixel
+    generator, so the format tiers are all exercised on every run);
+    hash-blob 'video' for the stub tier."""
+    from serene_spark.multimodal.jpeg import make_jpeg
+
     rows = []
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
         if kind == "image":
-            blob = make_ppm(i)
+            ppm = make_ppm(i)
+            fmt = (i // 3) % 3
+            if fmt == 1:
+                blob = make_png(decode_ppm(ppm))
+            elif fmt == 2:
+                blob = make_jpeg(decode_ppm(ppm), quality=95)
+            else:
+                blob = ppm
         elif kind == "audio":
             blob = make_wav(i)
         else:  # compressed/container format stand-in — exercises the stub tier
@@ -498,3 +510,77 @@ def audio_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     pigeonhole candidate join + exact popcount verify — re-encoded or
     amplitude-scaled copies collide, different tones stay apart."""
     return _pigeonhole_pairs(audio_fingerprint(media), "afp", max_hamming)
+
+
+# -- registered query surface --------------------------------------------------
+#
+# The media corpus is generated in-engine (the sf parquet tables carry no
+# binary columns), so these are rows-only queries: deterministic row
+# counts/schemas/values per seed, no DuckDB oracle — the pixel/PCM-level
+# correctness is pinned numerically in tests/test_multimodal.py instead
+# (PNG/JPEG vs their lossless PPM twins, WAV vs closed-form RMS/ZCR).
+
+from serene_spark.registry import register
+
+_MEDIA_N = 64
+
+
+def _media(spark: SparkSession) -> DataFrame:
+    return make_fake_media(spark, _MEDIA_N)
+
+
+@register(
+    "media_features",
+    oracle=None,  # in-engine binary corpus — not expressible over sf parquet
+    doc="multimodal feature extraction over opaque binary media columns: "
+    "REAL decode tiers (WAV PCM stats; PPM/PNG/baseline-JPEG dimensions) "
+    "+ deterministic stub for undecodable containers; Arrow-batched "
+    "mapInPandas, media bytes never cross a Python row loop",
+)
+def media_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_media_features(_media(spark)).orderBy("media_id")
+
+
+@register(
+    "media_image_ahash",
+    oracle=None,
+    doc="perceptual average-hash (8x8 grayscale thumbnail) over every "
+    "decodable image with its four 16-bit pigeonhole words — identical "
+    "pixels hash identically across PPM/PNG/JPEG containers",
+)
+def media_image_ahash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return image_ahash(_media(spark)).orderBy("media_id")
+
+
+@register(
+    "media_image_near_dups",
+    oracle=None,
+    doc="near-duplicate image pairs: aHash -> per-16-bit-word pigeonhole "
+    "equi-join (complete for Hamming<=3, never all-pairs) -> exact "
+    "popcount verify",
+)
+def media_image_near_dups_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return image_near_dup_pairs(_media(spark)).orderBy("id_a", "id_b")
+
+
+@register(
+    "media_audio_fingerprint",
+    oracle=None,
+    doc="64-bit spectral fingerprint over decodable WAVs (rfft magnitude "
+    "pooled into 64 log-spaced bins, bit = bin energy > mean) with "
+    "pigeonhole words — amplitude-scale-invariant robust hash",
+)
+def media_audio_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audio_fingerprint(_media(spark)).orderBy("media_id")
+
+
+@register(
+    "media_frame_samples",
+    oracle=None,
+    doc="frame-sampling plan over media features: one row per sampled "
+    "frame index (explode over sequence, no Python)",
+)
+def media_frame_samples_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(
+        extract_media_features(_media(spark)), every_k=8
+    ).orderBy("media_id", "frame_idx")

@@ -87,6 +87,7 @@ def load_all() -> dict[str, Query]:
         "serene_spark.operators.prep",
         "serene_spark.operators.drift",
         "serene_spark.operators.vocab",
+        "serene_spark.multimodal.binary_ops",
         "serene_spark.operators.experiments",
         "serene_spark.operators.stats_extra",
         "serene_spark.operators.survival",

@@ -24,8 +24,12 @@ def test_media_features_tiers(spark):
     audios = [r for r in rows.values() if r["kind"] == "audio"]
     videos = [r for r in rows.values() if r["kind"] == "video"]
 
-    # REAL decode tiers
-    assert all(r["decoder"] == "ppm" for r in images)
+    # REAL decode tiers — the image corpus rotates PPM -> PNG -> JPEG over
+    # the same pixel generator, so every container tier decodes real dims
+    assert sorted({r["decoder"] for r in images}) == ["jpeg", "png", "ppm"]
+    expected = {i: ("ppm", "png", "jpeg")[(i // 3) % 3]
+                for i in range(48) if i % 3 == 0}
+    assert {r["media_id"]: r["decoder"] for r in images} == expected
     assert all((r["width"], r["height"], r["n_frames"]) == (32, 24, 1) for r in images)
     assert all(r["decoder"] == "wav" for r in audios)
     assert all(r["channels"] == 1 and r["sample_rate"] == 8000 for r in audios)
@@ -62,7 +66,16 @@ def test_ppm_decode_resize_thumbnails(spark):
     assert len(thumbs) == 4  # 12 media, every 3rd is an image
     for r in thumbs:
         assert (r["thumb_w"], r["thumb_h"]) == (8, 8)
-        assert 0.0 <= r["mean_r"] <= 255.0 and r["mean_b"] == float(r["media_id"] % 256)
+        # gradient b channel is constant = seed: exact through the
+        # lossless containers, within quantization error through JPEG.
+        # At n=12 the image ids are 0/3/6/9 -> fmt (id//3)%3 ->
+        # ppm/png/jpeg/ppm.
+        fmt = (r["media_id"] // 3) % 3
+        assert 0.0 <= r["mean_r"] <= 255.0
+        if fmt == 2:  # baseline JPEG at q95: bounded quantization error
+            assert abs(r["mean_b"] - float(r["media_id"] % 256)) <= 1.0
+        else:
+            assert r["mean_b"] == float(r["media_id"] % 256)
 
 
 def test_wav_roundtrip_closed_form():
