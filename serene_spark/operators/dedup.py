@@ -267,6 +267,31 @@ def bands_rel(dialect: str, mh_rel: str = "mh", band_size: int = BAND_SIZE) -> s
     )
 
 
+def bands_rel_exploded(mh_rel: str, band_size: int = BAND_SIZE) -> str:
+    """Spark-only physical form of ``bands_rel``: ONE scan of the
+    signature relation + posexplode over the per-band md5 array, instead
+    of an n_bands-branch UNION that re-reads ``mh_rel`` once per band.
+
+    Identical values (same md5 inputs, posexplode's 0-based position IS
+    the band id), different physical plan: at 16 bands the UNION form
+    deserializes the materialized signature relation 16 times and
+    compiles 16 codegen branches — measured ~0.6 s of plan+scan overhead
+    at sf0.1 and a 16x relation re-read at sf10. The dialect-shared
+    ``bands_rel`` stays the semantic definition (the DuckDB oracles
+    compile it); parity pins the two forms against each other."""
+    n_bands = N_LSH // band_size
+    sigs = ", ".join(
+        "md5("
+        + " || '|' || ".join(
+            f"CAST(mh{b * band_size + j} AS STRING)" for j in range(band_size)
+        )
+        + ")"
+        for b in range(n_bands)
+    )
+    return (f"SELECT doc_id, posexplode(array({sigs})) AS (band, sig) "
+            f"FROM {mh_rel}")
+
+
 def bands_cand_body(
     dialect: str,
     mh_rel: str = "mh",
@@ -408,7 +433,7 @@ def dedup_minhash_lsh_spark(spark: SparkSession, sf_dir: str,
     if band_size is None:
         band_size = plan_band_size(spark, sf_dir)
     mh_rel = _materialized_mh(spark, sf_dir)
-    bands = spark.sql(bands_rel(SPARK, mh_rel, band_size)).transform(materialize)
+    bands = spark.sql(bands_rel_exploded(mh_rel, band_size)).transform(materialize)
     bands.createOrReplaceTempView("__serene_mh_bands")
     return spark.sql(
         f"WITH {lsh_body(SPARK, mh_rel, band_size, bands_src='__serene_mh_bands')}")
@@ -564,7 +589,7 @@ def _materialized_docsk(spark: SparkSession, sf_dir: str,
     # times by the candidate tail, and compiling 3x its branches is pure
     # plan overhead (measured ~5s at sf0.1)
     bands = spark.sql(
-        bands_rel(SPARK, thin_view, band_size)
+        bands_rel_exploded(thin_view, band_size)
     ).transform(materialize)
     bands_view = f"{view}_bands"
     bands.createOrReplaceTempView(bands_view)
