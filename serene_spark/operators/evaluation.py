@@ -130,3 +130,75 @@ register("eval_prf1", oracle=prf1_sql(DUCKDB),
          doc="SURVEY §2.11 per-class precision/recall/F1 from the confusion matrix")(_docs_query(prf1_sql))
 register("eval_holdout_split", oracle=holdout_split_sql(DUCKDB),
          doc="SURVEY §2.11 deterministic-hash 70/30 train/test partitioner (stratification counts)")(_customer_query(holdout_split_sql))
+
+
+# --- Inter-rater agreement (Cohen's kappa) -----------------------------------
+
+
+def kappa_gates_sql(dialect: str) -> str:
+    """Cohen's kappa (Cohen 1960) between the engine's two independent
+    document screens — the ``text_quality`` heuristic gate and the Gopher
+    ``doc_repetition`` gate — treated as two raters of the same keep/drop
+    judgment.  The label-quality audit a curation pipeline owes its
+    filters: raw agreement p_o overstates consensus when both gates pass
+    almost everything, so kappa subtracts the chance agreement p_e implied
+    by the raters' marginal pass rates.  The low (negative, on this
+    corpus) kappa is the finding, not a bug — the gates screen different
+    failure modes (statistical shape vs internal repetition), which is
+    WHY a pipeline runs both.
+
+    One row: the 2x2 contingency cells, both marginal pass rates, p_o,
+    p_e, and kappa (NULL when p_e = 1, the both-raters-constant
+    degenerate).  Exact integer cells; division only at the output edge.
+
+    Scale: both gate CTEs are single-scan keyed aggregations (their own
+    registered shapes); the join is doc-keyed, the readout a constant-key
+    fold with map-side combine.
+    """
+    from serene_spark.operators.text_analysis import (
+        repetition_sql,
+        text_quality_sql,
+    )
+
+    return f"""
+WITH tq AS ({text_quality_sql(dialect)}),
+rep AS ({repetition_sql(dialect)}),
+joined AS (
+  SELECT CAST(t.quality_pass AS INT) AS a, CAST(r.repetition_pass AS INT) AS b
+  FROM tq t JOIN rep r ON t.doc_id = r.doc_id
+),
+cells AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(a * b) AS BIGINT) AS n11,
+         CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+         CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+         CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00,
+         CAST(SUM(a) AS BIGINT) AS na,
+         CAST(SUM(b) AS BIGINT) AS nb
+  FROM joined
+),
+rates AS (
+  SELECT n, n11, n10, n01, n00, na, nb,
+         CAST(n11 + n00 AS DOUBLE) / n AS po,
+         (CAST(na AS DOUBLE) * nb + CAST(n - na AS DOUBLE) * (n - nb))
+           / (CAST(n AS DOUBLE) * n) AS pe
+  FROM cells
+)
+SELECT n, n11, n10, n01, n00,
+       round(CAST(na AS DOUBLE) / n, 6) AS pass_rate_quality,
+       round(CAST(nb AS DOUBLE) / n, 6) AS pass_rate_repetition,
+       round(po, 6) AS p_observed,
+       round(pe, 6) AS p_expected,
+       CASE WHEN pe = 1.0 THEN NULL
+            ELSE round((po - pe) / (1 - pe), 6) END AS kappa
+FROM rates
+"""
+
+
+register(
+    "gate_agreement_kappa",
+    oracle=kappa_gates_sql(DUCKDB),
+    doc="Cohen's kappa between the text_quality and doc_repetition gates — "
+    "chance-corrected inter-rater agreement of the two document screens "
+    "(2x2 cells, marginals, p_o, p_e, kappa)",
+)(_docs_query(kappa_gates_sql))

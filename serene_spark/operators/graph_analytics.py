@@ -221,13 +221,24 @@ def _cc_large_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.orderBy("doc_id")
 
 
+def _cc_oracle() -> str:
+    # same closure oracle as dedup_clusters: both algorithms compute the
+    # identical (node, component-min) labeling, so the recursive-CTE
+    # transitive closure checks this one too — star rewriting differs only
+    # in HOW labels converge (O(log n) rounds vs O(diameter)), never in
+    # what they are.
+    from serene_spark.operators.dedup import _clusters_oracle
+
+    return _clusters_oracle()
+
+
 register(
     "cc_large_star",
-    oracle=None,
+    oracle=_cc_oracle(),
     doc="connected components over verified near-dup pairs by alternating "
     "large-star/small-star edge rewriting — O(log n) rounds vs "
-    "dedup_clusters' O(diameter) one-hop propagation; labels pinned equal "
-    "in tests",
+    "dedup_clusters' O(diameter) one-hop propagation; oracle = the same "
+    "recursive-CTE closure (identical labeling by construction)",
 )(_cc_large_star)
 
 

@@ -354,3 +354,51 @@ def test_dq_cross_table_all_orphans_yields_null_means(spark):
     spark.catalog.dropTempView("lineitem")
     assert r["n_orders"] == 2 and r["n_orders_no_lines"] == 2
     assert r["mean_abs_gap"] is None and r["mean_rel_gap"] is None
+
+
+def test_dp_release_mechanism_python_recheck(spark):
+    """The Laplace mechanism re-derived independently: hashlib md5 ->
+    inverse-CDF noise with math.log must reproduce every released cell,
+    and the release must satisfy the mechanism's own invariants."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from serene_spark.operators.quality_checks import DP_EPSILON
+
+    q = load_all()["dp_release_counts"]
+    got = q.spark(spark, SF).toPandas()
+
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    truth = (
+        cust.groupby(["c_nationkey", "c_mktsegment"]).size().reset_index(name="n")
+    )
+    for _, row in truth.iterrows():
+        key = f"{int(row.c_nationkey)}|{row.c_mktsegment}"
+        h = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 2**32
+        t = u - 0.5
+        noise = (
+            0.0 if t == 0
+            else -(1.0 / DP_EPSILON) * math.copysign(1, t) * math.log(1 - 2 * abs(t))
+        )
+        cell = got[(got.nation == row.c_nationkey)
+                   & (got.segment == row.c_mktsegment)]
+        assert len(cell) == 1
+        c = cell.iloc[0]
+        assert c.n_true == row.n
+        # libm vs JVM ln agree well inside the 6-dp rounding here
+        assert abs(c.noise - round(noise, 6)) <= 2e-6
+        assert abs(c.dp_count - round(max(row.n + noise, 0.0), 6)) <= 2e-6
+        assert c.dp_count >= 0.0  # post-processing clamp
+
+    # utility readout: mean |noise| is near the analytic E|Laplace(1/eps)|
+    # = 1/eps (loose band -- ~100 cells of sampling noise)
+    assert 0.5 / DP_EPSILON < got.mean_abs_noise.iloc[0] < 2.0 / DP_EPSILON
+    # determinism: a second run releases identical cells
+    again = q.spark(spark, SF).toPandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values(["nation", "segment"]).reset_index(drop=True),
+        again.sort_values(["nation", "segment"]).reset_index(drop=True),
+    )

@@ -71,3 +71,33 @@ def test_readability_orders_simple_vs_complex(spark):
     assert got.loc[2, "flesch_ease"] < 0           # off-scale hard
     assert got.loc[1, "fk_grade"] < 3
     assert got.loc[2, "fk_grade"] > 15
+
+
+def test_gate_agreement_kappa_python_recheck(spark, sf_dir):
+    """Cohen's kappa re-derived from the two gate queries' own outputs:
+    the contingency cells must reconcile with the registered gates, and
+    kappa must equal the textbook formula."""
+    from serene_spark.registry import load_all
+
+    qs = load_all()
+    tq = qs["text_quality"].spark(spark, sf_dir).toPandas().set_index("doc_id")
+    rep = qs["doc_repetition"].spark(spark, sf_dir).toPandas().set_index("doc_id")
+    got = qs["gate_agreement_kappa"].spark(spark, sf_dir).toPandas().iloc[0]
+
+    a = tq["quality_pass"].astype(int)
+    b = rep["repetition_pass"].astype(int).reindex(a.index)
+    n = len(a)
+    n11 = int(((a == 1) & (b == 1)).sum())
+    n10 = int(((a == 1) & (b == 0)).sum())
+    n01 = int(((a == 0) & (b == 1)).sum())
+    n00 = int(((a == 0) & (b == 0)).sum())
+    assert (got.n, got.n11, got.n10, got.n01, got.n00) == (n, n11, n10, n01, n00)
+
+    po = (n11 + n00) / n
+    pe = (a.mean() * b.mean()) + ((1 - a.mean()) * (1 - b.mean()))
+    kappa = (po - pe) / (1 - pe)
+    assert abs(got.p_observed - round(po, 6)) <= 1e-6
+    assert abs(got.p_expected - round(pe, 6)) <= 1e-6
+    assert abs(got.kappa - round(kappa, 6)) <= 1e-6
+    # bounded like any kappa
+    assert -1.0 <= got.kappa <= 1.0
