@@ -89,3 +89,199 @@ register("approx_quantiles_value",
          doc="mergeable quantile sketch per event type (twin of the exact "
          "events_value_quantiles; rows-only)")(
     _events_query(APPROX_QUANTILES_SQL))
+
+
+# --- KMV / theta sketch: the ORACLE-CHECKED distinct-count sketch -----------
+
+KMV_K = 256  # sketch size: typical relative error ~ 1/sqrt(K-2) ~ 6%
+
+
+def kmv_key(dialect: str) -> str:
+    """The sketched element: a USER-DAY (user active on a calendar day) —
+    the unit behind DAU-style activity accounting, and the key on which
+    the event types genuinely differ (every user eventually touches every
+    type, so raw user sets are near-identical; day-scoped activity is
+    not).  Day = epoch seconds div 86400, engine-shared integer
+    arithmetic."""
+    from serene_spark.functions.sqlgen import epoch_s, idiv
+
+    day = idiv(dialect, f"({epoch_s(dialect, 'ts')})", 86400)
+    return f"concat(CAST(user_id AS STRING), '|', CAST({day} AS STRING))"
+
+
+def kmv_hash_u(dialect: str) -> str:
+    """Sketch key -> uniform (0,1) double: 52-bit md5 prefix (exact in a
+    double), +0.5 so u is never 0 — the same portable-hash construction as
+    the CMS grid / bootstrap weights, so both engines draw the identical
+    sketch."""
+    from serene_spark.functions.sqlgen import hex_to_int
+
+    h = hex_to_int(dialect, f"substr(md5({kmv_key(dialect)}), 1, 13)")
+    return f"(({h}) + 0.5) / 4503599627370496.0"
+
+
+def kmv_base(dialect: str) -> str:
+    """Shared CTE block: distinct per-type hash stream -> bottom-K sketch
+    -> (count, k-th minimum) summary, plus the exact NDV the audit columns
+    compare against."""
+    return f"""
+uu AS (
+  SELECT DISTINCT event_type, {kmv_hash_u(dialect)} AS u FROM events
+),
+sk AS (
+  SELECT event_type, u FROM (
+    SELECT event_type, u,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u) AS rk
+    FROM uu
+  ) r WHERE rk <= {KMV_K}
+),
+kth AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c, MAX(u) AS uk
+  FROM sk GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, CAST(COUNT(DISTINCT {kmv_key(dialect)}) AS BIGINT) AS ndv
+  FROM events GROUP BY event_type
+)"""
+
+
+def kmv_ndv_sql(dialect: str) -> str:
+    """KMV (k-minimum-values / bottom-k) distinct USER-DAY sketch per
+    event type (Bar-Yossef et al., RANDOM 2002; the theta-sketch base) — the
+    oracle-checked sibling of ``approx_distinct_users``: the native HLL's
+    register state is engine-specific (rows-only forever), but a KMV built
+    from portable md5 hashes draws the IDENTICAL sketch in Spark and
+    DuckDB, so the approximation itself passes the exact-parity gate, and
+    the estimator (K-1)/u_K is audited against the exact NDV in the same
+    row (the ``cms_token_counts`` pattern applied to distinct counting).
+
+    A sketch with fewer than K values IS the exact distinct set (standard
+    KMV convention) — the estimator only engages above K.
+
+    Scale shape: one scan -> distinct-(type, hash) agg (map-side
+    combined); the bottom-K window sorts only the per-type DISTINCT-hash
+    relation, and at extreme NDV the production swap is a bounded
+    bottom-K aggregator or a conservative u < theta_max pre-filter before
+    the window — documented, same disposition as the CMS probe TopK.
+    """
+    return f"""
+WITH {kmv_base(dialect)}
+SELECT e.event_type,
+       CAST(e.ndv AS BIGINT) AS ndv_exact,
+       CAST(k.c AS BIGINT) AS sketch_size,
+       round(CASE WHEN k.c < {KMV_K} THEN CAST(k.c AS DOUBLE)
+                  ELSE CAST({KMV_K - 1} AS DOUBLE) / k.uk END, 6) AS ndv_est,
+       round(ABS(CASE WHEN k.c < {KMV_K} THEN CAST(k.c AS DOUBLE)
+                      ELSE CAST({KMV_K - 1} AS DOUBLE) / k.uk END - e.ndv)
+             / e.ndv, 6) AS rel_err
+FROM exact e JOIN kth k ON e.event_type = k.event_type
+ORDER BY e.event_type
+"""
+
+
+def kmv_set_ops_sql(dialect: str) -> str:
+    """Theta-sketch set operations over the KMV sketches: for every event-
+    type pair, the union NDV from the merged bottom-K (k smallest of the
+    two sketches' combined hash support) and the intersection via the
+    Jaccard share of merged-sketch members present in BOTH sides — the
+    "users who did A and B" audience-overlap estimate WITHOUT a distinct
+    pair shuffle (Dasgupta et al., "Theta sketch framework", 2016).
+
+    Correctness of the in-both flags: the merged k-th minimum is <= each
+    side's own k-th minimum (the union has more low hashes), so any
+    merged-sketch member that belongs to a side's SET is necessarily
+    inside that side's sketch — membership never reads falsely negative.
+    Exact union/intersection audit columns ride along (at production
+    scale the audit pass is what the sketch REPLACES; release reads only
+    the _est columns).
+    """
+    return f"""
+WITH {kmv_base(dialect)},
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM kth a JOIN kth b ON a.event_type < b.event_type
+),
+pairu AS (
+  SELECT p.ta, p.tb, s.u,
+         MAX(CASE WHEN s.event_type = p.ta THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN s.event_type = p.tb THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN sk s ON s.event_type IN (p.ta, p.tb)
+  GROUP BY p.ta, p.tb, s.u
+),
+msk AS (
+  SELECT ta, tb, u, in_a, in_b FROM (
+    SELECT ta, tb, u, in_a, in_b,
+           ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY u) AS rk
+    FROM pairu
+  ) r WHERE rk <= {KMV_K}
+),
+mk AS (
+  SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS c, MAX(u) AS uk,
+         CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS common
+  FROM msk GROUP BY ta, tb
+),
+ut AS (SELECT DISTINCT {kmv_key(dialect)} AS k, event_type FROM events),
+einter AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         CAST(COUNT(*) AS BIGINT) AS inter_exact
+  FROM ut a JOIN ut b ON a.k = b.k
+                     AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+),
+ests AS (
+  SELECT m.ta, m.tb, m.c, m.common,
+         CASE WHEN m.c < {KMV_K} THEN CAST(m.c AS DOUBLE)
+              ELSE CAST({KMV_K - 1} AS DOUBLE) / m.uk END AS union_est,
+         CAST(m.common AS DOUBLE) / m.c AS jacc_est
+  FROM mk m
+)
+SELECT s.ta AS type_a, s.tb AS type_b,
+       CAST(ea.ndv AS BIGINT) AS ndv_a_exact,
+       CAST(eb.ndv AS BIGINT) AS ndv_b_exact,
+       CAST(ea.ndv + eb.ndv - COALESCE(i.inter_exact, 0) AS BIGINT)
+         AS union_exact,
+       round(s.union_est, 6) AS union_est,
+       CAST(COALESCE(i.inter_exact, 0) AS BIGINT) AS inter_exact,
+       round(s.jacc_est * s.union_est, 6) AS inter_est,
+       round(CAST(COALESCE(i.inter_exact, 0) AS DOUBLE)
+             / (ea.ndv + eb.ndv - COALESCE(i.inter_exact, 0)), 6)
+         AS jaccard_exact,
+       round(s.jacc_est, 6) AS jaccard_est
+FROM ests s
+JOIN exact ea ON s.ta = ea.event_type
+JOIN exact eb ON s.tb = eb.event_type
+LEFT JOIN einter i ON s.ta = i.ta AND s.tb = i.tb
+ORDER BY s.ta, s.tb
+"""
+
+
+def _events_sql_query(sql_fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from serene_spark.functions.sqlgen import SPARK
+
+        register_views(spark, sf_dir, ("events",))
+        return spark.sql(sql_fn(SPARK))
+
+    return run
+
+
+def _duckdb_oracle(sql_fn):
+    from serene_spark.functions.sqlgen import DUCKDB
+
+    return sql_fn(DUCKDB)
+
+
+register("kmv_ndv_users",
+         oracle=_duckdb_oracle(kmv_ndv_sql),
+         doc=f"KMV bottom-{KMV_K} distinct-user sketch per event type — the "
+         "oracle-checked NDV sketch (portable md5 hashes, unlike the "
+         "engine-native HLL registers); estimator audited against exact "
+         "NDV in-row")(_events_sql_query(kmv_ndv_sql))
+register("kmv_set_ops_users",
+         oracle=_duckdb_oracle(kmv_set_ops_sql),
+         doc="theta-sketch set operations over the KMV sketches: per event-"
+         "type pair, union NDV from the merged bottom-K and intersection "
+         "via the in-both Jaccard share — audience overlap without a "
+         "distinct pair shuffle; exact audit columns ride along")(
+    _events_sql_query(kmv_set_ops_sql))

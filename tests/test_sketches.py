@@ -73,3 +73,75 @@ def test_approx_quantiles_rank_error(spark, sf_dir):
             lo = sum(1 for v in vs if v < q - 5e-7) / n       # rank below
             hi = sum(1 for v in vs if v <= q + 5e-7) / n      # rank at-or-below
             assert lo - 0.01 <= frac <= hi + 0.01, (r["event_type"], col, q, lo, hi)
+
+
+def _kmv_python_reference(sf_dir: str, k: int):
+    """Independent KMV implementation: hashlib md5 over user-day keys."""
+    import hashlib
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ts = ev["ts"]
+    if ts.dtype.kind in "iu":  # raw nanos regeneration
+        secs = ts // 1_000_000_000
+    else:  # datetime64 at whatever unit pandas picked: truncate to seconds
+        secs = ts.astype("datetime64[s]").astype("int64")
+    keys = ev["user_id"].astype("int64").astype(str) + "|" + (secs // 86400).astype(str)
+    by_type: dict[str, set] = {}
+    for t, key in zip(ev["event_type"], keys):
+        by_type.setdefault(t, set()).add(key)
+
+    def u_of(key: str) -> float:
+        h = int(hashlib.md5(key.encode()).hexdigest()[:13], 16)
+        return (h + 0.5) / 2**52
+
+    sketches = {
+        t: sorted(u_of(key) for key in ks)[:k] for t, ks in by_type.items()
+    }
+    return by_type, sketches
+
+
+def test_kmv_ndv_matches_python_reference(spark, sf_dir):
+    from serene_spark.operators.sketches import KMV_K
+    from serene_spark.registry import load_all
+
+    got = load_all()["kmv_ndv_users"].spark(spark, sf_dir).toPandas()
+    by_type, sketches = _kmv_python_reference(sf_dir, KMV_K)
+    for _, row in got.iterrows():
+        sk = sketches[row.event_type]
+        assert row.ndv_exact == len(by_type[row.event_type])
+        assert row.sketch_size == min(KMV_K, len(by_type[row.event_type]))
+        est = len(sk) if len(sk) < KMV_K else (KMV_K - 1) / sk[-1]
+        assert abs(row.ndv_est - round(est, 6)) <= 1e-6
+        # below K the sketch IS the set: estimator exact
+        if len(by_type[row.event_type]) < KMV_K:
+            assert row.ndv_est == row.ndv_exact
+        # sketch-paper error band, generous: P(rel err > 4/sqrt(K-2)) tiny
+        assert row.rel_err <= 4.0 / (KMV_K - 2) ** 0.5
+
+
+def test_kmv_set_ops_matches_python_reference(spark, sf_dir):
+    from serene_spark.operators.sketches import KMV_K
+    from serene_spark.registry import load_all
+
+    got = load_all()["kmv_set_ops_users"].spark(spark, sf_dir).toPandas()
+    by_type, sketches = _kmv_python_reference(sf_dir, KMV_K)
+    for _, row in got.iterrows():
+        sa, sb = set(sketches[row.type_a]), set(sketches[row.type_b])
+        merged = sorted(sa | sb)[:KMV_K]
+        c = len(merged)
+        union_est = c if c < KMV_K else (KMV_K - 1) / merged[-1]
+        common = sum(1 for u in merged if u in sa and u in sb)
+        jacc = common / c
+        assert abs(row.union_est - round(union_est, 6)) <= 1e-6
+        assert abs(row.jaccard_est - round(jacc, 6)) <= 1e-6
+        assert abs(row.inter_est - round(jacc * union_est, 6)) <= 1e-6
+        # exact audit columns reconcile with raw sets
+        a, b = by_type[row.type_a], by_type[row.type_b]
+        assert row.union_exact == len(a | b)
+        assert row.inter_exact == len(a & b)
+        # the estimate brackets truth within the generous band
+        if len(a | b) >= KMV_K:
+            assert abs(row.union_est - row.union_exact) / row.union_exact <= 0.35
+            assert abs(row.jaccard_est - row.jaccard_exact) <= 0.15
