@@ -37,6 +37,7 @@ collaborative filtering, and Wilson-lower-bound rate ranking.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
 
 from serene_spark.catalog import register_views
 from serene_spark.functions.sqlgen import DUCKDB, SPARK, idiv
@@ -406,3 +407,105 @@ register(
     register_views(spark, sf_dir, ("lineitem", "part")),
     spark.sql(event_study_sql(SPARK)),
 )[1])
+
+
+# --- ALS matrix factorization (the distributed recommender) ------------------
+
+ALS_RANK = 8
+ALS_REG = 0.1
+ALS_ITERS = 10
+ALS_SEED = 5043  # the engine-wide RF seed, reused
+ALS_TOP_K = 3
+
+
+def als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS matrix factorization over implicit customer-part purchase
+    strength (Hu, Koren & Volinsky, "Collaborative filtering for implicit
+    feedback datasets", ICDM 2008) — the canonical DISTRIBUTED recommender
+    and the capability ``item_item_cosine`` feeds at small candidate
+    depth: neighborhood CF cannot rank parts a customer shares no basket
+    with, factorization can.
+
+    Spark-first: ``pyspark.ml.recommendation.ALS`` IS the reference
+    distributed implementation (block-to-block normal-equation solves, no
+    driver-side matrix) — implicitPrefs mode with preference = 1 and
+    confidence 1 + alpha * qty.  Output: top-{ALS_TOP_K} unpurchased-part
+    recommendations per customer for a deterministic 20-customer sample
+    (rows-only: iterative numeric optimization is not SQL; the model's
+    RANKING quality and seed determinism are pinned in
+    tests/test_recsys.py on a preference-structured fixture).
+
+    Scale shape: the ratings relation is one lineitem-orders join reduced
+    to (customer, part, qty) — fact-scale shuffle on o_orderkey, then the
+    ALS block iterations shuffle factor blocks only.  recommendForUserSubset
+    bounds the serving join to the sample; full-catalog serving at 100 TB
+    is the ANN index path (similarity_ivf) over the item factors.
+    """
+    from pyspark.ml.recommendation import ALS
+
+    register_views(spark, sf_dir, ("lineitem", "orders"))
+    ratings = spark.sql("""
+        SELECT CAST(o.o_custkey AS INT) AS user, CAST(l.l_partkey AS INT) AS item,
+               CAST(SUM(l.l_quantity) AS FLOAT) AS qty
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_custkey, l.l_partkey
+    """).transform(materialize)
+    als = ALS(
+        rank=ALS_RANK, maxIter=ALS_ITERS, regParam=ALS_REG, seed=ALS_SEED,
+        implicitPrefs=True, alpha=1.0,
+        userCol="user", itemCol="item", ratingCol="qty",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    sample = ratings.select("user").distinct().orderBy("user").limit(20)
+    from pyspark.sql import functions as F
+
+    # request enough candidates that the top-K survives the purchased-item
+    # filter: the sample's densest user bounds how many recs it can consume
+    # (a 21-row aggregate collect, bounded by the sample size — not a
+    # data-scale collect)
+    max_seen = (
+        ratings.join(sample, "user")
+        .groupBy("user").count()
+        .agg(F.max("count")).collect()[0][0]
+    )
+    recs = model.recommendForUserSubset(sample, int(max_seen) + ALS_TOP_K)
+
+    exploded = recs.select(
+        "user", F.posexplode("recommendations").alias("pos", "rec")
+    ).select(
+        "user",
+        F.col("rec.item").alias("item"),
+        F.col("rec.rating").alias("score"),
+        "pos",
+    )
+    # serve only UNPURCHASED parts (the point of factorization), keep top-K
+    seen = ratings.select("user", "item").withColumn("purchased", F.lit(1))
+    return (
+        exploded.join(seen, ["user", "item"], "left")
+        .where(F.col("purchased").isNull())
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("user").orderBy(F.col("pos"))
+            ),
+        )
+        .where(F.col("rank") <= ALS_TOP_K)
+        .select(
+            F.col("user").alias("c_custkey"),
+            F.col("item").alias("p_partkey"),
+            F.round("score", 4).alias("score"),
+            "rank",
+        )
+        .orderBy("c_custkey", "rank")
+    )
+
+
+register(
+    "als_recommend_parts",
+    doc=f"ALS implicit-feedback matrix factorization (Hu-Koren-Volinsky "
+    f"2008) over customer-part purchase strength: top-{ALS_TOP_K} "
+    "unpurchased-part recommendations for a deterministic customer sample "
+    "— rows-only (iterative optimization); ranking quality + seed "
+    "determinism pinned on a preference-structured fixture",
+)(als_recommend)

@@ -188,3 +188,50 @@ def test_did_promo_is_null_calibrated(spark):
     # A/A calibration and must be small relative to the outcome scale
     scale = mean[(0, 0)]
     assert abs(row["did_estimate"]) < 0.15 * scale
+
+
+def test_als_block_preference_recovery_and_determinism(spark, tmp_path):
+    """ALS on a block-structured implicit matrix: users in block A buy
+    only A-items (with some held out), likewise B; the factorization must
+    rank held-out IN-block items above cross-block items, and a re-fit
+    with the same seed must reproduce the output exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from serene_spark.operators.recsys import als_recommend
+
+    rng = np.random.default_rng(7)
+    rows_li, rows_o = [], []
+    order_id = 0
+    # 20 users x 2 blocks; each buys 12 of their block's 20 items (8 held out)
+    for u in range(20):
+        block = u // 10
+        items = rng.permutation(np.arange(block * 20, block * 20 + 20))[:12]
+        for it in items:
+            rows_o.append({"o_orderkey": order_id, "o_custkey": u,
+                           "o_orderstatus": "F", "o_totalprice": 1.0,
+                           "o_orderdate": pd.Timestamp("1997-01-01"),
+                           "o_orderpriority": "1-URGENT"})
+            rows_li.append({"l_orderkey": order_id, "l_partkey": int(it),
+                            "l_suppkey": 0, "l_quantity": 5.0,
+                            "l_extendedprice": 1.0, "l_discount": 0.0,
+                            "l_returnflag": "N", "l_shipdate":
+                            pd.Timestamp("1997-01-02")})
+            order_id += 1
+    fixture = tmp_path / "als_fx"
+    fixture.mkdir()
+    spark.createDataFrame(pd.DataFrame(rows_o)).write.parquet(
+        str(fixture / "orders.parquet"))
+    spark.createDataFrame(pd.DataFrame(rows_li)).write.parquet(
+        str(fixture / "lineitem.parquet"))
+
+    got = als_recommend(spark, str(fixture)).toPandas()
+    # every user got recommendations, all for UNPURCHASED items
+    assert set(got.c_custkey) == set(range(20))
+    # block recovery: recommended items live in the user's own block
+    in_block = (got.p_partkey // 20) == (got.c_custkey // 10)
+    assert in_block.mean() >= 0.9, got[~in_block]
+
+    again = als_recommend(spark, str(fixture)).toPandas()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), again.reset_index(drop=True))
