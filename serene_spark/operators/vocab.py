@@ -277,20 +277,16 @@ PMI_MIN_COUNT = 5
 PMI_TOP = 20
 
 
-def pmi_collocations_sql(dialect: str) -> str:
-    """Pointwise mutual information of adjacent token pairs:
-    PMI(x,y) = ln( (c(x,y)/N_pairs) / ((c(x)/N_toks)·(c(y)/N_toks)) ).
-    Counts are exact integers from the SAME token stream bpe_top_merges
-    reads; ln happens once per surviving pair (count >= {PMI_MIN_COUNT},
-    which kills the low-count PMI explosion).  One scan feeds both the
-    unigram and the bigram relation; the final ranking is over the tiny
-    filtered pair relation."""
+def token_pair_block(dialect: str) -> str:
+    """Shared CTE block: document token stream -> exact unigram counts +
+    adjacent-pair counts + totals — one scan feeds everything; spliced by
+    pmi_collocations and ppmi_spectral_embedding so the count definitions
+    cannot desync."""
     toks = split_re(dialect, NORM(dialect), "[^a-z0-9]+")
     n = "size(toks)" if dialect == SPARK else "len(toks)"
     t_i = element_at(dialect, "toks", "i")
     t_next = element_at(dialect, "toks", "i + 1")
-    return f"""
-WITH doc_toks AS (
+    return f"""doc_toks AS (
   SELECT doc_id, toks FROM (SELECT doc_id, {toks} AS toks FROM documents) d
 ),
 uni AS (
@@ -312,7 +308,19 @@ pair_counts AS (
   SELECT left_tok, right_tok, COUNT(*) AS c_xy
   FROM pairs GROUP BY left_tok, right_tok
 ),
-pair_tot AS {mat(dialect)}(SELECT SUM(c_xy) AS n_pairs FROM pair_counts),
+pair_tot AS {mat(dialect)}(SELECT SUM(c_xy) AS n_pairs FROM pair_counts)"""
+
+
+def pmi_collocations_sql(dialect: str) -> str:
+    """Pointwise mutual information of adjacent token pairs:
+    PMI(x,y) = ln( (c(x,y)/N_pairs) / ((c(x)/N_toks)·(c(y)/N_toks)) ).
+    Counts are exact integers from the SAME token stream bpe_top_merges
+    reads; ln happens once per surviving pair (count >= {PMI_MIN_COUNT},
+    which kills the low-count PMI explosion).  One scan feeds both the
+    unigram and the bigram relation; the final ranking is over the tiny
+    filtered pair relation."""
+    return f"""
+WITH {token_pair_block(dialect)},
 scored AS (
   SELECT p.left_tok, p.right_tok, p.c_xy, ux.c AS c_x, uy.c AS c_y,
          ROUND(ln((CAST(p.c_xy AS DOUBLE) / pt.n_pairs)
@@ -483,3 +491,114 @@ register(
     f"counts with zero-count docs entering the moments analytically (no "
     f"absent-doc join); top-{BURST_TOP} burstiest terms",
 )(_docs_query(term_burstiness_sql))
+
+
+# --- PPMI spectral embedding (oracle-exact iterative linear algebra) ---------
+
+SPEC_VOCAB = 40       # top-V tokens enter the PPMI matrix (<= V^2 cells)
+SPEC_MIN_COUNT = 50   # vocab floor (word2vec min_count): rare tokens
+                      # explode PPMI (ln(N/c) at c->1) and hijack the
+                      # eigenvector — measured on the corpus, where a
+                      # count-29 near-dup artifact token dominated
+SPEC_ITERS = 3    # unrolled power iterations (the pagerank convention)
+
+
+def ppmi_spectral_sql(dialect: str) -> str:
+    """One-dimensional spectral token embedding: the dominant eigenvector
+    of the PPMI co-occurrence matrix, by power iteration — "embedding
+    training" the parity gate checks EXACTLY.  Levy & Goldberg ("Neural
+    word embedding as implicit matrix factorization", NeurIPS 2014) showed
+    SGNS/word2vec factorizes the shifted PPMI matrix; the top spectral
+    component of that matrix IS the first embedding dimension, and it is
+    computable in pure SQL.
+
+    Numeric convention (the ``pagerank_suppliers`` discipline, so
+    aggregation order can never move a value): PPMI cells are
+    ROUND(ln(..), 9) DECIMAL(18,9); each mat-vec contribution rounds to
+    9 dp BEFORE the sum; each iterate normalizes by its MAX component
+    (exact decimal comparison; the iterates stay nonnegative because the
+    matrix and start vector are — Perron-Frobenius) with the one division
+    done in DOUBLE over exactly-representable decimals.  {SPEC_ITERS}
+    unrolled iterations; the convergence-looped production sibling is the
+    ``pagerank_converged`` driver pattern.
+
+    Scale shape: the data-scale work is the SAME one-scan token/pair
+    block as ``pmi_collocations`` (spliced, cannot desync); everything
+    after ``vocab`` is arithmetic on a <= {SPEC_VOCAB}^2-cell relation.
+    A d-dimensional production embedding is block Lanczos / randomized
+    SVD over the same PPMI relation — this operator is the exactly-
+    checkable d=1 case.
+    """
+    its = []
+    prev = "v0"
+    for i in range(1, SPEC_ITERS + 1):
+        its.append(f"""it{i}r AS (
+  SELECT vb.tok,
+         COALESCE(CAST(SUM(CAST(ROUND(CAST(m.w AS DOUBLE)
+                                      * CAST(p.v AS DOUBLE), 9)
+                               AS DECIMAL(18,9))) AS DECIMAL(18,9)),
+                  CAST(0.0 AS DECIMAL(18,9))) AS r
+  FROM vocab vb
+  LEFT JOIN m ON m.a = vb.tok
+  LEFT JOIN {prev} p ON m.b = p.tok
+  GROUP BY vb.tok
+),
+n{i} AS {mat(dialect)}(SELECT MAX(r) AS mx FROM it{i}r),
+it{i} AS (
+  SELECT tok, CAST(ROUND(CAST(r AS DOUBLE)
+                         / (SELECT CAST(mx AS DOUBLE) FROM n{i}), 9)
+              AS DECIMAL(18,9)) AS v
+  FROM it{i}r
+)""")
+        prev = f"it{i}"
+    iter_ctes = ",\n".join(its)
+    return f"""
+WITH {token_pair_block(dialect)},
+vocab AS (
+  SELECT tok, c FROM (
+    SELECT tok, c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rk
+    FROM uni WHERE c >= {SPEC_MIN_COUNT}
+  ) r WHERE rk <= {SPEC_VOCAB}
+),
+sym AS (
+  SELECT a, b, SUM(c_xy) AS c FROM (
+    SELECT left_tok AS a, right_tok AS b, c_xy FROM pair_counts
+    UNION ALL
+    SELECT right_tok, left_tok, c_xy FROM pair_counts
+  ) s
+  JOIN vocab va ON s.a = va.tok
+  JOIN vocab vb ON s.b = vb.tok
+  GROUP BY a, b
+),
+deg AS (SELECT a, SUM(c) AS ca FROM sym GROUP BY a),
+tot AS {mat(dialect)}(SELECT SUM(c) AS n FROM sym),
+m AS (
+  SELECT s.a, s.b,
+         CAST(ROUND(ln((CAST(s.c AS DOUBLE) * (SELECT n FROM tot))
+                       / (CAST(da.ca AS DOUBLE) * db.ca)), 9)
+              AS DECIMAL(18,9)) AS w
+  FROM sym s
+  JOIN deg da ON s.a = da.a
+  JOIN deg db ON s.b = db.a
+  WHERE (CAST(s.c AS DOUBLE) * (SELECT n FROM tot))
+        / (CAST(da.ca AS DOUBLE) * db.ca) > 1.0
+),
+v0 AS (SELECT tok, CAST(1.0 AS DECIMAL(18,9)) AS v FROM vocab),
+{iter_ctes}
+SELECT u.tok,
+       CAST(u.c AS BIGINT) AS freq,
+       f.v AS spectral,
+       CAST(ROW_NUMBER() OVER (ORDER BY f.v DESC, u.tok) AS INT) AS pos
+FROM it{SPEC_ITERS} f JOIN vocab u ON f.tok = u.tok
+ORDER BY pos
+"""
+
+
+register(
+    "ppmi_spectral_embedding",
+    oracle=ppmi_spectral_sql(DUCKDB),
+    doc=f"dominant PPMI eigenvector by {SPEC_ITERS} unrolled power "
+    f"iterations over the top-{SPEC_VOCAB} vocab (Levy-Goldberg implicit "
+    "matrix factorization, d=1) — embedding training the parity gate "
+    "checks exactly; decimal-rounded mat-vec, max-normalized iterates",
+)(_docs_query(ppmi_spectral_sql))

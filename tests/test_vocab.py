@@ -193,3 +193,72 @@ def test_term_burstiness_matches_python(spark):
     for row, (neg, tok, df, s) in zip(out, scored):
         assert (row["term"], row["doc_freq"], row["total_count"]) == (tok, df, s)
         assert abs(row["burstiness_vmr"] - (-neg)) < 1e-5
+
+
+def test_ppmi_spectral_matches_numpy_power_iteration(spark, sf_dir):
+    """The spectral embedding re-derived independently: numpy builds the
+    same PPMI matrix from raw token streams and replicates the rounded
+    power iteration bit-for-bit; the UNrounded dominant eigenvector must
+    also align (the 9-dp rounding is bookkeeping, not a different answer)."""
+    import math
+    import re
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+
+    from serene_spark.operators.vocab import (
+        SPEC_ITERS,
+        SPEC_MIN_COUNT,
+        SPEC_VOCAB,
+    )
+    from serene_spark.registry import load_all
+
+    got = load_all()["ppmi_spectral_embedding"].spark(spark, sf_dir).toPandas()
+    got["spectral"] = got["spectral"].astype(float)
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    uni: Counter = Counter()
+    pair: Counter = Counter()
+    for text in docs["text"]:
+        toks = [t for t in re.split(r"[^a-z0-9]+", str(text).lower()) if t]
+        uni.update(toks)
+        pair.update(zip(toks, toks[1:]))
+
+    vocab = sorted(
+        (t for t, c in uni.items() if c >= SPEC_MIN_COUNT),
+        key=lambda t: (-uni[t], t),
+    )[:SPEC_VOCAB]
+    idx = {t: i for i, t in enumerate(vocab)}
+    sym: Counter = Counter()
+    for (a, b), c in pair.items():
+        if a in idx and b in idx:
+            sym[(a, b)] += c
+            sym[(b, a)] += c
+    deg = Counter()
+    for (a, _), c in sym.items():
+        deg[a] += c
+    n = sum(sym.values())
+    M = np.zeros((len(vocab), len(vocab)))
+    for (a, b), c in sym.items():
+        ratio = (c * n) / (deg[a] * deg[b])
+        if ratio > 1.0:
+            M[idx[a], idx[b]] = round(math.log(ratio), 9)
+
+    # replicate the rounded iteration exactly
+    v = np.ones(len(vocab))
+    for _ in range(SPEC_ITERS):
+        r = np.array([round(x, 9) for x in
+                      (np.round(M * v[None, :], 9)).sum(axis=1)])
+        v = np.round(r / r.max(), 9)
+    ref = pd.DataFrame({"tok": vocab, "v": v})
+    merged = got.merge(ref, on="tok")
+    assert len(merged) == len(got) == len(vocab)
+    assert (merged.spectral - merged.v).abs().max() <= 1e-9
+
+    # and the rounding is bookkeeping: cosine vs the true (unrounded)
+    # dominant eigenvector after the same #iterations' worth of convergence
+    w, V = np.linalg.eigh(M)
+    top = np.abs(V[:, np.argmax(w)])
+    cos = float(v @ top / (np.linalg.norm(v) * np.linalg.norm(top)))
+    assert cos >= 0.98, cos
