@@ -14,7 +14,13 @@ Decode support is tiered by what a dependency-free container can honestly do:
   decode + dequant + IDCT + 4:4:4/4:2:2/4:2:0 upsampling + YCbCr→RGB,
   restart markers handled; see multimodal/jpeg.py); progressive /
   arithmetic / 12-bit shapes fall through to the PIL tier;
-- **remaining compressed formats (MP4, progressive JPEG, exotic PNG...)**:
+- **video/MP4**: REAL container parse (multimodal/mp4.py, ISO/IEC
+  14496-12): box-tree walk -> brand, track dims, frame count, fps,
+  duration, and the stco x stsc x stsz seek table resolving every frame
+  to a (byte offset, length) range read — what frame sampling actually
+  needs at scale; frame PAYLOAD decode (H.264 et al.) stays behind the
+  stub tier, clearly marked (codec work needs codec libs);
+- **remaining compressed formats (progressive JPEG, exotic PNG...)**:
   STUBBED with a deterministic content-hash fake behind a ``try: import
   PIL`` hook — the decode libs are not in this container; swapping the
   stub for a real decoder changes ONE function (``_decode``), the Spark
@@ -96,8 +102,15 @@ def make_fake_media(spark: SparkSession, n: int = 64) -> DataFrame:
                 blob = ppm
         elif kind == "audio":
             blob = make_wav(i)
-        else:  # compressed/container format stand-in — exercises the stub tier
-            blob = hashlib.sha256(str(i).encode()).digest() * (4 + i % 7)
+        else:
+            # real ISO-BMFF container for the parse tier; every third video
+            # row stays an opaque hash blob so the stub tier is exercised
+            if (i // 3) % 3 == 2:
+                blob = hashlib.sha256(str(i).encode()).digest() * (4 + i % 7)
+            else:
+                from serene_spark.multimodal.mp4 import make_mp4
+
+                blob = make_mp4(i)
         rows.append((i, kind, blob))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -294,6 +307,19 @@ def _decode(kind: str, blob: bytes):
         rms = float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0
         zcr = float(np.mean(np.signbit(pcm[1:]) != np.signbit(pcm[:-1]))) if len(pcm) > 1 else 0.0
         return (0, 0, n, channels, rate, n / rate, round(rms, 6), round(zcr, 6), "wav")
+    if kind == "video":
+        try:
+            from serene_spark.multimodal.mp4 import is_mp4, parse_mp4
+
+            if is_mp4(blob):
+                info = parse_mp4(blob)
+                return (info["width"], info["height"], info["n_samples"],
+                        0, 0, round(info["duration_sec"], 6), 0.0, 0.0,
+                        "mp4")
+        except Exception:
+            # malformed containers fall through to the stub tier,
+            # never fail the Arrow task
+            pass
     try:  # pragma: no cover - compressed-format libs absent in this container
         if kind == "image":
             from PIL import Image
@@ -584,3 +610,58 @@ def media_frame_samples_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(
         extract_media_features(_media(spark)), every_k=8
     ).orderBy("media_id", "frame_idx")
+
+
+FRAME_RANGE_SCHEMA = (
+    "media_id long, frame_idx long, byte_offset long, byte_len long, "
+    "pts_sec double"
+)
+
+FRAME_SAMPLE_EVERY_K = 8
+
+
+def frame_ranges(media: DataFrame, every_k: int = FRAME_SAMPLE_EVERY_K) -> DataFrame:
+    """The production frame-sampling artifact: for every parseable video
+    container, the (byte offset, byte length, presentation time) of each
+    sampled frame — resolved from the stco x stsc x stsz seek table, so a
+    downstream worker fetches sampled frames as RANGE READS against object
+    storage without demuxing or downloading the file.  Arrow-batched; the
+    container bytes never cross a Python row loop."""
+
+    def fe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from serene_spark.multimodal.mp4 import is_mp4, parse_mp4
+
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "frame_idx", "byte_offset",
+                                   "byte_len", "pts_sec")}
+            for mid, kind, blob in zip(pdf["media_id"], pdf["kind"], pdf["media"]):
+                blob = bytes(blob)
+                if kind != "video" or not is_mp4(blob):
+                    continue
+                try:
+                    info = parse_mp4(blob)
+                except Exception:
+                    continue
+                n = info["n_samples"]
+                spf = info["duration_sec"] / n if n else 0.0
+                for idx in range(0, n, every_k):
+                    off, sz = info["samples"][idx]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["byte_offset"].append(off)
+                    out["byte_len"].append(sz)
+                    out["pts_sec"].append(round(idx * spf, 6))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(fe, FRAME_RANGE_SCHEMA)
+
+
+@register(
+    "media_frame_ranges",
+    oracle=None,
+    doc="video frame-sampling SEEK PLAN: every k-th frame of each parseable "
+    "MP4 resolved to its (byte offset, length, pts) via the real container "
+    "sample tables — downstream fetch = range reads, no demux/download",
+)
+def media_frame_ranges_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return frame_ranges(_media(spark)).orderBy("media_id", "frame_idx")

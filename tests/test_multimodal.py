@@ -38,9 +38,19 @@ def test_media_features_tiers(spark):
     assert all(abs(r["rms"] - 0.5 / math.sqrt(2)) < 0.01 for r in audios)
     # zero-crossing rate ~ 2 * freq / sample_rate (freq in [200, 975])
     assert all(0.03 <= r["zero_cross_rate"] <= 0.26 for r in audios)
-    # compressed/container formats fall back to the documented stub
-    assert all(r["decoder"] == "stub" for r in videos)
-    assert all(r["n_frames"] >= 1 for r in videos)
+    # video tiers: real ISO-BMFF container parse for 2 of every 3 video
+    # rows; the hash-blob third still exercises the documented stub
+    expected_v = {i: ("mp4" if (i // 3) % 3 != 2 else "stub")
+                  for i in range(48) if i % 3 == 2}
+    assert {r["media_id"]: r["decoder"] for r in videos} == expected_v
+    for r in videos:
+        if r["decoder"] == "mp4":
+            n = 8 + r["media_id"] % 24  # the writer's frame count
+            assert (r["width"], r["height"]) == (64, 48)
+            assert r["n_frames"] == n
+            assert abs(r["duration_sec"] - n / 25.0) < 1e-6  # 12800/512 fps
+        else:
+            assert r["n_frames"] >= 1
 
 
 def test_ppm_decode_resize_thumbnails(spark):
@@ -484,3 +494,52 @@ def test_jpeg_feature_extraction_real_dims(spark):
     rows = {r.media_id: r for r in extract_media_features(media).collect()}
     assert (rows[1].width, rows[1].height, rows[1].decoder) == (23, 17, "jpeg")
     assert rows[2].decoder == "stub"
+
+
+def test_mp4_frame_ranges_are_true_range_reads(spark):
+    """The seek plan is truth, not metadata theater: fetching each sampled
+    frame's (offset, len) range out of the raw container bytes must
+    reproduce the exact frame payload the writer put there."""
+    from serene_spark.multimodal.binary_ops import (
+        FRAME_SAMPLE_EVERY_K,
+        frame_ranges,
+        make_fake_media,
+    )
+
+    media = make_fake_media(spark, 48)
+    blobs = {r["media_id"]: bytes(r["media"]) for r in media.collect()}
+    plan = frame_ranges(media).collect()
+    assert plan, "no parseable videos in the corpus?"
+    seen_media = set()
+    for r in plan:
+        seen_media.add(r["media_id"])
+        seed = r["media_id"]
+        idx = r["frame_idx"]
+        assert idx % FRAME_SAMPLE_EVERY_K == 0
+        size = 32 + ((seed * 31 + idx * 17) % 96)  # the writer's size law
+        assert r["byte_len"] == size
+        payload = blobs[seed][r["byte_offset"]:r["byte_offset"] + r["byte_len"]]
+        assert payload == bytes((seed + idx + j) % 256 for j in range(size))
+        assert abs(r["pts_sec"] - round(idx / 25.0, 6)) < 1e-9
+    # exactly the parseable (non-stub) videos produced plans
+    assert seen_media == {i for i in range(48) if i % 3 == 2 and (i // 3) % 3 != 2}
+
+
+def test_mp4_parser_rejects_malformed_and_stub_blobs(spark):
+    import hashlib
+
+    from serene_spark.multimodal.mp4 import is_mp4, parse_mp4
+
+    assert not is_mp4(hashlib.sha256(b"x").digest() * 4)
+    assert not is_mp4(b"")
+    truncated = None
+    from serene_spark.multimodal.mp4 import make_mp4
+
+    blob = make_mp4(3)
+    assert is_mp4(blob[:200]) and len(blob) > 200
+    try:
+        parse_mp4(blob[:200])
+        truncated = "parsed"
+    except (ValueError, Exception):
+        truncated = "raised"
+    assert truncated == "raised"  # never a silent wrong answer
