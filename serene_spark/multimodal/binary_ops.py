@@ -14,6 +14,9 @@ Decode support is tiered by what a dependency-free container can honestly do:
   decode + dequant + IDCT + 4:4:4/4:2:2/4:2:0 upsampling + YCbCr→RGB,
   restart markers handled; see multimodal/jpeg.py); progressive /
   arithmetic / 12-bit shapes fall through to the PIL tier;
+- **image/GIF**: REAL decode — variable-code-width LZW with clear/EOI and
+  the KwKwK case, global/local color tables, extension skipping
+  (multimodal/gif.py); interlaced/animated shapes fall through;
 - **video/MP4**: REAL container parse (multimodal/mp4.py, ISO/IEC
   14496-12): box-tree walk -> brand, track dims, frame count, fps,
   duration, and the stco x stsc x stsz seek table resolving every frame
@@ -93,11 +96,17 @@ def make_fake_media(spark: SparkSession, n: int = 64) -> DataFrame:
         kind = ("image", "audio", "video")[i % 3]
         if kind == "image":
             ppm = make_ppm(i)
-            fmt = (i // 3) % 3
+            fmt = (i // 3) % 4
             if fmt == 1:
                 blob = make_png(decode_ppm(ppm))
             elif fmt == 2:
                 blob = make_jpeg(decode_ppm(ppm), quality=95)
+            elif fmt == 3:
+                from serene_spark.multimodal.gif import make_gif
+
+                # GIF is palettized: posterize the same pixels to the
+                # web-safe 6-level cube (<= 216 colors), losslessly encoded
+                blob = make_gif(posterize(decode_ppm(ppm)))
             else:
                 blob = ppm
         elif kind == "audio":
@@ -113,6 +122,12 @@ def make_fake_media(spark: SparkSession, n: int = 64) -> DataFrame:
                 blob = make_mp4(i)
         rows.append((i, kind, blob))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def posterize(img: "np.ndarray") -> "np.ndarray":
+    """Quantize channels to the web-safe 6-level cube (0,51,..,255): at
+    most 216 colors, the palettized-container precondition."""
+    return (((img.astype(np.int64) + 25) // 51) * 51).clip(0, 255).astype(np.uint8)
 
 
 # -- decoders ----------------------------------------------------------------
@@ -227,8 +242,8 @@ def decode_png(blob: bytes) -> np.ndarray:
 
 
 def decode_image(blob: bytes) -> np.ndarray | None:
-    """Pixels for any REAL-decodable image format (P6 PPM, PNG or
-    baseline JPEG), else None — the single dispatch the pixel operators
+    """Pixels for any REAL-decodable image format (P6 PPM, PNG, baseline
+    JPEG or single-frame GIF), else None — the single dispatch the pixel operators
     share. Malformed or unsupported-shape blobs (palette/16-bit/
     interlaced PNG, progressive JPEG, truncated streams) return None
     rather than raising: the pixel operators' contract is
@@ -243,6 +258,10 @@ def decode_image(blob: bytes) -> np.ndarray | None:
             from serene_spark.multimodal.jpeg import decode_jpeg
 
             return decode_jpeg(blob)
+        if blob.startswith(b"GIF8"):
+            from serene_spark.multimodal.gif import decode_gif
+
+            return decode_gif(blob)
     except Exception:
         return None
     return None
@@ -290,6 +309,17 @@ def _decode(kind: str, blob: bytes):
             # zlib.error / struct.error / IndexError — all must fall
             # through to the PIL tier / deterministic stub, never fail
             # the Arrow task
+            pass
+    if kind == "image" and blob.startswith(b"GIF8"):
+        try:
+            from serene_spark.multimodal.gif import decode_gif
+
+            img = decode_gif(blob)
+            h, w = img.shape[:2]
+            return (w, h, 1) + _NULLS[3:] + ("gif",)
+        except Exception:
+            # interlaced/animated raise ValueError; corrupt bodies raise
+            # anything — all fall through to the PIL tier / stub
             pass
     if kind == "image" and blob.startswith(b"\xff\xd8"):
         try:

@@ -24,10 +24,11 @@ def test_media_features_tiers(spark):
     audios = [r for r in rows.values() if r["kind"] == "audio"]
     videos = [r for r in rows.values() if r["kind"] == "video"]
 
-    # REAL decode tiers — the image corpus rotates PPM -> PNG -> JPEG over
-    # the same pixel generator, so every container tier decodes real dims
-    assert sorted({r["decoder"] for r in images}) == ["jpeg", "png", "ppm"]
-    expected = {i: ("ppm", "png", "jpeg")[(i // 3) % 3]
+    # REAL decode tiers — the image corpus rotates PPM -> PNG -> JPEG ->
+    # GIF over the same pixel generator (GIF posterized to fit a palette),
+    # so every container tier decodes real dims
+    assert sorted({r["decoder"] for r in images}) == ["gif", "jpeg", "png", "ppm"]
+    expected = {i: ("ppm", "png", "jpeg", "gif")[(i // 3) % 4]
                 for i in range(48) if i % 3 == 0}
     assert {r["media_id"]: r["decoder"] for r in images} == expected
     assert all((r["width"], r["height"], r["n_frames"]) == (32, 24, 1) for r in images)
@@ -77,15 +78,18 @@ def test_ppm_decode_resize_thumbnails(spark):
     for r in thumbs:
         assert (r["thumb_w"], r["thumb_h"]) == (8, 8)
         # gradient b channel is constant = seed: exact through the
-        # lossless containers, within quantization error through JPEG.
-        # At n=12 the image ids are 0/3/6/9 -> fmt (id//3)%3 ->
-        # ppm/png/jpeg/ppm.
-        fmt = (r["media_id"] // 3) % 3
+        # lossless containers, within quantization error through JPEG,
+        # web-safe-posterized through GIF. At n=12 the image ids are
+        # 0/3/6/9 -> fmt (id//3)%4 -> ppm/png/jpeg/gif.
+        fmt = (r["media_id"] // 3) % 4
         assert 0.0 <= r["mean_r"] <= 255.0
+        seed_b = float(r["media_id"] % 256)
         if fmt == 2:  # baseline JPEG at q95: bounded quantization error
-            assert abs(r["mean_b"] - float(r["media_id"] % 256)) <= 1.0
+            assert abs(r["mean_b"] - seed_b) <= 1.0
+        elif fmt == 3:  # GIF: exact on the posterized value
+            assert r["mean_b"] == float((int(seed_b) + 25) // 51 * 51)
         else:
-            assert r["mean_b"] == float(r["media_id"] % 256)
+            assert r["mean_b"] == seed_b
 
 
 def test_wav_roundtrip_closed_form():
@@ -543,3 +547,41 @@ def test_mp4_parser_rejects_malformed_and_stub_blobs(spark):
     except (ValueError, Exception):
         truncated = "raised"
     assert truncated == "raised"  # never a silent wrong answer
+
+
+def test_gif_tier_lossless_and_cross_container_identical(spark):
+    """GIF roundtrips its palettized pixels losslessly, and the SAME
+    posterized pixels encoded as GIF and PPM decode identically (the
+    PNG-twin pin applied to the fourth container); interlaced/animated
+    shapes are rejected, never silently wrong."""
+    import numpy as np
+
+    from serene_spark.multimodal.binary_ops import (
+        decode_image,
+        decode_ppm,
+        make_ppm,
+        posterize,
+    )
+    from serene_spark.multimodal.gif import decode_gif, make_gif
+
+    for seed in (0, 7, 23):
+        q = posterize(decode_ppm(make_ppm(seed)))
+        gif = make_gif(q)
+        assert np.array_equal(decode_gif(gif), q)
+        # cross-container: the shared pixel dispatch sees identical arrays
+        ppm_twin = (b"P6\n%d %d\n255\n" % (q.shape[1], q.shape[0])) + q.tobytes()
+        assert np.array_equal(decode_image(gif), decode_image(ppm_twin))
+
+    # rejection of shapes outside the tier
+    q = posterize(decode_ppm(make_ppm(1)))
+    gif = bytearray(make_gif(q))
+    # flip the interlace bit in the image descriptor (after 6+7 header+LSD
+    # + GCT; find 0x2c introducer instead of hardcoding)
+    pos = gif.index(0x2C)
+    gif[pos + 9] |= 0x40
+    try:
+        decode_gif(bytes(gif))
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
