@@ -45,7 +45,7 @@ MIN_SHARDS = 16          # floor on the shard count
 TOKENS_PER_SHARD = 1_000_000  # target shard size -> shard count scales with corpus
 
 
-def _stream_rel(dialect: str) -> str:
+def _stream_rel(dialect: str, docs_rel: str = "documents") -> str:
     """(doc_id, shard, n_tokens, start_off): per-shard token-stream offsets
     via a shard-partitioned cumsum in deterministic doc_id order.
 
@@ -62,7 +62,7 @@ def _stream_rel(dialect: str) -> str:
     return f"""
 doc_tokens AS (
   SELECT doc_id, {h} AS h, {arr_len(dialect, toks)} AS n_tokens
-  FROM documents
+  FROM {docs_rel}
 ),
 shard_cfg AS (
   SELECT GREATEST({MIN_SHARDS},
@@ -149,3 +149,85 @@ register(
     doc="per-shard packing accounting: sequence counts, tail padding, "
     "packing efficiency, boundary-crossing documents",
 )(_docs_query(pack_stats_sql))
+
+
+# --- the full corpus-build composition ---------------------------------------
+
+
+def corpus_build_sql(dialect: str) -> str:
+    """THE pipeline's final product in one statement: training-corpus
+    selection (quality gate + repetition gate + exact-dedup keepers +
+    per-language stratified cap — ``corpus_select`` verbatim, spliced)
+    feeding the GPT-style packing manifest (``sequence_pack_manifest``'s
+    shard-local cumsum) over ONLY the selected documents.  Every stage is
+    oracle-checked standalone; this query pins that they also compose —
+    the end-to-end a user of the engine actually ships.
+
+    Scale shape is the sum of its parts: the gates and dedup are one-scan
+    keyed aggregations, selection is a per-language ranked cap, and the
+    pack windows are shard-partitioned cumsum over the SELECTED stream
+    (never a global window).  The Spark runner materializes the selected
+    doc set once (CTE-inlining hazard — the stream CTE chain would
+    otherwise re-run the full selection per reference)."""
+    from serene_spark.operators.text_analysis import corpus_select_sql
+
+    return f"""
+WITH sel AS ({corpus_select_sql(dialect)}),
+sel_docs AS (
+  SELECT d.* FROM documents d JOIN sel ON d.doc_id = sel.doc_id
+),
+{_stream_rel(dialect, "sel_docs").lstrip()},
+manifest AS (
+  SELECT doc_id,
+         CAST(shard AS BIGINT) AS shard,
+         CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(start_off AS BIGINT) AS start_off,
+         CAST({idiv(dialect, "start_off", str(SEQ_LEN))} AS BIGINT) AS first_seq,
+         CAST({idiv(dialect, "(start_off + n_tokens - 1)", str(SEQ_LEN))} AS BIGINT) AS last_seq
+  FROM stream
+)
+SELECT m.doc_id, s.pred_lang, m.shard, m.n_tokens, m.start_off,
+       m.first_seq, m.last_seq
+FROM manifest m JOIN sel s ON m.doc_id = s.doc_id
+ORDER BY m.shard, m.doc_id
+"""
+
+
+def _corpus_build_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serene_spark.functions.sqlgen import SPARK as _S
+    from serene_spark.materialize import materialize
+    from serene_spark.operators.text_analysis import corpus_select_sql
+
+    register_views(spark, sf_dir, ("documents",), spread=True)
+    spark.sql(corpus_select_sql(_S)).transform(materialize) \
+        .createOrReplaceTempView("__cb_sel")
+    return spark.sql(f"""
+WITH sel AS (SELECT * FROM __cb_sel),
+sel_docs AS (
+  SELECT d.* FROM documents d JOIN sel ON d.doc_id = sel.doc_id
+),
+{_stream_rel(_S, "sel_docs").lstrip()},
+manifest AS (
+  SELECT doc_id,
+         CAST(shard AS BIGINT) AS shard,
+         CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(start_off AS BIGINT) AS start_off,
+         CAST({idiv(_S, "start_off", str(SEQ_LEN))} AS BIGINT) AS first_seq,
+         CAST({idiv(_S, "(start_off + n_tokens - 1)", str(SEQ_LEN))} AS BIGINT) AS last_seq
+  FROM stream
+)
+SELECT m.doc_id, s.pred_lang, m.shard, m.n_tokens, m.start_off,
+       m.first_seq, m.last_seq
+FROM manifest m JOIN sel s ON m.doc_id = s.doc_id
+ORDER BY m.shard, m.doc_id
+""")
+
+
+register(
+    "corpus_build_manifest",
+    oracle=corpus_build_sql(DUCKDB),
+    doc="the END-TO-END corpus build in one statement: corpus_select "
+    "(quality + repetition + dedup keepers + per-lang cap) feeding the "
+    "shard-local packing manifest over only the selected documents — "
+    "the composition every stage exists for",
+)(_corpus_build_spark)

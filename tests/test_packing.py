@@ -69,3 +69,27 @@ def test_shard_count_scales_with_corpus():
     sql = pack_stats_sql(SPARK)
     assert f"GREATEST({MIN_SHARDS}" in sql
     assert str(TOKENS_PER_SHARD) in sql
+
+
+def test_corpus_build_composes_select_and_pack(spark, sf_dir):
+    """The end-to-end manifest must contain exactly corpus_select's
+    keepers, and each shard's offsets must be a gapless cumsum in doc_id
+    order — the two standalone contracts surviving composition."""
+    from serene_spark.registry import load_all
+
+    qs = load_all()
+    sel = qs["corpus_select"].spark(spark, sf_dir).toPandas()
+    got = qs["corpus_build_manifest"].spark(spark, sf_dir).toPandas()
+
+    assert set(got.doc_id) == set(sel.doc_id)
+    lang = dict(zip(sel.doc_id, sel.pred_lang))
+    assert all(lang[d] == p for d, p in zip(got.doc_id, got.pred_lang))
+
+    for _, grp in got.groupby("shard"):
+        grp = grp.sort_values("doc_id")
+        expect_off = 0
+        for _, r in grp.iterrows():
+            assert r.start_off == expect_off
+            assert r.first_seq == r.start_off // 256
+            assert r.last_seq == (r.start_off + r.n_tokens - 1) // 256
+            expect_off += r.n_tokens
