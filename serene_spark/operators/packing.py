@@ -45,6 +45,38 @@ MIN_SHARDS = 16          # floor on the shard count
 TOKENS_PER_SHARD = 1_000_000  # target shard size -> shard count scales with corpus
 
 
+def doc_tokens_rel(dialect: str, docs_rel: str = "documents") -> str:
+    """(doc_id, h, n_tokens) token-count relation — the ONLY data-scale
+    product of the packing chain; the corpus-build runner materializes it
+    so shard_cfg + stream (which reference it twice more) never re-run
+    the tokenization."""
+    toks = arr_filter_nonempty(
+        dialect, split_re(dialect, NORM(dialect), "[^a-z0-9]+")
+    )
+    h = hex_to_int(dialect, "substr(md5(CAST(doc_id AS STRING)), 1, 8)")
+    return (f"SELECT doc_id, {h} AS h, {arr_len(dialect, toks)} AS n_tokens"
+            f"\n  FROM {docs_rel}")
+
+
+def _stream_tail(dt_rel: str) -> str:
+    """shard_cfg + stream over an existing (doc_id, h, n_tokens) relation."""
+    return f"""
+shard_cfg AS (
+  SELECT GREATEST({MIN_SHARDS},
+                  CAST(CEIL(SUM(n_tokens) / {TOKENS_PER_SHARD}.0) AS BIGINT))
+           AS n_shards
+  FROM {dt_rel}
+),
+stream AS (
+  SELECT doc_id, d.h % c.n_shards AS shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY d.h % c.n_shards ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS start_off
+  FROM {dt_rel} d CROSS JOIN shard_cfg c WHERE n_tokens > 0
+)"""
+
+
 def _stream_rel(dialect: str, docs_rel: str = "documents") -> str:
     """(doc_id, shard, n_tokens, start_off): per-shard token-stream offsets
     via a shard-partitioned cumsum in deterministic doc_id order.
@@ -55,29 +87,10 @@ def _stream_rel(dialect: str, docs_rel: str = "documents") -> str:
     absorbing everything (the scale-knob discipline of semdedup's in-query
     cluster count; a hardcoded shard count is exactly the kind of constant
     the round-3 verdict flagged)."""
-    toks = arr_filter_nonempty(
-        dialect, split_re(dialect, NORM(dialect), "[^a-z0-9]+")
-    )
-    h = hex_to_int(dialect, "substr(md5(CAST(doc_id AS STRING)), 1, 8)")
-    return f"""
+    return (f"""
 doc_tokens AS (
-  SELECT doc_id, {h} AS h, {arr_len(dialect, toks)} AS n_tokens
-  FROM {docs_rel}
-),
-shard_cfg AS (
-  SELECT GREATEST({MIN_SHARDS},
-                  CAST(CEIL(SUM(n_tokens) / {TOKENS_PER_SHARD}.0) AS BIGINT))
-           AS n_shards
-  FROM doc_tokens
-),
-stream AS (
-  SELECT doc_id, d.h % c.n_shards AS shard, n_tokens,
-         COALESCE(SUM(n_tokens) OVER (
-           PARTITION BY d.h % c.n_shards ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-         ), 0) AS start_off
-  FROM doc_tokens d CROSS JOIN shard_cfg c WHERE n_tokens > 0
-)"""
+  {doc_tokens_rel(dialect, docs_rel)}
+),""" + _stream_tail("doc_tokens"))
 
 
 def pack_manifest_sql(dialect: str) -> str:
@@ -201,12 +214,17 @@ def _corpus_build_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("documents",), spread=True)
     spark.sql(corpus_select_sql(_S)).transform(materialize) \
         .createOrReplaceTempView("__cb_sel")
+    # materialize the one data-scale product (selected docs tokenized) —
+    # shard_cfg + stream reference it twice more, and Catalyst's CTE
+    # inlining would re-run selection + tokenization per reference
+    spark.sql(
+        "WITH sel AS (SELECT * FROM __cb_sel),\n"
+        "sel_docs AS (SELECT d.* FROM documents d "
+        "JOIN sel ON d.doc_id = sel.doc_id)\n"
+        + doc_tokens_rel(_S, "sel_docs")
+    ).transform(materialize).createOrReplaceTempView("__cb_doc_tokens")
     return spark.sql(f"""
-WITH sel AS (SELECT * FROM __cb_sel),
-sel_docs AS (
-  SELECT d.* FROM documents d JOIN sel ON d.doc_id = sel.doc_id
-),
-{_stream_rel(_S, "sel_docs").lstrip()},
+WITH sel AS (SELECT * FROM __cb_sel),{_stream_tail("__cb_doc_tokens")},
 manifest AS (
   SELECT doc_id,
          CAST(shard AS BIGINT) AS shard,

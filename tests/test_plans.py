@@ -568,3 +568,35 @@ def test_elasticity_broadcasts_part_dim(spark, sf_dir):
 
     df = load_all()["elasticity_loglog_parts"].spark(spark, sf_dir)
     assert broadcast_join_count(df) >= 1
+
+
+def test_round8_operators_no_cartesian_and_keyed_windows(spark, sf_dir):
+    """Round-8 additions keep the plan contract: no cartesian products,
+    the KMV bottom-K windows are event_type-keyed (never a global sort),
+    and the corpus-build composition reads the materialized selection."""
+    from serene_spark.registry import load_all
+
+    qs = load_all()
+    # Exempt from the cartesian check, both DELIBERATE constant-sized
+    # shapes: kmv_set_ops_users' type-pair join (a.type < b.type) runs
+    # over the |event types| = 5-row relation with K-bounded sketches;
+    # corpus_build_manifest inherits sequence_pack_manifest's CROSS JOIN
+    # against the ONE-ROW shard_cfg aggregate (the in-query scale knob —
+    # a scalar broadcast, not a data-scale product).
+    for name in ("dp_release_counts", "gate_agreement_kappa",
+                 "kmv_ndv_users", "ppmi_spectral_embedding"):
+        df = qs[name].spark(spark, sf_dir)
+        assert not has_cartesian(df), name
+
+    # KMV sketch window partitions by event_type, and Catalyst turned the
+    # rk <= K filter into a WindowGroupLimit — the bottom-K never fully
+    # ranks a partition (the property that keeps the sketch cheap at scale)
+    plan = plan_text(qs["kmv_ndv_users"].spark(spark, sf_dir))
+    assert "windowspecdefinition(event_type" in plan
+    assert "WindowGroupLimit" in plan
+
+    # the corpus-build tail consumes ONLY materialized views (selection
+    # and tokenized selected docs): zero parquet scans in the final
+    # statement — selection + tokenization ran exactly once upstream
+    final = plan_text(qs["corpus_build_manifest"].spark(spark, sf_dir))
+    assert final.count("Scan parquet") == 0
