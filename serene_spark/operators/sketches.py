@@ -285,3 +285,79 @@ register("kmv_set_ops_users",
          "via the in-both Jaccard share — audience overlap without a "
          "distinct pair shuffle; exact audit columns ride along")(
     _events_sql_query(kmv_set_ops_sql))
+
+
+def kmv_rollup_sql(dialect: str) -> str:
+    """The persisted-sketch ROLLUP pattern in the oracle-checked tier —
+    the KMV twin of ``hll_rollup_users``: per-(type, day) bottom-K partial
+    sketches (what a 100 TB pipeline would WRITE once per day) merged up
+    to per-type sketches by re-ranking the union, beside the direct
+    whole-corpus sketch.  The merge lemma (a global bottom-K member is in
+    its day's bottom-K) makes rollup and direct estimates EQUAL — and
+    unlike the engine-native HLL rollup, here the equality is itself
+    oracle-checked: the query emits both estimates and the equality flag,
+    and the parity gate verifies all three cross-engine.
+
+    Scale: the daily partial relation is |types| x |days| x K rows —
+    the only thing a rollup reader ever scans; raw events are touched
+    once at partial-build time.
+    """
+    from serene_spark.functions.sqlgen import epoch_s, idiv
+
+    day = idiv(dialect, f"({epoch_s(dialect, 'ts')})", 86400)
+    return f"""
+WITH uu_day AS (
+  SELECT DISTINCT event_type, {day} AS day, {kmv_hash_u(dialect)} AS u
+  FROM events
+),
+daily AS (
+  SELECT event_type, day, u FROM (
+    SELECT event_type, day, u,
+           ROW_NUMBER() OVER (PARTITION BY event_type, day ORDER BY u) AS rk
+    FROM uu_day
+  ) r WHERE rk <= {KMV_K}
+),
+merged AS (
+  SELECT event_type, u FROM (
+    SELECT event_type, u,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u) AS rk
+    FROM daily
+  ) r WHERE rk <= {KMV_K}
+),
+direct AS (
+  SELECT event_type, u FROM (
+    SELECT event_type, u,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u) AS rk
+    FROM (SELECT DISTINCT event_type, u FROM uu_day) d
+  ) r WHERE rk <= {KMV_K}
+),
+est AS (
+  SELECT m.event_type,
+         CAST(COUNT(*) AS BIGINT) AS sketch_size,
+         round(CASE WHEN COUNT(*) < {KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE CAST({KMV_K - 1} AS DOUBLE) / MAX(u) END, 6)
+           AS ndv_est_rollup
+  FROM merged m GROUP BY m.event_type
+),
+est_d AS (
+  SELECT d.event_type,
+         round(CASE WHEN COUNT(*) < {KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE CAST({KMV_K - 1} AS DOUBLE) / MAX(u) END, 6)
+           AS ndv_est_direct
+  FROM direct d GROUP BY d.event_type
+)
+SELECT e.event_type, e.sketch_size, e.ndv_est_rollup, x.ndv_est_direct,
+       CAST(CASE WHEN e.ndv_est_rollup = x.ndv_est_direct
+                 THEN 1 ELSE 0 END AS INT) AS rollup_equal
+FROM est e JOIN est_d x ON e.event_type = x.event_type
+ORDER BY e.event_type
+"""
+
+
+register("kmv_rollup_users",
+         oracle=_duckdb_oracle(kmv_rollup_sql),
+         doc="persisted-sketch rollup in the ORACLE-CHECKED tier: daily "
+         f"bottom-{KMV_K} KMV partials merged to per-type sketches beside "
+         "the direct sketch — the merge-lemma equality emitted and "
+         "parity-verified, the KMV twin of hll_rollup_users")(
+    _events_sql_query(kmv_rollup_sql))

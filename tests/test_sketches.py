@@ -145,3 +145,19 @@ def test_kmv_set_ops_matches_python_reference(spark, sf_dir):
         if len(a | b) >= KMV_K:
             assert abs(row.union_est - row.union_exact) / row.union_exact <= 0.35
             assert abs(row.jaccard_est - row.jaccard_exact) <= 0.15
+
+
+def test_kmv_rollup_merge_lemma_and_python_reference(spark, sf_dir):
+    """Daily-partial rollup == direct sketch (the merge lemma), checked
+    in-query and re-derived independently in python."""
+    from serene_spark.operators.sketches import KMV_K
+    from serene_spark.registry import load_all
+
+    got = load_all()["kmv_rollup_users"].spark(spark, sf_dir).toPandas()
+    assert (got.rollup_equal == 1).all()
+    _, sketches = _kmv_python_reference(sf_dir, KMV_K)
+    for _, row in got.iterrows():
+        sk = sketches[row.event_type]
+        est = len(sk) if len(sk) < KMV_K else (KMV_K - 1) / sk[-1]
+        assert abs(row.ndv_est_direct - round(est, 6)) <= 1e-6
+        assert abs(row.ndv_est_rollup - round(est, 6)) <= 1e-6
