@@ -526,3 +526,104 @@ register(
     "mechanism is oracle-checked; released cells + the audit columns "
     "(true count, draw, mean |noise| vs the analytic 1/eps)",
 )(_customer_q(dp_release_sql))
+
+
+# --- DP median release (exponential mechanism) -------------------------------
+
+DP_MED_EPSILON = 1.0
+
+
+def dp_median_sql(dialect: str) -> str:
+    """Differentially-private median account balance per market segment
+    via the EXPONENTIAL mechanism (McSherry & Talwar, FOCS 2007) — the
+    second canonical DP primitive beside ``dp_release_counts``' Laplace
+    noise: selection queries (median, mode, argmax) cannot be released by
+    adding noise to the value; the mechanism instead samples a candidate
+    c with probability proportional to exp(eps * u(c) / 2), where the
+    median utility u(c) = -| #below(c) - n/2 | has sensitivity 1.
+
+    Determinism: one md5-derived uniform per group drives inverse-CDF
+    sampling over the candidate distribution (same construction as the
+    Laplace release).  Weights round to DECIMAL(28,12) BEFORE the
+    cumulative sum, so the running total is aggregation-order-exact in
+    both engines (a raw DOUBLE cumsum could differ by summation order);
+    far-from-median candidates underflow to weight 0 harmlessly.
+
+    Candidates are the group's distinct balances — bounded by the value
+    domain, not the row count; a production release over an unbounded
+    numeric domain first coarsens candidates to a fixed grid (the same
+    knob as the PSI bins).  Output: released dp_median beside the exact
+    median, n, and the group's candidate count — the utility audit.
+    """
+    u_draw = (f"(({hex_to_int(dialect, 'substr(md5(segment), 1, 8)')})"
+              " + 0.5) / 4294967296.0")
+    return f"""
+WITH vals AS (
+  SELECT c_mktsegment AS segment,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS v
+  FROM customer
+),
+grp AS (
+  SELECT segment, CAST(COUNT(*) AS BIGINT) AS n FROM vals GROUP BY segment
+),
+cand AS (
+  SELECT segment, v, CAST(COUNT(*) AS BIGINT) AS c FROM vals
+  GROUP BY segment, v
+),
+ranked AS (
+  SELECT segment, v, c,
+         SUM(c) OVER (PARTITION BY segment ORDER BY v) - c AS n_below
+  FROM cand
+),
+weighted AS (
+  SELECT r.segment, r.v, g.n,
+         CAST(ROUND(EXP({DP_MED_EPSILON} *
+                        -ABS(CAST(r.n_below AS DOUBLE) - g.n / 2.0) / 2.0),
+                    12) AS DECIMAL(28,12)) AS w
+  FROM ranked r JOIN grp g ON r.segment = g.segment
+),
+cum AS (
+  SELECT segment, v, n,
+         SUM(w) OVER (PARTITION BY segment ORDER BY v) AS cw,
+         SUM(w) OVER (PARTITION BY segment) AS tw
+  FROM weighted
+),
+pick AS (
+  SELECT segment, MIN(v) AS dp_median
+  FROM cum
+  WHERE tw > 0 AND CAST(cw AS DOUBLE) / CAST(tw AS DOUBLE) >= {u_draw}
+  GROUP BY segment
+),
+exact_med AS (
+  SELECT segment, MIN(v) AS true_median
+  FROM (
+    SELECT segment, v,
+           SUM(c) OVER (PARTITION BY segment ORDER BY v) AS cc,
+           SUM(c) OVER (PARTITION BY segment) AS nn
+    FROM cand
+  ) h
+  WHERE cc >= CEIL(nn / 2.0)
+  GROUP BY segment
+)
+SELECT g.segment,
+       CAST(g.n AS BIGINT) AS n,
+       CAST(e.true_median AS DOUBLE) AS true_median,
+       CAST(p.dp_median AS DOUBLE) AS dp_median,
+       {DP_MED_EPSILON} AS epsilon,
+       ROUND(ABS(CAST(p.dp_median AS DOUBLE) - CAST(e.true_median AS DOUBLE)),
+             2) AS abs_err
+FROM grp g
+JOIN pick p ON g.segment = p.segment
+JOIN exact_med e ON g.segment = e.segment
+ORDER BY g.segment
+"""
+
+
+register(
+    "dp_release_median",
+    oracle=dp_median_sql(DUCKDB),
+    doc=f"epsilon-DP (eps={DP_MED_EPSILON}) median balance per segment via "
+    "the EXPONENTIAL mechanism (McSherry-Talwar 2007) — selection queries "
+    "need candidate sampling, not value noise; deterministic md5 draw, "
+    "decimal-exact cumulative weights; released beside the exact median",
+)(_customer_q(dp_median_sql))

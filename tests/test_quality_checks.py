@@ -402,3 +402,58 @@ def test_dp_release_mechanism_python_recheck(spark):
         got.sort_values(["nation", "segment"]).reset_index(drop=True),
         again.sort_values(["nation", "segment"]).reset_index(drop=True),
     )
+
+
+def test_dp_median_exponential_mechanism_python_recheck(spark):
+    """The exponential mechanism re-derived independently (decimal-exact
+    cumulative weights, same md5 draw) must reproduce every released
+    median; the release must be a real candidate value."""
+    import hashlib
+    import math
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from serene_spark.operators.quality_checks import DP_MED_EPSILON
+
+    q = load_all()["dp_release_median"]
+    got = q.spark(spark, SF).toPandas().set_index("segment")
+
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    for segment, grp in cust.groupby("c_mktsegment"):
+        vals = sorted(round(float(v), 2) for v in grp["c_acctbal"])
+        n = len(vals)
+        # candidate weights, rounded to 12 dp like the SQL
+        from collections import Counter
+
+        counts = Counter(vals)
+        cands = sorted(counts)
+        below = 0
+        weights = []
+        for v in cands:
+            u = -abs(below - n / 2.0)
+            weights.append(Decimal(str(round(math.exp(DP_MED_EPSILON * u / 2.0), 12))))
+            below += counts[v]
+        tot = sum(weights)
+        h = int(hashlib.md5(segment.encode()).hexdigest()[:8], 16)
+        r = (h + 0.5) / 2**32
+        cum = Decimal(0)
+        pick = None
+        for v, w in zip(cands, weights):
+            cum += w
+            if float(cum) / float(tot) >= r:
+                pick = v
+                break
+        row = got.loc[segment]
+        assert row.dp_median == pick, (segment, row.dp_median, pick)
+        assert row.dp_median in counts  # a real candidate, never synthetic
+        # exact median audit column
+        cc = 0
+        for v in cands:
+            cc += counts[v]
+            if cc >= math.ceil(n / 2):
+                assert row.true_median == v
+                break
+    # determinism
+    again = q.spark(spark, SF).toPandas().set_index("segment")
+    pd.testing.assert_frame_equal(got, again)
