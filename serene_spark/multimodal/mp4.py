@@ -36,10 +36,15 @@ def _full(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
 
 def make_mp4(seed: int, n_frames: int | None = None,
              timescale: int = 12800, frame_delta: int = 512,
-             width: int = 64, height: int = 48) -> bytes:
+             width: int = 64, height: int = 48,
+             mdhd_version: int = 0, audio_first: bool = False) -> bytes:
     """Deterministic minimal-but-conformant MP4: one video track with
     ``n_frames`` samples at constant ``timescale/frame_delta`` fps, frame
-    payloads of varying deterministic sizes in one mdat chunk."""
+    payloads of varying deterministic sizes in one mdat chunk.
+
+    ``mdhd_version=1`` writes the 64-bit mdhd layout and ``audio_first``
+    prepends a minimal ``soun`` trak before the video trak — the two
+    real-world container shapes the parser must not misread."""
     if n_frames is None:
         n_frames = 8 + seed % 24
     sizes = [32 + ((seed * 31 + i * 17) % 96) for i in range(n_frames)]
@@ -67,8 +72,12 @@ def make_mp4(seed: int, n_frames: int | None = None,
         + b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0, 0)
         + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
         + struct.pack(">II", width << 16, height << 16))
-    mdhd = _full(b"mdhd", 0, 0, struct.pack(
-        ">IIII", 0, 0, timescale, duration_ts) + struct.pack(">HH", 0x55C4, 0))
+    if mdhd_version == 1:  # 64-bit creation/modification/duration layout
+        mdhd = _full(b"mdhd", 1, 0, struct.pack(
+            ">QQIQ", 0, 0, timescale, duration_ts) + struct.pack(">HH", 0x55C4, 0))
+    else:
+        mdhd = _full(b"mdhd", 0, 0, struct.pack(
+            ">IIII", 0, 0, timescale, duration_ts) + struct.pack(">HH", 0x55C4, 0))
     hdlr = _full(b"hdlr", 0, 0,
                  struct.pack(">I", 0) + b"vide" + b"\x00" * 12
                  + b"VideoHandler\x00")
@@ -97,6 +106,14 @@ def make_mp4(seed: int, n_frames: int | None = None,
     minf = _box(b"minf", vmhd + dinf + stbl)
     mdia = _box(b"mdia", mdhd + hdlr + minf)
     trak = _box(b"trak", tkhd + mdia)
+    if audio_first:
+        a_mdhd = _full(b"mdhd", 0, 0, struct.pack(
+            ">IIII", 0, 0, 44100, duration_ts) + struct.pack(">HH", 0x55C4, 0))
+        a_hdlr = _full(b"hdlr", 0, 0,
+                       struct.pack(">I", 0) + b"soun" + b"\x00" * 12
+                       + b"SoundHandler\x00")
+        a_trak = _box(b"trak", tkhd + _box(b"mdia", a_mdhd + a_hdlr))
+        trak = a_trak + trak
     moov = _box(b"moov", mvhd + trak)
     return ftyp + mdat + moov
 
@@ -148,10 +165,32 @@ def parse_mp4(blob: bytes) -> dict:
         mv_ts = struct.unpack(">I", blob[mvhd[0] + 20:mvhd[0] + 24])[0]
         mv_dur = struct.unpack(">Q", blob[mvhd[0] + 24:mvhd[0] + 32])[0]
 
-    trak = _find(blob, *moov, b"trak")
+    # select the VIDEO track explicitly: real-world files often carry the
+    # audio trak first, and reading visual dims out of a soun sample entry
+    # would be a silent wrong answer (this module's contract forbids those)
+    trak = None
+    for t, b, e in _walk(blob, *moov):
+        if t != b"trak":
+            continue
+        mdia_c = _find(blob, b, e, b"mdia")
+        if mdia_c is None:
+            continue
+        hdlr_c = _find(blob, *mdia_c, b"hdlr")
+        if hdlr_c is not None and blob[hdlr_c[0] + 8:hdlr_c[0] + 12] == b"vide":
+            trak = (b, e)
+            break
+    if trak is None:
+        raise ValueError("no video track (hdlr='vide') in moov")
     mdia = _find(blob, *trak, b"mdia")
     mdhd = _find(blob, *mdia, b"mdhd")
-    md_ts, md_dur = struct.unpack(">II", blob[mdhd[0] + 12:mdhd[0] + 20])
+    md_ver = blob[mdhd[0]]
+    if md_ver == 0:
+        md_ts, md_dur = struct.unpack(">II", blob[mdhd[0] + 12:mdhd[0] + 20])
+    elif md_ver == 1:  # 64-bit creation/modification/duration fields
+        md_ts = struct.unpack(">I", blob[mdhd[0] + 20:mdhd[0] + 24])[0]
+        md_dur = struct.unpack(">Q", blob[mdhd[0] + 24:mdhd[0] + 32])[0]
+    else:
+        raise ValueError(f"unsupported mdhd version {md_ver}")
     hdlr = _find(blob, *mdia, b"hdlr")
     handler = blob[hdlr[0] + 8:hdlr[0] + 12].decode("ascii", "replace")
     minf = _find(blob, *mdia, b"minf")

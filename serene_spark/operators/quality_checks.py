@@ -454,7 +454,7 @@ register(
 DP_EPSILON = 1.0  # per-release privacy budget for the count query
 
 
-def dp_release_sql(dialect: str) -> str:
+def _dp_counts_sql(dialect: str, audit: bool) -> str:
     """Differentially-private release of per-(nation, market segment)
     customer counts via the Laplace mechanism (Dwork et al., TCC 2006) —
     the RELEASE step the privacy family was missing: ``pii_scan_customer``
@@ -475,13 +475,20 @@ def dp_release_sql(dialect: str) -> str:
         t     = u - 0.5                                    in (-0.5, 0.5)
         noise = -(1/eps) * sign(t) * ln(1 - 2*|t|)         ~ Laplace(1/eps)
 
-    (A production release would key the hash with a secret per-release
-    salt; the public key here is the determinism the parity gate needs.)
-    ``ln`` stays at the output edge over identical doubles (the
-    ``pmi_collocations`` convention).  Output: the released cells
-    (group, dp_count >= 0 by post-processing max) plus the audit columns a
-    privacy review reads — true count, the noise draw, epsilon, and the
-    corpus-level mean |noise| beside its analytic expectation 1/eps.
+    NOT ACTUALLY PRIVATE AS SHIPPED: because the hash key is public, the
+    noise draw is exactly invertible — a production release keys the hash
+    with a secret per-release salt (effectively this construction IS the
+    mechanism with the engine RNG swapped for a checkable one).  The
+    registered doc strings say so; the value here is that the mechanism's
+    arithmetic is oracle-checked end to end.  ``ln`` stays at the output
+    edge over identical doubles (the ``pmi_collocations`` convention).
+
+    Two registered shapes: ``dp_release_counts`` (audit=False) ships ONLY
+    what a release may contain — (group, dp_count >= 0 by post-processing
+    max, epsilon); ``dp_release_audit`` (audit=True) adds the columns a
+    privacy REVIEW reads before sign-off — true count, the noise draw,
+    and the corpus-level mean |noise| beside its analytic expectation
+    1/eps — and must never leave the review boundary.
 
     Scale: one scan -> group agg (map-side combined); noise is per-GROUP
     arithmetic on the tiny grouped relation — the mechanism costs nothing
@@ -507,25 +514,46 @@ summary AS (
   SELECT AVG(ABS(noise)) AS mean_abs_noise FROM noised
 )
 SELECT CAST(nation AS BIGINT) AS nation,
-       segment,
+       segment,{'''
        CAST(n_true AS BIGINT) AS n_true,
-       ROUND(noise, 6) AS noise,
+       ROUND(noise, 6) AS noise,''' if audit else ''}
        ROUND(GREATEST(n_true + noise, 0.0), 6) AS dp_count,
-       {DP_EPSILON} AS epsilon,
-       ROUND((SELECT mean_abs_noise FROM summary), 6) AS mean_abs_noise
+       {DP_EPSILON} AS epsilon{''',
+       ROUND((SELECT mean_abs_noise FROM summary), 6) AS mean_abs_noise''' if audit else ''}
 FROM noised
 ORDER BY nation, segment
 """
 
 
+def dp_release_sql(dialect: str) -> str:
+    return _dp_counts_sql(dialect, audit=False)
+
+
+def dp_release_audit_sql(dialect: str) -> str:
+    return _dp_counts_sql(dialect, audit=True)
+
+
 register(
     "dp_release_counts",
     oracle=dp_release_sql(DUCKDB),
-    doc=f"epsilon-DP (eps={DP_EPSILON}) Laplace release of per-(nation, "
-    "segment) customer counts — deterministic md5 inverse-CDF noise so the "
-    "mechanism is oracle-checked; released cells + the audit columns "
-    "(true count, draw, mean |noise| vs the analytic 1/eps)",
+    doc=f"Laplace-mechanism (eps={DP_EPSILON}) count release, RELEASED "
+    "CELLS ONLY: (nation, segment, dp_count, epsilon) — no true counts or "
+    "draws in the output. DEMO mechanism, not actually private: the noise "
+    "is derived from the public group key (deterministic md5 inverse-CDF) "
+    "so the parity gate checks the arithmetic; production keys the hash "
+    "with a secret per-release salt",
 )(_customer_q(dp_release_sql))
+
+
+register(
+    "dp_release_audit",
+    oracle=dp_release_audit_sql(DUCKDB),
+    doc="privacy-review companion to dp_release_counts: the same release "
+    "plus the audit columns a reviewer reads (true count, noise draw, "
+    "mean |noise| vs the analytic 1/eps) — never leaves the review "
+    "boundary. Same DEMO-determinism caveat: public-key md5 noise, "
+    "invertible by construction, oracle-checkable by design",
+)(_customer_q(dp_release_audit_sql))
 
 
 # --- DP median release (exponential mechanism) -------------------------------

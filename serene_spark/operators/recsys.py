@@ -469,7 +469,9 @@ def als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user").count()
         .agg(F.max("count")).collect()[0][0]
     )
-    recs = model.recommendForUserSubset(sample, int(max_seen) + ALS_TOP_K)
+    # max() over an empty ratings relation is NULL — degenerate input
+    # serves an empty frame, like every other operator
+    recs = model.recommendForUserSubset(sample, int(max_seen or 0) + ALS_TOP_K)
 
     exploded = recs.select(
         "user", F.posexplode("recommendations").alias("pos", "rec")

@@ -646,5 +646,7 @@ register(
     doc=f"dominant PPMI eigenvector by {SPEC_ITERS} unrolled power "
     f"iterations over the top-{SPEC_VOCAB} vocab (Levy-Goldberg implicit "
     "matrix factorization, d=1) — embedding training the parity gate "
-    "checks exactly; decimal-rounded mat-vec, max-normalized iterates",
-)(_docs_query(ppmi_spectral_sql))
+    "checks exactly; decimal-rounded mat-vec, max-normalized iterates; "
+    "Spark runner materializes token-stream products + PPMI matrix so the "
+    "iteration tail never re-derives the document scan",
+)(_ppmi_spectral_spark)

@@ -549,6 +549,37 @@ def test_mp4_parser_rejects_malformed_and_stub_blobs(spark):
     assert truncated == "raised"  # never a silent wrong answer
 
 
+def test_mp4_parser_mdhd_v1_and_audio_first_traks():
+    """Two real-world container shapes that a version-0/first-trak
+    parser silently misreads: the 64-bit mdhd layout must yield the SAME
+    timescale/duration as its version-0 twin, and an audio-first file
+    must have its dims/fps read from the vide trak, not the soun one."""
+    from serene_spark.multimodal.mp4 import make_mp4, parse_mp4
+
+    base = parse_mp4(make_mp4(7))
+    v1 = parse_mp4(make_mp4(7, mdhd_version=1))
+    assert v1["duration_sec"] == base["duration_sec"]
+    assert v1["fps"] == base["fps"]
+    assert v1["samples"] == base["samples"]
+
+    af = parse_mp4(make_mp4(7, audio_first=True))
+    assert af["handler"] == "vide"
+    assert (af["width"], af["height"]) == (base["width"], base["height"])
+    assert af["fps"] == base["fps"]
+    assert af["n_samples"] == base["n_samples"]
+
+    # unknown mdhd version: raise, never a silent wrong answer
+    blob = bytearray(make_mp4(7))
+    i = blob.find(b"mdhd")
+    blob[i + 4] = 2
+    try:
+        parse_mp4(bytes(blob))
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
+
+
 def test_gif_tier_lossless_and_cross_container_identical(spark):
     """GIF roundtrips its palettized pixels losslessly, and the SAME
     posterized pixels encoded as GIF and PPM decode identically (the

@@ -600,3 +600,9 @@ def test_round8_operators_no_cartesian_and_keyed_windows(spark, sf_dir):
     # statement — selection + tokenization ran exactly once upstream
     final = plan_text(qs["corpus_build_manifest"].spark(spark, sf_dir))
     assert final.count("Scan parquet") == 0
+
+    # the spectral-embedding tail likewise consumes ONLY materialized
+    # views (PPMI matrix + vocab): zero parquet scans in the iteration
+    # statement — the document token scan ran exactly once upstream
+    final = plan_text(qs["ppmi_spectral_embedding"].spark(spark, sf_dir))
+    assert final.count("Scan parquet") == 0

@@ -359,7 +359,9 @@ def test_dq_cross_table_all_orphans_yields_null_means(spark):
 def test_dp_release_mechanism_python_recheck(spark):
     """The Laplace mechanism re-derived independently: hashlib md5 ->
     inverse-CDF noise with math.log must reproduce every released cell,
-    and the release must satisfy the mechanism's own invariants."""
+    and the release must satisfy the mechanism's own invariants.  The
+    recheck reads the AUDIT shape; the release shape must carry ONLY
+    what a release may contain and agree cell-for-cell with the audit."""
     import hashlib
     import math
 
@@ -367,8 +369,15 @@ def test_dp_release_mechanism_python_recheck(spark):
 
     from serene_spark.operators.quality_checks import DP_EPSILON
 
-    q = load_all()["dp_release_counts"]
+    q = load_all()["dp_release_audit"]
     got = q.spark(spark, SF).toPandas()
+
+    released = load_all()["dp_release_counts"].spark(spark, SF).toPandas()
+    # the release never ships true counts or draws
+    assert set(released.columns) == {"nation", "segment", "dp_count", "epsilon"}
+    merged = released.merge(got, on=["nation", "segment"], suffixes=("_r", "_a"))
+    assert len(merged) == len(got) == len(released)
+    assert (merged.dp_count_r == merged.dp_count_a).all()
 
     cust = pd.read_parquet(f"{SF}/customer.parquet")
     truth = (
