@@ -228,6 +228,23 @@ CITIES_DISCARD_PREDICTIONS: dict[str, dict[str, float]] = {
     "city2": {"unknown": 1.0, "City---name": 0.0, "State---name": 0.0},
 }
 
+# getUnknownCitiesDataSetPredictions: second column carries a LOW unknown
+# score beside real class scores — the unknown label is stripped, both
+# columns survive filtering (SuggestModelSpec.scala:484-525).
+CITIES_UNKNOWN_PREDICTIONS: dict[str, dict[str, float]] = {
+    "city1": {"City---name": 0.5, "State---name": 0.5},
+    "city2": {"unknown": 0.1, "City---name": 0.4, "State---name": 0.5},
+}
+
+# getUnknownMaxCitiesDataSetPredictions: unknown is the ARGMAX of the
+# second column but below the threshold — the filter must reset the
+# column to its best class scores (both sub-threshold!), not discard it
+# (SuggestModelSpec.scala:527-556: filtered size 2, then 4 suggestions).
+CITIES_UNKNOWN_MAX_PREDICTIONS: dict[str, dict[str, float]] = {
+    "city1": {"City---name": 0.5, "State---name": 0.5},
+    "city2": {"unknown": 0.4, "City---name": 0.3, "State---name": 0.3},
+}
+
 # Museum-family scenario matrix over a new "employees" source
 # (SuggestModelSpec's correct / wrong / unknown / missing variants).
 EMPLOYEE_PREDICTIONS: dict[str, dict[str, float]] = {

@@ -122,19 +122,41 @@ class SemanticScores:
 def filter_predictions(
     predictions: dict[str, dict[str, float]], unknown_threshold: float = 0.0
 ) -> dict[str, dict[str, float]]:
-    """Drop unknown-class and zero/sub-threshold columns
-    (PredictOctopus.scala:101-126)."""
+    """Reference-exact column filter (PredictOctopus.scala:101-122):
+
+    * the reserved unknown label is stripped from every score map (it is
+      not in the ontology) — compared exactly, so a legitimate class
+      named e.g. "unknownCarrier---name" survives;
+    * a column is DISCARDED only when the unknown class is its argmax
+      with score above ``unknown_threshold`` (the reference checks
+      ``label == UknownClass && confidence > threshold``; our prediction
+      shape has no separate label field, so argmax stands in for it), or
+      when every remaining class score is zero;
+    * sub-threshold CLASS scores are kept — the reference resets the
+      column's label/confidence to the best remaining class
+      (``filterScores.maxBy``), it never prunes individual scores. The
+      unknown-max spec scenario (SuggestModelSpec.scala:527-556) turns
+      red if they are pruned: {unknown 0.4, City 0.3, State 0.3} must
+      survive as a 2-score column, not vanish."""
     out: dict[str, dict[str, float]] = {}
     for col, scores in predictions.items():
-        # compare the class component exactly — a legitimate class named e.g.
-        # "unknownCarrier---name" must NOT be dropped (the reference compares
-        # the reserved label exactly, PredictOctopus.scala:101-126)
         kept = {
             lbl: s
             for lbl, s in scores.items()
-            if s > unknown_threshold and lbl.partition("---")[0] != UNKNOWN_CLASS
+            if lbl.partition("---")[0] != UNKNOWN_CLASS
         }
-        if kept and max(kept.values()) > unknown_threshold:
+        unk = max(
+            (
+                s
+                for lbl, s in scores.items()
+                if lbl.partition("---")[0] == UNKNOWN_CLASS
+            ),
+            default=0.0,
+        )
+        best = max(kept.values(), default=0.0)
+        if unk > unknown_threshold and unk >= best:
+            continue  # confidently-unknown column: discard
+        if best > 0:
             out[col] = kept
     return out
 

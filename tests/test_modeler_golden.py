@@ -18,6 +18,8 @@ from serene_spark.modeler.report_fixture import (
     CITIES_DISCARD_PREDICTIONS,
     CITIES_PROBLEMATIC_PREDICTIONS,
     CITIES_TIED_PREDICTIONS,
+    CITIES_UNKNOWN_MAX_PREDICTIONS,
+    CITIES_UNKNOWN_PREDICTIONS,
     EVENTS_SSD,
     MUSEUM_STYLE_SSDS,
     PERSONAL_SSD,
@@ -203,6 +205,76 @@ def test_cities_problematic_zero_scores_drop_column():
     assert suggestions  # succeeds on the surviving column
     assert all(m.mappings.keys() == {"city1"} for m, _s in suggestions)
     assert len(suggestions) == 2  # City---name and State---name variants
+
+
+def test_business_top1_exact_mapping_pin():
+    """The pin the Scala spec could NOT write: SuggestModelSpec.scala:424
+    leaves the exact mapping commented out ('unfortunately, mappings are
+    not fixed' — Karma's iteration order is nondeterministic). Our
+    engine is deterministic, so the top-1 column -> (class, property)
+    assignment is pinned exactly, not just the triple set."""
+    top, _scores = suggest_business()[0]
+    by_attr = {}
+    nodes = {n.id: n for n in top.semantic_model.nodes}
+    for attr, node_id in top.mappings.items():
+        owner, prop = next(
+            (nodes[l.source].label, l.label)
+            for l in top.semantic_model.links
+            if l.target == node_id
+        )
+        by_attr[attr] = (owner, prop)
+    assert by_attr == {
+        "company": ("Organization", "name"),
+        "ceo": ("Person", "name"),
+        "city": ("City", "name"),
+        "state": ("State", "name"),
+    }
+
+
+def test_cities_low_unknown_score_keeps_both_columns():
+    """getUnknownCitiesDataSetPredictions (SuggestModelSpec.scala:484-525):
+    a low unknown score beside real class scores is stripped, BOTH
+    columns survive (filtered size 2), and suggestions map both."""
+    kept = filter_predictions(CITIES_UNKNOWN_PREDICTIONS, UNKNOWN_THRESHOLD)
+    assert set(kept) == {"city1", "city2"}
+    assert "unknown" not in kept["city2"]
+    # the sub-threshold City score survives the filter (reference resets
+    # label/confidence via maxBy over remaining scores, never prunes)
+    assert kept["city2"] == {"City---name": 0.4, "State---name": 0.5}
+    suggestions = suggest_cities(CITIES_UNKNOWN_PREDICTIONS)
+    assert suggestions
+    assert all(m.mappings.keys() == {"city1", "city2"} for m, _s in suggestions)
+
+
+def test_cities_unknown_max_below_threshold_resets_column():
+    """getUnknownMaxCitiesDataSetPredictions (SuggestModelSpec.scala:
+    527-556): unknown is the column's ARGMAX but below the threshold —
+    the filter resets the column to its class scores instead of
+    discarding it; filtered size 2 and all suggestions map BOTH columns
+    (the reference asserts 4 suggestions = the 4 class assignments; our
+    topk=10 fills with alternative trees beyond them)."""
+    kept = filter_predictions(CITIES_UNKNOWN_MAX_PREDICTIONS, UNKNOWN_THRESHOLD)
+    assert set(kept) == {"city1", "city2"}
+    assert kept["city2"] == {"City---name": 0.3, "State---name": 0.3}
+    suggestions = suggest_cities(CITIES_UNKNOWN_MAX_PREDICTIONS)
+    assert suggestions
+    assert all(m.mappings.keys() == {"city1", "city2"} for m, _s in suggestions)
+    # the 4 distinct class assignments all surface among the suggestions
+    assignments = set()
+    for m, _s in suggestions:
+        nodes = {n.id: n for n in m.semantic_model.nodes}
+        owner = {}
+        for attr, node_id in m.mappings.items():
+            owner[attr] = next(
+                nodes[l.source].label
+                for l in m.semantic_model.links
+                if l.target == node_id
+            )
+        assignments.add((owner["city1"], owner["city2"]))
+    assert assignments == {
+        ("City", "City"), ("City", "State"),
+        ("State", "City"), ("State", "State"),
+    }
 
 
 def test_cities_unknown_dominated_column_discarded():
