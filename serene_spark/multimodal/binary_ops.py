@@ -12,8 +12,9 @@ Decode support is tiered by what a dependency-free container can honestly do:
   (``decode_png``); exotic shapes fall through to the PIL tier;
 - **image/JPEG**: REAL decode — baseline sequential JFIF (Huffman entropy
   decode + dequant + IDCT + 4:4:4/4:2:2/4:2:0 upsampling + YCbCr→RGB,
-  restart markers handled; see multimodal/jpeg.py); progressive /
-  arithmetic / 12-bit shapes fall through to the PIL tier;
+  restart markers handled; see multimodal/jpeg.py) AND progressive
+  (SOF2: spectral selection + successive approximation multi-scan
+  engine); arithmetic / 12-bit shapes fall through to the PIL tier;
 - **image/GIF**: REAL decode — variable-code-width LZW with clear/EOI and
   the KwKwK case, global/local color tables, extension skipping
   (multimodal/gif.py); interlaced/animated shapes fall through;
@@ -23,7 +24,7 @@ Decode support is tiered by what a dependency-free container can honestly do:
   to a (byte offset, length) range read — what frame sampling actually
   needs at scale; frame PAYLOAD decode (H.264 et al.) stays behind the
   stub tier, clearly marked (codec work needs codec libs);
-- **remaining compressed formats (progressive JPEG, exotic PNG...)**:
+- **remaining compressed formats (arithmetic JPEG, exotic PNG...)**:
   STUBBED with a deterministic content-hash fake behind a ``try: import
   PIL`` hook — the decode libs are not in this container; swapping the
   stub for a real decoder changes ONE function (``_decode``), the Spark
@@ -243,9 +244,9 @@ def decode_png(blob: bytes) -> np.ndarray:
 
 def decode_image(blob: bytes) -> np.ndarray | None:
     """Pixels for any REAL-decodable image format (P6 PPM, PNG, baseline
-    JPEG or single-frame GIF), else None — the single dispatch the pixel operators
-    share. Malformed or unsupported-shape blobs (palette/16-bit/
-    interlaced PNG, progressive JPEG, truncated streams) return None
+    or progressive JPEG, or single-frame GIF), else None — the single
+    dispatch the pixel operators share. Malformed or unsupported-shape
+    blobs (palette/16-bit/interlaced PNG, truncated streams) return None
     rather than raising: the pixel operators' contract is
     SKIP-undecodable, and an exception inside an Arrow UDF would fail
     the whole task."""
@@ -329,8 +330,8 @@ def _decode(kind: str, blob: bytes):
             h, w = img.shape[:2]
             return (w, h, 1) + _NULLS[3:] + ("jpeg",)
         except Exception:
-            # progressive/arithmetic/12-bit raise ValueError; corrupt
-            # bodies raise anything — all fall through to PIL tier/stub
+            # arithmetic/12-bit raise ValueError; corrupt bodies raise
+            # anything — all fall through to the PIL tier / stub
             pass
     if kind == "audio" and blob.startswith(b"RIFF"):
         channels, rate, n, pcm = decode_wav(blob)

@@ -6,15 +6,22 @@ sequential, the format of essentially every camera/web JPEG):
 - ``decode_jpeg``: marker parse (APP*/COM skipped, DQT, SOF0, DHT, DRI,
   SOS), Huffman entropy decode with byte-unstuffing and RSTn restart
   handling, dequantize + inverse zigzag + 2-D IDCT per 8x8 block,
-  4:4:4 / 4:2:2 / 4:2:0 chroma upsampling, YCbCr->RGB. Progressive
-  (SOF2), arithmetic, 12-bit and hierarchical JPEGs raise ValueError —
-  they fall through to the PIL tier / stub in binary_ops._decode, same
-  contract as exotic PNG shapes.
+  4:4:4 / 4:2:2 / 4:2:0 chroma upsampling, YCbCr->RGB. PROGRESSIVE
+  (SOF2) streams route to the multi-scan engine (spectral selection +
+  successive approximation, DC and AC first/refinement passes, EOB
+  runs — T.81 G.2); arithmetic, 12-bit and hierarchical JPEGs raise
+  ValueError and fall through to the PIL tier / stub in
+  binary_ops._decode, same contract as exotic PNG shapes.
 - ``make_jpeg``: the test-side twin — baseline 4:4:4 encoder with the
   Annex-K example quantization (quality-scaled) and Huffman tables, so
   the suite can construct REAL JPEG bytes and pin decode fidelity
   against the lossless PPM twin of the same pixels
   (tests/test_multimodal.py).
+- ``make_jpeg_progressive``: progressive 4:4:4 encoder over the SAME
+  quantized coefficients as ``make_jpeg`` (DC first Al=1 + DC refine,
+  split-band AC first Al=1 + AC refine with EOB-run accumulation) —
+  decoding its output must be BIT-IDENTICAL to decoding the baseline
+  twin, the strongest cross-check available without golden binaries.
 
 Like decode_png in binary_ops (the precedent), correctness is pinned by
 construction + roundtrip fidelity bounds, not by golden binaries: the
@@ -401,9 +408,11 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             for c in range(n):
                 cid, samp, qsel = data[6 + 3 * c:9 + 3 * c]
                 comps.append((cid, samp >> 4, samp & 0x0F, qsel))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC2:  # SOF2 progressive — the multi-scan engine
+            return _decode_progressive(blob)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError(f"non-baseline JPEG (SOF{marker - 0xC0}) — PIL tier")
+            raise ValueError(f"unsupported JPEG (SOF{marker - 0xC0}) — PIL tier")
         elif marker == 0xC4:  # DHT — possibly several tables per segment
             i = 0
             while i < len(data):
@@ -487,3 +496,478 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         g = np.clip(full[0].round(), 0, 255).astype(np.uint8)
         return np.stack([g, g, g], axis=-1)
     return _ycbcr_to_rgb(full[0], full[1], full[2])
+
+
+# -- progressive (SOF2) engine: T.81 Annex G.2 --------------------------------
+
+
+def _decode_progressive(blob: bytes) -> np.ndarray:
+    """Multi-scan progressive decode: every scan (DC/AC x first/refine)
+    updates per-block coefficient vectors in zigzag order; dequantize +
+    IDCT happen ONCE after EOI. Spectral selection, successive
+    approximation, and EOB runs per T.81 G.2 / the libjpeg conventions
+    (arithmetic >>/| on signed ints for the approximation bits)."""
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    comps: list[tuple[int, int, int, int]] | None = None
+    h = w = None
+    restart_interval = 0
+    coefs: dict[int, np.ndarray] = {}  # cid -> (by, bx, 64) zigzag ints
+    dims: dict[int, tuple[int, int, int, int]] = {}  # cid -> by,bx,true_by,true_bx
+    while pos < len(blob):
+        if blob[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = blob[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack(">H", blob[pos + 2:pos + 4])
+        data = blob[pos + 4:pos + 2 + length]
+        if marker == 0xDB:
+            i = 0
+            while i < len(data):
+                prec, tid = data[i] >> 4, data[i] & 0x0F
+                if prec != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = np.zeros(64, np.int32)
+                tbl[ZIGZAG] = np.frombuffer(data[i + 1:i + 65], np.uint8)
+                qts[tid] = tbl
+                i += 65
+        elif marker == 0xC2:
+            prec, h, w, n = struct.unpack(">BHHB", data[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for c in range(n):
+                cid, samp, qsel = data[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 0x0F, qsel))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for cid, hs, vs, _q in comps:
+                by, bx = mcuy * vs, mcux * hs  # MCU-padded block grid
+                # non-interleaved scans cover the TRUE component block
+                # grid (ceil(comp_dim / 8)), not the MCU-padded one
+                true_by = -(-(-(-h * vs // vmax)) // 8)
+                true_bx = -(-(-(-w * hs // hmax)) // 8)
+                coefs[cid] = np.zeros((by, bx, 64), np.int32)
+                dims[cid] = (by, bx, true_by, true_bx)
+        elif marker == 0xC4:
+            i = 0
+            while i < len(data):
+                cls, tid = data[i] >> 4, data[i] & 0x0F
+                counts = list(data[i + 1:i + 17])
+                nsym = sum(counts)
+                symbols = list(data[i + 17:i + 17 + nsym])
+                tab = _huff_decoder((counts, symbols))
+                (ac_tabs if cls else dc_tabs)[tid] = tab
+                i += 17 + nsym
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", data[:2])
+        elif marker == 0xDA:
+            if comps is None:
+                raise ValueError("SOS before SOF")
+            ns = data[0]
+            scan = []
+            for c in range(ns):
+                cid, tsel = data[1 + 2 * c], data[2 + 2 * c]
+                scan.append((cid, tsel >> 4, tsel & 0x0F))
+            ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
+            ahal = data[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            pos = _decode_scan(
+                blob, pos + 2 + length, comps, scan, ss, se, ah, al,
+                dc_tabs, ac_tabs, coefs, dims, restart_interval,
+            )
+            continue
+        pos += 2 + length
+    if comps is None or not coefs:
+        raise ValueError("missing SOF2/SOS")
+
+    # one dequantize + IDCT pass over the accumulated coefficients
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    idct = _DCT.T
+    full = []
+    for cid, hs, vs, qsel in comps:
+        by, bx, _tby, _tbx = dims[cid]
+        plane = np.zeros((by * 8, bx * 8), np.float64)
+        qt = qts[qsel]
+        cz = coefs[cid]
+        for y in range(by):
+            for x in range(bx):
+                coef = np.zeros(64, np.float64)
+                coef[ZIGZAG] = cz[y, x] * qt[ZIGZAG]
+                plane[y * 8:y * 8 + 8, x * 8:x * 8 + 8] = (
+                    idct @ coef.reshape(8, 8) @ _DCT + 128.0
+                )
+        if hs != hmax or vs != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        g = np.clip(full[0].round(), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    return _ycbcr_to_rgb(full[0], full[1], full[2])
+
+
+def _decode_scan(blob, pos, comps, scan, ss, se, ah, al,
+                 dc_tabs, ac_tabs, coefs, dims, restart_interval) -> int:
+    """Decode one progressive entropy-coded segment; returns the byte
+    position just past it (at the next marker)."""
+    br = _BitReader(blob, pos)
+    by_cid = {cid: (hs, vs) for cid, hs, vs, _q in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+
+    if ss == 0:  # DC scan (se must be 0)
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        pred = {cid: 0 for cid, *_ in scan}
+        if len(scan) > 1:  # interleaved over MCUs
+            sel = [(cid, by_cid[cid][0], by_cid[cid][1], dct) for cid, dct, _a in scan]
+            mcux = dims[scan[0][0]][1] // by_cid[scan[0][0]][0]
+            mcuy = dims[scan[0][0]][0] // by_cid[scan[0][0]][1]
+            n_units, unit = mcux * mcuy, 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        br.expect_restart()
+                        pred = {cid: 0 for cid in pred}
+                    for cid, hs, vs, dct in sel:
+                        for v in range(vs):
+                            for u in range(hs):
+                                _dc_unit(br, ah, al, pred, cid, dct, dc_tabs,
+                                         coefs[cid], my * vs + v, mx * hs + u)
+                    unit += 1
+        else:
+            cid, dct, _a = scan[0]
+            _by, _bx, tby, tbx = dims[cid]
+            unit = 0
+            for y in range(tby):
+                for x in range(tbx):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        br.expect_restart()
+                        pred = {cid: 0}
+                    _dc_unit(br, ah, al, pred, cid, dct, dc_tabs,
+                             coefs[cid], y, x)
+                    unit += 1
+    else:  # AC scan: exactly one component, non-interleaved
+        if len(scan) != 1:
+            raise ValueError("interleaved AC scan in progressive stream")
+        cid, _d, act = scan[0]
+        tab = ac_tabs[act]
+        cz = coefs[cid]
+        _by, _bx, tby, tbx = dims[cid]
+        eobrun = 0
+        unit = 0
+        for y in range(tby):
+            for x in range(tbx):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    br.expect_restart()
+                    eobrun = 0
+                if ah == 0:
+                    eobrun = _ac_first(br, tab, cz[y, x], ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine(br, tab, cz[y, x], ss, se, al, eobrun)
+                unit += 1
+
+    # drop partial-byte pad bits; the caller resumes at the next marker
+    p = br.pos
+    while p + 1 < len(blob) and not (
+        blob[p] == 0xFF and blob[p + 1] not in (0x00,)
+    ):
+        p += 1
+    return p
+
+
+def _dc_unit(br, ah, al, pred, cid, dct, dc_tabs, cz, y, x):
+    if ah == 0:  # first DC pass: Huffman diff of the Al-shifted value
+        s = _decode_huff(br, dc_tabs[dct])
+        pred[cid] += _extend(br.bits(s), s)
+        cz[y, x, 0] = pred[cid] << al
+    else:  # refinement: one raw bit, OR into bit Al
+        if br.bit():
+            cz[y, x, 0] = int(cz[y, x, 0]) | (1 << al)
+
+
+def _ac_first(br, tab, block, ss, se, al, eobrun) -> int:
+    """First AC pass over one block's band; returns the new EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(br, tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.bits(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("AC run past Se")
+        block[k] = _extend(br.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(br, tab, block, ss, se, al, eobrun) -> int:
+    """AC refinement pass (T.81 G.2.2 / libjpeg decode_mcu_AC_refine):
+    newly-nonzero coefficients arrive as +-(1<<Al); every nonzero-history
+    coefficient crossed consumes one correction bit."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(br, tab)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r)
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                # ZRL: advance over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("refinement size != 1")
+                val = p1 if br.bit() else m1
+            while k <= se:
+                c = int(block[k])
+                if c != 0:
+                    if br.bit() and (c & p1) == 0:
+                        block[k] = c + (p1 if c > 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                block[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(block[k])
+            if c != 0 and br.bit() and (c & p1) == 0:
+                block[k] = c + (p1 if c > 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+# -- progressive encoder (the test-side twin) ----------------------------------
+
+# Flat 8-bit canonical Huffman table covering EVERY progressive AC symbol:
+# EOBn for n=0..14 ((r<<4)|0), ZRL (0xF0 = the r=15,s=0 slot), and all
+# (run<<4)|size pairs for size 1..10 — 16*11 = 176 symbols, all length 8
+# (176 < 256 leaves the code incomplete, which T.81 permits). The Annex-K
+# sequential tables lack the EOBn symbols, so progressive scans need this.
+PROG_AC_SPEC = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    [(r << 4) | s for r in range(16) for s in range(11)],
+)
+
+
+def make_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a PROGRESSIVE (SOF2) 4:4:4
+    JFIF JPEG over the SAME quantized coefficients as ``make_jpeg`` —
+    decode of both must be bit-identical.
+
+    Scan script (exercises every decoder path): interleaved DC first
+    pass at Al=1, DC refinement, per-component AC first passes with a
+    split luma band (1-5 then 6-63, Al=1 — spectral selection + EOB-run
+    accumulation), then per-component AC refinement (Ah=1 -> Al=0)."""
+    h, w = img.shape[:2]
+    qt = [_quality_scale(Q_LUMA, quality), _quality_scale(Q_CHROMA, quality)]
+    ycc = _rgb_to_ycbcr(img)
+    ycc = np.pad(ycc, ((0, -h % 8), (0, -w % 8), (0, 0)), mode="edge")
+    by, bx = ycc.shape[0] // 8, ycc.shape[1] // 8
+    coefs = []
+    for comp in range(3):
+        tsel = 0 if comp == 0 else 1
+        cz = np.zeros((by, bx, 64), np.int64)
+        plane = ycc[:, :, comp]
+        for y in range(by):
+            for x in range(bx):
+                c = _DCT @ (plane[y * 8:y * 8 + 8, x * 8:x * 8 + 8] - 128.0) @ _DCT.T
+                cz[y, x] = np.round(c.ravel() / qt[tsel]).astype(np.int64)[ZIGZAG]
+        coefs.append(cz)
+
+    dc_codes = [_huff_codes(DC_LUMA_SPEC), _huff_codes(DC_CHROMA_SPEC)]
+    ac_code = _huff_codes(PROG_AC_SPEC)
+
+    def dc_first(al: int) -> bytes:
+        bw = _BitWriter()
+        pred = [0, 0, 0]
+        for y in range(by):
+            for x in range(bx):
+                for comp in range(3):
+                    v = int(coefs[comp][y, x, 0]) >> al  # arithmetic shift
+                    size, bits = _magnitude(v - pred[comp])
+                    bw.put(*dc_codes[0 if comp == 0 else 1][size])
+                    if size:
+                        bw.put(bits, size)
+                    pred[comp] = v
+        bw.flush()
+        return bytes(bw.buf)
+
+    def dc_refine(al: int) -> bytes:
+        bw = _BitWriter()
+        for y in range(by):
+            for x in range(bx):
+                for comp in range(3):
+                    bw.put((int(coefs[comp][y, x, 0]) >> al) & 1, 1)
+        bw.flush()
+        return bytes(bw.buf)
+
+    def flush_eobrun(bw, eobrun, pending):
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            bw.put(*ac_code[r << 4])
+            if r:
+                bw.put(eobrun - (1 << r), r)
+        for b in pending:
+            bw.put(b, 1)
+
+    def ac_first(comp: int, ss: int, se: int, al: int) -> bytes:
+        bw = _BitWriter()
+        eobrun = 0
+        for y in range(by):
+            for x in range(bx):
+                band = coefs[comp][y, x, ss:se + 1]
+                tvals = [(int(abs(int(v))) >> al, 1 if v > 0 else -1)
+                         for v in band]
+                if all(t == 0 for t, _s in tvals):
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eobrun(bw, eobrun, [])
+                        eobrun = 0
+                    continue
+                flush_eobrun(bw, eobrun, [])
+                eobrun = 0
+                run = 0
+                for t, sgn in tvals:
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        bw.put(*ac_code[0xF0])
+                        run -= 16
+                    size, bits = _magnitude(t * sgn)
+                    bw.put(*ac_code[(run << 4) | size])
+                    bw.put(bits, size)
+                    run = 0
+                if run:
+                    eobrun += 1
+        flush_eobrun(bw, eobrun, [])
+        bw.flush()
+        return bytes(bw.buf)
+
+    def ac_refine(comp: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        """Exact mirror of the decoder's refinement walk: events are
+        n = nonzero-history (one correction bit), v = newly-nonzero
+        (symbol + sign), z = zero-history zero (run/ZRL currency)."""
+        bw = _BitWriter()
+        eobrun = 0
+        gpending: list[int] = []
+        for y in range(by):
+            for x in range(bx):
+                events = []
+                for v in coefs[comp][y, x, ss:se + 1]:
+                    v = int(v)
+                    t = abs(v) >> al
+                    hist = abs(v) >> ah
+                    if hist:
+                        events.append(("n", t & 1))
+                    elif t:
+                        events.append(("v", 1 if v > 0 else 0))
+                    else:
+                        events.append(("z", 0))
+                i, n_ev = 0, len(events)
+                while True:
+                    nxt = None
+                    zcount = 0
+                    for jj in range(i, n_ev):
+                        if events[jj][0] == "v":
+                            nxt = jj
+                            break
+                        if events[jj][0] == "z":
+                            zcount += 1
+                    if nxt is None:
+                        break
+                    while zcount > 15:
+                        if eobrun or gpending:
+                            flush_eobrun(bw, eobrun, gpending)
+                            eobrun, gpending = 0, []
+                        bw.put(*ac_code[0xF0])
+                        z = 0
+                        while z < 16:  # ZRL spans 16 zero-history slots
+                            typ, val = events[i]
+                            if typ == "n":
+                                bw.put(val, 1)
+                            else:
+                                z += 1
+                            i += 1
+                        zcount -= 16
+                    if eobrun or gpending:
+                        flush_eobrun(bw, eobrun, gpending)
+                        eobrun, gpending = 0, []
+                    bw.put(*ac_code[(zcount << 4) | 1])
+                    bw.put(events[nxt][1], 1)  # sign of the new +-(1<<Al)
+                    for jj in range(i, nxt):
+                        if events[jj][0] == "n":
+                            bw.put(events[jj][1], 1)
+                    i = nxt + 1
+                tail = [val for typ, val in events[i:] if typ == "n"]
+                if i < n_ev:  # block tail covered by an EOB run
+                    eobrun += 1
+                    gpending.extend(tail)
+                    if eobrun == 0x7FFF:
+                        flush_eobrun(bw, eobrun, gpending)
+                        eobrun, gpending = 0, []
+        flush_eobrun(bw, eobrun, gpending)
+        bw.flush()
+        return bytes(bw.buf)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def sos(comp_specs, ss, se, ah, al, body):
+        hdr = bytes([len(comp_specs)])
+        for cid, tsel in comp_specs:
+            hdr += bytes([cid, tsel])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return seg(0xFFDA, hdr) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    for tid, tbl in enumerate(qt):
+        out += seg(0xFFDB, bytes([tid]) + bytes(tbl.ravel()[ZIGZAG].tolist()))
+    out += seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 3)
+               + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    for cls, tid, spec in ((0, 0, DC_LUMA_SPEC), (0, 1, DC_CHROMA_SPEC),
+                           (1, 0, PROG_AC_SPEC)):
+        out += seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(spec[0]) + bytes(spec[1]))
+    all_dc = [(1, 0x00), (2, 0x10), (3, 0x10)]
+    out += sos(all_dc, 0, 0, 0, 1, dc_first(1))
+    out += sos(all_dc, 0, 0, 1, 0, dc_refine(0))
+    out += sos([(1, 0x00)], 1, 5, 0, 1, ac_first(0, 1, 5, 1))
+    out += sos([(2, 0x00)], 1, 63, 0, 1, ac_first(1, 1, 63, 1))
+    out += sos([(3, 0x00)], 1, 63, 0, 1, ac_first(2, 1, 63, 1))
+    out += sos([(1, 0x00)], 6, 63, 0, 1, ac_first(0, 6, 63, 1))
+    out += sos([(1, 0x00)], 1, 63, 1, 0, ac_refine(0, 1, 63, 1, 0))
+    out += sos([(2, 0x00)], 1, 63, 1, 0, ac_refine(1, 1, 63, 1, 0))
+    out += sos([(3, 0x00)], 1, 63, 1, 0, ac_refine(2, 1, 63, 1, 0))
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -500,6 +500,61 @@ def test_jpeg_feature_extraction_real_dims(spark):
     assert rows[2].decoder == "stub"
 
 
+def test_progressive_jpeg_decodes_bit_identical_to_baseline_twin():
+    """The SOF2 multi-scan engine against the strongest cross-check
+    available without golden binaries: the progressive encoder emits the
+    SAME quantized coefficients as the baseline encoder through a
+    completely different entropy layout (DC first/refine, split-band AC
+    first, AC refinement with EOB runs), so decode of both streams must
+    be BIT-identical — any error in either direction of the successive-
+    approximation algebra breaks the equality."""
+    import numpy as np
+
+    from serene_spark.multimodal.jpeg import (
+        decode_jpeg,
+        make_jpeg,
+        make_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:41, 0:53]
+    cases = [
+        np.stack([(xx * 5) % 256, (yy * 9) % 256,
+                  rng.integers(0, 256, (41, 53))], -1).astype(np.uint8),
+        np.full((64, 96, 3), 130, np.uint8),          # pure EOB runs
+        rng.integers(0, 256, (5, 7, 3)).astype(np.uint8),   # sub-block
+        rng.integers(0, 256, (40, 40, 3)).astype(np.uint8),  # dense noise
+    ]
+    imp = np.full((48, 48, 3), 128, np.uint8)
+    imp[::7, ::5] = 255                                # ZRL-heavy impulses
+    cases.append(imp)
+    for img in cases:
+        for q in (30, 75, 95):
+            base = decode_jpeg(make_jpeg(img, quality=q))
+            prog = decode_jpeg(make_jpeg_progressive(img, quality=q))
+            assert np.array_equal(base, prog), (img.shape, q)
+
+
+def test_progressive_jpeg_flows_through_media_features(spark):
+    """A REAL progressive stream now gets the 'jpeg' decoder tag through
+    the Spark feature extractor — the PIL-tier fallthrough is reserved
+    for arithmetic/12-bit shapes."""
+    from serene_spark.multimodal.binary_ops import (
+        MEDIA_SCHEMA,
+        decode_ppm,
+        extract_media_features,
+        make_ppm,
+    )
+    from serene_spark.multimodal.jpeg import make_jpeg_progressive
+
+    img = decode_ppm(make_ppm(5, width=23, height=17))
+    media = spark.createDataFrame(
+        [(1, "image", make_jpeg_progressive(img))], MEDIA_SCHEMA
+    )
+    (row,) = extract_media_features(media).collect()
+    assert (row.width, row.height, row.decoder) == (23, 17, "jpeg")
+
+
 def test_mp4_frame_ranges_are_true_range_reads(spark):
     """The seek plan is truth, not metadata theater: fetching each sampled
     frame's (offset, len) range out of the raw container bytes must
