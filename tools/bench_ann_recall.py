@@ -73,8 +73,20 @@ def main() -> int:
     for n_probe in (1, 2, 4, 8):
         variants.append((f"ivf_nprobe_{n_probe}",
                          S.ivf_search_sql(SPARK, n_probe=n_probe)))
+    # scale-tuned IVF geometry: centroids ~ sqrt(N) with proportional
+    # probes — the production knob the parity-sized k=16 lacks
+    import math
+    k_scaled = max(16, 1 << int(math.log2(max(16, int(n_vecs ** 0.5)))))
+    for n_probe in (k_scaled // 16, k_scaled // 8, k_scaled // 4):
+        variants.append((f"ivf_k{k_scaled}_nprobe_{n_probe}",
+                         S.ivf_search_sql(SPARK, k=k_scaled, n_probe=n_probe)))
     variants.append(("pq_adc", S.pq_adc_sql(SPARK)))
-    variants.append(("pq_rerank", S.pq_rerank_sql(SPARK)))
+    variants.append(("pq_rerank_pool50", S.pq_rerank_sql(SPARK)))
+    # scale-tuned re-rank pool: recall of a CONSTANT pool decays with
+    # corpus size; 0.5% of the corpus is the production sizing
+    S.PQ_RERANK_POOL = max(50, n_vecs // 200)
+    variants.append((f"pq_rerank_pool{S.PQ_RERANK_POOL}",
+                     S.pq_rerank_sql(SPARK)))
 
     for name, sql in variants:
         approx, sec = run(sql)
