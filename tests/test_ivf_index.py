@@ -117,3 +117,47 @@ def test_search_serves_upserted_vectors(spark, sf_dir, tmp_path):
 
     per_query = Counter(r["query_id"] for r in after)
     assert per_query == Counter(r["query_id"] for r in before)
+
+
+def test_ivf_scaled_geometry_derives_from_corpus_size(spark, sf_dir):
+    """similarity_ivf_scaled's in-query geometry must equal the python
+    formula k = clamp(2^floor(log2(sqrt(N))), 16, 1024) at every corpus
+    size, and its result shape matches the fixed-geometry operator's."""
+    import math
+
+    from serene_spark.catalog import register_views
+    from serene_spark.registry import load_all
+
+    def expect_k(n):
+        return max(16, min(1024, 2 ** int(math.floor(math.log2(math.sqrt(n))))))
+
+    assert expect_k(500) == 16      # the parity corpus: same as fixed k
+    assert expect_k(2000) == 32     # sf0.1
+    assert expect_k(200_000) == 256  # sf10
+
+    geom_sql = ("SELECT GREATEST(16, LEAST(1024, CAST(POW(2, FLOOR(LOG2("
+                "SQRT(COUNT(*))))) AS INT))) AS k FROM embeddings")
+    register_views(spark, sf_dir, ("embeddings",))
+    n = spark.table("embeddings").count()
+    k_sql = spark.sql(geom_sql).collect()[0]["k"]
+    assert k_sql == expect_k(n)
+
+    qs = load_all()
+    rows = qs["similarity_ivf_scaled"].spark(spark, sf_dir).collect()
+    assert rows
+    # full top-k per query, rank sequence intact
+    from collections import defaultdict
+
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r["query_id"]].append(r["rk"])
+    for q, rks in by_q.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1)), q
+
+    # at the parity corpus size the derived k equals the fixed geometry,
+    # so the two operators must return the IDENTICAL result set
+    if k_sql == 16:
+        fixed = {(r["query_id"], r["neighbor_id"], r["rk"])
+                 for r in qs["similarity_ivf"].spark(spark, sf_dir).collect()}
+        scaled = {(r["query_id"], r["neighbor_id"], r["rk"]) for r in rows}
+        assert scaled == fixed
