@@ -33,6 +33,7 @@ from serene_spark.functions.sqlgen import (
     SPARK,
     arr_filter_nonempty,
     arr_len,
+    explode_seq,
     hex_to_int,
     idiv,
     split_re,
@@ -249,3 +250,134 @@ register(
     "shard-local packing manifest over only the selected documents — "
     "the composition every stage exists for",
 )(_corpus_build_spark)
+
+
+# --- epoch shuffle plan (multi-epoch training-order manifest) -----------------
+
+N_EPOCHS = 3          # epochs planned per corpus pass
+DOCS_PER_BLOCK = 100  # target loader-block size (docs)
+
+
+def _epoch_assign_ctes(dialect: str) -> str:
+    """doc_tokens + block config + per-(epoch, doc) assignment.
+
+    Production shape — NO global rank: a per-epoch permutation via exact
+    ranks would need one total sort per epoch (a global unpartitioned
+    window, the anti-pattern the plan audits reject at data scale).
+    Instead each (epoch, doc) hashes straight to a loader block
+    (md5(epoch|doc_id) mod n_blocks) and blocks order internally by the
+    same hash — one hash-partition shuffle + partition-local sort per
+    epoch, the same plan family as shard_assign. Block sizes are
+    binomial around DOCS_PER_BLOCK (the balance audit makes the spread
+    visible); n_blocks derives in-query from corpus size.
+    """
+    bh = hex_to_int(
+        dialect,
+        "substr(md5(concat(CAST(epoch AS STRING), '|', "
+        "CAST(doc_id AS STRING))), 1, 8)",
+    )
+    return f"""
+doc_tokens AS (
+  {doc_tokens_rel(dialect)}
+),
+blk_cfg AS (
+  SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {DOCS_PER_BLOCK}.0) AS BIGINT))
+    AS n_blocks
+  FROM doc_tokens
+),
+epoched AS (
+  SELECT doc_id, n_tokens,
+         {explode_seq(dialect, 0, str(N_EPOCHS - 1))} AS epoch
+  FROM doc_tokens WHERE n_tokens > 0
+),
+assign AS (
+  SELECT e.epoch, e.doc_id, e.n_tokens,
+         {bh} % (SELECT n_blocks FROM blk_cfg) AS block,
+         {bh} AS order_key
+  FROM epoched e
+)"""
+
+
+def epoch_shuffle_plan_sql(dialect: str) -> str:
+    """Multi-epoch training-order manifest: every epoch re-shuffles the
+    corpus deterministically (seeded by the epoch number — rerunning the
+    plan reproduces the exact data order, the property a resumable
+    training run REQUIRES), emitted as per-(epoch, block) loader rows.
+
+    Scale: the manifest is |epochs| x |blocks| rows; the data-scale work
+    is one token-count scan (shared with the packing chain) and one
+    hash-bucket aggregation per epoch — map-side combinable, no global
+    sort anywhere (see _epoch_assign_ctes).
+    """
+    return f"""
+WITH {_epoch_assign_ctes(dialect)}
+SELECT CAST(epoch AS BIGINT) AS epoch,
+       CAST(block AS BIGINT) AS block,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS block_tokens,
+       CAST(MIN(order_key) AS BIGINT) AS first_key,
+       CAST(MAX(order_key) AS BIGINT) AS last_key
+FROM assign
+GROUP BY epoch, block
+ORDER BY epoch, block
+"""
+
+
+def epoch_shuffle_audit_sql(dialect: str) -> str:
+    """Cross-epoch decorrelation + balance audit of the shuffle plan:
+
+    * for every epoch pair, the share of documents landing in the SAME
+      block — must sit near 1/n_blocks (a shuffle that keeps documents
+      together across epochs re-feeds the model correlated batches);
+    * per-pair block-size balance of the lower epoch (max/mean ratio of
+      block document counts) — the loader-imbalance readout.
+
+    Everything reduces from the per-(epoch, doc) assignment: one join on
+    doc_id per epoch pair (doc-scale, equi-join), then group-cardinality
+    arithmetic.
+    """
+    return f"""
+WITH {_epoch_assign_ctes(dialect)},
+pairs AS (
+  SELECT a.epoch AS epoch_a, b.epoch AS epoch_b,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN a.block = b.block THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_same_block
+  FROM assign a
+  JOIN assign b ON a.doc_id = b.doc_id AND a.epoch < b.epoch
+  GROUP BY a.epoch, b.epoch
+),
+sizes AS (
+  SELECT epoch, MAX(c) AS max_block, AVG(c) AS mean_block
+  FROM (SELECT epoch, block, COUNT(*) AS c FROM assign GROUP BY epoch, block) s
+  GROUP BY epoch
+),
+nb AS (SELECT n_blocks FROM blk_cfg)
+SELECT p.epoch_a, p.epoch_b, p.n_docs, p.n_same_block,
+       ROUND(CAST(p.n_same_block AS DOUBLE) / p.n_docs, 6) AS same_block_share,
+       ROUND(CAST(1.0 AS DOUBLE) / (SELECT n_blocks FROM nb), 6)
+         AS expected_share,
+       ROUND(CAST(s.max_block AS DOUBLE) / s.mean_block, 6) AS balance_max_over_mean
+FROM pairs p JOIN sizes s ON p.epoch_a = s.epoch
+ORDER BY p.epoch_a, p.epoch_b
+"""
+
+
+register(
+    "epoch_shuffle_plan",
+    oracle=epoch_shuffle_plan_sql(DUCKDB),
+    doc=f"multi-epoch training-order manifest: {N_EPOCHS} deterministic "
+    "per-epoch permutations (md5(epoch|doc_id) hash-to-block, ~"
+    f"{DOCS_PER_BLOCK} docs/block derived in-query) emitted as "
+    "per-(epoch, block) loader rows — resumable-training data order with "
+    "no global sort (hash bucket + partition-local order)",
+)(_docs_query(epoch_shuffle_plan_sql))
+
+register(
+    "epoch_shuffle_audit",
+    oracle=epoch_shuffle_audit_sql(DUCKDB),
+    doc="epoch-shuffle quality audit: cross-epoch same-block share vs the "
+    "1/n_blocks expectation (batch decorrelation) + per-epoch block-size "
+    "balance (loader imbalance) — group-cardinality arithmetic over the "
+    "assignment relation",
+)(_docs_query(epoch_shuffle_audit_sql))

@@ -93,3 +93,43 @@ def test_corpus_build_composes_select_and_pack(spark, sf_dir):
             assert r.first_seq == r.start_off // 256
             assert r.last_seq == (r.start_off + r.n_tokens - 1) // 256
             expect_off += r.n_tokens
+
+
+def test_epoch_shuffle_plan_properties(spark):
+    """Every epoch must cover every nonzero-token document exactly once,
+    be deterministic across runs, and actually DECORRELATE epochs (the
+    same-block share sits near 1/n_blocks, nowhere near 1)."""
+    import math
+
+    from serene_spark.operators.packing import DOCS_PER_BLOCK, N_EPOCHS
+
+    qs = load_all()
+    plan = qs["epoch_shuffle_plan"].spark(spark, SF).collect()
+    epochs = {r["epoch"] for r in plan}
+    assert epochs == set(range(N_EPOCHS))
+    per_epoch_docs = {}
+    for r in plan:
+        per_epoch_docs[r["epoch"]] = per_epoch_docs.get(r["epoch"], 0) + r["n_docs"]
+        assert r["n_docs"] > 0 and r["block_tokens"] > 0
+        assert r["first_key"] <= r["last_key"]
+    # all epochs cover the identical document population
+    assert len(set(per_epoch_docs.values())) == 1
+    n_docs = per_epoch_docs[0]
+    n_blocks = max(1, math.ceil(n_docs / DOCS_PER_BLOCK))
+    # binomial block sizes: every block within a loose factor of target
+    for r in plan:
+        assert r["n_docs"] <= DOCS_PER_BLOCK * 3
+
+    # determinism: the plan is a pure function of (corpus, epoch)
+    again = qs["epoch_shuffle_plan"].spark(spark, SF).collect()
+    assert sorted(map(tuple, plan)) == sorted(map(tuple, again))
+
+    audit = qs["epoch_shuffle_audit"].spark(spark, SF).collect()
+    assert len(audit) == N_EPOCHS * (N_EPOCHS - 1) // 2
+    for r in audit:
+        assert r["n_docs"] == n_docs
+        # decorrelated: same-block share within 3 sigma of 1/n_blocks
+        p = 1.0 / n_blocks
+        sigma = math.sqrt(p * (1 - p) / n_docs)
+        assert abs(r["same_block_share"] - p) < 3.5 * sigma + 1e-9, r
+        assert r["balance_max_over_mean"] < 3.0
