@@ -163,6 +163,15 @@ def test_reference_wordnet_spec_gold_values(gold_db):
         assert W.wordnet_graph_distance(a, b) == exp, (a, b)
 
 
+def test_reference_synprovider_spec_gold_values(gold_db):
+    """WordNetSynProviderSpec.scala — the three live assertions (the
+    sex/gender one is commented out in the reference itself)."""
+    db = W.db()
+    assert "residence" in db.related_lemmas("address")
+    assert "address" in db.related_lemmas("residence")
+    assert "personnel" in db.related_lemmas("staff")
+
+
 def test_reference_ws4j_spec_gold_values(gold_db):
     """WS4JWordNetDistanceMetricSpec.scala — all three scenarios: the two
     best-alignment fixtures and the tokenized name-distance gold."""
