@@ -611,8 +611,12 @@ stats AS (
 ),
 z AS (
   SELECT r, n1, n0, n,
-         2.0 * n1 * n0 / n + 1 AS e_r,
-         (2.0 * n1 * n0 / n + 1 - 1) * (2.0 * n1 * n0 / n + 1 - 2) / (n - 1)
+         -- CAST: a bare 2.0 literal is DECIMAL(2,1) in Spark, so e_r would
+         -- reach the output as DECIMAL while DuckDB emits DOUBLE — equal
+         -- values, divergent types (the raw-tuple driver check fails)
+         CAST(2.0 AS DOUBLE) * n1 * n0 / n + 1 AS e_r,
+         (CAST(2.0 AS DOUBLE) * n1 * n0 / n + 1 - 1)
+           * (CAST(2.0 AS DOUBLE) * n1 * n0 / n + 1 - 2) / (n - 1)
            AS v_r
   FROM stats
 )
