@@ -361,3 +361,108 @@ register("kmv_rollup_users",
          "the direct sketch — the merge-lemma equality emitted and "
          "parity-verified, the KMV twin of hll_rollup_users")(
     _events_sql_query(kmv_rollup_sql))
+
+
+# --- bottom-k coordinated-sample quantile sketch ------------------------------
+
+QSK_K = 256  # sample rows retained per event type
+
+
+def qsketch_hash_u(dialect: str) -> str:
+    """Row identity -> uniform (0,1): md5 over event_id (the row key), the
+    same 52-bit portable construction as ``kmv_hash_u`` — both engines
+    draw the IDENTICAL sample, so the approximation itself is
+    oracle-checked."""
+    from serene_spark.functions.sqlgen import hex_to_int
+
+    h = hex_to_int(dialect, "substr(md5(CAST(event_id AS STRING)), 1, 13)")
+    return f"(({h}) + 0.5) / 4503599627370496.0"
+
+
+def quantile_sketch_sql(dialect: str) -> str:
+    """Mergeable quantile sketch per event type, ORACLE-CHECKED (the
+    portable sibling of the rows-only ``approx_quantiles_value``):
+    retain the {QSK_K} rows with the smallest md5(event_id) per type — a
+    COORDINATED uniform sample with the same merge lemma as the KMV
+    sketch (a global bottom-K member is inside every partial bottom-K
+    that contains it, so merging per-partition/per-epoch bottom-Ks
+    reproduces the global sample EXACTLY) — then read p50/p90/p99 off
+    the sample with the exact twin's count-based convention, emitted
+    beside the exact quantiles and the relative error (the KMV audit
+    pattern).
+
+    Expected accuracy: sample quantile of a K-sample has standard error
+    ~ sqrt(p(1-p)/K) in rank space (~3% of rank at p50, K=256) — the
+    audit column makes the realized error visible per type.
+
+    Scale shape: one scan -> per-type bottom-K window (WindowGroupLimit
+    pushes the K cut into the sort, the kmv_ndv_users property) over ROW
+    hashes; state is |types| x K rows regardless of event volume, and
+    the sketch streams with the exact foreachBatch pattern of
+    streaming/kmv_stream.py.
+    """
+    return f"""
+WITH hashed AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+         {qsketch_hash_u(dialect)} AS u
+  FROM events WHERE value IS NOT NULL
+),
+sample AS (
+  SELECT event_type, v FROM (
+    SELECT event_type, v,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u) AS rk
+    FROM hashed
+  ) r WHERE rk <= {QSK_K}
+),
+scount AS (
+  SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM sample GROUP BY event_type, v
+),
+scum AS (
+  SELECT event_type, v,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cc,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM scount
+),
+est AS (
+  SELECT event_type, CAST(n AS BIGINT) AS sample_n,
+         CAST(MIN(CASE WHEN cc >= ceil(0.50 * n) THEN v END) AS DOUBLE) AS p50_est,
+         CAST(MIN(CASE WHEN cc >= ceil(0.90 * n) THEN v END) AS DOUBLE) AS p90_est,
+         CAST(MIN(CASE WHEN cc >= ceil(0.99 * n) THEN v END) AS DOUBLE) AS p99_est
+  FROM scum GROUP BY event_type, n
+),
+counts AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY event_type, CAST(value AS DECIMAL(18,2))
+),
+cum AS (
+  SELECT event_type, v,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cc,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM counts
+),
+exactq AS (
+  SELECT event_type, CAST(n AS BIGINT) AS n,
+         CAST(MIN(CASE WHEN cc >= ceil(0.50 * n) THEN v END) AS DOUBLE) AS p50,
+         CAST(MIN(CASE WHEN cc >= ceil(0.90 * n) THEN v END) AS DOUBLE) AS p90,
+         CAST(MIN(CASE WHEN cc >= ceil(0.99 * n) THEN v END) AS DOUBLE) AS p99
+  FROM cum GROUP BY event_type, n
+)
+SELECT e.event_type, x.n, e.sample_n,
+       x.p50, e.p50_est, round(abs(e.p50_est - x.p50) / x.p50, 6) AS p50_rel_err,
+       x.p90, e.p90_est, round(abs(e.p90_est - x.p90) / x.p90, 6) AS p90_rel_err,
+       x.p99, e.p99_est, round(abs(e.p99_est - x.p99) / x.p99, 6) AS p99_rel_err
+FROM est e JOIN exactq x ON e.event_type = x.event_type
+ORDER BY e.event_type
+"""
+
+
+register(
+    "quantile_sketch_bottomk",
+    oracle=_duckdb_oracle(quantile_sketch_sql),
+    doc=f"mergeable bottom-{QSK_K} coordinated-sample quantile sketch per "
+    "event type, oracle-checked (portable md5 row hashes — the KMV merge "
+    "lemma applied to quantiles, unlike the engine-native rows-only "
+    "approx_quantiles_value); p50/p90/p99 estimates beside the exact "
+    "quantiles with relative-error audit columns",
+)(_events_sql_query(quantile_sketch_sql))

@@ -161,3 +161,67 @@ def test_kmv_rollup_merge_lemma_and_python_reference(spark, sf_dir):
         est = len(sk) if len(sk) < KMV_K else (KMV_K - 1) / sk[-1]
         assert abs(row.ndv_est_direct - round(est, 6)) <= 1e-6
         assert abs(row.ndv_est_rollup - round(est, 6)) <= 1e-6
+
+
+def test_quantile_sketch_merge_lemma_and_python_reference(spark, sf_dir):
+    """The bottom-K coordinated sample must (a) reproduce exactly from an
+    independent python re-derivation of the row hashes, (b) obey the
+    merge lemma — bottom-K of the union of two half-corpus bottom-Ks ==
+    the global bottom-K sample — and (c) keep the realized rank error of
+    every estimate inside the binomial bound the docstring promises."""
+    import hashlib
+
+    import pandas as pd
+
+    from serene_spark.operators.sketches import QSK_K
+    from serene_spark.registry import load_all
+
+    got = load_all()["quantile_sketch_bottomk"].spark(spark, sf_dir).toPandas()
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[ev.value.notna()].copy()
+    ev["v"] = ev.value.round(2)
+    ev["u"] = ev.event_id.map(
+        lambda i: (int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16) + 0.5)
+        / 2**52
+    )
+
+    def bottom_k(df):
+        return df.sort_values("u").groupby("event_type", sort=False).head(QSK_K)
+
+    def est_p(sample, p):
+        out = {}
+        for t, g in sample.groupby("event_type"):
+            vs = g.v.sort_values().to_numpy()
+            import math
+            out[t] = float(vs[math.ceil(p * len(vs)) - 1])
+        return out
+
+    full_sample = bottom_k(ev)
+    for p, col in ((0.5, "p50_est"), (0.9, "p90_est"), (0.99, "p99_est")):
+        ref = est_p(full_sample, p)
+        for _, row in got.iterrows():
+            assert abs(row[col] - ref[row.event_type]) < 1e-9, (col, row.event_type)
+
+    # merge lemma: two half-corpus partial sketches merge to the global one
+    half_a = bottom_k(ev[ev.event_id % 2 == 0])
+    half_b = bottom_k(ev[ev.event_id % 2 == 1])
+    merged = bottom_k(pd.concat([half_a, half_b]))
+    pd.testing.assert_frame_equal(
+        merged.sort_values(["event_type", "u"]).reset_index(drop=True)[
+            ["event_type", "v", "u"]
+        ],
+        full_sample.sort_values(["event_type", "u"]).reset_index(drop=True)[
+            ["event_type", "v", "u"]
+        ],
+    )
+
+    # realized rank error: each estimate's true rank within 5 sigma of p
+    import math
+
+    for p, col in ((0.5, "p50_est"), (0.9, "p90_est"), (0.99, "p99_est")):
+        sigma = math.sqrt(p * (1 - p) / QSK_K)
+        for _, row in got.iterrows():
+            g = ev[ev.event_type == row.event_type]
+            rank = (g.v <= row[col] + 1e-12).mean()
+            assert abs(rank - p) < 5 * sigma + 2.0 / QSK_K, (col, row.event_type, rank)
