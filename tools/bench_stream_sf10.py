@@ -7,6 +7,9 @@ bounded-state contracts at scale:
 * ``kmv_stream``: the partial log stays <= |types| x K x epochs rows and
   the merged readout is BIT-IDENTICAL to the batch ``kmv_ndv_users``
   sketch of the same events (the merge lemma, now measured at sf10);
+* ``quantile_stream``: same bound over (hash, value) row partials and
+  the streamed p50/p90/p99 BIT-IDENTICAL to the batch
+  ``quantile_sketch_bottomk``;
 * ``incremental_dedup``: the fingerprint index is globally unique on fp,
   sized exactly like the batch distinct-fingerprint relation, and every
   fp matches the batch operator's md5(NORM(text)) set.
@@ -42,6 +45,10 @@ def main() -> int:
         start_incremental_dedup,
     )
     from serene_spark.streaming.kmv_stream import read_kmv, start_kmv_stream
+    from serene_spark.streaming.quantile_stream import (
+        read_quantiles,
+        start_quantile_stream,
+    )
 
     spark = get_spark("serene-stream-sf10")
     out: dict = {"sf_dir": sf_dir, "waves": waves}
@@ -97,6 +104,36 @@ def main() -> int:
     }
     assert streamed == batch, "streamed KMV readout != batch sketch"
     out["kmv"]["bit_identical_to_batch"] = True
+
+    # --- quantile sketch monitor (same drop dir, own checkpoint) ---------------
+    qpartials = os.path.join(work, "qsk_partials")
+    qckpt = os.path.join(work, "qsk_ckpt")
+    qsk_wave_secs = []
+    t0 = time.time()
+    q = start_quantile_stream(spark, drop, qpartials, qckpt)
+    q.awaitTermination()
+    qsk_wave_secs.append(round(time.time() - t0, 2))
+
+    qlog = spark.read.parquet(qpartials)
+    from serene_spark.operators.sketches import QSK_K
+
+    qn = qlog.count()
+    out["quantiles"] = {
+        "drain_sec": qsk_wave_secs[0],
+        "partial_rows": qn,
+        "state_bound": n_types * QSK_K,  # one availableNow epoch here
+    }
+    t0 = time.time()
+    q_stream = {tuple(r) for r in read_quantiles(spark, qpartials).collect()}
+    out["quantiles"]["readout_sec"] = round(time.time() - t0, 2)
+    q_batch = {
+        tuple(r)
+        for r in load_all()["quantile_sketch_bottomk"].spark(spark, sf_dir)
+        .select("event_type", "sample_n", "p50_est", "p90_est", "p99_est")
+        .collect()
+    }
+    assert q_stream == q_batch, "streamed quantile readout != batch sketch"
+    out["quantiles"]["bit_identical_to_batch"] = True
 
     # --- incremental dedup ----------------------------------------------------
     ddrop = os.path.join(work, "docs_drop")
