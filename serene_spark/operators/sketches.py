@@ -466,3 +466,89 @@ register(
     "approx_quantiles_value); p50/p90/p99 estimates beside the exact "
     "quantiles with relative-error audit columns",
 )(_events_sql_query(quantile_sketch_sql))
+
+
+def quantile_sketch_rollup_sql(dialect: str) -> str:
+    """The persisted-sketch ROLLUP pattern applied to QUANTILES — the
+    capability raw percentiles cannot have: p50/p90/p99 do not
+    pre-aggregate (a mean of daily medians is not the monthly median),
+    but the bottom-K coordinated SAMPLE does. Per-(type, day) bottom-K
+    row-hash partials (what a 100 TB pipeline writes once per day) merge
+    up to per-type samples by re-ranking the union, and the merge lemma
+    makes the rolled-up sample EQUAL to the direct whole-corpus sample —
+    so rolled-up and direct quantile estimates are equal, and the query
+    emits both plus the equality flag for the parity gate to verify
+    cross-engine (the ``kmv_rollup_users`` discipline).
+
+    Scale: the daily partial relation is |types| x |days| x K rows — the
+    only thing a rollup reader ever scans; raw events are touched once
+    at partial-build time.
+    """
+    from serene_spark.functions.sqlgen import epoch_s, idiv
+
+    day = idiv(dialect, f"({epoch_s(dialect, 'ts')})", 86400)
+
+    def q_tail(rel: str, prefix: str) -> str:
+        return f"""
+{prefix}cum AS (
+  SELECT event_type, v,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cc,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM {rel} GROUP BY event_type, v) h
+),
+{prefix}q AS (
+  SELECT event_type, CAST(n AS BIGINT) AS n,
+         CAST(MIN(CASE WHEN cc >= ceil(0.50 * n) THEN v END) AS DOUBLE) AS p50,
+         CAST(MIN(CASE WHEN cc >= ceil(0.90 * n) THEN v END) AS DOUBLE) AS p90,
+         CAST(MIN(CASE WHEN cc >= ceil(0.99 * n) THEN v END) AS DOUBLE) AS p99
+  FROM {prefix}cum GROUP BY event_type, n
+)"""
+
+    return f"""
+WITH hashed AS (
+  SELECT event_type, {day} AS day,
+         CAST(value AS DECIMAL(18,2)) AS v, {qsketch_hash_u(dialect)} AS u
+  FROM events WHERE value IS NOT NULL
+),
+daily AS (
+  SELECT event_type, day, u, v FROM (
+    SELECT event_type, day, u, v,
+           ROW_NUMBER() OVER (PARTITION BY event_type, day ORDER BY u) AS rk
+    FROM hashed
+  ) r WHERE rk <= {QSK_K}
+),
+merged AS (
+  SELECT event_type, u, v FROM (
+    SELECT event_type, u, v,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u) AS rk
+    FROM daily
+  ) r WHERE rk <= {QSK_K}
+),
+direct AS (
+  SELECT event_type, u, v FROM (
+    SELECT event_type, u, v,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u) AS rk
+    FROM hashed
+  ) r WHERE rk <= {QSK_K}
+),{q_tail("merged", "m")},{q_tail("direct", "d")}
+SELECT m.event_type, m.n AS sample_n,
+       m.p50 AS p50_rollup, d.p50 AS p50_direct,
+       m.p90 AS p90_rollup, d.p90 AS p90_direct,
+       m.p99 AS p99_rollup, d.p99 AS p99_direct,
+       CAST(CASE WHEN m.p50 = d.p50 AND m.p90 = d.p90 AND m.p99 = d.p99
+                 THEN 1 ELSE 0 END AS BIGINT) AS rollup_equals_direct
+FROM mq m JOIN dq d ON m.event_type = d.event_type
+ORDER BY m.event_type
+"""
+
+
+register(
+    "quantile_sketch_rollup",
+    oracle=_duckdb_oracle(quantile_sketch_rollup_sql),
+    doc="quantile-sketch ROLLUP: per-(type, day) bottom-K row-hash partials "
+    "merged to per-type samples — the capability raw percentiles lack "
+    "(p50/p90/p99 do not pre-aggregate; the coordinated sample does, "
+    "exactly, by the merge lemma); rolled-up and direct estimates emitted "
+    "with the equality flag, all oracle-checked",
+)(_events_sql_query(quantile_sketch_rollup_sql))

@@ -225,3 +225,22 @@ def test_quantile_sketch_merge_lemma_and_python_reference(spark, sf_dir):
             g = ev[ev.event_type == row.event_type]
             rank = (g.v <= row[col] + 1e-12).mean()
             assert abs(rank - p) < 5 * sigma + 2.0 / QSK_K, (col, row.event_type, rank)
+
+
+def test_quantile_rollup_equals_direct_everywhere(spark, sf_dir):
+    """The rollup query's own equality flag must be 1 for every type (the
+    merge lemma made executable), and the rolled-up estimates must equal
+    the standalone quantile_sketch_bottomk's."""
+    from serene_spark.registry import load_all
+
+    qs = load_all()
+    roll = {r.event_type: r for r in
+            qs["quantile_sketch_rollup"].spark(spark, sf_dir).collect()}
+    assert all(r.rollup_equals_direct == 1 for r in roll.values())
+    base = {r.event_type: r for r in
+            qs["quantile_sketch_bottomk"].spark(spark, sf_dir).collect()}
+    assert set(roll) == set(base)
+    for t in roll:
+        assert roll[t].p50_rollup == base[t].p50_est, t
+        assert roll[t].p90_rollup == base[t].p90_est, t
+        assert roll[t].p99_rollup == base[t].p99_est, t
