@@ -4,7 +4,9 @@ and prints ONE JSON line.
 
 Queries are materialized with the noop sink — full distributed execution, no
 driver collect overhead. One untimed warm-up action absorbs JVM/JIT startup so
-the numbers measure the engine, not the JVM.
+the numbers measure the engine, not the JVM. Each query then runs
+$SPARK_GRAFT_BENCH_REPS times (default 3) and the per-query MIN is reported,
+so the recorded number is robust to transient host contention.
 """
 
 from __future__ import annotations
@@ -122,16 +124,26 @@ def main() -> None:
                                labelCol="label", featuresCol="features"),
     ]).fit(toy).transform(toy).write.format("noop").mode("overwrite").save()
 
+    # Per-query repetitions: a single cold pass is hostage to host state
+    # (BENCH_r09 recorded a phantom 32% "regression" that 4 manual reps
+    # showed was another process on the box — per-query spreads of 1.3-4x
+    # are documented in BASELINE.md since round 1). Running each query
+    # `reps` times and reporting the per-query MIN measures the engine,
+    # not the host, while keeping the one-JSON-line driver contract.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     total = 0.0
     for name in bench_queries:
         q = queries[name]
-        t0 = time.time()
-        q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = round(time.time() - t0, 3)
-        timings[name] = dt
-        total += dt
-        print(f"# {name}: {dt:.2f}s", file=sys.stderr)
+        best = float("inf")
+        for r in range(reps):
+            t0 = time.time()
+            q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = min(best, dt)
+            print(f"# {name} rep{r + 1}: {dt:.2f}s", file=sys.stderr)
+        timings[name] = round(best, 3)
+        total += timings[name]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -141,6 +153,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

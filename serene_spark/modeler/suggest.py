@@ -137,7 +137,19 @@ def filter_predictions(
       (``filterScores.maxBy``), it never prunes individual scores. The
       unknown-max spec scenario (SuggestModelSpec.scala:527-556) turns
       red if they are pruned: {unknown 0.4, City 0.3, State 0.3} must
-      survive as a 2-score column, not vanish."""
+      survive as a 2-score column, not vanish.
+
+    Tie policy (explicit, pinned in tests/test_modeler_golden.py): when
+    the unknown score exactly TIES the best class score (``unk == best``
+    with ``unk > threshold``) the column is DISCARDED. The reference's
+    behavior on a tie is unspecified — it branches on which label the
+    upstream argmax happened to pick, and Scala's ``Map.maxBy``
+    iteration order on equal values is arbitrary — so this is a policy
+    choice, not a parity fact. Discard-on-tie is chosen because an
+    unknown score at least as large as every class score means the
+    matcher has no positive evidence for ANY ontology class; a
+    tie-break that keeps the column would label it with a class whose
+    evidence is indistinguishable from "unknown"."""
     out: dict[str, dict[str, float]] = {}
     for col, scores in predictions.items():
         kept = {

@@ -336,6 +336,11 @@ class _BitReader:
         the RSTn marker that must sit at the aligned position."""
         self.acc = 0
         self.n = 0
+        # tolerate 0xFF fill bytes before the marker (T.81 B.1.1.2)
+        while (self.pos + 2 < len(self.data)
+               and self.data[self.pos] == 0xFF
+               and self.data[self.pos + 1] == 0xFF):
+            self.pos += 1
         b0 = self.data[self.pos]
         b1 = self.data[self.pos + 1]
         if b0 != 0xFF or not (0xD0 <= b1 <= 0xD7):
@@ -383,6 +388,9 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             pos += 1
             continue
         marker = blob[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
@@ -521,6 +529,9 @@ def _decode_progressive(blob: bytes) -> np.ndarray:
             pos += 1
             continue
         marker = blob[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
@@ -683,6 +694,10 @@ def _decode_scan(blob, pos, comps, scan, ss, se, ah, al,
     while p + 1 < len(blob) and not (
         blob[p] == 0xFF and blob[p + 1] not in (0x00,)
     ):
+        p += 1
+    # skip 0xFF fill-byte runs (T.81 B.1.1.2) so the caller lands on
+    # the byte pair FF <marker-code>, not FF FF padding
+    while p + 2 < len(blob) and blob[p] == 0xFF and blob[p + 1] == 0xFF:
         p += 1
     return p
 

@@ -281,9 +281,12 @@ doc_tokens AS (
   {doc_tokens_rel(dialect)}
 ),
 blk_cfg AS (
+  -- count the SAME population the assignment uses (epoched filters to
+  -- n_tokens > 0): counting zero-token docs here would overshoot
+  -- n_blocks and leave every block systematically under-full
   SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {DOCS_PER_BLOCK}.0) AS BIGINT))
     AS n_blocks
-  FROM doc_tokens
+  FROM doc_tokens WHERE n_tokens > 0
 ),
 epoched AS (
   SELECT doc_id, n_tokens,

@@ -286,6 +286,25 @@ def test_cities_unknown_dominated_column_discarded():
     assert {m.mappings.keys() == {"city1"} for m, _s in suggestions} == {True}
 
 
+def test_unknown_exact_tie_discards_column():
+    """Pins the documented tie policy (suggest.py filter_predictions
+    docstring): unknown score exactly EQUAL to the best class score, both
+    above the threshold → the column is DISCARDED. The reference's
+    behavior on this tie is unspecified (Scala Map.maxBy order), so this
+    fixture guards OUR policy choice, not a reference parity fact."""
+    tied = {
+        "colA": {"unknown": 0.6, "City---name": 0.6, "State---name": 0.2},
+        "colB": {"unknown": 0.2, "City---name": 0.9},
+    }
+    kept = filter_predictions(tied, UNKNOWN_THRESHOLD)
+    assert set(kept) == {"colB"}
+    # tie at/below the threshold is NOT confidently-unknown: column kept
+    low_tie = {"colC": {"unknown": 0.05, "City---name": 0.05}}
+    kept_low = filter_predictions(low_tie, UNKNOWN_THRESHOLD)
+    assert set(kept_low) == {"colC"}
+    assert kept_low["colC"] == {"City---name": 0.05}
+
+
 # --- museum-style multi-model scenarios (MuseumSpec, scenario matrix) --------
 
 

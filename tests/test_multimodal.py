@@ -535,6 +535,58 @@ def test_progressive_jpeg_decodes_bit_identical_to_baseline_twin():
             assert np.array_equal(base, prog), (img.shape, q)
 
 
+def test_jpeg_fill_bytes_before_markers_tolerated():
+    """0xFF fill bytes are LEGAL padding before any marker (T.81
+    B.1.1.2) and real-world encoders emit them; our generated streams
+    never do, so this injects them everywhere a conforming stream may
+    carry them — after SOI, before every header segment, before each
+    RSTn, between scans, and before EOI — and pins decode bit-identical
+    to the unpadded stream for baseline (with restarts) AND progressive
+    (multi-scan resync) layouts."""
+    import struct as _struct
+
+    import numpy as np
+
+    from serene_spark.multimodal.jpeg import (
+        decode_jpeg,
+        make_jpeg,
+        make_jpeg_progressive,
+    )
+
+    def pad(blob: bytes) -> bytes:
+        out = bytearray(blob[:2]) + b"\xff\xff"  # fill run after SOI
+        pos = 2
+        while pos < len(blob):  # header chain up to the first SOS
+            marker = blob[pos + 1]
+            (length,) = _struct.unpack(">H", blob[pos + 2:pos + 4])
+            out += b"\xff" + blob[pos:pos + 2 + length]
+            pos += 2 + length
+            if marker == 0xDA:
+                break
+        # entropy-coded tail: a 0xFF followed by non-0x00 is a real
+        # marker (stuffing is FF00), so prefix each with a fill byte —
+        # covers RSTn, later-scan DHT/SOS markers, and EOI
+        rest = blob[pos:]
+        i = 0
+        while i < len(rest):
+            if rest[i] == 0xFF and i + 1 < len(rest) and rest[i + 1] != 0x00:
+                out += b"\xff"
+            out.append(rest[i])
+            i += 1
+        return bytes(out)
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (24, 37, 3)).astype(np.uint8)
+    for blob in (
+        make_jpeg(img, quality=80),
+        make_jpeg(img, quality=80, subsample="420", restart_interval=2),
+        make_jpeg_progressive(img, quality=80),
+    ):
+        padded = pad(blob)
+        assert len(padded) > len(blob)  # injection actually happened
+        assert np.array_equal(decode_jpeg(padded), decode_jpeg(blob))
+
+
 def test_progressive_jpeg_flows_through_media_features(spark):
     """A REAL progressive stream now gets the 'jpeg' decoder tag through
     the Spark feature extractor — the PIL-tier fallthrough is reserved

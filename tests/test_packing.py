@@ -133,3 +133,33 @@ def test_epoch_shuffle_plan_properties(spark):
         sigma = math.sqrt(p * (1 - p) / n_docs)
         assert abs(r["same_block_share"] - p) < 3.5 * sigma + 1e-9, r
         assert r["balance_max_over_mean"] < 3.0
+
+
+def test_epoch_shuffle_block_count_ignores_zero_token_docs(spark):
+    """blk_cfg must size blocks from the SAME population the assignment
+    covers (n_tokens > 0). With zero-token docs in the corpus, counting
+    them would overshoot n_blocks and leave every block systematically
+    under-full vs DOCS_PER_BLOCK — this corpus is 2/3 empty docs, so the
+    pre-fix derivation would plan 3x the blocks."""
+    import math
+
+    from serene_spark.operators.packing import (
+        DOCS_PER_BLOCK,
+        N_EPOCHS,
+        epoch_shuffle_plan_sql,
+    )
+
+    n_real, n_empty = 220, 440
+    rows = [(i, f"doc {i} has real token content number {i}") for i in range(n_real)]
+    rows += [(n_real + j, "   ") for j in range(n_empty)]  # tokenizes to zero
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .createOrReplaceTempView("documents")
+    try:
+        plan = spark.sql(epoch_shuffle_plan_sql("spark")).collect()
+    finally:
+        spark.catalog.dropTempView("documents")
+    expected_blocks = math.ceil(n_real / DOCS_PER_BLOCK)  # 3, not 7
+    for e in range(N_EPOCHS):
+        epoch_rows = [r for r in plan if r["epoch"] == e]
+        assert len(epoch_rows) == expected_blocks, (e, len(epoch_rows))
+        assert sum(r["n_docs"] for r in epoch_rows) == n_real
