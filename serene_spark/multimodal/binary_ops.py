@@ -16,8 +16,10 @@ Decode support is tiered by what a dependency-free container can honestly do:
   (SOF2: spectral selection + successive approximation multi-scan
   engine); arithmetic / 12-bit shapes fall through to the PIL tier;
 - **image/GIF**: REAL decode — variable-code-width LZW with clear/EOI and
-  the KwKwK case, global/local color tables, extension skipping
-  (multimodal/gif.py); interlaced/animated shapes fall through;
+  the KwKwK case, global/local color tables, extension skipping, and
+  MULTI-FRAME animation (per-frame delay/disposal compositing with
+  transparency; n_frames reported from the real frame count —
+  multimodal/gif.py); interlaced shapes fall through;
 - **video/MP4**: REAL container parse (multimodal/mp4.py, ISO/IEC
   14496-12): box-tree walk -> brand, track dims, frame count, fps,
   duration, and the stco x stsc x stsz seek table resolving every frame
@@ -244,7 +246,8 @@ def decode_png(blob: bytes) -> np.ndarray:
 
 def decode_image(blob: bytes) -> np.ndarray | None:
     """Pixels for any REAL-decodable image format (P6 PPM, PNG, baseline
-    or progressive JPEG, or single-frame GIF), else None — the single
+    or progressive JPEG, or GIF — first presented frame for animated
+    streams), else None — the single
     dispatch the pixel operators share. Malformed or unsupported-shape
     blobs (palette/16-bit/interlaced PNG, truncated streams) return None
     rather than raising: the pixel operators' contract is
@@ -311,27 +314,32 @@ def _decode(kind: str, blob: bytes):
             # through to the PIL tier / deterministic stub, never fail
             # the Arrow task
             pass
+    stub_tag = "stub"
     if kind == "image" and blob.startswith(b"GIF8"):
         try:
-            from serene_spark.multimodal.gif import decode_gif
+            from serene_spark.multimodal.gif import decode_gif_animation
 
-            img = decode_gif(blob)
-            h, w = img.shape[:2]
-            return (w, h, 1) + _NULLS[3:] + ("gif",)
+            frames, _delays, _disp = decode_gif_animation(blob)
+            h, w = frames[0].shape[:2]
+            return (w, h, len(frames)) + _NULLS[3:] + ("gif",)
         except Exception:
-            # interlaced/animated raise ValueError; corrupt bodies raise
+            # interlaced raises ValueError; corrupt bodies raise
             # anything — all fall through to the PIL tier / stub
             pass
     if kind == "image" and blob.startswith(b"\xff\xd8"):
         try:
-            from serene_spark.multimodal.jpeg import decode_jpeg
+            from serene_spark.multimodal.jpeg import UnsupportedJpeg, decode_jpeg
 
             img = decode_jpeg(blob)
             h, w = img.shape[:2]
             return (w, h, 1) + _NULLS[3:] + ("jpeg",)
+        except UnsupportedJpeg:
+            # well-formed arithmetic/12-bit/hierarchical stream: fall to
+            # the PIL tier / stub, but with a DISTINCT tag so the stub
+            # rate for real-but-undecodable JPEGs is countable in the
+            # feature table (vs corrupt bytes, which stay plain "stub")
+            stub_tag = "jpeg-stub"
         except Exception:
-            # arithmetic/12-bit raise ValueError; corrupt bodies raise
-            # anything — all fall through to the PIL tier / stub
             pass
     if kind == "audio" and blob.startswith(b"RIFF"):
         channels, rate, n, pcm = decode_wav(blob)
@@ -364,7 +372,7 @@ def _decode(kind: str, blob: bytes):
     width = 64 + h[0] % 192
     height = 64 + h[1] % 192
     n_frames = 1 if kind == "image" else 1 + h[2] % 32
-    return (width, height, n_frames) + _NULLS[3:] + ("stub",)
+    return (width, height, n_frames) + _NULLS[3:] + (stub_tag,)
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:

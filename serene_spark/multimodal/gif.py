@@ -1,14 +1,19 @@
 """GIF87a/89a codec — stdlib-only LZW, the fourth REAL image tier.
 
-Same honest-tier policy as multimodal/jpeg.py: ``make_gif`` is the
-test-construction encoder (palette quantization + LZW compression),
-``decode_gif`` the real decoder (logical screen descriptor, global/local
-color tables, extension-block skipping, variable-code-width LZW with
-clear/EOI handling, non-interlaced rasters). Interlaced images and
-animation (multiple image descriptors) raise ValueError and fall through
-to binary_ops' stub tier — never a silent wrong answer.
+Same honest-tier policy as multimodal/jpeg.py: ``make_gif`` /
+``make_gif_animated`` are the test-construction encoders (palette
+quantization + LZW compression, Graphic Control Extensions with delay /
+disposal / transparency, Netscape loop block), ``decode_gif`` /
+``decode_gif_animation`` the real decoders (logical screen descriptor,
+global/local color tables, extension blocks, variable-code-width LZW
+with clear/EOI handling, non-interlaced rasters, and full multi-frame
+compositing per the GIF89a disposal semantics: 0/1 leave, 2 restore
+background, 3 restore previous, with transparent-index carry-through).
+Interlaced rasters raise ValueError and fall through to binary_ops'
+stub tier — never a silent wrong answer.
 
-Reference: GIF89a specification (CompuServe, 1990), Appendix F (LZW).
+Reference: GIF89a specification (CompuServe, 1990), Appendix F (LZW);
+disposal-method compositing per section 23 (Graphic Control Extension).
 """
 
 from __future__ import annotations
@@ -18,42 +23,21 @@ import struct
 import numpy as np
 
 
-def make_gif(img: np.ndarray) -> bytes:
-    """Encode an (h, w, 3) uint8 array as a single-frame GIF89a.
-
-    Palette: the image's unique colors (must be <= 256 — test images are
-    constructed, not photographic), padded to a power of two."""
-    h, w = img.shape[:2]
-    flat = img.reshape(-1, 3)
-    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
-    if len(colors) > 256:
-        raise ValueError("make_gif: more than 256 unique colors")
-    depth = max(1, int(np.ceil(np.log2(max(2, len(colors))))))
-    table = np.zeros((1 << depth, 3), dtype=np.uint8)
-    table[: len(colors)] = colors
-
-    out = bytearray(b"GIF89a")
-    out += struct.pack("<HH", w, h)
-    out += bytes([0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0])  # GCT flag
-    out += table.tobytes()
-    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"  # image desc
-
-    # LZW encode the index stream
-    min_code = max(2, depth)
+def _lzw_encode(indices: list[int], min_code: int) -> bytes:
+    """LZW-compress an index stream (GIF89a Appendix F), 12-bit cap."""
     clear, eoi = 1 << min_code, (1 << min_code) + 1
     codes: list[int] = [clear]
     dict_ = {(i,): i for i in range(1 << min_code)}
     next_code = eoi + 1
     width = min_code + 1
     seq: tuple[int, ...] = ()
-    widths: list[int] = []  # code width AT EMIT TIME for each code
+    widths: list[int] = [width]  # code width AT EMIT TIME for each code
 
     def emit(code: int) -> None:
         codes.append(code)
         widths.append(width)
 
-    widths.append(width)  # for the initial clear
-    for idx in inverse.tolist():
+    for idx in indices:
         cand = seq + (idx,)
         if cand in dict_:
             seq = cand
@@ -84,17 +68,188 @@ def make_gif(img: np.ndarray) -> bytes:
             nbits -= 8
     if nbits:
         bits.append(acc & 0xFF)
+    return bytes(bits)
 
-    out += bytes([min_code])
-    for i in range(0, len(bits), 255):
-        chunk = bits[i : i + 255]
+
+def _lzw_decode(data: bytes, min_code: int) -> list[int]:
+    """Inverse of ``_lzw_encode`` including the KwKwK case."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    base = {i: (i,) for i in range(1 << min_code)}
+    dict_ = dict(base)
+    next_code = eoi + 1
+    width = min_code + 1
+    acc, nbits, dpos = 0, 0, 0
+    prev: tuple[int, ...] | None = None
+    out: list[int] = []
+    while True:
+        while nbits < width:
+            if dpos >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc |= data[dpos] << nbits
+            nbits += 8
+            dpos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            dict_ = dict(base)
+            next_code = eoi + 1
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = dict_[code]
+        elif code in dict_:
+            entry = dict_[code]
+            dict_[next_code] = prev + (entry[0],)
+            next_code += 1
+        elif code == next_code:  # the KwKwK case
+            entry = prev + (prev[0],)
+            dict_[next_code] = entry
+            next_code += 1
+        else:
+            raise ValueError("corrupt LZW code")
+        out.extend(entry)
+        prev = entry
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+    return out
+
+
+def _sub_blocks(payload: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(payload), 255):
+        chunk = payload[i : i + 255]
         out += bytes([len(chunk)]) + chunk
-    out += b"\x00\x3b"  # block terminator + trailer
+    out += b"\x00"
     return bytes(out)
 
 
-def decode_gif(blob: bytes) -> np.ndarray:
-    """Decode a single-frame non-interlaced GIF to (h, w, 3) uint8."""
+def _palette(pixels: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """(power-of-two padded table, depth, n_real_colors) of an (n, 3)
+    pixel array."""
+    colors = np.unique(pixels, axis=0)
+    if len(colors) > 256:
+        raise ValueError("make_gif: more than 256 unique colors")
+    depth = max(1, int(np.ceil(np.log2(max(2, len(colors))))))
+    table = np.zeros((1 << depth, 3), dtype=np.uint8)
+    table[: len(colors)] = colors
+    return table, depth, len(colors)
+
+
+def make_gif(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a single-frame GIF89a.
+
+    Palette: the image's unique colors (must be <= 256 — test images are
+    constructed, not photographic), padded to a power of two."""
+    h, w = img.shape[:2]
+    table, depth, n_colors = _palette(img.reshape(-1, 3))
+    inverse = _map_to_palette(img, table[:n_colors])
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0])  # GCT flag
+    out += table.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"  # image desc
+
+    min_code = max(2, depth)
+    out += bytes([min_code])
+    out += _sub_blocks(_lzw_encode(inverse.ravel().tolist(), min_code))
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def _map_to_palette(img: np.ndarray, colors: np.ndarray) -> np.ndarray:
+    """(h, w) palette indices for pixels that are exact palette members."""
+    flat = img.reshape(-1, 3).astype(np.int64)
+    keys = flat[:, 0] * 65536 + flat[:, 1] * 256 + flat[:, 2]
+    pk = (colors[:, 0].astype(np.int64) * 65536
+          + colors[:, 1].astype(np.int64) * 256 + colors[:, 2])
+    order = np.argsort(pk)
+    hit = np.searchsorted(pk[order], keys)
+    if not np.all(pk[order][hit] == keys):
+        raise ValueError("pixel not in palette")
+    return order[hit].reshape(img.shape[:2])
+
+
+def make_gif_animated(
+    frames: list[np.ndarray],
+    delays_cs: list[int] | None = None,
+    disposals: list[int] | None = None,
+    rects: list[tuple[int, int]] | None = None,
+    transparent: tuple[int, int, int] | None = None,
+) -> bytes:
+    """Encode a multi-frame GIF89a — the construction twin of
+    ``decode_gif_animation``.
+
+    ``frames[0]`` sets the canvas size; later frames may be smaller
+    sub-rects placed at ``rects[i]`` (default (0, 0)). Each frame gets a
+    Graphic Control Extension carrying ``delays_cs[i]`` (centiseconds,
+    default 10) and ``disposals[i]`` (0-3, default 0). If ``transparent``
+    is given, pixels of exactly that RGB value encode as the transparent
+    index — the decoder must leave the underlying canvas visible there.
+    A Netscape loop extension is always emitted (real-world animated
+    GIFs carry one; it exercises the application-extension skip path)."""
+    if not frames:
+        raise ValueError("no frames")
+    sh, sw = frames[0].shape[:2]
+    delays_cs = delays_cs or [10] * len(frames)
+    disposals = disposals or [0] * len(frames)
+    rects = rects or [(0, 0)] * len(frames)
+
+    pixels = np.concatenate([f.reshape(-1, 3) for f in frames])
+    if transparent is not None:
+        pixels = np.concatenate(
+            [pixels, np.asarray([transparent], dtype=np.uint8)])
+    table, depth, n_colors = _palette(pixels)
+    tindex = (
+        int(_map_to_palette(
+            np.asarray([[transparent]], dtype=np.uint8), table[:n_colors]
+        )[0, 0])
+        if transparent is not None
+        else 0
+    )
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", sw, sh)
+    out += bytes([0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0])
+    out += table.tobytes()
+    # Netscape 2.0 loop-forever application extension
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+
+    min_code = max(2, depth)
+    for frame, delay, disposal, (left, top) in zip(
+        frames, delays_cs, disposals, rects
+    ):
+        h, w = frame.shape[:2]
+        tflag = 1 if transparent is not None else 0
+        gce = struct.pack(
+            "<BHB", ((disposal & 7) << 2) | tflag, delay,
+            tindex if tflag else 0,
+        )
+        out += b"\x21\xf9\x04" + gce + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHH", left, top, w, h) + b"\x00"
+        idx = _map_to_palette(frame, table[:n_colors])
+        out += bytes([min_code])
+        out += _sub_blocks(_lzw_encode(idx.ravel().tolist(), min_code))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_animation(
+    blob: bytes,
+) -> tuple[list[np.ndarray], list[int], list[int]]:
+    """Decode every frame of a (possibly animated) non-interlaced GIF.
+
+    Returns ``(frames, delays_cs, disposals)`` where each frame is the
+    full-canvas (sh, sw, 3) uint8 COMPOSITE presented at that point of
+    the animation: transparent pixels keep the underlying canvas, and
+    between frames the canvas follows the previous frame's disposal
+    method (0/1 leave, 2 restore the frame rect to background, 3 restore
+    the pre-frame canvas). Unknown/reserved disposal codes behave as 0,
+    matching browser practice."""
     if blob[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     sw, sh = struct.unpack("<HH", blob[6:10])
@@ -106,23 +261,33 @@ def decode_gif(blob: bytes) -> np.ndarray:
         gct = np.frombuffer(blob[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
         pos += 3 * n
 
-    frames = 0
-    img = None
+    canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    disposals: list[int] = []
+    # GCE state for the NEXT image descriptor (one-shot per spec)
+    g_disposal, g_delay, g_tindex = 0, 0, None
     while pos < len(blob):
         b = blob[pos]
         if b == 0x3B:  # trailer
             break
-        if b == 0x21:  # extension: skip sub-blocks
+        if b == 0x21:  # extension
+            label = blob[pos + 1]
             pos += 2
+            payload = bytearray()
             while blob[pos]:
-                pos += 1 + blob[pos]
+                ln = blob[pos]
+                payload += blob[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
             pos += 1
+            if label == 0xF9 and len(payload) >= 4:  # Graphic Control
+                gp, g_delay = payload[0], struct.unpack(
+                    "<H", bytes(payload[1:3]))[0]
+                g_disposal = (gp >> 2) & 0x07
+                g_tindex = payload[3] if gp & 0x01 else None
             continue
         if b != 0x2C:
             raise ValueError(f"unexpected block 0x{b:02x}")
-        frames += 1
-        if frames > 1:
-            raise ValueError("animated GIF: not this tier")
         left, top, w, h = struct.unpack("<HHHH", blob[pos + 1 : pos + 9])
         ipacked = blob[pos + 9]
         pos += 10
@@ -145,59 +310,31 @@ def decode_gif(blob: bytes) -> np.ndarray:
             pos += 1 + ln
         pos += 1
 
-        # LZW decode
-        clear, eoi = 1 << min_code, (1 << min_code) + 1
-        base = {i: (i,) for i in range(1 << min_code)}
-        dict_ = dict(base)
-        next_code = eoi + 1
-        width = min_code + 1
-        acc, nbits, dpos = 0, 0, 0
-        prev: tuple[int, ...] | None = None
-        out: list[int] = []
-        while True:
-            while nbits < width:
-                if dpos >= len(data):
-                    raise ValueError("truncated LZW stream")
-                acc |= data[dpos] << nbits
-                nbits += 8
-                dpos += 1
-            code = acc & ((1 << width) - 1)
-            acc >>= width
-            nbits -= width
-            if code == clear:
-                dict_ = dict(base)
-                next_code = eoi + 1
-                width = min_code + 1
-                prev = None
-                continue
-            if code == eoi:
-                break
-            if prev is None:
-                entry = dict_[code]
-            elif code in dict_:
-                entry = dict_[code]
-                dict_[next_code] = prev + (entry[0],)
-                next_code += 1
-            elif code == next_code:  # the KwKwK case
-                entry = prev + (prev[0],)
-                dict_[next_code] = entry
-                next_code += 1
-            else:
-                raise ValueError("corrupt LZW code")
-            out.extend(entry)
-            prev = entry
-            if next_code >= (1 << width) and width < 12:
-                width += 1
+        out = _lzw_decode(bytes(data), min_code)
         if len(out) != w * h:
             raise ValueError("LZW output size mismatch")
         idx = np.asarray(out, dtype=np.int64).reshape(h, w)
-        frame = table[idx]
-        if (left, top, w, h) != (0, 0, sw, sh):
-            canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
-            canvas[top : top + h, left : left + w] = frame
-            img = canvas
-        else:
-            img = frame
-    if img is None:
+
+        saved = canvas.copy() if g_disposal == 3 else None
+        region = canvas[top : top + h, left : left + w]
+        mask = (idx != g_tindex) if g_tindex is not None else np.ones(
+            (h, w), dtype=bool)
+        region[mask] = table[idx][mask]
+        frames.append(canvas.copy())
+        delays.append(g_delay)
+        disposals.append(g_disposal)
+        if g_disposal == 2:  # restore frame rect to background
+            canvas[top : top + h, left : left + w] = 0
+        elif g_disposal == 3:  # restore to pre-frame canvas
+            canvas = saved
+        g_disposal, g_delay, g_tindex = 0, 0, None
+    if not frames:
         raise ValueError("no image data")
-    return img
+    return frames, delays, disposals
+
+
+def decode_gif(blob: bytes) -> np.ndarray:
+    """First presented frame of a non-interlaced GIF as (h, w, 3) uint8
+    (for animated streams: the full-canvas composite of frame 0 — the
+    conventional still-thumbnail semantics)."""
+    return decode_gif_animation(blob)[0][0]

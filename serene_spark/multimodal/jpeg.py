@@ -10,8 +10,9 @@ sequential, the format of essentially every camera/web JPEG):
   (SOF2) streams route to the multi-scan engine (spectral selection +
   successive approximation, DC and AC first/refinement passes, EOB
   runs — T.81 G.2); arithmetic, 12-bit and hierarchical JPEGs raise
-  ValueError and fall through to the PIL tier / stub in
-  binary_ops._decode, same contract as exotic PNG shapes.
+  UnsupportedJpeg (a ValueError subclass) and fall through to the PIL
+  tier / tagged stub in binary_ops._decode, same contract as exotic
+  PNG shapes but countable in the feature table.
 - ``make_jpeg``: the test-side twin — baseline 4:4:4 encoder with the
   Annex-K example quantization (quality-scaled) and Huffman tables, so
   the suite can construct REAL JPEG bytes and pin decode fidelity
@@ -348,6 +349,13 @@ class _BitReader:
         self.pos += 2
 
 
+class UnsupportedJpeg(ValueError):
+    """A WELL-FORMED stream whose coding shape this tier does not decode
+    (arithmetic-coded, hierarchical/lossless SOFn, 12/16-bit precision).
+    Distinct from generic ValueError (corrupt stream) so the feature
+    extractor can tag the stub fallback and the rate stays countable."""
+
+
 class _Restart(Exception):
     def __init__(self, marker):
         self.marker = marker
@@ -403,7 +411,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             while i < len(data):
                 prec, tid = data[i] >> 4, data[i] & 0x0F
                 if prec != 0:
-                    raise ValueError("16-bit quant tables unsupported")
+                    raise UnsupportedJpeg("16-bit quant tables unsupported")
                 tbl = np.zeros(64, np.int32)
                 tbl[ZIGZAG] = np.frombuffer(data[i + 1:i + 65], np.uint8)
                 qts[tid] = tbl
@@ -411,7 +419,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
             prec, h, w, n = struct.unpack(">BHHB", data[:6])
             if prec != 8:
-                raise ValueError("only 8-bit precision supported")
+                raise UnsupportedJpeg("only 8-bit precision supported")
             comps = []
             for c in range(n):
                 cid, samp, qsel = data[6 + 3 * c:9 + 3 * c]
@@ -420,7 +428,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             return _decode_progressive(blob)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError(f"unsupported JPEG (SOF{marker - 0xC0}) — PIL tier")
+            raise UnsupportedJpeg(f"unsupported JPEG (SOF{marker - 0xC0}) — PIL tier")
         elif marker == 0xC4:  # DHT — possibly several tables per segment
             i = 0
             while i < len(data):
@@ -544,7 +552,7 @@ def _decode_progressive(blob: bytes) -> np.ndarray:
             while i < len(data):
                 prec, tid = data[i] >> 4, data[i] & 0x0F
                 if prec != 0:
-                    raise ValueError("16-bit quant tables unsupported")
+                    raise UnsupportedJpeg("16-bit quant tables unsupported")
                 tbl = np.zeros(64, np.int32)
                 tbl[ZIGZAG] = np.frombuffer(data[i + 1:i + 65], np.uint8)
                 qts[tid] = tbl
@@ -552,7 +560,7 @@ def _decode_progressive(blob: bytes) -> np.ndarray:
         elif marker == 0xC2:
             prec, h, w, n = struct.unpack(">BHHB", data[:6])
             if prec != 8:
-                raise ValueError("only 8-bit precision supported")
+                raise UnsupportedJpeg("only 8-bit precision supported")
             comps = []
             for c in range(n):
                 cid, samp, qsel = data[6 + 3 * c:9 + 3 * c]

@@ -28,7 +28,8 @@ Shape (the matview_stream recipe):
 
 At 100 TB the partial log is the only growing artifact, and it grows by
 |types| x K rows per epoch regardless of event volume; compaction = the
-read-side merge materialized back as a single epoch.
+read-side merge materialized back as a single epoch — implemented as
+``compact_partials`` below (streaming/compaction.py does the swap).
 """
 
 from __future__ import annotations
@@ -76,6 +77,16 @@ def start_kmv_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_partials(spark: SparkSession, partials_dir: str) -> int:
+    """Collapse the partial log back to a single epoch of |types| x K
+    rows. Readout is bit-identical before/after (merge lemma: the global
+    bottom-K IS the union's sketch) and future epochs compose as if the
+    originals were still there. Returns #epoch partitions removed."""
+    from serene_spark.streaming.compaction import compact_partials as _c
+
+    return _c(spark, partials_dir, value_cols=("u",), k=KMV_K)
 
 
 def read_kmv(spark: SparkSession, partials_dir: str) -> DataFrame:

@@ -25,7 +25,8 @@ Shape (the kmv_stream recipe verbatim):
 
 At 100 TB the partial log grows by |types| x K rows per epoch regardless
 of event volume; compaction = the read-side merge materialized back as
-a single epoch.
+a single epoch — implemented as ``compact_partials`` below
+(streaming/compaction.py does the swap).
 """
 
 from __future__ import annotations
@@ -77,6 +78,16 @@ def start_quantile_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_partials(spark: SparkSession, partials_dir: str) -> int:
+    """Collapse the partial log back to a single epoch of |types| x K
+    (hash, value) rows. Readout is bit-identical before/after (the
+    retained unit is the row sample the read side would keep anyway) and
+    future epochs compose unchanged. Returns #epoch partitions removed."""
+    from serene_spark.streaming.compaction import compact_partials as _c
+
+    return _c(spark, partials_dir, value_cols=("u", "v"), k=QSK_K)
 
 
 def read_quantiles(spark: SparkSession, partials_dir: str) -> DataFrame:

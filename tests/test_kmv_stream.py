@@ -80,3 +80,45 @@ def test_merge_lemma_partition_invariance(spark, tmp_path):
         read_kmv(spark, a).toPandas().reset_index(drop=True),
         read_kmv(spark, b).toPandas().reset_index(drop=True),
     )
+
+
+def test_compaction_bit_identical_bounded_and_composes(spark, tmp_path):
+    """compact_partials must (a) collapse the log to ONE epoch of <= K
+    rows per type, (b) leave the readout BIT-identical, (c) be idempotent
+    under re-run, and (d) compose with epochs that arrive AFTER
+    compaction exactly as if the original partials were still there."""
+    from serene_spark.streaming.kmv_stream import (
+        compact_partials,
+        read_kmv,
+        start_kmv_stream,
+    )
+
+    ev = load_table(spark, SF, "events").toPandas()
+    parts = [ev.iloc[:700], ev.iloc[700:1200]]
+    partials_dir, ckpt = _drain(spark, parts, tmp_path)
+
+    before = read_kmv(spark, partials_dir).toPandas().reset_index(drop=True)
+    raw = spark.read.parquet(partials_dir).toPandas()
+    n_epochs = raw["epoch"].nunique()
+    assert n_epochs >= 2
+
+    assert compact_partials(spark, partials_dir) == n_epochs
+    after = spark.read.parquet(partials_dir).toPandas()
+    assert after["epoch"].nunique() == 1  # state back to a single epoch
+    assert (after.groupby("event_type").size() <= KMV_K).all()
+    compacted = read_kmv(spark, partials_dir).toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(compacted, before)
+
+    assert compact_partials(spark, partials_dir) == 0  # idempotent no-op
+    pd.testing.assert_frame_equal(
+        read_kmv(spark, partials_dir).toPandas().reset_index(drop=True), before
+    )
+
+    # stream the remaining chunk INTO the compacted log: final readout
+    # must equal the batch sketch of ALL events (= the never-compacted run)
+    events_dir = tmp_path / "events_in"
+    ev.iloc[1200:].to_parquet(str(events_dir / "chunk2.parquet"))
+    q = start_kmv_stream(spark, str(events_dir), partials_dir, ckpt)
+    assert q.awaitTermination(300)
+    final = read_kmv(spark, partials_dir).toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(final, _batch_sketch(spark), check_dtype=False)

@@ -723,3 +723,122 @@ def test_gif_tier_lossless_and_cross_container_identical(spark):
     except ValueError:
         raised = True
     assert raised
+
+
+def test_gif_animation_roundtrip_compositing():
+    """Multi-frame GIF89a: the decoder must composite per the GIF89a
+    disposal semantics (1 leave, 2 restore-background, 3 restore-previous)
+    with transparent-index carry-through, and round-trip the per-frame
+    delay/disposal metadata. The expected composites are re-derived here
+    with plain numpy, independently of the decoder's canvas loop."""
+    import numpy as np
+
+    from serene_spark.multimodal.gif import (
+        decode_gif,
+        decode_gif_animation,
+        make_gif_animated,
+    )
+
+    TRANS = (1, 2, 3)  # sentinel color encoded as the transparent index
+    f0 = np.zeros((10, 12, 3), np.uint8)
+    f0[:, :6] = (200, 0, 0)
+    f0[:, 6:] = (0, 200, 0)
+    f1 = np.full((4, 5, 3), 60, np.uint8)      # sub-rect at (2, 3)
+    f1[1:3, 1:4] = TRANS                        # transparent hole
+    f2 = np.full((3, 4, 3), 250, np.uint8)     # sub-rect at (5, 6)
+    f3 = np.full((10, 12, 3), 17, np.uint8)    # full-canvas final frame
+
+    blob = make_gif_animated(
+        [f0, f1, f2, f3],
+        delays_cs=[5, 10, 15, 20],
+        disposals=[1, 2, 3, 0],
+        rects=[(0, 0), (3, 2), (6, 5), (0, 0)],
+        transparent=TRANS,
+    )
+    frames, delays, disposals = decode_gif_animation(blob)
+    assert delays == [5, 10, 15, 20]
+    assert disposals == [1, 2, 3, 0]
+    assert len(frames) == 4
+
+    # independent compositing reference
+    def paste(canvas, frame, left, top):
+        out = canvas.copy()
+        h, w = frame.shape[:2]
+        mask = ~np.all(frame == np.asarray(TRANS, np.uint8), axis=-1)
+        out[top : top + h, left : left + w][mask] = frame[mask]
+        return out
+
+    p0 = paste(np.zeros((10, 12, 3), np.uint8), f0, 0, 0)
+    c = p0.copy()                       # disposal 1: leave
+    p1 = paste(c, f1, 3, 2)
+    c = p1.copy()
+    c[2 : 2 + 4, 3 : 3 + 5] = 0         # disposal 2: restore background
+    p2 = paste(c, f2, 6, 5)
+    # disposal 3: restore previous -> canvas reverts to pre-f2 state c
+    p3 = paste(c, f3, 0, 0)
+    for got, want in zip(frames, (p0, p1, p2, p3)):
+        assert np.array_equal(got, want)
+
+    # decode_gif = first presented frame
+    assert np.array_equal(decode_gif(blob), p0)
+
+
+def test_animated_gif_frame_count_in_media_features(spark):
+    """A real animated GIF reports its TRUE frame count and canvas dims
+    through the Spark feature extractor with the 'gif' decoder tag — a
+    crawl's animated GIFs no longer degrade to the stub tier."""
+    import numpy as np
+
+    from serene_spark.multimodal.binary_ops import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+    )
+    from serene_spark.multimodal.gif import make_gif_animated
+
+    rng = np.random.default_rng(3)
+    frames = [
+        (rng.integers(0, 4, (15, 21, 3)) * 80).astype(np.uint8)
+        for _ in range(5)
+    ]
+    media = spark.createDataFrame(
+        [(1, "image", make_gif_animated(frames))], MEDIA_SCHEMA
+    )
+    (row,) = extract_media_features(media).collect()
+    assert (row.width, row.height, row.n_frames, row.decoder) == (21, 15, 5, "gif")
+
+
+def test_unsupported_jpeg_shapes_get_tagged_stub(spark):
+    """Well-formed arithmetic-coded (SOF9) and 12-bit streams raise
+    UnsupportedJpeg and surface as decoder='jpeg-stub' — countable in the
+    feature table, distinct from corrupt bytes (plain 'stub')."""
+    import pytest
+
+    from serene_spark.multimodal.binary_ops import (
+        MEDIA_SCHEMA,
+        decode_ppm,
+        extract_media_features,
+        make_ppm,
+    )
+    from serene_spark.multimodal.jpeg import UnsupportedJpeg, decode_jpeg, make_jpeg
+
+    jpg = make_jpeg(decode_ppm(make_ppm(9, width=16, height=12)))
+    sof0 = jpg.index(b"\xff\xc0")
+    arith = jpg[:sof0] + b"\xff\xc9" + jpg[sof0 + 2:]          # SOF9
+    twelve = bytearray(jpg)
+    twelve[sof0 + 4] = 12                                       # precision byte
+    twelve = bytes(twelve)
+    corrupt = jpg[: len(jpg) // 2]                              # truncated scan
+
+    for blob in (arith, twelve):
+        with pytest.raises(UnsupportedJpeg):
+            decode_jpeg(blob)
+
+    media = spark.createDataFrame(
+        [(1, "image", jpg), (2, "image", arith), (3, "image", twelve),
+         (4, "image", corrupt)],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r.decoder for r in extract_media_features(media).collect()}
+    assert rows[1] == "jpeg"
+    assert rows[2] == rows[3] == "jpeg-stub"
+    assert rows[4] == "stub"

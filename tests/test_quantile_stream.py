@@ -77,3 +77,54 @@ def test_single_batch_stream_equals_multi_batch(spark, tmp_path):
     a = read_quantiles(spark, one).toPandas().reset_index(drop=True)
     b = read_quantiles(spark, three).toPandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_compaction_bit_identical_bounded_and_composes(spark, tmp_path):
+    """compact_partials must (a) collapse the log to ONE epoch of <= K
+    rows per type, (b) leave the streamed quantile readout BIT-identical,
+    (c) be idempotent under re-run, and (d) compose with epochs arriving
+    AFTER compaction exactly as if the original partials remained."""
+    import pandas as pd
+
+    from serene_spark.catalog import load_table
+    from serene_spark.operators.sketches import QSK_K
+    from serene_spark.streaming.quantile_stream import (
+        compact_partials,
+        read_quantiles,
+        start_quantile_stream,
+    )
+
+    ev = load_table(spark, SF, "events").toPandas()
+    parts = [ev.iloc[:700], ev.iloc[700:1200]]
+    partials_dir, ckpt = _drain(spark, parts, tmp_path)
+
+    before = read_quantiles(spark, partials_dir).toPandas().reset_index(drop=True)
+    raw = spark.read.parquet(partials_dir).toPandas()
+    n_epochs = raw["epoch"].nunique()
+    assert n_epochs >= 2
+
+    assert compact_partials(spark, partials_dir) == n_epochs
+    after = spark.read.parquet(partials_dir).toPandas()
+    assert after["epoch"].nunique() == 1
+    assert (after.groupby("event_type").size() <= QSK_K).all()
+    pd.testing.assert_frame_equal(
+        read_quantiles(spark, partials_dir).toPandas().reset_index(drop=True),
+        before,
+    )
+
+    assert compact_partials(spark, partials_dir) == 0
+    pd.testing.assert_frame_equal(
+        read_quantiles(spark, partials_dir).toPandas().reset_index(drop=True),
+        before,
+    )
+
+    # remaining chunk lands AFTER compaction: readout == full-stream readout
+    events_dir = tmp_path / "events_in"
+    ev.iloc[1200:].to_parquet(str(events_dir / "chunk2.parquet"))
+    q = start_quantile_stream(spark, str(events_dir), partials_dir, ckpt)
+    assert q.awaitTermination(300)
+    final = read_quantiles(spark, partials_dir).toPandas().reset_index(drop=True)
+    full = _drain(spark, [ev], tmp_path, tag="_full")[0]
+    pd.testing.assert_frame_equal(
+        final, read_quantiles(spark, full).toPandas().reset_index(drop=True)
+    )

@@ -12,7 +12,10 @@ bounded-state contracts at scale:
   ``quantile_sketch_bottomk``;
 * ``incremental_dedup``: the fingerprint index is globally unique on fp,
   sized exactly like the batch distinct-fingerprint relation, and every
-  fp matches the batch operator's md5(NORM(text)) set.
+  fp matches the batch operator's md5(NORM(text)) set;
+* ``compact_partials`` (both sketch sinks): the multi-epoch partial log
+  merges back to ONE epoch of <= |types| x K rows, the readout stays
+  bit-identical, and a second compaction is a no-op.
 
 Usage: python tools/bench_stream_sf10.py [SF_DIR] [WAVES]
 Prints one JSON line with wall times and state sizes (recorded in
@@ -105,24 +108,33 @@ def main() -> int:
     assert streamed == batch, "streamed KMV readout != batch sketch"
     out["kmv"]["bit_identical_to_batch"] = True
 
-    # --- quantile sketch monitor (same drop dir, own checkpoint) ---------------
+    # --- quantile sketch monitor (own drop dir, wave-by-wave like KMV —
+    # gives the log multiple epochs so compaction below has real work) -------
+    qdrop = os.path.join(work, "events_drop_q")
     qpartials = os.path.join(work, "qsk_partials")
     qckpt = os.path.join(work, "qsk_ckpt")
+    os.makedirs(qdrop)
     qsk_wave_secs = []
-    t0 = time.time()
-    q = start_quantile_stream(spark, drop, qpartials, qckpt)
-    q.awaitTermination()
-    qsk_wave_secs.append(round(time.time() - t0, 2))
+    qsk_epochs = 0
+    for wv in range(waves):
+        shutil.copy(os.path.join(ev_src, ev_files[wv]), qdrop)
+        t0 = time.time()
+        q = start_quantile_stream(spark, qdrop, qpartials, qckpt)
+        q.awaitTermination()
+        qsk_wave_secs.append(round(time.time() - t0, 2))
+        qsk_epochs += 1
 
     qlog = spark.read.parquet(qpartials)
     from serene_spark.operators.sketches import QSK_K
 
     qn = qlog.count()
     out["quantiles"] = {
-        "drain_sec": qsk_wave_secs[0],
+        "wave_secs": qsk_wave_secs,
+        "epochs": qsk_epochs,
         "partial_rows": qn,
-        "state_bound": n_types * QSK_K,  # one availableNow epoch here
+        "state_bound": n_types * QSK_K * qsk_epochs,
     }
+    assert qn <= n_types * QSK_K * qsk_epochs, "state bound violated"
     t0 = time.time()
     q_stream = {tuple(r) for r in read_quantiles(spark, qpartials).collect()}
     out["quantiles"]["readout_sec"] = round(time.time() - t0, 2)
@@ -134,6 +146,37 @@ def main() -> int:
     }
     assert q_stream == q_batch, "streamed quantile readout != batch sketch"
     out["quantiles"]["bit_identical_to_batch"] = True
+
+    # --- compaction: each multi-epoch partial log merges back to ONE epoch,
+    # readout bit-identical before/after, second run a no-op ------------------
+    from serene_spark.streaming.kmv_stream import compact_partials as compact_kmv
+    from serene_spark.streaming.quantile_stream import (
+        compact_partials as compact_qsk,
+    )
+
+    for tag, pdir, compact, bound, expect in (
+        ("kmv", partials, compact_kmv, n_types * KMV_K, batch),
+        ("quantiles", qpartials, compact_qsk, n_types * QSK_K, q_batch),
+    ):
+        t0 = time.time()
+        removed = compact(spark, pdir)
+        csec = round(time.time() - t0, 2)
+        post = spark.read.parquet(pdir)
+        rows_after = post.count()
+        assert post.select("epoch").distinct().count() == 1, f"{tag}: >1 epoch"
+        assert rows_after <= bound, f"{tag}: compacted state above types x K"
+        reader = read_kmv if tag == "kmv" else read_quantiles
+        got = {tuple(r) for r in reader(spark, pdir).collect()}
+        assert got == expect, f"{tag}: readout changed by compaction"
+        assert compact(spark, pdir) == 0, f"{tag}: re-run not a no-op"
+        out[f"compaction_{tag}"] = {
+            "epochs_removed": removed,
+            "sec": csec,
+            "state_rows_after": rows_after,
+            "state_bound": bound,
+            "readout_bit_identical": True,
+            "idempotent": True,
+        }
 
     # --- incremental dedup ----------------------------------------------------
     ddrop = os.path.join(work, "docs_drop")
