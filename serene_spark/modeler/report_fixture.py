@@ -245,6 +245,17 @@ CITIES_UNKNOWN_MAX_PREDICTIONS: dict[str, dict[str, float]] = {
     "city2": {"unknown": 0.4, "City---name": 0.3, "State---name": 0.3},
 }
 
+# getCitiesDataSetPredictions2 (SuggestModelSpec.scala:164-180): the
+# ASYMMETRIC matcher output — city1 prefers City---name 0.6/0.4, city2
+# prefers State---name 0.6/0.4. The one cities scenario where the ranked
+# order is fully determined by scores, which is what makes it the
+# order-pin fixture (the reference asserts 10 suggestions, all complete
+# and consistent, SuggestModelSpec.scala:790-814).
+CITIES_ASYMMETRIC_PREDICTIONS: dict[str, dict[str, float]] = {
+    "city1": {"City---name": 0.6, "State---name": 0.4},
+    "city2": {"City---name": 0.4, "State---name": 0.6},
+}
+
 # Museum-family scenario matrix over a new "employees" source
 # (SuggestModelSpec's correct / wrong / unknown / missing variants).
 EMPLOYEE_PREDICTIONS: dict[str, dict[str, float]] = {

@@ -15,6 +15,7 @@ import pytest
 from serene_spark.modeler.report_fixture import (
     BUSINESS_PREDICTIONS,
     BUSINESS_SSD,
+    CITIES_ASYMMETRIC_PREDICTIONS,
     CITIES_DISCARD_PREDICTIONS,
     CITIES_PROBLEMATIC_PREDICTIONS,
     CITIES_TIED_PREDICTIONS,
@@ -284,6 +285,114 @@ def test_cities_unknown_dominated_column_discarded():
     assert set(kept) == {"city1"}
     suggestions = suggest_cities(CITIES_DISCARD_PREDICTIONS)
     assert {m.mappings.keys() == {"city1"} for m, _s in suggestions} == {True}
+
+
+def _assignment(model):
+    """attr -> (owning class, property) of one suggestion."""
+    nodes = {n.id: n for n in model.semantic_model.nodes}
+    out = {}
+    for attr, node_id in model.mappings.items():
+        out[attr] = next(
+            (nodes[l.source].label, l.label)
+            for l in model.semantic_model.links
+            if l.target == node_id
+        )
+    return out
+
+
+def test_cities_asymmetric_full_ranked_order_pin():
+    """FULL ranked-order pin for the one cities scenario whose order is
+    score-determined (getCitiesDataSetPredictions2, SuggestModelSpec.
+    scala:164-180 + :790-814: city1 prefers City 0.6, city2 prefers
+    State 0.6; the reference asserts 10 complete+consistent suggestions
+    but cannot pin their order — Karma's iteration order is
+    nondeterministic. Ours is deterministic, so the whole list is
+    pinned: karma score, link cost, and column->class assignment per
+    rank)."""
+    suggestions = suggest_cities(CITIES_ASYMMETRIC_PREDICTIONS)
+    assert len(suggestions) == 10  # reference: suggestions.size === 10
+    assert all(m.is_complete() for m, _s in suggestions)
+    got = [
+        (
+            round(s.karma_score, 4),
+            s.link_cost,
+            _assignment(m)["city1"][0],
+            _assignment(m)["city2"][0],
+        )
+        for m, s in suggestions
+    ]
+    # ranks 1-2: single-class models (zero link cost) outrank any split;
+    # ranks 3-4: the two split models over the KNOWN isPartOf link, the
+    # HIGHER-confidence split (city1=City 0.6, city2=State 0.6) STRICTLY
+    # above the lower (0.4/0.4) — the asymmetry the tied fixture can't
+    # rank; deeper ranks trade coverage/cost the same way, City-first on
+    # exact ties (lexicographic tie-break).
+    assert got == [
+        (0.75, 0.0, "City", "City"),
+        (0.75, 0.0, "State", "State"),
+        (0.55, 0.5, "City", "State"),
+        (0.45, 0.5, "State", "City"),
+        (0.425, 1.5, "City", "State"),
+        (0.325, 1.5, "State", "City"),
+        (0.3, 2.0, "City", "State"),
+        (0.3, 2.0, "City", "State"),
+        (0.3, 2.0, "City", "State"),
+        (0.2, 2.0, "State", "City"),
+    ]
+    karma = [k for k, *_ in got]
+    assert karma == sorted(karma, reverse=True)
+
+
+def test_cities_tied_full_ranked_order_pin():
+    """Ranked-order pin for the TIED scenario (getCitiesDataSetPredictions):
+    equal scores mean order within a cost tier falls to the documented
+    lexicographic tie-break — pinned so a search change that silently
+    reorders equal-score suggestions turns the suite red."""
+    got = [
+        (
+            round(s.karma_score, 4),
+            s.link_cost,
+            _assignment(m)["city1"][0],
+            _assignment(m)["city2"][0],
+        )
+        for m, s in suggest_cities()
+    ]
+    assert got == [
+        (0.75, 0.0, "City", "City"),
+        (0.75, 0.0, "State", "State"),
+        (0.5, 0.5, "City", "State"),
+        (0.5, 0.5, "State", "City"),
+        (0.375, 1.5, "City", "State"),
+        (0.375, 1.5, "State", "City"),
+        (0.25, 2.0, "City", "State"),
+        (0.25, 2.0, "State", "City"),
+        (0.25, 2.0, "City", "State"),
+        (0.25, 2.0, "State", "City"),
+    ]
+
+
+def test_business_full_ranked_order_pin():
+    """Extends the round-9 top-1 businessInfo pin to the FULL ranked
+    list: every suggestion keeps the canonical 4-column assignment (the
+    alternatives differ in linkage structure, not column typing), karma
+    is non-increasing, and the (karma, link_cost) ladder is pinned
+    rank-for-rank."""
+    suggestions = suggest_business()
+    canonical = {
+        "company": ("Organization", "name"),
+        "ceo": ("Person", "name"),
+        "city": ("City", "name"),
+        "state": ("State", "name"),
+    }
+    assert all(_assignment(m) == canonical for m, _s in suggestions)
+    ladder = [(round(s.karma_score, 4), s.link_cost) for _m, s in suggestions]
+    assert ladder == [
+        (0.6875, 1.5),
+        (0.6042, 2.0), (0.6042, 2.0),
+        (0.5625, 3.0), (0.5625, 3.0),
+        (0.5208, 2.5), (0.5208, 2.5),
+        (0.4375, 4.0), (0.4375, 4.0), (0.4375, 5.0),
+    ]
 
 
 def test_unknown_exact_tie_discards_column():

@@ -11,7 +11,17 @@ data skew as the driver's sf0.1 bench, just bigger.  It is NOT for parity
 (values differ from the driver's seed); use it only for scale validation.
 
 Usage: python tools/gen_scale.py SF OUTDIR  (e.g. 1.0 /root/repo/scale_data/sf1)
-"""
+
+Embedding contrast modes (round-10 ANN ledger v2):
+  python tools/gen_scale.py SF OUTDIR --embeddings-only --contrast high
+``low`` (default, the historic corpus) has 10 centroids at 0.55 signal
+under unit-norm 64-d N(0,1) noise — signal/noise ~ 0.07, i.e. nearly
+isotropic, which is why the round-9 recall ledger found recall ~ scan
+fraction for every index. ``high`` mirrors REAL text-embedding geometry:
+256 topic clusters, members at cosine ~ 0.8 to their centroid
+(x = c + 0.5-norm noise), between-cluster cosine ~ 0. The ANN indexes'
+bucketing assumptions hold only on such clustered data; the ledger
+measures both."""
 
 from __future__ import annotations
 
@@ -48,6 +58,35 @@ def write(df: pd.DataFrame, outdir: str, name: str) -> None:
             df[c] = df[c].astype("datetime64[us]")
     df.to_parquet(os.path.join(outdir, f"{name}.parquet"), index=False)
     print(f"  {name}: {len(df)} rows")
+
+
+def gen_embeddings(
+    sf: float, outdir: str, contrast: str = "low", rng=None
+) -> None:
+    """Write embeddings.parquet at the given contrast (docstring above)."""
+    if rng is None:
+        rng = np.random.default_rng(SEED)
+    os.makedirs(outdir, exist_ok=True)
+    n_emb = int(20_000 * sf)
+    if contrast == "high":
+        n_clusters = 256
+        cents = rng.normal(0, 1, (n_clusters, 64))
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+        lab = rng.integers(0, n_clusters, n_emb).astype(np.int32)
+        # member-to-centroid cosine ~ 1/sqrt(1+0.5^2) ~ 0.89,
+        # member-to-member (same cluster) ~ 1/(1+0.5^2) ~ 0.8
+        X = cents[lab] + rng.normal(0, 0.5 / np.sqrt(64), (n_emb, 64))
+    else:
+        lab = rng.integers(0, 10, n_emb).astype(np.int32)
+        cents = rng.normal(0, 1, (10, 64))
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+        X = rng.normal(0, 1, (n_emb, 64)) + 0.55 * cents[lab]
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    write(pd.DataFrame({
+        "vec_id": np.arange(n_emb, dtype=np.int64),
+        "embedding": [row.astype(np.float32) for row in X],
+        "label": lab,
+    }), outdir, "embeddings")
 
 
 def gen(sf: float, outdir: str) -> None:
@@ -159,17 +198,17 @@ def gen(sf: float, outdir: str) -> None:
         "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
     }), outdir, "documents")
 
-    lab = rng.integers(0, 10, n_emb).astype(np.int32)
-    cents = rng.normal(0, 1, (10, 64))
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
-    X = rng.normal(0, 1, (n_emb, 64)) + 0.55 * cents[lab]
-    X /= np.linalg.norm(X, axis=1, keepdims=True)
-    write(pd.DataFrame({
-        "vec_id": np.arange(n_emb, dtype=np.int64),
-        "embedding": [row.astype(np.float32) for row in X],
-        "label": lab,
-    }), outdir, "embeddings")
+    gen_embeddings(sf, outdir, "low", rng)
 
 
 if __name__ == "__main__":
-    gen(float(sys.argv[1]), sys.argv[2])
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    contrast = "high" if "--contrast=high" in flags or (
+        "--contrast" in flags and "high" in args) else "low"
+    if "high" in args:
+        args.remove("high")
+    if "--embeddings-only" in flags:
+        gen_embeddings(float(args[0]), args[1], contrast)
+    else:
+        gen(float(args[0]), args[1])
