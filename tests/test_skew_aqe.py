@@ -117,3 +117,48 @@ def test_salted_agg_matches_plain_groupby_on_hot_key(spark):
     }
     assert got == expected
     assert got[7][0] == N_ROWS // 2 + N_ROWS // N_KEYS
+
+
+def test_skew_join_advisory_fires_on_dominant_key(spark):
+    """skew_join_advisory (plans/explain_audit.py) encodes the two
+    bench_skew.py config-contract findings: it fires on the skewed
+    fixture's dominant key (hot partition >> stock factor in ROWS),
+    warns that a narrow residue under-reads in compressed BYTES, and
+    recommends a factor below the estimated compressed ratio — while
+    staying silent on evenly-distributed keys (stock AQE is correct
+    there, lowering the factor would only fragment healthy joins)."""
+    from serene_spark.plans.explain_audit import (
+        NARROW_RESIDUE_BYTE_DISCOUNT,
+        skew_join_advisory,
+    )
+
+    fact = _skewed_fact(spark)
+    stats = (
+        fact.groupBy("k").count()
+        .agg(
+            F.lit("fact.k").alias("join_key"),
+            F.sum("count").alias("n_rows"),
+            F.max("count").alias("max_rows_per_key"),
+        )
+        .collect()
+    )
+    out = skew_join_advisory(stats, n_shuffle_partitions=16)
+    assert len(out) == 1
+    adv = out[0]
+    assert adv["join_key"] == "fact.k"
+    # fixture: one key owns ~50% -> ~9x the median partition over 16
+    assert 0.49 <= adv["hot_key_share"] <= 0.51
+    assert 8.5 <= adv["row_ratio_vs_median"] <= 9.5
+    # narrow-residue byte estimate: 1 + (ratio-1) * measured discount
+    expect_bytes = 1 + (adv["row_ratio_vs_median"] - 1) * NARROW_RESIDUE_BYTE_DISCOUNT
+    assert abs(adv["narrow_residue_byte_ratio"] - expect_bytes) < 0.02
+    assert adv["splits_at_stock_if_wide_rows"] is True
+    # ~2.2x compressed < stock factor 5: the decline bench_skew measured
+    assert adv["splits_at_stock_if_narrow_residue"] is False
+    assert 2 <= adv["recommended_skew_factor"] < adv["narrow_residue_byte_ratio"]
+    assert "skewedPartitionFactor" in adv["advisory"]
+
+    # an even key distribution yields NO advisory
+    even = [{"join_key": "orders.o_custkey", "n_rows": 1_000_000,
+             "max_rows_per_key": 120}]
+    assert skew_join_advisory(even, n_shuffle_partitions=16) == []
