@@ -8,8 +8,9 @@ Decode support is tiered by what a dependency-free container can honestly do:
 - **image/PPM (P6)**: REAL decode — header parse + raw-RGB numpy array,
   with real nearest-neighbor resize and mean-channel features;
 - **image/PNG**: REAL decode — stdlib zlib inflate + full filter
-  reconstruction (types 0-4) for 8-bit gray/RGB/RGBA non-interlaced
-  (``decode_png``); exotic shapes fall through to the PIL tier;
+  reconstruction (types 0-4) for 8-bit gray/RGB/RGBA, non-interlaced and
+  Adam7-interlaced (``decode_png``); exotic shapes (palette, 16-bit)
+  fall through to the PIL tier;
 - **image/JPEG**: REAL decode — baseline sequential JFIF (Huffman entropy
   decode + dequant + IDCT + 4:4:4/4:2:2/4:2:0 upsampling + YCbCr→RGB,
   restart markers handled; see multimodal/jpeg.py) AND progressive
@@ -19,7 +20,8 @@ Decode support is tiered by what a dependency-free container can honestly do:
   the KwKwK case, global/local color tables, extension skipping, and
   MULTI-FRAME animation (per-frame delay/disposal compositing with
   transparency; n_frames reported from the real frame count —
-  multimodal/gif.py); interlaced shapes fall through;
+  multimodal/gif.py), interlaced rasters (Appendix-E 4-pass
+  de-interleave);
 - **video/MP4**: REAL container parse (multimodal/mp4.py, ISO/IEC
   14496-12): box-tree walk -> brand, track dims, frame count, fps,
   duration, and the stco x stsc x stsz seek table resolving every frame
@@ -161,9 +163,11 @@ def decode_ppm(blob: bytes) -> np.ndarray:
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def make_png(img: np.ndarray) -> bytes:
+def make_png(img: np.ndarray, interlace: bool = False) -> bytes:
     """Encode an (h, w, 3) uint8 array as a real 8-bit RGB PNG (stdlib
-    zlib, filter type 0 per row) — the test-side twin of ``decode_png``."""
+    zlib, filter type 0 per row) — the test-side twin of ``decode_png``.
+    ``interlace`` writes the Adam7 layout: seven independently-filtered
+    sub-images in pass order (PNG spec 4.5.2)."""
     import struct
     import zlib
 
@@ -173,48 +177,38 @@ def make_png(img: np.ndarray) -> bytes:
         return (struct.pack(">I", len(data)) + tag + data
                 + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, RGB
-    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            parts.append(b"".join(b"\x00" + sub[y].tobytes()
+                                  for y in range(sub.shape[0])))
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
     return (PNG_SIG + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw))
             + chunk(b"IEND", b""))
 
 
-def decode_png(blob: bytes) -> np.ndarray:
-    """REAL PNG decode with the stdlib only: IHDR parse, IDAT concat +
-    zlib inflate, per-row filter reconstruction (types 0-4, the complete
-    spec set), normalized to an (h, w, 3) uint8 array (alpha dropped,
-    gray replicated).  Supports the overwhelmingly common shape — 8-bit
-    depth, color types 0/2/6, non-interlaced; anything else raises (the
-    PIL hook in ``_decode`` remains the tier for exotic PNGs/JPEG)."""
-    import struct
-    import zlib
+# Adam7 pass grid: (x_start, y_start, x_step, y_step), PNG spec 4.5.2
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
-    if not blob.startswith(PNG_SIG):
-        raise ValueError("not a PNG")
-    pos, idat = len(PNG_SIG), []
-    w = h = depth = ctype = interlace = None
-    while pos + 8 <= len(blob):
-        (length,), tag = struct.unpack(">I", blob[pos:pos + 4]), blob[pos + 4:pos + 8]
-        data = blob[pos + 8:pos + 8 + length]
-        pos += 12 + length  # length + tag + data + crc
-        if tag == b"IHDR":
-            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
-        elif tag == b"IDAT":
-            idat.append(data)
-        elif tag == b"IEND":
-            break
-    if depth != 8 or ctype not in (0, 2, 6) or interlace != 0:
-        raise ValueError(f"unsupported PNG shape (depth={depth}, color={ctype}, "
-                         f"interlace={interlace}) — use the PIL tier")
-    nch = {0: 1, 2: 3, 6: 4}[ctype]
-    raw = zlib.decompress(b"".join(idat))
-    stride = w * nch
-    out = np.zeros((h, stride), dtype=np.uint8)
-    for y in range(h):
-        ftype = raw[y * (stride + 1)]
+
+def _png_unfilter(raw: bytes, pw: int, ph: int, nch: int, offset: int):
+    """Reconstruct one (sub-)image of ``ph`` filtered rows starting at
+    ``offset`` in the inflated stream; returns (pixels, next_offset)."""
+    stride = pw * nch
+    out = np.zeros((ph, stride), dtype=np.uint8)
+    for y in range(ph):
+        base = offset + y * (stride + 1)
+        ftype = raw[base]
         row = np.frombuffer(raw, np.uint8, count=stride,
-                            offset=y * (stride + 1) + 1).astype(np.int32)
+                            offset=base + 1).astype(np.int32)
         prior = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
         if ftype == 0:
             cur = row
@@ -238,7 +232,53 @@ def decode_png(blob: bytes) -> np.ndarray:
         else:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = cur.astype(np.uint8)
-    px = out.reshape(h, w, nch)
+    return out, offset + ph * (stride + 1)
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """REAL PNG decode with the stdlib only: IHDR parse, IDAT concat +
+    zlib inflate, per-row filter reconstruction (types 0-4, the complete
+    spec set), normalized to an (h, w, 3) uint8 array (alpha dropped,
+    gray replicated).  Supports the overwhelmingly common shapes — 8-bit
+    depth, color types 0/2/6, non-interlaced OR Adam7-interlaced (each of
+    the 7 passes is an independently-filtered sub-image scattered onto
+    the pass grid, PNG spec 4.5.2); anything else raises (the PIL hook in
+    ``_decode`` remains the tier for exotic PNGs/JPEG)."""
+    import struct
+    import zlib
+
+    if not blob.startswith(PNG_SIG):
+        raise ValueError("not a PNG")
+    pos, idat = len(PNG_SIG), []
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(blob):
+        (length,), tag = struct.unpack(">I", blob[pos:pos + 4]), blob[pos + 4:pos + 8]
+        data = blob[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + tag + data + crc
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if depth != 8 or ctype not in (0, 2, 6) or interlace not in (0, 1):
+        raise ValueError(f"unsupported PNG shape (depth={depth}, color={ctype}, "
+                         f"interlace={interlace}) — use the PIL tier")
+    nch = {0: 1, 2: 3, 6: 4}[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    if interlace == 0:
+        out, _ = _png_unfilter(raw, w, h, nch, 0)
+        px = out.reshape(h, w, nch)
+    else:
+        px = np.zeros((h, w, nch), dtype=np.uint8)
+        offset = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = -(-(w - x0) // dx) if w > x0 else 0
+            ph = -(-(h - y0) // dy) if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue  # empty pass contributes no bytes (spec 4.5.2)
+            sub, offset = _png_unfilter(raw, pw, ph, nch, offset)
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, nch)
     if ctype == 0:
         return np.repeat(px, 3, axis=2)
     return px[:, :, :3]  # RGB, or RGBA with alpha dropped
@@ -249,7 +289,7 @@ def decode_image(blob: bytes) -> np.ndarray | None:
     or progressive JPEG, or GIF — first presented frame for animated
     streams), else None — the single
     dispatch the pixel operators share. Malformed or unsupported-shape
-    blobs (palette/16-bit/interlaced PNG, truncated streams) return None
+    blobs (palette/16-bit PNG, truncated streams) return None
     rather than raising: the pixel operators' contract is
     SKIP-undecodable, and an exception inside an Arrow UDF would fail
     the whole task."""
@@ -323,8 +363,7 @@ def _decode(kind: str, blob: bytes):
             h, w = frames[0].shape[:2]
             return (w, h, len(frames)) + _NULLS[3:] + ("gif",)
         except Exception:
-            # interlaced raises ValueError; corrupt bodies raise
-            # anything — all fall through to the PIL tier / stub
+            # corrupt bodies raise — fall through to the PIL tier / stub
             pass
     if kind == "image" and blob.startswith(b"\xff\xd8"):
         try:

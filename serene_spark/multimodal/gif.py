@@ -6,11 +6,10 @@ quantization + LZW compression, Graphic Control Extensions with delay /
 disposal / transparency, Netscape loop block), ``decode_gif`` /
 ``decode_gif_animation`` the real decoders (logical screen descriptor,
 global/local color tables, extension blocks, variable-code-width LZW
-with clear/EOI handling, non-interlaced rasters, and full multi-frame
+with clear/EOI handling, non-interlaced AND interlaced rasters (the
+4-pass row schedule of GIF89a Appendix E), and full multi-frame
 compositing per the GIF89a disposal semantics: 0/1 leave, 2 restore
 background, 3 restore previous, with transparent-index carry-through).
-Interlaced rasters raise ValueError and fall through to binary_ops'
-stub tier — never a silent wrong answer.
 
 Reference: GIF89a specification (CompuServe, 1990), Appendix F (LZW);
 disposal-method compositing per section 23 (Graphic Control Extension).
@@ -118,6 +117,16 @@ def _lzw_decode(data: bytes, min_code: int) -> list[int]:
     return out
 
 
+def _interlace_order(h: int) -> list[int]:
+    """GIF89a Appendix E 4-pass row schedule: the order image rows are
+    STORED in an interlaced raster (pass 1: rows 0,8,16...; pass 2:
+    4,12...; pass 3: 2,6,10...; pass 4: odd rows)."""
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, h, step))
+    return order
+
+
 def _sub_blocks(payload: bytes) -> bytes:
     out = bytearray()
     for i in range(0, len(payload), 255):
@@ -139,20 +148,25 @@ def _palette(pixels: np.ndarray) -> tuple[np.ndarray, int, int]:
     return table, depth, len(colors)
 
 
-def make_gif(img: np.ndarray) -> bytes:
+def make_gif(img: np.ndarray, interlace: bool = False) -> bytes:
     """Encode an (h, w, 3) uint8 array as a single-frame GIF89a.
 
     Palette: the image's unique colors (must be <= 256 — test images are
-    constructed, not photographic), padded to a power of two."""
+    constructed, not photographic), padded to a power of two.
+    ``interlace`` stores rows in the 4-pass Appendix-E schedule and sets
+    the image descriptor's interlace flag."""
     h, w = img.shape[:2]
     table, depth, n_colors = _palette(img.reshape(-1, 3))
     inverse = _map_to_palette(img, table[:n_colors])
+    if interlace:
+        inverse = inverse[_interlace_order(h)]
 
     out = bytearray(b"GIF89a")
     out += struct.pack("<HH", w, h)
     out += bytes([0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0])  # GCT flag
     out += table.tobytes()
-    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"  # image desc
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([0x40 if interlace else 0x00])  # image descriptor flags
 
     min_code = max(2, depth)
     out += bytes([min_code])
@@ -241,7 +255,7 @@ def make_gif_animated(
 def decode_gif_animation(
     blob: bytes,
 ) -> tuple[list[np.ndarray], list[int], list[int]]:
-    """Decode every frame of a (possibly animated) non-interlaced GIF.
+    """Decode every frame of a (possibly animated) GIF.
 
     Returns ``(frames, delays_cs, disposals)`` where each frame is the
     full-canvas (sh, sw, 3) uint8 COMPOSITE presented at that point of
@@ -291,8 +305,7 @@ def decode_gif_animation(
         left, top, w, h = struct.unpack("<HHHH", blob[pos + 1 : pos + 9])
         ipacked = blob[pos + 9]
         pos += 10
-        if ipacked & 0x40:
-            raise ValueError("interlaced GIF: not this tier")
+        interlaced = bool(ipacked & 0x40)
         table = gct
         if ipacked & 0x80:
             n = 2 << (ipacked & 0x07)
@@ -314,6 +327,10 @@ def decode_gif_animation(
         if len(out) != w * h:
             raise ValueError("LZW output size mismatch")
         idx = np.asarray(out, dtype=np.int64).reshape(h, w)
+        if interlaced:  # stored rows are in 4-pass order; un-shuffle
+            deinterlaced = np.empty_like(idx)
+            deinterlaced[_interlace_order(h)] = idx
+            idx = deinterlaced
 
         saved = canvas.copy() if g_disposal == 3 else None
         region = canvas[top : top + h, left : left + w]
@@ -334,7 +351,7 @@ def decode_gif_animation(
 
 
 def decode_gif(blob: bytes) -> np.ndarray:
-    """First presented frame of a non-interlaced GIF as (h, w, 3) uint8
+    """First presented frame of a GIF as (h, w, 3) uint8
     (for animated streams: the full-canvas composite of frame 0 — the
     conventional still-thumbnail semantics)."""
     return decode_gif_animation(blob)[0][0]

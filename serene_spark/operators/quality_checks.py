@@ -454,7 +454,7 @@ register(
 DP_EPSILON = 1.0  # per-release privacy budget for the count query
 
 
-def _dp_counts_sql(dialect: str, audit: bool) -> str:
+def _dp_counts_sql(dialect: str, audit: bool, salt: str = "") -> str:
     """Differentially-private release of per-(nation, market segment)
     customer counts via the Laplace mechanism (Dwork et al., TCC 2006) —
     the RELEASE step the privacy family was missing: ``pii_scan_customer``
@@ -475,13 +475,18 @@ def _dp_counts_sql(dialect: str, audit: bool) -> str:
         t     = u - 0.5                                    in (-0.5, 0.5)
         noise = -(1/eps) * sign(t) * ln(1 - 2*|t|)         ~ Laplace(1/eps)
 
-    NOT ACTUALLY PRIVATE AS SHIPPED: because the hash key is public, the
-    noise draw is exactly invertible — a production release keys the hash
-    with a secret per-release salt (effectively this construction IS the
-    mechanism with the engine RNG swapped for a checkable one).  The
-    registered doc strings say so; the value here is that the mechanism's
-    arithmetic is oracle-checked end to end.  ``ln`` stays at the output
-    edge over identical doubles (the ``pmi_collocations`` convention).
+    NOT ACTUALLY PRIVATE with the default empty ``salt``: the hash key is
+    public, so the noise draw is exactly invertible — the registered
+    parity shapes use that deliberately so the mechanism's arithmetic is
+    oracle-checked end to end.  Passing a non-empty ``salt`` prepends the
+    secret to the hashed key (noise = f(md5(salt|group))), which is the
+    production construction: the draw is then a fixed function of
+    (secret, group) — reproducible for audit by whoever holds the salt,
+    unpredictable to release consumers.  ``dp_release_counts_salted``
+    below is the runtime entry for that path; it REFUSES an empty salt
+    rather than silently shipping the demo noise.  ``ln`` stays at the
+    output edge over identical doubles (the ``pmi_collocations``
+    convention).
 
     Two registered shapes: ``dp_release_counts`` (audit=False) ships ONLY
     what a release may contain — (group, dp_count >= 0 by post-processing
@@ -495,6 +500,9 @@ def _dp_counts_sql(dialect: str, audit: bool) -> str:
     at 100 TB because it never touches row-scale data.
     """
     key = "concat(CAST(c_nationkey AS STRING), '|', c_mktsegment)"
+    if salt:
+        esc = salt.replace("'", "''")
+        key = f"concat('{esc}', '|', {key})"
     u = (f"(({hex_to_int(dialect, f'substr(md5({key}), 1, 8)')})"
          " + 0.5) / 4294967296.0")
     return f"""
@@ -543,6 +551,30 @@ register(
     "so the parity gate checks the arithmetic; production keys the hash "
     "with a secret per-release salt",
 )(_customer_q(dp_release_sql))
+
+
+def dp_release_counts_salted(
+    spark: SparkSession, sf_dir: str, salt: str | None = None
+) -> DataFrame:
+    """PRODUCTION entry for the DP count release: same release shape as
+    the registered ``dp_release_counts`` but the Laplace draw is keyed by
+    a SECRET per-release salt (argument, or $SPARK_GRAFT_DP_SALT), so the
+    noise is no longer invertible from the public group key.  Refuses to
+    run without a salt — the demo mechanism must be asked for by its
+    demo name, never reached by forgetting a config.  Not in the parity
+    registry by design: a salt committed to the repo would be public,
+    which is exactly the flaw this path closes."""
+    import os
+
+    salt = salt if salt is not None else os.environ.get("SPARK_GRAFT_DP_SALT", "")
+    if not salt:
+        raise ValueError(
+            "dp_release_counts_salted requires a secret salt (arg or "
+            "$SPARK_GRAFT_DP_SALT); for the oracle-checkable demo noise "
+            "use dp_release_counts explicitly"
+        )
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(_dp_counts_sql(SPARK, audit=False, salt=salt))
 
 
 register(

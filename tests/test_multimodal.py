@@ -710,19 +710,14 @@ def test_gif_tier_lossless_and_cross_container_identical(spark):
         ppm_twin = (b"P6\n%d %d\n255\n" % (q.shape[1], q.shape[0])) + q.tobytes()
         assert np.array_equal(decode_image(gif), decode_image(ppm_twin))
 
-    # rejection of shapes outside the tier
+    # interlaced rasters are now IN the tier: the 4-pass Appendix-E row
+    # schedule must round-trip losslessly and agree with the progressive
+    # (non-interlaced) encoding of the same pixels
     q = posterize(decode_ppm(make_ppm(1)))
-    gif = bytearray(make_gif(q))
-    # flip the interlace bit in the image descriptor (after 6+7 header+LSD
-    # + GCT; find 0x2c introducer instead of hardcoding)
-    pos = gif.index(0x2C)
-    gif[pos + 9] |= 0x40
-    try:
-        decode_gif(bytes(gif))
-        raised = False
-    except ValueError:
-        raised = True
-    assert raised
+    inter = make_gif(q, interlace=True)
+    assert inter != make_gif(q)  # genuinely different byte stream
+    assert np.array_equal(decode_gif(inter), q)
+    assert np.array_equal(decode_gif(inter), decode_gif(make_gif(q)))
 
 
 def test_gif_animation_roundtrip_compositing():
@@ -842,3 +837,33 @@ def test_unsupported_jpeg_shapes_get_tagged_stub(spark):
     assert rows[1] == "jpeg"
     assert rows[2] == rows[3] == "jpeg-stub"
     assert rows[4] == "stub"
+
+
+def test_interlaced_png_adam7_roundtrip(spark):
+    """Adam7-interlaced PNG decodes losslessly and identically to the
+    progressive (non-interlaced) encoding of the same pixels, at shapes
+    that exercise empty passes (tiny images where late passes own rows
+    the early ones don't) — and flows through media features with the
+    real 'png' decoder tag."""
+    import numpy as np
+
+    from serene_spark.multimodal.binary_ops import (
+        MEDIA_SCHEMA,
+        decode_png,
+        extract_media_features,
+        make_png,
+    )
+
+    rng = np.random.default_rng(17)
+    for shape in ((24, 32), (7, 5), (1, 1), (2, 3), (8, 8), (9, 17)):
+        img = rng.integers(0, 256, (*shape, 3)).astype(np.uint8)
+        inter = make_png(img, interlace=True)
+        assert inter != make_png(img)
+        assert np.array_equal(decode_png(inter), img)
+
+    img = rng.integers(0, 256, (19, 23, 3)).astype(np.uint8)
+    media = spark.createDataFrame(
+        [(1, "image", make_png(img, interlace=True))], MEDIA_SCHEMA
+    )
+    (row,) = extract_media_features(media).collect()
+    assert (row.width, row.height, row.decoder) == (23, 19, "png")
