@@ -8,9 +8,10 @@ Decode support is tiered by what a dependency-free container can honestly do:
 - **image/PPM (P6)**: REAL decode — header parse + raw-RGB numpy array,
   with real nearest-neighbor resize and mean-channel features;
 - **image/PNG**: REAL decode — stdlib zlib inflate + full filter
-  reconstruction (types 0-4) for 8-bit gray/RGB/RGBA, non-interlaced and
-  Adam7-interlaced (``decode_png``); exotic shapes (palette, 16-bit)
-  fall through to the PIL tier;
+  reconstruction (types 0-4) for EVERY spec color type (gray, RGB,
+  indexed/PLTE at depths 1/2/4/8, gray+alpha, RGBA) at depths up to 16,
+  non-interlaced and Adam7-interlaced (``decode_png``); malformed
+  streams fall through to the PIL tier;
 - **image/JPEG**: REAL decode — baseline sequential JFIF (Huffman entropy
   decode + dequant + IDCT + 4:4:4/4:2:2/4:2:0 upsampling + YCbCr→RGB,
   restart markers handled; see multimodal/jpeg.py) AND progressive
@@ -28,7 +29,7 @@ Decode support is tiered by what a dependency-free container can honestly do:
   to a (byte offset, length) range read — what frame sampling actually
   needs at scale; frame PAYLOAD decode (H.264 et al.) stays behind the
   stub tier, clearly marked (codec work needs codec libs);
-- **remaining compressed formats (arithmetic JPEG, exotic PNG...)**:
+- **remaining compressed formats (arithmetic/12-bit JPEG...)**:
   STUBBED with a deterministic content-hash fake behind a ``try: import
   PIL`` hook — the decode libs are not in this container; swapping the
   stub for a real decoder changes ONE function (``_decode``), the Spark
@@ -194,15 +195,73 @@ def make_png(img: np.ndarray, interlace: bool = False) -> bytes:
             + chunk(b"IEND", b""))
 
 
+def _png_wrap(w: int, h: int, depth: int, ctype: int, interlace: int,
+              raw: bytes, plte: bytes | None = None) -> bytes:
+    """Assemble a PNG from already-filtered scanline bytes."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    out = PNG_SIG + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace))
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def make_png_palette(img: np.ndarray, depth: int = 8) -> bytes:
+    """Encode an (h, w, 3) uint8 array as an indexed-color (type 3) PNG
+    at ``depth`` bits per index (1/2/4/8) — the web's icon/logo shape;
+    the image must have <= 2**depth unique colors."""
+    h, w = img.shape[:2]
+    colors, inverse = np.unique(img.reshape(-1, 3), axis=0, return_inverse=True)
+    if len(colors) > 1 << depth:
+        raise ValueError(f"more than {1 << depth} colors for depth {depth}")
+    idx = inverse.reshape(h, w).astype(np.uint8)
+    rows = []
+    for y in range(h):
+        if depth == 8:
+            rows.append(b"\x00" + idx[y].tobytes())
+        else:  # pack MSB-first bit groups (PNG spec 7.2)
+            bits = ((idx[y][:, None] >> np.arange(depth - 1, -1, -1)) & 1)
+            rows.append(b"\x00" + np.packbits(bits.astype(np.uint8).ravel()).tobytes())
+    return _png_wrap(w, h, depth, 3, 0, b"".join(rows), colors.tobytes())
+
+
+def make_png16(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a 16-bit RGB PNG whose sample
+    high bytes are the pixel values (low bytes deliberately non-zero, so
+    a decoder that reads the wrong byte turns visibly wrong)."""
+    h, w = img.shape[:2]
+    samples = np.zeros((h, w, 3, 2), np.uint8)
+    samples[..., 0] = img
+    samples[..., 1] = img ^ 0xA5  # junk low byte
+    raw = b"".join(b"\x00" + samples[y].tobytes() for y in range(h))
+    return _png_wrap(w, h, 16, 2, 0, raw)
+
+
+def make_png_gray_alpha(gray: np.ndarray) -> bytes:
+    """Encode an (h, w) uint8 gray array as an 8-bit gray+alpha (type 4)
+    PNG with a constant opaque alpha channel."""
+    h, w = gray.shape[:2]
+    ga = np.stack([gray, np.full_like(gray, 255)], axis=-1)
+    raw = b"".join(b"\x00" + ga[y].tobytes() for y in range(h))
+    return _png_wrap(w, h, 8, 4, 0, raw)
+
+
 # Adam7 pass grid: (x_start, y_start, x_step, y_step), PNG spec 4.5.2
 _ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
 
-def _png_unfilter(raw: bytes, pw: int, ph: int, nch: int, offset: int):
-    """Reconstruct one (sub-)image of ``ph`` filtered rows starting at
-    ``offset`` in the inflated stream; returns (pixels, next_offset)."""
-    stride = pw * nch
+def _png_unfilter(raw: bytes, stride: int, ph: int, bpp: int, offset: int):
+    """Reconstruct ``ph`` filtered rows of ``stride`` BYTES each starting
+    at ``offset`` in the inflated stream; ``bpp`` is the filter's
+    left-neighbor distance in bytes (PNG spec 9.2: max(1, channels x
+    depth / 8)). Returns (byte rows, next_offset)."""
     out = np.zeros((ph, stride), dtype=np.uint8)
     for y in range(ph):
         base = offset + y * (stride + 1)
@@ -217,14 +276,14 @@ def _png_unfilter(raw: bytes, pw: int, ph: int, nch: int, offset: int):
         elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left-recurrence
             cur = np.zeros(stride, np.int32)
             for x in range(stride):
-                a = cur[x - nch] if x >= nch else 0
+                a = cur[x - bpp] if x >= bpp else 0
                 b = prior[x]
                 if ftype == 1:
                     cur[x] = (row[x] + a) & 0xFF
                 elif ftype == 3:
                     cur[x] = (row[x] + ((a + b) >> 1)) & 0xFF
                 else:
-                    c = prior[x - nch] if x >= nch else 0
+                    c = prior[x - bpp] if x >= bpp else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -235,21 +294,45 @@ def _png_unfilter(raw: bytes, pw: int, ph: int, nch: int, offset: int):
     return out, offset + ph * (stride + 1)
 
 
+def _png_subimage(raw, pw, ph, depth, nch, offset):
+    """One (sub-)image -> (ph, pw, nch) CHANNEL-VALUE array (uint8;
+    16-bit samples keep their high byte, sub-byte samples are unpacked
+    MSB-first, PNG spec 7.2) plus the next stream offset."""
+    stride = -(-pw * nch * depth // 8)
+    bpp = max(1, nch * depth // 8)
+    rows, offset = _png_unfilter(raw, stride, ph, bpp, offset)
+    if depth == 8:
+        px = rows[:, : pw * nch].reshape(ph, pw, nch)
+    elif depth == 16:
+        px = rows[:, : pw * nch * 2 : 2].reshape(ph, pw, nch)  # high bytes
+    else:  # 1 / 2 / 4-bit: unpack MSB-first bit groups
+        bits = np.unpackbits(rows, axis=1)
+        groups = bits[:, : (stride * 8 // depth) * depth]
+        vals = groups.reshape(ph, -1, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        px = (vals * weights).sum(axis=2).astype(np.uint8)[:, : pw * nch]
+        px = px.reshape(ph, pw, nch)
+    return px, offset
+
+
 def decode_png(blob: bytes) -> np.ndarray:
     """REAL PNG decode with the stdlib only: IHDR parse, IDAT concat +
     zlib inflate, per-row filter reconstruction (types 0-4, the complete
     spec set), normalized to an (h, w, 3) uint8 array (alpha dropped,
-    gray replicated).  Supports the overwhelmingly common shapes — 8-bit
-    depth, color types 0/2/6, non-interlaced OR Adam7-interlaced (each of
-    the 7 passes is an independently-filtered sub-image scattered onto
-    the pass grid, PNG spec 4.5.2); anything else raises (the PIL hook in
-    ``_decode`` remains the tier for exotic PNGs/JPEG)."""
+    gray replicated/rescaled, palette resolved via PLTE, 16-bit samples
+    kept at their high byte).  Supports every spec color type (0 gray,
+    2 RGB, 3 palette at depths 1/2/4/8, 4 gray+alpha, 6 RGBA) at depths
+    up to 16, non-interlaced OR Adam7-interlaced (each of the 7 passes is
+    an independently-filtered sub-image scattered onto the pass grid,
+    PNG spec 4.5.2); malformed combinations raise (the PIL hook in
+    ``_decode`` remains the fallback tier)."""
     import struct
     import zlib
 
     if not blob.startswith(PNG_SIG):
         raise ValueError("not a PNG")
     pos, idat = len(PNG_SIG), []
+    plte = None
     w = h = depth = ctype = interlace = None
     while pos + 8 <= len(blob):
         (length,), tag = struct.unpack(">I", blob[pos:pos + 4]), blob[pos + 4:pos + 8]
@@ -257,18 +340,22 @@ def decode_png(blob: bytes) -> np.ndarray:
         pos += 12 + length  # length + tag + data + crc
         if tag == b"IHDR":
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.append(data)
         elif tag == b"IEND":
             break
-    if depth != 8 or ctype not in (0, 2, 6) or interlace not in (0, 1):
+    valid_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                    4: (8, 16), 6: (8, 16)}
+    if (ctype not in valid_depths or depth not in valid_depths[ctype]
+            or interlace not in (0, 1) or (ctype == 3 and plte is None)):
         raise ValueError(f"unsupported PNG shape (depth={depth}, color={ctype}, "
                          f"interlace={interlace}) — use the PIL tier")
-    nch = {0: 1, 2: 3, 6: 4}[ctype]
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
     raw = zlib.decompress(b"".join(idat))
     if interlace == 0:
-        out, _ = _png_unfilter(raw, w, h, nch, 0)
-        px = out.reshape(h, w, nch)
+        px, _ = _png_subimage(raw, w, h, depth, nch, 0)
     else:
         px = np.zeros((h, w, nch), dtype=np.uint8)
         offset = 0
@@ -277,10 +364,15 @@ def decode_png(blob: bytes) -> np.ndarray:
             ph = -(-(h - y0) // dy) if h > y0 else 0
             if pw == 0 or ph == 0:
                 continue  # empty pass contributes no bytes (spec 4.5.2)
-            sub, offset = _png_unfilter(raw, pw, ph, nch, offset)
-            px[y0::dy, x0::dx] = sub.reshape(ph, pw, nch)
-    if ctype == 0:
-        return np.repeat(px, 3, axis=2)
+            sub, offset = _png_subimage(raw, pw, ph, depth, nch, offset)
+            px[y0::dy, x0::dx] = sub
+    if ctype == 3:
+        return plte[px[:, :, 0]]
+    if ctype in (0, 4):
+        g = px[:, :, 0]
+        if depth < 8:  # rescale sub-byte gray to full range (spec 7.2)
+            g = (g.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
     return px[:, :, :3]  # RGB, or RGBA with alpha dropped
 
 
@@ -289,7 +381,7 @@ def decode_image(blob: bytes) -> np.ndarray | None:
     or progressive JPEG, or GIF — first presented frame for animated
     streams), else None — the single
     dispatch the pixel operators share. Malformed or unsupported-shape
-    blobs (palette/16-bit PNG, truncated streams) return None
+    blobs (truncated or malformed streams) return None
     rather than raising: the pixel operators' contract is
     SKIP-undecodable, and an exception inside an Arrow UDF would fail
     the whole task."""

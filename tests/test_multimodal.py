@@ -361,7 +361,7 @@ def test_png_gray_and_rgba_normalize():
 
 
 def test_malformed_and_exotic_png_skip_not_crash(spark):
-    """Undecodable PNGs (corrupt IDAT, unsupported palette shape) must be
+    """Undecodable PNGs (corrupt IDAT, palette missing its PLTE) must be
     SKIPPED by the pixel operators and fall to the stub tier in feature
     extraction — never fail the Arrow task (review finding: zlib.error /
     struct.error escaped the ValueError-only handler)."""
@@ -867,3 +867,34 @@ def test_interlaced_png_adam7_roundtrip(spark):
     )
     (row,) = extract_media_features(media).collect()
     assert (row.width, row.height, row.decoder) == (23, 19, "png")
+
+
+def test_png_palette_16bit_and_gray_alpha_decode():
+    """The remaining spec color types decode in-tier: indexed color at
+    every legal depth (1/2/4/8 — the web icon shape), 16-bit RGB (high
+    byte kept; junk low bytes make a wrong-byte reader visibly wrong),
+    and gray+alpha (alpha dropped, gray replicated)."""
+    import numpy as np
+
+    from serene_spark.multimodal.binary_ops import (
+        decode_png,
+        make_png16,
+        make_png_gray_alpha,
+        make_png_palette,
+    )
+
+    rng = np.random.default_rng(29)
+    for depth in (1, 2, 4, 8):
+        n_colors = 1 << depth
+        lut = rng.integers(0, 256, (n_colors, 3)).astype(np.uint8)
+        lut = np.unique(lut, axis=0)  # make_png_palette re-derives this
+        idx = rng.integers(0, len(lut), (11, 13))
+        img = lut[idx]
+        assert np.array_equal(decode_png(make_png_palette(img, depth)), img)
+
+    img = rng.integers(0, 256, (9, 14, 3)).astype(np.uint8)
+    assert np.array_equal(decode_png(make_png16(img)), img)
+
+    gray = rng.integers(0, 256, (8, 10)).astype(np.uint8)
+    out = decode_png(make_png_gray_alpha(gray))
+    assert np.array_equal(out, np.stack([gray] * 3, axis=-1))
