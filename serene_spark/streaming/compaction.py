@@ -40,6 +40,35 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _epoch_swap(spark: SparkSession, log_dir: str, build_merged) -> int:
+    """Shared swap machinery: list ``epoch=*`` partitions, materialize
+    ``build_merged()`` into an underscore-prefixed temp dir (invisible to
+    readers), delete the LISTED partitions, rename the merge in as the
+    highest listed epoch. Returns #partitions removed (0 = already
+    compact, nothing rewritten)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(log_dir)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    epochs: list[tuple[int, object]] = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("epoch="):
+            epochs.append((int(name.split("=", 1)[1]), st.getPath()))
+    if len(epochs) <= 1:
+        return 0
+
+    keep_epoch = max(e for e, _ in epochs)
+    base = log_dir.rstrip("/")
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{base}/_compact_tmp")
+    # materialize the merge BEFORE deleting its inputs
+    build_merged().write.mode("overwrite").parquet(str(tmp))
+    for _e, p in epochs:
+        fs.delete(p, True)
+    fs.rename(tmp, jvm.org.apache.hadoop.fs.Path(f"{base}/epoch={keep_epoch}"))
+    return len(epochs)
+
+
 def compact_partials(
     spark: SparkSession,
     partials_dir: str,
@@ -55,38 +84,47 @@ def compact_partials(
     convention). Returns the number of epoch partitions removed (0 =
     log was already compact; nothing rewritten).
     """
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(partials_dir)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-
-    epochs: list[tuple[int, object]] = []
-    for st in fs.listStatus(hpath):
-        name = st.getPath().getName()
-        if st.isDirectory() and name.startswith("epoch="):
-            epochs.append((int(name.split("=", 1)[1]), st.getPath()))
-    if len(epochs) <= 1:
-        return 0
-
-    keep_epoch = max(e for e, _ in epochs)
     cols = ["event_type", *value_cols]
-    merged = (
-        spark.read.parquet(partials_dir)
-        .select(*cols)
-        .distinct()
-        .withColumn(
-            "rk",
-            F.row_number().over(Window.partitionBy("event_type").orderBy("u")),
-        )
-        .where(F.col("rk") <= k)
-        .select(*cols)
-        .repartition(1)  # |types| x K rows — one file is the right shape
-    )
 
-    base = partials_dir.rstrip("/")
-    tmp = jvm.org.apache.hadoop.fs.Path(f"{base}/_compact_tmp")
-    # materialize the merge BEFORE deleting its inputs
-    merged.write.mode("overwrite").parquet(str(tmp))
-    for _e, p in epochs:
-        fs.delete(p, True)
-    fs.rename(tmp, jvm.org.apache.hadoop.fs.Path(f"{base}/epoch={keep_epoch}"))
-    return len(epochs)
+    def merged():
+        return (
+            spark.read.parquet(partials_dir)
+            .select(*cols)
+            .distinct()
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("event_type").orderBy("u")),
+            )
+            .where(F.col("rk") <= k)
+            .select(*cols)
+            .repartition(1)  # |types| x K rows — one file is right
+        )
+
+    return _epoch_swap(spark, partials_dir, merged)
+
+
+def compact_fp_index(spark: SparkSession, index_dir: str) -> int:
+    """Collapse the incremental-dedup fingerprint index's epoch
+    partitions into one. Unlike the sketch logs this state is NOT
+    bounded — it is the full (fp, doc_id, source) survivor set — but it
+    accretes one small partition per micro-batch forever, and the
+    per-batch anti-join pays the file-listing and footer overhead of
+    every one of them. The fp set is exactly preserved (epochs are
+    disjoint on fp by the sink's anti-join; a defensive lowest-doc_id
+    dedup guards the invariant anyway), so the read-side anti-join and
+    every future batch behave identically. Returns #epochs removed."""
+
+    def merged():
+        return (
+            spark.read.parquet(index_dir)
+            .select("fp", "doc_id", "source")
+            .withColumn(
+                "rk",
+                F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")),
+            )
+            .where(F.col("rk") == 1)
+            .select("fp", "doc_id", "source")
+        )
+
+    return _epoch_swap(spark, index_dir, merged)

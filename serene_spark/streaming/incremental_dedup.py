@@ -107,3 +107,12 @@ def start_incremental_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_index(spark: SparkSession, index_dir: str) -> int:
+    """Collapse the index's per-epoch partitions into one (the fp set is
+    preserved exactly; the per-batch anti-join stops paying one file
+    listing per historical micro-batch). Returns #epochs removed."""
+    from serene_spark.streaming.compaction import compact_fp_index
+
+    return compact_fp_index(spark, index_dir)

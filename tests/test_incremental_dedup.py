@@ -53,3 +53,62 @@ def test_two_drain_index_is_first_occurrence_unique(spark, tmp_path):
     assert set(range(8)).issubset(kept)
     assert {105, 106, 107, 108, 109}.issubset(kept)
     assert not ({100, 101, 102, 103, 104} & kept)
+
+
+def test_index_compaction_preserves_fp_set_and_future_batches(spark, tmp_path):
+    """compact_index collapses the per-epoch partitions to ONE while
+    preserving the exact (fp, doc_id, source) set; a batch arriving
+    AFTER compaction anti-joins against the compacted index identically
+    (no duplicate fps, first occurrence still wins); re-run is a no-op."""
+    from serene_spark.streaming.incremental_dedup import (
+        compact_index,
+        start_incremental_dedup,
+    )
+
+    docs_dir = tmp_path / "docs_in"
+    docs_dir.mkdir()
+    index_dir = str(tmp_path / "fp_index")
+    ckpt = str(tmp_path / "ckpt")
+
+    for wave, texts in enumerate(
+        ([f"alpha beta {i}" for i in range(6)],
+         [f"alpha beta {i}" for i in range(3)] + [f"gamma {i}" for i in range(3)])
+    ):
+        _write_docs(
+            docs_dir / f"w{wave}.parquet",
+            [(wave * 100 + i, t, "en", f"s{wave}", len(t))
+             for i, t in enumerate(texts)],
+        )
+        q = start_incremental_dedup(spark, str(docs_dir), index_dir, ckpt)
+        assert q.awaitTermination(300)
+
+    before = sorted(
+        (r["fp"], r["doc_id"], r["source"])
+        for r in spark.read.parquet(index_dir).collect()
+    )
+    n_epochs = spark.read.parquet(index_dir).select("epoch").distinct().count()
+    assert n_epochs >= 2
+
+    assert compact_index(spark, index_dir) == n_epochs
+    post = spark.read.parquet(index_dir)
+    assert post.select("epoch").distinct().count() == 1
+    after = sorted(
+        (r["fp"], r["doc_id"], r["source"]) for r in post.collect()
+    )
+    assert after == before  # exact row set preserved
+    assert compact_index(spark, index_dir) == 0  # idempotent no-op
+
+    # a third wave lands on the COMPACTED index: dups of wave-1/2 drop,
+    # new texts survive — the anti-join contract unchanged
+    _write_docs(
+        docs_dir / "w2.parquet",
+        [(300, "alpha beta 0", "en", "s2", 12),   # dup of doc 0
+         (301, "epsilon zeta", "en", "s2", 12)],  # new
+    )
+    q = start_incremental_dedup(spark, str(docs_dir), index_dir, ckpt)
+    assert q.awaitTermination(300)
+    final = spark.read.parquet(index_dir)
+    fps = [r["fp"] for r in final.collect()]
+    assert len(fps) == len(set(fps)) == len(before) + 1
+    kept = {r["doc_id"] for r in final.collect()}
+    assert 301 in kept and 300 not in kept and 0 in kept

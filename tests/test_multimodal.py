@@ -898,3 +898,29 @@ def test_png_palette_16bit_and_gray_alpha_decode():
     gray = rng.integers(0, 256, (8, 10)).astype(np.uint8)
     out = decode_png(make_png_gray_alpha(gray))
     assert np.array_equal(out, np.stack([gray] * 3, axis=-1))
+
+
+def test_png_sub_byte_gray_rescales():
+    """1/2/4-bit grayscale PNGs decode with spec 7.2 sample rescaling
+    (a 1-bit '1' is full white 255, a 2-bit '3' likewise, etc.)."""
+    import numpy as np
+
+    from serene_spark.multimodal.binary_ops import _png_wrap, decode_png
+
+    # 1-bit 10x4 checkerboard, rows packed MSB-first into 2 bytes
+    w, h = 10, 4
+    pattern = (np.indices((h, w)).sum(axis=0) % 2).astype(np.uint8)
+    rows = b"".join(
+        b"\x00" + np.packbits(pattern[y]).tobytes() for y in range(h)
+    )
+    out = decode_png(_png_wrap(w, h, 1, 0, 0, rows))
+    assert np.array_equal(out[..., 0], pattern * 255)
+    assert np.array_equal(out[..., 0], out[..., 1])
+
+    # 2-bit ramp 0..3 -> 0, 85, 170, 255
+    vals = np.array([[0, 1, 2, 3]], dtype=np.uint8)
+    packed = np.packbits(
+        ((vals[0][:, None] >> np.arange(1, -1, -1)) & 1).astype(np.uint8).ravel()
+    ).tobytes()
+    out = decode_png(_png_wrap(4, 1, 2, 0, 0, b"\x00" + packed))
+    assert out[..., 0].tolist() == [[0, 85, 170, 255]]

@@ -209,6 +209,26 @@ def main() -> int:
         "fp_set_matches_batch": True,
     }
 
+    # fp-index compaction: partitions collapse to one, fp set EXACTLY kept
+    from serene_spark.streaming.incremental_dedup import compact_index
+
+    fp_before = {r["fp"] for r in idx.select("fp").collect()}
+    t0 = time.time()
+    removed = compact_index(spark, index_dir)
+    csec = round(time.time() - t0, 2)
+    post = spark.read.parquet(index_dir)
+    assert post.select("epoch").distinct().count() == 1
+    fp_after = {r["fp"] for r in post.select("fp").collect()}
+    assert fp_after == fp_before, "compaction changed the fp set"
+    assert compact_index(spark, index_dir) == 0
+    out["compaction_dedup_index"] = {
+        "epochs_removed": removed,
+        "sec": csec,
+        "index_rows_after": post.count(),
+        "fp_set_preserved": True,
+        "idempotent": True,
+    }
+
     shutil.rmtree(work, ignore_errors=True)
     print(json.dumps(out))
     return 0
