@@ -54,6 +54,14 @@ def _lzw_encode(indices: list[int], min_code: int) -> bytes:
         seq = (idx,)
     if seq:
         emit(dict_[seq])
+    # EOI width must match the DECODER's schedule: the decoder adds one
+    # entry for the final flushed code and bumps on next_code >= 2^width
+    # (its >= rule), while the encoder's own > check only runs on entry
+    # adds — when next_code lands EXACTLY on 2^width here, the decoder
+    # reads EOI one bit wider than a naive encoder writes it (hit in
+    # practice at depth 4 with 238 dictionary entries: next_code 256).
+    if next_code >= (1 << width) and width < 12:
+        width += 1
     emit(eoi)
 
     bits = bytearray()
