@@ -9,10 +9,13 @@ sequential, the format of essentially every camera/web JPEG):
   4:4:4 / 4:2:2 / 4:2:0 chroma upsampling, YCbCr->RGB. PROGRESSIVE
   (SOF2) streams route to the multi-scan engine (spectral selection +
   successive approximation, DC and AC first/refinement passes, EOB
-  runs — T.81 G.2); arithmetic, 12-bit and hierarchical JPEGs raise
-  UnsupportedJpeg (a ValueError subclass) and fall through to the PIL
-  tier / tagged stub in binary_ops._decode, same contract as exotic
-  PNG shapes but countable in the feature table.
+  runs — T.81 G.2); 12-BIT baseline streams decode for real (16-bit
+  DQT entries, extended Huffman categories, level shift 2048, samples
+  folded to the 8-bit pipeline by 2^-(P-8)); arithmetic and
+  hierarchical/lossless JPEGs raise UnsupportedJpeg (a ValueError
+  subclass) and fall through to the PIL tier / tagged stub in
+  binary_ops._decode, same contract as exotic PNG shapes but countable
+  in the feature table.
 - ``make_jpeg``: the test-side twin — baseline 4:4:4 encoder with the
   Annex-K example quantization (quality-scaled) and Huffman tables, so
   the suite can construct REAL JPEG bytes and pin decode fidelity
@@ -110,6 +113,19 @@ AC_CHROMA_SPEC = (
      0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
 
 
+# Extended-precision tables for 12-bit streams (T.81 F.1.2: DC SSSS to
+# 15, AC size to 14 — the Annex K example tables only reach the 8-bit
+# ranges). Canonical flat-length codes: 16 DC symbols at 5 bits, 226 AC
+# symbols (EOB + ZRL + 16 runs x 14 sizes) at 8 bits — valid Kraft sums,
+# no all-ones code, and the DHT segment carries them so any conforming
+# decoder reads the stream.
+DC12_SPEC = ([0, 0, 0, 0, 16] + [0] * 11, list(range(16)))
+AC12_SPEC = (
+    [0, 0, 0, 0, 0, 0, 0, 226] + [0] * 8,
+    [0x00, 0xF0] + [(r << 4) | sz for r in range(16) for sz in range(1, 15)],
+)
+
+
 def _huff_codes(spec):
     """(BITS, HUFFVAL) -> {symbol: (code, length)} (canonical T.81 order)."""
     counts, symbols = spec
@@ -191,9 +207,11 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, bits
 
 
-def _encode_block(bw, block, qtbl, dc_code, ac_code, pred):
-    """DCT + quantize + entropy-code one 8x8 block; returns the new DC."""
-    coef = _DCT @ (block - 128.0) @ _DCT.T
+def _encode_block(bw, block, qtbl, dc_code, ac_code, pred, center=128.0):
+    """DCT + quantize + entropy-code one 8x8 block; returns the new DC.
+    ``center`` is the level shift — 2^(P-1): 128 for 8-bit, 2048 for
+    12-bit samples (T.81 A.3.1)."""
+    coef = _DCT @ (block - center) @ _DCT.T
     q = np.round(coef.ravel() / qtbl).astype(np.int64)[ZIGZAG]
     dc = int(q[0])
     size, bits = _magnitude(dc - pred)
@@ -289,6 +307,56 @@ def make_jpeg(img: np.ndarray, quality: int = 90,
     out += seg(0xFFDA, b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00")
     out += bw.buf
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def make_jpeg12(img: np.ndarray, quality: int = 90) -> bytes:
+    """12-bit-precision baseline twin (T.81 extended sequential ranges in
+    a SOF0 frame): the SAME 8-bit pixels encoded as 12-bit samples
+    (x16 — Y 0..4080, chroma centered 2048, level shift 2048), 4:4:4,
+    quantized by the SAME quality-scaled tables but carried as Pq=1
+    16-bit DQT entries, entropy-coded with the extended DC12/AC12
+    Huffman tables a 12-bit stream requires. Because the samples carry
+    4 extra fraction bits against an unchanged quantizer, decoding this
+    stream must be at least as faithful to the source pixels as the
+    8-bit encode at the same quality — the fidelity-ordering pin."""
+    h, w = img.shape[:2]
+    qt = [_quality_scale(Q_LUMA, quality), _quality_scale(Q_CHROMA, quality)]
+    ycc = np.pad(_rgb_to_ycbcr(img) * 16.0,
+                 ((0, -h % 8), (0, -w % 8), (0, 0)), mode="edge")
+    dc_codes = _huff_codes(DC12_SPEC)
+    ac_codes = _huff_codes(AC12_SPEC)
+
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for my in range(ycc.shape[0] // 8):
+        for mx in range(ycc.shape[1] // 8):
+            for comp in range(3):
+                tsel = 0 if comp == 0 else 1
+                pred[comp] = _encode_block(
+                    bw, ycc[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8, comp],
+                    qt[tsel], dc_codes, ac_codes, pred[comp], center=2048.0)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00"
+               + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    for tid, tbl in enumerate(qt):  # Pq=1: 16-bit big-endian entries
+        out += seg(0xFFDB, bytes([(1 << 4) | tid])
+                   + struct.pack(">64H", *tbl.ravel()[ZIGZAG].tolist()))
+    out += seg(0xFFC0, struct.pack(">BHHB", 12, h, w, 3)
+               + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    for cls, tid, spec in ((0, 0, DC12_SPEC), (1, 0, AC12_SPEC),
+                           (0, 1, DC12_SPEC), (1, 1, AC12_SPEC)):
+        out += seg(0xFFC4, bytes([(cls << 4) | tid])
+                   + bytes(spec[0]) + bytes(spec[1]))
+    out += seg(0xFFDA, b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11])
+               + b"\x00\x3f\x00")
+    out += bw.buf
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -389,6 +457,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     ac_tabs: dict[int, dict] = {}
     comps = None  # [(cid, hsamp, vsamp, qsel)]
     h = w = None
+    precision = 8
     restart_interval = 0
     scan = None
     while pos < len(blob):
@@ -410,16 +479,20 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             i = 0
             while i < len(data):
                 prec, tid = data[i] >> 4, data[i] & 0x0F
-                if prec != 0:
-                    raise UnsupportedJpeg("16-bit quant tables unsupported")
                 tbl = np.zeros(64, np.int32)
-                tbl[ZIGZAG] = np.frombuffer(data[i + 1:i + 65], np.uint8)
+                if prec:  # Pq=1: 16-bit entries (12-bit sample streams)
+                    tbl[ZIGZAG] = np.frombuffer(
+                        data[i + 1:i + 129], ">u2").astype(np.int32)
+                    i += 129
+                else:
+                    tbl[ZIGZAG] = np.frombuffer(data[i + 1:i + 65], np.uint8)
+                    i += 65
                 qts[tid] = tbl
-                i += 65
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
             prec, h, w, n = struct.unpack(">BHHB", data[:6])
-            if prec != 8:
-                raise UnsupportedJpeg("only 8-bit precision supported")
+            if prec not in (8, 12):
+                raise UnsupportedJpeg(f"{prec}-bit precision — PIL tier")
+            precision = prec
             comps = []
             for c in range(n):
                 cid, samp, qsel = data[6 + 3 * c:9 + 3 * c]
@@ -463,6 +536,10 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
 
     br = _BitReader(blob, pos)
     pred = {cid: 0 for cid, *_ in comps}
+    # 12-bit samples: dividing the IDCT by 2^(P-8) re-centers the plane
+    # on the 8-bit range (level shift 2048/16 = 128), so the rest of the
+    # pixel pipeline is precision-agnostic
+    prec_scale = 1.0 / (1 << (precision - 8))
     idct = _DCT.T
     mcu_count = 0
     for my in range(mcuy):
@@ -493,7 +570,8 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                                 k += 1
                             coef = np.zeros(64, np.float64)
                             coef[ZIGZAG] = zz * qts[qsel][ZIGZAG]
-                            block = idct @ coef.reshape(8, 8) @ _DCT + 128.0
+                            block = (idct @ coef.reshape(8, 8) @ _DCT
+                                     ) * prec_scale + 128.0
                             y0 = (my * vs + v) * 8
                             x0 = (mx * hs + u) * 8
                             planes[cid][y0:y0 + 8, x0:x0 + 8] = block

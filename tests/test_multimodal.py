@@ -803,9 +803,9 @@ def test_animated_gif_frame_count_in_media_features(spark):
 
 
 def test_unsupported_jpeg_shapes_get_tagged_stub(spark):
-    """Well-formed arithmetic-coded (SOF9) and 12-bit streams raise
-    UnsupportedJpeg and surface as decoder='jpeg-stub' — countable in the
-    feature table, distinct from corrupt bytes (plain 'stub')."""
+    """Well-formed arithmetic-coded (SOF9) and lossless (SOF3) streams
+    raise UnsupportedJpeg and surface as decoder='jpeg-stub' — countable
+    in the feature table, distinct from corrupt bytes (plain 'stub')."""
     import pytest
 
     from serene_spark.multimodal.binary_ops import (
@@ -819,17 +819,15 @@ def test_unsupported_jpeg_shapes_get_tagged_stub(spark):
     jpg = make_jpeg(decode_ppm(make_ppm(9, width=16, height=12)))
     sof0 = jpg.index(b"\xff\xc0")
     arith = jpg[:sof0] + b"\xff\xc9" + jpg[sof0 + 2:]          # SOF9
-    twelve = bytearray(jpg)
-    twelve[sof0 + 4] = 12                                       # precision byte
-    twelve = bytes(twelve)
+    lossless = jpg[:sof0] + b"\xff\xc3" + jpg[sof0 + 2:]       # SOF3
     corrupt = jpg[: len(jpg) // 2]                              # truncated scan
 
-    for blob in (arith, twelve):
+    for blob in (arith, lossless):
         with pytest.raises(UnsupportedJpeg):
             decode_jpeg(blob)
 
     media = spark.createDataFrame(
-        [(1, "image", jpg), (2, "image", arith), (3, "image", twelve),
+        [(1, "image", jpg), (2, "image", arith), (3, "image", lossless),
          (4, "image", corrupt)],
         MEDIA_SCHEMA,
     )
@@ -837,6 +835,43 @@ def test_unsupported_jpeg_shapes_get_tagged_stub(spark):
     assert rows[1] == "jpeg"
     assert rows[2] == rows[3] == "jpeg-stub"
     assert rows[4] == "stub"
+
+
+def test_jpeg12_decodes_real_with_fidelity_ordering(spark):
+    """12-bit baseline JPEG decodes for REAL (16-bit DQT entries,
+    extended Huffman categories, level shift 2048): same pixels at the
+    same quality must come back STRICTLY closer to the source than the
+    8-bit encode (4 extra sample fraction bits against an unchanged
+    quantizer), flat images round-trip exactly, and the stream flows
+    through media features with the real 'jpeg' tag."""
+    import numpy as np
+
+    from serene_spark.multimodal.binary_ops import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+    )
+    from serene_spark.multimodal.jpeg import decode_jpeg, make_jpeg, make_jpeg12
+
+    rng = np.random.default_rng(5)
+    for shape in ((16, 16), (23, 17), (8, 8)):
+        img = rng.integers(0, 256, (*shape, 3)).astype(np.uint8)
+        for q in (75, 90, 95):
+            e8 = np.abs(decode_jpeg(make_jpeg(img, quality=q)).astype(int)
+                        - img).mean()
+            e12 = np.abs(decode_jpeg(make_jpeg12(img, quality=q)).astype(int)
+                         - img).mean()
+            assert e12 < e8, (shape, q, e8, e12)
+            assert e12 < 1.0, (shape, q, e12)  # near-lossless at 12 bits
+
+    flat = np.full((16, 16, 3), 130, np.uint8)
+    assert np.array_equal(decode_jpeg(make_jpeg12(flat, quality=95)), flat)
+
+    img = rng.integers(0, 256, (17, 23, 3)).astype(np.uint8)
+    media = spark.createDataFrame(
+        [(1, "image", make_jpeg12(img))], MEDIA_SCHEMA
+    )
+    (row,) = extract_media_features(media).collect()
+    assert (row.width, row.height, row.decoder) == (23, 17, "jpeg")
 
 
 def test_interlaced_png_adam7_roundtrip(spark):
