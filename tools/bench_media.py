@@ -1,11 +1,11 @@
 """Multimodal pipeline throughput: every real decoder shape at volume.
 
 Builds an in-memory corpus that exercises the FULL shape matrix the
-round-10 tier supports — baseline/progressive/restart-interval JPEG,
-plain/Adam7/palette/16-bit/gray+alpha PNG, single/animated/interlaced
-GIF, PPM, WAV, MP4 containers, and the tagged-stub shapes (arithmetic
-JPEG relabel, corrupt bytes) — then measures the Arrow-batched operators
-end-to-end on local[32]:
+round-10 tier supports — baseline/progressive/restart-interval/12-bit
+JPEG, plain/Adam7/palette/16-bit/gray+alpha PNG,
+single/animated/interlaced GIF, PPM, WAV, MP4 containers, and the
+tagged-stub shapes (arithmetic JPEG relabel, corrupt bytes) — then
+measures the Arrow-batched operators end-to-end on local[32]:
 
 * ``extract_media_features`` (every decoder dispatched, n_frames real)
 * ``image_ahash`` (pixel decode + 8x8 aHash per image)
@@ -46,7 +46,11 @@ def build_corpus(spark, n_img: int):
         posterize,
     )
     from serene_spark.multimodal.gif import make_gif, make_gif_animated
-    from serene_spark.multimodal.jpeg import make_jpeg, make_jpeg_progressive
+    from serene_spark.multimodal.jpeg import (
+        make_jpeg,
+        make_jpeg12,
+        make_jpeg_progressive,
+    )
     from serene_spark.multimodal.mp4 import make_mp4
 
     rng = np.random.default_rng(7)
@@ -56,7 +60,7 @@ def build_corpus(spark, n_img: int):
         return decode_ppm(make_ppm(i, width=48, height=32))
 
     for i in range(n_img):
-        shape = i % 10
+        shape = i % 11
         px = img_of(i)
         if shape == 0:
             blob, tag = px.tobytes(), "ppm"
@@ -81,6 +85,8 @@ def build_corpus(spark, n_img: int):
                       posterize(img_of(i + 1))[:16, :24]]
             blob, tag = make_gif_animated(
                 frames, rects=[(0, 0), (8, 4)], disposals=[1, 2]), "gif"
+        elif shape == 9:
+            blob, tag = make_jpeg12(px, quality=85), "jpeg"
         else:  # arithmetic-JPEG relabel: well-formed but undecodable
             j = make_jpeg(px, quality=85)
             sof = j.index(b"\xff\xc0")
