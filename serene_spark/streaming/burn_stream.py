@@ -58,6 +58,22 @@ def start_burn_stream(
     )
 
 
+def compact_partials(spark: SparkSession, partials_dir: str) -> int:
+    """Fold the hour-keyed partial log back to ONE epoch: counts are
+    algebraic, so ``read_burn`` is invariant (merged sums are already
+    the sink's bigint types). Returns #epoch partitions removed."""
+    from serene_spark.streaming.compaction import _epoch_swap
+
+    def merged():
+        return (
+            spark.read.parquet(partials_dir)
+            .groupBy("h")
+            .agg(F.sum("n").alias("n"), F.sum("errs").alias("errs"))
+        )
+
+    return _epoch_swap(spark, partials_dir, merged)
+
+
 def read_burn(spark: SparkSession, partials_dir: str) -> DataFrame:
     """Current burn readout from the partial log via the SHARED fold."""
     from serene_spark.functions.sqlgen import SPARK

@@ -143,6 +143,22 @@ GROUP BY event_type, na, nb
 """)
 
 
+def compact_partials(spark: SparkSession, partials_dir: str) -> int:
+    """Fold the (type, bin) partial-count log back to ONE epoch: bin
+    counts are algebraic, so ``read_drift`` is invariant. Returns
+    #epoch partitions removed."""
+    from serene_spark.streaming.compaction import _epoch_swap
+
+    def merged():
+        return (
+            spark.read.parquet(partials_dir)
+            .groupBy("event_type", "bin_id")
+            .agg(F.sum("cb").alias("cb"))
+        )
+
+    return _epoch_swap(spark, partials_dir, merged)
+
+
 def read_drift(spark: SparkSession, ref_dir: str, partials_dir: str) -> DataFrame:
     """Current PSI per type from the partial log + frozen reference."""
     spark.read.parquet(ref_dir).createOrReplaceTempView("__ref")

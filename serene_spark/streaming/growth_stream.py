@@ -104,6 +104,24 @@ def start_new_vs_returning(
     )
 
 
+def compact_index(spark: SparkSession, index_dir: str) -> int:
+    """Collapse the (user, day, is_first) index's epoch partitions into
+    one, preserving the exact row set (epochs are disjoint on
+    (user_id, day) by the sink's anti-join; a defensive MAX(is_first)
+    guards the invariant), so the per-batch anti-join stops paying one
+    file listing per historical micro-batch. Returns #epochs removed."""
+    from serene_spark.streaming.compaction import _epoch_swap
+
+    def merged():
+        return (
+            spark.read.parquet(index_dir)
+            .groupBy("user_id", "day")
+            .agg(F.max("is_first").cast("int").alias("is_first"))
+        )
+
+    return _epoch_swap(spark, index_dir, merged)
+
+
 def read_new_vs_returning(spark: SparkSession, index_dir: str) -> DataFrame:
     """Read-side daily rollup of the activity index — same schema as the
     batch ``users_new_vs_returning`` query."""

@@ -81,6 +81,35 @@ def start_matview_stream(
     )
 
 
+def compact_partials(spark: SparkSession, partials_dir: str) -> int:
+    """Fold the partial-aggregate log back to ONE epoch — the compaction
+    the module docstring promises. Exact because the partials are
+    algebraic (count/decimal-sum/min/max commute and associate), so the
+    merged row set IS a valid partial set and ``read_matview`` is
+    invariant. The merged columns are cast back to the sink's exact
+    write schema — n_events bigint and sum_value decimal(28,2), the
+    type the sink's own SUM over decimal(18,2) values writes: without
+    the cast, re-summing here widens to (38,2) and the log would mix
+    parquet schemas across files. The cast can only overflow past
+    10^26 in one (hour, type) cell — beyond any event volume. Returns
+    #epoch partitions removed."""
+    from serene_spark.streaming.compaction import _epoch_swap
+
+    def merged():
+        return (
+            spark.read.parquet(partials_dir)
+            .groupBy("hour_bucket", "event_type")
+            .agg(
+                F.sum("n_events").cast("bigint").alias("n_events"),
+                F.sum("sum_value").cast("decimal(28,2)").alias("sum_value"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+        )
+
+    return _epoch_swap(spark, partials_dir, merged)
+
+
 def read_matview(spark: SparkSession, partials_dir: str) -> DataFrame:
     """Merge the partial-aggregate log into the current view — the same
     output schema as the batch operator's merged view."""

@@ -50,3 +50,36 @@ def test_streamed_burn_equals_batch(spark, tmp_path):
     assert q.awaitTermination(300)
     again = _normalize(read_burn(spark, partials_dir))
     assert (again.values == got.values).all()
+
+
+def test_burn_compaction_invariant(spark, tmp_path):
+    """compact_partials folds the hour-keyed log to ONE epoch; read_burn
+    is invariant (algebraic counts), re-run a no-op, and a drain landing
+    after compaction still matches the batch operator."""
+    from serene_spark.streaming.burn_stream import (
+        compact_partials,
+        read_burn,
+        start_burn_stream,
+    )
+
+    ev = load_table(spark, SF, "events").toPandas()
+    t1, t2 = ev.ts.quantile(0.33), ev.ts.quantile(0.66)
+    partials_dir, ckpt = _drain(
+        spark, [ev[ev.ts < t1], ev[(ev.ts >= t1) & (ev.ts < t2)]], tmp_path
+    )
+    before = _normalize(read_burn(spark, partials_dir))
+    n_epochs = spark.read.parquet(partials_dir).select("epoch").distinct().count()
+    assert n_epochs >= 2
+
+    assert compact_partials(spark, partials_dir) == n_epochs
+    post = spark.read.parquet(partials_dir)
+    assert post.select("epoch").distinct().count() == 1
+    assert (_normalize(read_burn(spark, partials_dir)).values == before.values).all()
+    assert compact_partials(spark, partials_dir) == 0
+
+    ev[ev.ts >= t2].to_parquet(str(tmp_path / "events_in" / "chunk2.parquet"))
+    q = start_burn_stream(spark, str(tmp_path / "events_in"), partials_dir, ckpt)
+    assert q.awaitTermination(300)
+    got = _normalize(read_burn(spark, partials_dir))
+    want = _normalize(load_all()["slo_burn_rate"].spark(spark, SF))
+    assert (got.values == want.values).all()

@@ -110,3 +110,33 @@ def test_injected_shift_flags(spark, tmp_path):
     # beyond the small-sample noise band the other types sit in
     assert by_psi[target] > 1.0
     assert by_psi[target] > 3 * max(v for k, v in by_psi.items() if k != target)
+
+
+def test_drift_compaction_invariant(spark, tmp_path):
+    """compact_partials folds the (type, bin) count log to ONE epoch;
+    read_drift's PSI is invariant (algebraic counts), re-run a no-op."""
+    import pandas as pd
+
+    from serene_spark.streaming.drift_stream import compact_partials, read_drift
+
+    from serene_spark.operators.matview import SPLIT_TS
+
+    ev = load_table(spark, SF, "events").toPandas()
+    # the sink only bins the CURRENT window (ts >= SPLIT_TS): split THAT
+    # across two drops so the log gets two non-empty epochs
+    cur = ev[ev.ts >= __import__("pandas").Timestamp(SPLIT_TS)]
+    mid = cur.ts.quantile(0.5)
+    ref_dir, partials_dir, _ckpt, _full = _drain(
+        spark, [ev[ev.ts < mid], ev[ev.ts >= mid]], tmp_path
+    )
+    before = _normalize(read_drift(spark, ref_dir, partials_dir))
+    n_epochs = spark.read.parquet(partials_dir).select("epoch").distinct().count()
+    assert n_epochs >= 2
+
+    assert compact_partials(spark, partials_dir) == n_epochs
+    post = spark.read.parquet(partials_dir)
+    assert post.select("epoch").distinct().count() == 1
+    pd.testing.assert_frame_equal(
+        _normalize(read_drift(spark, ref_dir, partials_dir)), before
+    )
+    assert compact_partials(spark, partials_dir) == 0

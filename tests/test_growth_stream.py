@@ -95,3 +95,71 @@ def test_two_drain_matches_batch_twin(spark, tmp_path):
     assert q.awaitTermination(300)
     after = sorted(map(tuple, spark.read.parquet(index_dir).collect()))
     assert before == after
+
+
+def test_growth_index_compaction_invariant_and_composes(spark, tmp_path):
+    """compact_index collapses the (user, day, is_first) index to ONE
+    epoch preserving the exact row set; the daily readout is invariant,
+    re-run a no-op, and a post-compaction drop still anti-joins against
+    the compacted index (no double counting, first-day attribution
+    intact)."""
+    import pandas as pd
+
+    from serene_spark.streaming.growth_stream import (
+        compact_index,
+        read_new_vs_returning,
+        start_new_vs_returning,
+    )
+
+    events_dir = tmp_path / "events_in"
+    events_dir.mkdir()
+    index_dir = str(tmp_path / "growth_index")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime.datetime(2024, 2, 1, 10, 0, 0)
+
+    def ev(eid, day, user):
+        return (eid, t0 + datetime.timedelta(days=day), user, "click", 1.0, "{}")
+
+    _write_events(events_dir / "a.parquet",
+                  [ev(1, 0, 1), ev(2, 0, 2), ev(3, 1, 1)])
+    q = start_new_vs_returning(spark, str(events_dir), index_dir, ckpt)
+    assert q.awaitTermination(300)
+    _write_events(events_dir / "b.parquet",
+                  [ev(4, 2, 2), ev(5, 2, 3)])
+    q = start_new_vs_returning(spark, str(events_dir), index_dir, ckpt)
+    assert q.awaitTermination(300)
+
+    rows_before = sorted(
+        (r["user_id"], r["day"], r["is_first"])
+        for r in spark.read.parquet(index_dir).collect()
+    )
+    view_before = read_new_vs_returning(spark, index_dir).toPandas()
+    n_epochs = spark.read.parquet(index_dir).select("epoch").distinct().count()
+    assert n_epochs >= 2
+
+    assert compact_index(spark, index_dir) == n_epochs
+    post = spark.read.parquet(index_dir)
+    assert post.select("epoch").distinct().count() == 1
+    assert sorted(
+        (r["user_id"], r["day"], r["is_first"]) for r in post.collect()
+    ) == rows_before
+    pd.testing.assert_frame_equal(
+        read_new_vs_returning(spark, index_dir).toPandas(), view_before
+    )
+    assert compact_index(spark, index_dir) == 0
+
+    # post-compaction drop: user 1 returns (day 3, NOT first), user 4 new,
+    # and a replayed (user 2, day 2) pair must not double count
+    _write_events(events_dir / "c.parquet",
+                  [ev(6, 3, 1), ev(7, 3, 4), ev(8, 2, 2)])
+    q = start_new_vs_returning(spark, str(events_dir), index_dir, ckpt)
+    assert q.awaitTermination(300)
+    out = {r["day_bucket"]: r
+           for r in read_new_vs_returning(spark, index_dir).collect()}
+    d0 = min(out)
+    assert out[d0 + 2]["active_users"] == 2       # replay not doubled
+    assert out[d0 + 3]["new_users"] == 1          # user 4 only
+    assert out[d0 + 3]["returning_users"] == 1    # user 1
+    idx = spark.read.parquet(index_dir)
+    pairs = [(r["user_id"], r["day"]) for r in idx.collect()]
+    assert len(pairs) == len(set(pairs))          # still unique on (user, day)

@@ -103,3 +103,60 @@ def test_streamed_anomalies_equal_batch_query(spark, tmp_path):
     want = _normalize(load_all()["events_hourly_anomalies"].spark(spark, SF))
     assert got.shape == want.shape
     assert (got.values == want.values).all()
+
+
+def test_matview_compaction_invariant_and_composes(spark, tmp_path):
+    """compact_partials folds the log to ONE epoch with the sink's EXACT
+    write schema (a widened decimal would split the log's parquet schema),
+    read_matview is invariant (algebraic partials), re-run is a no-op,
+    and a drain landing AFTER compaction still merges to the batch
+    recompute of everything that ever arrived."""
+    import pandas as pd
+
+    from serene_spark.streaming.matview_stream import (
+        compact_partials,
+        read_matview,
+        start_matview_stream,
+    )
+
+    events = load_table(spark, SF, "events")
+    events_dir = tmp_path / "events_in"
+    events_dir.mkdir()
+    partials_dir = str(tmp_path / "partials")
+    ckpt = str(tmp_path / "ckpt")
+
+    pdf = events.toPandas().sort_values("ts").reset_index(drop=True)
+    thirds = [pdf.iloc[:600], pdf.iloc[600:1200], pdf.iloc[1200:]]
+    for i, chunk in enumerate(thirds[:2]):
+        chunk.to_parquet(str(events_dir / f"w{i}.parquet"))
+        q = start_matview_stream(spark, str(events_dir), partials_dir, ckpt)
+        assert q.awaitTermination(300)
+
+    schema_before = spark.read.parquet(partials_dir).drop("epoch").schema
+    before = _normalize(read_matview(spark, partials_dir))
+    n_epochs = spark.read.parquet(partials_dir).select("epoch").distinct().count()
+    assert n_epochs >= 2
+
+    assert compact_partials(spark, partials_dir) == n_epochs
+    post = spark.read.parquet(partials_dir)
+    assert post.select("epoch").distinct().count() == 1
+    # exact write TYPES (nullability may differ: count is non-nullable,
+    # sum is nullable — irrelevant to parquet reads; the hazard is a
+    # WIDENED decimal splitting the log's schema across files)
+    assert [(f.name, f.dataType) for f in post.drop("epoch").schema] == [
+        (f.name, f.dataType) for f in schema_before
+    ]
+    pd.testing.assert_frame_equal(
+        _normalize(read_matview(spark, partials_dir)), before
+    )
+    assert compact_partials(spark, partials_dir) == 0
+
+    # the last third arrives AFTER compaction: view == batch over ALL events
+    thirds[2].to_parquet(str(events_dir / "w2.parquet"))
+    q = start_matview_stream(spark, str(events_dir), partials_dir, ckpt)
+    assert q.awaitTermination(300)
+    events.createOrReplaceTempView("events")
+    pd.testing.assert_frame_equal(
+        _normalize(read_matview(spark, partials_dir)),
+        _normalize(spark.sql(matview_recompute_sql(SPARK))),
+    )
