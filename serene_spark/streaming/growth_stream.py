@@ -8,7 +8,10 @@ Why an index and not a stateful aggregation: "returning" is a property of
 a user's ENTIRE history, so a windowed state store would have to keep
 every user forever anyway — the persisted (user, day, is_first) relation
 IS that state, stored where a lakehouse stores it (and bucketed by
-user_id at cluster scale so the per-batch anti-join is exchange-free).
+user_id at cluster scale so the per-batch anti-join is exchange-free —
+the plan property pinned in tests/test_layout.py for the fp index,
+identical join shape). ``compact_index`` below keeps the partition
+count bounded.
 
 Exactly-once: same recipe as incremental_dedup — every epoch writes only
 its own ``epoch=<id>`` partition with dynamic overwrite, so foreachBatch

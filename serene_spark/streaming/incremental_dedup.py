@@ -18,7 +18,10 @@ anti-join drops anything already persisted.
 
 Scale: the index is read as a plain parquet relation keyed by fp — on a
 cluster it would be bucketed by fp (sources/layout.write_bucketed) so the
-per-batch anti-join is exchange-free on the index side.
+per-batch anti-join is exchange-free on the index side; that plan
+property is PINNED in tests/test_layout.py (one Exchange total, on the
+batch subtree only). ``compact_index`` below keeps the partition count
+bounded.
 """
 
 from __future__ import annotations

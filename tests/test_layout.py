@@ -110,3 +110,48 @@ def test_salted_agg_two_phase_plan(spark, sf_dir):
     # phase-1 shuffle carries the salt, phase-2 only the key
     assert "__serene_salt" in txt
     assert txt.count("Exchange") >= 2
+
+
+def test_bucketed_fp_index_anti_join_shuffles_only_batch_side(spark, sf_dir, tmp_path):
+    """The cluster-scale claim in streaming/incremental_dedup.py and
+    growth_stream.py, made checkable: a per-batch anti-join against an
+    index BUCKETED on the join key plans with NO Exchange on the index
+    side — only the (small) incoming batch shuffles — and produces the
+    same survivors as the plain-parquet anti-join."""
+    from serene_spark.sources.layout import write_bucketed
+    from serene_spark.streaming.incremental_dedup import _fp_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    index = docs.limit(400).selectExpr(
+        f"{_fp_expr()} AS fp", "doc_id", "source"
+    ).groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    write_bucketed(index, "fp_index_b", ["fp"], 8,
+                   path=str(tmp_path / "fpb"))
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        batch = docs.selectExpr(f"{_fp_expr()} AS fp", "doc_id")
+        fresh = batch.join(spark.table("fp_index_b"), "fp", "left_anti")
+        txt = plan_text(fresh)
+        assert "SortMergeJoin" in txt and "LeftAnti" in txt
+        # exactly ONE shuffle in the whole plan...
+        tree = txt.split("\n\n", 1)[0]  # the numbered operator tree
+        exchanges = [ln for ln in tree.splitlines() if "Exchange" in ln]
+        assert len(exchanges) == 1, tree
+        # ...and it sits in the BATCH subtree (printed first under the
+        # join), not above the bucketed index scan: in the tree, the
+        # index scan follows the last Sort with no Exchange between
+        idx_part = tree[tree.rindex("Sort"):]
+        assert "fp_index_b" in idx_part and "Exchange" not in idx_part, tree
+
+        # value equality vs the plain-parquet anti-join
+        plain = batch.join(
+            index.select("fp"), "fp", "left_anti"
+        )
+        assert sorted(r["doc_id"] for r in fresh.collect()) == sorted(
+            r["doc_id"] for r in plain.collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS fp_index_b")
