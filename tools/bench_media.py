@@ -1,7 +1,7 @@
 """Multimodal pipeline throughput: every real decoder shape at volume.
 
 Builds an in-memory corpus that exercises the FULL shape matrix the
-round-10 tier supports — baseline/progressive/restart-interval/12-bit
+round-10 tier supports — baseline/progressive/restart-interval/12-bit/lossless
 JPEG, plain/Adam7/palette/16-bit/gray+alpha PNG,
 single/animated/interlaced GIF, PPM, WAV, MP4 containers, and the
 tagged-stub shapes (arithmetic JPEG relabel, corrupt bytes) — then
@@ -49,6 +49,7 @@ def build_corpus(spark, n_img: int):
     from serene_spark.multimodal.jpeg import (
         make_jpeg,
         make_jpeg12,
+        make_jpeg_lossless,
         make_jpeg_progressive,
     )
     from serene_spark.multimodal.mp4 import make_mp4
@@ -60,7 +61,7 @@ def build_corpus(spark, n_img: int):
         return decode_ppm(make_ppm(i, width=48, height=32))
 
     for i in range(n_img):
-        shape = i % 11
+        shape = i % 12
         px = img_of(i)
         if shape == 0:
             blob, tag = px.tobytes(), "ppm"
@@ -87,6 +88,8 @@ def build_corpus(spark, n_img: int):
                 frames, rects=[(0, 0), (8, 4)], disposals=[1, 2]), "gif"
         elif shape == 9:
             blob, tag = make_jpeg12(px, quality=85), "jpeg"
+        elif shape == 10:
+            blob, tag = make_jpeg_lossless(px, predictor=1 + i % 7), "jpeg"
         else:  # arithmetic-JPEG relabel: well-formed but undecodable
             j = make_jpeg(px, quality=85)
             sof = j.index(b"\xff\xc0")
