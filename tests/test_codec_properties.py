@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis) over the pure media codecs —
+random-shape/content round-trips the deterministic sweeps can't
+enumerate: LZW at every code width, lossless JPEG at every predictor,
+the PNG color-type matrix, and animated-GIF metadata. All pure Python
+(no Spark session), bounded example counts to keep the suite's budget."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(2, 8),
+    st.lists(st.integers(0, 255), min_size=0, max_size=3000),
+)
+def test_lzw_roundtrip_any_width(min_code, raw):
+    from serene_spark.multimodal.gif import _lzw_decode, _lzw_encode
+
+    idx = [v % (1 << min_code) for v in raw]
+    assert _lzw_decode(_lzw_encode(idx, min_code), min_code) == idx
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 7),
+    st.integers(1, 24),
+    st.integers(1, 24),
+    st.integers(0, 2**32 - 1),
+)
+def test_lossless_jpeg_exact(predictor, h, w, seed):
+    from serene_spark.multimodal.jpeg import decode_jpeg, make_jpeg_lossless
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3)).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(make_jpeg_lossless(img, predictor=predictor)), img
+    )
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.sampled_from(["rgb", "rgb_adam7", "palette", "png16", "gray_alpha"]),
+    st.integers(1, 24),
+    st.integers(1, 24),
+    st.integers(0, 2**32 - 1),
+)
+def test_png_color_type_matrix_roundtrip(shape, h, w, seed):
+    from serene_spark.multimodal.binary_ops import (
+        decode_png,
+        make_png,
+        make_png16,
+        make_png_gray_alpha,
+        make_png_palette,
+        posterize,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    if shape == "rgb":
+        assert np.array_equal(decode_png(make_png(img)), img)
+    elif shape == "rgb_adam7":
+        assert np.array_equal(decode_png(make_png(img, interlace=True)), img)
+    elif shape == "palette":
+        q = posterize(img)
+        assert np.array_equal(decode_png(make_png_palette(q)), q)
+    elif shape == "png16":
+        assert np.array_equal(decode_png(make_png16(img)), img)
+    else:
+        g = img[:, :, 0]
+        assert np.array_equal(
+            decode_png(make_png_gray_alpha(g)), np.stack([g] * 3, axis=-1)
+        )
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(1, 4),
+    st.lists(st.integers(0, 3), min_size=1, max_size=4),
+    st.integers(0, 2**32 - 1),
+)
+def test_gif_animation_metadata_roundtrip(n_frames, disposals, seed):
+    from serene_spark.multimodal.gif import (
+        decode_gif_animation,
+        make_gif_animated,
+    )
+
+    rng = np.random.default_rng(seed)
+    disposals = (disposals * n_frames)[:n_frames]
+    delays = [int(rng.integers(0, 500)) for _ in range(n_frames)]
+    frames = [
+        (rng.integers(0, 4, (10, 12, 3)) * 80).astype(np.uint8)
+        for _ in range(n_frames)
+    ]
+    blob = make_gif_animated(frames, delays_cs=delays, disposals=disposals)
+    got_frames, got_delays, got_disposals = decode_gif_animation(blob)
+    assert len(got_frames) == n_frames
+    assert got_delays == delays
+    assert got_disposals == disposals
+    # frame 0 is always presented verbatim (full-canvas first frame)
+    assert np.array_equal(got_frames[0], frames[0])
