@@ -433,9 +433,15 @@ def _decode(kind: str, blob: bytes):
     """One media blob → (width, height, n_frames, channels, sample_rate,
     duration, rms, zcr, decoder). Real paths first; hash stub as fallback."""
     if kind == "image" and blob.startswith(b"P6"):
-        img = decode_ppm(blob)
-        h, w = img.shape[:2]
-        return (w, h, 1) + _NULLS[3:] + ("ppm",)
+        try:
+            img = decode_ppm(blob)
+            h, w = img.shape[:2]
+            return (w, h, 1) + _NULLS[3:] + ("ppm",)
+        except Exception:
+            # truncated/garbled P6 header or short body — stub tier,
+            # never fail the Arrow task (same guard as every other
+            # branch; found by the garbage property test)
+            pass
     if kind == "image" and blob.startswith(PNG_SIG):
         try:
             img = decode_png(blob)
@@ -474,10 +480,17 @@ def _decode(kind: str, blob: bytes):
         except Exception:
             pass
     if kind == "audio" and blob.startswith(b"RIFF"):
-        channels, rate, n, pcm = decode_wav(blob)
-        rms = float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0
-        zcr = float(np.mean(np.signbit(pcm[1:]) != np.signbit(pcm[:-1]))) if len(pcm) > 1 else 0.0
-        return (0, 0, n, channels, rate, n / rate, round(rms, 6), round(zcr, 6), "wav")
+        try:
+            channels, rate, n, pcm = decode_wav(blob)
+            rms = float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0
+            zcr = float(np.mean(np.signbit(pcm[1:]) != np.signbit(pcm[:-1]))) if len(pcm) > 1 else 0.0
+            return (0, 0, n, channels, rate, n / rate, round(rms, 6), round(zcr, 6), "wav")
+        except Exception:
+            # a RIFF prefix on a non-WAV / truncated body raises
+            # wave.Error (or worse) — fall to the stub, never fail the
+            # Arrow task (bug found by the garbage property test: this
+            # was the ONE decode branch without the guard)
+            pass
     if kind == "video":
         try:
             from serene_spark.multimodal.mp4 import is_mp4, parse_mp4

@@ -100,3 +100,39 @@ def test_gif_animation_metadata_roundtrip(n_frames, disposals, seed):
     assert got_disposals == disposals
     # frame 0 is always presented verbatim (full-canvas first frame)
     assert np.array_equal(got_frames[0], frames[0])
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.sampled_from([b"P6", b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"GIF89a", b""]),
+    st.binary(min_size=0, max_size=400),
+)
+def test_decode_image_never_raises_on_garbage(magic, junk):
+    """The Arrow-task-safety contract of decode_image: ANY byte string —
+    including ones that start with a real format magic — returns an
+    ndarray or None, never an exception (an exception inside the
+    mapInPandas batch would fail the whole task)."""
+    from serene_spark.multimodal.binary_ops import decode_image
+
+    out = decode_image(magic + junk)
+    assert out is None or isinstance(out, np.ndarray)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.sampled_from([b"", b"P6", b"\x89PNG\r\n\x1a\n", b"\xff\xd8",
+                     b"GIF89a", b"RIFF", b"\x00\x00\x00\x18ftypisom"]),
+    st.binary(min_size=0, max_size=400),
+    st.sampled_from(["image", "audio", "video"]),
+)
+def test_media_decode_always_returns_a_row(magic, junk, kind):
+    """_decode (the media_features kernel) must produce a well-formed
+    feature tuple for ANY blob of any declared kind — INCLUDING bodies
+    that start with a real container magic (this sweep caught the one
+    branch without the guard: a RIFF prefix on a non-WAV body raised
+    wave.Error out of the kernel) — garbage falls to the deterministic
+    stub, never an exception."""
+    from serene_spark.multimodal.binary_ops import _decode
+
+    row = _decode(kind, magic + junk)
+    assert len(row) == 9 and isinstance(row[-1], str)
