@@ -690,7 +690,11 @@ def audio_fingerprint(media: DataFrame) -> DataFrame:
                 blob = bytes(blob)
                 if kind != "audio" or not blob.startswith(b"RIFF"):
                     continue
-                _, rate, _, pcm = decode_wav(blob)
+                try:
+                    _, rate, _, pcm = decode_wav(blob)
+                except Exception:
+                    continue  # RIFF prefix on a non-WAV body: skip, never
+                              # fail the Arrow task (same guard as _decode)
                 if len(pcm) < 2 * _AFP_BINS:
                     continue
                 mag = np.abs(np.fft.rfft(pcm))

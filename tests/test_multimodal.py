@@ -989,3 +989,42 @@ def test_jpeg_lossless_exact_all_predictors(spark):
     )
     (row,) = extract_media_features(media).collect()
     assert (row.width, row.height, row.decoder) == (23, 17, "jpeg")
+
+
+def test_media_operators_survive_garbage_blobs(spark):
+    """End-to-end Arrow-task safety: a corpus salted with
+    magic-prefixed garbage (RIFF non-WAV, truncated P6, corrupt PNG/JPEG
+    /GIF/MP4 bodies) must flow through ALL media operators — features,
+    aHash, thumbnails, audio fingerprint — without failing a task; the
+    garbage rows stub or skip, the good rows still decode."""
+    from serene_spark.multimodal.binary_ops import (
+        MEDIA_SCHEMA,
+        audio_fingerprint,
+        extract_media_features,
+        image_ahash,
+        image_thumbnails,
+        make_ppm,
+        make_wav,
+    )
+
+    rows = [
+        (0, "image", make_ppm(1)),
+        (1, "audio", make_wav(1)),
+        (2, "audio", b"RIFF\x01\x02not-a-wav-body"),
+        (3, "image", b"P6"),
+        (4, "image", b"P6\n4 4\n255\n\x00"),            # short body
+        (5, "image", b"\x89PNG\r\n\x1a\njunkjunkjunk"),
+        (6, "image", b"\xff\xd8\xff\xe0junk"),
+        (7, "image", b"GIF89ajunkjunk"),
+        (8, "video", b"\x00\x00\x00\x18ftypisomjunk"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    feats = {r.media_id: r.decoder for r in extract_media_features(media).collect()}
+    assert len(feats) == 9                       # every row produced a feature row
+    assert feats[0] == "ppm" and feats[1] == "wav"
+    assert all(feats[i] == "stub" for i in (2, 3, 4, 5, 6, 7))
+
+    assert {r.media_id for r in image_ahash(media).collect()} == {0}
+    assert {r.media_id for r in image_thumbnails(media).collect()} == {0}
+    assert {r.media_id for r in audio_fingerprint(media).collect()} == {1}
