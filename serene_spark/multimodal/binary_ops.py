@@ -159,7 +159,20 @@ def decode_ppm(blob: bytes) -> np.ndarray:
         pos = end
     pos += 1  # single whitespace after maxval
     w, h = int(parts[0]), int(parts[1])
-    return np.frombuffer(blob, np.uint8, count=w * h * 3, offset=pos).reshape(h, w, 3)
+    maxval = int(parts[2])
+    if not 1 <= maxval <= 65535:
+        raise ValueError(f"bad PPM maxval {maxval}")
+    if maxval >= 256:  # PNM spec: 2-byte big-endian samples
+        px = np.frombuffer(blob, ">u2", count=w * h * 3, offset=pos)
+        px = px.astype(np.uint32)
+    else:
+        px = np.frombuffer(blob, np.uint8, count=w * h * 3, offset=pos)
+        if maxval == 255:
+            return px.reshape(h, w, 3)
+        px = px.astype(np.uint32)
+    # non-255 maxval: rescale to the 8-bit pipeline (silently treating
+    # maxval as 255 was a wrong-pixels bug — 16-bit P6 exists in the wild)
+    return ((px * 255 + maxval // 2) // maxval).astype(np.uint8).reshape(h, w, 3)
 
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"

@@ -1028,3 +1028,33 @@ def test_media_operators_survive_garbage_blobs(spark):
     assert {r.media_id for r in image_ahash(media).collect()} == {0}
     assert {r.media_id for r in image_thumbnails(media).collect()} == {0}
     assert {r.media_id for r in audio_fingerprint(media).collect()} == {1}
+
+
+def test_ppm_maxval_honored():
+    """decode_ppm must honor the header maxval (it was silently treated
+    as 255): 16-bit samples read as 2-byte big-endian and rescaled,
+    low maxval rescaled, invalid maxval rejected — never wrong pixels."""
+    import numpy as np
+    import pytest
+
+    from serene_spark.multimodal.binary_ops import decode_ppm
+
+    px16 = np.array(
+        [[[65535, 0, 0], [0, 65535, 0]], [[0, 0, 65535], [32768, 32768, 32768]]],
+        dtype=">u2",
+    )
+    out = decode_ppm(b"P6\n2 2\n65535\n" + px16.tobytes())
+    assert out.tolist() == [[[255, 0, 0], [0, 255, 0]],
+                            [[0, 0, 255], [128, 128, 128]]]
+
+    out = decode_ppm(b"P6\n1 2\n15\n" + bytes([15, 0, 0, 7, 15, 1]))
+    assert out.tolist() == [[[255, 0, 0]], [[119, 255, 17]]]
+
+    # the overwhelming common case stays a zero-copy byte view
+    out = decode_ppm(b"P6\n1 1\n255\n" + bytes([1, 2, 3]))
+    assert out.tolist() == [[[1, 2, 3]]]
+
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n1 1\n0\n\x00\x00\x00")
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n1 1\n70000\n" + b"\x00" * 6)
