@@ -3,10 +3,12 @@
 Decode support is tiered by what a dependency-free container can honestly do:
 
 - **audio/WAV**: REAL decode via the stdlib ``wave`` module + numpy PCM
-  parsing — channels, sample rate, frame count, duration, RMS amplitude,
-  zero-crossing rate;
-- **image/PPM (P6)**: REAL decode — header parse + raw-RGB numpy array,
-  with real nearest-neighbor resize and mean-channel features;
+  parsing at 8/16/24/32-bit widths — channels, sample rate, frame count,
+  duration, RMS amplitude, zero-crossing rate;
+- **image/PNM (P6 PPM + P5 PGM)**: REAL decode — header parse + raw
+  numpy array, maxval honored (2-byte big-endian samples above 255,
+  rescaling below), with real nearest-neighbor resize and mean-channel
+  features;
 - **image/PNG**: REAL decode — stdlib zlib inflate + full filter
   reconstruction (types 0-4) for EVERY spec color type (gray, RGB,
   indexed/PLTE at depths 1/2/4/8, gray+alpha, RGBA) at depths up to 16,
@@ -141,9 +143,12 @@ def posterize(img: "np.ndarray") -> "np.ndarray":
 
 
 def decode_ppm(blob: bytes) -> np.ndarray:
-    """Parse a binary P6 PPM into an (h, w, 3) uint8 array."""
-    if not blob.startswith(b"P6"):
-        raise ValueError("not a P6 PPM")
+    """Parse a binary PNM raster — P6 PPM (RGB) or P5 PGM (grayscale,
+    replicated to RGB) — into an (h, w, 3) uint8 array, honoring maxval
+    (1-byte samples below 256, 2-byte big-endian above, PNM spec)."""
+    if blob[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM")
+    nch = 3 if blob[:2] == b"P6" else 1
     parts: list[bytes] = []
     pos = 2
     while len(parts) < 3:  # width, height, maxval; '#' comments allowed
@@ -163,16 +168,19 @@ def decode_ppm(blob: bytes) -> np.ndarray:
     if not 1 <= maxval <= 65535:
         raise ValueError(f"bad PPM maxval {maxval}")
     if maxval >= 256:  # PNM spec: 2-byte big-endian samples
-        px = np.frombuffer(blob, ">u2", count=w * h * 3, offset=pos)
+        px = np.frombuffer(blob, ">u2", count=w * h * nch, offset=pos)
         px = px.astype(np.uint32)
     else:
-        px = np.frombuffer(blob, np.uint8, count=w * h * 3, offset=pos)
-        if maxval == 255:
+        px = np.frombuffer(blob, np.uint8, count=w * h * nch, offset=pos)
+        if maxval == 255 and nch == 3:
             return px.reshape(h, w, 3)
         px = px.astype(np.uint32)
     # non-255 maxval: rescale to the 8-bit pipeline (silently treating
     # maxval as 255 was a wrong-pixels bug — 16-bit P6 exists in the wild)
-    return ((px * 255 + maxval // 2) // maxval).astype(np.uint8).reshape(h, w, 3)
+    if maxval != 255:
+        px = (px * 255 + maxval // 2) // maxval
+    px = px.astype(np.uint8).reshape(h, w, nch)
+    return np.repeat(px, 3, axis=2) if nch == 1 else px
 
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -400,7 +408,7 @@ def decode_image(blob: bytes) -> np.ndarray | None:
     SKIP-undecodable, and an exception inside an Arrow UDF would fail
     the whole task."""
     try:
-        if blob.startswith(b"P6"):
+        if blob[:2] in (b"P6", b"P5"):
             return decode_ppm(blob)
         if blob.startswith(PNG_SIG):
             return decode_png(blob)
@@ -434,6 +442,13 @@ def decode_wav(blob: bytes) -> tuple[int, int, int, np.ndarray]:
         pcm = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
     elif width == 1:
         pcm = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 3:
+        # 24-bit: 3-byte little-endian signed samples — reading these
+        # through the 4-byte branch silently produced len//4 wrong values
+        b = np.frombuffer(raw, np.uint8).reshape(-1, 3).astype(np.int64)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v -= (v >= (1 << 23)) * (1 << 24)  # sign extension
+        pcm = v.astype(np.float64) / 8388608.0
     else:
         pcm = np.frombuffer(raw, "<i4").astype(np.float64) / 2147483648.0
     return channels, rate, n, pcm
@@ -445,7 +460,7 @@ _NULLS = (0, 0, 0, 0, 0, 0.0, 0.0, 0.0)
 def _decode(kind: str, blob: bytes):
     """One media blob → (width, height, n_frames, channels, sample_rate,
     duration, rms, zcr, decoder). Real paths first; hash stub as fallback."""
-    if kind == "image" and blob.startswith(b"P6"):
+    if kind == "image" and blob[:2] in (b"P6", b"P5"):
         try:
             img = decode_ppm(blob)
             h, w = img.shape[:2]

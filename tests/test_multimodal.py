@@ -1058,3 +1058,56 @@ def test_ppm_maxval_honored():
         decode_ppm(b"P6\n1 1\n0\n\x00\x00\x00")
     with pytest.raises(ValueError):
         decode_ppm(b"P6\n1 1\n70000\n" + b"\x00" * 6)
+
+
+def test_wav_24bit_decodes_exact():
+    """24-bit WAV (3-byte little-endian signed samples) decodes to the
+    correct normalized values — it previously fell through the 4-byte
+    branch and produced len//4 silently-wrong samples."""
+    import io
+    import wave
+
+    from serene_spark.multimodal.binary_ops import decode_wav
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(8000)
+        w.writeframes(b"".join(
+            int(v).to_bytes(3, "little", signed=True)
+            for v in (8388607, 0, -8388608, 4194304)
+        ))
+    ch, rate, n, pcm = decode_wav(buf.getvalue())
+    assert (ch, rate, n) == (1, 8000, 4)
+    assert len(pcm) == 4
+    assert abs(pcm[0] - (8388607 / 8388608)) < 1e-9
+    assert pcm[1] == 0.0 and pcm[2] == -1.0 and pcm[3] == 0.5
+
+
+def test_pgm_grayscale_decodes(spark):
+    """Binary PGM (P5) is in the PNM tier too: grayscale replicated to
+    RGB, maxval honored, real 'ppm' tag through media features."""
+    import numpy as np
+
+    from serene_spark.multimodal.binary_ops import (
+        MEDIA_SCHEMA,
+        decode_image,
+        decode_ppm,
+        extract_media_features,
+    )
+
+    g = np.array([[0, 128], [255, 7]], np.uint8)
+    blob = b"P5\n2 2\n255\n" + g.tobytes()
+    out = decode_ppm(blob)
+    assert np.array_equal(out, np.repeat(g[:, :, None], 3, axis=2))
+    assert np.array_equal(decode_image(blob), out)
+
+    # 16-bit PGM rescales
+    g16 = np.array([[65535, 0]], dtype=">u2")
+    out = decode_ppm(b"P5\n2 1\n65535\n" + g16.tobytes())
+    assert out.tolist() == [[[255, 255, 255], [0, 0, 0]]]
+
+    media = spark.createDataFrame([(1, "image", blob)], MEDIA_SCHEMA)
+    (row,) = extract_media_features(media).collect()
+    assert (row.width, row.height, row.decoder) == (2, 2, "ppm")
