@@ -494,6 +494,11 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             prec, h, w, n = struct.unpack(">BHHB", data[:6])
             if prec not in (8, 12):
                 raise UnsupportedJpeg(f"{prec}-bit precision — PIL tier")
+            if n not in (1, 3):
+                # 4-component CMYK/YCCK (Adobe APP14): decoding it through
+                # the YCbCr path would silently drop K and produce wrong
+                # colors — raise to the countable tagged stub instead
+                raise UnsupportedJpeg(f"{n}-component JPEG — PIL tier")
             precision = prec
             comps = []
             for c in range(n):
@@ -700,6 +705,8 @@ def _decode_lossless(blob: bytes) -> np.ndarray:
             precision, h, w, n = struct.unpack(">BHHB", data[:6])
             if not 2 <= precision <= 16:
                 raise ValueError("bad lossless precision")
+            if n not in (1, 3):
+                raise UnsupportedJpeg(f"{n}-component lossless — PIL tier")
             comps = []
             for c in range(n):
                 cid, samp, _q = data[6 + 3 * c:9 + 3 * c]
@@ -805,6 +812,8 @@ def _decode_progressive(blob: bytes) -> np.ndarray:
             prec, h, w, n = struct.unpack(">BHHB", data[:6])
             if prec != 8:
                 raise UnsupportedJpeg("only 8-bit precision supported")
+            if n not in (1, 3):
+                raise UnsupportedJpeg(f"{n}-component JPEG — PIL tier")
             comps = []
             for c in range(n):
                 cid, samp, qsel = data[6 + 3 * c:9 + 3 * c]

@@ -1111,3 +1111,41 @@ def test_pgm_grayscale_decodes(spark):
     media = spark.createDataFrame([(1, "image", blob)], MEDIA_SCHEMA)
     (row,) = extract_media_features(media).collect()
     assert (row.width, row.height, row.decoder) == (2, 2, "ppm")
+
+
+def test_cmyk_jpeg_raises_to_tagged_stub():
+    """A 4-component (CMYK/YCCK) SOF would silently decode through the
+    YCbCr path with K dropped — it must raise UnsupportedJpeg instead
+    (countable 'jpeg-stub' tier), in baseline, progressive, and lossless
+    frames alike."""
+    import struct
+
+    import pytest
+
+    from serene_spark.multimodal.binary_ops import decode_ppm, make_ppm
+    from serene_spark.multimodal.jpeg import (
+        UnsupportedJpeg,
+        decode_jpeg,
+        make_jpeg,
+        make_jpeg_lossless,
+        make_jpeg_progressive,
+    )
+
+    px = decode_ppm(make_ppm(2, width=16, height=8))
+
+    def with_4_comps(jpg: bytes, sof_marker: bytes) -> bytes:
+        sof = jpg.index(sof_marker)
+        (length,) = struct.unpack(">H", jpg[sof + 2:sof + 4])
+        payload = bytearray(jpg[sof + 4:sof + 2 + length])
+        payload[5] = 4
+        payload += bytes([4, 0x11, 0])
+        return (jpg[:sof + 2] + struct.pack(">H", len(payload) + 2)
+                + bytes(payload) + jpg[sof + 2 + length:])
+
+    for blob, marker in (
+        (make_jpeg(px), b"\xff\xc0"),
+        (make_jpeg_progressive(px), b"\xff\xc2"),
+        (make_jpeg_lossless(px), b"\xff\xc3"),
+    ):
+        with pytest.raises(UnsupportedJpeg):
+            decode_jpeg(with_4_comps(blob, marker))
