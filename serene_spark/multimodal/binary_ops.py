@@ -185,6 +185,18 @@ def decode_ppm(blob: bytes) -> np.ndarray:
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+# Decode-tier dimension bound: a hostile 70-byte header can declare a
+# multi-gigabyte raster (decompression-bomb shape) and the decoders
+# allocate the canvas BEFORE reading pixel data. 2^26 pixels (~67 MP,
+# 192 MB RGB) is far above any legitimate crawl image and small enough
+# that one bad blob cannot OOM an executor.
+MAX_PIXELS = 1 << 26
+
+
+def _check_dims(w: int, h: int) -> None:
+    if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
+        raise ValueError(f"implausible image dimensions {w}x{h}")
+
 
 def make_png(img: np.ndarray, interlace: bool = False) -> bytes:
     """Encode an (h, w, 3) uint8 array as a real 8-bit RGB PNG (stdlib
@@ -374,8 +386,23 @@ def decode_png(blob: bytes) -> np.ndarray:
             or interlace not in (0, 1) or (ctype == 3 and plte is None)):
         raise ValueError(f"unsupported PNG shape (depth={depth}, color={ctype}, "
                          f"interlace={interlace}) — use the PIL tier")
+    _check_dims(w, h)
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
-    raw = zlib.decompress(b"".join(idat))
+    # bounded inflate: the filtered byte count is computable from the
+    # header, so a zlib bomb cannot expand past it (+1 detects excess)
+    if interlace == 0:
+        expected = h * (-(-w * nch * depth // 8) + 1)
+    else:
+        expected = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = -(-(w - x0) // dx) if w > x0 else 0
+            ph = -(-(h - y0) // dy) if h > y0 else 0
+            if pw and ph:
+                expected += ph * (-(-pw * nch * depth // 8) + 1)
+    d = zlib.decompressobj()
+    raw = d.decompress(b"".join(idat), expected + 1)
+    if len(raw) > expected:
+        raise ValueError("inflated PNG data exceeds the declared raster")
     if interlace == 0:
         px, _ = _png_subimage(raw, w, h, depth, nch, 0)
     else:

@@ -275,6 +275,9 @@ def decode_gif_animation(
     if blob[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     sw, sh = struct.unpack("<HH", blob[6:10])
+    from serene_spark.multimodal.binary_ops import _check_dims
+
+    _check_dims(sw, sh)
     packed = blob[10]
     pos = 13
     gct = None

@@ -499,6 +499,9 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 # the YCbCr path would silently drop K and produce wrong
                 # colors — raise to the countable tagged stub instead
                 raise UnsupportedJpeg(f"{n}-component JPEG — PIL tier")
+            from serene_spark.multimodal.binary_ops import _check_dims
+
+            _check_dims(w, h)
             precision = prec
             comps = []
             for c in range(n):
@@ -707,6 +710,9 @@ def _decode_lossless(blob: bytes) -> np.ndarray:
                 raise ValueError("bad lossless precision")
             if n not in (1, 3):
                 raise UnsupportedJpeg(f"{n}-component lossless — PIL tier")
+            from serene_spark.multimodal.binary_ops import _check_dims
+
+            _check_dims(w, h)
             comps = []
             for c in range(n):
                 cid, samp, _q = data[6 + 3 * c:9 + 3 * c]
@@ -814,6 +820,9 @@ def _decode_progressive(blob: bytes) -> np.ndarray:
                 raise UnsupportedJpeg("only 8-bit precision supported")
             if n not in (1, 3):
                 raise UnsupportedJpeg(f"{n}-component JPEG — PIL tier")
+            from serene_spark.multimodal.binary_ops import _check_dims
+
+            _check_dims(w, h)
             comps = []
             for c in range(n):
                 cid, samp, qsel = data[6 + 3 * c:9 + 3 * c]

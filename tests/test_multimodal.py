@@ -1149,3 +1149,56 @@ def test_cmyk_jpeg_raises_to_tagged_stub():
     ):
         with pytest.raises(UnsupportedJpeg):
             decode_jpeg(with_4_comps(blob, marker))
+
+
+def test_decompression_bombs_rejected_cheaply():
+    """Hostile headers declaring multi-gigabyte rasters must be rejected
+    BEFORE allocation (a 70-byte blob could otherwise OOM an executor),
+    and a zlib bomb cannot inflate past the header-declared byte count."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from serene_spark.multimodal.binary_ops import (
+        PNG_SIG,
+        decode_image,
+        decode_png,
+    )
+    from serene_spark.multimodal.gif import decode_gif_animation
+    from serene_spark.multimodal.jpeg import decode_jpeg
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    png_bomb = (PNG_SIG
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+                + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="implausible"):
+        decode_png(png_bomb)
+    assert decode_image(png_bomb) is None  # Arrow-task-safe path
+
+    # zlib over-inflation: valid small dims but compressed data expanding
+    # beyond the declared raster must raise, not allocate
+    over = (PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 10_000))
+            + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="exceeds"):
+        decode_png(over)
+
+    gif_bomb = (b"GIF89a" + struct.pack("<HH", 60000, 60000)
+                + bytes([0x80, 0, 0]) + b"\x00" * 6
+                + b"\x2c" + struct.pack("<HHHH", 0, 0, 60000, 60000)
+                + b"\x00\x02\x01\x00\x00\x3b")
+    with pytest.raises(ValueError, match="implausible"):
+        decode_gif_animation(gif_bomb)
+
+    jpg_bomb = (b"\xff\xd8"
+                + b"\xff\xc0" + struct.pack(">H", 11)
+                + struct.pack(">BHHB", 8, 60000, 60000, 1) + bytes([1, 0x11, 0])
+                + b"\xff\xd9")
+    with pytest.raises(ValueError, match="implausible"):
+        decode_jpeg(jpg_bomb)
