@@ -214,6 +214,13 @@ def parse_mp4(blob: bytes) -> dict:
 
     stsz = _find(blob, *stbl, b"stsz")
     fixed, n_sz = struct.unpack(">II", blob[stsz[0] + 4:stsz[0] + 12])
+    # bomb guard: with a FIXED sample size the count is not bounded by
+    # the blob's own bytes (the variable branch is — a short table makes
+    # struct.unpack raise), so a hostile header could declare 2^32
+    # samples and allocate a multi-GB list. 2^22 frames (~48h at 24fps)
+    # is far above any legitimate container.
+    if n_sz > (1 << 22):
+        raise ValueError(f"implausible sample count {n_sz}")
     sizes = ([fixed] * n_sz if fixed else list(struct.unpack(
         f">{n_sz}I", blob[stsz[0] + 12:stsz[0] + 12 + 4 * n_sz])))
 

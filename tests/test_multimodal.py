@@ -1202,3 +1202,21 @@ def test_decompression_bombs_rejected_cheaply():
                 + b"\xff\xd9")
     with pytest.raises(ValueError, match="implausible"):
         decode_jpeg(jpg_bomb)
+
+
+def test_mp4_sample_count_bomb_rejected():
+    """A fixed-size stsz declaring 2^31 samples is not bounded by the
+    blob's own bytes — it must raise cheaply instead of allocating a
+    multi-GB sample table."""
+    import struct
+
+    import pytest
+
+    from serene_spark.multimodal.mp4 import make_mp4, parse_mp4
+
+    blob = bytearray(make_mp4(1))
+    i = blob.index(b"stsz")
+    # stsz box payload: version/flags(4) fixed_size(4) count(4)
+    struct.pack_into(">II", blob, i + 8, 64, 1 << 31)  # fixed=64, huge count
+    with pytest.raises(ValueError, match="implausible"):
+        parse_mp4(bytes(blob))
