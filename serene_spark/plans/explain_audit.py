@@ -111,7 +111,15 @@ def skew_join_advisory(
         hot = r["max_rows_per_key"]
         if not n_rows:
             continue
-        row_ratio = 1.0 + (hot / n_rows) * n_shuffle_partitions
+        share = hot / n_rows
+        if share >= 1.0:
+            share = 1.0 - 1e-9
+        # median partition holds ~(1-s)·n/P rows (the hot key's rows all
+        # land in ONE partition and contribute nothing to the others);
+        # the hot partition holds s·n plus its own median-sized residue:
+        # ratio = 1 + s·P/(1-s) — the naive 1 + s·P underestimates badly
+        # for dominant keys (s=0.5, P=16: 17x true vs 9x naive)
+        row_ratio = 1.0 + share * n_shuffle_partitions / (1.0 - share)
         if row_ratio <= stock_factor:
             continue  # not dominant: stock AQE correctly declines
         byte_ratio = 1.0 + (row_ratio - 1.0) * NARROW_RESIDUE_BYTE_DISCOUNT

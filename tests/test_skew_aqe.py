@@ -146,9 +146,10 @@ def test_skew_join_advisory_fires_on_dominant_key(spark):
     assert len(out) == 1
     adv = out[0]
     assert adv["join_key"] == "fact.k"
-    # fixture: one key owns ~50% -> ~9x the median partition over 16
+    # fixture: one key owns ~50% -> the median partition holds only the
+    # OTHER half spread over 16, so the hot one is ~17x it (1 + sP/(1-s))
     assert 0.49 <= adv["hot_key_share"] <= 0.51
-    assert 8.5 <= adv["row_ratio_vs_median"] <= 9.5
+    assert 16.0 <= adv["row_ratio_vs_median"] <= 18.0
     # narrow-residue byte estimate: 1 + (ratio-1) * measured discount
     expect_bytes = 1 + (adv["row_ratio_vs_median"] - 1) * NARROW_RESIDUE_BYTE_DISCOUNT
     assert abs(adv["narrow_residue_byte_ratio"] - expect_bytes) < 0.02
