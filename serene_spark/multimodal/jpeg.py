@@ -637,13 +637,15 @@ def _predict(plane, x, y, sel, p, al):
     raise ValueError(f"bad lossless predictor {sel}")
 
 
-def make_jpeg_lossless(img: np.ndarray, predictor: int = 4) -> bytes:
+def make_jpeg_lossless(img: np.ndarray, predictor: int = 4,
+                       restart_interval: int = 0) -> bytes:
     """Lossless-JPEG (SOF3, T.81 Annex H) twin: RGB planes coded
     directly (lossless JPEG defines no color transform), one interleaved
     scan, the chosen predictor 1-7, Huffman-coded mod-2^16 differences.
     decode_jpeg of this stream must return ``img`` EXACTLY — the one
     tier where the correctness pin is absolute equality, not a fidelity
-    bound."""
+    bound. ``restart_interval`` emits a DRI segment and RSTn markers
+    every N samples, re-initializing prediction to 2^(P-1) per H.2.4."""
     if not 1 <= predictor <= 7:
         raise ValueError("predictor must be 1..7")
     h, w = img.shape[:2]
@@ -651,10 +653,18 @@ def make_jpeg_lossless(img: np.ndarray, predictor: int = 4) -> bytes:
     codes = _huff_codes(DCL_SPEC)
 
     bw = _BitWriter()
+    mcu, rst = 0, 0
+    at_restart = False
     for y in range(h):
         for x in range(w):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()
+                bw.buf += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                at_restart = True
             for plane in planes:
-                px = _predict(plane, x, y, predictor, 8, 0)
+                px = (128 if at_restart
+                      else _predict(plane, x, y, predictor, 8, 0))
                 diff = (int(plane[y, x]) - px) & 0xFFFF
                 if diff >= 32768:
                     diff -= 65536        # mod-2^16 value, signed window
@@ -662,6 +672,8 @@ def make_jpeg_lossless(img: np.ndarray, predictor: int = 4) -> bytes:
                 bw.put(*codes[size])
                 if size and size != 16:  # SSSS=16: no appended bits
                     bw.put(bits, size)
+            at_restart = False
+            mcu += 1
     bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -671,6 +683,8 @@ def make_jpeg_lossless(img: np.ndarray, predictor: int = 4) -> bytes:
     out += seg(0xFFC3, struct.pack(">BHHB", 8, h, w, 3)
                + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]))
     out += seg(0xFFC4, bytes([0x00]) + bytes(DCL_SPEC[0]) + bytes(DCL_SPEC[1]))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     # SOS: Ss = predictor selector, Se = 0, Ah/Al = 0 (Annex H scan header)
     out += seg(0xFFDA, b"\x03" + bytes([1, 0x00, 2, 0x00, 3, 0x00])
                + bytes([predictor, 0, 0]))
@@ -748,18 +762,26 @@ def _decode_lossless(blob: bytes) -> np.ndarray:
     planes = [np.zeros((h, w), np.int64) for _ in scan]
     br = _BitReader(blob, pos)
     mcu = 0
+    at_restart = False
     for y in range(h):
         for x in range(w):
             if restart_interval and mcu and mcu % restart_interval == 0:
-                br.expect_restart()  # byte-align + RSTn; predictors reset
-                # (the edge rules re-derive prediction from the restart
-                # row's neighbors per H.2.4: treat as start of frame —
-                # our twin never emits restarts; kept for conformance)
+                br.expect_restart()  # byte-align + consume RSTn
+                at_restart = True
             for (cid, tsel), plane in zip(scan, planes):
                 s = _decode_huff(br, dc_tabs[tsel])
                 diff = 32768 if s == 16 else _extend(br.bits(s), s)
-                pred = _predict(plane, x, y, predictor, precision, al)
+                # H.2.4: at the start of each restart interval the
+                # prediction re-initializes to 2^(P-1-Al), exactly like
+                # the start of the scan — using the neighbors would
+                # decode real DRI streams wrong
+                pred = (
+                    1 << (precision - 1 - al)
+                    if at_restart
+                    else _predict(plane, x, y, predictor, precision, al)
+                )
                 plane[y, x] = (pred + diff) & 0xFFFF
+            at_restart = False
             mcu += 1
 
     maxv = (1 << precision) - 1

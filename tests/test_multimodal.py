@@ -982,6 +982,15 @@ def test_jpeg_lossless_exact_all_predictors(spark):
             assert np.array_equal(
                 decode_jpeg(make_jpeg_lossless(img, predictor=pred)), img
             ), (shape, pred)
+    # restart intervals: prediction re-initializes to 2^(P-1) at each
+    # RSTn (H.2.4) — still exact, every predictor x interval
+    img = rng.integers(0, 256, (9, 9, 3)).astype(np.uint8)
+    for pred in (1, 4, 7):
+        for ri in (3, 8):
+            assert np.array_equal(
+                decode_jpeg(make_jpeg_lossless(
+                    img, predictor=pred, restart_interval=ri)), img
+            ), (pred, ri)
 
     img = rng.integers(0, 256, (17, 23, 3)).astype(np.uint8)
     media = spark.createDataFrame(
