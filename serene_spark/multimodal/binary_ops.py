@@ -192,6 +192,14 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # that one bad blob cannot OOM an executor.
 MAX_PIXELS = 1 << 26
 
+# Animated-GIF composite bound: decode_gif_animation materializes one
+# full-canvas composite PER FRAME, so the per-image MAX_PIXELS cap alone
+# still lets a few-KB blob (max-size canvas + thousands of 1x1 frames)
+# demand n_frames x canvas bytes — the one bomb member the per-image
+# guard misses. 2^28 total composite pixels (~768 MB RGB worst case)
+# bounds the whole animation.
+MAX_ANIMATION_PIXELS = 1 << 28
+
 
 def _check_dims(w: int, h: int) -> None:
     if w <= 0 or h <= 0 or w * h > MAX_PIXELS:

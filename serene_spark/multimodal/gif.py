@@ -78,8 +78,15 @@ def _lzw_encode(indices: list[int], min_code: int) -> bytes:
     return bytes(bits)
 
 
-def _lzw_decode(data: bytes, min_code: int) -> list[int]:
-    """Inverse of ``_lzw_encode`` including the KwKwK case."""
+def _lzw_decode(
+    data: bytes, min_code: int, max_out: int | None = None
+) -> list[int]:
+    """Inverse of ``_lzw_encode`` including the KwKwK case.
+
+    ``max_out`` bounds the decoded index count BEFORE the list is built:
+    LZW expands up to ~4000x, so a ~1 MB hostile stream can otherwise
+    materialize gigabytes before the caller's ``len(out) == w*h`` check
+    ever runs. Decoders pass the raster size they expect."""
     clear, eoi = 1 << min_code, (1 << min_code) + 1
     base = {i: (i,) for i in range(1 << min_code)}
     dict_ = dict(base)
@@ -107,6 +114,8 @@ def _lzw_decode(data: bytes, min_code: int) -> list[int]:
         if code == eoi:
             break
         if prev is None:
+            if code not in dict_:
+                raise ValueError("corrupt LZW code")
             entry = dict_[code]
         elif code in dict_:
             entry = dict_[code]
@@ -118,6 +127,8 @@ def _lzw_decode(data: bytes, min_code: int) -> list[int]:
             next_code += 1
         else:
             raise ValueError("corrupt LZW code")
+        if max_out is not None and len(out) + len(entry) > max_out:
+            raise ValueError("LZW output exceeds declared raster size")
         out.extend(entry)
         prev = entry
         if next_code >= (1 << width) and width < 12:
@@ -271,13 +282,25 @@ def decode_gif_animation(
     between frames the canvas follows the previous frame's disposal
     method (0/1 leave, 2 restore the frame rect to background, 3 restore
     the pre-frame canvas). Unknown/reserved disposal codes behave as 0,
-    matching browser practice."""
+    matching browser practice.
+
+    Bomb guards (one bad blob must not OOM an Arrow worker): canvas and
+    every per-frame rect pass ``_check_dims``; total composite pixels
+    (n_frames x canvas) are capped at ``MAX_ANIMATION_PIXELS``; LZW
+    decode is bounded at the declared raster size before the index list
+    is built."""
     if blob[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     sw, sh = struct.unpack("<HH", blob[6:10])
-    from serene_spark.multimodal.binary_ops import _check_dims
+    from serene_spark.multimodal.binary_ops import (
+        MAX_ANIMATION_PIXELS,
+        _check_dims,
+    )
 
     _check_dims(sw, sh)
+    # One composite per frame: bound frames x canvas, not just canvas —
+    # a max-canvas GIF with thousands of 1x1 frames is a memory bomb.
+    max_frames = max(1, MAX_ANIMATION_PIXELS // (sw * sh))
     packed = blob[10]
     pos = 13
     gct = None
@@ -314,6 +337,11 @@ def decode_gif_animation(
         if b != 0x2C:
             raise ValueError(f"unexpected block 0x{b:02x}")
         left, top, w, h = struct.unpack("<HHHH", blob[pos + 1 : pos + 9])
+        _check_dims(w, h)
+        if len(frames) >= max_frames:
+            raise ValueError(
+                f"animation exceeds {MAX_ANIMATION_PIXELS} composite pixels"
+            )
         ipacked = blob[pos + 9]
         pos += 10
         interlaced = bool(ipacked & 0x40)
@@ -334,7 +362,7 @@ def decode_gif_animation(
             pos += 1 + ln
         pos += 1
 
-        out = _lzw_decode(bytes(data), min_code)
+        out = _lzw_decode(bytes(data), min_code, max_out=w * h)
         if len(out) != w * h:
             raise ValueError("LZW output size mismatch")
         idx = np.asarray(out, dtype=np.int64).reshape(h, w)

@@ -1213,6 +1213,71 @@ def test_decompression_bombs_rejected_cheaply():
         decode_jpeg(jpg_bomb)
 
 
+def test_gif_animation_bombs_rejected():
+    """The three animated-GIF bomb vectors: (a) frames x canvas — a
+    few-KB blob with a max-size canvas and thousands of 1x1 frames would
+    otherwise materialize one full-canvas composite PER FRAME; (b) a
+    per-frame descriptor declaring a huge sub-image on a small canvas;
+    (c) LZW over-expansion — a small hostile stream expanding far past
+    the declared w*h before the post-hoc length check runs."""
+    import struct
+
+    import pytest
+
+    from serene_spark.multimodal.binary_ops import (
+        MAX_ANIMATION_PIXELS,
+        MAX_PIXELS,
+    )
+    from serene_spark.multimodal.gif import (
+        _lzw_decode,
+        _lzw_encode,
+        _sub_blocks,
+        decode_gif_animation,
+    )
+
+    def frame_1x1() -> bytes:
+        return (b"\x2c" + struct.pack("<HHHH", 0, 0, 1, 1) + b"\x00"
+                + bytes([2]) + _sub_blocks(_lzw_encode([0], 2)))
+
+    # (a) 8192x8192 canvas passes the per-image cap exactly (2^26), so
+    # max_frames = 2^28 / 2^26 = 4; the 5th tiny frame must raise before
+    # its composite is materialized.
+    assert 8192 * 8192 == MAX_PIXELS
+    n_allowed = MAX_ANIMATION_PIXELS // MAX_PIXELS
+    header = (b"GIF89a" + struct.pack("<HH", 8192, 8192)
+              + bytes([0x80, 0, 0]) + b"\x00" * 6)
+    bomb = header + frame_1x1() * (n_allowed + 2) + b"\x3b"
+    assert len(bomb) < 200  # the whole bomb is a sub-200-byte blob
+    with pytest.raises(ValueError, match="composite pixels"):
+        decode_gif_animation(bomb)
+    # ...while the same stream truncated to the allowed count decodes
+    ok = header + frame_1x1() * n_allowed + b"\x3b"
+    frames, _, _ = decode_gif_animation(ok)
+    assert len(frames) == n_allowed
+    del frames
+
+    # (b) small canvas, huge per-frame descriptor
+    hdr_small = (b"GIF89a" + struct.pack("<HH", 4, 4)
+                 + bytes([0x80, 0, 0]) + b"\x00" * 6)
+    big_frame = (b"\x2c" + struct.pack("<HHHH", 0, 0, 60000, 60000)
+                 + b"\x00\x02\x01\x00\x00")
+    with pytest.raises(ValueError, match="implausible"):
+        decode_gif_animation(hdr_small + big_frame + b"\x3b")
+
+    # (c) LZW expansion bound: a repetitive stream decoding to far more
+    # than max_out must raise, not build the list first
+    stream = _lzw_encode([0, 1] * 50_000, 2)
+    assert len(_lzw_decode(stream, 2)) == 100_000  # sanity: valid stream
+    with pytest.raises(ValueError, match="exceeds declared raster"):
+        _lzw_decode(stream, 2, max_out=16)
+
+    # contract: a first-code-out-of-range stream raises ValueError (not
+    # KeyError) so direct callers get the documented error type
+    bad_first = bytes([0b11111111, 0b111])  # width-3 codes: 7 = past EOI
+    with pytest.raises(ValueError, match="corrupt LZW code"):
+        _lzw_decode(bad_first, 2)
+
+
 def test_mp4_sample_count_bomb_rejected():
     """A fixed-size stsz declaring 2^31 samples is not bounded by the
     blob's own bytes — it must raise cheaply instead of allocating a
