@@ -61,12 +61,14 @@ def start_burn_stream(
 def compact_partials(spark: SparkSession, partials_dir: str) -> int:
     """Fold the hour-keyed partial log back to ONE epoch: counts are
     algebraic, so ``read_burn`` is invariant (merged sums are already
-    the sink's bigint types). Returns #epoch partitions removed."""
+    the sink's bigint types). ADDITIVE sink: requires no concurrent
+    reader during the swap (streaming/compaction.py module docstring).
+    Returns #epoch partitions removed."""
     from serene_spark.streaming.compaction import _epoch_swap
 
-    def merged():
+    def merged(paths):
         return (
-            spark.read.parquet(partials_dir)
+            spark.read.parquet(*paths)
             .groupBy("h")
             .agg(F.sum("n").alias("n"), F.sum("errs").alias("errs"))
         )

@@ -16,15 +16,31 @@ epoch partition with that single merged bottom-K
 
 Safety alongside the streaming writer:
 
-* only the epoch partitions LISTED at entry are deleted — an epoch landed
-  by a concurrent micro-batch after the listing is never touched, and the
-  union semantics of the read side make the interleaving harmless;
+* the merge reads ONLY the epoch partitions listed at entry (explicit
+  paths, not the directory) — an epoch landed by a concurrent
+  micro-batch between listing and merge is neither absorbed into the
+  merged output nor deleted, so it contributes exactly once to every
+  subsequent readout (absorbing it while also leaving its partition
+  would double-count it in the SUM-based sinks);
 * the merged state is written under an underscore-prefixed temp dir
-  (invisible to parquet readers) and swapped in via a filesystem rename,
-  so a reader never observes a partially-written epoch;
-* the compacted partition reuses the HIGHEST listed epoch id — an id the
-  checkpoint has already committed, so foreachBatch can never redeliver
-  (and dynamically overwrite) it; fresh epochs always get higher ids.
+  (invisible to parquet readers), renamed in as a fresh epoch BEFORE the
+  listed partitions are deleted, so a concurrent reader always sees a
+  SUPERSET of one complete valid log — never an empty or partial one.
+  For the dedupe-merge sinks (kmv, quantile, fp index, growth index)
+  the superset's union-merge readout is bit-identical by the merge
+  lemma, so concurrent readers are fully safe; for the ADDITIVE sinks
+  (matview, burn, drift) a reader inside the rename→delete window would
+  double-count the not-yet-deleted inputs, so those sinks require no
+  concurrent reader during compaction (single-maintenance-writer, the
+  normal operational mode for an OPTIMIZE-style pass);
+* the compacted partition gets a fresh NEGATIVE epoch id (one below the
+  most negative listed id). foreachBatch batch ids are non-negative and
+  monotonic, so (a) a crashed-and-redelivered batch whose partition
+  existed but whose checkpoint commit did not can never dynamically
+  overwrite the compacted partition (it recreates its own epoch id,
+  which the union read side handles), and (b) unlike "highest listed
+  id + 1", it can never collide with the NEXT batch id the restarted
+  stream will legitimately write.
 
 Re-running compaction is idempotent: a single-epoch log merges to itself.
 
@@ -42,10 +58,12 @@ from pyspark.sql.window import Window
 
 def _epoch_swap(spark: SparkSession, log_dir: str, build_merged) -> int:
     """Shared swap machinery: list ``epoch=*`` partitions, materialize
-    ``build_merged()`` into an underscore-prefixed temp dir (invisible to
-    readers), delete the LISTED partitions, rename the merge in as the
-    highest listed epoch. Returns #partitions removed (0 = already
-    compact, nothing rewritten)."""
+    ``build_merged(listed_paths)`` — which must read ONLY those paths —
+    into an underscore-prefixed temp dir (invisible to readers), rename
+    the merge in as a fresh negative epoch id, THEN delete the listed
+    partitions (a concurrent reader always sees a superset; see module
+    docstring for the per-sink-family guarantees). Returns #partitions
+    removed (0 = already compact, nothing rewritten)."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(log_dir)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -58,14 +76,18 @@ def _epoch_swap(spark: SparkSession, log_dir: str, build_merged) -> int:
     if len(epochs) <= 1:
         return 0
 
-    keep_epoch = max(e for e, _ in epochs)
+    # fresh id below every listed one; batch ids are >= 0, so negative
+    # ids can never be redelivered-over or collide with future batches
+    merged_epoch = min(-1, min(e for e, _ in epochs) - 1)
     base = log_dir.rstrip("/")
     tmp = jvm.org.apache.hadoop.fs.Path(f"{base}/_compact_tmp")
-    # materialize the merge BEFORE deleting its inputs
-    build_merged().write.mode("overwrite").parquet(str(tmp))
+    # the merge must see exactly the listed inputs — not the directory,
+    # which a concurrent micro-batch may have extended since the listing
+    build_merged([str(p) for _e, p in epochs]).write.mode(
+        "overwrite").parquet(str(tmp))
+    fs.rename(tmp, jvm.org.apache.hadoop.fs.Path(f"{base}/epoch={merged_epoch}"))
     for _e, p in epochs:
         fs.delete(p, True)
-    fs.rename(tmp, jvm.org.apache.hadoop.fs.Path(f"{base}/epoch={keep_epoch}"))
     return len(epochs)
 
 
@@ -86,9 +108,9 @@ def compact_partials(
     """
     cols = ["event_type", *value_cols]
 
-    def merged():
+    def merged(paths):
         return (
-            spark.read.parquet(partials_dir)
+            spark.read.parquet(*paths)
             .select(*cols)
             .distinct()
             .withColumn(
@@ -115,9 +137,9 @@ def compact_fp_index(spark: SparkSession, index_dir: str) -> int:
     dedup guards the invariant anyway), so the read-side anti-join and
     every future batch behave identically. Returns #epochs removed."""
 
-    def merged():
+    def merged(paths):
         return (
-            spark.read.parquet(index_dir)
+            spark.read.parquet(*paths)
             .select("fp", "doc_id", "source")
             .withColumn(
                 "rk",

@@ -145,13 +145,15 @@ GROUP BY event_type, na, nb
 
 def compact_partials(spark: SparkSession, partials_dir: str) -> int:
     """Fold the (type, bin) partial-count log back to ONE epoch: bin
-    counts are algebraic, so ``read_drift`` is invariant. Returns
-    #epoch partitions removed."""
+    counts are algebraic, so ``read_drift`` is invariant. ADDITIVE
+    sink: requires no concurrent reader during the swap
+    (streaming/compaction.py module docstring). Returns #epoch
+    partitions removed."""
     from serene_spark.streaming.compaction import _epoch_swap
 
-    def merged():
+    def merged(paths):
         return (
-            spark.read.parquet(partials_dir)
+            spark.read.parquet(*paths)
             .groupBy("event_type", "bin_id")
             .agg(F.sum("cb").alias("cb"))
         )

@@ -115,9 +115,9 @@ def compact_index(spark: SparkSession, index_dir: str) -> int:
     file listing per historical micro-batch. Returns #epochs removed."""
     from serene_spark.streaming.compaction import _epoch_swap
 
-    def merged():
+    def merged(paths):
         return (
-            spark.read.parquet(index_dir)
+            spark.read.parquet(*paths)
             .groupBy("user_id", "day")
             .agg(F.max("is_first").cast("int").alias("is_first"))
         )

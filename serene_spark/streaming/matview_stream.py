@@ -91,13 +91,15 @@ def compact_partials(spark: SparkSession, partials_dir: str) -> int:
     type the sink's own SUM over decimal(18,2) values writes: without
     the cast, re-summing here widens to (38,2) and the log would mix
     parquet schemas across files. The cast can only overflow past
-    10^26 in one (hour, type) cell — beyond any event volume. Returns
-    #epoch partitions removed."""
+    10^26 in one (hour, type) cell — beyond any event volume. ADDITIVE
+    sink: requires no concurrent reader during the swap
+    (streaming/compaction.py module docstring). Returns #epoch
+    partitions removed."""
     from serene_spark.streaming.compaction import _epoch_swap
 
-    def merged():
+    def merged(paths):
         return (
-            spark.read.parquet(partials_dir)
+            spark.read.parquet(*paths)
             .groupBy("hour_bucket", "event_type")
             .agg(
                 F.sum("n_events").cast("bigint").alias("n_events"),

@@ -1,0 +1,145 @@
+"""Compaction concurrency contracts (streaming/compaction.py):
+
+* the swap renames the merged epoch in BEFORE deleting its inputs, so a
+  concurrent reader of a dedupe-merge sink (kmv, fp index) always sees a
+  superset whose union-merge readout is bit-identical (merge lemma);
+* the merge reads ONLY the epoch partitions listed at entry — an epoch
+  landed by a concurrent micro-batch between listing and merge is neither
+  absorbed into the merged output nor deleted, so a SUM-based sink counts
+  it exactly once (the round-10 double-count defect);
+* the compacted state lives at a NEGATIVE epoch id, so a crashed-and-
+  redelivered micro-batch (whose partition existed but whose checkpoint
+  commit did not) can never dynamically overwrite the merged history.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def _write_epoch(spark, log_dir: str, epoch: int, pdf: pd.DataFrame) -> None:
+    (
+        spark.createDataFrame(pdf)
+        .withColumn("epoch", F.lit(epoch))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .parquet(log_dir)
+    )
+
+
+def _kmv_log(spark, log_dir: str) -> None:
+    _write_epoch(spark, log_dir, 0, pd.DataFrame({
+        "event_type": ["a", "a", "b"], "u": [0.10, 0.30, 0.25]}))
+    _write_epoch(spark, log_dir, 1, pd.DataFrame({
+        "event_type": ["a", "a", "b"], "u": [0.10, 0.20, 0.05]}))
+
+
+def test_mid_swap_superset_readout_identical(spark, tmp_path):
+    """The reader-visible intermediate state of the swap is the merged
+    epoch ALONGSIDE the not-yet-deleted inputs. For the dedupe-merge
+    sinks that superset must read out bit-identically — constructed here
+    explicitly by grafting a compacted run's merged partition back into
+    the uncompacted log."""
+    from serene_spark.streaming.kmv_stream import compact_partials, read_kmv
+
+    log = str(tmp_path / "kmv")
+    _kmv_log(spark, log)
+    before = read_kmv(spark, log).toPandas().reset_index(drop=True)
+
+    twin = str(tmp_path / "kmv_twin")
+    shutil.copytree(log, twin)
+    assert compact_partials(spark, twin) == 2
+    merged = [p for p in (tmp_path / "kmv_twin").iterdir()
+              if p.name.startswith("epoch=")]
+    assert [p.name for p in merged] == ["epoch=-1"]
+    shutil.copytree(merged[0], tmp_path / "kmv" / "epoch=-1")
+
+    mid_swap = read_kmv(spark, log).toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(mid_swap, before)
+
+    # same invariant for the fp index: the deduped (fp, doc_id, source)
+    # set of the superset equals the original's
+    from serene_spark.streaming.compaction import compact_fp_index
+
+    idx = str(tmp_path / "fp")
+    _write_epoch(spark, idx, 0, pd.DataFrame({
+        "fp": ["f1", "f2"], "doc_id": [1, 2], "source": ["s", "s"]}))
+    _write_epoch(spark, idx, 1, pd.DataFrame({
+        "fp": ["f3"], "doc_id": [3], "source": ["s"]}))
+    read = lambda d: sorted(
+        spark.read.parquet(d).select("fp", "doc_id", "source")
+        .distinct().toPandas().itertuples(index=False))
+    before_fp = read(idx)
+    twin_fp = str(tmp_path / "fp_twin")
+    shutil.copytree(idx, twin_fp)
+    assert compact_fp_index(spark, twin_fp) == 2
+    shutil.copytree(tmp_path / "fp_twin" / "epoch=-1", tmp_path / "fp" / "epoch=-1")
+    assert read(idx) == before_fp
+
+
+def test_interleaved_epoch_neither_absorbed_nor_deleted(spark, tmp_path):
+    """An epoch landed between listing and merge must contribute exactly
+    once afterwards. Simulated by landing epoch=7 from inside the
+    build_merged hook — i.e. after _epoch_swap's listing, before its
+    write executes — against a SUM-based (burn) log, where absorbing it
+    while leaving its partition would double-count it."""
+    from serene_spark.streaming.compaction import _epoch_swap
+
+    log = str(tmp_path / "burn")
+    _write_epoch(spark, log, 0, pd.DataFrame(
+        {"h": [100], "n": [5], "errs": [1]}))
+    _write_epoch(spark, log, 1, pd.DataFrame(
+        {"h": [100, 101], "n": [3, 2], "errs": [0, 2]}))
+
+    def merged(paths):
+        # the concurrent micro-batch: lands AFTER the listing
+        _write_epoch(spark, log, 7, pd.DataFrame(
+            {"h": [101], "n": [10], "errs": [1]}))
+        return (spark.read.parquet(*paths).groupBy("h")
+                .agg(F.sum("n").alias("n"), F.sum("errs").alias("errs")))
+
+    assert _epoch_swap(spark, log, merged) == 2
+
+    names = sorted(p.name for p in (tmp_path / "burn").iterdir()
+                   if p.name.startswith("epoch="))
+    assert names == ["epoch=-1", "epoch=7"]  # interleaver survives intact
+    totals = (spark.read.parquet(log).groupBy("h")
+              .agg(F.sum("n").alias("n"), F.sum("errs").alias("errs"))
+              .toPandas().sort_values("h").reset_index(drop=True))
+    pd.testing.assert_frame_equal(totals, pd.DataFrame(
+        {"h": [100, 101], "n": [8, 12], "errs": [1, 3]}),
+        check_dtype=False)
+
+
+def test_redelivered_batch_cannot_clobber_compacted_state(spark, tmp_path):
+    """After a crash where epoch=1's partition landed but its checkpoint
+    commit did not, the restarted stream redelivers batch 1 and
+    dynamically overwrites epoch=1. With the compacted state at a
+    negative id (instead of reusing the highest listed id) that replay
+    recreates its own partition and the readout is unchanged — instead
+    of replacing the entire merged history with one batch's rows."""
+    from serene_spark.streaming.kmv_stream import compact_partials, read_kmv
+
+    log = str(tmp_path / "kmv")
+    _kmv_log(spark, log)
+    before = read_kmv(spark, log).toPandas().reset_index(drop=True)
+    assert compact_partials(spark, log) == 2
+
+    # checkpoint replay of batch 1 (same rows, same epoch id)
+    _write_epoch(spark, log, 1, pd.DataFrame({
+        "event_type": ["a", "a", "b"], "u": [0.10, 0.20, 0.05]}))
+
+    names = sorted(p.name for p in (tmp_path / "kmv").iterdir()
+                   if p.name.startswith("epoch="))
+    assert names == ["epoch=-1", "epoch=1"]  # merged history intact
+    after = read_kmv(spark, log).toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(after, before)
+
+    # and a later compaction folds the replayed partition back in
+    assert compact_partials(spark, log) == 2
+    pd.testing.assert_frame_equal(
+        read_kmv(spark, log).toPandas().reset_index(drop=True), before)
