@@ -501,8 +501,15 @@ def _dp_counts_sql(dialect: str, audit: bool, salt: str = "") -> str:
     """
     key = "concat(CAST(c_nationkey AS STRING), '|', c_mktsegment)"
     if salt:
-        esc = salt.replace("'", "''")
-        key = f"concat('{esc}', '|', {key})"
+        # hex-encode the secret instead of splicing it as a quoted
+        # literal: Spark's lexer escapes with backslash (not doubled
+        # quotes), so a salt containing ' would fail to parse and a
+        # trailing \ could silently swallow the closing quote and change
+        # the hashed key. unhex round-trips ANY byte sequence.
+        hx = salt.encode("utf-8").hex()
+        decoded = (f"decode(unhex('{hx}'), 'UTF-8')" if dialect == SPARK
+                   else f"decode(unhex('{hx}'))")
+        key = f"concat({decoded}, '|', {key})"
     u = (f"(({hex_to_int(dialect, f'substr(md5({key}), 1, 8)')})"
          " + 0.5) / 4294967296.0")
     return f"""

@@ -520,3 +520,18 @@ def test_dp_salted_release_changes_noise_and_refuses_empty(spark):
         cell = a[(a.nation == row.c_nationkey) & (a.segment == row.c_mktsegment)]
         assert len(cell) == 1
         assert abs(cell.iloc[0].dp_count - round(max(row.n + noise, 0.0), 6)) <= 2e-6
+
+    # lexer-hostile salt (single quote + trailing backslash): the salt is
+    # hex-encoded into the SQL, so this must neither ParseException nor
+    # silently hash a different key — the python recheck reproduces it
+    hostile = "it's a \\"
+    c = dp_release_counts_salted(spark, SF, salt=hostile).toPandas()
+    row = truth.iloc[0]
+    h = int(hashlib.md5(
+        f"{hostile}|{int(row.c_nationkey)}|{row.c_mktsegment}".encode()
+    ).hexdigest()[:8], 16)
+    t = (h + 0.5) / 2**32 - 0.5
+    noise = (0.0 if t == 0 else
+             -(1.0 / DP_EPSILON) * math.copysign(1, t) * math.log(1 - 2 * abs(t)))
+    cell = c[(c.nation == row.c_nationkey) & (c.segment == row.c_mktsegment)]
+    assert abs(cell.iloc[0].dp_count - round(max(row.n + noise, 0.0), 6)) <= 2e-6
