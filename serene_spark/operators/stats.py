@@ -35,7 +35,7 @@ from serene_spark.functions.sqlgen import (
     shl,
     shr,
 )
-from serene_spark.registry import register
+from serene_spark.registry import QUERIES, register
 
 HIST_BUCKETS = 16
 Z_BITS = 8          # bits per dimension -> 2*Z_BITS-bit Morton key
@@ -408,3 +408,35 @@ register("join_key_skew", oracle=join_skew_sql(DUCKDB),
          "skew factor) — the measurement behind the salting/AQE-skew "
          "decision; one keyed agg per column, then metadata-scale math")(
     _table_query(join_skew_sql, ("lineitem", "orders", "events")))
+
+
+_ADVISORY_SCHEMA = (
+    "join_key string, hot_key_share double, row_ratio_vs_median double, "
+    "narrow_residue_byte_ratio double, splits_at_stock_if_wide_rows boolean, "
+    "splits_at_stock_if_narrow_residue boolean, recommended_skew_factor int, "
+    "advisory string"
+)
+
+
+@register(
+    "explain_skew_advisory",
+    oracle=None,  # rows-only: the advisory folds in constants MEASURED at
+    # sf10 (compressed-byte discount, tools/bench_skew.py), not SQL semantics
+    doc="AQE skew-join config advisory over the join_key_skew stats: one "
+    "row per dominant join key (hot partition above stock factor-5 x the "
+    "median in rows), with the estimated row and narrow-residue compressed-"
+    "byte ratios and the recommended skewedPartitionFactor; empty = stock "
+    "settings fine. The user-facing surface of "
+    "plans/explain_audit.skew_join_advisory (reachable via "
+    "`cli.py query explain_skew_advisory`)",
+)
+def explain_skew_advisory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serene_spark.plans.explain_audit import skew_join_advisory
+
+    # join_key_skew emits one row per SKEW_KEYS entry — metadata-scale;
+    # the collect is over <=4 rows, never data-scale
+    stats = [r.asDict() for r in
+             QUERIES["join_key_skew"].spark(spark, sf_dir).collect()]
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    rows = skew_join_advisory(stats, n_shuffle_partitions=n_part)
+    return spark.createDataFrame(rows, schema=_ADVISORY_SCHEMA)

@@ -18,9 +18,9 @@ def test_registry_imports_and_is_populated():
     from serene_spark.registry import load_all
 
     queries = load_all()
-    # The registry reached 362 queries in round 9; never let it
+    # The registry reached 363 queries in round 11; never let it
     # silently shrink below the last green waterline.
-    assert len(queries) >= 362
+    assert len(queries) >= 363
     # Every entry must expose a callable Spark runner; oracle SQL is
     # optional (non-SQL-expressible ops) but must be a string when set.
     for name, q in queries.items():
@@ -34,6 +34,6 @@ def test_spark_entry_surface():
 
     qs = e.queries()
     oracles = e.oracle_sql()
-    assert len(qs) >= 362
+    assert len(qs) >= 363
     # every oracle key must correspond to a registered query
     assert set(oracles) <= set(qs)

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 # null-key shape that melts a single reducer at 100 TB
 N_ROWS = 2_000_000
 N_KEYS = 2_000
+SF = "/root/testdata/sf0.001"
 
 
 def _skewed_fact(spark):
@@ -163,3 +164,43 @@ def test_skew_join_advisory_fires_on_dominant_key(spark):
     even = [{"join_key": "orders.o_custkey", "n_rows": 1_000_000,
              "max_rows_per_key": 120}]
     assert skew_join_advisory(even, n_shuffle_partitions=16) == []
+
+
+def test_explain_skew_advisory_registered_surface(spark, tmp_path):
+    """The advisory is reachable from the PUBLIC surface: the registered
+    ``explain_skew_advisory`` query runs join_key_skew and emits one
+    advisory row per dominant key. Pinned on a crafted corpus whose
+    events table has one user owning ~60% of rows (fires on
+    events.user_id), and empty-with-stable-schema on the even testdata."""
+    import os
+
+    from serene_spark.catalog import TABLES, load_table
+    from serene_spark.registry import load_all
+
+    q = load_all()["explain_skew_advisory"]
+
+    # stock sf0.001: keys are even — no advisory, schema still stable
+    base = q.spark(spark, SF)
+    assert base.count() == 0
+    assert base.columns[:3] == ["join_key", "hot_key_share",
+                                "row_ratio_vs_median"]
+
+    d = tmp_path / "skewed_sf"
+    d.mkdir()
+    for t in TABLES:
+        if t != "events":
+            os.symlink(f"{SF}/{t}.parquet", str(d / f"{t}.parquet"))
+    ev = load_table(spark, SF, "events")
+    hot = ev.withColumn("user_id", F.lit(424242))
+    (ev.unionAll(hot).unionAll(hot)  # hot user owns ~2/3 of tripled rows
+     .write.mode("overwrite").parquet(str(d / "events.parquet")))
+
+    out = {r.join_key: r.asDict() for r in q.spark(spark, str(d)).collect()}
+    assert "events.user_id" in out
+    adv = out["events.user_id"]
+    assert 0.60 <= adv["hot_key_share"] <= 0.72
+    assert adv["splits_at_stock_if_wide_rows"] is True
+    assert adv["recommended_skew_factor"] >= 2
+    assert "skewedPartitionFactor" in adv["advisory"]
+    # lineitem/orders keys stay even in the crafted corpus: no false fire
+    assert "lineitem.l_orderkey" not in out
