@@ -44,6 +44,7 @@ from serene_spark.registry import load_all
 
 SF = "/root/testdata/sf0.001"
 TWIN_OFFSET = 10_000_000
+TWIN_OFFSET_17 = 10_000_012  # = 17 * 588_236: preserves doc_id % 17
 
 
 # ---------------------------------------------------------------- harness
@@ -83,6 +84,10 @@ def variant(spark, tmp_path_factory):
         elif kind == "twin_all":  # documents: a content twin for EVERY doc
             out = df.unionAll(
                 df.withColumn("doc_id", F.col("doc_id") + TWIN_OFFSET))
+        elif kind == "twin_all_17":  # twin offset divisible by 17, so a
+            # doc_id % 17 split (decontaminate's bench/train) is preserved
+            out = df.unionAll(
+                df.withColumn("doc_id", F.col("doc_id") + TWIN_OFFSET_17))
         elif kind == "shift1h":  # events: exact one-hour shift
             out = df.withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
         else:  # pragma: no cover
@@ -343,6 +348,128 @@ def test_bm25_search_laws(spark, queries, variant):
     by_rank = base.sort_values("rank")
     assert (by_rank.bm25.diff().dropna() <= 3e-9).all()
     assert (base.n_terms_matched >= 1).all()
+
+
+def test_similarity_cosine_topk_laws(spark, queries, variant):
+    base = _assert_invariant(queries, "similarity_cosine_topk", spark,
+                             variant, "embeddings")
+    # rank self-consistency: per query, rk contiguous from 1 and cosine
+    # non-increasing along it; cosine of unit vectors bounded
+    for _, g in base.groupby("query_id"):
+        g = g.sort_values("rk")
+        assert list(g.rk) == list(range(1, len(g) + 1))
+        assert (g.cosine.diff().dropna() <= 3e-9).all()
+    assert ((base.cosine >= -1 - 1e-9) & (base.cosine <= 1 + 1e-9)).all()
+
+
+def test_dedup_simhash_laws(spark, queries, variant):
+    base = _assert_invariant(queries, "dedup_simhash_pairs", spark,
+                             variant, "documents")
+    assert (base.hamming >= 0).all()
+    # identical text -> identical simhash -> the twin pair MUST surface
+    # at hamming 0 (pigeonhole bands of equal signatures always collide)
+    twin = _run(queries, "dedup_simhash_pairs", spark,
+                variant("documents", "twin"))
+    first_id = int(base_doc_min(spark))
+    hit = twin[(twin.doc_id_1 == first_id)
+               & (twin.doc_id_2 == first_id + TWIN_OFFSET)]
+    assert len(hit) == 1 and int(hit.iloc[0].hamming) == 0
+
+
+def test_stratified_sample_laws(spark, queries, variant):
+    base = _assert_invariant(queries, "stratified_sample", spark, variant,
+                             "documents")
+    # the md5-threshold draw is per-doc deterministic: adding twin docs
+    # must not change ANY original doc's selection (subset stability)
+    twin = _run(queries, "stratified_sample", spark,
+                variant("documents", "twin_all"))
+    orig = twin[twin.doc_id < TWIN_OFFSET].reset_index(drop=True)
+    _assert_same(base, orig)
+
+
+def test_shard_assign_laws(spark, queries, variant):
+    base = _assert_invariant(queries, "shard_assign", spark, variant,
+                             "documents")
+    # sharding is a partition of the corpus: doc and char totals conserved
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    assert base.n_docs.sum() == len(docs)
+    assert base.total_chars.sum() == docs.n_chars.sum()
+
+
+def test_asof_join_laws(spark, queries, variant):
+    # two-sided invariance: permute/split EITHER input relation
+    base = _assert_invariant(queries, "asof_join_events_orders", spark,
+                             variant, "events")
+    got = _run(queries, "asof_join_events_orders", spark,
+               variant("orders", "permute"))
+    _assert_same(base, got)
+
+
+def test_hybrid_rrf_laws(spark, queries, variant):
+    base = _assert_invariant(queries, "hybrid_rrf_search", spark, variant,
+                             "documents")
+    # raw arithmetic recheck: rrf_score == 1/(60+rank_lex) + 1/(60+rank_sem)
+    # with a null rank contributing 0 (the operator's COALESCE semantics)
+    from serene_spark.operators.hybrid_search import RRF_K
+
+    lex = base.rank_lex.astype(float)
+    sem = base.rank_sem.astype(float)
+    expect = ((1.0 / (RRF_K + lex)).fillna(0.0)
+              + (1.0 / (RRF_K + sem)).fillna(0.0))
+    np.testing.assert_allclose(base.rrf_score.astype(float), expect,
+                               rtol=3e-6, atol=3e-6)
+    assert sorted(base.pos) == list(range(1, len(base) + 1))
+
+
+def test_kmv_rollup_laws(spark, queries, variant):
+    base = _assert_invariant(queries, "kmv_rollup_users", spark, variant,
+                             "events")
+    # merge lemma self-check carried in the output, plus dup-invariance
+    # (the sketch hashes DISTINCT user-days)
+    assert base.rollup_equal.all()
+    _assert_dup_law(queries, "kmv_rollup_users", spark, variant,
+                    "events", base, x2=())
+
+
+def test_quantile_rollup_laws(spark, queries, variant):
+    base = _assert_invariant(queries, "quantile_sketch_rollup", spark,
+                             variant, "events")
+    assert base.rollup_equals_direct.all()
+
+
+def test_triangle_counts_laws(spark, queries, variant):
+    base = _assert_invariant(queries, "triangle_counts", spark, variant,
+                             "lineitem")
+    # the co-purchase graph is a DISTINCT edge set: duplicating every
+    # fact row changes nothing
+    dup = _run(queries, "triangle_counts", spark,
+               variant("lineitem", "dup"))
+    _assert_same(base, dup)
+    assert base.total_triangles.nunique() == 1  # corpus-level constant
+
+
+def test_pagerank_laws(spark, queries, variant):
+    base = _assert_invariant(queries, "pagerank_converged", spark, variant,
+                             "lineitem")
+    dup = _run(queries, "pagerank_converged", spark,
+               variant("lineitem", "dup"))
+    _assert_same(base, dup)
+    assert (base.pagerank > 0).all()
+
+
+def test_decontaminate_laws(spark, queries, variant):
+    base = _assert_invariant(queries, "decontaminate", spark, variant,
+                             "documents")
+    # per-doc 8-gram overlap vs the doc_id%17 benchmark split: with a
+    # twin offset that PRESERVES the split, benchmark twins stay
+    # benchmark (the gram set is DISTINCT, so unchanged) and train twins
+    # mirror their originals exactly; originals are untouched
+    twin = _run(queries, "decontaminate", spark,
+                variant("documents", "twin_all_17"))
+    orig = twin[twin.doc_id < TWIN_OFFSET_17].reset_index(drop=True)
+    mirror = twin[twin.doc_id >= TWIN_OFFSET_17].reset_index(drop=True)
+    _assert_same(base, orig)
+    _assert_same(base, mirror.assign(doc_id=mirror.doc_id - TWIN_OFFSET_17))
 
 
 def test_resample_downsample_laws(spark, queries, variant):
