@@ -338,6 +338,11 @@ def decode_gif_animation(
             raise ValueError(f"unexpected block 0x{b:02x}")
         left, top, w, h = struct.unpack("<HHHH", blob[pos + 1 : pos + 9])
         _check_dims(w, h)
+        if left + w > sw or top + h > sh:
+            # spec: frames lie within the logical screen; a rect past it
+            # must raise the documented error type, not a numpy
+            # shape-mismatch IndexError at the composite assignment
+            raise ValueError("frame rect outside canvas")
         if len(frames) >= max_frames:
             raise ValueError(
                 f"animation exceeds {MAX_ANIMATION_PIXELS} composite pixels"
@@ -366,6 +371,8 @@ def decode_gif_animation(
         if len(out) != w * h:
             raise ValueError("LZW output size mismatch")
         idx = np.asarray(out, dtype=np.int64).reshape(h, w)
+        if idx.max() >= len(table):
+            raise ValueError("palette index out of range")
         if interlaced:  # stored rows are in 4-pass order; un-shuffle
             deinterlaced = np.empty_like(idx)
             deinterlaced[_interlace_order(h)] = idx

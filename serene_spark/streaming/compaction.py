@@ -44,6 +44,17 @@ Safety alongside the streaming writer:
 
 Re-running compaction is idempotent: a single-epoch log merges to itself.
 
+Crash safety: the merged partition carries an ``_inputs.json`` manifest
+(underscore-prefixed, invisible to parquet readers) naming the epoch ids
+it absorbed, and the rename's boolean return is checked before anything
+is deleted (Hadoop filesystems report most rename failures by returning
+false — deleting the inputs after a failed rename would lose the whole
+history). A crash between the rename and the input deletes leaves a
+window where additive-sink readouts double-count the absorbed inputs;
+the NEXT compaction run heals it by finishing the interrupted deletes
+from the manifest before merging anything, so the corruption is never
+baked into a subsequent merge.
+
 All filesystem work goes through the Hadoop FileSystem API of the active
 session, so the same code compacts a local dir under pytest and an
 HDFS/S3 prefix on a cluster.
@@ -64,31 +75,77 @@ def _epoch_swap(spark: SparkSession, log_dir: str, build_merged) -> int:
     partitions (a concurrent reader always sees a superset; see module
     docstring for the per-sink-family guarantees). Returns #partitions
     removed (0 = already compact, nothing rewritten)."""
+    import json
+
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(log_dir)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    base = log_dir.rstrip("/")
 
-    epochs: list[tuple[int, object]] = []
-    for st in fs.listStatus(hpath):
-        name = st.getPath().getName()
-        if st.isDirectory() and name.startswith("epoch="):
-            epochs.append((int(name.split("=", 1)[1]), st.getPath()))
+    def list_epochs() -> list[tuple[int, object]]:
+        out = []
+        for st in fs.listStatus(hpath):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("epoch="):
+                out.append((int(name.split("=", 1)[1]), st.getPath()))
+        return out
+
+    epochs = list_epochs()
+
+    # crash recovery: a merged partition carries a _inputs.json manifest
+    # (underscore-prefixed — invisible to parquet readers) naming the
+    # epoch ids it absorbed. If a previous run crashed between its rename
+    # and its deletes, those inputs still exist and every readout of an
+    # additive sink double-counts them — finish the interrupted swap
+    # FIRST, or a re-run would bake the double count into the next merge.
+    absorbed: set[int] = set()
+    for e, p in epochs:
+        if e < 0:
+            mf = jvm.org.apache.hadoop.fs.Path(f"{base}/epoch={e}/_inputs.json")
+            if fs.exists(mf):
+                stream = fs.open(mf)
+                try:
+                    raw = bytes(
+                        jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+                finally:
+                    stream.close()
+                absorbed.update(json.loads(raw.decode("utf-8")))
+    healed = 0
+    for e, p in epochs:
+        if e in absorbed:
+            fs.delete(p, True)
+            healed += 1
+    if healed:
+        epochs = list_epochs()
+
     if len(epochs) <= 1:
-        return 0
+        return healed
 
     # fresh id below every listed one; batch ids are >= 0, so negative
     # ids can never be redelivered-over or collide with future batches
     merged_epoch = min(-1, min(e for e, _ in epochs) - 1)
-    base = log_dir.rstrip("/")
     tmp = jvm.org.apache.hadoop.fs.Path(f"{base}/_compact_tmp")
     # the merge must see exactly the listed inputs — not the directory,
     # which a concurrent micro-batch may have extended since the listing
     build_merged([str(p) for _e, p in epochs]).write.mode(
         "overwrite").parquet(str(tmp))
-    fs.rename(tmp, jvm.org.apache.hadoop.fs.Path(f"{base}/epoch={merged_epoch}"))
+    manifest = fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{base}/_compact_tmp/_inputs.json"),
+        True)
+    try:
+        manifest.write(bytearray(
+            json.dumps(sorted(e for e, _ in epochs)).encode("utf-8")))
+    finally:
+        manifest.close()
+    dest = jvm.org.apache.hadoop.fs.Path(f"{base}/epoch={merged_epoch}")
+    if not fs.rename(tmp, dest):
+        # Hadoop filesystems report most rename failures by returning
+        # false, not raising; deleting the inputs anyway would lose the
+        # entire compacted history
+        raise IOError(f"compaction rename failed: {tmp} -> {dest}")
     for _e, p in epochs:
         fs.delete(p, True)
-    return len(epochs)
+    return healed + len(epochs)
 
 
 def compact_partials(

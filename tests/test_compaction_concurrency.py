@@ -115,6 +115,46 @@ def test_interleaved_epoch_neither_absorbed_nor_deleted(spark, tmp_path):
         check_dtype=False)
 
 
+def test_crash_between_rename_and_deletes_heals(spark, tmp_path):
+    """A crash after the merged epoch renamed in but before the inputs
+    were deleted leaves {merged, inputs} on disk — an additive sink
+    double-counts until repaired. The next compaction must finish the
+    interrupted deletes from the merged partition's _inputs.json
+    manifest BEFORE merging, or the double count would be baked into
+    epoch=-2 forever."""
+    from serene_spark.streaming.burn_stream import compact_partials, read_burn
+
+    log = str(tmp_path / "burn")
+    _write_epoch(spark, log, 0, pd.DataFrame(
+        {"h": [100], "n": [5], "errs": [1]}))
+    _write_epoch(spark, log, 1, pd.DataFrame(
+        {"h": [100, 101], "n": [3, 2], "errs": [0, 2]}))
+    true_burn = read_burn(spark, log).toPandas().sort_values("epoch_hour")
+
+    # construct the exact post-crash state: compact a twin, then graft
+    # its merged partition back WITHOUT deleting the originals
+    twin = str(tmp_path / "burn_twin")
+    shutil.copytree(log, twin)
+    assert compact_partials(spark, twin) == 2
+    shutil.copytree(tmp_path / "burn_twin" / "epoch=-1",
+                    tmp_path / "burn" / "epoch=-1")
+    # mid-crash readout over {−1, 0, 1} double-counts — the documented
+    # additive-sink exposure this heal exists for
+    doubled = (spark.read.parquet(log).groupBy("h")
+               .agg(F.sum("n").alias("n")).toPandas())
+    assert doubled.n.sum() == 2 * (5 + 3 + 2)
+
+    # the heal: absorbed inputs {0, 1} deleted from the manifest, no
+    # re-merge of the doubled state
+    assert compact_partials(spark, log) == 2
+    names = [p.name for p in (tmp_path / "burn").iterdir()
+             if p.name.startswith("epoch=")]
+    assert names == ["epoch=-1"]
+    healed = read_burn(spark, log).toPandas().sort_values("epoch_hour")
+    pd.testing.assert_frame_equal(
+        healed.reset_index(drop=True), true_burn.reset_index(drop=True))
+
+
 def test_redelivered_batch_cannot_clobber_compacted_state(spark, tmp_path):
     """After a crash where epoch=1's partition landed but its checkpoint
     commit did not, the restarted stream redelivers batch 1 and
@@ -139,7 +179,13 @@ def test_redelivered_batch_cannot_clobber_compacted_state(spark, tmp_path):
     after = read_kmv(spark, log).toPandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(after, before)
 
-    # and a later compaction folds the replayed partition back in
-    assert compact_partials(spark, log) == 2
+    # a later compaction recognizes the replayed partition from the
+    # merged epoch's _inputs.json manifest (batch 1 was already absorbed)
+    # and HEALS it away instead of re-merging — for an additive sink a
+    # re-merge would double-count the replayed content
+    assert compact_partials(spark, log) == 1
+    names = [p.name for p in (tmp_path / "kmv").iterdir()
+             if p.name.startswith("epoch=")]
+    assert names == ["epoch=-1"]
     pd.testing.assert_frame_equal(
         read_kmv(spark, log).toPandas().reset_index(drop=True), before)

@@ -1277,6 +1277,25 @@ def test_gif_animation_bombs_rejected():
     with pytest.raises(ValueError, match="corrupt LZW code"):
         _lzw_decode(bad_first, 2)
 
+    # (d) frame rect past the logical screen and palette indices past the
+    # color table must raise the documented ValueError, not a numpy
+    # IndexError from the composite assignment / table lookup
+    off_canvas = (hdr_small
+                  + b"\x2c" + struct.pack("<HHHH", 3, 0, 4, 4) + b"\x00"
+                  + bytes([2]) + _sub_blocks(_lzw_encode([0] * 16, 2))
+                  + b"\x3b")
+    with pytest.raises(ValueError, match="outside canvas"):
+        decode_gif_animation(off_canvas)
+    # GCT depth 1 = 2 entries, but the stream uses index 3
+    hdr_2color = (b"GIF89a" + struct.pack("<HH", 2, 2)
+                  + bytes([0x80, 0, 0]) + b"\x00" * 6)
+    bad_palette = (hdr_2color
+                   + b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + b"\x00"
+                   + bytes([2]) + _sub_blocks(_lzw_encode([3, 3, 3, 3], 2))
+                   + b"\x3b")
+    with pytest.raises(ValueError, match="palette index"):
+        decode_gif_animation(bad_palette)
+
 
 def test_mp4_sample_count_bomb_rejected():
     """A fixed-size stsz declaring 2^31 samples is not bounded by the

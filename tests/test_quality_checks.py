@@ -535,3 +535,25 @@ def test_dp_salted_release_changes_noise_and_refuses_empty(spark):
              -(1.0 / DP_EPSILON) * math.copysign(1, t) * math.log(1 - 2 * abs(t)))
     cell = c[(c.nation == row.c_nationkey) & (c.segment == row.c_mktsegment)]
     assert abs(cell.iloc[0].dp_count - round(max(row.n + noise, 0.0), 6)) <= 2e-6
+
+
+def test_dp_salted_sql_dialect_parity(spark, duck):
+    """The salted key is hex-encoded per dialect (Spark
+    decode(unhex(), 'UTF-8') vs DuckDB decode(unhex())): both arms must
+    hash the identical key — checked by running the DuckDB arm for real
+    with a lexer-hostile salt and comparing every released cell."""
+    from serene_spark.functions.sqlgen import DUCKDB
+    from serene_spark.operators.quality_checks import (
+        _dp_counts_sql,
+        dp_release_counts_salted,
+    )
+
+    hostile = "it's a \\"
+    a = (dp_release_counts_salted(spark, SF, salt=hostile).toPandas()
+         .sort_values(["nation", "segment"]).reset_index(drop=True))
+    b = (duck.execute(_dp_counts_sql(DUCKDB, audit=False, salt=hostile)).df()
+         .sort_values(["nation", "segment"]).reset_index(drop=True))
+    assert len(a) == len(b) > 0
+    assert (a.nation.values == b.nation.values).all()
+    assert (a.segment.values == b.segment.values).all()
+    assert (abs(a.dp_count.values - b.dp_count.values) <= 2e-6).all()
