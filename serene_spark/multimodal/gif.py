@@ -87,6 +87,10 @@ def _lzw_decode(
     LZW expands up to ~4000x, so a ~1 MB hostile stream can otherwise
     materialize gigabytes before the caller's ``len(out) == w*h`` check
     ever runs. Decoders pass the raster size they expect."""
+    if not 2 <= min_code <= 11:
+        # GIF caps code width at 12 bits (min_code + 1 <= 12); a hostile
+        # byte of e.g. 255 would otherwise build a 2^255-entry base dict
+        raise ValueError(f"invalid LZW minimum code size {min_code}")
     clear, eoi = 1 << min_code, (1 << min_code) + 1
     base = {i: (i,) for i in range(1 << min_code)}
     dict_ = dict(base)

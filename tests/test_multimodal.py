@@ -1286,6 +1286,14 @@ def test_gif_animation_bombs_rejected():
                   + b"\x3b")
     with pytest.raises(ValueError, match="outside canvas"):
         decode_gif_animation(off_canvas)
+    # (e) a hostile LZW minimum-code-size byte of 255 would build a
+    # 2^255-entry base dictionary before any data is read
+    huge_code = (hdr_small
+                 + b"\x2c" + struct.pack("<HHHH", 0, 0, 4, 4) + b"\x00"
+                 + bytes([255]) + b"\x01\x00\x00\x3b")
+    with pytest.raises(ValueError, match="minimum code size"):
+        decode_gif_animation(huge_code)
+
     # GCT depth 1 = 2 entries, but the stream uses index 3
     hdr_2color = (b"GIF89a" + struct.pack("<HH", 2, 2)
                   + bytes([0x80, 0, 0]) + b"\x00" * 6)
