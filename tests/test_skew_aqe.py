@@ -179,28 +179,39 @@ def test_explain_skew_advisory_registered_surface(spark, tmp_path):
 
     q = load_all()["explain_skew_advisory"]
 
-    # stock sf0.001: keys are even — no advisory, schema still stable
-    base = q.spark(spark, SF)
-    assert base.count() == 0
-    assert base.columns[:3] == ["join_key", "hot_key_share",
-                                "row_ratio_vs_median"]
+    # the advisory reads the SESSION's shuffle-partition count by design
+    # (the ratio is vs the median partition of THIS session's shuffles);
+    # pin it so a conf left behind by another test can't move the
+    # firing threshold under pytest's random ordering
+    keep = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        # stock sf0.001: keys are even — no advisory, schema still stable
+        base = q.spark(spark, SF)
+        assert base.count() == 0
+        assert base.columns[:3] == ["join_key", "hot_key_share",
+                                    "row_ratio_vs_median"]
 
-    d = tmp_path / "skewed_sf"
-    d.mkdir()
-    for t in TABLES:
-        if t != "events":
-            os.symlink(f"{SF}/{t}.parquet", str(d / f"{t}.parquet"))
-    ev = load_table(spark, SF, "events")
-    hot = ev.withColumn("user_id", F.lit(424242))
-    (ev.unionAll(hot).unionAll(hot)  # hot user owns ~2/3 of tripled rows
-     .write.mode("overwrite").parquet(str(d / "events.parquet")))
+        d = tmp_path / "skewed_sf"
+        d.mkdir()
+        for t in TABLES:
+            if t != "events":
+                os.symlink(f"{SF}/{t}.parquet", str(d / f"{t}.parquet"))
+        ev = load_table(spark, SF, "events")
+        hot = ev.withColumn("user_id", F.lit(424242))
+        (ev.unionAll(hot).unionAll(hot)  # hot user owns ~2/3 of tripled rows
+         .write.mode("overwrite").parquet(str(d / "events.parquet")))
 
-    out = {r.join_key: r.asDict() for r in q.spark(spark, str(d)).collect()}
-    assert "events.user_id" in out
-    adv = out["events.user_id"]
-    assert 0.60 <= adv["hot_key_share"] <= 0.72
-    assert adv["splits_at_stock_if_wide_rows"] is True
-    assert adv["recommended_skew_factor"] >= 2
-    assert "skewedPartitionFactor" in adv["advisory"]
-    # lineitem/orders keys stay even in the crafted corpus: no false fire
-    assert "lineitem.l_orderkey" not in out
+        out = {r.join_key: r.asDict()
+               for r in q.spark(spark, str(d)).collect()}
+        assert "events.user_id" in out
+        adv = out["events.user_id"]
+        assert 0.60 <= adv["hot_key_share"] <= 0.72
+        assert adv["splits_at_stock_if_wide_rows"] is True
+        assert adv["recommended_skew_factor"] >= 2
+        assert "skewedPartitionFactor" in adv["advisory"]
+        # lineitem/orders keys stay even in the crafted corpus: no false fire
+        assert "lineitem.l_orderkey" not in out
+    finally:
+        if keep is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", keep)
