@@ -424,6 +424,10 @@ def decode_png(blob: bytes) -> np.ndarray:
             sub, offset = _png_subimage(raw, pw, ph, depth, nch, offset)
             px[y0::dy, x0::dx] = sub
     if ctype == 3:
+        if int(px[:, :, 0].max()) >= len(plte):
+            # an index past the PLTE must raise the decoder's documented
+            # error type, not a numpy IndexError
+            raise ValueError("palette index out of range")
         return plte[px[:, :, 0]]
     if ctype in (0, 4):
         g = px[:, :, 0]

@@ -1212,6 +1212,27 @@ def test_decompression_bombs_rejected_cheaply():
     with pytest.raises(ValueError, match="implausible"):
         decode_jpeg(jpg_bomb)
 
+    # palette index past the PLTE: documented ValueError, not a numpy
+    # IndexError (the GIF decoder's contract, mirrored). Craft by
+    # truncating a valid 4-color palette PNG's PLTE to 2 entries.
+    import numpy as np
+
+    from serene_spark.multimodal.binary_ops import make_png_palette
+
+    img = np.repeat(np.repeat(
+        np.arange(4, dtype=np.uint8).reshape(2, 2), 4, 0), 4, 1)
+    img = np.stack([img * 60, img * 10, img * 5], axis=-1)
+    good = make_png_palette(img)
+    i = good.index(b"PLTE")
+    ln = struct.unpack(">I", good[i - 4:i])[0]
+    assert ln == 12  # 4 colors
+    short_plte = good[i + 4:i + 4 + 6]  # keep 2 of 4 entries
+    bad = (good[:i - 4] + struct.pack(">I", 6) + b"PLTE" + short_plte
+           + struct.pack(">I", zlib.crc32(b"PLTE" + short_plte) & 0xFFFFFFFF)
+           + good[i + 8 + ln:])
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(bad)
+
 
 def test_gif_animation_bombs_rejected():
     """The three animated-GIF bomb vectors: (a) frames x canvas — a

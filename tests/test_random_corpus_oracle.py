@@ -94,8 +94,31 @@ def _make_events(seed: int) -> pd.DataFrame:
         "user_id": rng.integers(0, 120, n).astype(np.int64),
         "event_type": rng.choice(
             ["view", "click", "purchase", "signup", "error"], n),
-        "value": np.round(rng.exponential(20.0, n), 2),
+        # integer cents: the double is within 1e-13 of an exact 2-dec
+        # value, so DECIMAL(18,2) casts and python Decimal twins agree
+        "value": rng.integers(0, 100_000, n) / 100.0,
         "props": np.array([f"p{i % 5}" for i in range(n)]),
+    })
+
+
+def _make_lineitem(seed: int) -> pd.DataFrame:
+    rng = np.random.default_rng(seed + 3000)
+    n = 2500
+    ship = (pd.Timestamp("2001-01-01")
+            + pd.to_timedelta(rng.integers(0, 500, n), unit="D"))
+    return pd.DataFrame({
+        "l_orderkey": rng.integers(1, 700, n).astype(np.int64),
+        "l_partkey": rng.integers(1, 200, n).astype(np.int64),
+        "l_suppkey": rng.integers(1, 15, n).astype(np.int64),
+        "l_linenumber": rng.integers(1, 7, n).astype(np.int64),
+        "l_quantity": rng.integers(1, 51, n).astype(np.float64),
+        "l_extendedprice": rng.integers(100, 9_000_000, n) / 100.0,
+        "l_discount": rng.integers(0, 11, n) / 100.0,
+        "l_tax": rng.integers(0, 9, n) / 100.0,
+        "l_returnflag": rng.choice(["A", "N", "R"], n),
+        "l_linestatus": rng.choice(["O", "F"], n),
+        "l_shipdate": ship.astype("datetime64[us]"),  # straddles the
+        # Q1 cutoff (2001-09-01) so the WHERE is genuinely exercised
     })
 
 
@@ -129,8 +152,9 @@ def rand_sf(tmp_path_factory):
         _make_docs(seed).to_parquet(str(d / "documents.parquet"), index=False)
         _make_events(seed).to_parquet(str(d / "events.parquet"), index=False)
         _make_customer(seed).to_parquet(str(d / "customer.parquet"), index=False)
+        _make_lineitem(seed).to_parquet(str(d / "lineitem.parquet"), index=False)
         for t in TABLES:
-            if t not in ("documents", "events", "customer"):
+            if t not in ("documents", "events", "customer", "lineitem"):
                 os.symlink(f"{SF}/{t}.parquet", str(d / f"{t}.parquet"))
         made[seed] = str(d)
         return made[seed]
@@ -293,6 +317,66 @@ def test_kmv_ndv_vs_hashlib(spark, queries, rand_sf, seed):
     want = pd.DataFrame(rows, columns=[
         "event_type", "ndv_exact", "sketch_size", "ndv_est", "rel_err"])
     got = _got(queries, "kmv_ndv_users", spark, rand_sf(seed), ["event_type"])
+    _check(got, want)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_q1_pricing_vs_decimal_python(spark, queries, rand_sf, seed):
+    from decimal import Decimal
+
+    li = _make_lineitem(seed)
+    cutoff = pd.Timestamp("2001-09-01")
+    kept = li[li.l_shipdate <= cutoff]
+    assert 0 < len(kept) < len(li)  # the WHERE really filters
+    rows = []
+    for (rf, ls), g in kept.groupby(["l_returnflag", "l_linestatus"]):
+        q = sum(Decimal(str(v)) for v in g.l_quantity)
+        p = sum(Decimal(str(v)) for v in g.l_extendedprice)
+        disc = [Decimal(str(v)) for v in g.l_discount]
+        tax = [Decimal(str(v)) for v in g.l_tax]
+        price = [Decimal(str(v)) for v in g.l_extendedprice]
+        dp = sum(pp * (1 - d) for pp, d in zip(price, disc))
+        ch = sum(pp * (1 - d) * (1 + t)
+                 for pp, d, t in zip(price, disc, tax))
+        n = len(g)
+        rows.append((rf, ls, float(q), float(p), float(dp), float(ch),
+                     round(float(q) / n, 6), round(float(p) / n, 6),
+                     round(float(sum(disc)) / n, 6), n))
+    want = (pd.DataFrame(rows, columns=[
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "sum_charge", "avg_qty", "avg_price",
+        "avg_disc", "count_order"])
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True))
+    got = _got(queries, "q1_pricing_summary", spark, rand_sf(seed),
+               ["l_returnflag", "l_linestatus"])
+    # exact-decimal sums are large (~1e7): widen to relative tolerance
+    assert list(got.columns) == list(want.columns)
+    for c in want.columns:
+        if want[c].dtype.kind == "f":
+            np.testing.assert_allclose(got[c], want[c], rtol=1e-9,
+                                       atol=1.5e-6, err_msg=c)
+        else:
+            assert (got[c].values == want[c].values).all(), c
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_tumbling_hour_vs_python(spark, queries, rand_sf, seed):
+    from decimal import Decimal
+
+    ev = _make_events(seed)
+    hour = ev.ts.dt.floor("h")
+    rows = []
+    for (h, et), g in ev.groupby([hour, ev.event_type]):
+        rows.append((h.strftime("%Y-%m-%d %H:%M:%S"), et, len(g),
+                     float(sum(Decimal(str(v)) for v in g.value)),
+                     g.user_id.nunique()))
+    want = (pd.DataFrame(rows, columns=[
+        "window_start", "event_type", "n_events", "sum_value", "n_users"])
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True))
+    got = _got(queries, "events_tumbling_hour", spark, rand_sf(seed),
+               ["window_start", "event_type"])
     _check(got, want)
 
 
