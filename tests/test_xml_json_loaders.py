@@ -115,3 +115,26 @@ def test_xml_melt_query_runs(spark, sf_dir):
         "name@customer", "segment@contact@customer",
         "acctbal@customer", "notes@customer",
     }
+
+
+def test_xml_entity_bomb_rejected_by_expat():
+    """Billion-laughs guard: the flattener parses untrusted XML inside a
+    mapInPandas worker, so unbounded internal-entity amplification would
+    be the same one-bad-blob-OOMs-an-executor class the media decoders
+    guard against. CPython's bundled expat >= 2.4 enforces an
+    amplification-factor cap by default — this pins that environmental
+    assumption so a runtime downgrade (or a future parser swap) that
+    silently removes the protection fails a test instead of an
+    executor."""
+    import pytest
+
+    from serene_spark.sources.xml_loader import flatten_xml_doc
+
+    ents = ['<!ENTITY a0 "AAAAAAAAAAAAAAAAAAAA">']
+    for i in range(1, 9):
+        ents.append(f'<!ENTITY a{i} "' + f"&a{i-1};" * 10 + '">')
+    bomb = ('<?xml version="1.0"?>\n<!DOCTYPE r ['
+            + "".join(ents) + ']>\n<r>&a8;</r>')  # ~2e9 chars if expanded
+    assert len(bomb) < 600
+    with pytest.raises(Exception, match="amplification|entity"):
+        flatten_xml_doc(bomb)
