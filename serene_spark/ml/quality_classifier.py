@@ -59,7 +59,14 @@ def train_quality_model(spark: SparkSession, sf_dir: str):
     df = quality_frame(spark, sf_dir).withColumn(
         "label", F.col("quality_pass").cast("double")
     )
-    train = df.filter(F.col("doc_id") % HOLDOUT_MOD != 0)
+    # canonicalize the training layout: MLlib's RF bootstrap draws per
+    # PARTITION, so the same rows arriving in a different order / file
+    # split would train a (slightly) different forest. Hash-partition on
+    # the key and sort within partitions -> the fitted model is a pure
+    # function of the DATA, invariant to input layout (pinned by the
+    # full-registry metamorphic sweep).
+    train = (df.filter(F.col("doc_id") % HOLDOUT_MOD != 0)
+             .repartition(8, "doc_id").sortWithinPartitions("doc_id"))
     holdout = df.filter(F.col("doc_id") % HOLDOUT_MOD == 0)
     pipe = Pipeline(stages=[
         VectorAssembler(inputCols=FEATURES, outputCol="features"),
