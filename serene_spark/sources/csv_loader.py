@@ -183,10 +183,16 @@ def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     exports (the reference always writes one file; at 100 TB you want the
     parallel layout, so it is opt-in).
     """
+    # the newline cleanup must cover \r too: Spark's CSV reader treats a
+    # bare carriage return as a record separator even inside a quoted
+    # field, so an uncleaned \r split the row on read-back (one cell
+    # became two corrupted rows — found by the round-trip property test)
     cleaned = df.select(
         *[
             F.regexp_replace(
-                F.regexp_replace(F.coalesce(F.col(c).cast("string"), F.lit("")), "\n", " "),
+                F.regexp_replace(
+                    F.coalesce(F.col(c).cast("string"), F.lit("")),
+                    "[\n\r]", " "),
                 '"',
                 "'",
             ).alias(truncate_suffix(c))

@@ -145,3 +145,43 @@ def test_reference_real_fixture_files(spark):
 
     malformed = load_csv(spark, f"{base}/malformed.csv")
     assert malformed.count() > 0 and len(malformed.columns) == 8
+
+
+def test_write_csv_roundtrip_property(spark, tmp_path):
+    """Round-trip law for ANY cell content: load(write(df)) must equal
+    the documented cleanString transform of df (newline-class -> space,
+    double -> single quote, null -> ""), even for cells full of commas,
+    quotes, carriage returns, tabs, and unicode. The \\r case found a
+    real writer defect: Spark's CSV reader treats a bare carriage return
+    as a record separator even inside a quoted field, so an uncleaned
+    \\r split one row into two corrupted ones."""
+    import re
+
+    from serene_spark.sources.csv_loader import load_csv, write_csv
+
+    hostile = [
+        ("a\rb", "x,y"),
+        ("a\r\nb", 'she said "no"'),
+        (",,,", "'quoted'"),
+        ("tab\there", "ünïcodé ✓"),
+        ("", None),
+        ('"""', "\n\n\n"),
+        ("trailing,comma,", "mixed\r\"'\n"),
+    ]
+    df = spark.createDataFrame(hostile, ["c1@t@d", "c2@t@d"])
+    out = str(tmp_path / "prop_out")
+    write_csv(df, out, single_file=True)
+    back = load_csv(spark, out)
+    assert back.columns == ["c1", "c2"]
+
+    def clean(v):
+        # cleanString, then the writer's own trim (Spark CSV write
+        # defaults ignoreLeading/TrailingWhiteSpace=true)
+        return re.sub(r"[\n\r]", " ", (v or "")).replace('"', "'").strip()
+
+    want = sorted(
+        (clean(a), clean(b)) for a, b in hostile
+        if clean(a) or clean(b)  # the loader drops all-empty rows
+    )
+    got = sorted((r["c1"] or "", r["c2"] or "") for r in back.collect())
+    assert got == want
