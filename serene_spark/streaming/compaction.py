@@ -44,16 +44,26 @@ Safety alongside the streaming writer:
 
 Re-running compaction is idempotent: a single-epoch log merges to itself.
 
-Crash safety: the merged partition carries an ``_inputs.json`` manifest
-(underscore-prefixed, invisible to parquet readers) naming the epoch ids
-it absorbed, and the rename's boolean return is checked before anything
-is deleted (Hadoop filesystems report most rename failures by returning
-false — deleting the inputs after a failed rename would lose the whole
-history). A crash between the rename and the input deletes leaves a
-window where additive-sink readouts double-count the absorbed inputs;
-the NEXT compaction run heals it by finishing the interrupted deletes
-from the manifest before merging anything, so the corruption is never
-baked into a subsequent merge.
+Crash safety: every merged partition carries an ``_inputs.json``
+manifest (underscore-prefixed, invisible to parquet readers) naming
+every epoch id its state has EVER absorbed — each merge unions its
+inputs' manifests, so the lineage survives repeated compactions. The
+rename's boolean return is checked before anything is deleted (Hadoop
+filesystems report most rename failures by returning false — deleting
+the inputs after a failed rename would lose the whole history). A crash
+between the rename and the input deletes leaves a window where
+additive-sink readouts double-count the absorbed inputs; the NEXT
+compaction run heals it by deleting every on-disk epoch the manifest
+names before merging anything, so the corruption is never baked into a
+subsequent merge. The same mechanism heals a crashed-and-redelivered
+batch whose content a completed merge already holds. Two hard guards:
+heal refuses a merged partition missing Spark's ``_SUCCESS`` marker (a
+non-atomic-rename store — S3A — can leave a partially-copied partition;
+deleting its inputs would lose rows), and an unparseable manifest is an
+actionable error, never silently ignored. Contract: a partials dir is
+bound to ONE streaming-checkpoint lineage — after a checkpoint reset,
+use a fresh dir (fresh batches would otherwise reuse absorbed ids; the
+raw sinks' dynamic-overwrite idempotency is equally broken by reuse).
 
 All filesystem work goes through the Hadoop FileSystem API of the active
 session, so the same code compacts a local dir under pytest and an
@@ -92,24 +102,51 @@ def _epoch_swap(spark: SparkSession, log_dir: str, build_merged) -> int:
 
     epochs = list_epochs()
 
-    # crash recovery: a merged partition carries a _inputs.json manifest
-    # (underscore-prefixed — invisible to parquet readers) naming the
-    # epoch ids it absorbed. If a previous run crashed between its rename
-    # and its deletes, those inputs still exist and every readout of an
-    # additive sink double-counts them — finish the interrupted swap
-    # FIRST, or a re-run would bake the double count into the next merge.
+    # crash recovery + replay memory: every merged partition carries an
+    # _inputs.json manifest (underscore-prefixed — invisible to parquet
+    # readers) naming every epoch id its state has EVER absorbed (each
+    # merge unions its inputs' manifests, so the newest merged partition
+    # remembers the full lineage). An absorbed id found on disk is
+    # either an interrupted swap's leftover or a redelivered uncommitted
+    # batch whose content is already in the merge — both are healed by
+    # deleting it, or a re-run would bake the additive double count into
+    # the next merge. Guards: the merged data must carry Spark's
+    # _SUCCESS marker (heal never trusts a partially-copied partition on
+    # a non-atomic-rename store), and a manifest that exists but cannot
+    # be parsed is a hard, actionable error — silently merging over it
+    # could double-count. NOTE the lineage contract: a partials dir is
+    # bound to ONE checkpoint lineage; resetting the checkpoint and
+    # reusing the dir would make fresh batches reuse absorbed ids (the
+    # raw sinks' own dynamic-overwrite idempotency is equally broken by
+    # that — reset => fresh dir).
     absorbed: set[int] = set()
     for e, p in epochs:
         if e < 0:
             mf = jvm.org.apache.hadoop.fs.Path(f"{base}/epoch={e}/_inputs.json")
-            if fs.exists(mf):
-                stream = fs.open(mf)
-                try:
-                    raw = bytes(
-                        jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-                finally:
-                    stream.close()
-                absorbed.update(json.loads(raw.decode("utf-8")))
+            if not fs.exists(mf):
+                continue
+            ok = jvm.org.apache.hadoop.fs.Path(f"{base}/epoch={e}/_SUCCESS")
+            if not fs.exists(ok):
+                raise IOError(
+                    f"compaction manifest {mf} present without _SUCCESS: "
+                    "the merged partition is incomplete (non-atomic rename "
+                    "interrupted?) — inspect and remove it by hand; its "
+                    "inputs are still intact")
+            stream = fs.open(mf)
+            try:
+                raw = bytes(
+                    jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+            finally:
+                stream.close()
+            try:
+                ids = json.loads(raw.decode("utf-8"))
+            except ValueError as exc:
+                raise IOError(
+                    f"unreadable compaction manifest {mf}: {exc} — the "
+                    "swap it recorded cannot be healed automatically; "
+                    "inspect the partition and remove the manifest by "
+                    "hand") from exc
+            absorbed.update(ids)
     healed = 0
     for e, p in epochs:
         if e in absorbed:
@@ -133,8 +170,11 @@ def _epoch_swap(spark: SparkSession, log_dir: str, build_merged) -> int:
         jvm.org.apache.hadoop.fs.Path(f"{base}/_compact_tmp/_inputs.json"),
         True)
     try:
-        manifest.write(bytearray(
-            json.dumps(sorted(e for e, _ in epochs)).encode("utf-8")))
+        # cumulative lineage: this merge's inputs PLUS everything those
+        # inputs had themselves absorbed, so replay of any ancient
+        # uncommitted batch id is still recognized after many compactions
+        manifest.write(bytearray(json.dumps(
+            sorted(absorbed | {e for e, _ in epochs})).encode("utf-8")))
     finally:
         manifest.close()
     dest = jvm.org.apache.hadoop.fs.Path(f"{base}/epoch={merged_epoch}")

@@ -155,6 +155,71 @@ def test_crash_between_rename_and_deletes_heals(spark, tmp_path):
         healed.reset_index(drop=True), true_burn.reset_index(drop=True))
 
 
+def test_manifest_guards_incomplete_and_corrupt(spark, tmp_path):
+    """Heal must refuse to act on a merged partition that is not
+    provably complete: a manifest without Spark's _SUCCESS marker means
+    a non-atomic rename (S3A-class) was interrupted mid-copy — deleting
+    the named inputs against a partial merge would lose rows. And an
+    unparseable manifest is an actionable hard error, never silently
+    ignored (merging over it could double-count)."""
+    import pytest
+
+    from serene_spark.streaming.kmv_stream import compact_partials
+
+    log = str(tmp_path / "kmv")
+    _kmv_log(spark, log)
+    assert compact_partials(spark, log) == 2
+    _write_epoch(spark, log, 2, pd.DataFrame(
+        {"event_type": ["b"], "u": [0.4]}))
+
+    # (a) strip _SUCCESS from the merged partition: heal must refuse
+    success = tmp_path / "kmv" / "epoch=-1" / "_SUCCESS"
+    success.rename(tmp_path / "kmv" / "epoch=-1" / "_success_moved")
+    with pytest.raises(IOError, match="without _SUCCESS"):
+        compact_partials(spark, log)
+    (tmp_path / "kmv" / "epoch=-1" / "_success_moved").rename(success)
+
+    # (b) truncate the manifest: hard, named error
+    mf = tmp_path / "kmv" / "epoch=-1" / "_inputs.json"
+    good = mf.read_bytes()
+    mf.write_bytes(b"")
+    with pytest.raises(IOError, match="unreadable compaction manifest"):
+        compact_partials(spark, log)
+    mf.write_bytes(good)
+    assert compact_partials(spark, log) == 2  # restored: swap proceeds
+
+
+def test_manifest_lineage_is_cumulative(spark, tmp_path):
+    """Each merge's manifest unions its inputs' manifests, so a replay
+    of an ANCIENT uncommitted batch id — arriving after several further
+    compactions — is still recognized as absorbed and healed, instead of
+    being re-merged (an additive sink would double-count it)."""
+    import json
+
+    from serene_spark.streaming.kmv_stream import compact_partials, read_kmv
+
+    log = str(tmp_path / "kmv")
+    _kmv_log(spark, log)
+    assert compact_partials(spark, log) == 2  # -> epoch=-1 [0, 1]
+    _write_epoch(spark, log, 2, pd.DataFrame(
+        {"event_type": ["b"], "u": [0.4]}))
+    assert compact_partials(spark, log) == 2  # -> epoch=-2 [-1, 0, 1, 2]
+    manifest = json.loads(
+        (tmp_path / "kmv" / "epoch=-2" / "_inputs.json").read_text())
+    assert manifest == [-1, 0, 1, 2]
+    before = read_kmv(spark, log).toPandas().reset_index(drop=True)
+
+    # ancient batch 1 redelivered two compactions later
+    _write_epoch(spark, log, 1, pd.DataFrame({
+        "event_type": ["a", "a", "b"], "u": [0.10, 0.20, 0.05]}))
+    assert compact_partials(spark, log) == 1  # healed, not re-merged
+    names = [p.name for p in (tmp_path / "kmv").iterdir()
+             if p.name.startswith("epoch=")]
+    assert names == ["epoch=-2"]
+    pd.testing.assert_frame_equal(
+        read_kmv(spark, log).toPandas().reset_index(drop=True), before)
+
+
 def test_redelivered_batch_cannot_clobber_compacted_state(spark, tmp_path):
     """After a crash where epoch=1's partition landed but its checkpoint
     commit did not, the restarted stream redelivers batch 1 and

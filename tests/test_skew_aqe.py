@@ -215,3 +215,5 @@ def test_explain_skew_advisory_registered_surface(spark, tmp_path):
     finally:
         if keep is not None:
             spark.conf.set("spark.sql.shuffle.partitions", keep)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")

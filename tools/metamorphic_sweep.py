@@ -70,6 +70,15 @@ def main() -> int:
     from serene_spark.session import get_spark
 
     queries = load_all()
+    unknown = [n for n in args.names if n not in queries]
+    if unknown:  # before the expensive variant build, with a usable hint
+        import difflib
+
+        for n in unknown:
+            close = difflib.get_close_matches(n, queries, n=3)
+            print(f"unknown query {n!r}" + (f" — did you mean {close}?"
+                                            if close else ""))
+        return 2
     names = args.names or [
         n for n, q in queries.items()
         if q.oracle is not None or args.include_rows_only
@@ -78,25 +87,29 @@ def main() -> int:
     spark = get_spark("metamorphic-sweep")
     var_dir = tempfile.mkdtemp(prefix="meta_sweep_")
     print(f"building permuted+split variant of {args.sf} -> {var_dir}")
-    build_variant(spark, args.sf, var_dir)
-
     n_pass = n_fail = 0
-    for name in names:
-        q = queries[name]
-        t0 = time.time()
-        try:
-            base = q.spark(spark, args.sf).toPandas()
-            got = q.spark(spark, var_dir).toPandas()
-            problems = compare(name, base, got)
-        except Exception:
-            problems = [traceback.format_exc(limit=3)]
-        sec = time.time() - t0
-        if problems:
-            n_fail += 1
-            print(f"[FAIL] {name}: {problems[0][:300]}")
-        else:
-            n_pass += 1
-            print(f"[OK·invariant] {name}: {len(base)} rows ({sec:.1f}s)")
+    try:
+        build_variant(spark, args.sf, var_dir)
+        for name in names:
+            q = queries[name]
+            t0 = time.time()
+            try:
+                base = q.spark(spark, args.sf).toPandas()
+                got = q.spark(spark, var_dir).toPandas()
+                problems = compare(name, base, got)
+            except Exception:
+                problems = [traceback.format_exc(limit=3)]
+            sec = time.time() - t0
+            if problems:
+                n_fail += 1
+                print(f"[FAIL] {name}: {problems[0][:300]}")
+            else:
+                n_pass += 1
+                print(f"[OK·invariant] {name}: {len(base)} rows ({sec:.1f}s)")
+    finally:
+        import shutil
+
+        shutil.rmtree(var_dir, ignore_errors=True)
 
     print(f"\n{n_pass}/{n_pass + n_fail} invariant under permutation+split")
     return 1 if n_fail else 0
