@@ -41,6 +41,17 @@ N_TREES = 32
 MAX_DEPTH = 5
 HOLDOUT_MOD = 5      # doc_id % 5 == 0 -> holdout
 
+import os
+
+# Training-layout partition count. MLlib's RF bootstraps per PARTITION, so
+# this constant is part of the MODEL DEFINITION: the fitted forest is a pure
+# function of (data, seed, this number). It must therefore be a pinned
+# config value — NEVER data- or session-dependent — but it also caps
+# training shuffle parallelism, so a deployment training on a 100x labeled
+# corpus should raise it (accepting that the fitted model changes, exactly
+# like changing SEED) via the env knob rather than live with 8 tasks.
+TRAIN_PARTITIONS = int(os.environ.get("SERENE_QUALITY_TRAIN_PARTITIONS", "8"))
+
 
 def quality_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature relation: text_quality_sql's continuous features + the rule
@@ -62,11 +73,13 @@ def train_quality_model(spark: SparkSession, sf_dir: str):
     # canonicalize the training layout: MLlib's RF bootstrap draws per
     # PARTITION, so the same rows arriving in a different order / file
     # split would train a (slightly) different forest. Hash-partition on
-    # the key and sort within partitions -> the fitted model is a pure
-    # function of the DATA, invariant to input layout (pinned by the
-    # full-registry metamorphic sweep).
+    # the key (TRAIN_PARTITIONS — a model-defining knob, see its comment)
+    # and sort within partitions -> the fitted model is a pure function of
+    # the DATA and the pinned knob, invariant to input layout (pinned by
+    # the full-registry metamorphic sweep).
     train = (df.filter(F.col("doc_id") % HOLDOUT_MOD != 0)
-             .repartition(8, "doc_id").sortWithinPartitions("doc_id"))
+             .repartition(TRAIN_PARTITIONS, "doc_id")
+             .sortWithinPartitions("doc_id"))
     holdout = df.filter(F.col("doc_id") % HOLDOUT_MOD == 0)
     pipe = Pipeline(stages=[
         VectorAssembler(inputCols=FEATURES, outputCol="features"),

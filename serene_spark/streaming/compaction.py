@@ -45,18 +45,36 @@ Safety alongside the streaming writer:
 Re-running compaction is idempotent: a single-epoch log merges to itself.
 
 Crash safety: every merged partition carries an ``_inputs.json``
-manifest (underscore-prefixed, invisible to parquet readers) naming
-every epoch id its state has EVER absorbed — each merge unions its
-inputs' manifests, so the lineage survives repeated compactions. The
+manifest (underscore-prefixed, invisible to parquet readers) recording
+every epoch id its state has EVER absorbed. The absorbed set is always
+two contiguous prefixes — foreachBatch ids are non-negative, gapless
+and monotonic (and batch N's partition exists on disk before batch N+1
+starts, so a merge can never absorb id N+1 without having absorbed an
+existing id N), while merged epochs descend -1, -2, … and every merge
+absorbs all on-disk negatives — so the manifest is two O(1)
+WATERMARKS, ``{"max_batch_absorbed": M, "min_merged_absorbed": m}``
+(null = none absorbed of that sign), not a list that would otherwise
+grow linearly with stream lifetime: any on-disk epoch id in
+``[0, M] ∪ [m, -1]`` is absorbed. (A gap id below M whose batch wrote
+no partition stays absent forever — a checkpoint redelivers only
+UNcommitted batches, and a committed batch above it proves it
+committed — so the range-claim over never-materialized ids is vacuous.)
+Each merge takes the max/min over its inputs' manifests, so the
+lineage survives repeated compactions at constant metadata size.
+Legacy explicit-id-list manifests from older versions of this protocol
+are still read (collapsed to their watermarks), so an existing log
+upgrades in place on its next compaction. The
 rename's boolean return is checked before anything is deleted (Hadoop
 filesystems report most rename failures by returning false — deleting
 the inputs after a failed rename would lose the whole history). A crash
 between the rename and the input deletes leaves a window where
 additive-sink readouts double-count the absorbed inputs; the NEXT
-compaction run heals it by deleting every on-disk epoch the manifest
-names before merging anything, so the corruption is never baked into a
-subsequent merge. The same mechanism heals a crashed-and-redelivered
-batch whose content a completed merge already holds. Two hard guards:
+compaction run heals it by deleting every on-disk epoch inside the
+manifest's watermarks before merging anything, so the corruption is
+never baked into a subsequent merge. The same mechanism heals a
+crashed-and-redelivered batch whose content a completed merge already
+holds — even an ANCIENT id replayed many compactions later, since the
+watermarks only ever widen. Two hard guards:
 heal refuses a merged partition missing Spark's ``_SUCCESS`` marker (a
 non-atomic-rename store — S3A — can leave a partially-copied partition;
 deleting its inputs would lose rows), and an unparseable manifest is an
@@ -75,6 +93,14 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+# Test-only fault-injection point: when set, called with a stage name at
+# designated crash windows inside _epoch_swap ("post_rename" = after the
+# merged epoch renamed in, before any input delete). A hook that raises
+# simulates a process crash at exactly that point; production never sets
+# it. Used by tests/test_compaction_concurrency.py to drive a REAL
+# foreachBatch stream through a mid-swap crash and verify heal-on-next-run.
+_test_fault_hook = None
 
 
 def _epoch_swap(spark: SparkSession, log_dir: str, build_merged) -> int:
@@ -104,10 +130,10 @@ def _epoch_swap(spark: SparkSession, log_dir: str, build_merged) -> int:
 
     # crash recovery + replay memory: every merged partition carries an
     # _inputs.json manifest (underscore-prefixed — invisible to parquet
-    # readers) naming every epoch id its state has EVER absorbed (each
-    # merge unions its inputs' manifests, so the newest merged partition
-    # remembers the full lineage). An absorbed id found on disk is
-    # either an interrupted swap's leftover or a redelivered uncommitted
+    # readers) holding the two absorbed-id WATERMARKS (see module
+    # docstring for why the absorbed set is always the two prefixes
+    # [0, M] and [m, -1]). An absorbed id found on disk is either an
+    # interrupted swap's leftover or a redelivered uncommitted
     # batch whose content is already in the merge — both are healed by
     # deleting it, or a re-run would bake the additive double count into
     # the next merge. Guards: the merged data must carry Spark's
@@ -119,7 +145,8 @@ def _epoch_swap(spark: SparkSession, log_dir: str, build_merged) -> int:
     # reusing the dir would make fresh batches reuse absorbed ids (the
     # raw sinks' own dynamic-overwrite idempotency is equally broken by
     # that — reset => fresh dir).
-    absorbed: set[int] = set()
+    max_batch: int | None = None   # highest non-negative id ever absorbed
+    min_merged: int | None = None  # lowest (most negative) merged id absorbed
     for e, p in epochs:
         if e < 0:
             mf = jvm.org.apache.hadoop.fs.Path(f"{base}/epoch={e}/_inputs.json")
@@ -139,17 +166,35 @@ def _epoch_swap(spark: SparkSession, log_dir: str, build_merged) -> int:
             finally:
                 stream.close()
             try:
-                ids = json.loads(raw.decode("utf-8"))
-            except ValueError as exc:
+                doc = json.loads(raw.decode("utf-8"))
+                if isinstance(doc, list):
+                    # legacy explicit-id-list manifest: collapse to its
+                    # watermarks (under the gapless-batch-id contract the
+                    # list was always exactly the two prefixes)
+                    mb = max((i for i in doc if i >= 0), default=None)
+                    mm = min((i for i in doc if i < 0), default=None)
+                else:
+                    mb = doc["max_batch_absorbed"]
+                    mm = doc["min_merged_absorbed"]
+            except (ValueError, KeyError, TypeError) as exc:
                 raise IOError(
                     f"unreadable compaction manifest {mf}: {exc} — the "
                     "swap it recorded cannot be healed automatically; "
                     "inspect the partition and remove the manifest by "
                     "hand") from exc
-            absorbed.update(ids)
+            if mb is not None:
+                max_batch = mb if max_batch is None else max(max_batch, mb)
+            if mm is not None:
+                min_merged = mm if min_merged is None else min(min_merged, mm)
+
+    def is_absorbed(e: int) -> bool:
+        if e >= 0:
+            return max_batch is not None and e <= max_batch
+        return min_merged is not None and e >= min_merged
+
     healed = 0
     for e, p in epochs:
-        if e in absorbed:
+        if is_absorbed(e):
             fs.delete(p, True)
             healed += 1
     if healed:
@@ -170,11 +215,20 @@ def _epoch_swap(spark: SparkSession, log_dir: str, build_merged) -> int:
         jvm.org.apache.hadoop.fs.Path(f"{base}/_compact_tmp/_inputs.json"),
         True)
     try:
-        # cumulative lineage: this merge's inputs PLUS everything those
-        # inputs had themselves absorbed, so replay of any ancient
-        # uncommitted batch id is still recognized after many compactions
+        # cumulative lineage at O(1) size: widen the watermarks over this
+        # merge's inputs PLUS everything those inputs had themselves
+        # absorbed, so replay of any ancient uncommitted batch id is
+        # still recognized after arbitrarily many compactions while the
+        # manifest stays two integers for the stream's whole lifetime
+        new_max = max(
+            (x for x in [max_batch, *(e for e, _ in epochs if e >= 0)]
+             if x is not None), default=None)
+        new_min = min(
+            (x for x in [min_merged, *(e for e, _ in epochs if e < 0)]
+             if x is not None), default=None)
         manifest.write(bytearray(json.dumps(
-            sorted(absorbed | {e for e, _ in epochs})).encode("utf-8")))
+            {"max_batch_absorbed": new_max,
+             "min_merged_absorbed": new_min}).encode("utf-8")))
     finally:
         manifest.close()
     dest = jvm.org.apache.hadoop.fs.Path(f"{base}/epoch={merged_epoch}")
@@ -183,6 +237,8 @@ def _epoch_swap(spark: SparkSession, log_dir: str, build_merged) -> int:
         # false, not raising; deleting the inputs anyway would lose the
         # entire compacted history
         raise IOError(f"compaction rename failed: {tmp} -> {dest}")
+    if _test_fault_hook is not None:
+        _test_fault_hook("post_rename")
     for _e, p in epochs:
         fs.delete(p, True)
     return healed + len(epochs)

@@ -190,7 +190,7 @@ def test_manifest_guards_incomplete_and_corrupt(spark, tmp_path):
 
 
 def test_manifest_lineage_is_cumulative(spark, tmp_path):
-    """Each merge's manifest unions its inputs' manifests, so a replay
+    """Each merge's manifest widens its inputs' watermarks, so a replay
     of an ANCIENT uncommitted batch id — arriving after several further
     compactions — is still recognized as absorbed and healed, instead of
     being re-merged (an additive sink would double-count it)."""
@@ -200,13 +200,13 @@ def test_manifest_lineage_is_cumulative(spark, tmp_path):
 
     log = str(tmp_path / "kmv")
     _kmv_log(spark, log)
-    assert compact_partials(spark, log) == 2  # -> epoch=-1 [0, 1]
+    assert compact_partials(spark, log) == 2  # -> epoch=-1 absorbing [0, 1]
     _write_epoch(spark, log, 2, pd.DataFrame(
         {"event_type": ["b"], "u": [0.4]}))
-    assert compact_partials(spark, log) == 2  # -> epoch=-2 [-1, 0, 1, 2]
+    assert compact_partials(spark, log) == 2  # -> epoch=-2 absorbing {-1, 2}
     manifest = json.loads(
         (tmp_path / "kmv" / "epoch=-2" / "_inputs.json").read_text())
-    assert manifest == [-1, 0, 1, 2]
+    assert manifest == {"max_batch_absorbed": 2, "min_merged_absorbed": -1}
     before = read_kmv(spark, log).toPandas().reset_index(drop=True)
 
     # ancient batch 1 redelivered two compactions later
@@ -254,3 +254,155 @@ def test_redelivered_batch_cannot_clobber_compacted_state(spark, tmp_path):
     assert names == ["epoch=-1"]
     pd.testing.assert_frame_equal(
         read_kmv(spark, log).toPandas().reset_index(drop=True), before)
+
+
+def test_watermark_manifest_constant_size_many_cycles(spark, tmp_path):
+    """The round-12 O(1) manifest: after ANY number of batch+compaction
+    cycles the manifest is exactly the two-watermark dict — its byte size
+    is bounded by the integer widths, not by how many epochs the stream
+    has ever absorbed (the round-11 list format grew linearly with stream
+    lifetime). Also pins that an ancient replay heals against a PURE
+    watermark manifest (no explicit id list anywhere on disk)."""
+    import json
+
+    from serene_spark.streaming.kmv_stream import compact_partials, read_kmv
+
+    log = str(tmp_path / "kmv")
+    _write_epoch(spark, log, 0, pd.DataFrame({
+        "event_type": ["a", "b"], "u": [0.10, 0.50]}))
+    sizes = []
+    for batch in range(1, 9):
+        _write_epoch(spark, log, batch, pd.DataFrame({
+            "event_type": ["a", "b"], "u": [0.1 + batch / 100, 0.5 - batch / 100]}))
+        assert compact_partials(spark, log) == 2
+        merged = [p for p in (tmp_path / "kmv").iterdir()
+                  if p.name.startswith("epoch=")]
+        assert len(merged) == 1
+        mf = merged[0] / "_inputs.json"
+        doc = json.loads(mf.read_text())
+        assert doc["max_batch_absorbed"] == batch
+        sizes.append(len(mf.read_bytes()))
+    # constant metadata: every manifest is the same two-key shape, byte
+    # size flat across 8 cycles (vs +~4 bytes/epoch for the list format)
+    assert set(doc) == {"max_batch_absorbed", "min_merged_absorbed"}
+    assert max(sizes) - min(sizes) <= 2  # only integer-width wiggle
+    before = read_kmv(spark, log).toPandas().reset_index(drop=True)
+
+    # ancient replay (batch 3, five compactions ago) healed from the
+    # watermark alone
+    _write_epoch(spark, log, 3, pd.DataFrame({
+        "event_type": ["a"], "u": [0.13]}))
+    assert compact_partials(spark, log) == 1
+    pd.testing.assert_frame_equal(
+        read_kmv(spark, log).toPandas().reset_index(drop=True), before)
+
+
+def test_legacy_list_manifest_upgrades_in_place(spark, tmp_path):
+    """A log written by the round-11 protocol carries explicit-id-list
+    manifests; the watermark reader must (a) heal from them identically
+    and (b) rewrite the next merge's manifest in watermark form — an
+    existing on-disk log upgrades with no migration step."""
+    import json
+
+    from serene_spark.streaming.kmv_stream import compact_partials, read_kmv
+
+    log = str(tmp_path / "kmv")
+    _kmv_log(spark, log)
+    assert compact_partials(spark, log) == 2
+    # rewrite the fresh manifest in the legacy list format
+    mf = tmp_path / "kmv" / "epoch=-1" / "_inputs.json"
+    assert json.loads(mf.read_text()) == {
+        "max_batch_absorbed": 1, "min_merged_absorbed": None}
+    mf.write_text(json.dumps([0, 1]))
+    # drop the Hadoop local-FS checksum sidecar the hand-rewrite invalidated
+    crc = tmp_path / "kmv" / "epoch=-1" / "._inputs.json.crc"
+    if crc.exists():
+        crc.unlink()
+    before = read_kmv(spark, log).toPandas().reset_index(drop=True)
+
+    # replayed batch 1 healed from the legacy manifest
+    _write_epoch(spark, log, 1, pd.DataFrame({
+        "event_type": ["a", "a", "b"], "u": [0.10, 0.20, 0.05]}))
+    assert compact_partials(spark, log) == 1
+    pd.testing.assert_frame_equal(
+        read_kmv(spark, log).toPandas().reset_index(drop=True), before)
+
+    # next real merge: legacy watermarks carried forward, new format out
+    _write_epoch(spark, log, 2, pd.DataFrame(
+        {"event_type": ["b"], "u": [0.4]}))
+    assert compact_partials(spark, log) == 2
+    doc = json.loads(
+        (tmp_path / "kmv" / "epoch=-2" / "_inputs.json").read_text())
+    assert doc == {"max_batch_absorbed": 2, "min_merged_absorbed": -1}
+
+
+def test_crash_under_live_stream_heals_end_to_end(spark, tmp_path):
+    """Integration pin for the full protocol under a REAL foreachBatch
+    stream: run the kmv maintenance stream, crash compaction between the
+    rename and the input deletes via the fault-injection hook, verify the
+    mid-crash superset still reads out bit-identically (dedupe-merge
+    sink), let the LIVE stream keep appending epochs over the crashed
+    state, then run compaction again and verify it heals the leftovers
+    and the final readout equals the batch sketch of all data."""
+    from serene_spark.catalog import load_table
+    from serene_spark.registry import load_all
+    from serene_spark.streaming import compaction
+    from serene_spark.streaming.kmv_stream import (
+        compact_partials,
+        read_kmv,
+        start_kmv_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").toPandas()
+    events_dir = tmp_path / "events_in"
+    events_dir.mkdir()
+    partials = str(tmp_path / "partials")
+    ckpt = str(tmp_path / "ckpt")
+
+    # two micro-batches land via the real stream (events at sf0.001 is
+    # 1000 rows — splits chosen so every chunk is nonempty)
+    for i, chunk in enumerate([ev.iloc[:400], ev.iloc[400:700]]):
+        chunk.to_parquet(str(events_dir / f"chunk{i}.parquet"))
+        q = start_kmv_stream(spark, str(events_dir), partials, ckpt)
+        assert q.awaitTermination(300)
+    before = read_kmv(spark, partials).toPandas().reset_index(drop=True)
+
+    # compaction crashes after rename, before any delete
+    def crash(stage):
+        raise RuntimeError(f"injected crash at {stage}")
+
+    compaction._test_fault_hook = crash
+    try:
+        import pytest
+
+        with pytest.raises(RuntimeError, match="injected crash at post_rename"):
+            compact_partials(spark, partials)
+    finally:
+        compaction._test_fault_hook = None
+
+    # post-crash state: merged epoch + both inputs — superset readout
+    # bit-identical for this dedupe-merge sink
+    names = sorted(p.name for p in (tmp_path / "partials").iterdir()
+                   if p.name.startswith("epoch="))
+    assert names == ["epoch=-1", "epoch=0", "epoch=1"]
+    pd.testing.assert_frame_equal(
+        read_kmv(spark, partials).toPandas().reset_index(drop=True), before)
+
+    # the live stream keeps going over the crashed state (batch id 2)
+    ev.iloc[700:].to_parquet(str(events_dir / "chunk2.parquet"))
+    q = start_kmv_stream(spark, str(events_dir), partials, ckpt)
+    assert q.awaitTermination(300)
+
+    # next compaction heals {0, 1} from the manifest, then merges
+    # {-1, 2} — 4 partitions removed in total
+    assert compact_partials(spark, partials) == 4
+    names = [p.name for p in (tmp_path / "partials").iterdir()
+             if p.name.startswith("epoch=")]
+    assert names == ["epoch=-2"]
+    batch = load_all()["kmv_ndv_users"].spark(spark, sf).toPandas()[
+        ["event_type", "sketch_size", "ndv_est"]
+    ].sort_values("event_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        read_kmv(spark, partials).toPandas().reset_index(drop=True),
+        batch, check_dtype=False)

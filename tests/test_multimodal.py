@@ -1234,7 +1234,7 @@ def test_decompression_bombs_rejected_cheaply():
         decode_png(bad)
 
 
-def test_gif_animation_bombs_rejected():
+def test_gif_animation_bombs_rejected(monkeypatch):
     """The three animated-GIF bomb vectors: (a) frames x canvas — a
     few-KB blob with a max-size canvas and thousands of 1x1 frames would
     otherwise materialize one full-canvas composite PER FRAME; (b) a
@@ -1245,10 +1245,7 @@ def test_gif_animation_bombs_rejected():
 
     import pytest
 
-    from serene_spark.multimodal.binary_ops import (
-        MAX_ANIMATION_PIXELS,
-        MAX_PIXELS,
-    )
+    from serene_spark.multimodal import binary_ops
     from serene_spark.multimodal.gif import (
         _lzw_decode,
         _lzw_encode,
@@ -1260,12 +1257,17 @@ def test_gif_animation_bombs_rejected():
         return (b"\x2c" + struct.pack("<HHHH", 0, 0, 1, 1) + b"\x00"
                 + bytes([2]) + _sub_blocks(_lzw_encode([0], 2)))
 
-    # (a) 8192x8192 canvas passes the per-image cap exactly (2^26), so
-    # max_frames = 2^28 / 2^26 = 4; the 5th tiny frame must raise before
-    # its composite is materialized.
-    assert 8192 * 8192 == MAX_PIXELS
-    n_allowed = MAX_ANIMATION_PIXELS // MAX_PIXELS
-    header = (b"GIF89a" + struct.pack("<HH", 8192, 8192)
+    # (a) a canvas that passes the (scaled-down) per-image cap exactly, so
+    # max_frames = animation-cap / image-cap = 4; the 5th tiny frame must
+    # raise before its composite is materialized. The caps are
+    # monkeypatched down (64x64 / 4 frames) so the positive arm's
+    # composites cost ~48 KB instead of the production caps' ~800 MB —
+    # gif.py reads both caps at call time from binary_ops, so the
+    # boundary arithmetic exercised is exactly the production path's.
+    monkeypatch.setattr(binary_ops, "MAX_PIXELS", 64 * 64)
+    monkeypatch.setattr(binary_ops, "MAX_ANIMATION_PIXELS", 4 * 64 * 64)
+    n_allowed = binary_ops.MAX_ANIMATION_PIXELS // binary_ops.MAX_PIXELS
+    header = (b"GIF89a" + struct.pack("<HH", 64, 64)
               + bytes([0x80, 0, 0]) + b"\x00" * 6)
     bomb = header + frame_1x1() * (n_allowed + 2) + b"\x3b"
     assert len(bomb) < 200  # the whole bomb is a sub-200-byte blob
@@ -1275,7 +1277,10 @@ def test_gif_animation_bombs_rejected():
     ok = header + frame_1x1() * n_allowed + b"\x3b"
     frames, _, _ = decode_gif_animation(ok)
     assert len(frames) == n_allowed
+    assert frames[0].shape == (64, 64, 3)
     del frames
+    monkeypatch.setattr(binary_ops, "MAX_PIXELS", 1 << 26)
+    monkeypatch.setattr(binary_ops, "MAX_ANIMATION_PIXELS", 1 << 28)
 
     # (b) small canvas, huge per-frame descriptor
     hdr_small = (b"GIF89a" + struct.pack("<HH", 4, 4)

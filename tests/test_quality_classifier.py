@@ -131,3 +131,32 @@ def test_isotonic_calibration_properties(spark):
     ) < 1e-6 * weights.sum()
     # bins cover all scored documents
     assert out["n_docs"].sum() > 0
+
+
+def test_train_partitions_is_a_pinned_model_knob(spark, sf_dir, monkeypatch):
+    """TRAIN_PARTITIONS is part of the model definition (RF bootstraps per
+    partition): the default must be the documented 8, the env knob must be
+    honored on module (re)load, and training with a different value must
+    still produce a valid, accurate forest — raising parallelism for a
+    large labeled corpus is safe, it just defines a DIFFERENT (equally
+    deterministic) model, like changing SEED."""
+    import importlib
+
+    from serene_spark.ml import quality_classifier as qc
+
+    assert qc.TRAIN_PARTITIONS == 8  # documented default
+
+    monkeypatch.setenv("SERENE_QUALITY_TRAIN_PARTITIONS", "16")
+    importlib.reload(qc)
+    try:
+        assert qc.TRAIN_PARTITIONS == 16
+        model, holdout = qc.train_quality_model(spark, sf_dir)
+        rows = model.transform(holdout).select(
+            "quality_pass", "prediction").collect()
+        acc = sum(1 for r in rows
+                  if r["prediction"] == r["quality_pass"]) / len(rows)
+        assert acc >= 0.9, acc
+    finally:
+        monkeypatch.delenv("SERENE_QUALITY_TRAIN_PARTITIONS")
+        importlib.reload(qc)
+    assert qc.TRAIN_PARTITIONS == 8
