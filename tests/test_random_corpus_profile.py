@@ -52,6 +52,14 @@ _NAME_POOL = [
     "abc123", "42", "3.14", "café", "ABC", "abc ", " abc", "tab\there",
     "line\nbreak", "Customer#000001", "plain words here",
     "", "   ", "\t", " \t ",
+    # typeinfer cascade material (every branch of classify_expr)
+    "T", "f", "Y", "0", "1",
+    "+123", "-456", "2147483647", "2147483648",      # Integer / Long split
+    "9223372036854775808",                           # past int64 -> String
+    "1999", "2526", "2527", "0430440622",            # year-Date / range rules
+    ".5", "-0.75", "100pm", "11:59:59.9 PM", "23:61",
+    "2020-01-02 13:45:30", "jan 3, 1998", "3rd of May 2001",
+    "03-Mar-98", "tuesday", "August", "jan 3, 1998 10:30 pm",
 ]
 
 
@@ -208,3 +216,143 @@ def test_profile_scalar_vs_python(spark, profile_sf, seed):
                 rtol=0, atol=1.5e-6, err_msg=c)
         else:
             assert (got[c].values == want[c].values).all(), c
+
+
+# ------------------------------------------------------------------
+# §2.4 group features on the same hostile corpus: char-dist / entropy
+# and the inferred-type cascade, each recomputed from scratch.
+
+def _chardist_twin(df: pd.DataFrame):
+    """(chardist rows, entropy rows) — python str/Counter only."""
+    cd_rows, ent_rows = [], []
+    for col in df.columns:
+        counts = Counter()
+        for v in _melted_values(df, col):
+            if len(v.strip(" ")) > 0:       # NONEMPTY filter
+                counts.update(v)            # per-char, value-weighted
+        if not counts:
+            continue
+        l2 = math.sqrt(sum(c * c for c in counts.values()))
+        for ch, c in sorted(counts.items()):
+            cd_rows.append((col, ch, c, round(c / l2, 6)))
+        tot = sum(counts.values())
+        slog = sum(c * math.log2(c) for c in counts.values())
+        ent_rows.append((col, tot, len(counts),
+                         round((math.log2(tot) - slog / tot) / math.log2(98), 6)))
+    cd = pd.DataFrame(cd_rows, columns=["column_name", "ch", "cnt", "freq_l2"])
+    ent = pd.DataFrame(ent_rows, columns=[
+        "column_name", "total_chars", "n_distinct_chars",
+        "shannon_char_entropy"])
+    return cd, ent
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_chardist_and_entropy_vs_python(spark, profile_sf, seed):
+    cust = _make_profile_customer(seed)
+    want_cd, want_ent = _chardist_twin(cust)
+    qs = load_all()
+    got_cd = (qs["chardist_customer"].spark(spark, profile_sf(seed)).toPandas()
+              .sort_values(["column_name", "ch"]).reset_index(drop=True))
+    want_cd = (want_cd.sort_values(["column_name", "ch"])
+               .reset_index(drop=True))
+    assert len(got_cd) == len(want_cd)
+    assert (got_cd.column_name.values == want_cd.column_name.values).all()
+    assert (got_cd.ch.values == want_cd.ch.values).all()
+    assert (got_cd.cnt.values == want_cd.cnt.values).all()
+    np.testing.assert_allclose(got_cd.freq_l2, want_cd.freq_l2,
+                               rtol=0, atol=1.5e-6)
+
+    got_ent = (qs["char_entropy_customer"].spark(spark, profile_sf(seed))
+               .toPandas().sort_values("column_name").reset_index(drop=True))
+    want_ent = want_ent.sort_values("column_name").reset_index(drop=True)
+    assert (got_ent.column_name.values == want_ent.column_name.values).all()
+    assert (got_ent.total_chars.values == want_ent.total_chars.values).all()
+    assert (got_ent.n_distinct_chars.values
+            == want_ent.n_distinct_chars.values).all()
+    np.testing.assert_allclose(got_ent.shannon_char_entropy,
+                               want_ent.shannon_char_entropy,
+                               rtol=0, atol=1.5e-6)
+
+
+def _classify(raw: str) -> str:
+    """python twin of classify_expr's cascade (DataTypeParser semantics)."""
+    from serene_spark.operators.profile_typeinfer import (
+        DATETIME_PAT,
+        DATE_PAT,
+        FLOAT_PAT,
+        INT_PAT,
+        NL_DATETIME1,
+        NL_DATETIME2,
+        NL_DATE_DMY,
+        NL_DATE_MDY,
+        NL_DATE_MY,
+        NL_MONTH_ONLY,
+        NUM_DT_1,
+        NUM_DT_2,
+        TIME_AMPM_PAT,
+        TIME_PAT,
+        WEEKDAY_PAT,
+    )
+
+    v = raw.strip(" ")                      # trim(value) — spaces only
+    lv = v.lower()
+    if re.search(FLOAT_PAT, v):
+        return "Float"
+    if v in ("0", "1", "T", "F", "t", "f", "Y", "N", "y", "n"):
+        return "Boolean"
+    if re.search(INT_PAT, v):
+        big = int(v)
+        if len(v) == 4 and 1500 <= big <= 2526:
+            return "Date"
+        if -2147483648 <= big <= 2147483647:
+            return "Integer"
+        if -(2**63) <= big <= 2**63 - 1:
+            return "Long"
+        return "String"                     # TRY_CAST overflow -> NULL
+    if re.search(TIME_PAT, v) or re.search(TIME_AMPM_PAT, v):
+        return "Time"
+    if re.search(DATETIME_PAT, v):
+        return "DateTime"
+    if any(re.search(p, lv) for p in
+           (NL_DATETIME1, NL_DATETIME2, NUM_DT_1, NUM_DT_2)):
+        return "DateTime"
+    if re.search(DATE_PAT, v):
+        return "Date"
+    if any(re.search(p, lv) for p in
+           (NL_DATE_MDY, NL_DATE_MY, NL_DATE_DMY, WEEKDAY_PAT,
+            NL_MONTH_ONLY)):
+        return "Date"
+    return "String"
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_typeinfer_vs_python(spark, profile_sf, seed):
+    cust = _make_profile_customer(seed)
+    rows = []
+    seen_types = set()
+    for col in cust.columns:
+        votes = Counter()
+        for v in _melted_values(cust, col):
+            if len(v.strip(" ")) > 0:
+                votes.update([_classify(v)])
+        seen_types |= set(votes)
+        n = sum(votes.values())
+        # majority vote, ties broken by (votes DESC, inferred ASC)
+        win = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+        rows.append((col, win[0], win[1], round(win[1] / n, 6)))
+    # corpus sanity: the pool drives every cascade outcome SOMEWHERE in
+    # the per-value classification (majority vote then collapses)
+    assert {"Float", "Boolean", "Integer", "Long", "Time", "DateTime",
+            "Date", "String"} <= {
+        _classify(v) for v in _NAME_POOL if v.strip(" ")}
+    want = (pd.DataFrame(rows, columns=[
+        "column_name", "inferred_type", "type_votes", "type_prop"])
+        .sort_values("column_name").reset_index(drop=True))
+
+    got = (load_all()["typeinfer_customer"].spark(spark, profile_sf(seed))
+           .toPandas().sort_values("column_name").reset_index(drop=True))
+    assert (got.column_name.values == want.column_name.values).all()
+    assert (got.inferred_type.values == want.inferred_type.values).all()
+    assert (got.type_votes.values == want.type_votes.values).all()
+    np.testing.assert_allclose(got.type_prop, want.type_prop,
+                               rtol=0, atol=1.5e-6)
