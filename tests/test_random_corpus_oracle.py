@@ -406,3 +406,54 @@ def test_textlen_stats_vs_python(spark, queries, rand_sf, seed):
     got = _got(queries, "textlen_stats_customer", spark, rand_sf(seed),
                ["column_name"])
     _check(got, want)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_quantile_sketch_vs_python(spark, queries, rand_sf, seed):
+    """Full-output twin of the bottom-K coordinated-sample quantile
+    sketch: md5(event_id) row draw, bottom-256 sample per type, and BOTH
+    the sample and exact count-based p50/p90/p99 (min v with cumcount >=
+    ceil(p*n)) recomputed from scratch on integer cents."""
+    from serene_spark.operators.sketches import QSK_K
+
+    ev = _make_events(seed)
+    rows = []
+    sampled_path = False
+    for etype in sorted(ev.event_type.unique()):
+        sub = ev[ev.event_type == etype]
+        # exact cents (the DECIMAL(18,2) cast) keyed by row
+        cents = [(int(e), round(v * 100)) for e, v in zip(sub.event_id, sub.value)]
+        n = len(cents)
+
+        def qs(cvals):
+            m = len(cvals)
+            counts = Counter(cvals)
+            out = []
+            for p in (0.50, 0.90, 0.99):
+                need, cum = math.ceil(p * m), 0
+                for c in sorted(counts):
+                    cum += counts[c]
+                    if cum >= need:
+                        out.append(c / 100)
+                        break
+            return out
+
+        exact = qs([c for _, c in cents])
+        us = sorted(
+            ((int(hashlib.md5(str(e).encode()).hexdigest()[:13], 16) + 0.5)
+             / 2**52, c) for e, c in cents)
+        sample = [c for _, c in us[:QSK_K]]
+        sampled_path = sampled_path or n > QSK_K
+        est = qs(sample)
+        rows.append((
+            etype, n, len(sample),
+            exact[0], est[0], round(abs(est[0] - exact[0]) / exact[0], 6),
+            exact[1], est[1], round(abs(est[1] - exact[1]) / exact[1], 6),
+            exact[2], est[2], round(abs(est[2] - exact[2]) / exact[2], 6)))
+    assert sampled_path  # at least one type genuinely samples (n > K)
+    want = pd.DataFrame(rows, columns=[
+        "event_type", "n", "sample_n", "p50", "p50_est", "p50_rel_err",
+        "p90", "p90_est", "p90_rel_err", "p99", "p99_est", "p99_rel_err"])
+    got = _got(queries, "quantile_sketch_bottomk", spark, rand_sf(seed),
+               ["event_type"])
+    _check(got, want)
