@@ -62,6 +62,17 @@ COLUMNS: dict[str, tuple[str, ...]] = {
 }
 
 
+# (applicationId, sf_dir, name, mtime) -> DataFrame. Caches the UNEXECUTED
+# plan handle only — the parquet footer read + file listing behind
+# ``spark.read.parquet`` costs ~70 ms of driver/py4j work per call, and the
+# driver bench calls ``register_views`` (10 tables) inside every timed rep,
+# so the metadata overhead alone was ~0.9 s per query rep (measured r12).
+# Every execution still scans the files; no rows or results are cached.
+# The mtime in the key drops the entry when the file/dir is rewritten, and
+# the applicationId drops it when the session is restarted.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table, normalizing types Spark cannot read natively.
 
@@ -69,8 +80,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (spark.sql.legacy.parquet.nanosAsLong) and convert with integer division —
     float division would lose precision at ~1.7e18 nanos.
     """
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        key = (spark.sparkContext.applicationId, sf_dir, name, os.path.getmtime(path))
+    except Exception:
+        key = None
+    if key is not None:
+        cached = _TABLE_CACHE.get(key)
+        if cached is not None:
+            return cached
     tune_session(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
@@ -80,6 +102,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # which unix_micros()/window() reject; session tz is pinned UTC so
             # the cast is value-exact.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if key is not None:
+        if len(_TABLE_CACHE) > 256:  # bound growth across many tmp corpora
+            _TABLE_CACHE.clear()
+        _TABLE_CACHE[key] = df
     return df
 
 

@@ -30,7 +30,17 @@ def spread(df: DataFrame) -> DataFrame:
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # the partition probe costs an RDD-conversion planning pass (~50 ms of
+    # driver work); memoize it on the DataFrame handle so the cached catalog
+    # tables (serene_spark.catalog.load_table) pay it once per session
+    nparts = getattr(df, "_serene_nparts", None)
+    if nparts is None:
+        nparts = df.rdd.getNumPartitions()
+        try:
+            df._serene_nparts = nparts
+        except Exception:
+            pass
+    if nparts < target:
         return df.repartition(target)
     return df
 

@@ -30,6 +30,7 @@ from serene_spark.operators.profile_textstats import (
     NUM_PAT,
     numeric_body,
     textlen_body,
+    textlen_onepass_body,
 )
 
 
@@ -44,7 +45,16 @@ def fused_profile_sql(
     every gated feature family on column_name (LEFT joins: a column with no
     numeric values simply has NULL numeric stats — the caller's -1 coalesce
     applies the reference sentinel)."""
-    ctes = [f"scalar_out AS (WITH {scalar_body(dialect, hist_rel)})"]
+    # Spark side runs the one-pass physical forms (single fused aggregation /
+    # array-fold median — see scalar_onepass_sql, textlen_onepass_body): same
+    # values, far fewer exchanges/joins in the already-join-heavy fused
+    # statement. DuckDB keeps the dialect-shared three-CTE forms.
+    if dialect == DUCKDB:
+        ctes = [f"scalar_out AS (WITH {scalar_body(dialect, hist_rel)})"]
+    else:
+        from serene_spark.operators.profile_scalar import scalar_onepass_sql
+
+        ctes = [f"scalar_out AS (WITH {scalar_onepass_sql(dialect, hist_rel)})"]
     cols = ["s.*"]
     joins = []
 
@@ -56,7 +66,10 @@ def fused_profile_sql(
          CAST(SUM(cnt) AS BIGINT) AS c
   FROM {hist_rel} GROUP BY column_name, length(value)
 )""")
-        ctes.append(f"tl_out AS (WITH {textlen_body('lcounts', 'tl_')})")
+        if dialect == DUCKDB:
+            ctes.append(f"tl_out AS (WITH {textlen_body('lcounts', 'tl_')})")
+        else:
+            ctes.append(f"tl_out AS ({textlen_onepass_body('lcounts')})")
         cols += ["t.mean_len", "t.median_len", "t.mode_len", "t.min_len", "t.max_len"]
         joins.append("LEFT JOIN tl_out t ON s.column_name = t.column_name")
 

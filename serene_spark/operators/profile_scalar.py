@@ -32,7 +32,6 @@ from serene_spark.catalog import COLUMNS, load_table
 from serene_spark.functions.melt import melt, melt_sql
 from serene_spark.functions.sqlgen import DUCKDB, SPARK, count_chars, re_extract, rx
 from serene_spark.registry import register
-from serene_spark.materialize import materialize
 
 # Reference date/time regexes (FeatureExtractor.scala:517-562), rewritten
 # backslash-free for cross-dialect portability. The month-name alternation is
@@ -164,21 +163,104 @@ LEFT JOIN ltd l ON b.column_name = l.column_name
 """
 
 
+def scalar_onepass_sql(dialect: str, hist: str) -> str:
+    """Spark-only physical form of :func:`scalar_body`: base + ent + ltd
+    collapsed into ONE aggregation over the histogram.
+
+    ``scalar_body`` reads ``hist`` three times (base / ent / ltd) and joins
+    the three back on column_name — which forces the Spark runner to
+    materialize the histogram (localCheckpoint) and still costs 3 scans,
+    4 Exchanges and 2 joins (plans/r12/profile_scalar_lineitem_before.txt).
+    base and ent group by the SAME key, and ltd is a single
+    COUNT(DISTINCT lower(trim(value))) — so all three fold into one
+    GROUP BY column_name (Spark plans the lone distinct aggregate as a
+    (column_name, lt) partial aggregation, no Expand), giving one linear
+    pipeline with no checkpoint and no joins. Guide §2.4 (remove shuffles
+    outright) + §5 (no driver-side block storage).
+
+    Value-identical to ``scalar_body`` by construction: every output is the
+    same expression over the same sums (``ent.tot`` == ``base.n_nonempty``,
+    both SUM(cnt) over ne=1 rows); parity vs the scalar_body-built DuckDB
+    oracle pins it on every registered table.
+    """
+    month_match = " OR ".join(f"instr(lower(value), '{m}') > 0" for m in MONTH_NAMES)
+    date_match = " OR ".join(
+        [rx(dialect, "value", p) for p in DATE_PATTERNS] + [f"({month_match})"]
+    )
+    g1 = re_extract(dialect, "value", RANGE_PAT, 1)
+    g2 = re_extract(dialect, "value", RANGE_PAT, 2)
+    n_alpha = count_chars(dialect, "value", f"'{ASCII_LETTERS}'")
+    n_digit = count_chars(dialect, "value", "'0123456789'")
+    n_ws = count_chars(dialect, "value", "(' ' || chr(9) || chr(10) || chr(13))")
+
+    def frac(num: str, den: str) -> str:
+        return f"CASE WHEN {den} = 0 THEN -1.0 ELSE round(CAST({num} AS DOUBLE) / {den}, 6) END"
+
+    return f"""
+agg AS (
+  SELECT
+    column_name,
+    CAST(SUM(cnt) AS BIGINT) AS n_values,
+    CAST(SUM(CASE WHEN ne = 0 THEN cnt ELSE 0 END) AS BIGINT) AS n_missing,
+    CAST(SUM(CASE WHEN ne = 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_nonempty,
+    CAST(SUM(cnt * length(value)) AS BIGINT) AS total_chars,
+    CAST(SUM(cnt * {n_alpha}) AS BIGINT) AS alpha_chars,
+    CAST(SUM(CASE WHEN ne = 1 AND value LIKE '%@%' THEN cnt ELSE 0 END) AS BIGINT) AS n_at,
+    CAST(SUM(CASE WHEN ne = 1 AND (value LIKE '%$%' OR value LIKE '%AUD%') THEN cnt ELSE 0 END) AS BIGINT) AS n_currency,
+    CAST(SUM(CASE WHEN ne = 1 AND value LIKE '%-%' THEN cnt ELSE 0 END) AS BIGINT) AS n_hyphen,
+    CAST(SUM(CASE WHEN ne = 1 AND (value LIKE '%(%' OR value LIKE '%)%') THEN cnt ELSE 0 END) AS BIGINT) AS n_paren,
+    CAST(SUM(CASE WHEN ne = 1 THEN cnt * (length(value) - length(replace(value, ',', ''))) ELSE 0 END) AS BIGINT) AS n_commas,
+    CAST(SUM(CASE WHEN ne = 1 THEN cnt * (length(value) - length(replace(value, '/', ''))) ELSE 0 END) AS BIGINT) AS n_slashes,
+    CAST(SUM(CASE WHEN ne = 1 AND {rx(dialect, 'value', RANGE_PAT)}
+                   AND CAST({g1} AS BIGINT) <= CAST({g2} AS BIGINT) THEN cnt ELSE 0 END) AS BIGINT) AS n_range,
+    SUM(CASE WHEN length(value) > 0 THEN cnt * CAST({n_digit} AS DOUBLE) / length(value) ELSE 0.0 END) AS sum_digit_ratio,
+    SUM(CASE WHEN length(value) > 0 THEN cnt * CAST({n_ws} AS DOUBLE) / length(value) ELSE 0.0 END) AS sum_ws_ratio,
+    CAST(SUM(CASE WHEN ne = 1 AND ({date_match}) THEN cnt ELSE 0 END) AS BIGINT) AS n_date,
+    SUM(CASE WHEN ne = 1 THEN CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)) ELSE 0.0 END) AS slnc,
+    CAST(SUM(ne) AS BIGINT) AS nd_nonempty,
+    CAST(COUNT(DISTINCT lower(trim(value))) AS BIGINT) AS n_distinct
+  FROM {hist}
+  GROUP BY column_name
+)
+SELECT
+  column_name,
+  n_values,
+  n_distinct AS num_unique_vals,
+  round(CAST(n_distinct AS DOUBLE) / n_values, 6) AS prop_unique_vals,
+  round(CAST(n_missing AS DOUBLE) / n_values, 6) AS prop_missing_vals,
+  {frac('alpha_chars', 'total_chars')} AS ratio_alpha_chars,
+  {frac('n_at', 'n_nonempty')} AS prop_entries_with_at_sign,
+  {frac('n_currency', 'n_nonempty')} AS prop_entries_with_currency_symbol,
+  {frac('n_hyphen', 'n_nonempty')} AS prop_entries_with_hyphen,
+  {frac('n_paren', 'n_nonempty')} AS prop_entries_with_paren,
+  {frac('n_commas', 'n_nonempty')} AS mean_commas_per_entry,
+  {frac('n_slashes', 'n_nonempty')} AS mean_forward_slashes_per_entry,
+  {frac('n_range', 'n_nonempty')} AS prop_range_format,
+  round(sum_digit_ratio / n_values, 6) AS prop_numerical_chars,
+  round(sum_ws_ratio / n_values, 6) AS prop_whitespace_chars,
+  CASE WHEN n_nonempty > 0 AND CAST(nd_nonempty AS DOUBLE) / n_nonempty <= 0.3
+       THEN 1.0 ELSE 0.0 END AS is_discrete,
+  CASE WHEN n_nonempty > 0 AND CAST(nd_nonempty AS DOUBLE) / n_nonempty <= 0.3
+       THEN round(ln(CAST(n_nonempty AS DOUBLE)) - slnc / n_nonempty, 6) ELSE -1.0 END AS entropy_for_discrete_values,
+  {frac('n_date', 'n_nonempty')} AS prop_datepattern
+FROM agg
+"""
+
+
 def profile_scalar(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Profile every column of ``table``.
 
-    The histogram is materialized once (localCheckpoint): Spark inlines
-    CTEs, so the base/ent/ltd consumers would otherwise each recompute the
-    data-scale hist shuffle (no ReusedExchange appears in the inline plan —
-    measured 1.6x slower at sf0.1).  The oracle keeps the one-statement
-    form; DuckDB materializes multi-consumer CTEs itself.
+    Runs the one-pass Spark form (``scalar_onepass_sql``): melt → histogram
+    → single fused aggregation, one linear pipeline with no checkpoint and
+    no joins. The oracle keeps the dialect-shared three-CTE statement
+    (``scalar_body``); DuckDB materializes multi-consumer CTEs itself.
     """
     df = load_table(spark, sf_dir, table)
     view = f"__serene_long_{table}"
     melt(df).createOrReplaceTempView(view)
-    hist_view = f"__serene_hist_{table}"
-    spark.sql(f"SELECT * FROM ({hist_sql(view)}) h").transform(materialize).createOrReplaceTempView(hist_view)
-    return spark.sql("WITH " + scalar_body(SPARK, hist_view))
+    return spark.sql(
+        f"WITH hist AS ({hist_sql(view)}),\n" + scalar_onepass_sql(SPARK, "hist")
+    )
 
 
 def _oracle(table: str) -> str:

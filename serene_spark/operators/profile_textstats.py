@@ -90,6 +90,49 @@ JOIN {p}mode1 mo ON a.column_name = mo.column_name
 """
 
 
+def textlen_onepass_body(counts: str) -> str:
+    """Spark-only physical form of :func:`textlen_body`: ONE aggregation.
+
+    The cum/med/mode1 CTEs cost two window sorts, two joins and three extra
+    exchanges over the (column, len, c) relation — and force the Spark
+    runner to materialize ``counts`` (3 CTE references). But distinct
+    LENGTHS per column are bounded by the longest value (hundreds, not
+    row-scale — the same bound the per-column window sort already assumes),
+    so the whole distribution fits one ``sort_array(collect_list(...))``
+    per column and the exact median/mode fall out of an integer array fold:
+    no windows, no joins, counts referenced once (no checkpoint). Guide
+    §2.4. All arithmetic is integer, so the fold is bit-identical to the
+    cumulative-window form; parity vs the textlen_body-built DuckDB oracle
+    pins it."""
+    med_fold = """aggregate(lc,
+             named_struct('cum', CAST(0 AS BIGINT), 'med', CAST(NULL AS BIGINT)),
+             (acc, x) -> CASE
+               WHEN acc.med IS NOT NULL THEN acc
+               WHEN acc.cum + x.c >= CAST(ceil(n / 2.0) AS BIGINT)
+                 THEN named_struct('cum', acc.cum + x.c, 'med', x.len)
+               ELSE named_struct('cum', acc.cum + x.c, 'med', acc.med) END,
+             acc -> acc.med)"""
+    mode_fold = """aggregate(lc,
+             named_struct('c', CAST(-1 AS BIGINT), 'len', CAST(NULL AS BIGINT)),
+             (acc, x) -> CASE WHEN x.c > acc.c
+               THEN named_struct('c', x.c, 'len', x.len) ELSE acc END,
+             acc -> acc.len)"""
+    return f"""
+SELECT column_name, n AS n_values, mean_len,
+       CASE WHEN n < 2 THEN -1 ELSE CAST({med_fold} AS BIGINT) END AS median_len,
+       CAST({mode_fold} AS BIGINT) AS mode_len,
+       min_len, max_len
+FROM (
+  SELECT column_name, CAST(SUM(c) AS BIGINT) AS n,
+         round(CAST(SUM(len * c) AS DOUBLE) / SUM(c), 6) AS mean_len,
+         CAST(MIN(len) AS BIGINT) AS min_len,
+         CAST(MAX(len) AS BIGINT) AS max_len,
+         sort_array(collect_list(struct(len, c))) AS lc
+  FROM {counts} GROUP BY column_name
+) a
+"""
+
+
 def numeric_stats_sql(long_rel: str, dialect: str) -> str:
     """Same scale shape as textlen_stats: (column, num)->count hash agg
     first (map-side combine, skew-free), cumulative-count median over the
@@ -198,12 +241,26 @@ def _make(counts_fn, body_fn, table: str, tag: str):
     return run
 
 
+def _make_textlen(table: str):
+    """Single-statement runner: the one-pass body references counts once,
+    so no materialization (and no checkpoint job) is needed."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        view = f"__serene_long_{table}"
+        melt(load_table(spark, sf_dir, table)).createOrReplaceTempView(view)
+        return spark.sql(
+            f"WITH counts AS ({len_counts_sql(view)})" + textlen_onepass_body("counts")
+        )
+
+    return run
+
+
 for _t in ("customer", "part", "documents"):
     register(
         f"textlen_stats_{_t}",
         oracle=textlen_stats_sql(melt_sql(_t, COLUMNS[_t]), DUCKDB),
         doc=f"SURVEY §2.4 stats-of-text-length over `{_t}`",
-    )(_make(len_counts_sql, textlen_body, _t, "lencnt"))
+    )(_make_textlen(_t))
 
 for _t in ("customer", "lineitem"):
     register(

@@ -139,11 +139,53 @@ WHERE r.rn = 1
 """
 
 
+# The cascade's output domain is CLOSED (DataTypeParser.scala returns exactly
+# these 8 type names), which makes the majority vote expressible as a plain
+# MAX over (votes, tie-break) structs — no rank window needed.
+_TYPE_DOMAIN = ("Boolean", "Date", "DateTime", "Float", "Integer", "Long", "String", "Time")
+
+
+def typeinfer_onepass_sql(long_rel: str, dialect: str) -> str:
+    """Spark-only physical form of :func:`typeinfer_sql`: the tot/ranked
+    CTEs (an extra aggregation, a ROW_NUMBER window and a join — 3 more
+    exchanges, plans/r12/typeinfer_lineitem_before.txt) collapse into ONE
+    ``MAX(STRUCT(votes, tiebreak, inferred))`` aggregation, valid because
+    the cascade's type domain is closed: ``tiebreak`` maps each of the 8
+    names to its REVERSED alphabetical rank, so lexicographic struct MAX
+    reproduces exactly ``ORDER BY votes DESC, inferred ASC``. Guide §2.4
+    (remove shuffles outright). Value-identical to the dialect-shared
+    ``typeinfer_sql`` (the DuckDB oracle); parity pins the two forms."""
+    tiebreak = "CASE " + " ".join(
+        f"WHEN inferred = '{t}' THEN {len(_TYPE_DOMAIN) - 1 - i}"
+        for i, t in enumerate(_TYPE_DOMAIN)
+    ) + " END"
+    return f"""
+WITH typed AS (
+  SELECT column_name, {classify_expr(dialect)} AS inferred
+  FROM {long_rel} AS lr
+  WHERE length(trim(value)) > 0
+),
+votes AS (
+  SELECT column_name, inferred, CAST(COUNT(*) AS BIGINT) AS votes
+  FROM typed GROUP BY column_name, inferred
+),
+top AS (
+  SELECT column_name,
+         MAX(STRUCT(votes, {tiebreak} AS nr, inferred)) AS w,
+         CAST(SUM(votes) AS BIGINT) AS n
+  FROM votes GROUP BY column_name
+)
+SELECT column_name, w.inferred AS inferred_type, w.votes AS type_votes,
+       round(CAST(w.votes AS DOUBLE) / n, 6) AS type_prop
+FROM top
+"""
+
+
 def _make(table: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         view = f"__serene_long_{table}"
         melt(load_table(spark, sf_dir, table)).createOrReplaceTempView(view)
-        return spark.sql(typeinfer_sql(view, SPARK))
+        return spark.sql(typeinfer_onepass_sql(view, SPARK))
 
     return run
 

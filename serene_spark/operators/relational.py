@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from serene_spark.catalog import register_views
+from serene_spark.catalog import load_table, register_views
 from serene_spark.functions.sqlgen import DUCKDB, SPARK, epoch_s, explode_seq, idiv
 from serene_spark.registry import register
 
@@ -498,15 +498,33 @@ ORDER BY s_name
 """
 
 
-def _sql_query(sql: str):
+def _sql_query(sql: str, spread_tables: tuple[str, ...] = ()):
+    """Build a runner for ``sql``.
+
+    ``spread_tables`` names fact views to re-register SPREAD (round-robin
+    repartitioned when under-partitioned, melt.spread): used for scan-stage
+    aggregations whose partial-aggregate work (decimal money math) would
+    otherwise run inside the scan task — a single-row-group local file pins
+    that to ONE core (measured r12: q1's decimal partial agg was ~0.9 s of
+    its 1.2 s, all in the lone scan task; filters/pruning still push through
+    the repartition to the parquet scan). On cluster inputs with adequate
+    scan parallelism spread() is a no-op, so this never adds a shuffle at
+    scale.
+    """
+
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
+        if spread_tables:
+            from serene_spark.functions.melt import spread as _spread
+
+            for t in spread_tables:
+                _spread(load_table(spark, sf_dir, t)).createOrReplaceTempView(t)
         return spark.sql(sql)
 
     return run
 
 
-register("q1_pricing_summary", oracle=Q1_SQL, doc="TPC-H-style Q1 pricing summary (bench headliner)")(_sql_query(Q1_SQL))
+register("q1_pricing_summary", oracle=Q1_SQL, doc="TPC-H-style Q1 pricing summary (bench headliner)")(_sql_query(Q1_SQL, spread_tables=("lineitem",)))
 register("q3_shipping_priority", oracle=Q3_SQL, doc="TPC-H-style Q3: 3-way join + top-10 revenue")(_sql_query(Q3_SQL))
 register("q5_local_supplier", oracle=Q5_SQL, doc="TPC-H-style Q5: 6-way join, revenue per nation")(_sql_query(Q5_SQL))
 register("topk_customers_per_nation", oracle=TOPK_WINDOW_SQL, doc="window row_number top-3 per group")(_sql_query(TOPK_WINDOW_SQL))
