@@ -39,7 +39,7 @@ register(
     "events_tumbling_hour",
     oracle=TUMBLING_SQL,
     doc="1-hour tumbling-window aggregation over events (batch form of the streaming op)",
-)(lambda spark, sf_dir: (register_views(spark, sf_dir), spark.sql(TUMBLING_SQL))[1])
+)(lambda spark, sf_dir: (register_views(spark, sf_dir, ("events",)), spark.sql(TUMBLING_SQL))[1])
 
 
 # Trending top-k: rank WITHIN each window (hour-keyed window function — a

@@ -29,6 +29,7 @@ from serene_spark.operators.profile_scalar import scalar_body
 from serene_spark.operators.profile_textstats import (
     NUM_PAT,
     numeric_body,
+    numeric_onepass_body,
     textlen_body,
     textlen_onepass_body,
 )
@@ -109,7 +110,10 @@ def fused_profile_sql(
   WHERE {rx(dialect, 'trim(value)', NUM_PAT)}
   GROUP BY column_name, {num}
 )""")
-        ctes.append(f"nm_out AS (WITH {numeric_body('ncounts', 'nm_')})")
+        if dialect == DUCKDB:
+            ctes.append(f"nm_out AS (WITH {numeric_body('ncounts', 'nm_')})")
+        else:
+            ctes.append(f"nm_out AS (WITH {numeric_onepass_body('ncounts', 'nm_')})")
         cols += ["n.mean_num", "n.median_num", "n.min_num", "n.max_num"]
         joins.append("LEFT JOIN nm_out n ON s.column_name = n.column_name")
 

@@ -226,6 +226,90 @@ FROM {p}agg a JOIN {p}med m ON a.column_name = m.column_name
 """
 
 
+def numeric_onepass_body(counts: str, p: str = "") -> str:
+    """Spark-only physical form of :func:`numeric_body`.
+
+    Same two-level exact-median algorithm (bucket → in-bucket), same
+    arithmetic, restructured for plan economy (the three-CTE form compiles
+    to ~13 Exchanges with the per-column stats subtree duplicated at every
+    reference — plans/r12/numeric_stats_lineitem_before.txt):
+
+    - the per-column bucket cumulation + median-bucket location (a window
+      over bucket totals + an aggregation + a join) collapse into one
+      integer array fold over ``sort_array(collect_list(struct(bkt, bc)))``
+      — bucket totals are <= {N_MED_BUCKETS} rows per column by
+      construction, so the array is metadata-sized at any corpus scale;
+    - the per-column stats (n/mean/min/max/target) are carried THROUGH the
+      median pipeline instead of re-joined at every stage, so the stats
+      subtree is referenced twice (bucketing, median fold) instead of four
+      times and the final join disappears.
+
+    Integer/decimal arithmetic identical to ``numeric_body``; the bucket
+    arithmetic is the same double expression. Parity vs the
+    numeric_body-built DuckDB oracle pins equality."""
+    width = (
+        f"CASE WHEN a.max_num = a.min_num THEN 0 "
+        f"ELSE LEAST({N_MED_BUCKETS - 1}, GREATEST(0, CAST(FLOOR("
+        f"(CAST(num AS DOUBLE) - a.min_num) / (a.max_num - a.min_num) "
+        f"* {N_MED_BUCKETS}) AS INT))) END"
+    )
+    medb_fold = """aggregate(sort_array(collect_list(struct(bkt, bc))),
+             named_struct('cum', CAST(0 AS BIGINT), 'bkt', CAST(NULL AS INT), 'before', CAST(0 AS BIGINT)),
+             (acc, x) -> CASE
+               WHEN acc.bkt IS NOT NULL THEN acc
+               WHEN acc.cum + x.bc >= target_rank
+                 THEN named_struct('cum', acc.cum + x.bc, 'bkt', x.bkt, 'before', acc.cum)
+               ELSE named_struct('cum', acc.cum + x.bc, 'bkt', CAST(NULL AS INT), 'before', CAST(0 AS BIGINT)) END)"""
+    return f"""
+{p}agg AS (
+  SELECT column_name, CAST(SUM(c) AS BIGINT) AS n_numeric,
+         round(CAST(SUM(num * c) AS DOUBLE) / SUM(c), 6) AS mean_num,
+         CAST(MIN(num) AS DOUBLE) AS min_num,
+         CAST(MAX(num) AS DOUBLE) AS max_num,
+         CAST(ceil(SUM(c) / 2.0) AS BIGINT) AS target_rank
+  FROM {counts} GROUP BY column_name
+),
+{p}bucketed AS (
+  SELECT cc.column_name, cc.num, cc.c, {width} AS bkt,
+         a.n_numeric, a.mean_num, a.min_num, a.max_num, a.target_rank
+  FROM {counts} AS cc JOIN {p}agg a ON cc.column_name = a.column_name
+),
+{p}medb AS (
+  -- bucket totals cumulated per column by one fold: yields the median
+  -- bucket and the cumulative count before it
+  SELECT column_name, n_numeric, mean_num, min_num, max_num, target_rank,
+         w.bkt AS bkt, w.before AS cum_before
+  FROM (
+    SELECT column_name, n_numeric, mean_num, min_num, max_num, target_rank,
+           {medb_fold} AS w
+    FROM (
+      SELECT column_name, bkt, SUM(c) AS bc,
+             MIN(n_numeric) AS n_numeric, MIN(mean_num) AS mean_num,
+             MIN(min_num) AS min_num, MIN(max_num) AS max_num,
+             MIN(target_rank) AS target_rank
+      FROM {p}bucketed GROUP BY column_name, bkt
+    ) bt
+    GROUP BY column_name, n_numeric, mean_num, min_num, max_num, target_rank
+  ) f
+),
+{p}inbkt AS (
+  -- cumulative counts over the median bucket's values only
+  SELECT b.column_name, b.num, m.n_numeric, m.mean_num, m.min_num, m.max_num,
+         m.target_rank,
+         m.cum_before + SUM(b.c) OVER (
+           PARTITION BY b.column_name ORDER BY b.num) AS cum_c
+  FROM {p}bucketed b
+  JOIN {p}medb m ON b.column_name = m.column_name AND b.bkt = m.bkt
+)
+SELECT column_name, MIN(n_numeric) AS n_numeric, MIN(mean_num) AS mean_num,
+       CAST(MIN(num) AS DOUBLE) AS median_num,
+       MIN(min_num) AS min_num, MIN(max_num) AS max_num
+FROM {p}inbkt
+WHERE cum_c >= target_rank
+GROUP BY column_name
+"""
+
+
 def _make(counts_fn, body_fn, table: str, tag: str):
     """Materialized runner: the stats tail references the counts relation in
     three CTEs and Spark inlines CTEs, so the data-scale (column, value)
@@ -267,4 +351,4 @@ for _t in ("customer", "lineitem"):
         f"numeric_stats_{_t}",
         oracle=numeric_stats_sql(melt_sql(_t, COLUMNS[_t]), DUCKDB),
         doc=f"SURVEY §2.4 stats-of-numerical-type over `{_t}`",
-    )(_make(lambda v: num_counts_sql(v, SPARK), numeric_body, _t, "numcnt"))
+    )(_make(lambda v: num_counts_sql(v, SPARK), numeric_onepass_body, _t, "numcnt"))
