@@ -194,47 +194,6 @@ mh AS (
 )"""
 
 
-def minhash_rel_nodistinct(dialect: str, n: int = N_MINHASH) -> str:
-    """Spark-only physical form of :func:`minhash_rel`.
-
-    ``shingles_rel``'s ``SELECT DISTINCT doc_id, sh`` exists for consumers
-    that need the shingle SET (cardinalities, exact intersections —
-    ``docsketch_rel``); the minhash signature does NOT: every ``MIN`` is
-    idempotent over duplicate shingles, so the distinct is value-neutral
-    here — and it costs a full exchange of the exploded shingle relation
-    (doc-length rows of shingle strings). Without it, all positions of a
-    doc are already co-located (explode of one doc row), so the 48 MINs
-    collapse map-side and the only shuffle carries 48 longs per doc
-    (guide §2.3: aggregate before you shuffle / §2.4). The dialect-shared
-    ``minhash_rel`` stays the semantic definition (the DuckDB oracles
-    compile it); parity pins the two forms against each other."""
-    h1 = hex_to_int(dialect, "substr(md5(sh), 1, 8)")
-    h2 = hex_to_int(dialect, "substr(md5(sh), 9, 8)")
-    mins = ",\n         ".join(
-        f"MIN((h1 + {i} * h2) % {MH_PRIME}) AS mh{i}" for i in range(n)
-    )
-    n_ = norm_expr(dialect)
-    return f"""
-norm AS (
-  SELECT doc_id, {n_} AS norm FROM documents
-),
-pos AS (
-  SELECT doc_id, norm, {explode_seq(dialect, 1, f'greatest(1, length(norm) - {SHINGLE_K} + 1)')} AS i
-  FROM norm
-),
-allsh AS (
-  SELECT doc_id, substr(norm, i, {SHINGLE_K}) AS sh FROM pos
-),
-hashes AS (
-  SELECT doc_id, {h1} AS h1, {h2} AS h2 FROM allsh
-),
-mh AS (
-  SELECT doc_id,
-         {mins}
-  FROM hashes GROUP BY doc_id
-)"""
-
-
 def minhash_signatures_sql(dialect: str) -> str:
     cols = ", ".join(f"CAST(mh{i} AS BIGINT) AS mh{i}" for i in range(N_MINHASH))
     return f"WITH {minhash_rel(dialect)} SELECT doc_id, {cols} FROM mh"
@@ -457,9 +416,7 @@ def _materialized_mh(spark: SparkSession, sf_dir: str):
     from serene_spark.catalog import register_views
 
     register_views(spark, sf_dir, ("documents",), spread=True)
-    mh = spark.sql(
-        f"WITH {minhash_rel_nodistinct(SPARK, N_LSH)} SELECT * FROM mh"
-    ).transform(materialize)
+    mh = spark.sql(f"WITH {minhash_rel(SPARK, N_LSH)} SELECT * FROM mh").transform(materialize)
     mh.createOrReplaceTempView("__serene_mh")
     return "__serene_mh"
 
@@ -911,18 +868,8 @@ register("dedup_ngram_jaccard", oracle=ngram_jaccard_sql(DUCKDB),
          doc=f"char-{SHINGLE_K}-gram Jaccard near-dup pairs (exact quadratic "
              f"baseline; refuses corpora > {EXACT_BASELINE_MAX_DOCS} docs — "
              f"use dedup_lsh_verified at scale)")(_guarded_ngram_jaccard)
-def _minhash_signatures_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark runner on the no-distinct physical form (see
-    minhash_rel_nodistinct); the oracle keeps the shared definition."""
-    register_views(spark, sf_dir, ("documents",), spread=True)
-    cols = ", ".join(f"CAST(mh{i} AS BIGINT) AS mh{i}" for i in range(N_MINHASH))
-    return spark.sql(
-        f"WITH {minhash_rel_nodistinct(SPARK)} SELECT doc_id, {cols} FROM mh"
-    )
-
-
 register("minhash_signatures", oracle=minhash_signatures_sql(DUCKDB),
-         doc=f"{N_MINHASH}-permutation MinHash signatures (md5-min portable hashing)")(_minhash_signatures_spark)
+         doc=f"{N_MINHASH}-permutation MinHash signatures (md5-min portable hashing)")(_sql_query(minhash_signatures_sql))
 register("dedup_minhash_lsh", oracle=minhash_lsh_sql(DUCKDB),
          doc=f"MinHash LSH banded candidate pairs + estimated Jaccard (scale path; "
              f"signatures materialized once; band geometry PLANNER-TUNED per corpus "
