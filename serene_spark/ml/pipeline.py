@@ -61,7 +61,10 @@ def profile_features_from_long(
     not just the projection) and the matrix carries exactly the gated
     columns.
     """
-    from serene_spark.operators.profile_fused import fused_profile_sql
+    from serene_spark.operators.profile_fused import (
+        fused_profile_sql,
+        ncounts_from_hist_sql,
+    )
     from serene_spark.operators.profile_scalar import hist_sql
 
     # One data-scale pass: reduce the long relation to its (column, value)
@@ -78,21 +81,34 @@ def profile_features_from_long(
     tag = uuid.uuid4().hex
     view = f"__serene_feat_long_{tag}"
     hist_view = f"__serene_feat_hist_{tag}"
+    ncnt_view = f"__serene_feat_ncnt_{tag}"
+    needs_numeric = settings is None or settings.needs_numeric
     long_df.createOrReplaceTempView(view)
     try:
         spark.sql(f"SELECT * FROM ({hist_sql(view)}) h").transform(materialize).createOrReplaceTempView(hist_view)
+        if needs_numeric:
+            # the numeric family reads its (column, num) counts three times
+            # (per-column stats, bucket totals, in-bucket median pass);
+            # materialize the regex-filtered counts once so the inlined CTE
+            # doesn't re-run the NUM_PAT scan of hist per consumer
+            spark.sql(
+                f"SELECT * FROM ({ncounts_from_hist_sql(hist_view, SPARK)}) n"
+            ).transform(materialize).createOrReplaceTempView(ncnt_view)
         out = spark.sql(
             fused_profile_sql(
                 hist_view,
                 SPARK,
                 needs_textlen=settings is None or settings.needs_textlen,
                 needs_char_entropy=settings is None or settings.needs_char_entropy,
-                needs_numeric=settings is None or settings.needs_numeric,
+                needs_numeric=needs_numeric,
+                ncounts_src=ncnt_view if needs_numeric else None,
             )
         )
     finally:
         spark.catalog.dropTempView(view)
         spark.catalog.dropTempView(hist_view)
+        if needs_numeric:
+            spark.catalog.dropTempView(ncnt_view)
 
     if settings is None:
         feature_cols = [c for c in out.columns if c != "column_name"]

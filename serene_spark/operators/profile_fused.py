@@ -35,12 +35,26 @@ from serene_spark.operators.profile_textstats import (
 )
 
 
+def ncounts_from_hist_sql(hist_rel: str, dialect: str) -> str:
+    """(column, numeric value) -> count derived from the histogram —
+    SUM(cnt) per parsed numeric is identical to counting raw rows
+    (num_counts_sql); the NUM_PAT regex runs once per DISTINCT value."""
+    num = "CAST(trim(value) AS DECIMAL(28,10))"
+    return f"""
+  SELECT column_name, {num} AS num, CAST(SUM(cnt) AS BIGINT) AS c
+  FROM {hist_rel}
+  WHERE {rx(dialect, 'trim(value)', NUM_PAT)}
+  GROUP BY column_name, {num}
+"""
+
+
 def fused_profile_sql(
     hist_rel: str,
     dialect: str,
     needs_textlen: bool = True,
     needs_char_entropy: bool = True,
     needs_numeric: bool = True,
+    ncounts_src: str | None = None,
 ) -> str:
     """One statement over ``hist_rel`` (column_name, value, cnt, ne) joining
     every gated feature family on column_name (LEFT joins: a column with no
@@ -102,18 +116,22 @@ def fused_profile_sql(
         joins.append("LEFT JOIN ce_out e ON s.column_name = e.column_name")
 
     if needs_numeric:
-        # the numeric-detection regex runs once per DISTINCT value
-        num = "CAST(trim(value) AS DECIMAL(28,10))"
-        ctes.append(f"""ncounts AS (
-  SELECT column_name, {num} AS num, CAST(SUM(cnt) AS BIGINT) AS c
-  FROM {hist_rel}
-  WHERE {rx(dialect, 'trim(value)', NUM_PAT)}
-  GROUP BY column_name, {num}
-)""")
-        if dialect == DUCKDB:
-            ctes.append(f"nm_out AS (WITH {numeric_body('ncounts', 'nm_')})")
+        # the numeric-detection regex runs once per DISTINCT value.
+        # ``ncounts_src``: the Spark runner pre-materializes the ncounts
+        # relation (its three consumers — per-column stats, bucket totals,
+        # in-bucket pass — would each re-run the regex scan of hist when the
+        # CTE is inlined) and passes its view name; the one-statement DuckDB
+        # form keeps the inline CTE (DuckDB materializes multi-consumer CTEs
+        # itself).
+        if ncounts_src is None:
+            ctes.append(f"ncounts AS ({ncounts_from_hist_sql(hist_rel, dialect)})")
+            nrel = "ncounts"
         else:
-            ctes.append(f"nm_out AS (WITH {numeric_onepass_body('ncounts', 'nm_')})")
+            nrel = ncounts_src
+        if dialect == DUCKDB:
+            ctes.append(f"nm_out AS (WITH {numeric_body(nrel, 'nm_')})")
+        else:
+            ctes.append(f"nm_out AS (WITH {numeric_onepass_body(nrel, 'nm_')})")
         cols += ["n.mean_num", "n.median_num", "n.min_num", "n.max_num"]
         joins.append("LEFT JOIN nm_out n ON s.column_name = n.column_name")
 

@@ -239,10 +239,13 @@ def numeric_onepass_body(counts: str, p: str = "") -> str:
       integer array fold over ``sort_array(collect_list(struct(bkt, bc)))``
       — bucket totals are <= {N_MED_BUCKETS} rows per column by
       construction, so the array is metadata-sized at any corpus scale;
-    - the per-column stats (n/mean/min/max/target) are carried THROUGH the
-      median pipeline instead of re-joined at every stage, so the stats
-      subtree is referenced twice (bucketing, median fold) instead of four
-      times and the final join disappears.
+    - every relation is referenced exactly ONCE (Spark inlines CTEs, so a
+      twice-referenced relation duplicates its whole input subtree): the
+      per-column stats ride along the single bucketing→fold chain, and the
+      in-bucket pass re-derives the bucket id from ``medb``'s carried
+      min/max instead of re-reading a ``bucketed`` relation — bkt is a
+      deterministic function of (num, min_num, max_num), so recomputing it
+      selects exactly the same rows the join on a materialized bkt did.
 
     Integer/decimal arithmetic identical to ``numeric_body``; the bucket
     arithmetic is the same double expression. Parity vs the
@@ -251,6 +254,13 @@ def numeric_onepass_body(counts: str, p: str = "") -> str:
         f"CASE WHEN a.max_num = a.min_num THEN 0 "
         f"ELSE LEAST({N_MED_BUCKETS - 1}, GREATEST(0, CAST(FLOOR("
         f"(CAST(num AS DOUBLE) - a.min_num) / (a.max_num - a.min_num) "
+        f"* {N_MED_BUCKETS}) AS INT))) END"
+    )
+    # same expression over the median-bucket row (stats carried in m.*)
+    width_m = (
+        f"CASE WHEN m.max_num = m.min_num THEN 0 "
+        f"ELSE LEAST({N_MED_BUCKETS - 1}, GREATEST(0, CAST(FLOOR("
+        f"(CAST(cc.num AS DOUBLE) - m.min_num) / (m.max_num - m.min_num) "
         f"* {N_MED_BUCKETS}) AS INT))) END"
     )
     medb_fold = """aggregate(sort_array(collect_list(struct(bkt, bc))),
@@ -269,14 +279,10 @@ def numeric_onepass_body(counts: str, p: str = "") -> str:
          CAST(ceil(SUM(c) / 2.0) AS BIGINT) AS target_rank
   FROM {counts} GROUP BY column_name
 ),
-{p}bucketed AS (
-  SELECT cc.column_name, cc.num, cc.c, {width} AS bkt,
-         a.n_numeric, a.mean_num, a.min_num, a.max_num, a.target_rank
-  FROM {counts} AS cc JOIN {p}agg a ON cc.column_name = a.column_name
-),
 {p}medb AS (
-  -- bucket totals cumulated per column by one fold: yields the median
-  -- bucket and the cumulative count before it
+  -- single chain: bucket totals (grouped on the recomputed bucket id)
+  -- cumulated per column by one fold → the median bucket, the cumulative
+  -- count before it, and the per-column stats carried through
   SELECT column_name, n_numeric, mean_num, min_num, max_num, target_rank,
          w.bkt AS bkt, w.before AS cum_before
   FROM (
@@ -287,19 +293,26 @@ def numeric_onepass_body(counts: str, p: str = "") -> str:
              MIN(n_numeric) AS n_numeric, MIN(mean_num) AS mean_num,
              MIN(min_num) AS min_num, MIN(max_num) AS max_num,
              MIN(target_rank) AS target_rank
-      FROM {p}bucketed GROUP BY column_name, bkt
+      FROM (
+        SELECT cc.column_name, cc.num, cc.c, {width} AS bkt,
+               a.n_numeric, a.mean_num, a.min_num, a.max_num, a.target_rank
+        FROM {counts} AS cc JOIN {p}agg a ON cc.column_name = a.column_name
+      ) bk GROUP BY column_name, bkt
     ) bt
     GROUP BY column_name, n_numeric, mean_num, min_num, max_num, target_rank
   ) f
 ),
 {p}inbkt AS (
-  -- cumulative counts over the median bucket's values only
-  SELECT b.column_name, b.num, m.n_numeric, m.mean_num, m.min_num, m.max_num,
+  -- cumulative counts over the median bucket's values only; the bucket id
+  -- is re-derived from medb's min/max (same deterministic expression), so
+  -- the counts relation is read once here instead of via a shared
+  -- ``bucketed`` CTE whose input subtree Spark would inline twice
+  SELECT cc.column_name, cc.num, m.n_numeric, m.mean_num, m.min_num, m.max_num,
          m.target_rank,
-         m.cum_before + SUM(b.c) OVER (
-           PARTITION BY b.column_name ORDER BY b.num) AS cum_c
-  FROM {p}bucketed b
-  JOIN {p}medb m ON b.column_name = m.column_name AND b.bkt = m.bkt
+         m.cum_before + SUM(cc.c) OVER (
+           PARTITION BY cc.column_name ORDER BY cc.num) AS cum_c
+  FROM {counts} AS cc
+  JOIN {p}medb m ON cc.column_name = m.column_name AND ({width_m}) = m.bkt
 )
 SELECT column_name, MIN(n_numeric) AS n_numeric, MIN(mean_num) AS mean_num,
        CAST(MIN(num) AS DOUBLE) AS median_num,
