@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from serene_spark.catalog import load_table
-from serene_spark.functions.melt import melt
+from serene_spark.functions.melt import melt, melt_ids
 from serene_spark.functions.sqlgen import SPARK
 from serene_spark.registry import register
 from serene_spark.materialize import materialize
@@ -47,7 +47,7 @@ TRAIN_COLLECT_MAX = 100_000
 
 
 def profile_features_from_long(
-    spark: SparkSession, long_df: DataFrame, settings=None
+    spark: SparkSession, long_df: DataFrame, settings=None, name_case: str | None = None
 ) -> DataFrame:
     """Wide per-column feature matrix from the oracle-checked profiling SQL.
 
@@ -60,6 +60,11 @@ def profile_features_from_long(
     are computed: ungated aggregations are never joined (the plan shrinks,
     not just the projection) and the matrix carries exactly the gated
     columns.
+
+    ``name_case``: when ``long_df`` came from :func:`melt_ids` (int column
+    ids — the narrower group-by key, guide §2.3), the CASE expression
+    mapping ids back to names; applied to the final per-column matrix so
+    callers always see name-keyed rows.
     """
     from serene_spark.operators.profile_fused import (
         fused_profile_sql,
@@ -114,8 +119,11 @@ def profile_features_from_long(
         feature_cols = [c for c in out.columns if c != "column_name"]
     else:
         feature_cols = settings.matrix_columns()
+    name_col = (
+        F.expr(name_case).alias("column_name") if name_case else F.col("column_name")
+    )
     return out.select(
-        "column_name",
+        name_col,
         *[F.coalesce(F.col(c).cast("double"), F.lit(-1.0)).alias(c) for c in feature_cols],
     )
 
@@ -406,8 +414,9 @@ def semantic_type_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
             # predict action then pays only the assembler+RF transform,
             # not the profiling plan's compile+run (measured ~3s of the
             # predict action moved off the critical path)
+            long_df, name_case = melt_ids(load_table(spark, sf_dir, "customer"))
             target_box["df"] = profile_features_from_long(
-                spark, melt(load_table(spark, sf_dir, "customer"))
+                spark, long_df, name_case=name_case
             ).transform(materialize)
         except BaseException as exc:  # surfaced on the main thread below
             target_box["err"] = exc
@@ -563,5 +572,6 @@ def _fixture_model(spark: SparkSession):
 )
 def predict_scores_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     model, _conv = _fixture_model(spark)
-    target = profile_features_from_long(spark, melt(load_table(spark, sf_dir, "customer")))
+    long_df, name_case = melt_ids(load_table(spark, sf_dir, "customer"))
+    target = profile_features_from_long(spark, long_df, name_case=name_case)
     return predict_with_scores(model, target, SCORE_MAP_CLASSES).orderBy("column_name")

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from serene_spark.catalog import COLUMNS, load_table
-from serene_spark.functions.melt import melt, melt_sql
+from serene_spark.functions.melt import melt_ids, melt_sql
 from serene_spark.functions.sqlgen import DUCKDB, SPARK
 from serene_spark.registry import register
 
@@ -90,9 +90,16 @@ FROM counts GROUP BY column_name
 
 def _spark_over_melt(sql_fn, table: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
         view = f"__serene_long_{table}"
-        melt(load_table(spark, sf_dir, table)).createOrReplaceTempView(view)
-        return spark.sql(sql_fn(view, SPARK))
+        # int column ids through the explode/count passes (guide §2.3),
+        # mapped back to names in the final small projection
+        long_df, name_case = melt_ids(load_table(spark, sf_dir, table))
+        long_df.createOrReplaceTempView(view)
+        return spark.sql(sql_fn(view, SPARK)).withColumn(
+            "column_name", F.expr(name_case)
+        )
 
     return run
 

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from serene_spark.catalog import COLUMNS, load_table
-from serene_spark.functions.melt import melt, melt_sql
+from serene_spark.functions.melt import melt, melt_ids, melt_sql
 from serene_spark.functions.sqlgen import DUCKDB, SPARK, count_chars, re_extract, rx
 from serene_spark.registry import register
 
@@ -255,12 +255,17 @@ def profile_scalar(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     no joins. The oracle keeps the dialect-shared three-CTE statement
     (``scalar_body``); DuckDB materializes multi-consumer CTEs itself.
     """
+    from pyspark.sql import functions as F
+
     df = load_table(spark, sf_dir, table)
     view = f"__serene_long_{table}"
-    melt(df).createOrReplaceTempView(view)
+    # int column ids through the aggregation (narrower group-by key, guide
+    # §2.3), mapped back to names in the final ≤#columns-row projection
+    long_df, name_case = melt_ids(df)
+    long_df.createOrReplaceTempView(view)
     return spark.sql(
         f"WITH hist AS ({hist_sql(view)}),\n" + scalar_onepass_sql(SPARK, "hist")
-    )
+    ).withColumn("column_name", F.expr(name_case))
 
 
 def _oracle(table: str) -> str:

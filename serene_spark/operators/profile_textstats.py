@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from serene_spark.catalog import COLUMNS, load_table
-from serene_spark.functions.melt import melt, melt_sql
+from serene_spark.functions.melt import melt_ids, melt_sql
 from serene_spark.functions.sqlgen import DUCKDB, SPARK, rx
 from serene_spark.registry import register
 from serene_spark.materialize import materialize
@@ -329,11 +329,18 @@ def _make(counts_fn, body_fn, table: str, tag: str):
     aggregation is computed once via eager localCheckpoint."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
         view = f"__serene_long_{table}"
-        melt(load_table(spark, sf_dir, table)).createOrReplaceTempView(view)
+        # int column ids through the counts pass and the stats tail (guide
+        # §2.3), mapped back to names in the final ≤#columns-row projection
+        long_df, name_case = melt_ids(load_table(spark, sf_dir, table))
+        long_df.createOrReplaceTempView(view)
         rel = f"__serene_{tag}_{table}"
         spark.sql(counts_fn(view)).transform(materialize).createOrReplaceTempView(rel)
-        return spark.sql("WITH " + body_fn(rel))
+        return spark.sql("WITH " + body_fn(rel)).withColumn(
+            "column_name", F.expr(name_case)
+        )
 
     return run
 
@@ -343,11 +350,14 @@ def _make_textlen(table: str):
     so no materialization (and no checkpoint job) is needed."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
         view = f"__serene_long_{table}"
-        melt(load_table(spark, sf_dir, table)).createOrReplaceTempView(view)
+        long_df, name_case = melt_ids(load_table(spark, sf_dir, table))
+        long_df.createOrReplaceTempView(view)
         return spark.sql(
             f"WITH counts AS ({len_counts_sql(view)})" + textlen_onepass_body("counts")
-        )
+        ).withColumn("column_name", F.expr(name_case))
 
     return run
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from serene_spark.catalog import COLUMNS, load_table
-from serene_spark.functions.melt import melt, melt_sql
+from serene_spark.functions.melt import melt_ids, melt_sql
 from serene_spark.functions.sqlgen import DUCKDB, SPARK, rx
 from serene_spark.registry import register
 
@@ -183,9 +183,16 @@ FROM top
 
 def _make(table: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
         view = f"__serene_long_{table}"
-        melt(load_table(spark, sf_dir, table)).createOrReplaceTempView(view)
-        return spark.sql(typeinfer_onepass_sql(view, SPARK))
+        # int column ids through the cascade/vote (guide §2.3), mapped back
+        # to names in the final ≤#columns-row projection
+        long_df, name_case = melt_ids(load_table(spark, sf_dir, table))
+        long_df.createOrReplaceTempView(view)
+        return spark.sql(typeinfer_onepass_sql(view, SPARK)).withColumn(
+            "column_name", F.expr(name_case)
+        )
 
     return run
 
