@@ -59,7 +59,75 @@ def _in_list(words: tuple[str, ...]) -> str:
     return "(" + ", ".join(f"'{w}'" for w in words) + ")"
 
 
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+def text_quality_onepass_sql(dialect: str) -> str:
+    """Spark-only physical form of the shared three-CTE ``text_quality``
+    statement: per-row array expressions instead of explode → groupBy →
+    join. ONE projection over the documents scan — zero exchanges, zero
+    joins (was: Generate + partial/final HashAggregate + a doc_id join).
+    Guide §2.4 (remove shuffles outright) / §1.2 (the distributed algorithm
+    first). Measured 1.30 → 0.30 s min at sf0.1, full-output equal.
+
+    Value-identical to the CTE form because:
+    - ``doc_id`` is the corpus key (unique per document — the invariant the
+      dedup/packing tiers already build on), so the per-doc aggregation
+      over exploded token rows equals the same fold over the one row's
+      token array, and the tok_stats INNER JOIN's drop of token-less docs
+      is exactly the ``n_tokens > 0`` filter;
+    - char-class counts run as translate-deletes (``count_chars``) instead
+      of regexp_replace — both count occurrences of an explicit char set
+      (same trick as the profiling tier, profile_scalar.py);
+    - NORM's whitespace-collapse/trim only merges/creates separator runs:
+      whitespace is inside the split class ``[^a-z0-9]+``, so the only
+      difference is empty tokens, which the filter removes. The
+      random-corpus python twin (tests/test_random_corpus_oracle.py)
+      re-derives the full output per row from re.split on 3 seeds.
+    """
+    from serene_spark.functions.sqlgen import count_chars
+
+    alnum_ws = f"('{_UPPER.lower()}{_UPPER}0123456789 ' || chr(9) || chr(10) || chr(13))"
+    n_alnum_ws = count_chars(dialect, "text", alnum_ws)
+    n_digit = count_chars(dialect, "text", "'0123456789'")
+    n_upper = count_chars(dialect, "text", f"'{_UPPER}'")
+    return f"""
+SELECT doc_id, n_chars, n_tokens,
+       round(CAST(tok_chars AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+       round(CAST(punct_chars AS DOUBLE) / n_chars, 6) AS punct_ratio,
+       round(CAST(digit_chars AS DOUBLE) / n_chars, 6) AS digit_ratio,
+       round(CAST(upper_chars AS DOUBLE) / n_chars, 6) AS upper_ratio,
+       round(CAST(sw_hits AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+       CASE WHEN n_tokens >= 5 AND n_tokens <= 100000
+                 AND CAST(sw_hits AS DOUBLE) / n_tokens >= 0.01
+                 AND CAST(punct_chars AS DOUBLE) / n_chars <= 0.2
+            THEN 1.0 ELSE 0.0 END AS quality_pass
+FROM (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text) - ({n_alnum_ws}) AS BIGINT) AS punct_chars,
+         CAST({n_digit} AS BIGINT) AS digit_chars,
+         CAST({n_upper} AS BIGINT) AS upper_chars,
+         CAST(size(toks) AS BIGINT) AS n_tokens,
+         CAST(aggregate(toks, CAST(0 AS BIGINT), (a, x) -> a + length(x)) AS BIGINT) AS tok_chars,
+         CAST(size(filter(toks, x -> x IN {_in_list(STOPWORDS['en'])})) AS BIGINT) AS sw_hits
+  FROM (
+    SELECT doc_id,
+           filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks,
+           text
+    FROM documents
+  ) d
+) s
+WHERE n_tokens > 0
+"""
+
+
 def text_quality_sql(dialect: str) -> str:
+    # Spark runs the one-pass per-row form; DuckDB keeps the dialect-shared
+    # three-CTE text (it is the oracle and materializes its own CTEs).
+    # Composed consumers (curation, eval, dedup summary) inherit the switch.
+    if dialect != DUCKDB:
+        return text_quality_onepass_sql(dialect)
     punct = rr(dialect, "text", "[a-zA-Z0-9 \t\n\r]")  # keep only punctuation
     digits = rr(dialect, "text", "[^0-9]")
     upper = rr(dialect, "text", "[^A-Z]")
@@ -112,7 +180,34 @@ LANG_PICK = (
 )
 
 
+# Per-row token array for the Spark one-pass forms: identical token
+# sequences to tokens_rel (whitespace sits inside the split class, so NORM's
+# collapse/trim only changes empty tokens, which the filter drops), and the
+# ``size(toks) > 0`` guard reproduces the per-doc GROUP BY / inner-join drop
+# of token-less docs — exact because doc_id is the corpus key (unique).
+_TOKS_ROW = (
+    "SELECT doc_id, text,"
+    " filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks"
+    " FROM documents"
+)
+
+
 def lang_id_sql(dialect: str) -> str:
+    if dialect != DUCKDB:
+        # one projection, zero exchanges/joins (guide §2.4); same argmax
+        hits = ",\n         ".join(
+            f"CAST(size(filter(toks, x -> x IN {_in_list(ws)})) AS BIGINT) AS {lang}_hits"
+            for lang, ws in STOPWORDS.items()
+        )
+        return f"""
+SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+       {LANG_PICK} AS pred_lang
+FROM (
+  SELECT doc_id,
+         {hits}
+  FROM ({_TOKS_ROW}) d WHERE size(toks) > 0
+) hits
+"""
     return f"""
 WITH {tokens_rel(dialect)},
 hits AS (
@@ -128,6 +223,20 @@ FROM hits
 
 def token_stats_sql(dialect: str) -> str:
     words = re_extract_all_count(dialect, "text", "[a-zA-Z]+")
+    if dialect != DUCKDB:
+        # COUNT(DISTINCT tok) per doc == size(array_distinct(toks)) of the
+        # doc's single row; the documents⋈t join disappears (guide §2.4)
+        return f"""
+SELECT doc_id, n_tokens, n_distinct_tokens,
+       round(CAST(n_distinct_tokens AS DOUBLE) / n_tokens, 6) AS type_token_ratio,
+       CAST({words} AS BIGINT) AS n_regex_words
+FROM (
+  SELECT doc_id, text,
+         CAST(size(toks) AS BIGINT) AS n_tokens,
+         CAST(size(array_distinct(toks)) AS BIGINT) AS n_distinct_tokens
+  FROM ({_TOKS_ROW}) d WHERE size(toks) > 0
+) s
+"""
     return f"""
 WITH {tokens_rel(dialect)},
 t AS (
@@ -144,14 +253,25 @@ FROM documents d JOIN t ON d.doc_id = t.doc_id
 
 
 def fingerprint_sql(dialect: str) -> str:
-    if dialect == DUCKDB:
-        fp = "md5(string_agg(DISTINCT tok, ' ' ORDER BY tok))"
-    else:
-        fp = "md5(array_join(array_sort(collect_set(tok)), ' '))"
+    if dialect != DUCKDB:
+        # collect_set of one doc's exploded tokens == array_distinct(toks):
+        # the per-doc aggregation becomes a projection and only the
+        # cross-doc GROUP BY fingerprint remains (guide §2.4)
+        return f"""
+SELECT fingerprint,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+FROM (
+  SELECT doc_id,
+         md5(array_join(array_sort(array_distinct(toks)), ' ')) AS fingerprint
+  FROM ({_TOKS_ROW}) d WHERE size(toks) > 0
+) fp GROUP BY fingerprint
+"""
     return f"""
 WITH {tokens_rel(dialect)},
 fp AS (
-  SELECT doc_id, {fp} AS fingerprint FROM tokens GROUP BY doc_id
+  SELECT doc_id, md5(string_agg(DISTINCT tok, ' ' ORDER BY tok)) AS fingerprint
+  FROM tokens GROUP BY doc_id
 )
 SELECT fingerprint,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -200,6 +320,62 @@ def repetition_sql(dialect: str) -> str:
     )
     w = lambda i: element_at(dialect, "t", i)  # noqa: E731
     n = arr_len(dialect, "t")
+    if dialect != DUCKDB:
+        # Spark-only per-row form (guide §2.4): each per-(doc, gram) count
+        # aggregation + per-doc rollup + join is a run fold over the doc's
+        # SORTED gram array — equal grams are adjacent after sort_array, so
+        # "instances of grams occurring 2+ times" is the sum of runs > 1 and
+        # "top gram count" is the max run. 3 explodes + 6 aggregations + 3
+        # joins become one projection; arrays are per-doc token-scale. The
+        # LEFT-JOIN NULL semantics survive verbatim: a doc with no 1-/2-/3-
+        # grams has total = 0, the division returns NULL (non-ANSI), and the
+        # same coalesce applies the 0.0.
+        def dup_fold(arr: str) -> str:
+            return f"""aggregate(sort_array({arr}),
+             named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT), 'dup', CAST(0 AS BIGINT)),
+             (a, x) -> CASE WHEN a.prev IS NOT NULL AND x = a.prev
+               THEN named_struct('prev', x, 'run', a.run + CAST(1 AS BIGINT), 'dup', a.dup)
+               ELSE named_struct('prev', x, 'run', CAST(1 AS BIGINT),
+                                 'dup', a.dup + CASE WHEN a.run > 1 THEN a.run ELSE CAST(0 AS BIGINT) END) END,
+             a -> a.dup + CASE WHEN a.run > 1 THEN a.run ELSE CAST(0 AS BIGINT) END)"""
+
+        max_run_fold = """aggregate(sort_array(g2arr),
+             named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
+             (a, x) -> CASE WHEN a.prev IS NOT NULL AND x = a.prev
+               THEN named_struct('prev', x, 'run', a.run + CAST(1 AS BIGINT), 'best', a.best)
+               ELSE named_struct('prev', x, 'run', CAST(1 AS BIGINT),
+                                 'best', GREATEST(a.best, a.run)) END,
+             a -> GREATEST(a.best, a.run))"""
+        gram = lambda k: (  # noqa: E731
+            f"CASE WHEN size(t) >= {k} THEN transform(sequence(1, size(t) - {k - 1}), "
+            f"i -> " + " || ' ' || ".join(f"element_at(t, i + {j})" for j in range(k))
+            + ") ELSE array() END"
+        )
+        return f"""
+WITH perdoc AS (
+  SELECT doc_id,
+         CAST(size(t) AS BIGINT) AS total1,
+         {dup_fold('t')} AS dup1,
+         CAST(size(g2arr) AS BIGINT) AS total2,
+         {max_run_fold} AS top2,
+         CAST(size(g3arr) AS BIGINT) AS total3,
+         {dup_fold('g3arr')} AS dup3
+  FROM (
+    SELECT doc_id, t, {gram(2)} AS g2arr, {gram(3)} AS g3arr
+    FROM (SELECT doc_id, filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+          FROM documents) tl
+  ) g
+)
+SELECT doc_id,
+       coalesce(round(CAST(dup1 AS DOUBLE) / nullif(total1, 0), 6), 0.0) AS dup_token_frac,
+       coalesce(round(CAST(top2 AS DOUBLE) / nullif(total2, 0), 6), 0.0) AS top_2gram_frac,
+       coalesce(round(CAST(dup3 AS DOUBLE) / nullif(total3, 0), 6), 0.0) AS dup_3gram_frac,
+       CASE WHEN coalesce(CAST(top2 AS DOUBLE) / nullif(total2, 0), 0.0) <= 0.20
+             AND coalesce(CAST(dup3 AS DOUBLE) / nullif(total3, 0), 0.0) <= 0.60
+             AND coalesce(CAST(dup1 AS DOUBLE) / nullif(total1, 0), 0.0) <= 0.90
+            THEN 1.0 ELSE 0.0 END AS repetition_pass
+FROM perdoc
+"""
     return f"""
 WITH toklist AS (
   SELECT doc_id, {toks} AS t FROM documents
