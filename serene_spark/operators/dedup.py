@@ -648,11 +648,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_lsh_verified_spark(spark, sf_dir).select("doc_id_1", "doc_id_2")
     # undirected edges both ways; localCheckpoint truncates lineage so each
     # round's plan is flat (no re-derivation of the LSH pipeline per round —
-    # at cluster scale, checkpoint to reliable storage instead)
+    # at cluster scale, checkpoint to reliable storage instead). Partition on
+    # dst: the per-round join keys edges by dst (edges.dst == labels.doc_id),
+    # so the static edge relation is exchanged ZERO times across all rounds
+    # instead of once per round (guide §2.4 — share one exchange).
     edges = (
         pairs.union(pairs.select("doc_id_2", "doc_id_1"))
         .toDF("src", "dst")
-        .repartition("src")
+        .repartition("dst")
         .transform(materialize)
     )
     labels = (

@@ -154,18 +154,99 @@ def _div_mk(dialect: str) -> str:
     return idiv(dialect, "month_key", 12)
 
 
-def _holt_run(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid
+def holt_fold_sql(dialect: str) -> str:
+    """Spark-only physical form of :func:`holt_sql`: the recursion as ONE
+    array fold.
 
+    Spark's WITH RECURSIVE executes one job per recursion level — ~84
+    sequential jobs over an 84-row series (measured 19.4 s Spark-side at
+    sf0.01 vs ~2 s for everything else in the query).  The series is
+    month-cardinality by construction (bounded by the calendar, never data
+    volume — the module docstring's scale argument), so the whole coupled
+    (level, trend) recurrence fits one ``aggregate()`` over
+    ``sort_array(collect_list(...))`` — the same bounded-array fold the
+    textlen/numeric median tails use (guide §1.2/§2.4: the per-level
+    scheduling was the cost, not the arithmetic).
+
+    Value-identical to ``holt_sql`` by construction: identical init
+    (l_1 = y_1, b_1 = round(y_2 - y_1, 9)), identical 9-dp re-quantization
+    per step (``nl`` inlined twice — same double arithmetic), identical
+    one-step forecast join semantics (``fc`` carries prev.lvl + prev.trd
+    unrounded; NULL for i = 1 = the recursive form's LEFT JOIN miss), and
+    the same empty/one-month edge (fewer than 2 series rows -> no states ->
+    empty output, exactly the recursion's failed init join).  The DuckDB
+    oracle keeps the recursive statement; parity pins equality.
+    """
+    a = f"CAST({ALPHA} AS DOUBLE)"
+    b = f"CAST({BETA} AS DOUBLE)"
+    prev = "element_at(acc, -1)"
+    nl = f"ROUND({a} * x.y + (1 - {a}) * ({prev}.lvl + {prev}.trd), 9)"
+    return f"""
+WITH __holt_monthly AS ({MONTHLY_SQL}),
+series AS ({series_sql(dialect)}),
+arr_rel AS (
+  SELECT sort_array(collect_list(struct(month_key, y))) AS arr FROM series
+),
+st AS (
+  SELECT CASE WHEN size(arr) < 2 THEN
+    CAST(array() AS ARRAY<STRUCT<month_key: BIGINT, y: DOUBLE, lvl: DOUBLE,
+                                 trd: DOUBLE, fc: DOUBLE>>)
+  ELSE
+    aggregate(
+      slice(arr, 2, size(arr) - 1),
+      array(named_struct(
+        'month_key', arr[0].month_key, 'y', arr[0].y,
+        'lvl', arr[0].y,
+        'trd', ROUND(arr[1].y - arr[0].y, 9),
+        'fc', CAST(NULL AS DOUBLE))),
+      (acc, x) -> concat(acc, array(named_struct(
+        'month_key', x.month_key, 'y', x.y,
+        'lvl', {nl},
+        'trd', ROUND({b} * ({nl} - {prev}.lvl) + (1 - {b}) * {prev}.trd, 9),
+        'fc', {prev}.lvl + {prev}.trd)))
+    )
+  END AS states
+  FROM arr_rel
+),
+fitted AS (
+  SELECT s.month_key, s.y, s.lvl, s.trd, s.fc AS forecast
+  FROM st LATERAL VIEW explode(states) t AS s
+),
+horizon AS (
+  SELECT element_at(states, -1).month_key + h AS month_key,
+         element_at(states, -1).lvl AS lvl,
+         element_at(states, -1).trd AS trd,
+         element_at(states, -1).lvl + h * element_at(states, -1).trd AS forecast
+  FROM st LATERAL VIEW explode(sequence(1, {HORIZON})) t AS h
+  WHERE size(states) > 0
+)
+SELECT CAST(month_key AS BIGINT) AS month_key,
+       CAST({_div_mk(dialect)} AS INT) AS yr,
+       CAST(month_key % 12 + 1 AS INT) AS mon,
+       ROUND(y, 6) AS revenue,
+       ROUND(lvl, 6) AS level,
+       ROUND(trd, 6) AS trend,
+       ROUND(forecast, 6) AS forecast,
+       ROUND(y - forecast, 6) AS err,
+       CAST(0 AS INT) AS is_forecast
+FROM fitted
+UNION ALL
+SELECT CAST(month_key AS BIGINT),
+       CAST({_div_mk(dialect)} AS INT),
+       CAST(month_key % 12 + 1 AS INT),
+       NULL, ROUND(lvl, 6), ROUND(trd, 6),
+       ROUND(forecast, 6), NULL,
+       CAST(1 AS INT)
+FROM horizon
+ORDER BY month_key
+"""
+
+
+def _holt_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("orders",))
-    view = f"holt_series_{uuid.uuid4().hex}"
-    # month-cardinality relation, materialized ONCE so the recursion's 80
-    # sequential levels never re-plan the orders scan (conventions: loop
-    # inputs get localCheckpoint; per-call uuid view for thread safety)
-    spark.sql(
-        f"WITH __holt_monthly AS ({MONTHLY_SQL}) {series_sql(SPARK)}"
-    ).transform(materialize).createOrReplaceTempView(view)
-    return spark.sql(holt_sql(SPARK, series_rel=view))
+    # single statement, no recursion, no materialization: the fold reads the
+    # series exactly once (see holt_fold_sql)
+    return spark.sql(holt_fold_sql(SPARK))
 
 
 register(
@@ -321,15 +402,116 @@ ORDER BY day
 """
 
 
-def _hw_run(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid
+def holt_winters_fold_sql(dialect: str) -> str:
+    """Spark-only physical form of :func:`holt_winters_sql` — the recursion
+    as ONE array fold, exactly like :func:`holt_fold_sql` (one job instead
+    of one job per recursion level; measured 9.3 s -> ~1 s Spark-side at
+    sf0.01 over the ~30-day window).
 
+    The state carries the rotating 7-slot register; the init CTE is the
+    byte-identical classical-init aggregation from the recursive form, and
+    each step re-quantizes to 9 dp with ``nl`` inlined — the same double
+    arithmetic in the same order.  Fitted rows are states with i > m (the
+    recursive form's INNER join to the previous state drops i = m); the
+    horizon fires only when the last state's i equals the last series index
+    (for n >= m that is always true; for n < m the recursion's init row
+    never matches MAX(series.i) and the fold emits no states at all).
+    """
+    a = f"CAST({HW_ALPHA} AS DOUBLE)"
+    b = f"CAST({HW_BETA} AS DOUBLE)"
+    g = f"CAST({HW_GAMMA} AS DOUBLE)"
+    m = HW_M
+    prev = "element_at(acc, -1)"
+    nl = f"ROUND({a} * (x.y - {prev}.s1) + (1 - {a}) * ({prev}.lvl + {prev}.trd), 9)"
+    y_arms = ",\n         ".join(
+        f"CAST(MAX(CASE WHEN i = {j} THEN rev END) AS DOUBLE) AS y{j}"
+        for j in range(1, m + 1)
+    )
+    state_t = ("STRUCT<i: INT, day: BIGINT, y: DOUBLE, lvl: DOUBLE, trd: DOUBLE, "
+               + ", ".join(f"s{j}: DOUBLE" for j in range(1, m + 1))
+               + ", fc: DOUBLE>")
+    init_fields = ", ".join(
+        [f"'i', {m}", f"'day', element_at(arr, {m}).day",
+         f"'y', element_at(arr, {m}).y",
+         "'lvl', ROUND(CAST(i0.w1 AS DOUBLE) / 7, 9)",
+         "'trd', ROUND((CAST(i0.w2 AS DOUBLE) - CAST(i0.w1 AS DOUBLE)) / 49, 9)"]
+        + [f"'s{j}', ROUND(i0.y{j} - CAST(i0.w1 AS DOUBLE) / {m}, 9)"
+           for j in range(1, m + 1)]
+        + ["'fc', CAST(NULL AS DOUBLE)"]
+    )
+    step_fields = ", ".join(
+        ["'i', x.i", "'day', x.day", "'y', x.y",
+         f"'lvl', {nl}",
+         f"'trd', ROUND({b} * ({nl} - {prev}.lvl) + (1 - {b}) * {prev}.trd, 9)"]
+        + [f"'s{j}', {prev}.s{j + 1}" for j in range(1, m)]
+        + [f"'s{m}', ROUND({g} * (x.y - {prev}.lvl - {prev}.trd) + (1 - {g}) * {prev}.s1, 9)",
+           f"'fc', {prev}.lvl + {prev}.trd + {prev}.s1"]
+    )
+    h_case = "CASE h " + " ".join(
+        f"WHEN {j} THEN last.s{j}" for j in range(1, m + 1)
+    ) + " END"
+    return f"""
+WITH __hw_daily AS ({hw_daily_sql(dialect)}),
+series AS ({hw_series_sql(dialect)}),
+init AS (
+  SELECT SUM(CASE WHEN i BETWEEN 1 AND {m} THEN rev END) AS w1,
+         SUM(CASE WHEN i BETWEEN {m + 1} AND {2 * m} THEN rev END) AS w2,
+         {y_arms}
+  FROM series
+),
+arr_rel AS (
+  SELECT sort_array(collect_list(struct(CAST(i AS INT) AS i, day, y))) AS arr
+  FROM series
+),
+st AS (
+  SELECT arr, CASE WHEN size(arr) < {m} THEN
+    CAST(array() AS ARRAY<{state_t}>)
+  ELSE
+    aggregate(
+      slice(arr, {m + 1}, size(arr) - {m}),
+      array(named_struct({init_fields})),
+      (acc, x) -> concat(acc, array(named_struct({step_fields})))
+    )
+  END AS states
+  FROM arr_rel CROSS JOIN init i0
+),
+fitted AS (
+  SELECT s.day, s.y, s.lvl, s.trd, s.fc AS forecast
+  FROM st LATERAL VIEW explode(states) t AS s
+  WHERE s.i > {m}
+),
+last_state AS (
+  SELECT element_at(states, -1) AS last
+  FROM st
+  WHERE size(states) > 0
+    AND element_at(states, -1).i = try_element_at(arr, -1).i
+),
+horizon AS (
+  SELECT last.day + h AS day, last.lvl + h * last.trd + {h_case} AS forecast,
+         last.lvl AS lvl, last.trd AS trd
+  FROM last_state LATERAL VIEW explode(sequence(1, {HW_HORIZON})) t AS h
+)
+SELECT CAST(day AS BIGINT) AS day,
+       ROUND(y, 6) AS revenue,
+       ROUND(lvl, 6) AS level,
+       ROUND(trd, 6) AS trend,
+       ROUND(forecast, 6) AS forecast,
+       ROUND(y - forecast, 6) AS err,
+       CAST(0 AS INT) AS is_forecast
+FROM fitted
+UNION ALL
+SELECT CAST(day AS BIGINT),
+       NULL, ROUND(lvl, 6), ROUND(trd, 6), ROUND(forecast, 6), NULL,
+       CAST(1 AS INT)
+FROM horizon
+ORDER BY day
+"""
+
+
+def _hw_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
-    view = f"hw_series_{uuid.uuid4().hex}"
-    spark.sql(
-        f"WITH __hw_daily AS ({hw_daily_sql(SPARK)}) {hw_series_sql(SPARK)}"
-    ).transform(materialize).createOrReplaceTempView(view)
-    return spark.sql(holt_winters_sql(SPARK, series_rel=view))
+    # single statement, no recursion, no materialization (holt_winters_fold_sql)
+    return spark.sql(holt_winters_fold_sql(SPARK))
 
 
 register(
