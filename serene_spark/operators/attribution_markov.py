@@ -202,6 +202,81 @@ v0 AS (
     return out
 
 
+def absorption_fold_body() -> str:
+    """Spark-only physical form of :func:`absorption_bases`: the whole
+    ``N_ABS_ITER``-level value iteration as ONE nested array fold.
+
+    The chunked join chain exists because Catalyst plans/codegens the
+    40-deep join nest super-linearly (see absorption_bases docstring) —
+    but even chunked it costs 4 checkpointed segments of 10 broadcast
+    joins each over a ~scenarios x states² relation that is ~125 rows
+    (measured ~7 s of pure scheduling at sf0.01).  Here each scenario's
+    transitions are collected into an array once and the iteration
+    p(a) <- sum_b P(a,b)·v(b) runs as ``aggregate(sequence(1, N), v-map,
+    step)`` — the loop body is ONE expression evaluated N times, so plan
+    depth is constant in the iteration count.
+
+    Value-identical to the join form: the same ROUND(double-product, 9)
+    per term, terms accumulated in exact DECIMAL (re-cast to the join
+    form's DECIMAL(28,9) sum type each step — decimal addition is exact,
+    so fold order vs SUM order cannot differ); a state with no outgoing
+    transitions folds over an empty array to 0, exactly the join form's
+    missing-row -> COALESCE(_, 0); the p_start spine is the scenarios
+    with start edges, exactly its GROUP BY.  The DuckDB oracle keeps the
+    chunked-CTE statement; parity and the numpy linear-system pin hold.
+    """
+    case = (
+        f"CASE WHEN t.dst = '{CONV}' THEN 1.0 "
+        f"WHEN t.dst = '{NULL}' THEN 0.0 "
+        f"ELSE COALESCE(element_at(vm, t.dst), 0) END"
+    )
+    term = (
+        f"CAST(a + CAST(ROUND(CAST(t.prob AS DOUBLE) * {case}, 9) "
+        f"AS DECIMAL(18,9)) AS DECIMAL(28,9))"
+    )
+    start_case = (
+        f"CASE WHEN t.dst = '{CONV}' THEN 1.0 "
+        f"WHEN t.dst = '{NULL}' THEN 0.0 "
+        f"ELSE COALESCE(element_at(f.vm, t.dst), 0) END"
+    )
+    start_term = (
+        f"CAST(a + CAST(ROUND(CAST(t.prob AS DOUBLE) * {start_case}, 9) "
+        f"AS DECIMAL(18,9)) AS DECIMAL(28,9)) "
+    )
+    trans_t = "ARRAY<STRUCT<src: STRING, dst: STRING, prob: DECIMAL(18,9)>>"
+    return f"""by_scen AS (
+  SELECT scenario, collect_list(struct(src, dst, prob)) AS trans
+  FROM strans WHERE src <> '{START}'
+  GROUP BY scenario
+),
+chs_rel AS (SELECT collect_list(ch) AS chs FROM channels),
+start_t AS (
+  SELECT scenario, collect_list(struct(dst, prob)) AS stw
+  FROM strans WHERE src = '{START}'
+  GROUP BY scenario
+),
+folded AS (
+  SELECT st.scenario, st.stw,
+         aggregate(
+           sequence(1, {N_ABS_ITER}),
+           map_from_entries(transform(chs, c -> struct(c, CAST(0 AS DECIMAL(28,9))))),
+           (vm, it) -> map_from_entries(transform(chs, s -> struct(s,
+             aggregate(filter(COALESCE(b.trans, CAST(array() AS {trans_t})),
+                              tr -> tr.src = s),
+                       CAST(0 AS DECIMAL(28,9)),
+                       (a, t) -> {term}))))
+         ) AS vm
+  FROM start_t st LEFT JOIN by_scen b ON st.scenario = b.scenario
+  CROSS JOIN chs_rel
+),
+p_start AS (
+  SELECT f.scenario,
+         aggregate(f.stw, CAST(0 AS DECIMAL(28,9)),
+                   (a, t) -> {start_term}) AS p_conv
+  FROM folded f
+)"""
+
+
 def markov_attribution_tail_sql(dialect: str) -> str:
     return f"""
 WITH base_p AS (
@@ -245,5 +320,7 @@ register(
     f"{N_ABS_ITER} unrolled decimal-exact absorption iterations; one LEAD "
     "pass, then states-squared chain math",
 )(lambda spark, sf_dir: run_materialized(
-    spark, sf_dir, ("events",), _all_bases(SPARK),
-    markov_attribution_tail_sql(SPARK)))
+    spark, sf_dir, ("events",),
+    chain_bases(SPARK) + scenario_bases(SPARK),
+    "WITH " + absorption_fold_body() + ",\n"
+    + markov_attribution_tail_sql(SPARK).lstrip().removeprefix("WITH ")))

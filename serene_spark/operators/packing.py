@@ -210,10 +210,12 @@ ORDER BY m.shard, m.doc_id
 def _corpus_build_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serene_spark.functions.sqlgen import SPARK as _S
     from serene_spark.materialize import materialize
-    from serene_spark.operators.text_analysis import corpus_select_sql
+    from serene_spark.operators.text_analysis import corpus_select_spark_df
 
     register_views(spark, sf_dir, ("documents",), spread=True)
-    spark.sql(corpus_select_sql(_S)).transform(materialize) \
+    # staged selection (materialized-feat path — the one-statement form
+    # serializes its gate folds into the scan task, see corpus_select_spark_df)
+    corpus_select_spark_df(spark, sf_dir).transform(materialize) \
         .createOrReplaceTempView("__cb_sel")
     # materialize the one data-scale product (selected docs tokenized) —
     # shard_cfg + stream reference it twice more, and Catalyst's CTE

@@ -428,6 +428,158 @@ SELECT CAST((SELECT n FROM n_rel) AS BIGINT) AS n_days,
 """
 
 
+def mk_bases_spark() -> list[tuple[str, str]]:
+    """Spark-side bases: per_day + series only — the pair relation is NOT
+    materialized (see :func:`mk_tail_onepass_sql`)."""
+    return mk_bases(SPARK)[:2]
+
+
+MK_MED_BUCKETS = 1024
+
+_MK_PAIRS = """
+    SELECT CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn,
+           ROUND(CAST(b.x - a.x AS DOUBLE) / (b.day - a.day), 9) AS slope
+    FROM series a JOIN series b ON b.day > a.day
+"""
+
+
+def mk_gagg_sql() -> str:
+    """Pair pass 1: S statistic + slope min/max + pair count (one row)."""
+    return f"""
+SELECT CAST(SUM(sgn) AS BIGINT) AS s,
+       CAST(MIN(slope) AS DOUBLE) AS mn, CAST(MAX(slope) AS DOUBLE) AS mx,
+       COUNT(*) AS np
+FROM ({_MK_PAIRS}) p
+"""
+
+
+def mk_medb_sql() -> str:
+    """Pair pass 2: per-bucket slope counts (<= {MK_MED_BUCKETS} rows)
+    cumulated by an array fold into the median bucket + the cumulative
+    count before it (one row). Reads the materialized ``gagg`` view."""
+    width = (
+        f"CASE WHEN g.mx = g.mn THEN 0 "
+        f"ELSE LEAST({MK_MED_BUCKETS - 1}, GREATEST(0, CAST(FLOOR("
+        f"(slope - g.mn) / (g.mx - g.mn) * {MK_MED_BUCKETS}) AS INT))) END"
+    )
+    medb_fold = """aggregate(sort_array(collect_list(struct(bkt, bc))),
+             named_struct('cum', CAST(0 AS BIGINT), 'bkt', CAST(NULL AS INT), 'before', CAST(0 AS BIGINT)),
+             (acc, x) -> CASE
+               WHEN acc.bkt IS NOT NULL THEN acc
+               WHEN acc.cum + x.bc >= ceil(np / 2.0)
+                 THEN named_struct('cum', acc.cum + x.bc, 'bkt', x.bkt, 'before', acc.cum)
+               ELSE named_struct('cum', acc.cum + x.bc, 'bkt', CAST(NULL AS INT), 'before', CAST(0 AS BIGINT)) END)"""
+    return f"""
+SELECT f.w.bkt AS bkt, f.w.before AS cum_before, f.np, f.mn, f.mx
+FROM (
+  SELECT {medb_fold} AS w, np, mn, mx
+  FROM (
+    SELECT bkt, COUNT(*) AS bc, MIN(np) AS np, MIN(mn) AS mn, MIN(mx) AS mx
+    FROM (
+      SELECT {width} AS bkt, g.np, g.mn, g.mx
+      FROM ({_MK_PAIRS}) p CROSS JOIN gagg g
+    ) b GROUP BY bkt
+  ) bt
+  GROUP BY np, mn, mx
+) f
+"""
+
+
+def mk_tail_onepass_sql() -> str:
+    """Spark-only physical form of :func:`mk_tail_sql`.
+
+    The shared tail materialized all 2.9M pair rows and paid a
+    single-partition cumulative window over ~2.5M distinct slopes inside
+    ``sen`` (measured 2.9 s checkpoint + 7.2 s tail at sf0.01 — the serial
+    window is the scale-killer: a decade of days would sort 6.6M rows in
+    one task).  Here the pair generator is re-derived (never stored) at
+    exactly THREE consumers — the global agg (``mk_gagg_sql``), the bucket
+    totals (``mk_medb_sql``), and the in-bucket pass below; the two tiny
+    intermediates are materialized by the runner so CTE inlining cannot
+    multiply the pair passes — and the global window is replaced by the
+    same two-level exact median ``numeric_onepass_body`` uses: per-bucket
+    totals (<= {MK_MED_BUCKETS} rows) are cumulated by an array fold, then
+    one tiny window runs over the median bucket's ~1/{MK_MED_BUCKETS}
+    share of slopes.  Value-identical: S and the tie term are the same
+    integer sums; the Sen slope is the same
+    MIN(slope | cum_c >= ceil(np/2.0)) over the same monotone cumulation."""
+    width_m = (
+        f"CASE WHEN m.mx = m.mn THEN 0 "
+        f"ELSE LEAST({MK_MED_BUCKETS - 1}, GREATEST(0, CAST(FLOOR("
+        f"(slope - m.mn) / (m.mx - m.mn) * {MK_MED_BUCKETS}) AS INT))) END"
+    )
+    return f"""
+WITH n_rel AS (SELECT COUNT(*) AS n FROM series),
+ties AS (
+  SELECT SUM(CAST(t AS DECIMAL(19,0)) * (t - 1) * (2 * t + 5)) AS tie_term
+  FROM (SELECT COUNT(*) AS t FROM series GROUP BY x) g
+),
+var_s AS (
+  SELECT (CAST(n AS DECIMAL(18,0)) * (n - 1) * (2 * n + 5)
+          - (SELECT tie_term FROM ties)) / 18.0 AS v
+  FROM n_rel
+),
+s_stat AS (SELECT s FROM gagg),
+sen AS (
+  SELECT MIN(CASE WHEN cc >= ceil(np / 2.0) THEN slope END) AS sen_slope
+  FROM (
+    SELECT slope, np,
+           cum_before + SUM(c) OVER (ORDER BY slope) AS cc
+    FROM (
+      SELECT slope, COUNT(*) AS c, MIN(m.np) AS np,
+             MIN(m.cum_before) AS cum_before
+      FROM ({_MK_PAIRS}) p JOIN medb m ON ({width_m}) = m.bkt
+      GROUP BY slope
+    ) h
+  ) t
+)
+SELECT CAST((SELECT n FROM n_rel) AS BIGINT) AS n_days,
+       CAST((SELECT s FROM s_stat) AS BIGINT) AS mk_s,
+       ROUND(CAST((SELECT v FROM var_s) AS DOUBLE), 6) AS var_s,
+       ROUND(CASE WHEN (SELECT s FROM s_stat) > 0
+                  THEN ((SELECT s FROM s_stat) - 1)
+                       / sqrt(CAST((SELECT v FROM var_s) AS DOUBLE))
+                  WHEN (SELECT s FROM s_stat) < 0
+                  THEN ((SELECT s FROM s_stat) + 1)
+                       / sqrt(CAST((SELECT v FROM var_s) AS DOUBLE))
+                  ELSE 0.0 END, 6) AS z,
+       (SELECT sen_slope FROM sen) AS sen_slope_per_day,
+       CAST(CASE WHEN ABS(CASE WHEN (SELECT s FROM s_stat) > 0
+                               THEN ((SELECT s FROM s_stat) - 1)
+                                    / sqrt(CAST((SELECT v FROM var_s) AS DOUBLE))
+                               WHEN (SELECT s FROM s_stat) < 0
+                               THEN ((SELECT s FROM s_stat) + 1)
+                                    / sqrt(CAST((SELECT v FROM var_s) AS DOUBLE))
+                               ELSE 0.0 END) > 1.96
+            THEN 1 ELSE 0 END AS INT) AS trend_detected
+"""
+
+
+def _mk_spark_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged runner. Two layout decisions, both measured at sf0.01:
+
+    - the checkpointed series is SPREAD: the spine is generated by one
+      sequence() task, so every pair-generating self-join over it would
+      otherwise stream from a single partition (serial 2.9M-row nested-loop
+      output — 2.9-3.9 s per pass serial vs 0.5 s spread);
+    - ``gagg`` and ``medb`` (one row each) are materialized: they sit under
+      ``sen`` and each other, and CTE inlining would re-derive one extra
+      pair pass per reference (measured 8.4 s tail -> 3 passes total).
+    """
+    from serene_spark.functions.melt import spread
+    from serene_spark.materialize import materialize
+
+    register_views(spark, sf_dir, ("orders",))
+    for view, body in mk_bases_spark():
+        df = spark.sql(f"WITH {body} SELECT * FROM {view}")
+        if view == "series":
+            df = spread(df)
+        materialize(df).createOrReplaceTempView(view)
+    materialize(spark.sql(mk_gagg_sql())).createOrReplaceTempView("gagg")
+    materialize(spark.sql(mk_medb_sql())).createOrReplaceTempView("medb")
+    return spark.sql(mk_tail_onepass_sql())
+
+
 register(
     "trend_mann_kendall",
     oracle=trend_mk_sql(DUCKDB),
@@ -435,8 +587,7 @@ register(
     "daily revenue: exact integer S with tie-corrected variance, "
     "histogram-median pairwise slope — calendar-bounded pair relation, "
     "outlier-immune by construction",
-)(lambda spark, sf_dir: run_materialized(
-    spark, sf_dir, ("orders",), mk_bases(SPARK), mk_tail_sql(SPARK)))
+)(_mk_spark_run)
 
 
 CCF_MAX_LAG = 24  # hours
