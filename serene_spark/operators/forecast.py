@@ -41,7 +41,6 @@ from pyspark.sql import DataFrame, SparkSession
 from serene_spark.catalog import register_views
 from serene_spark.functions.sqlgen import DUCKDB, SPARK, explode_seq
 from serene_spark.registry import register
-from serene_spark.materialize import materialize
 
 ALPHA = "0.3"
 BETA = "0.1"
