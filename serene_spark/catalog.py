@@ -61,6 +61,25 @@ COLUMNS: dict[str, tuple[str, ...]] = {
     "embeddings": ("vec_id", "embedding", "label"),
 }
 
+# Routing-hash key per table for spread() at full-table registration: a
+# small unique/high-cardinality key instead of every column, so the
+# repartition expression references (and therefore forces the scan to read)
+# at most these columns beyond what the query itself needs — guide §2.3
+# "project before the exchange" / §6 pruning. Uniqueness also keeps
+# duplicate-heavy corpora (dedup inputs by definition) evenly spread.
+SPREAD_KEYS: dict[str, tuple[str, ...]] = {
+    "region": ("r_regionkey",),
+    "nation": ("n_nationkey",),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey", "l_linenumber"),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
 
 # (applicationId, sf_dir, name, mtime) -> DataFrame. Caches the UNEXECUTED
 # plan handle only — the parquet footer read + file listing behind
@@ -128,7 +147,7 @@ def register_views(
     for t in tables:
         df = load_table(spark, sf_dir, t)
         if spread:
-            df = _spread(df)
+            df = _spread(df, key_cols=SPREAD_KEYS.get(t))
         df.createOrReplaceTempView(t)
 
 

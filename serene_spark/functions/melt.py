@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def spread(df: DataFrame) -> DataFrame:
+def spread(df: DataFrame, key_cols: tuple[str, ...] | None = None) -> DataFrame:
     """Round-robin repartition ONLY when the input is under-partitioned.
 
     A small parquet file arrives as one partition locally, which would pin all
@@ -27,6 +27,16 @@ def spread(df: DataFrame) -> DataFrame:
     On a real cluster inputs already carry enough partitions and this is a
     no-op — never shrink, never add a shuffle that isn't paying for
     parallelism.
+
+    ``key_cols`` names the routing-hash columns. Pass a small high-cardinality
+    key (the table's primary key) when registering a FULL table whose
+    consumers project subsets: hashing every column makes the repartition
+    expression reference every column, which stops Catalyst pruning the scan
+    below the exchange (measured r13: q1's scan read all 11 lineitem columns
+    instead of its 7). The default (all columns) is only right when the
+    consumer reads every column anyway (the melt/stack path). A unique key
+    also keeps duplicate-heavy corpora evenly spread — identical full rows
+    hash to one partition, identical rows with distinct ids do not.
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
@@ -51,7 +61,8 @@ def spread(df: DataFrame) -> DataFrame:
         # even (guide §2.5). Falls back to round-robin for un-hashable
         # column types (maps).
         try:
-            key = F.pmod(F.xxhash64(*[F.col(f"`{c}`") for c in df.columns]),
+            cols = key_cols or df.columns
+            key = F.pmod(F.xxhash64(*[F.col(f"`{c}`") for c in cols]),
                          F.lit(target * 64))
             return df.repartition(target, key)
         except Exception:

@@ -66,11 +66,10 @@ def profile_features_from_long(
     mapping ids back to names; applied to the final per-column matrix so
     callers always see name-keyed rows.
     """
-    from serene_spark.operators.profile_fused import (
-        fused_profile_sql,
-        ncounts_from_hist_sql,
-    )
+    from serene_spark.operators.profile_fused import fused_profile_sql
     from serene_spark.operators.profile_scalar import hist_sql
+    from serene_spark.operators.profile_textstats import NUM_PAT
+    from serene_spark.functions.sqlgen import rx
 
     # One data-scale pass: reduce the long relation to its (column, value)
     # histogram, materialize THAT once (Spark inlines CTEs, so the six
@@ -90,15 +89,34 @@ def profile_features_from_long(
     needs_numeric = settings is None or settings.needs_numeric
     long_df.createOrReplaceTempView(view)
     try:
-        spark.sql(f"SELECT * FROM ({hist_sql(view)}) h").transform(materialize).createOrReplaceTempView(hist_view)
+        # the numeric family reads its (column, num) counts three times
+        # (per-column stats, bucket totals, in-bucket median pass). r12
+        # materialized a grouped ncounts relation as a SECOND checkpoint,
+        # which the driver measured as a warm-rep regression at local[32]
+        # (per-checkpoint AQE/stage-scheduling cost > the saved regex
+        # scans). r13: fold the NUM_PAT parse INTO the hist checkpoint as
+        # two extra columns — the regex still runs once per distinct value,
+        # and ncounts becomes a plain filter VIEW over the checkpointed
+        # hist: no second materialization, no repeated regex, no extra
+        # exchange. Skipping ncounts' GROUP BY num is value-identical:
+        # every consumer is a sum/min/max over (num, c) (duplicate string
+        # forms of one numeric merge inside SUM), and the in-bucket
+        # cumulative window uses the default RANGE frame, so tied nums
+        # share one cumulative count exactly as the grouped form did.
+        hist_stmt = f"SELECT * FROM ({hist_sql(view)}) h"
         if needs_numeric:
-            # the numeric family reads its (column, num) counts three times
-            # (per-column stats, bucket totals, in-bucket median pass);
-            # materialize the regex-filtered counts once so the inlined CTE
-            # doesn't re-run the NUM_PAT scan of hist per consumer
+            isnum = rx(SPARK, "trim(value)", NUM_PAT)
+            hist_stmt = (
+                f"SELECT column_name, value, cnt, ne, isnum, "
+                f"CASE WHEN isnum = 1 THEN CAST(trim(value) AS DECIMAL(28,10)) END AS num "
+                f"FROM (SELECT h.*, CASE WHEN {isnum} THEN 1 ELSE 0 END AS isnum "
+                f"FROM ({hist_sql(view)}) h) hn"
+            )
+        spark.sql(hist_stmt).transform(materialize).createOrReplaceTempView(hist_view)
+        if needs_numeric:
             spark.sql(
-                f"SELECT * FROM ({ncounts_from_hist_sql(hist_view, SPARK)}) n"
-            ).transform(materialize).createOrReplaceTempView(ncnt_view)
+                f"SELECT column_name, num, cnt AS c FROM {hist_view} WHERE isnum = 1"
+            ).createOrReplaceTempView(ncnt_view)
         out = spark.sql(
             fused_profile_sql(
                 hist_view,

@@ -498,18 +498,22 @@ ORDER BY s_name
 """
 
 
-def _sql_query(sql: str, spread_tables: tuple[str, ...] = ()):
+def _sql_query(sql: str, spread_tables: dict[str, tuple[str, ...]] | tuple[str, ...] = ()):
     """Build a runner for ``sql``.
 
-    ``spread_tables`` names fact views to re-register SPREAD (round-robin
-    repartitioned when under-partitioned, melt.spread): used for scan-stage
+    ``spread_tables`` names fact views to re-register SPREAD (repartitioned
+    when under-partitioned, melt.spread): used for scan-stage
     aggregations whose partial-aggregate work (decimal money math) would
     otherwise run inside the scan task — a single-row-group local file pins
     that to ONE core (measured r12: q1's decimal partial agg was ~0.9 s of
     its 1.2 s, all in the lone scan task; filters/pruning still push through
     the repartition to the parquet scan). On cluster inputs with adequate
     scan parallelism spread() is a no-op, so this never adds a shuffle at
-    scale.
+    scale. A dict maps each table to the exact columns ``sql`` reads: the
+    view is projected BEFORE the spread (guide §2.3 "project before the
+    exchange"), so the scan reads only those columns and the exchange
+    carries nothing wider — hashing the full unprojected row was measured
+    (r13) to drag all 11 lineitem columns into q1's scan.
     """
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -518,13 +522,19 @@ def _sql_query(sql: str, spread_tables: tuple[str, ...] = ()):
             from serene_spark.functions.melt import spread as _spread
 
             for t in spread_tables:
-                _spread(load_table(spark, sf_dir, t)).createOrReplaceTempView(t)
+                df = load_table(spark, sf_dir, t)
+                cols = spread_tables[t] if isinstance(spread_tables, dict) else None
+                if cols:
+                    df = df.select(*cols)
+                _spread(df).createOrReplaceTempView(t)
         return spark.sql(sql)
 
     return run
 
 
-register("q1_pricing_summary", oracle=Q1_SQL, doc="TPC-H-style Q1 pricing summary (bench headliner)")(_sql_query(Q1_SQL, spread_tables=("lineitem",)))
+register("q1_pricing_summary", oracle=Q1_SQL, doc="TPC-H-style Q1 pricing summary (bench headliner)")(_sql_query(Q1_SQL, spread_tables={"lineitem": (
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate")}))
 register("q3_shipping_priority", oracle=Q3_SQL, doc="TPC-H-style Q3: 3-way join + top-10 revenue")(_sql_query(Q3_SQL))
 register("q5_local_supplier", oracle=Q5_SQL, doc="TPC-H-style Q5: 6-way join, revenue per nation")(_sql_query(Q5_SQL))
 register("topk_customers_per_nation", oracle=TOPK_WINDOW_SQL, doc="window row_number top-3 per group")(_sql_query(TOPK_WINDOW_SQL))
