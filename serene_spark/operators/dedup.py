@@ -343,7 +343,48 @@ def bands_cand_tail(dialect: str, bands_src: str = "bands",
     degenerate one-band 48 geometry falls back to doc_id order.
     ``sig_rel`` supplies the minhash sort keys (any relation with doc_id
     + mh5..mh41; the window runs over hot-bucket members only, so its
-    sort is bucket-local, never corpus-wide)."""
+    sort is bucket-local, never corpus-wide).
+
+    The Spark dialect emits chain pairs with ``LEAD`` over the same sort
+    window instead of the rn/rn+1 self-join: each member's successor in
+    the bucket-local total order IS its rn+1 partner, so the pairs are
+    identical by construction while the physical plan drops the hotm
+    double-inline (Catalyst inlines a twice-referenced CTE twice — two
+    window chains), the SortMergeJoin and its two (band, sig, rn)
+    exchanges (guide §2.4; plans/r13/dedup_minhash_lsh_{{before,after}}.txt).
+    The DuckDB text below stays byte-identical — it is the oracle."""
+    if dialect != DUCKDB:
+        return f"""
+bsz AS (
+  SELECT band, sig, COUNT(*) AS g, MIN(doc_id) AS hub
+  FROM {bands_src} GROUP BY band, sig
+),
+bleft AS (
+  SELECT a.doc_id, a.band, a.sig
+  FROM {bands_src} a JOIN bsz z ON a.band = z.band AND a.sig = z.sig
+  WHERE z.g <= {cap} OR a.doc_id = z.hub
+),
+hotc AS (
+  SELECT LEAST(doc_id, nxt) AS d1, GREATEST(doc_id, nxt) AS d2
+  FROM (
+    SELECT a.doc_id,
+           LEAD(a.doc_id) OVER (
+             PARTITION BY a.band, a.sig
+             ORDER BY m.mh5, m.mh17, m.mh29, m.mh41, a.doc_id) AS nxt
+    FROM {bands_src} a
+    JOIN bsz z ON a.band = z.band AND a.sig = z.sig AND z.g > {cap}
+    JOIN {sig_rel} m ON m.doc_id = a.doc_id
+  ) h WHERE nxt IS NOT NULL
+),
+cand AS (
+  SELECT DISTINCT d1, d2 FROM (
+    SELECT a.doc_id AS d1, b.doc_id AS d2
+    FROM bleft a JOIN {bands_src} b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT d1, d2 FROM hotc
+  ) u
+)"""
     return f"""
 bsz AS (
   SELECT band, sig, COUNT(*) AS g, MIN(doc_id) AS hub
@@ -436,7 +477,8 @@ def dedup_minhash_lsh_spark(spark: SparkSession, sf_dir: str,
     bands = spark.sql(bands_rel_exploded(mh_rel, band_size)).transform(materialize)
     bands.createOrReplaceTempView("__serene_mh_bands")
     return spark.sql(
-        f"WITH {lsh_body(SPARK, mh_rel, band_size, bands_src='__serene_mh_bands')}")
+        f"WITH {lsh_body(SPARK, mh_rel, band_size, bands_src='__serene_mh_bands')}"
+    )
 
 
 def docsketch_rel(dialect: str, n: int = N_LSH) -> str:
