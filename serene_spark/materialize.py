@@ -58,11 +58,24 @@ def _has_checkpoint_dir(spark) -> bool:
     return d is not None and (not hasattr(d, "isDefined") or d.isDefined())
 
 
+CHECKPOINT_DIR_ENV = "SERENE_CHECKPOINT_DIR"
+
+
 def materialize(df: DataFrame) -> DataFrame:
     """Compute ``df`` now, truncate lineage, return the durable handle.
 
-    See the module docstring for the deploy-mode decision table."""
+    See the module docstring for the deploy-mode decision table.
+    ``SERENE_CHECKPOINT_DIR`` (env) configures the reliable checkpoint
+    location without touching caller code — the deployment-level switch
+    for the staged/pushdown-barrier paths, whose barriers are semantically
+    required (localCheckpoint data dies with an executor at cluster
+    scale; a reliable dir makes the same barrier fault-tolerant)."""
+    import os
+
     spark = df.sparkSession
+    env_dir = os.environ.get(CHECKPOINT_DIR_ENV)
+    if env_dir and not _has_checkpoint_dir(spark):
+        spark.sparkContext.setCheckpointDir(env_dir)
     if _has_checkpoint_dir(spark):
         return df.checkpoint(eager=True)
     master = _master(spark)

@@ -31,6 +31,15 @@ from serene_spark.operators.dedup import docsketch_rel, norm_expr, verified_body
 from serene_spark.registry import register
 
 
+def _tok_body(dialect: str) -> str:
+    words = re_extract_all_count(dialect, "text", "[A-Za-z0-9]+")
+    return f"""tok AS {mat(dialect)}(
+  SELECT doc_id, source, {words} AS n_tok,
+         md5({norm_expr(dialect)}) AS text_hash
+  FROM documents
+)"""
+
+
 def _bases(dialect: str) -> list[tuple[str, str]]:
     m = mat(dialect)
     # verified_body is "<ctes>\nSELECT ..." — wrap its final SELECT as the
@@ -41,29 +50,26 @@ def _bases(dialect: str) -> list[tuple[str, str]]:
         f"{docsketch_rel(dialect)},\n{ctes.rstrip()},\n"
         f"pairs AS {m}(SELECT m.d1 AS doc_id_1{select})"
     )
-    words = re_extract_all_count(dialect, "text", "[A-Za-z0-9]+")
-    tok_body = f"""tok AS {m}(
-  SELECT doc_id, source, {words} AS n_tok,
-         md5({norm_expr(dialect)}) AS text_hash
-  FROM documents
-)"""
-    return [("tok", tok_body), ("pairs", pairs_body)]
+    return [("tok", _tok_body(dialect)), ("pairs", pairs_body)]
 
 
-def _tail(dialect: str) -> str:
-    return """
+def _tail(dialect: str, tok: str = "tok", pairs: str = "pairs") -> str:
+    # default relation names ARE the oracle text (compose_with below) —
+    # the Spark runner passes __df_-prefixed temp-view names so a shared
+    # session can never collide on the generic names (ADVICE r12)
+    return f"""
 WITH keep_exact AS (
-  SELECT MIN(doc_id) AS doc_id FROM tok GROUP BY text_hash
+  SELECT MIN(doc_id) AS doc_id FROM {tok} GROUP BY text_hash
 ),
 near_drop AS (
-  SELECT DISTINCT doc_id_2 AS doc_id FROM pairs
+  SELECT DISTINCT doc_id_2 AS doc_id FROM {pairs}
 ),
 staged AS (
   SELECT t.source, t.n_tok,
          CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS s_exact,
          CASE WHEN k.doc_id IS NOT NULL AND d.doc_id IS NULL THEN 1 ELSE 0 END
            AS s_near
-  FROM tok t
+  FROM {tok} t
   LEFT JOIN keep_exact k ON t.doc_id = k.doc_id
   LEFT JOIN near_drop d ON t.doc_id = d.doc_id
 )
@@ -96,15 +102,14 @@ def _spark_run(spark, sf_dir):
     from serene_spark.operators.dedup import BAND_SIZE, dedup_lsh_verified_spark
 
     register_views(spark, sf_dir, ("documents",), spread=True)
-    tok_body = _bases(SPARK)[0][1]
     materialize(
-        spark.sql(f"WITH {tok_body} SELECT * FROM tok")
-    ).createOrReplaceTempView("tok")
+        spark.sql(f"WITH {_tok_body(SPARK)} SELECT * FROM tok")
+    ).createOrReplaceTempView("__df_tok")
     # referenced once by the tail -> a view suffices, no extra checkpoint
     dedup_lsh_verified_spark(
         spark, sf_dir, band_size=BAND_SIZE
-    ).createOrReplaceTempView("pairs")
-    return spark.sql(_tail(SPARK))
+    ).createOrReplaceTempView("__df_pairs")
+    return spark.sql(_tail(SPARK, tok="__df_tok", pairs="__df_pairs"))
 
 
 register(

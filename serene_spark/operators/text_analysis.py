@@ -12,6 +12,8 @@ constants (broadcast literals), not a join.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 
 from serene_spark.catalog import register_views
@@ -28,6 +30,8 @@ from serene_spark.functions.sqlgen import (
     split_re,
 )
 from serene_spark.registry import register
+
+_LOG = logging.getLogger("serene_spark.text_analysis")
 from serene_spark.materialize import materialize
 
 STOPWORDS = {
@@ -516,6 +520,15 @@ def corpus_select_sql(dialect: str, per_lang_cap: int = 100) -> str:
     from serene_spark.operators.dedup import dedup_exact_sql
 
     if dialect != DUCKDB:
+        # composition hazard: as ONE statement, predicate pushdown drags
+        # the fold-heavy gate WHERE below the spread into the serial scan
+        # task (7.2 s vs 0.5 s staged, see corpus_select_spark_df). Warn so
+        # a SPARK-dialect splice never regresses silently — run through
+        # corpus_select_spark_df (or materialize _cs_feat_sql first).
+        _LOG.warning(
+            "corpus_select_sql(SPARK) returns the UNSTAGED fused statement; "
+            "executing it directly serializes the gate folds into the scan "
+            "task — use corpus_select_spark_df instead")
         return _corpus_select_fused_sql(dialect, per_lang_cap)
     return f"""
 WITH q AS ({text_quality_sql(dialect)}),

@@ -456,7 +456,7 @@ FROM ({_MK_PAIRS}) p
 def mk_medb_sql() -> str:
     """Pair pass 2: per-bucket slope counts (<= {MK_MED_BUCKETS} rows)
     cumulated by an array fold into the median bucket + the cumulative
-    count before it (one row). Reads the materialized ``gagg`` view."""
+    count before it (one row). Reads the materialized ``__mk_gagg`` view."""
     width = (
         f"CASE WHEN g.mx = g.mn THEN 0 "
         f"ELSE LEAST({MK_MED_BUCKETS - 1}, GREATEST(0, CAST(FLOOR("
@@ -477,7 +477,7 @@ FROM (
     SELECT bkt, COUNT(*) AS bc, MIN(np) AS np, MIN(mn) AS mn, MIN(mx) AS mx
     FROM (
       SELECT {width} AS bkt, g.np, g.mn, g.mx
-      FROM ({_MK_PAIRS}) p CROSS JOIN gagg g
+      FROM ({_MK_PAIRS}) p CROSS JOIN __mk_gagg g
     ) b GROUP BY bkt
   ) bt
   GROUP BY np, mn, mx
@@ -519,7 +519,7 @@ var_s AS (
           - (SELECT tie_term FROM ties)) / 18.0 AS v
   FROM n_rel
 ),
-s_stat AS (SELECT s FROM gagg),
+s_stat AS (SELECT s FROM __mk_gagg),
 sen AS (
   SELECT MIN(CASE WHEN cc >= ceil(np / 2.0) THEN slope END) AS sen_slope
   FROM (
@@ -528,7 +528,7 @@ sen AS (
     FROM (
       SELECT slope, COUNT(*) AS c, MIN(m.np) AS np,
              MIN(m.cum_before) AS cum_before
-      FROM ({_MK_PAIRS}) p JOIN medb m ON ({width_m}) = m.bkt
+      FROM ({_MK_PAIRS}) p JOIN __mk_medb m ON ({width_m}) = m.bkt
       GROUP BY slope
     ) h
   ) t
@@ -575,8 +575,8 @@ def _mk_spark_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         if view == "series":
             df = spread(df)
         materialize(df).createOrReplaceTempView(view)
-    materialize(spark.sql(mk_gagg_sql())).createOrReplaceTempView("gagg")
-    materialize(spark.sql(mk_medb_sql())).createOrReplaceTempView("medb")
+    materialize(spark.sql(mk_gagg_sql())).createOrReplaceTempView("__mk_gagg")
+    materialize(spark.sql(mk_medb_sql())).createOrReplaceTempView("__mk_medb")
     return spark.sql(mk_tail_onepass_sql())
 
 

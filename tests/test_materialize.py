@@ -56,6 +56,29 @@ def test_materialize_prefers_reliable_checkpoint_when_dir_set(tmp_path):
     assert "RELIABLE_OK" in r.stdout, r.stdout + r.stderr
 
 
+def test_materialize_env_dir_switches_to_reliable_checkpoint(tmp_path):
+    # SERENE_CHECKPOINT_DIR is the deployment-level switch for the staged
+    # pushdown-barrier paths: same barrier, fault-tolerant storage.
+    # Subprocess for the same session-isolation reason as above.
+    code = textwrap.dedent(f"""
+        from pyspark.sql import SparkSession
+        from serene_spark.materialize import materialize
+        spark = (SparkSession.builder.master("local[2]")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        out = materialize(spark.range(10))
+        assert out.count() == 10
+        import glob
+        written = glob.glob("{tmp_path}/envckpt/*/rdd-*")
+        assert written, "expected reliable checkpoint files under the env dir"
+        print("ENV_RELIABLE_OK")
+    """)
+    env = dict(os.environ, SERENE_CHECKPOINT_DIR=f"{tmp_path}/envckpt")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=300, env=env,
+                       cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert "ENV_RELIABLE_OK" in r.stdout, r.stdout + r.stderr
+
+
 CLUSTER_SMOKE = textwrap.dedent("""
     from pyspark.sql import SparkSession
     from serene_spark.session import tune_session, _RUNTIME_CONFS
