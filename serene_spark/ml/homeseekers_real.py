@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from serene_spark.registry import register
-from serene_spark.materialize import materialize
+from serene_spark.materialize import constraint_propagation_off, materialize
 
 HOMESEEKERS_CSV = "/root/reference/core/src/test/resources/homeseekers.csv"
 
@@ -72,8 +72,12 @@ def load_homeseekers_long(spark: SparkSession):
     # stack, Catalyst's constraint propagation (getAllValidConstraints)
     # explodes combinatorially on that lineage — observed as a driver OOM
     # during optimization of any downstream agg. Cutting lineage here makes
-    # every consumer plan against a leaf relation instead.
-    long_df = long_df.transform(materialize)
+    # every consumer plan against a leaf relation instead. The barrier plan
+    # ITSELF still pays the explosion at this eager action (measured 52-57 s
+    # of driver planning, r13), so the pass is scoped off around it — rows
+    # verified identical, see constraint_propagation_off.
+    with constraint_propagation_off(spark):
+        long_df = long_df.transform(materialize)
     labels_df = spark.createDataFrame(
         sorted((cols[i], c) for i, c in DEFAULT_LABELS.items()),
         "column_name string, class string",
