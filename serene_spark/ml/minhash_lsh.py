@@ -71,7 +71,15 @@ def approx_near_dup_pairs(
     """
     from pyspark.ml.feature import MinHashLSH
 
-    vecs = shingle_vectors(docs).where(F.expr("size(shingles) > 0"))
+    from serene_spark.materialize import materialize
+
+    # vecs is referenced three times (fit + both sides of the self-join);
+    # Catalyst inlines the shingling + HashingTF lineage at every reference,
+    # so without a barrier the normalization/shingle/TF pass runs 3x per
+    # query (measured r13: 8.6-14.2 s -> 5.0-6.2 s at sf0.01 with the
+    # barrier, pairs identical). At corpus scale the tripled pass is
+    # data-scale work, not just scheduling.
+    vecs = materialize(shingle_vectors(docs).where(F.expr("size(shingles) > 0")))
     lsh = MinHashLSH(
         inputCol="features",
         outputCol="hashes",
