@@ -197,7 +197,17 @@ def train_semantic_classifier(
             f"sized. Aggregate to per-column features first "
             f"(profile_features_from_long) or train on bags (ml.bagging)."
         )
-    ordered = spark.createDataFrame(rows, labeled_features.schema).coalesce(1).cache()
+    # parallelize(rows, numSlices=1), not createDataFrame(rows).coalesce(1):
+    # a plain createDataFrame pickles the list into defaultParallelism
+    # python partitions, and coalesce(1) then drains all of them through
+    # ONE task's sequential python-worker loop — measured 5.6-7.9 s of
+    # per-partition worker roundtrips for an 18-row training set (r13).
+    # One slice is one roundtrip (~1.3-1.6 s incl. fit); same single
+    # partition, same row order, fitted trees byte-identical (verified
+    # via toDebugString modulo the random model uid).
+    ordered = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), labeled_features.schema
+    ).cache()
     n_rows = len(rows)
     n_trees = RF_TREES_SMALL if n_rows < 20 else RF_TREES
     # "keep" under CV: a validation fold may hold a class absent from its
